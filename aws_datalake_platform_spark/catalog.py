@@ -1,0 +1,156 @@
+"""Catalog: authoritative schemas + table registration.
+
+Mirrors the reference's Glue Data Catalog role (reference:
+terraform/modules/glue/main.tf:37-290 declares 4 tables with fixed
+schemas; the Spark job then schema-infers on read, transform.py:144,203).
+Here the StructTypes below are the source of truth; raw JSON readers may
+still infer when asked (``infer=True``).
+
+Also registers the driver's TPC-H-ish testdata parquet tables
+(TESTDATA.md) as temp views so the full Spark SQL surface — the Athena
+role in the reference (README.md:128-132) — works against them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ── Reference table schemas (terraform/modules/glue/main.tf:37-290) ──────────
+# The catalog stores timestamps as ISO-8601 *strings* end-to-end
+# (glue/main.tf:70-72); we preserve that for parity and derive typed
+# timestamp columns at the query layer.
+
+RAW_WEATHER = T.StructType(
+    [
+        T.StructField("ingestion_id", T.StringType(), False),
+        T.StructField("city", T.StringType(), True),
+        T.StructField("latitude", T.DoubleType(), True),
+        T.StructField("longitude", T.DoubleType(), True),
+        T.StructField("timestamp", T.StringType(), True),
+        T.StructField("temperature_c", T.DoubleType(), True),
+        T.StructField("humidity_pct", T.DoubleType(), True),
+        T.StructField("windspeed_kmh", T.DoubleType(), True),
+        T.StructField("precipitation_mm", T.DoubleType(), True),
+        T.StructField("ingested_at", T.StringType(), True),
+    ]
+)
+
+RAW_IOT_SENSORS = T.StructType(
+    [
+        T.StructField("sensor_id", T.StringType(), True),
+        T.StructField("city", T.StringType(), True),
+        T.StructField("timestamp", T.StringType(), True),
+        T.StructField("temperature_c", T.DoubleType(), True),
+        T.StructField("humidity_pct", T.DoubleType(), True),
+        T.StructField("aqi", T.DoubleType(), True),
+        T.StructField("battery_level", T.DoubleType(), True),
+    ]
+)
+
+# curated = raw + derived columns (FIXTURES.md §3)
+CURATED_WEATHER = T.StructType(
+    RAW_WEATHER.fields
+    + [
+        T.StructField("temperature_f", T.DoubleType(), True),
+        T.StructField("date", T.StringType(), True),
+    ]
+)
+
+CURATED_SENSOR_READINGS = T.StructType(
+    [f for f in RAW_IOT_SENSORS.fields if f.name != "sensor_id"]
+    + [
+        T.StructField("sensor_id_hash", T.StringType(), True),
+        T.StructField("quality_score", T.StringType(), True),
+        T.StructField("date", T.StringType(), True),
+    ]
+)
+
+REFERENCE_TABLES = {
+    "raw_weather": RAW_WEATHER,
+    "raw_iot_sensors": RAW_IOT_SENSORS,
+    "curated_weather": CURATED_WEATHER,
+    "curated_sensor_readings": CURATED_SENSOR_READINGS,
+}
+
+# ── Testdata tables (TESTDATA.md) ────────────────────────────────────────────
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan; Catalyst handles column pruning + predicate
+    pushdown, so callers should filter/select on the returned DataFrame
+    rather than materializing it.
+
+    The events table stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects by default — read nanos as long and convert
+    to a microsecond timestamp (floor division, matching how nanosecond
+    values truncate to Python/Arrow microsecond datetimes downstream).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_testdata(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every testdata table as a temp view for spark.sql()."""
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def create_reference_tables(spark: SparkSession, lake_root: str) -> None:
+    """Create the 4 reference tables as external partitioned tables over a
+    local 'lake' directory — the Spark analogue of the Glue catalog DDL
+    (glue/main.tf:37-290) + Athena serving surface.
+
+    Partition layout parity: curated tables partition by ``date``
+    (glue/main.tf:227-231,285-289); raw iot by year/month/day
+    (kinesis/main.tf:38).
+    """
+    spark.sql("CREATE DATABASE IF NOT EXISTS datalake")
+    layouts = {
+        "raw_weather": ("raw/weather", ["date"], "json"),
+        "raw_iot_sensors": ("raw/iot-sensors", ["year", "month", "day"], "json"),
+        "curated_weather": ("curated/weather", ["date"], "parquet"),
+        "curated_sensor_readings": ("curated/sensor-readings", ["date"], "parquet"),
+    }
+    for table, (prefix, parts, fmt) in layouts.items():
+        schema = REFERENCE_TABLES[table]
+        data_cols = [f for f in schema.fields if f.name not in parts]
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in data_cols)
+        extra = {"date": "string", "year": "string", "month": "string", "day": "string"}
+        part_cols = ", ".join(f"`{p}` {extra[p]}" for p in parts)
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS datalake.{table} ({cols}) USING {fmt} "
+            f"PARTITIONED BY ({part_cols}) LOCATION '{lake_root}/{prefix}'"
+        )
+
+
+def recover_partitions(spark: SparkSession, table: str) -> None:
+    """Partition sync after writes — the reference runs MSCK REPAIR TABLE
+    after every curated write (transform.py:188,268)."""
+    spark.sql(f"MSCK REPAIR TABLE {table}")

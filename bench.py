@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Timing includes full query execution (a count-style materialization of
+every result partition) but excludes session startup and a warmup query
+that pays JVM/codegen first-run costs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY  # noqa: E402
+from aws_datalake_platform_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the plans that
+# dominate at scale (scan-agg, multiway join, window, dedup/similarity).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_group_count",
+    "q03_filter_project",
+    "q04_validation_fused",
+    "q05_join_agg",
+    "q06_join_5way",
+    "q09_outer_join",
+    "q10_window_topk",
+    "q11_window_running",
+    "q12_sort_limit",
+    "q15_rollup",
+    "q18_derived_columns",
+    "q19_pseudonymize",
+    "q20_agg_stats",
+    "q21_time_bucket",
+]
+
+
+def materialize(df) -> int:
+    """Force full execution of every partition without collecting rows to
+    the driver (write-free equivalent of a sink)."""
+    return df.count()
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    # warmup: JVM + codegen + parquet footer caches
+    materialize(QUERY_REGISTRY["q02_group_count"].fn(spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERY_REGISTRY.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        materialize(spec.fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
