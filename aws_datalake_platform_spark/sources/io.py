@@ -1,0 +1,49 @@
+"""Lake IO: NDJSON raw zone readers/writers + partitioned Parquet sinks.
+
+Reference parity:
+- K1: NDJSON landing under date=YYYY-MM-DD/ dirs (batch_ingest:76-93)
+- K3: year=/month=/day= landing for streamed events (kinesis/main.tf:38)
+- K4: snappy Parquet partitioned by date, overwrite (transform.py:180-185)
+- S4: schema-inferred recursive JSON scan (transform.py:144,203)
+
+Scale notes: writes use dynamic partition overwrite (session default) so
+a re-run replaces only the partitions it produced instead of truncating
+the whole tree like the reference's mode("overwrite"); readers accept an
+explicit schema to skip the inference scan (full extra pass at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_ndjson(
+    spark: SparkSession, path: str, schema: T.StructType | None = None, bad_records_path: str | None = None
+) -> DataFrame:
+    """JSON directory scan (S4). With a schema: single pass, corrupt rows
+    routed to badRecordsPath (the Firehose error-prefix analogue,
+    kinesis/main.tf:39) or a _corrupt_record column."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if bad_records_path is not None:
+        reader = reader.option("badRecordsPath", bad_records_path)
+    return reader.json(path)
+
+
+def write_ndjson(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Raw-zone NDJSON sink (K1/K3 semantics: newline-delimited JSON in
+    hive-partitioned dirs)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).json(path)
+
+
+def write_curated_parquet(df: DataFrame, path: str, partition_cols: list[str] = ["date"]) -> None:
+    """Curated-zone sink (K4): snappy parquet partitioned by date.
+    Dynamic partition overwrite comes from the session config."""
+    (
+        df.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .option("compression", "snappy")
+        .parquet(path)
+    )

@@ -1,0 +1,169 @@
+"""Golden end-to-end pipeline tests: raw fixture -> curated parquet ->
+exact-match asserts, including SHA-256 vectors (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from aws_datalake_platform_spark.pipelines.iot import curate_iot, transform_iot_sensors
+from aws_datalake_platform_spark.pipelines.weather import curate_weather, transform_weather
+from aws_datalake_platform_spark.sources.io import read_ndjson, write_ndjson
+from aws_datalake_platform_spark.sources.synthetic import (
+    iot_readings,
+    open_meteo_like_response,
+    weather_raw_from_responses,
+)
+
+
+def ref_sensor_id(city: str, idx: int) -> str:
+    """Reference sensor-id minting (stream_generate/lambda_function.py:33-36)."""
+    raw = f"{city.lower().replace(' ', '_')}_{idx:03d}"
+    return f"sensor-{hashlib.sha256(raw.encode()).hexdigest()[:12]}"
+
+
+def test_sensor_id_parity(spark):
+    df = iot_readings(spark, cities=["New York", "Tokyo"], sensors_per_city=2, ticks=1)
+    got = {r["sensor_id"] for r in df.select("sensor_id").distinct().collect()}
+    want = {ref_sensor_id(c, i) for c in ["New York", "Tokyo"] for i in range(2)}
+    assert got == want
+
+
+def test_iot_generator_ranges_and_determinism(spark):
+    df1 = iot_readings(spark, sensors_per_city=3, ticks=4, seed=7).collect()
+    df2 = iot_readings(spark, sensors_per_city=3, ticks=4, seed=7).collect()
+    assert sorted(map(tuple, df1)) == sorted(map(tuple, df2))  # same seed, same rows
+    df3 = iot_readings(spark, sensors_per_city=3, ticks=4, seed=8).collect()
+    assert sorted(map(tuple, df1)) != sorted(map(tuple, df3))  # different seed differs
+    for r in df1:
+        assert 20.0 <= r["humidity_pct"] <= 95.0
+        assert 0.0 <= r["aqi"] <= 200.0
+        assert 15.0 <= r["battery_level"] <= 100.0
+        assert r["timestamp"].endswith("+00:00") or "T" in r["timestamp"]
+
+
+def test_iot_curation_golden(spark):
+    rows = [
+        # battery>=50 + all non-null -> PASS
+        ("sensor-aaa", "Tokyo", "2026-01-01T00:00:00.123456+00:00", 21.5, 50.0, 30.0, 80.0),
+        # battery in [20,50) -> WARN even with all fields
+        ("sensor-bbb", "Tokyo", "2026-01-01T01:00:00.123456+00:00", 22.0, 51.0, 31.0, 35.0),
+        # battery>=50 but a null measure -> WARN (falls to battery>=20 branch)
+        ("sensor-ccc", "Tokyo", "2026-01-02T00:00:00.123456+00:00", 23.0, None, 32.0, 90.0),
+        # battery<20 -> FAIL
+        ("sensor-ddd", "Tokyo", "2026-01-02T01:00:00.123456+00:00", 24.0, 52.0, 33.0, 10.0),
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "sensor_id string, city string, timestamp string, temperature_c double, "
+        "humidity_pct double, aqi double, battery_level double",
+    )
+    out = {r["sensor_id_hash"]: r for r in curate_iot(raw).collect()}
+    # exact SHA-256 vector parity with pseudonymize_column (transform.py:122-126)
+    h = hashlib.sha256(b"sensor-aaa").hexdigest()
+    assert h in out
+    assert "sensor_id" not in curate_iot(raw).columns  # PII dropped (P4)
+    assert out[h]["quality_score"] == "PASS"
+    assert out[hashlib.sha256(b"sensor-bbb").hexdigest()]["quality_score"] == "WARN"
+    assert out[hashlib.sha256(b"sensor-ccc").hexdigest()]["quality_score"] == "WARN"
+    assert out[hashlib.sha256(b"sensor-ddd").hexdigest()]["quality_score"] == "FAIL"
+    # P2: date is the first 10 chars of the ISO string
+    assert out[h]["date"] == "2026-01-01"
+
+
+def test_weather_flatten_pads_short_arrays(spark):
+    city = {"name": "Tokyo", "latitude": 35.68, "longitude": 139.69}
+    resp = open_meteo_like_response(city, "2026-01-05", hours=24)
+    raw = weather_raw_from_responses(spark, [(city, resp)], "ing-1", "2026-01-05T06:00:00+00:00")
+    rows = raw.orderBy("timestamp").collect()
+    assert len(rows) == 24  # one row per hour (P6)
+    assert rows[0]["timestamp"] == "2026-01-05T00:00"
+    # precipitation array was 2 short -> last two rows NULL (batch_ingest:67-70)
+    assert rows[22]["precipitation_mm"] is None and rows[23]["precipitation_mm"] is None
+    assert rows[21]["precipitation_mm"] is not None
+    assert rows[0]["ingestion_id"] == "ing-1"
+    assert rows[0]["latitude"] == 35.68
+
+
+def test_weather_curation_golden(spark):
+    raw = spark.createDataFrame(
+        [("i1", "Tokyo", 35.0, 139.0, "2026-01-05T03:00", 25.0, 60.0, 10.0, 0.0, "t")],
+        "ingestion_id string, city string, latitude double, longitude double, "
+        "timestamp string, temperature_c double, humidity_pct double, "
+        "windspeed_kmh double, precipitation_mm double, ingested_at string",
+    )
+    row = curate_weather(raw).collect()[0]
+    assert row["temperature_f"] == 77.0  # round(25*9/5+32, 2) (P1)
+    assert row["date"] == "2026-01-05"  # substring(ts,1,10) (P2)
+
+
+def test_end_to_end_lake_roundtrip(spark, tmp_path):
+    """raw NDJSON zone -> transform -> curated parquet zone, the full
+    reference pipeline shape (transform.py:134-190,193-270)."""
+    lake = str(tmp_path)
+    raw = iot_readings(spark, sensors_per_city=2, ticks=3, seed=1).withColumn(
+        "date", F.substring("timestamp", 1, 10)
+    )
+    write_ndjson(raw, f"{lake}/raw/iot-sensors", ["date"])
+
+    result = transform_iot_sensors(
+        spark,
+        raw_path=f"{lake}/raw/iot-sensors",
+        curated_path=f"{lake}/curated/sensor-readings",
+    )
+    assert result is not None and result["success"]
+
+    curated = spark.read.parquet(f"{lake}/curated/sensor-readings")
+    assert curated.count() == 30  # 5 cities x 2 sensors x 3 ticks
+    assert "sensor_id" not in curated.columns
+    assert set(curated.select("quality_score").distinct().toPandas()["quality_score"]) <= {
+        "PASS",
+        "WARN",
+        "FAIL",
+    }
+    # partition pruning works on the curated layout
+    one_day = curated.filter(F.col("date") == "2026-01-01")
+    assert one_day.count() == 30  # all ticks within one day
+
+
+def test_weather_end_to_end(spark, tmp_path):
+    cities = [
+        {"name": "Tokyo", "latitude": 35.68, "longitude": 139.69},
+        {"name": "London", "latitude": 51.5, "longitude": -0.12},
+    ]
+    resps = [(c, open_meteo_like_response(c, "2026-01-05")) for c in cities]
+    raw = weather_raw_from_responses(spark, resps, "ing-9", "2026-01-05T06:00:00+00:00")
+    result = transform_weather(
+        spark, raw_df=raw, curated_path=str(tmp_path / "curated/weather")
+    )
+    assert result is not None
+    curated = spark.read.parquet(str(tmp_path / "curated/weather"))
+    assert curated.count() == 48
+    assert "temperature_f" in curated.columns
+
+
+def test_empty_input_guard(spark):
+    """S5: empty input -> skip, return None (transform.py:145-147)."""
+    empty = spark.createDataFrame([], "sensor_id string, city string, timestamp string, "
+                                       "temperature_c double, humidity_pct double, aqi double, "
+                                       "battery_level double")
+    assert transform_iot_sensors(spark, raw_df=empty) is None
+    assert transform_weather(spark, raw_path="/nonexistent/path") is None
+
+
+def test_validation_failure_nonblocking_and_halt(spark, tmp_path):
+    """Non-blocking by default (transform.py:165-167), haltable by policy."""
+    bad = spark.createDataFrame(
+        [(None, "Tokyo", "2026-01-01T00:00:00", 200.0, 50.0, 30.0, 80.0)],
+        "sensor_id string, city string, timestamp string, temperature_c double, "
+        "humidity_pct double, aqi double, battery_level double",
+    )
+    res = transform_iot_sensors(spark, raw_df=bad, curated_path=str(tmp_path / "c"))
+    assert res is not None and not res["success"]  # proceeded anyway
+    assert spark.read.parquet(str(tmp_path / "c")).count() == 1
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        transform_iot_sensors(spark, raw_df=bad, halt_on_validation_failure=True)
