@@ -1,1 +1,2 @@
 from .queries import QUERY_REGISTRY, QuerySpec  # noqa: F401
+from . import llm_ops  # noqa: F401,E402  (populates QUERY_REGISTRY)

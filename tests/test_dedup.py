@@ -1,0 +1,92 @@
+"""Dedup operator semantics on the documents table (the testdata plants
+near-duplicate pairs at Jaccard >= 0.9 with a clean gap below ~0.1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_datalake_platform_spark.catalog import load_table
+from aws_datalake_platform_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_word_shingles_edges(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",), ("  x  y   z ",)], "text string"
+    )
+    rows = df.select(word_shingles("text", 3).alias("sh")).collect()
+    assert rows[0]["sh"] == ["a b c", "b c d"]
+    assert rows[1]["sh"] == []  # fewer than k tokens
+    assert rows[2]["sh"] == []
+    assert rows[3]["sh"] == ["x y z"]  # whitespace-collapsed
+
+
+def test_exact_dedup_keeps_canonical(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df, "doc_id", "text").collect())
+    assert kept == [1, 3]  # 2 normalizes to the same text as 1; min id wins
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def test_jaccard_pairs_find_planted_dups(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["jaccard"] >= 0.5
+
+
+def test_minhash_matches_exact_at_high_threshold(spark, docs):
+    """At J>=0.5 with 8x4 banding, LSH recall on the planted (J>=0.9) dups
+    should equal the exact all-pairs result."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert lsh <= exact  # LSH never invents pairs (verify step is exact)
+    # planted dups are J>=0.9; banding catches those with prob ~1-3e-4 each
+    assert len(lsh) >= len(exact) - 1
+
+
+def test_simhash_finds_planted_dups(spark, docs):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.9).collect()
+    }
+    sim = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    # simhash at hamming<=3 should recover most word-shuffle near-dups
+    assert len(exact & sim) >= len(exact) * 0.5
+    assert len(sim) <= len(exact) * 3  # and not explode with false positives
+
+
+def test_max_df_guard_drops_stop_shingles(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown cat"), (3, "the quick brown dog")],
+        "doc_id long, text string",
+    )
+    unguarded = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.1).count()
+    guarded = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.1, max_df=2).count()
+    assert unguarded == 3  # all pairs share 'the quick brown'
+    assert guarded == 0  # the shared stop-shingle is dropped
