@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for 100 TB multimodal corpora: media lives as BinaryType columns
+(or pointers to object-store keys) next to a metadata struct; decode /
+feature-extraction runs as Arrow-batched mapInPandas so the heavy
+per-item work is vectorized and stays off the driver.
+
+The actual image/audio decode is STUBBED (no media libraries in this
+environment): `decode_media` raises NotImplementedError unless the
+deterministic fake decoder is requested. Everything around it — schema,
+batch shape, partitioning, UDF signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "media_meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                    T.StructField("checksum", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Materialize a multimodal-shaped table from text: payload is the
+    UTF-8 encoding (stand-in for image/audio bytes), metadata is typed."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("txt").alias("format"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.md5(F.col(text_col)).alias("checksum"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_media(payload: bytes, fmt: str, fake: bool = False) -> np.ndarray:
+    """Decode one media payload into a feature vector.
+
+    Real decoders (PIL/librosa/ffmpeg) are unavailable in this container —
+    the real path is a clearly-marked stub. The deterministic fake derives
+    FEATURE_DIM floats from an md5 stream over the payload, so the full
+    distributed plumbing is exercised end-to-end with stable outputs.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires image/audio libraries not present in this "
+            "environment; pass fake=True for the deterministic test decoder"
+        )
+    digest = hashlib.md5(payload or b"").digest()
+    raw = np.frombuffer((digest * ((FEATURE_DIM * 4) // len(digest) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
+    return (raw / 2**32).astype(np.float32)
+
+
+def extract_features(media_df: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """mapInPandas feature extraction: per Arrow batch, decode every payload
+    and emit (doc_id, n_bytes, features). Batches keep columnar shape —
+    no per-row Python call overhead beyond the decode itself."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_media(p, m["format"] if m is not None else None, fake=fake_decode).tolist()
+                for p, m in zip(pdf["payload"], pdf["media_meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return media_df.mapInPandas(run, schema=FEATURES_SCHEMA)

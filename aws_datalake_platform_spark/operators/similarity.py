@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine():            sequential-double column expression (zip_with +
+                       aggregate) — bit-identical to a left-to-right SQL
+                       evaluation, which is what makes it oracle-checkable
+- brute_force_topk():  exact k-NN via broadcast query set x corpus scan —
+                       the correctness baseline
+- embedding_near_dup_pairs(): all-pairs cosine threshold join
+- lsh_ann_topk():      random-hyperplane LSH bucketing (deterministic
+                       md5-seeded planes, numpy via Arrow-vectorized UDF)
+                       -> candidates only within matching buckets — the
+                       scale path: cost drops from O(Q*N) to O(Q*N/2^bits)
+                       per probe at the price of recall
+
+Scale notes: brute-force broadcasts the queries (small side) so the
+corpus never shuffles; the window top-k pushes per-partition limits.
+LSH bucket ids are computed map-side; the bucket join is an equi-join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double-precision dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    Rank on round(sim, 6) with the neighbor id as tiebreak so ordering is
+    stable across engines and partitionings. Queries are broadcast; the
+    corpus is scanned once with no shuffle before the per-query window.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
+) -> DataFrame:
+    """All-pairs cosine >= threshold (exact). O(N^2) — the correctness
+    baseline; use lsh_ann_topk buckets as the prefilter at scale."""
+    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes: each coefficient is an md5-derived
+    uniform in [-1, 1] of (seed, plane, dim) — reproducible on any worker."""
+    planes = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).digest()
+            planes[p, d] = int.from_bytes(h[:8], "big") / 2**63 - 1.0
+    return planes
+
+
+def lsh_bucket_ids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-bit bucket id per vector (random-hyperplane LSH). Vectorized:
+    one numpy matmul per Arrow batch."""
+    planes = _hyperplanes(n_planes, dim, seed)
+
+    @pandas_udf(T.IntegerType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = (m.astype(np.float64) @ planes.T) > 0  # (batch, planes)
+        return pd.Series(signs.astype(np.int64) @ (1 << np.arange(n_planes)))
+
+    return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
+                     bucket(F.col(vec_col)).alias("bucket"))
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    then exact cosine + window rank. Recall rises with fewer planes
+    (bigger buckets) or multiprobe; cost falls with more planes."""
+    qb = lsh_bucket_ids(queries, id_col, vec_col, n_planes, seed, dim).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"), "bucket"
+    )
+    cb = lsh_bucket_ids(corpus, id_col, vec_col, n_planes, seed, dim).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"), "bucket"
+    )
+    sims = (
+        qb.join(cb, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -135,3 +135,239 @@ def q25_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
     )
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Text analysis
+# ─────────────────────────────────────────────────────────────────────────────
+
+# DuckDB token CTE matching operators.textops.tokens()
+_TOKS_CTE = r"""
+toks AS (
+  SELECT doc_id, text, n_chars,
+         string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+)
+"""
+
+
+@register(
+    "q26_text_stats",
+    f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           ROUND(CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) * 1.0 / len(t), 4)
+             AS avg_token_len,
+           ROUND(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+                 / NULLIF(length(text), 0), 6) AS punct_ratio,
+           ROUND((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+                 / NULLIF(length(text), 0), 6) AS digit_ratio,
+           ROUND(len(list_filter(t, x -> list_contains(
+                 ['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0
+                 / len(t), 6) AS stopword_ratio_en
+    FROM toks
+    """,
+    doc="Per-document token counting (whitespace + BPE-ish regex) and "
+    "quality-signal ratios; all JVM-side column expressions.",
+)
+def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators import textops as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").cast("long").alias("n_tokens"),
+        tx.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+        F.round(tx.avg_token_len("text"), 4).alias("avg_token_len"),
+        F.round(tx.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(tx.digit_ratio("text"), 6).alias("digit_ratio"),
+        F.round(tx.stopword_ratio("text", "en"), 6).alias("stopword_ratio_en"),
+    )
+
+
+@register(
+    "q27_language_id",
+    f"""
+    WITH {_TOKS_CTE},
+    hits AS (
+      SELECT doc_id,
+        len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS s_en,
+        len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], x))) AS s_de,
+        len(list_filter(t, x -> list_contains(['el','la','que','y','en','un','es','se','no','los'], x))) AS s_es,
+        len(list_filter(t, x -> list_contains(['le','la','et','un','est','que','pour','dans','ce','les'], x))) AS s_fr
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+                WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                WHEN s_fr > 0 THEN 'fr'
+                ELSE 'und' END AS lang_pred
+    FROM hits
+    """,
+    doc="Stopword-vote language ID heuristic (en/de/es/fr/und).",
+)
+def q27_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id("text").alias("lang_pred"))
+
+
+@register(
+    "q28_quality_class",
+    """
+    SELECT doc_id,
+           CASE WHEN n_chars >= 300
+                     AND (CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END) >= 50
+                     AND length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+                         / NULLIF(length(text), 0) < 0.1 THEN 'HIGH'
+                WHEN n_chars >= 150 THEN 'MED'
+                ELSE 'LOW' END AS quality
+    FROM documents
+    """,
+    doc="Corpus quality classification (length + structure CASE) — the "
+    "text analogue of the reference's quality_score (transform.py:238-251).",
+)
+def q28_quality_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import quality_class
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_class("text", "n_chars").alias("quality"))
+
+
+@register(
+    "q29_bag_fingerprint",
+    """
+    SELECT md5(array_to_string(list_sort(list_distinct(
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')), ' '))), ' ')) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+    doc="Order-invariant bag-of-words fingerprint dedup: word-shuffled "
+    "duplicates collide without any pairwise comparison.",
+)
+def q29_bag_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.textops import bag_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", bag_fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Similarity search over embeddings
+# ─────────────────────────────────────────────────────────────────────────────
+
+# sequential-double cosine in DuckDB, matching operators.similarity.cosine()
+_COS = (
+    "list_sum(list_transform(range(1,65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) "
+    "/ (sqrt(list_sum(list_transform(range(1,65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE))) "
+    "* sqrt(list_sum(list_transform(range(1,65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))"
+)
+
+
+@register(
+    "q30_ann_bruteforce_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    sims AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             ROUND({_COS.format(a="qe", b="c.embedding")}, 6) AS sim
+      FROM q JOIN embeddings c ON c.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM sims) t
+    WHERE rank <= 5
+    """,
+    doc="Exact k-NN baseline: broadcast 10 query vectors x corpus scan, "
+    "sequential-double cosine, stable (sim, id) ranking.",
+)
+def q30_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@register(
+    "q31_embedding_near_dup",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_COS.format(a="a.embedding", b="b.embedding")}, 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({_COS.format(a="a.embedding", b="b.embedding")}, 6) >= 0.4
+    """,
+    doc="Embedding-cosine near-dup pairs (exact all-pairs baseline).",
+)
+def q31_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+@register(
+    "q32_ann_lsh_topk",
+    None,  # random-hyperplane bucketing uses numpy matmul signatures; recall
+    # vs the exact baseline is asserted in tests/test_similarity.py
+    # (rows-only driver check).
+    doc="Approximate k-NN: deterministic random-hyperplane LSH buckets "
+    "(Arrow-vectorized) restrict candidates before exact cosine rank.",
+)
+def q32_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_planes=8)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Multimodal columns
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+@register(
+    "q33_multimodal_meta",
+    """
+    SELECT doc_id,
+           'txt' AS format,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+    doc="Multimodal column plumbing: binary payload + typed metadata struct "
+    "(format/n_bytes/checksum); decode itself is stubbed per environment.",
+)
+def q33_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import attach_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs)
+    return media.select(
+        "doc_id",
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum").alias("checksum"),
+    )

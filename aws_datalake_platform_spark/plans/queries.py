@@ -295,8 +295,8 @@ def q09_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
       FROM orders) t
     WHERE rk <= 3
     """,
