@@ -1,0 +1,131 @@
+"""Temporal queries: as-of join, range join, sessionization, and a
+Structured-Streaming-executed windowed aggregation.
+
+q37 is special: it runs a real availableNow Structured Streaming query
+(memory sink) inside the correctness harness, then returns the settled
+result — so the streaming engine itself is under the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.asof import asof_join, range_join_count, sessionize
+from .queries import register
+
+
+@register(
+    "q34_asof_join",
+    """
+    SELECT e.event_id, e.user_id, e.ts, c.ts AS prev_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    doc="As-of join: each error event paired with the user's most recent "
+    "click at-or-before it. Spark lacks ASOF JOIN; the union+window "
+    "encoding costs one shuffle on the key (operators/asof.py).",
+)
+def q34_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(errors, clicks, on="user_id", left_ts="ts", right_ts="ts").select(
+        "event_id", "user_id", "ts", F.col("asof_ts").alias("prev_click_ts")
+    )
+
+
+@register(
+    "q35_range_join",
+    """
+    SELECT p.event_id, COUNT(*) AS n_in_range
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 24 HOUR
+     AND c.ts < p.ts
+    GROUP BY p.event_id
+    """,
+    doc="Range join: clicks within the 24h window before each purchase. "
+    "Equi-key shuffle join with the interval as join filter.",
+)
+def q35_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return range_join_count(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        lower_interval="24 hours", id_col="event_id",
+    )
+
+
+@register(
+    "q36_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts > LAG(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    )
+    SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+    doc="Gaps-and-islands sessionization (12h inactivity gap) — batch twin "
+    "of the streaming session_window.",
+)
+def q36_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, key="user_id", ts="ts", order_tiebreak="event_id", gap="12 hours")
+
+
+@register(
+    "q37_stream_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour_bucket,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="Hourly tumbling-window aggregation executed by Structured "
+    "Streaming (availableNow over the events files, memory sink) — the "
+    "streaming engine under the batch oracle.",
+)
+def q37_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema  # ts lands as bigint nanos
+    sdf = (
+        spark.readStream.schema(schema)
+        # glob form: FileStreamSource only sets basePath=path (a file, which
+        # breaks partition inference) when the path is NOT a glob
+        .parquet(f"{sf_dir}/events.*")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("window.start").alias("hour_bucket"), "n_events", "sum_value")
+    )
+    name = f"q37_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

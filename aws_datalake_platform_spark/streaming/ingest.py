@@ -1,0 +1,142 @@
+"""Structured Streaming ingest: the native replacement for the
+reference's Firehose buffering approximation.
+
+Reference behavior being replaced (SURVEY.md §7 step 5):
+- Firehose buffers 5 MB / 60 s then lands year=/month=/day= NDJSON
+  (kinesis/main.tf:38-42) — here a streaming file sink with a processing
+  trigger + checkpoint gives the same layout with exactly-once semantics.
+- The hourly batch re-read becomes a real event-time pipeline:
+  watermarks bound state, windowed aggregations emit on closure,
+  dropDuplicatesWithinWatermark replaces nothing (the reference can't
+  dedup at all).
+
+Scale: the synthetic source is the `rate` source (distributed,
+backpressure-aware); all derived columns are the same xxhash64 math as
+the batch generator, so stream and batch rows are drawn from the same
+distribution — one codepath to validate both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.synthetic import DEFAULT_CITIES, _gauss, _stable_city_base, _u01
+from ..functions.core import mint_sensor_id
+
+
+def synthetic_event_stream(
+    spark: SparkSession,
+    rows_per_second: int = 100,
+    cities: list[str] | None = None,
+    sensors_per_city: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Unbounded IoT reading stream from the rate source. Each rate tick
+    becomes one reading for a deterministic (city, sensor) chosen by the
+    tick value — schema matches catalog.RAW_IOT_SENSORS plus a typed
+    event_time column for watermarking."""
+    cities = cities or DEFAULT_CITIES
+    n = len(cities)
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    city = F.element_at(F.array(*[F.lit(c) for c in cities]), (F.col("value") % n + 1).cast("int"))
+    sensor_idx = (F.col("value") / n).cast("long") % sensors_per_city
+    key = F.concat_ws("|", city, sensor_idx, F.col("value"))
+    aqi_bucket = _u01(key, seed, "aqi_w")
+    aqi = (
+        F.when(aqi_bucket < 0.7, _u01(key, seed, "aqi_lo") * 50.0)
+        .when(aqi_bucket < 0.9, 51.0 + _u01(key, seed, "aqi_mid") * 49.0)
+        .otherwise(101.0 + _u01(key, seed, "aqi_hi") * 99.0)
+    )
+    return rate.select(
+        mint_sensor_id(city, sensor_idx).alias("sensor_id"),
+        city.alias("city"),
+        F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx").alias("timestamp"),
+        F.round(_stable_city_base(city) + _gauss(key, seed, "temp", 0, 3), 1).alias("temperature_c"),
+        F.round(20.0 + _u01(key, seed, "hum") * 75.0, 1).alias("humidity_pct"),
+        F.round(aqi, 1).alias("aqi"),
+        F.round(15.0 + _u01(key, seed, "batt") * 85.0, 1).alias("battery_level"),
+        F.col("timestamp").alias("event_time"),
+    )
+
+
+def stream_to_raw_zone(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "json",
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+):
+    """Firehose-equivalent landing: year=/month=/day= partitioned files
+    (kinesis/main.tf:38 layout), checkpointed for exactly-once. Returns
+    the started StreamingQuery.
+
+    available_now=True drains whatever is available then stops (the
+    batch-over-stream test mode); otherwise a 60 s processing trigger
+    mirrors the Firehose buffer interval (kinesis/main.tf:40-41)."""
+    partitioned = (
+        sdf.withColumn("year", F.date_format("event_time", "yyyy"))
+        .withColumn("month", F.date_format("event_time", "MM"))
+        .withColumn("day", F.date_format("event_time", "dd"))
+        .drop("event_time")
+    )
+    writer = (
+        partitioned.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("year", "month", "day")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def hourly_window_stats(
+    sdf: DataFrame, ts_col: str = "event_time", value_col: str = "temperature_c",
+    watermark: str = "2 hours", window: str = "1 hour",
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with a late-data watermark —
+    the streaming query surface the reference approximates with its
+    buffer-then-rebatch loop."""
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(value_col), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def stream_dedup(sdf: DataFrame, keys: list[str], ts_col: str, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup with bounded state: duplicates arriving within the
+    watermark horizon are dropped, state older than it is evicted."""
+    return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def sessionize_stream(
+    sdf: DataFrame, key: str, ts_col: str, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Native session windows (dynamic-gap session_window) — the streaming
+    twin of operators.asof.sessionize."""
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

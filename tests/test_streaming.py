@@ -1,0 +1,144 @@
+"""Structured Streaming + temporal operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_datalake_platform_spark.operators.asof import (
+    asof_join,
+    asof_join_pandas,
+    sessionize,
+)
+from aws_datalake_platform_spark.streaming.ingest import (
+    hourly_window_stats,
+    sessionize_stream,
+    stream_dedup,
+    stream_to_raw_zone,
+    synthetic_event_stream,
+)
+
+
+def _ts_df(spark, rows, schema="user_id long, ts timestamp, event_id long"):
+    return spark.createDataFrame(rows, schema)
+
+
+import datetime as dt
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def m(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_join_backward(spark):
+    left = _ts_df(spark, [(1, m(10), 100), (1, m(30), 101), (2, m(5), 102)])
+    right = spark.createDataFrame(
+        [(1, m(0)), (1, m(10)), (1, m(20)), (3, m(1))], "user_id long, ts timestamp"
+    )
+    out = {r["event_id"]: r["asof_ts"] for r in
+           asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts").collect()}
+    assert out[100] == m(10)  # equal timestamps match
+    assert out[101] == m(20)  # latest at-or-before
+    assert 102 not in out  # user 2 has no right rows -> dropped (inner)
+
+
+def test_asof_join_forward(spark):
+    left = _ts_df(spark, [(1, m(10), 100)])
+    right = spark.createDataFrame([(1, m(5)), (1, m(15))], "user_id long, ts timestamp")
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                    direction="forward").collect()
+    assert out[0]["asof_ts"] == m(15)
+
+
+def test_asof_pandas_variant_agrees(spark):
+    left = _ts_df(spark, [(1, m(10), 100), (1, m(30), 101), (2, m(50), 103)])
+    right = spark.createDataFrame(
+        [(1, m(0)), (1, m(25)), (2, m(49))], "user_id long, ts timestamp"
+    )
+    a = {(r["event_id"], r["asof_ts"]) for r in
+         asof_join(left, right, "user_id", "ts", "ts").collect()}
+    b = {(r["event_id"], r["asof_ts"]) for r in
+         asof_join_pandas(left, right, "user_id", "ts", "ts").collect()}
+    assert a == b
+
+
+def test_sessionize_gaps(spark):
+    df = _ts_df(
+        spark,
+        [(1, m(0), 1), (1, m(10), 2), (1, m(900), 3), (2, m(0), 4)],
+    )
+    out = sessionize(df, "user_id", "ts", "event_id", gap="12 hours").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2  # 900min gap > 12h splits
+    s1 = sorted(by_user[1], key=lambda r: r["session_id"])
+    assert s1[0]["n_events"] == 2 and s1[1]["n_events"] == 1
+    assert len(by_user[2]) == 1
+
+
+def test_stream_raw_zone_exactly_once(spark, tmp_path):
+    """Rate-source stream -> partitioned raw zone; a second availableNow
+    run from the same checkpoint must not duplicate rows."""
+    sdf = synthetic_event_stream(spark, rows_per_second=500)
+    path, ckpt = str(tmp_path / "raw"), str(tmp_path / "ckpt")
+    q = stream_to_raw_zone(sdf, path, ckpt, available_now=True)
+    q.awaitTermination(120)
+    first = spark.read.json(path).count()
+    assert first >= 0  # rate source may emit little in a fast drain
+
+    q2 = stream_to_raw_zone(synthetic_event_stream(spark, rows_per_second=500), path, ckpt)
+    q2.awaitTermination(120)
+    second = spark.read.json(path).count()
+    assert second >= first  # appended new data only; no reprocessing loop
+    if first > 0:
+        df = spark.read.json(path)
+        assert {"year", "month", "day"} <= set(df.columns)  # hive layout
+
+
+def test_streaming_window_and_dedup_with_file_source(spark, tmp_path):
+    """File-source batch-over-stream: write fixed events, stream them back
+    through window agg + dedup, compare against batch truth."""
+    rows = [
+        (1, m(0), 10.0), (2, m(10), 20.0), (3, m(70), 30.0),
+        (4, m(80), 40.0), (4, m(80), 40.0),  # duplicate id within watermark
+    ]
+    src = str(tmp_path / "src")
+    batch = spark.createDataFrame(rows, "event_id long, event_time timestamp, value double")
+    batch.write.mode("overwrite").parquet(src)
+
+    sdf = spark.readStream.schema(batch.schema).parquet(src)
+
+    # windowed stats (complete mode -> settled result)
+    agg = hourly_window_stats(sdf, ts_col="event_time", value_col="value")
+    q = (agg.writeStream.format("memory").queryName("win_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["window_start"]: r["n_events"] for r in spark.table("win_test").collect()}
+    assert got[T0] == 3  # includes the dup
+    assert got[T0 + dt.timedelta(hours=1)] == 2
+
+    # streaming dedup: duplicate event_id dropped within watermark
+    dd = stream_dedup(sdf, keys=["event_id"], ts_col="event_time")
+    q2 = (dd.writeStream.format("memory").queryName("dd_test")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert spark.table("dd_test").count() == 4
+
+
+def test_streaming_session_window(spark, tmp_path):
+    rows = [(1, m(0)), (1, m(10)), (1, m(120)), (2, m(0))]
+    src = str(tmp_path / "src2")
+    batch = spark.createDataFrame(rows, "user_id long, event_time timestamp")
+    batch.write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(batch.schema).parquet(src)
+    sess = sessionize_stream(sdf, key="user_id", ts_col="event_time", gap="30 minutes")
+    q = (sess.writeStream.format("memory").queryName("sess_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.table("sess_test").collect()
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert len(u1) == 2  # 110-min gap > 30-min session gap
+    assert sum(r["n_events"] for r in u1) == 3
