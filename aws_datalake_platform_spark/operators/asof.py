@@ -84,12 +84,15 @@ def asof_join_pandas(
     applyInPandas — kept to demonstrate the grouped-map UDF surface; the
     window encoding above is the preferred (JVM-side) path."""
     import pandas as pd
+    from pyspark.sql import types as T
 
-    out_schema = left.schema.add("asof_ts", right.schema[right_ts].dataType)
+    # fresh StructType: StructType.add would mutate the DataFrame's cached schema
+    out_schema = T.StructType(
+        list(left.schema.fields) + [T.StructField("asof_ts", right.schema[right_ts].dataType)]
+    )
     l_cols = left.columns
 
-    def merge(key, pdfs):
-        lpdf, rpdf = pdfs
+    def merge(lpdf, rpdf):
         if lpdf.empty or rpdf.empty:
             return pd.DataFrame(columns=[*l_cols, "asof_ts"])
         merged = pd.merge_asof(

@@ -123,6 +123,83 @@ def lsh_bucket_ids(
                      bucket(F.col(vec_col)).alias("bucket"))
 
 
+def _centroid_matrix(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int) -> np.ndarray:
+    """Deterministic coarse centroids: the n_centroids lowest-id corpus
+    vectors, L2-normalized. At 100 TB you'd k-means a sample instead; the
+    seed choice is deliberately order-free so any worker layout gives the
+    same index. The matrix is tiny (K x dim) and broadcast in the UDF
+    closure — no shuffle to build the index."""
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(n_centroids)
+        .collect()
+    )
+    m = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Attach the n_probe nearest centroid ids (by cosine) to each vector.
+    One numpy matmul per Arrow batch, map-side only; output explodes to
+    n_probe rows per vector (n_probe=1 for corpus, >1 for queries)."""
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ centroids.T  # (batch, K)
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series(list(top.astype(np.int32)))
+
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.explode(nearest(F.col(vec_col))).alias("cluster"),
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer partitions the
+    corpus into n_centroids inverted lists; each query probes its n_probe
+    nearest lists and ranks candidates by exact cosine.
+
+    Scale: corpus assignment is map-side (one matmul per batch); the
+    candidate join is an equi-join on cluster id, so cost is
+    O(Q * N * n_probe / K) versus brute force O(Q * N). Skewed clusters
+    are AQE's problem (skew-join split); raising K tightens lists."""
+    cents = _centroid_matrix(corpus, id_col, vec_col, n_centroids)
+    cb = ivf_assign(corpus, cents, id_col, vec_col, n_probe=1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"), "cluster"
+    )
+    qb = ivf_assign(queries, cents, id_col, vec_col, n_probe=n_probe).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"), "cluster"
+    )
+    sims = (
+        qb.join(cb, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])  # multi-probe overlap
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

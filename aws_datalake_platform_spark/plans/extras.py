@@ -1,0 +1,269 @@
+"""Extended SQL surface: grouping sets, pivot, approx-distinct, JSON
+extraction, scalar function library, exact percentiles, broadcast and
+salted-aggregation join/agg patterns, array unnest, and IVF ANN.
+
+These round out the Athena-implied query surface (SURVEY.md §2.7 — the
+reference delegates all of this to Presto, README.md:128-132) plus the
+scale patterns (broadcast, salting) that a 100 TB deployment leans on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.similarity import ivf_topk
+from .queries import register
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q38_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS cnt,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS (beyond rollup/cube) with GROUPING() ids "
+    "to disambiguate real NULL keys from subtotal rows.",
+)
+def q38_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one Expand + hash aggregate; output rows = sum of set
+    cardinalities (tiny), shuffle is the expanded key space only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+@register(
+    "q39_pivot",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'click'), 2) AS click,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'error'), 2) AS error,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'signup'), 2) AS signup,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'view'), 2) AS view
+    FROM events GROUP BY 1
+    """,
+    doc="PIVOT on event_type (explicit value list) == conditional "
+    "aggregation; one shuffle on the day key.",
+)
+def q39_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: pivot with an explicit value list is a single hash aggregate
+    (no extra distinct-values job); never pivot without the list at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.col("ts").cast("date"))
+        .groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+@register(
+    "q40_approx_distinct",
+    None,  # HLL estimates are engine-specific; bound-checked in pytest
+    doc="approx_count_distinct (HyperLogLog++) per event_type — the "
+    "constant-memory distinct used at 100 TB where exact COUNT(DISTINCT) "
+    "would shuffle every key. Rows-only driver check; the pytest asserts "
+    "the estimate lands within 5% of the exact count.",
+)
+def q40_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: HLL sketches merge map-side; shuffle carries one sketch per
+    group instead of every distinct key."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@register(
+    "q41_json_extract",
+    """
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON path extraction from the props column (semi-structured "
+    "surface) feeding an aggregate.",
+)
+def q41_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: get_json_object is JVM-side codegen (no Python); parse cost
+    is per-row map-side, shuffle is 5 groups."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_high"),
+    )
+
+
+@register(
+    "q42_scalar_funcs",
+    """
+    SELECT o_orderkey,
+           UPPER(o_orderstatus) AS status_u,
+           LPAD(CAST(o_custkey AS VARCHAR), 12, '0') AS cust_pad,
+           CONCAT(o_orderpriority, '#', o_orderstatus) AS prio_tag,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           CAST(LENGTH(o_orderpriority) AS INT) AS prio_len,
+           ROUND(SQRT(o_totalprice), 4) AS sqrt_price,
+           ROUND(LN(o_totalprice + 1), 4) AS ln_price
+    FROM orders ORDER BY o_orderkey LIMIT 200
+    """,
+    doc="Scalar function library sweep: string (upper/lpad/concat/length), "
+    "date (year/month/format), math (sqrt/ln) — the §2.7 built-in surface.",
+)
+def q42_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: narrow projection, fully whole-stage-codegen; TakeOrdered
+    for the limit (no global sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey")
+        .limit(200)
+        .select(
+            "o_orderkey",
+            F.upper("o_orderstatus").alias("status_u"),
+            F.lpad(F.col("o_custkey").cast("string"), 12, "0").alias("cust_pad"),
+            F.concat_ws("#", "o_orderpriority", "o_orderstatus").alias("prio_tag"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.length("o_orderpriority").cast("int").alias("prio_len"),
+            F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_price"),
+            F.round(F.log(F.col("o_totalprice") + 1), 4).alias("ln_price"),
+        )
+    )
+
+
+@register(
+    "q43_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact linear-interpolated percentiles per group (Spark "
+    "percentile == DuckDB quantile_cont). At 100 TB swap to "
+    "approx_percentile (t-digest) — same API shape.",
+)
+def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: exact percentile buffers per-group values — fine on bounded
+    group cardinality; the t-digest variant is the unbounded-safe path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+    )
+
+
+@register(
+    "q44_broadcast_join",
+    """
+    SELECT p.p_brand,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 10
+    GROUP BY p.p_brand
+    """,
+    doc="Broadcast-hash join: the filtered part dim ships to every "
+    "executor; the 100 TB fact side never shuffles for the join.",
+)
+def q44_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: explicit broadcast() pins the strategy independent of stats;
+    the only shuffle left is the final small group-by on p_brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q45_salted_agg",
+    """
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Skew-resistant two-stage (salted) aggregation: partial agg on "
+    "(user_id, salt) spreads a hot key over 8 reducers, then the final agg "
+    "merges partials. Result is identical to the plain GROUP BY oracle.",
+)
+def q45_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: decomposable aggs (count/sum) salt cleanly; the second
+    shuffle carries <= 8 rows per user. This is the manual fallback when
+    AQE skew handling can't help (e.g. deliberate repartition by key)."""
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("__salt", (F.col("event_id") % 8).cast("int"))
+        .groupBy("user_id", "__salt")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("value").alias("__s"))
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("__n").alias("n_events"),
+        F.round(F.sum("__s"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "q46_array_unnest",
+    """
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+           ROUND(CAST(unnest(embedding) AS DOUBLE), 4) AS val
+    FROM (SELECT * FROM embeddings WHERE vec_id < 20)
+    """,
+    doc="Array explode with position (posexplode == UNNEST with "
+    "subscripts): the row-per-element view of an embedding column.",
+)
+def q46_array_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: explode is map-side (Generate node, no shuffle); output
+    multiplies rows by dim, so always filter/project before exploding."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "__v")
+    ).select("vec_id", "pos", F.round(F.col("__v").cast("double"), 4).alias("val"))
+
+
+@register(
+    "q47_ann_ivf_topk",
+    None,  # approximate index; recall vs brute force asserted in pytest
+    doc="IVF approximate nearest neighbors: deterministic coarse "
+    "quantizer -> inverted lists -> n_probe list scan per query -> exact "
+    "cosine rank. The scale path between brute force and LSH "
+    "(operators/similarity.py).",
+)
+def q47_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: candidate join is an equi-join on cluster id — cost
+    O(Q*N*n_probe/K); corpus assignment is one matmul per Arrow batch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)

@@ -41,6 +41,13 @@ HEADLINE = [
     "q19_pseudonymize",
     "q20_agg_stats",
     "q21_time_bucket",
+    "q24_minhash_lsh_dedup",
+    "q30_ann_bruteforce_topk",
+    "q38_grouping_sets",
+    "q39_pivot",
+    "q41_json_extract",
+    "q44_broadcast_join",
+    "q45_salted_agg",
 ]
 
 

@@ -1,0 +1,65 @@
+"""Targeted tests for the extended surface: approx-distinct error bound,
+IVF ANN recall vs brute force, and salted-agg equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_datalake_platform_spark.catalog import load_table
+from aws_datalake_platform_spark.operators.similarity import brute_force_topk, ivf_topk
+from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+
+from .conftest import SF_SMOKE
+
+
+def test_approx_distinct_within_bound(spark):
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERY_REGISTRY["q40_approx_distinct"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, est in got.items():
+        assert abs(est - exact[et]) <= max(2, 0.05 * exact[et]), (et, est, exact[et])
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=4).collect()
+    }
+    # probing half the lists must recover a solid fraction of true neighbors
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"recall {recall:.2f}"
+    # every query produced a full (or near-full) result set
+    per_q = {}
+    for q, _ in approx:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(v >= 1 for v in per_q.values())
+
+
+def test_salted_agg_equals_plain(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    plain = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .collect()
+    }
+    salted = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in QUERY_REGISTRY["q45_salted_agg"].fn(spark, SF_SMOKE).collect()
+    }
+    assert plain == salted
