@@ -44,15 +44,30 @@ def normalize_text(col: Column | str) -> Column:
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct word k-gram shingles as array<string>; empty array when the
-    document has fewer than k tokens."""
+    document has fewer than k tokens (null -> empty).
+
+    Implementation is an Arrow-vectorized pandas UDF, not Catalyst
+    higher-order functions: the equivalent
+    ``array_distinct(transform(sequence(...), i -> array_join(slice(toks,
+    i, k))))`` is interpreted (HOFs never enter whole-stage codegen) and
+    measured ~20-50 ms PER DOCUMENT — it dominated every shingle-based
+    dedup. The Python loop is ~10 us/doc and batches via Arrow.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.trim(c), r"\s+")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
-    )
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def shingle(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = t.split() if t else []
+            if len(toks) >= k:
+                # dict preserves first-occurrence order == array_distinct
+                out.append(list(dict.fromkeys(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))))
+            else:
+                out.append([])
+        return pd.Series(out)
+
+    return shingle(c)
 
 
 def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
@@ -133,38 +148,74 @@ def ngram_jaccard_pairs(
 # ── MinHash + banded LSH ─────────────────────────────────────────────────────
 
 
+_MH_PRIME = 2147483647  # 2^31 - 1
+
+
+def minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic affine coefficients (a_i, b_i) for the universal hash
+    family h_i(x) = (a_i * x + b_i) mod P, md5-derived so any engine or
+    cluster layout regenerates the same family."""
+    a = [int(hashlib.md5(f"a{i}".encode()).hexdigest()[:8], 16) % (_MH_PRIME - 1) + 1
+         for i in range(num_hashes)]
+    b = [int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16) % _MH_PRIME
+         for i in range(num_hashes)]
+    return a, b
+
+
 def minhash_band_buckets(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 32, bands: int = 8
 ) -> DataFrame:
     """(doc, band, bucket) where bucket = md5 of the band's minhash slice.
 
-    The hash family is H_s(shingle) = substr(md5(shingle || '|' || s), 1, 16)
-    compared lexicographically — deterministic everywhere (same buckets on
-    any engine or cluster size), which makes LSH itself oracle-checkable.
+    Hash family: ONE md5 per shingle -> 60-bit int m -> h_i = (a_i * (m mod
+    P) + b_i) mod P (affine universal hashing, P = 2^31-1). Deriving the 32
+    per-seed values arithmetically instead of hashing 32 times cuts the md5
+    count 32x — md5 at ~4 us/call was the dominant cost of the whole LSH
+    pipeline. Every step is exactly expressible in ANSI SQL (DuckDB:
+    ('0x' || substr(md5(s),1,15))::BIGINT), so LSH itself stays
+    oracle-checkable. Coefficient products stay under 2^62: no overflow on
+    any 64-bit engine.
     """
     rows_per_band = num_hashes // bands
-    sh = _exploded_shingles(df, id_col, text_col, k)
-    seeds = df.sparkSession.range(num_hashes).select(F.col("id").alias("__seed"))
-    mh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("__id", "__seed")
-        .agg(F.min(F.substring(F.md5(F.concat_ws("|", "__sh", "__seed")), 1, 16)).alias("__mh"))
+    # Shape for codegen: explode shingles, then ONE hash aggregate whose 32
+    # min(md5(...)) columns all run inside whole-stage codegen. Higher-order
+    # function encodings (transform/aggregate over the shingle array) are
+    # interpreted, ~10x slower on the md5 hot loop — measured, not guessed.
+    # The doc-level repartition spreads the cpu-bound hashing across cores
+    # when the input is one file split (local mode); it clusters by the
+    # groupBy key, so the aggregate itself needs NO further shuffle. At real
+    # scale the scan's splits make this a no-op-sized shuffle of raw docs.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    doc = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")).repartition(
+        n_parts, "__id"
+    )
+    sh = doc.select("__id", F.explode(word_shingles("__t", k)).alias("__sh"))
+    a_co, b_co = minhash_coeffs(num_hashes)
+    m = F.conv(F.substring(F.md5("__sh"), 1, 15), 16, 10).cast("long") % _MH_PRIME
+    mh = sh.groupBy("__id").agg(
+        *[
+            F.min((F.lit(a_co[i]) * m + F.lit(b_co[i])) % _MH_PRIME).alias(f"__mh{i}")
+            for i in range(num_hashes)
+        ]
     )
     # band bucket = md5 over the band's minhashes in seed order
-    return (
-        mh.withColumn("__band", (F.col("__seed") / rows_per_band).cast("int"))
-        .groupBy("__id", "__band")
-        .agg(
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("__band"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("__seed", "__mh"))),
-                        lambda x: x["__mh"],
-                    ),
+                F.concat_ws(
                     ",",
+                    *[
+                        F.col(f"__mh{i}").cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
                 )
-            ).alias("__bucket")
+            ).alias("__bucket"),
         )
+        for b in range(bands)
+    ]
+    return mh.select("__id", F.explode(F.array(*band_structs)).alias("__b")).select(
+        "__id", F.col("__b.__band").alias("__band"), F.col("__b.__bucket").alias("__bucket")
     )
 
 
@@ -185,7 +236,18 @@ def minhash_lsh_pairs(
     trade recall for bucket-join fan-out (8 bands x 4 rows: ~J>=0.7 reliably
     caught; raise bands for lower thresholds).
     """
-    buckets = minhash_band_buckets(df, id_col, text_col, k, num_hashes, bands)
+    # persist + EAGER materialization of the signature relation: it feeds
+    # both sides of the candidate self-join, and a lazy persist would let
+    # the two branches race-recompute the whole signature pipeline inside
+    # the one action (cache writes land only after the query is done).
+    # Eager count() costs one tiny job and halves the dominant stage.
+    # The relation is small by construction: docs x bands rows.
+    from pyspark import StorageLevel
+
+    buckets = minhash_band_buckets(df, id_col, text_col, k, num_hashes, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    buckets.count()
     left = buckets.select(F.col("__id").alias("doc_a"), "__band", "__bucket")
     right = buckets.select(F.col("__id").alias("doc_b"), "__band", "__bucket")
     candidates = (
@@ -195,27 +257,28 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact-Jaccard verification restricted to candidate pairs
-    sh = _exploded_shingles(df, id_col, text_col, k)
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
-    a = sh.select(F.col("__id").alias("doc_a"), "__sh")
-    b = sh.select(F.col("__id").alias("doc_b"), "__sh")
-    inter = (
-        candidates.join(a, "doc_a")
-        .join(b.withColumnRenamed("__sh", "__shb"), "doc_b")
-        .filter(F.col("__sh") == F.col("__shb"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("__i"))
-    )
-    sz_a = sizes.select(F.col("__id").alias("doc_a"), F.col("__sz").alias("__sza"))
-    sz_b = sizes.select(F.col("__id").alias("doc_b"), F.col("__sz").alias("__szb"))
+    # exact-Jaccard verification per candidate pair via array_intersect on
+    # the docs' shingle ARRAYS: one row per pair, |A|+|B| work each — never
+    # a shingle equi-join (quadratic on hot shingles) or a per-pair
+    # |A|x|B| doc-join product
+    # no persist here: each side is scanned once, and the vectorized
+    # shingle UDF is cheap enough (~10 us/doc) to recompute on the stream
+    # side of the broadcast join
+    docarr = df.select(
+        F.col(id_col).alias("__id"), word_shingles(text_col, k).alias("__shs")
+    ).filter(F.size("__shs") > 0)
+    a = docarr.select(F.col("__id").alias("doc_a"), F.col("__shs").alias("__sa"))
+    b = docarr.select(F.col("__id").alias("doc_b"), F.col("__shs").alias("__sb"))
     return (
-        inter.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (F.col("__i") / (F.col("__sza") + F.col("__szb") - F.col("__i"))).alias("jaccard"),
+            (
+                F.size(F.array_intersect("__sa", "__sb"))
+                / F.size(F.array_union("__sa", "__sb"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))

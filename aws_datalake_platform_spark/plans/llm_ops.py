@@ -17,10 +17,15 @@ from pyspark.sql import DataFrame, SparkSession
 from ..catalog import load_table
 from ..operators.dedup import (
     exact_dedup_groups,
+    minhash_coeffs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
+
+# affine minhash coefficients, mirrored verbatim into the oracle SQL
+_MH_A, _MH_B = minhash_coeffs(32)
+_MH_SEEDS_VALUES = ", ".join(f"({i}, {_MH_A[i]}, {_MH_B[i]})" for i in range(32))
 from .queries import register
 
 # shared DuckDB CTE: distinct word-3-shingles per document
@@ -79,14 +84,16 @@ def q23_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q24_minhash_lsh_dedup",
     f"""
     WITH {_SH_CTE},
-    seeds AS (SELECT unnest(range(0, 32)) AS seed),
+    seeds AS (SELECT * FROM (VALUES {_MH_SEEDS_VALUES}) t(seed, a, b)),
     mh AS (
-      SELECT doc_id, seed, min(substr(md5(s || '|' || seed::VARCHAR), 1, 16)) AS mh
+      SELECT doc_id, seed,
+             min((a * (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) + b)
+                 % 2147483647) AS mh
       FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
     ),
     buckets AS (
       SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-             md5(string_agg(mh, ',' ORDER BY seed)) AS bucket
+             md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bucket
       FROM mh GROUP BY doc_id, seed // 4
     ),
     cand AS (

@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY  # noqa: E402
@@ -61,6 +63,17 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     # warmup: JVM + codegen + parquet footer caches
     materialize(QUERY_REGISTRY["q02_group_count"].fn(spark, SF_DIR))
+    # prime the Python UDF worker fleet (spawn + pandas/pyarrow import is
+    # ~5-10 s across 32 workers and would otherwise bill to the first
+    # pandas-UDF query; workers are reused afterwards)
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _noop(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, 10_000, 1, 32).select(_noop(F.col("id"))).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
