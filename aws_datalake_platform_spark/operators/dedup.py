@@ -236,24 +236,29 @@ def minhash_lsh_pairs(
     trade recall for bucket-join fan-out (8 bands x 4 rows: ~J>=0.7 reliably
     caught; raise bands for lower thresholds).
     """
-    # persist + EAGER materialization of the signature relation: it feeds
-    # both sides of the candidate self-join, and a lazy persist would let
-    # the two branches race-recompute the whole signature pipeline inside
-    # the one action (cache writes land only after the query is done).
-    # Eager count() costs one tiny job and halves the dominant stage.
-    # The relation is small by construction: docs x bands rows.
-    from pyspark import StorageLevel
-
-    buckets = minhash_band_buckets(df, id_col, text_col, k, num_hashes, bands).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # candidate pairs via groupBy(bucket) + in-bucket pair expansion, not a
+    # self-join: the signature relation is consumed ONCE (no persist, no
+    # double compute, no broadcast build), and the per-bucket pair count is
+    # the same fan-out the join would produce. Buckets are near-dup groups,
+    # so collect_list sizes are small; a genuinely hot bucket means the
+    # banding parameters are wrong, not the plan.
+    buckets = minhash_band_buckets(df, id_col, text_col, k, num_hashes, bands)
+    ids = F.array_sort(F.collect_list("__id"))
+    pair_expand = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("__ids"), i + F.lit(2), F.size("__ids")),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
     )
-    buckets.count()
-    left = buckets.select(F.col("__id").alias("doc_a"), "__band", "__bucket")
-    right = buckets.select(F.col("__id").alias("doc_b"), "__band", "__bucket")
     candidates = (
-        left.join(right, ["__band", "__bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.groupBy("__band", "__bucket")
+        .agg(ids.alias("__ids"))
+        .filter(F.size("__ids") > 1)
+        .select(F.explode(pair_expand).alias("__p"))
+        .select(F.col("__p.doc_a").alias("doc_a"), F.col("__p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -261,12 +266,10 @@ def minhash_lsh_pairs(
     # the docs' shingle ARRAYS: one row per pair, |A|+|B| work each — never
     # a shingle equi-join (quadratic on hot shingles) or a per-pair
     # |A|x|B| doc-join product
-    # no persist here: each side is scanned once, and the vectorized
-    # shingle UDF is cheap enough (~10 us/doc) to recompute on the stream
-    # side of the broadcast join
-    docarr = df.select(
-        F.col(id_col).alias("__id"), word_shingles(text_col, k).alias("__shs")
-    ).filter(F.size("__shs") > 0)
+    # no persist and no empty-shingle filter: docs without a signature can
+    # never appear in candidates (inner join drops them), and each side is
+    # scanned once with the vectorized shingle UDF (~10 us/doc)
+    docarr = df.select(F.col(id_col).alias("__id"), word_shingles(text_col, k).alias("__shs"))
     a = docarr.select(F.col("__id").alias("doc_a"), F.col("__shs").alias("__sa"))
     b = docarr.select(F.col("__id").alias("doc_b"), F.col("__shs").alias("__sb"))
     return (

@@ -2,3 +2,4 @@ from .queries import QUERY_REGISTRY, QuerySpec  # noqa: F401
 from . import llm_ops  # noqa: F401,E402  (populates QUERY_REGISTRY)
 from . import temporal  # noqa: F401,E402  (populates QUERY_REGISTRY)
 from . import extras  # noqa: F401,E402  (populates QUERY_REGISTRY)
+from . import sql_surface  # noqa: F401,E402  (populates QUERY_REGISTRY)
