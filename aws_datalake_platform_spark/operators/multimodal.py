@@ -104,3 +104,69 @@ def extract_features(media_df: DataFrame, fake_decode: bool = True) -> DataFrame
             )
 
     return media_df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("pixels", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media_df: DataFrame, height: int = 8, width: int = 8) -> DataFrame:
+    """mapInPandas image resize. The decode step is the stub boundary
+    (payload bytes -> a 2D grayscale array; real impl would use PIL); the
+    resample itself is a REAL nearest-neighbor resize in numpy — index
+    math identical to what you'd run on genuinely decoded frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = {"doc_id": [], "height": [], "width": [], "pixels": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+                side = max(1, int(len(buf) ** 0.5))
+                img = np.resize(buf, (side, side))  # stubbed "decode"
+                ys = (np.arange(height) * side) // height
+                xs = (np.arange(width) * side) // width
+                resized = img[np.ix_(ys, xs)]  # real nearest-neighbor resample
+                out_rows["doc_id"].append(doc_id)
+                out_rows["height"].append(height)
+                out_rows["width"].append(width)
+                out_rows["pixels"].append(resized.tobytes())
+            yield pd.DataFrame(out_rows)
+
+    return media_df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media_df: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> DataFrame:
+    """mapInPandas frame sampling: treat each payload as a 'video' of
+    fixed-size frames and emit every n-th frame as its own row (fan-out
+    map — one input row to many output rows, the real shape of
+    video-to-frame pipelines). ffmpeg-style decode is the stub boundary;
+    the chunk/stride/fan-out plumbing is real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = payload or b""
+                n_frames = max(1, len(data) // frame_bytes)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(data[fi * frame_bytes : (fi + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media_df.mapInPandas(run, schema=FRAMES_SCHEMA)

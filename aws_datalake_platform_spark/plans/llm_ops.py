@@ -378,3 +378,56 @@ def q33_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.n_bytes").alias("n_bytes"),
         F.col("media_meta.checksum").alias("checksum"),
     )
+
+
+@register(
+    "q56_multimodal_resize",
+    """
+    SELECT doc_id,
+           4 AS height,
+           4 AS width,
+           16 AS n_pixel_bytes
+    FROM documents
+    """,
+    doc="Multimodal resize plumbing (mapInPandas fan-through): every doc's "
+    "payload is decoded (stub) and nearest-neighbor-resampled to 4x4 "
+    "grayscale. The oracle hash-checks the distributed shape contract "
+    "(one row per doc, fixed dims/byte-count); pixel values are covered "
+    "exactly by tests/test_text_similarity.py::test_multimodal_resize.",
+)
+def q56_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import attach_binary_payload, resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize_images(attach_binary_payload(docs), height=4, width=4)
+    return out.select(
+        "doc_id", "height", "width", F.octet_length("pixels").alias("n_pixel_bytes")
+    )
+
+
+@register(
+    "q57_frame_sampling",
+    """
+    SELECT doc_id,
+           CAST(UNNEST(range(0, GREATEST(octet_length(encode(text)) // 64, 1), 2)) AS INT)
+             AS frame_idx,
+           CAST(LEAST(octet_length(encode(text)), 64) AS INT) AS frame_bytes
+    FROM documents
+    """,
+    doc="Video-style frame sampling (mapInPandas fan-OUT: one row -> many): "
+    "each payload is chunked into 64-byte frames and every 2nd frame is "
+    "emitted as its own row. Oracle replicates the chunk/stride math with "
+    "DuckDB UNNEST(range(...)).",
+)
+def q57_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import attach_binary_payload, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_binary_payload(docs), frame_bytes=64, every_n=2)
+    return frames.select(
+        "doc_id", "frame_idx", F.octet_length("frame").alias("frame_bytes")
+    )

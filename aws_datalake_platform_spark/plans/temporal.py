@@ -129,3 +129,56 @@ def q37_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "q58_stateful_stream_stats",
+    """
+    SELECT event_type,
+           COUNT(value) AS n,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax
+    FROM events
+    GROUP BY event_type
+    HAVING COUNT(value) > 0
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-key running stats accumulated across micro-batches in the state "
+    "store, final state under the batch-SQL oracle. Only order-insensitive "
+    "stats (count/min/max) are oracle-compared; running sums are covered "
+    "by tests/test_streaming.py::test_stateful_running_stats.",
+)
+def q58_stateful_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..streaming.ingest import running_stats_with_state
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema  # ts lands as bigint nanos
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/events.*")  # glob: see q37
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    stats = running_stats_with_state(
+        sdf, key="event_type", value_col="value", ts_col="ts", watermark="1 hour"
+    )
+    name = f"q58_{uuid.uuid4().hex[:8]}"
+    query = (
+        stats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # update-mode sink holds one row per key per micro-batch; the FINAL
+    # state per key is the row with the largest n (n is monotone).
+    snap = spark.table(name)
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
+    return (
+        snap.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1 AND n > 0")
+        .select("event_type", "n", "vmin", "vmax")
+    )

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources.synthetic import DEFAULT_CITIES, _gauss, _stable_city_base, _u01
 from ..functions.core import mint_sensor_id
@@ -122,6 +123,84 @@ def stream_dedup(sdf: DataFrame, keys: list[str], ts_col: str, watermark: str = 
     """Streaming dedup with bounded state: duplicates arriving within the
     watermark horizon are dropped, state older than it is evicted."""
     return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def running_stats_with_state(
+    sdf: DataFrame,
+    key: str = "city",
+    value_col: str = "temperature_c",
+    ts_col: str = "event_time",
+    watermark: str = "1 hour",
+    state_timeout_ms: int = 0,
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-key running (count, sum, min, max) that survives across
+    micro-batches — the surface Spark's built-in windowed aggs can't
+    express when state logic is arbitrary (e.g. CUSUM anomaly scores,
+    per-device calibration).
+
+    Scale: state is partitioned by key in the state store (RocksDB on a
+    real cluster); each micro-batch touches only keys present in the
+    batch. For an always-on deployment pass ``state_timeout_ms`` > 0 to
+    reap idle keys with a processing-time timeout. Leave it 0 (NoTimeout)
+    for ``availableNow``/batch-drain runs: a re-armed processing-time
+    timer counts as pending work, so an availableNow trigger with
+    timeouts enabled never terminates.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("vmin", T.DoubleType()),
+            T.StructField("vmax", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("vmin", T.DoubleType()),
+            T.StructField("vmax", T.DoubleType()),
+        ]
+    )
+
+    def update(k, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, vmin, vmax = state.get if state.exists else (0, 0.0, float("inf"), float("-inf"))
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            if len(vals):
+                n += int(len(vals))
+                total += float(vals.sum())
+                vmin = min(vmin, float(vals.min()))
+                vmax = max(vmax, float(vals.max()))
+        state.update((n, total, vmin, vmax))
+        if state_timeout_ms > 0:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame({key: [k[0]], "n": [n], "total": [total], "vmin": [vmin], "vmax": [vmax]})
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=timeout_conf,
+        )
+    )
 
 
 def sessionize_stream(

@@ -156,3 +156,44 @@ def test_streaming_session_window(spark, tmp_path):
     u1 = [r for r in out if r["user_id"] == 1]
     assert len(u1) == 2  # 110-min gap > 30-min session gap
     assert sum(r["n_events"] for r in u1) == 3
+
+
+def test_stateful_running_stats(spark, tmp_path):
+    """applyInPandasWithState: per-key state persists across micro-batches
+    (two availableNow runs over a growing directory + one checkpoint)."""
+    from aws_datalake_platform_spark.streaming.ingest import running_stats_with_state
+
+    src = str(tmp_path / "ssrc")
+    ckpt = str(tmp_path / "sckpt")
+    schema = "city string, temperature_c double, event_time timestamp"
+    batch1 = spark.createDataFrame(
+        [("ber", 10.0, m(0)), ("ber", 20.0, m(1)), ("par", 5.0, m(2))], schema
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        # foreachBatch sink: supports checkpoint RECOVERY (memory sink does
+        # not), which is the whole point — state must survive run-to-run.
+        rows = []
+        sdf = spark.readStream.schema(batch1.schema).parquet(src)
+        stats = running_stats_with_state(sdf, key="city", value_col="temperature_c")
+        q = (stats.writeStream.foreachBatch(lambda df, _e: rows.extend(df.collect()))
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        out = {}
+        for r in rows:  # later micro-batches overwrite earlier per key
+            out[r["city"]] = r
+        return out
+
+    first = run_once()
+    assert first["ber"]["n"] == 2 and first["ber"]["total"] == 30.0
+    assert first["par"]["vmin"] == 5.0
+
+    # second batch arrives; state must CONTINUE from (n=2, total=30)
+    spark.createDataFrame([("ber", 30.0, m(3))], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    second = run_once()
+    assert second["ber"]["n"] == 3 and second["ber"]["total"] == 60.0
+    assert second["ber"]["vmax"] == 30.0

@@ -146,3 +146,34 @@ def test_multimodal_plumbing(spark):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG...", "png", fake=False)
+
+
+def test_multimodal_resize(spark):
+    from aws_datalake_platform_spark.operators.multimodal import resize_images
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 100), (2, "y")], "doc_id long, text string"
+    )
+    media = attach_binary_payload(docs)
+    out = {r["doc_id"]: r for r in resize_images(media, height=4, width=4).collect()}
+    assert out[1]["height"] == 4 and out[1]["width"] == 4
+    assert len(out[1]["pixels"]) == 16  # 4x4 uint8
+    assert len(out[2]["pixels"]) == 16  # tiny payload still resizes
+
+
+def test_multimodal_frame_sampling(spark):
+    from aws_datalake_platform_spark.operators.multimodal import sample_frames
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 300), (2, "b" * 10)], "doc_id long, text string"
+    )
+    media = attach_binary_payload(docs)
+    frames = sample_frames(media, frame_bytes=64, every_n=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 300 bytes // 64 = 4 frames, stride 2 -> frames 0 and 2
+    assert sorted(r["frame_idx"] for r in by_doc[1]) == [0, 2]
+    assert len(by_doc[1][0]["frame"]) == 64
+    # short payload -> single frame 0
+    assert [r["frame_idx"] for r in by_doc[2]] == [0]
