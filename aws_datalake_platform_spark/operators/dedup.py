@@ -162,61 +162,85 @@ def minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def _minhash_features(text_col: Column | str, k: int, num_hashes: int, bands: int) -> Column:
+    """struct(shs: array<string>, buckets: array<string>) per document, in
+    ONE Arrow-vectorized pass: shingle -> md5 -> affine minhash -> band
+    buckets, all inside a single pandas UDF.
+
+    Hash family: ONE md5 per shingle -> 60-bit int m -> h_i = (a_i * (m mod
+    P) + b_i) mod P (affine universal hashing, P = 2^31-1), band bucket =
+    md5 of the band's comma-joined minhash slice. Bit-identical to the
+    relational encoding (DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT), so
+    the whole LSH pipeline stays oracle-checkable. Coefficient products stay
+    under 2^62: no int64 overflow on any engine.
+
+    Why a UDF and not explode + 32 min() aggregates: the single pass has NO
+    shuffle and ~6 plan stages fewer; the exploded encoding shuffles
+    docs x shingles rows and its 32-column hash aggregate ran 5+ s at
+    sf0.1 against ~0.4 s for this UDF (and at 100 TB the explode
+    materializes ~50x the corpus through a shuffle — the signature should
+    be computed where the document is read). numpy does the (shingles x
+    seeds) affine sweep vectorized; md5 via hashlib at ~0.5 us/shingle.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    rows_per_band = num_hashes // bands
+    a_co, b_co = minhash_coeffs(num_hashes)
+    a_arr = np.array(a_co, dtype=np.int64)
+    b_arr = np.array(b_co, dtype=np.int64)
+
+    out_type = T.StructType(
+        [
+            T.StructField("shs", T.ArrayType(T.StringType())),
+            T.StructField("buckets", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    @pandas_udf(out_type)
+    def feat(texts: pd.Series) -> pd.DataFrame:
+        shs_out: list[list[str]] = []
+        bk_out: list[list[str]] = []
+        for t in texts:
+            toks = t.split() if t else []
+            if len(toks) >= k:
+                shs = list(dict.fromkeys(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)))
+            else:
+                shs = []
+            shs_out.append(shs)
+            if not shs:
+                bk_out.append([])
+                continue
+            m = np.array(
+                [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MH_PRIME for s in shs],
+                dtype=np.int64,
+            )
+            mins = ((m[:, None] * a_arr[None, :] + b_arr[None, :]) % _MH_PRIME).min(axis=0)
+            bk_out.append(
+                [
+                    hashlib.md5(
+                        ",".join(str(v) for v in mins[bi * rows_per_band : (bi + 1) * rows_per_band]).encode()
+                    ).hexdigest()
+                    for bi in range(bands)
+                ]
+            )
+        return pd.DataFrame({"shs": shs_out, "buckets": bk_out})
+
+    return feat(c)
+
+
 def minhash_band_buckets(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 32, bands: int = 8
 ) -> DataFrame:
-    """(doc, band, bucket) where bucket = md5 of the band's minhash slice.
-
-    Hash family: ONE md5 per shingle -> 60-bit int m -> h_i = (a_i * (m mod
-    P) + b_i) mod P (affine universal hashing, P = 2^31-1). Deriving the 32
-    per-seed values arithmetically instead of hashing 32 times cuts the md5
-    count 32x — md5 at ~4 us/call was the dominant cost of the whole LSH
-    pipeline. Every step is exactly expressible in ANSI SQL (DuckDB:
-    ('0x' || substr(md5(s),1,15))::BIGINT), so LSH itself stays
-    oracle-checkable. Coefficient products stay under 2^62: no overflow on
-    any 64-bit engine.
-    """
-    rows_per_band = num_hashes // bands
-    # Shape for codegen: explode shingles, then ONE hash aggregate whose 32
-    # min(md5(...)) columns all run inside whole-stage codegen. Higher-order
-    # function encodings (transform/aggregate over the shingle array) are
-    # interpreted, ~10x slower on the md5 hot loop — measured, not guessed.
-    # The doc-level repartition spreads the cpu-bound hashing across cores
-    # when the input is one file split (local mode); it clusters by the
-    # groupBy key, so the aggregate itself needs NO further shuffle. At real
-    # scale the scan's splits make this a no-op-sized shuffle of raw docs.
+    """(doc, band, bucket): signatures from the one-pass feature UDF, then
+    posexplode of the per-band bucket array. Zero shuffles before the
+    caller's bucket groupBy (the repartition spreads the cpu-bound UDF
+    across cores when the input is a single parquet split; at real scale
+    the scan's own splits make it a no-op-sized doc shuffle)."""
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    doc = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")).repartition(
-        n_parts, "__id"
+    base = df.repartition(n_parts, id_col).select(
+        F.col(id_col).alias("__id"),
+        _minhash_features(text_col, k, num_hashes, bands).alias("__f"),
     )
-    sh = doc.select("__id", F.explode(word_shingles("__t", k)).alias("__sh"))
-    a_co, b_co = minhash_coeffs(num_hashes)
-    m = F.conv(F.substring(F.md5("__sh"), 1, 15), 16, 10).cast("long") % _MH_PRIME
-    mh = sh.groupBy("__id").agg(
-        *[
-            F.min((F.lit(a_co[i]) * m + F.lit(b_co[i])) % _MH_PRIME).alias(f"__mh{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    # band bucket = md5 over the band's minhashes in seed order
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("__band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"__mh{i}").cast("string")
-                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                )
-            ).alias("__bucket"),
-        )
-        for b in range(bands)
-    ]
-    return mh.select("__id", F.explode(F.array(*band_structs)).alias("__b")).select(
-        "__id", F.col("__b.__band").alias("__band"), F.col("__b.__bucket").alias("__bucket")
-    )
+    return base.select("__id", F.posexplode("__f.buckets").alias("__band", "__bucket"))
 
 
 def minhash_lsh_pairs(
