@@ -59,9 +59,22 @@ def brute_force_topk(
     Rank on round(sim, 6) with the neighbor id as tiebreak so ordering is
     stable across engines and partitionings. Queries are broadcast; the
     corpus is scanned once with no shuffle before the per-query window.
+
+    Norms are computed ONCE per row on each side BEFORE the cross join —
+    inside the join each pair costs one dot product, not dot + two norms
+    (the naive cosine re-derives norm(q) per corpus row: Q x N x dim extra
+    interpreted HOF work, measured 10+ s single-task at sf0.1). The
+    repartition spreads the per-pair HOF work across cores when the corpus
+    arrives as one split; sim values are bit-identical because dot and each
+    norm stay sequential left-to-right doubles.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), norm(F.col(vec_col)).alias("__qn")
+    )
+    c = corpus.repartition(n_parts).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), norm(F.col(vec_col)).alias("__cn")
+    )
     sims = (
         F.broadcast(q)
         .crossJoin(c)
@@ -69,7 +82,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
+            F.round(dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -80,12 +93,19 @@ def embedding_near_dup_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
 ) -> DataFrame:
     """All-pairs cosine >= threshold (exact). O(N^2) — the correctness
-    baseline; use lsh_ann_topk buckets as the prefilter at scale."""
-    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"))
+    baseline; use lsh_ann_topk buckets as the prefilter at scale. Norms
+    precomputed per side (see brute_force_topk)."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(n_parts)
+    a = base.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"), norm(F.col(vec_col)).alias("__na"))
+    b = base.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"), norm(F.col(vec_col)).alias("__nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
 
@@ -184,16 +204,25 @@ def ivf_topk(
     are AQE's problem (skew-join split); raising K tightens lists."""
     cents = _centroid_matrix(corpus, id_col, vec_col, n_centroids)
     cb = ivf_assign(corpus, cents, id_col, vec_col, n_probe=1).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"), "cluster"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        norm(F.col("embedding")).alias("__cn"),
+        "cluster",
     )
     qb = ivf_assign(queries, cents, id_col, vec_col, n_probe=n_probe).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"), "cluster"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        norm(F.col("embedding")).alias("__qn"),
+        "cluster",
     )
     sims = (
         qb.join(cb, "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6).alias("sim"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])  # multi-probe overlap
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -214,15 +243,25 @@ def lsh_ann_topk(
     then exact cosine + window rank. Recall rises with fewer planes
     (bigger buckets) or multiprobe; cost falls with more planes."""
     qb = lsh_bucket_ids(queries, id_col, vec_col, n_planes, seed, dim).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        norm(F.col("embedding")).alias("__qn"),
+        "bucket",
     )
     cb = lsh_bucket_ids(corpus, id_col, vec_col, n_planes, seed, dim).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"), "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        norm(F.col("embedding")).alias("__cn"),
+        "bucket",
     )
     sims = (
         qb.join(cb, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
