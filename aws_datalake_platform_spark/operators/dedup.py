@@ -27,6 +27,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -115,6 +116,13 @@ def ngram_jaccard_pairs(
     Scale: the self-join fan-out is sum over shingles of df^2; max_df caps
     it. For data where even that is too hot, use minhash_lsh_pairs.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    max_df semantics: per-doc sizes are computed AFTER the stop-shingle
+    filter, so with max_df set the emitted 'jaccard' is Jaccard over the
+    stop-shingle-removed universe (the standard stopword-filtered measure),
+    not Jaccard over raw shingles — boilerplate shared by >max_df docs
+    neither creates candidates nor inflates the denominator. Leave
+    max_df=None for true Jaccard (the oracle-checked configuration).
     """
     sh = _exploded_shingles(df, id_col, text_col, k)
     if max_df is not None:
@@ -243,30 +251,28 @@ def minhash_band_buckets(
     return base.select("__id", F.posexplode("__f.buckets").alias("__band", "__bucket"))
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+def capped_candidate_pairs(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Distinct candidate (doc_a, doc_b) pairs from (__id, __band, __bucket)
+    membership, with a hot-bucket guard.
 
-    Scale: signatures are one groupBy over (doc x seed); candidates come
-    from an equi-join on (band, bucket) — never an all-pairs product. The
-    verify join only touches candidate docs' shingles. bands/num_hashes
-    trade recall for bucket-join fan-out (8 bands x 4 rows: ~J>=0.7 reliably
-    caught; raise bands for lower thresholds).
+    Buckets at or under max_bucket_size expand to all in-bucket pairs via
+    collect_list (the agg buffer is bounded by the cap, so a task can never
+    OOM on a degenerate corpus — e.g. millions of boilerplate-identical
+    docs all landing in one bucket). Oversized buckets degrade to STAR
+    pairs (bucket-min id, member): linear in the bucket size, and the
+    bucket stays one connected component for downstream group-resolution,
+    so the duplicate group is still fully reported — only the redundant
+    quadratic intra-bucket edges are dropped. Callers can quantify the
+    drop with bucket_stats().
+
+    Scale shape: one groupBy for (count, min) per bucket, one equi-join of
+    members against those stats (partitioning reused by the small path's
+    collect_list groupBy — no extra shuffle), no unbounded state anywhere.
     """
-    # candidate pairs via groupBy(bucket) + in-bucket pair expansion, not a
-    # self-join: the signature relation is consumed ONCE (no persist, no
-    # double compute, no broadcast build), and the per-bucket pair count is
-    # the same fan-out the join would produce. Buckets are near-dup groups,
-    # so collect_list sizes are small; a genuinely hot bucket means the
-    # banding parameters are wrong, not the plan.
-    buckets = minhash_band_buckets(df, id_col, text_col, k, num_hashes, bands)
+    stats = buckets.groupBy("__band", "__bucket").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.min("__id").alias("__mn")
+    )
+    members = buckets.join(stats, ["__band", "__bucket"])
     ids = F.array_sort(F.collect_list("__id"))
     pair_expand = F.flatten(
         F.transform(
@@ -277,32 +283,84 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    candidates = (
-        buckets.groupBy("__band", "__bucket")
+    small = (
+        members.filter(F.col("__cnt") <= max_bucket_size)
+        .groupBy("__band", "__bucket")
         .agg(ids.alias("__ids"))
         .filter(F.size("__ids") > 1)
         .select(F.explode(pair_expand).alias("__p"))
         .select(F.col("__p.doc_a").alias("doc_a"), F.col("__p.doc_b").alias("doc_b"))
-        .distinct()
+    )
+    big = members.filter(
+        (F.col("__cnt") > max_bucket_size) & (F.col("__id") != F.col("__mn"))
+    ).select(F.col("__mn").alias("doc_a"), F.col("__id").alias("doc_b"))
+    return small.union(big).distinct()
+
+
+def bucket_stats(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Oversized (band, bucket) rows with the number of candidate
+    comparisons the cap drops (full-quadratic minus star). Run it when you
+    need the audit trail for a capped dedup pass."""
+    return (
+        buckets.groupBy("__band", "__bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
+        .select(
+            F.col("__band").alias("band"),
+            F.col("__bucket").alias("bucket"),
+            "n_docs",
+            (F.col("n_docs") * (F.col("n_docs") - 1) / 2 - (F.col("n_docs") - 1))
+            .cast("long")
+            .alias("dropped_comparisons"),
+        )
     )
 
-    # exact-Jaccard verification per candidate pair via array_intersect on
-    # the docs' shingle ARRAYS: one row per pair, |A|+|B| work each — never
-    # a shingle equi-join (quadratic on hot shingles) or a per-pair
-    # |A|x|B| doc-join product
-    # no persist and no empty-shingle filter: docs without a signature can
-    # never appear in candidates (inner join drops them), and each side is
-    # scanned once with the vectorized shingle UDF (~10 us/doc). The
-    # repartition matters even though it adds a shuffle: a small corpus can
-    # be a single parquet split, and without it BOTH shingle scans (a and b
-    # recompute the branch) run as one task on one core — measured 2.7 s
-    # each at sf0.1 vs ~0.2 s spread over the cluster.
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int = 512,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+
+    Scale: signatures and shingles come from ONE Arrow-vectorized pass over
+    the corpus (the (id, shingles, band-buckets) relation is persisted
+    MEMORY_AND_DISK and reused by candidate generation AND both sides of
+    the verify join — the UDF runs once per document, not three times).
+    Candidates come from an equi-join on (band, bucket) — never an
+    all-pairs product — with the hot-bucket cap of capped_candidate_pairs
+    bounding per-task state on degenerate corpora. bands/num_hashes trade
+    recall for bucket fan-out (8 bands x 4 rows: ~J>=0.7 reliably caught;
+    raise bands for lower thresholds).
+
+    The persisted relation is scoped to this plan; Spark evicts it LRU (or
+    call spark.catalog.clearCache() between unrelated workloads).
+    """
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    docarr = df.repartition(n_parts, id_col).select(
-        F.col(id_col).alias("__id"), word_shingles(text_col, k).alias("__shs")
+    feat = (
+        df.repartition(n_parts, id_col)
+        .select(
+            F.col(id_col).alias("__id"),
+            _minhash_features(text_col, k, num_hashes, bands).alias("__f"),
+        )
+        .select("__id", F.col("__f.shs").alias("__shs"), F.col("__f.buckets").alias("__bks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = docarr.select(F.col("__id").alias("doc_a"), F.col("__shs").alias("__sa"))
-    b = docarr.select(F.col("__id").alias("doc_b"), F.col("__shs").alias("__sb"))
+    buckets = feat.select("__id", F.posexplode("__bks").alias("__band", "__bucket"))
+    candidates = capped_candidate_pairs(buckets, max_bucket_size)
+
+    # exact-Jaccard verification per candidate pair via array_intersect on
+    # the docs' shingle ARRAYS (from the same persisted pass): one row per
+    # pair, |A|+|B| work each — never a shingle equi-join (quadratic on hot
+    # shingles) or a per-pair |A|x|B| doc-join product. Docs without a
+    # signature can never appear in candidates (inner join drops them).
+    a = feat.select(F.col("__id").alias("doc_a"), F.col("__shs").alias("__sa"))
+    b = feat.select(F.col("__id").alias("doc_b"), F.col("__shs").alias("__sb"))
     return (
         candidates.join(a, "doc_a")
         .join(b, "doc_b")

@@ -23,10 +23,13 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
+
+from .dedup import capped_candidate_pairs
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -92,9 +95,11 @@ def brute_force_topk(
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
 ) -> DataFrame:
-    """All-pairs cosine >= threshold (exact). O(N^2) — the correctness
-    baseline; use lsh_ann_topk buckets as the prefilter at scale. Norms
-    precomputed per side (see brute_force_topk)."""
+    """All-pairs cosine >= threshold (exact). O(N^2) by construction —
+    CORRECTNESS BASELINE ONLY, never the scale path: the non-equi
+    vec_a < vec_b join plans as a broadcast nested loop. Use
+    embedding_near_dup_pairs_lsh for real corpora. Norms precomputed per
+    side (see brute_force_topk)."""
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     base = df.repartition(n_parts)
     a = base.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"), norm(F.col(vec_col)).alias("__na"))
@@ -136,11 +141,100 @@ def lsh_bucket_ids(
     @pandas_udf(T.IntegerType())
     def bucket(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy())  # (batch, dim)
+        if m.shape[1] != dim:  # a mismatched corpus would silently mis-project
+            raise ValueError(f"embedding dim {m.shape[1]} != configured dim {dim}")
         signs = (m.astype(np.float64) @ planes.T) > 0  # (batch, planes)
         return pd.Series(signs.astype(np.int64) @ (1 << np.arange(n_planes)))
 
     return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
                      bucket(F.col(vec_col)).alias("bucket"))
+
+
+def banded_lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 16,
+    planes_per_band: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """(__id, __band, __bucket) banded sign-random-projection buckets.
+
+    AND-OR amplification for pair recall: a pair collides if ALL
+    planes_per_band sign bits agree in AT LEAST one band — recall at cosine
+    c is 1-(1-p^r)^b with p = 1 - acos(c)/pi. Hyperplanes are md5-derived
+    (deterministic on any worker); bucketing is one numpy matmul per Arrow
+    batch, map-side only. Output feeds capped_candidate_pairs.
+    """
+    n_planes = bands * planes_per_band
+    planes = _hyperplanes(n_planes, dim, seed)
+    weights = 1 << np.arange(planes_per_band, dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def band_buckets(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        if m.shape[1] != dim:
+            raise ValueError(f"embedding dim {m.shape[1]} != configured dim {dim}")
+        signs = (m @ planes.T) > 0  # (batch, bands*r)
+        packed = signs.reshape(len(m), bands, planes_per_band).astype(np.int64) @ weights
+        return pd.Series(list(packed.astype(np.int32)))
+
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(band_buckets(F.col(vec_col))).alias("__band", "__bucket"),
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bands: int = 16,
+    planes_per_band: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    max_bucket_size: int = 512,
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs — the scale path that replaces the
+    O(N^2) all-pairs join of embedding_near_dup_pairs.
+
+    Candidates come from a (band, bucket) equi-join over banded
+    hyperplane-LSH buckets (capped_candidate_pairs bounds hot buckets),
+    then exact sequential-double cosine verifies each candidate — output
+    rows all satisfy sim >= threshold; recall vs the exact baseline is
+    1-(1-p^r)^b per pair (see banded_lsh_buckets) and is pinned by pytest.
+
+    Scale: bucketing is map-side (one matmul per Arrow batch); the only
+    shuffles are the bucket groupBy/join on (band, bucket) and the two
+    candidate->vector hash joins — cost is O(N*b) + sum of capped bucket
+    fan-outs, never N^2. Defaults (16 bands x 4 planes) hold recall ~0.94
+    even down at cosine 0.4; at a real near-dup threshold (0.9+) recall is
+    >0.999 and bucket selectivity is what prunes the work.
+    """
+    bk = banded_lsh_buckets(df, id_col, vec_col, bands, planes_per_band, seed, dim).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    candidates = capped_candidate_pairs(bk, max_bucket_size).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    )
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(n_parts).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), norm(F.col(vec_col)).alias("__n")
+    )
+    a = base.select(F.col("__id").alias("vec_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    b = base.select(F.col("__id").alias("vec_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    return (
+        candidates.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
 
 
 def _centroid_matrix(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int) -> np.ndarray:

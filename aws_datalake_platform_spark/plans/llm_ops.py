@@ -96,10 +96,23 @@ def q23_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bucket
       FROM mh GROUP BY doc_id, seed // 4
     ),
+    bstats AS (
+      SELECT band, bucket, count(*) AS cnt, min(doc_id) AS mn
+      FROM buckets GROUP BY band, bucket
+    ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      -- mirrors capped_candidate_pairs: full pair expansion for buckets at
+      -- or under the cap, star (min-id, member) pairs above it
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM buckets a
       JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      JOIN bstats s ON s.band = a.band AND s.bucket = a.bucket
+      WHERE s.cnt <= 512
+      UNION
+      SELECT s.mn AS doc_a, m.doc_id AS doc_b
+      FROM buckets m
+      JOIN bstats s ON s.band = m.band AND s.bucket = m.bucket
+      WHERE s.cnt > 512 AND m.doc_id <> s.mn
     ),
     inter AS (
       SELECT doc_a, doc_b, count(*) AS i
@@ -322,13 +335,76 @@ def q30_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE ROUND({_COS.format(a="a.embedding", b="b.embedding")}, 6) >= 0.4
     """,
-    doc="Embedding-cosine near-dup pairs (exact all-pairs baseline).",
+    doc="Embedding-cosine near-dup pairs — exact all-pairs CORRECTNESS "
+    "BASELINE ONLY (O(N^2) broadcast nested loop); q59 is the scale path.",
 )
 def q31_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+def _ndl_planes_values() -> str:
+    """The q59 hyperplane matrix as DuckDB VALUES rows (p, w) — the SAME
+    md5-derived doubles the Spark UDF uses, so both engines bucket
+    identically (projections are sequential-double sums on the DuckDB side
+    and a numpy matmul on the Spark side; signs agree unless a projection
+    lands within float ulp of zero, which is measure-zero for md5 planes)."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(16 * 4, 64, 42)
+    return ",\n      ".join(
+        f"({p}, [{', '.join(repr(float(v)) for v in planes[p])}])" for p in range(16 * 4)
+    )
+
+
+@register(
+    "q59_embedding_near_dup_lsh",
+    f"""
+    WITH planes AS (SELECT * FROM (VALUES {_ndl_planes_values()}) pl(p, w)),
+    proj AS (
+      SELECT e.vec_id AS doc, pl.p AS p,
+             list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * pl.w[i])) AS pr
+      FROM embeddings e CROSS JOIN planes pl
+    ),
+    bits AS (
+      SELECT doc, CAST(p // 4 AS INT) AS band,
+             CAST(SUM(CASE WHEN pr > 0 THEN (1 << (p % 4)) ELSE 0 END) AS INT) AS bucket
+      FROM proj GROUP BY doc, p // 4
+    ),
+    bstats AS (SELECT band, bucket, count(*) AS cnt, min(doc) AS mn
+               FROM bits GROUP BY band, bucket),
+    cand AS (
+      SELECT a.doc AS vec_a, b.doc AS vec_b
+      FROM bits a
+      JOIN bits b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+      JOIN bstats s ON s.band = a.band AND s.bucket = a.bucket
+      WHERE s.cnt <= 512
+      UNION
+      SELECT s.mn AS vec_a, m.doc AS vec_b
+      FROM bits m JOIN bstats s ON s.band = m.band AND s.bucket = m.bucket
+      WHERE s.cnt > 512 AND m.doc <> s.mn
+    )
+    SELECT vec_a, vec_b, ROUND({_COS.format(a="a.embedding", b="b.embedding")}, 6) AS sim
+    FROM cand
+    JOIN embeddings a ON a.vec_id = vec_a
+    JOIN embeddings b ON b.vec_id = vec_b
+    WHERE ROUND({_COS.format(a="a.embedding", b="b.embedding")}, 6) >= 0.4
+    """,
+    doc="Bucketed embedding near-dup pairs (banded hyperplane LSH + "
+    "hot-bucket cap + exact-cosine verify) — the scale path replacing "
+    "q31's O(N^2) all-pairs join. The oracle mirrors the ENTIRE pipeline "
+    "(same md5-derived planes, bucket packing, cap, verify), so even this "
+    "approximate operator is hash-checkable, not rows-only.",
+)
+def q59_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_pairs_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_lsh(
+        emb, threshold=0.4, bands=16, planes_per_band=4, seed=42, dim=64, max_bucket_size=512
+    )
 
 
 @register(

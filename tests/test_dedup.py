@@ -81,6 +81,37 @@ def test_simhash_finds_planted_dups(spark, docs):
     assert len(sim) <= len(exact) * 3  # and not explode with false positives
 
 
+def test_hot_bucket_cap_star_links_degenerate_corpus(spark):
+    """Adversarial corpus: 1000 identical docs put ALL docs into one bucket
+    per band. The cap keeps every agg buffer <= max_bucket_size (no task
+    OOM path) by degrading oversized buckets to star pairs — and the
+    duplicate group is still fully reported as one connected component
+    rooted at the min id."""
+    docs = spark.createDataFrame(
+        [(i, "spam spam spam wonderful spam baked beans and spam") for i in range(1000)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_bucket_size=64
+    ).collect()
+    assert len(pairs) == 999  # star: (0, b) for every other member, once
+    assert all(r["doc_a"] == 0 and r["jaccard"] == 1.0 for r in pairs)
+    assert {r["doc_b"] for r in pairs} == set(range(1, 1000))
+
+
+def test_bucket_stats_reports_dropped_comparisons(spark):
+    from aws_datalake_platform_spark.operators.dedup import bucket_stats, minhash_band_buckets
+
+    docs = spark.createDataFrame(
+        [(i, "spam spam spam wonderful spam baked beans and spam") for i in range(1000)],
+        "doc_id long, text string",
+    )
+    stats = bucket_stats(minhash_band_buckets(docs, "doc_id", "text"), 64).collect()
+    assert len(stats) == 8  # one hot bucket per band
+    dropped = (1000 * 999) // 2 - 999
+    assert all(r["n_docs"] == 1000 and r["dropped_comparisons"] == dropped for r in stats)
+
+
 def test_max_df_guard_drops_stop_shingles(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox"), (2, "the quick brown cat"), (3, "the quick brown dog")],

@@ -125,6 +125,57 @@ def test_near_dup_pairs_symmetry_free(spark, emb):
         assert r["sim"] >= 0.4
 
 
+def test_embedding_lsh_recall_vs_exact_baseline(spark, emb):
+    """q59's config (16 bands x 4 planes) vs the q31 exact all-pairs output
+    at the same threshold: subset (verify is exact) + recall bound. All
+    deterministic — fixed md5 planes, fixed data."""
+    from aws_datalake_platform_spark.operators.similarity import embedding_near_dup_pairs_lsh
+
+    exact = {(r["vec_a"], r["vec_b"]) for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()}
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs_lsh(
+            emb, threshold=0.4, bands=16, planes_per_band=4
+        ).collect()
+    }
+    assert lsh <= exact  # bucketing can only drop pairs, never invent them
+    assert len(lsh) >= 0.85 * len(exact)  # theory: 1-(1-p^4)^16 ~ 0.94 at cos 0.4
+
+
+def test_embedding_lsh_near_dup_scale_config(spark, emb):
+    """Near-dup regime (threshold 0.9, 8 bands x 8 planes): planted twins
+    must be recovered with recall 1.0 AND the candidate set must actually
+    prune — the point of the bucketed variant over the O(N^2) baseline."""
+    from aws_datalake_platform_spark.operators.dedup import capped_candidate_pairs
+    from aws_datalake_platform_spark.operators.similarity import (
+        banded_lsh_buckets,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    twins = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.union(twins)
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs(corpus, threshold=0.9).collect()
+    }
+    assert len(exact) == 20  # the planted twin pairs, nothing else
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs_lsh(
+            corpus, threshold=0.9, bands=8, planes_per_band=8
+        ).collect()
+    }
+    assert lsh == exact  # identical vectors share every bucket -> recall 1.0
+
+    n = corpus.count()
+    n_candidates = capped_candidate_pairs(
+        banded_lsh_buckets(corpus, bands=8, planes_per_band=8), 512
+    ).count()
+    assert n_candidates < 0.10 * n * (n - 1) / 2  # ~3% expected on random data
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, ""), (3, "third doc")], "doc_id long, text string"
