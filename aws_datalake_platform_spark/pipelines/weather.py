@@ -18,6 +18,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..catalog import RAW_WEATHER
 from ..functions.core import date_partition, fahrenheit
 from ..sources.io import read_ndjson, write_curated_parquet
 from ..validation import DataValidator
@@ -53,13 +54,19 @@ def transform_weather(
     curated_path: str | None = None,
     raw_df: DataFrame | None = None,
     halt_on_validation_failure: bool = False,
+    infer_schema: bool = False,
 ) -> dict[str, Any] | None:
     """End-to-end weather job (transform.py:134-190 semantics):
     read -> empty guard -> validate -> derive -> partitioned write.
-    Returns the validation summary (None when input is empty/missing)."""
+    Returns the validation summary (None when input is empty/missing).
+
+    Reads with the catalog's authoritative RAW_WEATHER schema by default
+    (catalog-as-source-of-truth, SURVEY §1.3): at 100 TB schema inference
+    is a full extra pass over the raw zone. infer_schema=True restores the
+    reference's infer-on-read behavior (transform.py:144)."""
     if raw_df is None:
         try:
-            raw_df = read_ndjson(spark, raw_path)
+            raw_df = read_ndjson(spark, raw_path, schema=None if infer_schema else RAW_WEATHER)
         except Exception as e:  # missing path == missing raw data (ref :143-149)
             logger.error("Failed to read raw weather data: %s", e)
             return None

@@ -13,7 +13,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import ensure_nanos_as_long, load_table
 from ..operators.asof import asof_join, range_join_count, sessionize
 from .queries import register
 
@@ -104,7 +104,7 @@ def q36_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming engine under the batch oracle.",
 )
 def q37_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_nanos_as_long(spark)  # guarded: driver-owned sessions only
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema  # ts lands as bigint nanos
     sdf = (
@@ -153,7 +153,7 @@ def q58_stateful_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.ingest import running_stats_with_state
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_nanos_as_long(spark)  # guarded: driver-owned sessions only
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema  # ts lands as bigint nanos
     sdf = (

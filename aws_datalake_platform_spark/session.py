@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # TIMESTAMP(NANOS) parquet columns (testdata events.ts) read as
+        # bigint nanos instead of erroring; catalog.load_table converts to
+        # a proper timestamp. Set once here — queries must never mutate
+        # session conf as a side effect.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )

@@ -55,3 +55,44 @@ def fetch_all(
         else:
             ok.append((city, payload))
     return ok, errors
+
+
+class BatchIngestError(RuntimeError):
+    """Raised when any city fetch fails, after successes are landed."""
+
+
+def run_batch_ingest(
+    spark,
+    cities: list[dict],
+    raw_path: str | None = None,
+    ingestion_id: str | None = None,
+    ingested_at: str | None = None,
+    fetcher: Callable[[dict], dict | None] = fetch_weather,
+):
+    """Batch-ingest entry point with the reference's error policy: fetch
+    every city, flatten + land what succeeded, then RAISE if any city
+    failed so the scheduler's failure alarm fires
+    (batch_ingest:125-127 — partial success still raises). Returns the
+    raw DataFrame when everything succeeded."""
+    import uuid
+    from datetime import datetime, timezone
+
+    from ..functions.core import date_partition
+    from .io import write_ndjson
+    from .synthetic import weather_raw_from_responses
+
+    responses, errors = fetch_all(cities, fetcher)
+    ingestion_id = ingestion_id or uuid.uuid4().hex
+    ingested_at = ingested_at or datetime.now(timezone.utc).isoformat()
+    raw = None
+    if responses:
+        raw = weather_raw_from_responses(spark, responses, ingestion_id, ingested_at)
+        if raw_path is not None:
+            # date=YYYY-MM-DD landing dirs, parity with batch_ingest:76-93
+            write_ndjson(raw.withColumn("date", date_partition("timestamp")), raw_path, ["date"])
+    if errors:
+        raise BatchIngestError(
+            f"batch ingest: {errors}/{len(cities)} cities failed "
+            f"({len(responses)} landed under ingestion_id={ingestion_id})"
+        )
+    return raw

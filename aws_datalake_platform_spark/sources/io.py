@@ -38,7 +38,9 @@ def write_ndjson(df: DataFrame, path: str, partition_cols: list[str]) -> None:
     df.write.mode("overwrite").partitionBy(*partition_cols).json(path)
 
 
-def write_curated_parquet(df: DataFrame, path: str, partition_cols: list[str] = ["date"]) -> None:
+def write_curated_parquet(
+    df: DataFrame, path: str, partition_cols: tuple[str, ...] | list[str] = ("date",)
+) -> None:
     """Curated-zone sink (K4): snappy parquet partitioned by date.
     Dynamic partition overwrite comes from the session config."""
     (

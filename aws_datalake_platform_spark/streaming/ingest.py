@@ -41,7 +41,9 @@ def synthetic_event_stream(
     n = len(cities)
     rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
     city = F.element_at(F.array(*[F.lit(c) for c in cities]), (F.col("value") % n + 1).cast("int"))
-    sensor_idx = (F.col("value") / n).cast("long") % sensors_per_city
+    # integer division: float (value / n) rounds above 2^53 and would make
+    # the derived sensor index inexact on a long-running stream
+    sensor_idx = F.expr(f"value div {n}") % sensors_per_city
     key = F.concat_ws("|", city, sensor_idx, F.col("value"))
     aqi_bucket = _u01(key, seed, "aqi_w")
     aqi = (

@@ -103,17 +103,25 @@ def main() -> None:
     # Two full timed passes, per-query min across passes. Adjacent repeats
     # of one query both land inside the same external-contention window
     # (this host shows roving ~30-60 s CPU-contention bands); full passes
-    # are minutes apart, so one of them usually lands clean.
+    # are minutes apart, so one of them usually lands clean. clearCache
+    # before every timed query: operators that persist intermediates
+    # (MinHash/embedding LSH) must pay their full compute each pass —
+    # without it the second pass would time a memoized rerun, not the
+    # query. Per-pass timings are emitted alongside the min so the
+    # warm-steady-state framing is visible in the artifact itself.
     timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {}
     for _ in range(2):
         for name in HEADLINE:
             spec = QUERY_REGISTRY.get(name)
             if spec is None:
                 continue
+            spark.catalog.clearCache()
             drain()
             t0 = time.perf_counter()
             materialize(spec.fn(spark, SF_DIR))
             elapsed = time.perf_counter() - t0
+            passes.setdefault(name, []).append(round(elapsed, 3))
             timings[name] = round(min(elapsed, timings.get(name, elapsed)), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -124,6 +132,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "passes": passes,
+                "timing": "per-query min across 2 warm passes (cache cleared "
+                "before each timed query; warmup pass excluded)",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

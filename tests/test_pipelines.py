@@ -143,6 +143,133 @@ def test_weather_end_to_end(spark, tmp_path):
     assert "temperature_f" in curated.columns
 
 
+def test_catalog_schema_read_no_inference(spark, tmp_path):
+    """transform_iot_sensors reads with the catalog's authoritative schema
+    by default: fields NOT in RAW_IOT_SENSORS are invisible (proof the
+    reader used the fixed schema, not inference), and the read schema is
+    exactly the catalog StructType."""
+    import json
+
+    from aws_datalake_platform_spark.catalog import RAW_IOT_SENSORS
+    from aws_datalake_platform_spark.sources.io import read_ndjson
+
+    p = tmp_path / "raw"
+    p.mkdir()
+    row = {
+        "sensor_id": "sensor-x",
+        "city": "Tokyo",
+        "timestamp": "2026-01-01T00:00:00+00:00",
+        "temperature_c": 20.0,
+        "humidity_pct": 50.0,
+        "aqi": 10.0,
+        "battery_level": 99.0,
+        "rogue_extra_field": "would-only-appear-via-inference",
+    }
+    (p / "part-0.json").write_text(json.dumps(row) + "\n")
+
+    df = read_ndjson(spark, str(p), schema=RAW_IOT_SENSORS)
+    assert df.schema == RAW_IOT_SENSORS
+    assert "rogue_extra_field" not in df.columns
+
+    res = transform_iot_sensors(spark, raw_path=str(p), curated_path=str(tmp_path / "c"))
+    assert res is not None and res["success"]
+    curated = spark.read.parquet(str(tmp_path / "c"))
+    assert "rogue_extra_field" not in curated.columns
+    # opt-in inference restores the reference behavior
+    inferred = read_ndjson(spark, str(p))
+    assert "rogue_extra_field" in inferred.columns
+
+
+def test_batch_ingest_raises_on_partial_failure(spark, tmp_path):
+    """Reference error policy (batch_ingest:125-127): any failed city
+    raises AFTER successes are landed, so scheduler alarms fire."""
+    import pytest
+
+    from aws_datalake_platform_spark.sources.http import BatchIngestError, run_batch_ingest
+    from aws_datalake_platform_spark.sources.synthetic import open_meteo_like_response
+
+    cities = [
+        {"name": "Tokyo", "latitude": 35.68, "longitude": 139.69},
+        {"name": "London", "latitude": 51.5, "longitude": -0.12},
+    ]
+
+    def flaky(city):
+        if city["name"] == "London":
+            return None
+        return open_meteo_like_response(city, "2026-01-05")
+
+    raw_path = str(tmp_path / "raw/weather")
+    with pytest.raises(BatchIngestError, match="1/2 cities failed"):
+        run_batch_ingest(spark, cities, raw_path=raw_path, ingestion_id="ing-1",
+                         ingested_at="2026-01-05T06:00:00+00:00", fetcher=flaky)
+    landed = spark.read.json(raw_path)
+    assert landed.count() == 24  # Tokyo's 24 hourly rows landed before the raise
+    assert landed.select("city").distinct().collect()[0]["city"] == "Tokyo"
+
+    # all-success path returns the raw frame and does not raise
+    ok = run_batch_ingest(
+        spark, cities[:1], ingestion_id="ing-2",
+        ingested_at="2026-01-05T06:00:00+00:00",
+        fetcher=lambda c: open_meteo_like_response(c, "2026-01-05"),
+    )
+    assert ok.count() == 24
+
+
+def test_scheduler_drives_pipeline_ticks(spark):
+    """O1/O3 shim: two simulated rate ticks each run the IoT transform
+    (reference cadence: eventbridge/main.tf:40-102)."""
+    from datetime import datetime, timedelta, timezone
+
+    from aws_datalake_platform_spark.orchestration import Scheduler
+
+    t0 = datetime(2026, 1, 5, 0, 0, tzinfo=timezone.utc)
+    raw = iot_readings(spark, sensors_per_city=1, ticks=1, seed=3)
+    outcomes = []
+
+    sched = Scheduler(clock=lambda: t0)
+    sched.every(
+        timedelta(hours=1),
+        "iot_transform",
+        lambda: outcomes.append(transform_iot_sensors(spark, raw_df=raw)),
+    )
+    fired = sched.run_pending(now=t0)  # due immediately at start
+    assert [f["job"] for f in fired] == ["iot_transform"]
+    assert sched.run_pending(now=t0 + timedelta(minutes=30)) == []  # not due
+    fired2 = sched.run_pending(now=t0 + timedelta(hours=1))
+    assert [f["job"] for f in fired2] == ["iot_transform"]
+    assert len(outcomes) == 2 and all(o["success"] for o in outcomes)
+
+    # failure surfaces as status=failed (O5) and raises when asked
+    import pytest
+
+    sched2 = Scheduler(clock=lambda: t0)
+    def boom():
+        raise RuntimeError("ingest down")
+    sched2.every(timedelta(hours=1), "bad_job", boom)
+    [res] = sched2.run_pending(now=t0)
+    assert res["status"] == "failed" and "ingest down" in res["error"]
+    sched3 = Scheduler(clock=lambda: t0)
+    sched3.every(timedelta(hours=1), "bad_job", boom, raise_on_error=True)
+    with pytest.raises(RuntimeError):
+        sched3.run_pending(now=t0)
+
+
+def test_daily_cron_schedule():
+    from datetime import datetime, timedelta, timezone
+
+    from aws_datalake_platform_spark.orchestration import Scheduler
+
+    t0 = datetime(2026, 1, 5, 1, 30, tzinfo=timezone.utc)
+    sched = Scheduler(clock=lambda: t0)
+    runs = []
+    sched.daily_at(2, 0, "transform", lambda: runs.append(1))  # cron(0 2 * * ? *)
+    assert sched.run_pending(now=t0) == []  # 01:30 < 02:00
+    assert len(sched.run_pending(now=t0 + timedelta(minutes=31))) == 1
+    assert sched.run_pending(now=t0 + timedelta(hours=2)) == []  # next fire tomorrow
+    assert len(sched.run_pending(now=t0 + timedelta(days=1, hours=1))) == 1
+    assert runs == [1, 1]
+
+
 def test_empty_input_guard(spark):
     """S5: empty input -> skip, return None (transform.py:145-147)."""
     empty = spark.createDataFrame([], "sensor_id string, city string, timestamp string, "
