@@ -237,20 +237,60 @@ def embedding_near_dup_pairs_lsh(
     )
 
 
-def _centroid_matrix(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int) -> np.ndarray:
-    """Deterministic coarse centroids: the n_centroids lowest-id corpus
-    vectors, L2-normalized. At 100 TB you'd k-means a sample instead; the
-    seed choice is deliberately order-free so any worker layout gives the
-    same index. The matrix is tiny (K x dim) and broadcast in the UDF
-    closure — no shuffle to build the index."""
-    rows = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy("id")
-        .limit(n_centroids)
-        .collect()
+def _centroid_matrix(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    sample_size: int = 1024,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer on a hash-ordered
+    sample.
+
+    Sample selection is order-FREE: rows are ranked by md5(seed || id), so
+    any worker layout or partitioning yields the same sample (a
+    TakeOrdered top-k — one scan, no shuffle of the corpus). Lloyd
+    iterations run in numpy on the driver over at most sample_size x dim
+    doubles; init is deterministic farthest-point (max-min): seed 0 is
+    the first sample vector in hash order, each next seed maximizes its
+    minimum angular distance to the seeds chosen so far (ties -> lowest
+    index). That spreads seeds across distinct clusters instead of
+    landing several in one. Cosine regime: vectors and centroids are
+    L2-normalized each round, assignment is argmax dot.
+
+    Scale: at 100 TB the same plan holds — sampling ~100k rows through
+    TakeOrdered is one corpus scan; the k-means itself never leaves the
+    driver, and the resulting K x dim matrix broadcasts in the assign
+    UDF's closure. Real clustered data gets real centroids (the previous
+    lowest-id heuristic degraded to whatever the first ids happened to
+    be)."""
+    ranked = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string"))).alias("h"),
     )
-    m = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
-    return m / np.linalg.norm(m, axis=1, keepdims=True)
+    rows = ranked.orderBy("h", "id").limit(max(sample_size, n_centroids)).collect()
+    x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+    seed_idx = [0]
+    min_sim = x @ x[0]  # cosine to nearest chosen seed, per point
+    for _ in range(1, n_centroids):
+        nxt = int(np.argmin(min_sim))  # farthest point; argmin ties -> lowest index
+        seed_idx.append(nxt)
+        min_sim = np.maximum(min_sim, x @ x[nxt])
+    cents = x[seed_idx].copy()
+
+    for _ in range(n_iter):
+        assign = np.argmax(x @ cents.T, axis=1)  # ties -> lowest index: deterministic
+        for ci in range(n_centroids):
+            members = x[assign == ci]
+            if len(members):
+                cents[ci] = members.mean(axis=0)
+        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return cents
 
 
 def ivf_assign(

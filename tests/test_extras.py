@@ -29,6 +29,38 @@ def test_approx_distinct_within_bound(spark):
         assert abs(est - exact[et]) <= max(2, 0.05 * exact[et]), (et, est, exact[et])
 
 
+def test_ivf_kmeans_centroids_on_clustered_data(spark):
+    """k-means centroids must adapt to real cluster structure: 4 tight
+    orthogonal clusters, n_probe=1 — each query probes exactly its own
+    cluster's list, so recall vs brute force should be ~1. (The former
+    lowest-id centroid heuristic put all 4 'centroids' inside cluster 0
+    and failed this.)"""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim, per_cluster = 64, 50
+    rows = []
+    for c in range(4):
+        base = np.zeros(dim)
+        base[c] = 1.0
+        for _ in range(per_cluster):
+            v = base + 0.05 * rng.randn(dim)
+            rows.append((len(rows), [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") % per_cluster == 0)  # one per cluster
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(queries, corpus, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(queries, corpus, k=5, n_centroids=4, n_probe=1).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.95, f"recall {recall:.2f}"
+
+
 def test_ivf_recall_vs_brute_force(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
