@@ -436,6 +436,70 @@ def q17_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
 
 
+@register(
+    "q60_except_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="EXCEPT ALL: multiset difference preserving duplicate multiplicity.",
+)
+def q60_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference. Spark plans exceptAll as a count-tagged
+    aggregate + generate (one shuffle on the key), never a row-by-row
+    anti-join — multiplicity arithmetic happens in the aggregate, so the
+    plan is a single hash-shuffle regardless of duplicate depth."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.exceptAll(filled_c)
+
+
+@register(
+    "q61_intersect_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="INTERSECT ALL: multiset intersection with min-multiplicity semantics.",
+)
+def q61_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.intersectAll(filled_c)
+
+
+@register(
+    "q62_union_by_name",
+    """
+    SELECT c_custkey AS entity_key, c_nationkey AS nationkey, c_acctbal AS acctbal
+    FROM customer
+    UNION ALL BY NAME
+    SELECT s_nationkey AS nationkey, s_suppkey AS entity_key
+    FROM supplier
+    """,
+    doc="unionByName(allowMissingColumns=True): schema-aligned union across "
+    "heterogeneous projections; columns matched by NAME (not position), "
+    "missing columns null-padded — DuckDB's UNION ALL BY NAME.",
+)
+def q62_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: pure union of two scans — no shuffle at all (narrow
+    dependency); the null pad is a literal projection."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_suppkey").alias("entity_key"),
+    )
+    return customer.unionByName(supplier, allowMissingColumns=True)
+
+
 # ─────────────────────────────────────────────────────────────────────────────
 # Reference-parity derived columns + pseudonymization (P1-P3, U1)
 # ─────────────────────────────────────────────────────────────────────────────
