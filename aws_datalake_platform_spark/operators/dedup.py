@@ -59,11 +59,13 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     @pandas_udf(T.ArrayType(T.StringType()))
     def shingle(texts: pd.Series) -> pd.Series:
         out = []
+        join = " ".join
         for t in texts:
             toks = t.split() if t else []
             if len(toks) >= k:
-                # dict preserves first-occurrence order == array_distinct
-                out.append(list(dict.fromkeys(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))))
+                # zip-of-offsets beats index slicing ~1.5x; dict preserves
+                # first-occurrence order == array_distinct
+                out.append(list(dict.fromkeys(map(join, zip(*(toks[i:] for i in range(k)))))))
             else:
                 out.append([])
         return pd.Series(out)
@@ -171,14 +173,23 @@ def minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
 
 
 def _minhash_features(text_col: Column | str, k: int, num_hashes: int, bands: int) -> Column:
-    """array<string> of band buckets per document, in ONE Arrow-vectorized
-    pass: shingle -> md5 -> affine minhash -> band buckets, all inside a
-    single pandas UDF. Only the buckets leave Python: shipping the shingle
-    arrays too (and persisting them for the verify join) was measured
-    SLOWER than re-running the word_shingles UDF on the verify side —
-    array<string> columns are expensive through both Arrow transfer and
-    the columnar cache builder, while the shingle pass itself is ~0.3 s at
-    sf0.1.
+    """struct(bks: array<string>, mh: array<long>) per document, in ONE
+    Arrow-vectorized pass: shingle -> md5 -> affine minhash -> band
+    buckets, all inside a single pandas UDF. ``bks`` is the per-band LSH
+    bucket array; ``mh`` is the SORTED DISTINCT set of 60-bit md5 shingle
+    hashes — the verify side computes Jaccard over these hash sets with
+    array_intersect/array_union, so minhash_lsh_pairs needs no second
+    shingling pass, no second corpus scan, and no candidate semi-join.
+    array<long> is cheap through both Arrow transfer and the columnar
+    cache builder (persisting the array<string> shingles themselves was
+    measured ~3x slower than recomputing them — hashes are 8 bytes flat
+    per shingle instead).
+
+    Jaccard over 60-bit hash sets instead of raw shingle strings: a
+    collision needs two distinct shingles within one document pair
+    sharing 60 bits (~n^2 / 2^61 per pair — vanishing), and the oracle
+    mirrors the identical hashing, so both engines see the same sets and
+    results stay bit-deterministic.
 
     Hash family: ONE md5 per shingle -> 60-bit int m -> h_i = (a_i * (m mod
     P) + b_i) mod P (affine universal hashing, P = 2^31-1), band bucket =
@@ -201,22 +212,26 @@ def _minhash_features(text_col: Column | str, k: int, num_hashes: int, bands: in
     a_arr = np.array(a_co, dtype=np.int64)
     b_arr = np.array(b_co, dtype=np.int64)
 
-    @pandas_udf(T.ArrayType(T.StringType()))
-    def feat(texts: pd.Series) -> pd.Series:
+    @pandas_udf("bks array<string>, mh array<long>")
+    def feat(texts: pd.Series) -> pd.DataFrame:
         bk_out: list[list[str]] = []
+        mh_out: list[list[int]] = []
+        join = " ".join
         for t in texts:
             toks = t.split() if t else []
             if len(toks) >= k:
-                shs = list(dict.fromkeys(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)))
+                shs = list(dict.fromkeys(map(join, zip(*(toks[i:] for i in range(k))))))
             else:
                 shs = []
             if not shs:
                 bk_out.append([])
+                mh_out.append([])
                 continue
-            m = np.array(
-                [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MH_PRIME for s in shs],
+            m60 = np.array(
+                [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shs],
                 dtype=np.int64,
             )
+            m = m60 % _MH_PRIME
             mins = ((m[:, None] * a_arr[None, :] + b_arr[None, :]) % _MH_PRIME).min(axis=0)
             bk_out.append(
                 [
@@ -226,24 +241,36 @@ def _minhash_features(text_col: Column | str, k: int, num_hashes: int, bands: in
                     for bi in range(bands)
                 ]
             )
-        return pd.Series(bk_out)
+            mh_out.append(np.unique(m60).tolist())
+        return pd.DataFrame({"bks": bk_out, "mh": mh_out})
 
     return feat(c)
+
+
+def minhash_doc_features(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(__id, __bks, __mh) per document from the one-pass feature UDF.
+    The repartition spreads the cpu-bound UDF across cores when the input
+    is a single parquet split; at real scale the scan's own splits make
+    it a no-op-sized doc shuffle."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(n_parts, id_col)
+        .select(
+            F.col(id_col).alias("__id"),
+            _minhash_features(text_col, k, num_hashes, bands).alias("__f"),
+        )
+        .select("__id", F.col("__f.bks").alias("__bks"), F.col("__f.mh").alias("__mh"))
+    )
 
 
 def minhash_band_buckets(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 32, bands: int = 8
 ) -> DataFrame:
-    """(doc, band, bucket): signatures from the one-pass feature UDF, then
-    posexplode of the per-band bucket array. Zero shuffles before the
-    caller's bucket groupBy (the repartition spreads the cpu-bound UDF
-    across cores when the input is a single parquet split; at real scale
-    the scan's own splits make it a no-op-sized doc shuffle)."""
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    base = df.repartition(n_parts, id_col).select(
-        F.col(id_col).alias("__id"),
-        _minhash_features(text_col, k, num_hashes, bands).alias("__bks"),
-    )
+    """(doc, band, bucket): posexplode of the per-band bucket array from
+    the one-pass feature UDF."""
+    base = minhash_doc_features(df, id_col, text_col, k, num_hashes, bands)
     return base.select("__id", F.posexplode("__bks").alias("__band", "__bucket"))
 
 
@@ -325,62 +352,41 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket_size: int = 512,
 ) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified (over the 60-bit
+    shingle-hash sets the signature pass already computed).
 
-    Scale: ONE Arrow-vectorized signature pass emits only the band buckets
-    (the narrow (id, band, bucket) relation is persisted MEMORY_AND_DISK —
-    a few bytes per doc — because capped_candidate_pairs reads it twice:
-    once for bucket stats, once for members). Candidates come from an
-    equi-join on (band, bucket) — never an all-pairs product — with the
-    hot-bucket cap bounding per-task state on degenerate corpora.
-    bands/num_hashes trade recall for bucket fan-out (8 bands x 4 rows:
-    ~J>=0.7 reliably caught; raise bands for lower thresholds).
+    Scale: ONE Arrow-vectorized signature pass over the corpus emits
+    (id, band buckets, shingle-hash set) — ~8 bytes per shingle — and is
+    the ONLY pass that touches document text. The narrow base relation is
+    persisted MEMORY_AND_DISK because three branches read it: bucket
+    membership (posexplode), and both verify sides. Candidates come from
+    an equi-join on (band, bucket) — never an all-pairs product — with
+    the hot-bucket cap bounding per-task state on degenerate corpora.
+    Verification is array_intersect/array_union on the per-doc hash sets:
+    one row per candidate pair, |A|+|B| work each — never a shingle
+    equi-join (quadratic on hot shingles). bands/num_hashes trade recall
+    for bucket fan-out (8 bands x 4 rows: ~J>=0.7 reliably caught; raise
+    bands for lower thresholds).
 
-    Deliberately NOT shared: the verify side re-runs the word_shingles UDF
-    instead of reusing shingles from the signature pass. Persisting the
-    (id, array<string> shingles) relation was measured ~3x slower end to
-    end at sf0.1 than the ~0.3 s recompute — nested string arrays are the
-    worst case for both Arrow transfer and the columnar cache builder.
+    Earlier shape (signature pass + separate word_shingles verify pass
+    behind a candidate semi-join) cost a second corpus scan, a second
+    pandas-UDF stage, and a semi-join exchange on the critical path;
+    sharing the hash sets removes all three. Joins against the verify
+    sides are plain equi-joins on doc id — AQE broadcasts the candidate
+    side when it is small and falls back to shuffle joins when a
+    boilerplate-heavy corpus makes it large.
 
-    The persisted bucket relation is scoped to this plan; Spark evicts it
+    The persisted base relation is scoped to this plan; Spark evicts it
     LRU (or call spark.catalog.clearCache() between unrelated workloads).
     """
-    buckets = minhash_band_buckets(df, id_col, text_col, k, num_hashes, bands).persist(
+    base = minhash_doc_features(df, id_col, text_col, k, num_hashes, bands).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    candidates = capped_candidate_pairs(buckets, max_bucket_size).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    buckets = base.select("__id", F.posexplode("__bks").alias("__band", "__bucket"))
+    candidates = capped_candidate_pairs(buckets, max_bucket_size)
 
-    # exact-Jaccard verification per candidate pair via array_intersect on
-    # the docs' shingle ARRAYS: one row per pair, |A|+|B| work each — never
-    # a shingle equi-join (quadratic on hot shingles) or a per-pair
-    # |A|x|B| doc-join product. The semi-join prefilter matters at scale:
-    # only docs that appear in some candidate pair get re-shingled (at
-    # 100 TB that is typically <1% of the corpus — without it the verify
-    # side shingles the FULL corpus twice). candidates is persisted (it is
-    # tiny) because it feeds the prefilter on both sides plus the final
-    # join. The repartition spreads the shingle UDF across cores when the
-    # filtered set collapses into few partitions.
-    cand_docs = candidates.select(F.col("doc_a").alias(id_col)).union(
-        candidates.select(F.col("doc_b").alias(id_col))
-    )  # no distinct: semi join tests existence, dupes on the build side are free
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    # not an explicit broadcast: on a boilerplate-heavy corpus the candidate
-    # doc set can be arbitrarily large, and forcing it into the driver would
-    # be its own scale hazard — AQE sees the persisted relation's true size
-    # and picks broadcast vs shuffle semi join accordingly
-    # persisted: both verify sides read it, and post-prefilter it holds only
-    # candidate docs (unlike the full-corpus shingle relation, whose cache
-    # write cost exceeded its recompute cost — see _minhash_features note)
-    docarr = (
-        df.join(cand_docs, id_col, "left_semi")
-        .repartition(n_parts, id_col)
-        .select(F.col(id_col).alias("__id"), word_shingles(text_col, k).alias("__shs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    a = docarr.select(F.col("__id").alias("doc_a"), F.col("__shs").alias("__sa"))
-    b = docarr.select(F.col("__id").alias("doc_b"), F.col("__shs").alias("__sb"))
+    a = base.select(F.col("__id").alias("doc_a"), F.col("__mh").alias("__ma"))
+    b = base.select(F.col("__id").alias("doc_b"), F.col("__mh").alias("__mb"))
     return (
         candidates.join(a, "doc_a")
         .join(b, "doc_b")
@@ -388,8 +394,8 @@ def minhash_lsh_pairs(
             "doc_a",
             "doc_b",
             (
-                F.size(F.array_intersect("__sa", "__sb"))
-                / F.size(F.array_union("__sa", "__sb"))
+                F.size(F.array_intersect("__ma", "__mb"))
+                / F.size(F.array_union("__ma", "__mb"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

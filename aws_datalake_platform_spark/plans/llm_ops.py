@@ -84,12 +84,15 @@ def q23_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q24_minhash_lsh_dedup",
     f"""
     WITH {_SH_CTE},
+    -- 60-bit md5 shingle hashes: the signature pass computes these once and
+    -- the verify step measures Jaccard over the hash SETS (mirrors
+    -- _minhash_features emitting mh alongside the band buckets)
+    hh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+    hsz AS (SELECT doc_id, count(*) AS sz FROM hh GROUP BY doc_id),
     seeds AS (SELECT * FROM (VALUES {_MH_SEEDS_VALUES}) t(seed, a, b)),
     mh AS (
-      SELECT doc_id, seed,
-             min((a * (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) + b)
-                 % 2147483647) AS mh
-      FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+      SELECT doc_id, seed, min((a * (h % 2147483647) + b) % 2147483647) AS mh
+      FROM hh CROSS JOIN seeds GROUP BY doc_id, seed
     ),
     buckets AS (
       SELECT doc_id, CAST(seed // 4 AS INT) AS band,
@@ -117,19 +120,20 @@ def q23_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter AS (
       SELECT doc_a, doc_b, count(*) AS i
       FROM cand
-      JOIN sh a ON a.doc_id = doc_a
-      JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
+      JOIN hh a ON a.doc_id = doc_a
+      JOIN hh b ON b.doc_id = doc_b AND a.h = b.h
       GROUP BY doc_a, doc_b
     )
     SELECT doc_a, doc_b, ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
     FROM inter
-    JOIN sz sa ON sa.doc_id = doc_a
-    JOIN sz sb ON sb.doc_id = doc_b
+    JOIN hsz sa ON sa.doc_id = doc_a
+    JOIN hsz sb ON sb.doc_id = doc_b
     WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
     """,
     doc="MinHash (32 hashes) + banded LSH (8 bands x 4) near-dup pairs, "
-    "exact-Jaccard verified. Deterministic md5 hash family makes the whole "
-    "LSH pipeline oracle-checkable.",
+    "Jaccard-verified over the 60-bit md5 shingle-hash sets the signature "
+    "pass computes. Deterministic md5 hash family makes the whole LSH "
+    "pipeline oracle-checkable.",
 )
 def q24_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
