@@ -475,3 +475,61 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ── Winnowing document fingerprints ──────────────────────────────────────────
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, window: int = 4
+) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every positional word k-gram
+    (60-bit md5, the same encoding as the MinHash pipeline), slide a
+    window of ``window`` consecutive hashes, keep the minimum of each
+    window, emit the distinct kept hashes.
+
+    Guarantees: any shared run of ``window + k - 1`` tokens between two
+    documents yields at least one shared fingerprint, while only ~2/(w+1)
+    of all k-gram hashes are kept — a contiguity-sensitive sketch sized
+    well below the full shingle set (bag_fingerprint hashes the whole doc;
+    MinHash sketches set overlap; winnowing sits between: it localizes
+    WHERE the overlap is).
+
+    Scale: map-side only — one Arrow-vectorized pass (numpy sliding-window
+    min), no shuffle; output is ~2N/w rows for N total k-grams. Join
+    fingerprints to fingerprints to find plagiarism-style overlaps; the
+    md5 hashing is mirrored in the DuckDB oracle (plans/llm_ops.py q64)
+    so the whole sketch is hash-match checkable. Docs with fewer than
+    ``window`` k-grams emit no fingerprints (no complete window).
+    """
+    c = F.col(text_col)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def winnow(texts: pd.Series) -> pd.Series:
+        out: list[list[int]] = []
+        join = " ".join
+        for t in texts:
+            toks = t.split() if t else []
+            if len(toks) < k:
+                out.append([])
+                continue
+            hs = np.array(
+                [
+                    int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                    for s in map(join, zip(*(toks[i:] for i in range(k))))
+                ],
+                dtype=np.int64,
+            )
+            if len(hs) < window:
+                out.append([])
+                continue
+            mins = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(n_parts, id_col)
+        .select(F.col(id_col).alias("doc_id"), F.explode(winnow(c)).alias("fp"))
+    )

@@ -267,3 +267,47 @@ def q47_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+
+
+@register(
+    "q63_bucketed_join",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Co-located (bucketed) fact join: both sides written bucketBy the "
+    "join key, so the join itself plans with ZERO Exchange — the shuffle "
+    "was paid once at write time (operators/bucketing.py).",
+)
+def q63_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: at 100 TB a fact-fact equi-join's shuffle dominates; bucketed
+    layout amortizes it across every downstream join. Here the bucketed
+    tables are (re)written under a temp dir per sf, then joined — the
+    post-join groupBy is the only shuffle in the read plan and it moves
+    ~5 rows. tests/test_extras.py asserts the no-Exchange plan shape."""
+    import re as _re
+    import tempfile as _tf
+
+    from ..operators.bucketing import bucketed_join, write_bucketed
+
+    tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf_dir).strip("_")
+    root = f"{_tf.gettempdir()}/spark_graft_buckets/{tag}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        f"b_orders_{tag}", "o_custkey", 8, f"{root}/orders",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        f"b_customer_{tag}", "c_custkey", 8, f"{root}/customer",
+    )
+    joined = bucketed_join(
+        spark, f"b_orders_{tag}", f"b_customer_{tag}",
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

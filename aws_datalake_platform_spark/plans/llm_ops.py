@@ -511,3 +511,41 @@ def q57_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.octet_length("frame").alias("frame_bytes")
     )
+
+
+@register(
+    "q64_winnow_fingerprints",
+    r"""
+    WITH ph AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)-1),
+                                     i -> array_to_string(toks[i:i+2], ' '))) AS s,
+               unnest(range(1, len(toks)-1)) AS pos
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents)
+      )
+    ),
+    wm AS (
+      SELECT doc_id, pos, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM ph
+    )
+    SELECT DISTINCT doc_id, fp
+    FROM wm
+    WHERE pos <= n_grams - 3
+    """,
+    doc="Winnowing document fingerprints (MOSS): positional 3-gram 60-bit "
+    "md5 hashes, window-4 sliding minimum, distinct kept hashes. Same "
+    "hash encoding as the MinHash pipeline, fully oracle-checkable.",
+)
+def q64_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3, window=4
+    )

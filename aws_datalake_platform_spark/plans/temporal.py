@@ -182,3 +182,59 @@ def q58_stateful_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("_rn = 1 AND n > 0")
         .select("event_type", "n", "vmin", "vmax")
     )
+
+
+@register(
+    "q65_stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id AS user_id
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    doc="Watermarked stream-stream join executed by Structured Streaming "
+    "(click->purchase attribution within 1 hour), batch-SQL oracle. State "
+    "is bounded by watermark + the join's time-range condition.",
+)
+def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import stream_stream_join
+
+    ensure_nanos_as_long(spark)  # guarded: driver-owned sessions only
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema  # ts lands as bigint nanos
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .parquet(f"{sf_dir}/events.*")  # glob: see q37
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    clicks = (
+        src().filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        src().filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+    )
+    l = clicks.withWatermark("click_ts", "1 hour").alias("l")
+    r = purchases.withWatermark("purchase_ts", "1 hour").alias("r")
+    joined = l.join(
+        r,
+        (F.col("l.user_id") == F.col("r.p_user_id"))
+        & (F.col("r.purchase_ts") >= F.col("l.click_ts"))
+        & (F.col("r.purchase_ts") <= F.col("l.click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id")
+    name = f"q65_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

@@ -49,3 +49,42 @@ def write_curated_parquet(
         .option("compression", "snappy")
         .parquet(path)
     )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+    bad_records_path: str | None = None,
+) -> DataFrame:
+    """CSV directory scan. With a schema: single pass, no inference job
+    (at 100 TB inference is a full extra read); corrupt rows routed to
+    badRecordsPath, mirroring the JSON reader's error policy. Without a
+    schema, inference reads once to sample — acceptable only for ad-hoc
+    exploration."""
+    reader = spark.read.option("header", str(header).lower()).option("sep", delimiter)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    if bad_records_path is not None:
+        reader = reader.option("badRecordsPath", bad_records_path)
+    return reader.csv(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] | list[str] = (),
+    header: bool = True,
+    delimiter: str = ",",
+) -> None:
+    """CSV sink (interchange exports — curated data should stay parquet;
+    CSV carries no types, no compression-friendly layout, no predicate
+    pushdown)."""
+    writer = df.write.mode("overwrite").option("header", str(header).lower()).option("sep", delimiter)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.csv(path)

@@ -221,3 +221,39 @@ def sessionize_stream(
             "n_events",
         )
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "event_time",
+    right_ts: str = "event_time",
+    watermark: str = "1 hour",
+    max_delay: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a time-range condition.
+
+    Both sides buffer rows in the state store until the other side's
+    matching row can no longer arrive; the watermark plus the
+    ``max_delay`` range condition are what make that buffer FINITE —
+    without them Spark would have to keep every left row forever. State
+    per key is evicted once event time passes left_ts + max_delay +
+    watermark.
+
+    Scale: state is hash-partitioned by the join key across executors
+    (same layout as any shuffle join); the range condition keeps per-key
+    state to the delay window only, so total state is
+    rate x (watermark + max_delay), independent of stream lifetime.
+    ``how`` supports inner and left_outer (outer emits nulls only after
+    the watermark closes the match window — correct-but-late by design).
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, how)

@@ -121,3 +121,27 @@ def test_max_df_guard_drops_stop_shingles(spark):
     guarded = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.1, max_df=2).count()
     assert unguarded == 3  # all pairs share 'the quick brown'
     assert guarded == 0  # the shared stop-shingle is dropped
+
+
+def test_winnow_fingerprints_shared_chunk(spark):
+    """Winnowing guarantee: a shared run of window+k-1 tokens yields at
+    least one shared fingerprint; docs with < window k-grams emit none."""
+    from aws_datalake_platform_spark.operators.dedup import winnow_fingerprints
+
+    chunk = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "one two three " + chunk + " four five six"),
+        (2, chunk + " completely different tail words here now"),
+        (3, "unrelated content about something else entirely with many words"),
+        (4, "too few"),  # < k tokens
+        (5, "just four little words"),  # 2 k-grams < window -> none
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=3, window=4)
+    got = fps.collect()
+    sets = {}
+    for r in got:
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert sets.get(4) is None and sets.get(5) is None
+    assert sets[1] & sets[2], "shared chunk must share a fingerprint"
+    assert not (sets[1] & sets[3])

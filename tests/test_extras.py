@@ -95,3 +95,30 @@ def test_salted_agg_equals_plain(spark):
         for r in QUERY_REGISTRY["q45_salted_agg"].fn(spark, SF_SMOKE).collect()
     }
     assert plain == salted
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Both sides bucketed by the join key into the same bucket count ->
+    sort-merge join with zero Exchange operators (the 100 TB co-located
+    join contract), and the same rows as the shuffled plan."""
+    from aws_datalake_platform_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_custkey", "o_totalprice")
+    customer = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(orders, "t_b_orders", "o_custkey", 4, str(tmp_path / "o"))
+    write_bucketed(customer, "t_b_customer", "c_custkey", 4, str(tmp_path / "c"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        joined = bucketed_join(
+            spark, "t_b_orders", "t_b_customer", F.col("o_custkey") == F.col("c_custkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        expected = orders.join(customer, F.col("o_custkey") == F.col("c_custkey")).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_b_orders")
+        spark.sql("DROP TABLE IF EXISTS t_b_customer")

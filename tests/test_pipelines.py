@@ -294,3 +294,31 @@ def test_validation_failure_nonblocking_and_halt(spark, tmp_path):
 
     with pytest.raises(ValueError):
         transform_iot_sensors(spark, raw_df=bad, halt_on_validation_failure=True)
+
+
+def test_csv_roundtrip_with_schema_no_inference(spark, tmp_path):
+    """CSV write -> schema'd read roundtrips values and runs NO inference
+    job (the reader must not scan the data before the real pass)."""
+    from aws_datalake_platform_spark.sources.io import read_csv, write_csv
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(1, "york", 2.5), (2, "oslo", -3.0)], "id long, city string, temp double"
+    )
+    path = str(tmp_path / "csv_out")
+    write_csv(df, path, partition_cols=["city"])
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("temp", T.DoubleType()),
+            T.StructField("city", T.StringType()),
+        ]
+    )
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    back = read_csv(spark, path, schema=schema)
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before, "schema'd CSV read must not launch an inference job"
+    rows = {(r["id"], r["city"], r["temp"]) for r in back.collect()}
+    assert rows == {(1, "york", 2.5), (2, "oslo", -3.0)}

@@ -197,3 +197,38 @@ def test_stateful_running_stats(spark, tmp_path):
     second = run_once()
     assert second["ber"]["n"] == 3 and second["ber"]["total"] == 60.0
     assert second["ber"]["vmax"] == 30.0
+
+
+def test_stream_stream_join_time_range(spark, tmp_path):
+    """Watermarked stream-stream join: orders match payments on order_id
+    arriving within 30 minutes; a payment outside the window or with no
+    order must not join."""
+    from aws_datalake_platform_spark.streaming.ingest import stream_stream_join
+
+    orders = [(1, m(0)), (2, m(5)), (3, m(10))]
+    payments = [
+        (1, m(20)),   # +20 min -> joins
+        (2, m(45)),   # +40 min -> outside max_delay, dropped
+        (9, m(15)),   # no matching order
+    ]
+    o_path, p_path = str(tmp_path / "orders"), str(tmp_path / "pays")
+    odf = spark.createDataFrame(orders, "order_id long, event_time timestamp")
+    pdf = spark.createDataFrame(payments, "order_id long, event_time timestamp")
+    odf.write.mode("overwrite").parquet(o_path)
+    pdf.write.mode("overwrite").parquet(p_path)
+
+    so = spark.readStream.schema(odf.schema).parquet(o_path)
+    sp = (
+        spark.readStream.schema(pdf.schema).parquet(p_path)
+        .withColumnRenamed("event_time", "pay_time")
+    )
+    joined = stream_stream_join(
+        so, sp, key="order_id", left_ts="event_time", right_ts="pay_time",
+        watermark="1 hour", max_delay="30 minutes",
+    ).select(F.col("l.order_id").alias("order_id"), "event_time", "pay_time")
+
+    q = (joined.writeStream.format("memory").queryName("ssj_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["order_id"]) for r in spark.table("ssj_test").collect()}
+    assert got == {1}
