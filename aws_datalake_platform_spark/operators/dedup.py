@@ -533,3 +533,56 @@ def winnow_fingerprints(
         df.repartition(n_parts, id_col)
         .select(F.col(id_col).alias("doc_id"), F.explode(winnow(c)).alias("fp"))
     )
+
+
+# ── Duplicate-cluster resolution (connected components) ──────────────────────
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """(node, component) from undirected pair edges via min-label
+    propagation — the step that turns near-dup PAIRS into dedup GROUPS
+    (keep one representative per component).
+
+    Iterative DataFrame algorithm: every node starts labeled with its own
+    id; each round a node takes the min label among itself and its
+    neighbors; converged when a round changes nothing. Rounds needed =
+    component diameter, and near-dup clusters are dense blobs (diameter
+    2-4), not long chains — the loop is short in practice, with
+    ``max_iter`` as the pathological-chain guard.
+
+    Scale: each round is one equi-join (labels x edges, both hash-
+    partitioned on the key) + one min-aggregate; labels persist
+    MEMORY_AND_DISK between rounds and the previous round unpersists, so
+    peak footprint is two label sets + the (narrow) edge list. The
+    convergence check rides the same aggregate (one count per round). At
+    very large diameters you'd switch to alternating large/small-star
+    (Kiveris et al.) — same join primitive, O(log n) rounds.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "comp")
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") < F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", "comp")

@@ -549,3 +549,94 @@ def q64_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3, window=4
     )
+
+
+_SAMPLE_T10 = int(0.1 * (1 << 60))
+
+
+@register(
+    "q66_deterministic_sample",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE ('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          < {_SAMPLE_T10}
+    """,
+    doc="Deterministic 10% sample: membership is a pure row-content hash "
+    "(md5 60-bit threshold) — stable across runs, engines, partitionings; "
+    "map-side filter, no extra pass (operators/sampling.py).",
+)
+def q66_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return deterministic_sample(docs, "doc_id", 0.1, seed=42)
+
+
+@register(
+    "q67_cap_per_group",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+    doc="Boilerplate-domain guard: at most 10 docs per source under a "
+    "deterministic order (window row_number; Spark inserts "
+    "WindowGroupLimit below the shuffle so oversized groups truncate "
+    "early — operators/sampling.py:cap_per_group).",
+)
+def q67_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, ["source"], ["doc_id"], 10)
+
+
+from .queries import QUERY_REGISTRY as _REGISTRY
+
+_Q24_PAIRS_SQL = _REGISTRY["q24_minhash_lsh_dedup"].sql
+
+
+@register(
+    "q68_dup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_Q24_PAIRS_SQL}),
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT w.a, e.b FROM walk w JOIN e ON w.b = e.a
+    ),
+    lab AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      FROM walk GROUP BY a
+    )
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM lab
+    """,
+    doc="Near-dup PAIRS -> dedup GROUPS: connected components over the "
+    "MinHash-LSH verified pairs via iterative min-label propagation "
+    "(operators/dedup.py:connected_components); oracle is a recursive-CTE "
+    "transitive closure. Keep min-id per cluster to dedup.",
+)
+def q68_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import connected_components
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        k=3, num_hashes=32, bands=8, threshold=0.5,
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).withColumn("cluster_size", F.count(F.lit(1)).over(w))

@@ -100,7 +100,7 @@ def main() -> None:
         while tracker.getActiveJobsIds() and time.perf_counter() - t0 < max_wait:
             time.sleep(0.05)
 
-    # Two full timed passes, per-query min across passes. Adjacent repeats
+    # Three full timed passes, per-query min across passes. Adjacent repeats
     # of one query both land inside the same external-contention window
     # (this host shows roving ~30-60 s CPU-contention bands); full passes
     # are minutes apart, so one of them usually lands clean. clearCache
@@ -111,7 +111,7 @@ def main() -> None:
     # warm-steady-state framing is visible in the artifact itself.
     timings: dict[str, float] = {}
     passes: dict[str, list[float]] = {}
-    for _ in range(2):
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))):
         for name in HEADLINE:
             spec = QUERY_REGISTRY.get(name)
             if spec is None:
@@ -133,7 +133,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "passes": passes,
-                "timing": "per-query min across 2 warm passes (cache cleared "
+                "timing": "per-query min across warm passes (cache cleared "
                 "before each timed query; warmup pass excluded)",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

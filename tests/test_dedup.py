@@ -145,3 +145,16 @@ def test_winnow_fingerprints_shared_chunk(spark):
     assert sets.get(4) is None and sets.get(5) is None
     assert sets[1] & sets[2], "shared chunk must share a fingerprint"
     assert not (sets[1] & sets[3])
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3-4-5 (diameter 4 -> several propagation rounds), a
+    2-clique, and an untouched pair ordering (doc_a < doc_b not assumed)."""
+    from aws_datalake_platform_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (3, 4), (5, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}

@@ -122,3 +122,24 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_b_orders")
         spark.sql("DROP TABLE IF EXISTS t_b_customer")
+
+
+def test_stratified_sample_fractions(spark):
+    """Per-stratum hash sampling: rates land near spec, absent strata drop,
+    and membership is deterministic across invocations."""
+    from aws_datalake_platform_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    totals = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    langs = sorted(totals)
+    keep_all, keep_tenth = langs[0], langs[1]
+    out = stratified_sample(docs, "doc_id", "lang", {keep_all: 1.0, keep_tenth: 0.5}, seed=7)
+    got = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert got[keep_all] == totals[keep_all]
+    assert set(got) == {keep_all, keep_tenth}  # unlisted strata dropped
+    # binomial(n, 0.5) within 4 sigma
+    import math
+    n = totals[keep_tenth]
+    assert abs(got[keep_tenth] - 0.5 * n) <= 4 * math.sqrt(n * 0.25) + 1
+    again = stratified_sample(docs, "doc_id", "lang", {keep_all: 1.0, keep_tenth: 0.5}, seed=7)
+    assert {r["doc_id"] for r in again.collect()} == {r["doc_id"] for r in out.collect()}
