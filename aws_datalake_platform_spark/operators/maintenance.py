@@ -1,0 +1,133 @@
+"""Lake maintenance: partition-scoped upsert + small-file compaction.
+
+The reference's write story is overwrite-everything (transform.py:180-185
+truncates and rewrites the full curated tree each run). A lake that
+ingests continuously needs two more primitives, both expressible with
+plain parquet + dynamic partition overwrite (no table format required):
+
+- **merge_upsert**: apply a batch of keyed updates/inserts by rewriting
+  ONLY the partitions the batch touches. At 100 TB the touched set is
+  typically a handful of recent date partitions — the rewrite cost is
+  proportional to the update locality, not the table size.
+- **compact_partitions**: streaming sinks and frequent small batches
+  leave thousands of KB-sized files per partition; scan cost at 100 TB
+  is dominated by file-open overhead long before bytes. Rewrite each
+  partition into ~target_bytes files, preserving the partition layout.
+
+Both rely on ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set
+in session.get_spark): the write replaces exactly the partitions present
+in the output DataFrame and leaves every other partition's files alone.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    partition_cols: list[str],
+) -> None:
+    """Upsert ``updates`` into the parquet lake at ``path``: per key keep
+    the row with the highest ``version_col`` (update wins over an equal-
+    or-older existing row), writing back only the touched partitions.
+
+    Plan shape: the touched partition values are collected to the driver
+    (distinct over the update batch's partition columns — small by
+    construction: an update batch touches few partitions), the existing
+    scan is pruned to exactly those partitions via an isin filter
+    (partition pruning, no full-table read), and the winner-per-key
+    window runs over touched-partition rows + updates only. The final
+    dynamic-overwrite write replaces just those partitions.
+    """
+    touched = [tuple(r) for r in updates.select(*partition_cols).distinct().collect()]
+    if not touched:
+        return
+    out_cols = updates.columns
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        cond = F.lit(False)
+        for vals in touched:
+            match = F.lit(True)
+            for col, val in zip(partition_cols, vals):
+                match = match & (F.col(col) == F.lit(val))
+            cond = cond | match
+        merged = existing.filter(cond).select(*out_cols).unionByName(updates)
+    else:
+        merged = updates
+    w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+    winners = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    winners.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def partition_file_stats(spark: SparkSession, path: str, partition_cols: list[str]) -> dict:
+    """{partition_value_tuple: (n_files, total_bytes)} from the file
+    index. Local-FS implementation (os.stat); on a cluster the same
+    numbers come from the Hadoop FileSystem listing."""
+    df = spark.read.parquet(path)
+    stats: dict[tuple, list[int]] = {}
+    for f in df.inputFiles():
+        local = f.removeprefix("file:")
+        parts = []
+        for seg in local.split(os.sep):
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                if k in partition_cols:
+                    parts.append(v)
+        key = tuple(parts)
+        n_b = stats.setdefault(key, [0, 0])
+        n_b[0] += 1
+        n_b[1] += os.path.getsize(local)
+    return {k: (v[0], v[1]) for k, v in stats.items()}
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Rewrite every multi-file partition into ceil(bytes/target_bytes)
+    files. Returns the pre-compaction stats for auditability.
+
+    Plan shape: a tiny (partition -> n_buckets) mapping joins broadcast
+    onto the scan; rows get a bucket id from a hash mod n_buckets and the
+    write repartitions on (partition_cols + bucket), so each task holds
+    exactly one output file's rows — no global shuffle wider than the
+    data being rewritten, and partitions already at target are skipped.
+    """
+    stats = partition_file_stats(spark, path, partition_cols)
+    need = {
+        k: max(1, math.ceil(b / target_bytes))
+        for k, (n, b) in stats.items()
+        if n > max(1, math.ceil(b / target_bytes))
+    }
+    if not need:
+        return stats
+    df = spark.read.parquet(path)
+    mapping = spark.createDataFrame(
+        [(*k, n) for k, n in need.items()], partition_cols + ["__nb"]
+    )
+    for c in partition_cols:  # partition values parse as strings; align types
+        mapping = mapping.withColumn(c, F.col(c).cast(dict(df.dtypes)[c]))
+    sub = df.join(F.broadcast(mapping), partition_cols, "inner")
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.col("__nb"))
+    out = (
+        sub.withColumn("__bucket", bucket)
+        .repartition(*[F.col(c) for c in partition_cols + ["__bucket"]])
+        .drop("__nb", "__bucket")
+    )
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    return stats

@@ -640,3 +640,60 @@ def q68_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     ).withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
+@register(
+    "q69_tfidf_top_terms",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: term-frequency aggregate, "
+    "document-frequency join, window top-k. The relational core of "
+    "keyword extraction / sparse retrieval.",
+)
+def q69_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two hash aggregates (doc x term, term) + a term-keyed join —
+    df per term is tiny relative to the corpus so AQE broadcasts it; the
+    per-doc top-3 window gets WindowGroupLimit pushdown. No Python."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.textops import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+    )
+    n_docs = docs.select("doc_id").distinct().count()
+    tf = docs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = docs.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )

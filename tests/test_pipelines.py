@@ -322,3 +322,83 @@ def test_csv_roundtrip_with_schema_no_inference(spark, tmp_path):
     assert jobs_after == jobs_before, "schema'd CSV read must not launch an inference job"
     rows = {(r["id"], r["city"], r["temp"]) for r in back.collect()}
     assert rows == {(1, "york", 2.5), (2, "oslo", -3.0)}
+
+
+def test_merge_upsert_touches_only_affected_partitions(spark, tmp_path):
+    """Upsert updates one date partition: key update + insert applied,
+    untouched partition's files are byte-identical (not rewritten)."""
+    import os
+
+    from aws_datalake_platform_spark.operators.maintenance import merge_upsert
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(1, "a", 1, "2024-01-01"), (2, "b", 1, "2024-01-01"), (3, "c", 1, "2024-01-02")],
+        "id long, payload string, version long, date string",
+    )
+    base.write.partitionBy("date").parquet(path)
+    untouched_dir = os.path.join(path, "date=2024-01-02")
+    before = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+    }
+
+    updates = spark.createDataFrame(
+        [(1, "a2", 2, "2024-01-01"), (9, "new", 1, "2024-01-01")],
+        "id long, payload string, version long, date string",
+    )
+    merge_upsert(spark, path, updates, ["id"], "version", ["date"])
+
+    got = {(r["id"], r["payload"], r["version"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a2", 2), (2, "b", 1), (3, "c", 1), (9, "new", 1)}
+    after = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+    }
+    assert before == after, "untouched partition must not be rewritten"
+
+
+def test_merge_upsert_older_version_loses(spark, tmp_path):
+    from aws_datalake_platform_spark.operators.maintenance import merge_upsert
+
+    path = str(tmp_path / "lake2")
+    spark.createDataFrame(
+        [(1, "current", 5, "2024-01-01")],
+        "id long, payload string, version long, date string",
+    ).write.partitionBy("date").parquet(path)
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "stale", 3, "2024-01-01")],
+            "id long, payload string, version long, date string",
+        ),
+        ["id"], "version", ["date"],
+    )
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1 and rows[0]["payload"] == "current"
+
+
+def test_compact_partitions_reduces_files(spark, tmp_path):
+    """A partition fragmented into ~16 files compacts to the target count
+    with identical data."""
+    from aws_datalake_platform_spark.operators.maintenance import (
+        compact_partitions,
+        partition_file_stats,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 20000).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("part"),
+    )
+    df.repartition(16).write.partitionBy("part").parquet(path)
+    pre = partition_file_stats(spark, path, ["part"])
+    assert all(n >= 8 for n, _ in pre.values())
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    compact_partitions(spark, path, ["part"], target_bytes=1 << 30)  # -> 1 file each
+    post = partition_file_stats(spark, path, ["part"])
+    assert all(n == 1 for n, _ in post.values()), post
+    after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert before == after
