@@ -272,6 +272,8 @@ def _centroid_matrix(
         F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string"))).alias("h"),
     )
     rows = ranked.orderBy("h", "id").limit(max(sample_size, n_centroids)).collect()
+    if not rows:  # empty corpus -> no centroids; callers emit an empty result
+        return np.zeros((0, 0))
     x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
 
@@ -337,6 +339,13 @@ def ivf_topk(
     O(Q * N * n_probe / K) versus brute force O(Q * N). Skewed clusters
     are AQE's problem (skew-join split); raising K tightens lists."""
     cents = _centroid_matrix(corpus, id_col, vec_col, n_centroids)
+    if cents.shape[0] == 0:  # empty corpus: schema-stable empty result
+        return queries.limit(0).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("sim"),
+            F.lit(1).alias("rank"),
+        )
     cb = ivf_assign(corpus, cents, id_col, vec_col, n_probe=1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("__cv"),

@@ -91,6 +91,26 @@ def q36_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, key="user_id", ts="ts", order_tiebreak="event_id", gap="12 hours")
 
 
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """File-source stream over the events table with the same TIMESTAMP
+    (NANOS) handling as catalog.load_table: convert ``ts`` only when the
+    parquet stores bigint nanos — an empty or re-written mirror with a
+    real timestamp column streams through unchanged."""
+    from pyspark.sql import types as T
+
+    ensure_nanos_as_long(spark)  # guarded: driver-owned sessions only
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        # glob form: FileStreamSource only sets basePath=path (a file, which
+        # breaks partition inference) when the path is NOT a glob
+        .parquet(f"{sf_dir}/events.*")
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
 @register(
     "q37_stream_hourly",
     """
@@ -104,16 +124,7 @@ def q36_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming engine under the batch oracle.",
 )
 def q37_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_nanos_as_long(spark)  # guarded: driver-owned sessions only
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema  # ts lands as bigint nanos
-    sdf = (
-        spark.readStream.schema(schema)
-        # glob form: FileStreamSource only sets basePath=path (a file, which
-        # breaks partition inference) when the path is NOT a glob
-        .parquet(f"{sf_dir}/events.*")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    sdf = _events_stream(spark, sf_dir)
     agg = (
         sdf.groupBy(F.window("ts", "1 hour"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
@@ -153,14 +164,7 @@ def q58_stateful_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.ingest import running_stats_with_state
 
-    ensure_nanos_as_long(spark)  # guarded: driver-owned sessions only
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema  # ts lands as bigint nanos
-    sdf = (
-        spark.readStream.schema(schema)
-        .parquet(f"{sf_dir}/events.*")  # glob: see q37
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    sdf = _events_stream(spark, sf_dir)
     stats = running_stats_with_state(
         sdf, key="event_type", value_col="value", ts_col="ts", watermark="1 hour"
     )
@@ -201,15 +205,8 @@ def q58_stateful_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ingest import stream_stream_join
 
-    ensure_nanos_as_long(spark)  # guarded: driver-owned sessions only
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema  # ts lands as bigint nanos
     def src():
-        return (
-            spark.readStream.schema(schema)
-            .parquet(f"{sf_dir}/events.*")  # glob: see q37
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        return _events_stream(spark, sf_dir)
     clicks = (
         src().filter(F.col("event_type") == "click")
         .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts"))
