@@ -1,0 +1,183 @@
+"""Corpus-quality and lake-CDC operators for training-data pipelines:
+repetition profiling (Gopher-style filters), regex PII redaction,
+benchmark decontamination, and snapshot diffing.
+
+Extends the reference's curation surface (quality CASE
+transform.py:238-251, PII drop transform.py:131-140) with the
+operations a 100 TB pre-training corpus actually needs. Everything is
+relational / pure Column expressions — no Python in the hot path — so
+each operator is one or two shuffles regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _exploded_shingles
+
+# ── Repetition profiling ────────────────────────────────────────────────
+# The "repetitive document" signal from the Gopher/MassiveText filtering
+# rules: documents dominated by a few repeated n-grams are boilerplate or
+# spam and get dropped before training.
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document bigram repetition profile.
+
+    Output: (id, n_bigrams, dup_bigram_frac, top_bigram_frac) for every
+    document with >= 1 bigram.
+      dup_bigram_frac = 1 - distinct_bigrams / total_bigrams
+      top_bigram_frac = occurrences of the most frequent bigram / total
+
+    Scale: explode to (doc, bigram) -> two hash aggregates keyed by
+    (doc, bigram) then doc. Partial aggregation absorbs the per-doc
+    fan-out map-side; the only shuffle is on the doc id. No windows, no
+    Python, no self-joins.
+    """
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    pairs = (
+        df.filter(F.size(toks) >= 2)
+        .select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_bigrams"), 4).alias(
+                "dup_bigram_frac"
+            ),
+            F.round(F.col("top_c") / F.col("n_bigrams"), 4).alias("top_bigram_frac"),
+        )
+    )
+
+
+# ── PII redaction ───────────────────────────────────────────────────────
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB oracle): character classes + bounded repetition only, no
+# lookaround. Order matters: emails first (they contain digits), then
+# IPv4 (dots exclude them from the phone class), then phones.
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "[PHONE]"),
+]
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """One ``n_<kind>`` count column per PII pattern (pre-redaction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its placeholder token, in the fixed
+    PII_PATTERNS order. Pure codegen'd regexp_replace chain — one narrow
+    projection over the corpus, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+# ── Benchmark decontamination ───────────────────────────────────────────
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Training-vs-eval contamination check: (doc_id, bench_id, n_shared)
+    for every corpus/benchmark pair sharing >= min_shared distinct word
+    k-shingles (the 13-gram-collision decontamination approach, k kept
+    small here because the synthetic docs are short).
+
+    Scale: shingle both sides (Arrow-vectorized UDF, see word_shingles),
+    equi-join on the shingle string, count per pair. The benchmark side
+    is tiny by construction (eval sets are thousands of docs, not
+    billions) so AQE broadcasts it and the corpus is never shuffled.
+    Hot boilerplate shingles fan out quadratically in theory, but only
+    across the *benchmark* df of that shingle, which the broadcast keeps
+    bounded; a max_df stop-shingle guard (ngram_jaccard_pairs) is the
+    escape hatch for adversarial corpora.
+    """
+    c = _exploded_shingles(corpus, id_col, text_col, k).withColumnRenamed("__id", "doc_id")
+    b = (
+        _exploded_shingles(benchmark, id_col, text_col, k)
+        .withColumnRenamed("__id", "bench_id")
+        .withColumnRenamed("__sh", "__bsh")
+    )
+    return (
+        c.join(F.broadcast(b), c["__sh"] == b["__bsh"])
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ── Snapshot diff (CDC) ─────────────────────────────────────────────────
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str], compare_cols: list[str]
+) -> DataFrame:
+    """Row-level diff between two snapshots of a table: one row per
+    changed key with change_type in {INSERT, DELETE, UPDATE}.
+
+    The engine-side core of incremental/CDC processing: full outer join
+    on the key, classify by side-presence, compare values null-safely.
+    Scale: a single key-keyed shuffle join; unchanged rows are filtered
+    before the result materializes, so output is proportional to churn,
+    not table size. Bucketed snapshots co-locate and skip the shuffle
+    entirely (operators/bucketing.py).
+    """
+    # old/new usually share lineage (new derives from old), which makes
+    # bare df[col] references ambiguous — rename one side's columns
+    # before the join instead of relying on dataset aliases.
+    o = old.select(
+        *[F.col(k).alias(f"__o_{k}") for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__n_{k}") for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}"))
+    joined = o.join(n, cond, "full_outer")
+    o_key, n_key = F.col(f"__o_{keys[0]}"), F.col(f"__n_{keys[0]}")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(o_key.isNull(), "INSERT").when(n_key.isNull(), "DELETE").otherwise("UPDATE")
+    )
+    out_cols = [F.coalesce(n_key, o_key).alias(keys[0])]
+    out_cols += [
+        F.coalesce(F.col(f"__n_{k}"), F.col(f"__o_{k}")).alias(k) for k in keys[1:]
+    ]
+    out_cols += [change.alias("change_type")]
+    out_cols += [F.col(f"old_{c}") for c in compare_cols]
+    out_cols += [F.col(f"new_{c}") for c in compare_cols]
+    return joined.filter(o_key.isNull() | n_key.isNull() | ~same).select(*out_cols)

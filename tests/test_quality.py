@@ -1,0 +1,82 @@
+"""Unit tests for corpus-quality / CDC operators (operators/quality.py)
+with planted inputs: a repetitive doc, crafted PII strings, a seeded
+contamination overlap, and a multi-key snapshot diff."""
+
+from __future__ import annotations
+
+from aws_datalake_platform_spark.operators.quality import (
+    contamination_pairs,
+    pii_counts,
+    redact_pii,
+    repetition_stats,
+    snapshot_diff,
+)
+
+
+def test_repetition_stats_flags_repeated_bigrams(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),  # one bigram repeated 4x
+            (2, "one two three four five"),  # all bigrams distinct
+            (3, "x"),  # <2 tokens: excluded
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_bigrams"] == 4
+    assert rows[1]["dup_bigram_frac"] == 0.75  # 1 distinct / 4 total
+    assert rows[1]["top_bigram_frac"] == 1.0
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[2]["top_bigram_frac"] == 0.25
+
+
+def test_pii_redaction_and_counts(spark):
+    txt = "mail a.b+c@test.org or b@x.io, call +1 555 123 4567, host 192.168.0.1 ok"
+    df = spark.createDataFrame([(txt,)], ["t"])
+    row = df.select(redact_pii("t").alias("red"), *pii_counts("t")).first()
+    assert row["n_email"] == 2
+    assert row["n_phone"] == 1
+    assert row["n_ipv4"] == 1
+    assert row["red"] == "mail [EMAIL] or [EMAIL], call [PHONE], host [IP] ok"
+
+
+def test_contamination_pairs_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps suffix"),  # shares 5-grams
+            (2, "completely unrelated text with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = contamination_pairs(corpus, bench, "doc_id", "text", k=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # "the quick brown fox jumps" is the one shared 5-gram
+    assert (r["doc_id"], r["bench_id"], r["n_shared"]) == (1, 100, 1)
+
+
+def test_snapshot_diff_multi_key(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0), (3, "a", 40.0)],
+        ["k1", "k2", "val"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 25.0), (3, "a", 40.0), (4, "a", 50.0)],
+        ["k1", "k2", "val"],
+    )
+    out = {
+        (r["k1"], r["k2"]): r
+        for r in snapshot_diff(old, new, keys=["k1", "k2"], compare_cols=["val"]).collect()
+    }
+    # (1,'a') unchanged -> absent; (1,'b') update; (2,'a') delete; (4,'a') insert
+    assert set(out) == {(1, "b"), (2, "a"), (4, "a")}
+    assert out[(1, "b")]["change_type"] == "UPDATE"
+    assert out[(1, "b")]["old_val"] == 20.0 and out[(1, "b")]["new_val"] == 25.0
+    assert out[(2, "a")]["change_type"] == "DELETE"
+    assert out[(2, "a")]["new_val"] is None
+    assert out[(4, "a")]["change_type"] == "INSERT"
+    assert out[(4, "a")]["old_val"] is None
