@@ -4,3 +4,4 @@ from . import temporal  # noqa: F401,E402  (populates QUERY_REGISTRY)
 from . import extras  # noqa: F401,E402  (populates QUERY_REGISTRY)
 from . import sql_surface  # noqa: F401,E402  (populates QUERY_REGISTRY)
 from . import curation  # noqa: F401,E402  (populates QUERY_REGISTRY)
+from . import profiling  # noqa: F401,E402  (populates QUERY_REGISTRY)

@@ -1,0 +1,68 @@
+"""Unit tests for profiling / incremental-maintenance operators with
+planted inputs: null counting, histogram edge clamping, rollup merge
+algebra, and degenerate (constant) vectors in quantization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_datalake_platform_spark.operators.profiling import (
+    merge_rollup,
+    numeric_histogram,
+    profile_columns,
+)
+from aws_datalake_platform_spark.operators.similarity import quantization_profile
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (2.0, 30.0), (None, 30.0)], ["a", "b"]
+    )
+    rows = {r["column_name"]: r for r in profile_columns(df, ["a", "b"]).collect()}
+    assert rows["a"]["n_rows"] == 4
+    assert rows["a"]["n_null"] == 1
+    assert rows["a"]["n_distinct"] == 2
+    assert rows["a"]["min_val"] == 1.0 and rows["a"]["max_val"] == 2.0
+    assert rows["b"]["n_null"] == 1
+    assert rows["b"]["n_distinct"] == 2
+
+
+def test_numeric_histogram_clamps_out_of_range(spark):
+    df = spark.createDataFrame([(-5.0,), (0.0,), (5.0,), (15.0,), (99.0,)], ["x"])
+    rows = {r["bucket"]: r for r in numeric_histogram(df, "x", 0.0, 20.0, 2).collect()}
+    # buckets: [0,10) and [10,20); -5 clamps into 0, 99 clamps into 1
+    assert rows[0]["n"] == 3 and rows[1]["n"] == 2
+    assert rows[0]["bucket_lo"] == 0.0 and rows[0]["bucket_hi"] == 10.0
+    assert rows[1]["bucket_lo"] == 10.0 and rows[1]["bucket_hi"] == 20.0
+
+
+def test_merge_rollup_equals_direct_aggregate(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0), ("b", 4, 40.0), ("a", 5, 50.0)],
+        ["k", "id", "v"],
+    ).withColumn("v", F.col("v").cast("decimal(10,2)"))
+
+    def agg(part):
+        return part.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+
+    merged = merge_rollup(
+        agg(df.filter(F.col("id") % 2 == 0)),
+        agg(df.filter(F.col("id") % 2 != 0)),
+        keys=["k"],
+        sum_cols=["s"],
+        count_col="c",
+    )
+    direct = {(r["k"]): (r["s"], r["c"]) for r in agg(df).collect()}
+    assert {(r["k"]): (r["s"], r["c"]) for r in merged.collect()} == direct
+
+
+def test_quantization_profile_constant_vector_has_zero_error(spark):
+    df = spark.createDataFrame(
+        [(1, [2.5, 2.5, 2.5, 2.5]), (2, [0.0, 1.0, 2.0, 3.0])], ["vec_id", "embedding"]
+    )
+    rows = {r["vec_id"]: r for r in quantization_profile(df).collect()}
+    assert rows[1]["lo"] == 2.5 and rows[1]["hi"] == 2.5
+    assert rows[1]["mean_abs_err"] == 0.0  # degenerate range: codes all 0, dequant = lo
+    assert rows[2]["lo"] == 0.0 and rows[2]["hi"] == 3.0
+    # endpoints are exactly representable -> error only from the 255-step grid
+    assert rows[2]["mean_abs_err"] < 0.01
