@@ -382,6 +382,12 @@ def minhash_lsh_pairs(
     base = minhash_doc_features(df, id_col, text_col, k, num_hashes, bands).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Materialize the cache NOW: the candidate and verify branches hang
+    # off separate AQE-materialized exchanges, and when both jobs race to
+    # compute a cold cache they EACH run the signature pass (profiled: the
+    # UDF stage ran twice per query, doubling its cost). One eager count
+    # populates the cache once; every branch then reads it.
+    base.count()
     buckets = base.select("__id", F.posexplode("__bks").alias("__band", "__bucket"))
     candidates = capped_candidate_pairs(buckets, max_bucket_size)
 
