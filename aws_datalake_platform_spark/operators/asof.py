@@ -156,3 +156,58 @@ def sessionize(
         )
         .select(key, F.col("__sess").alias("session_id"), "session_start", "session_end", "n_events")
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    key: str,
+    ts_bucket: str,
+    value: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Hypertable-style gap filling: densify a sparse per-key time series
+    to a regular grid and fill holes with LOCF and linear interpolation
+    (the time_bucket_gapfill / locf / interpolate trio).
+
+    Per key: grid = sequence(min bucket, max bucket, step) -> left join
+    the sparse series -> two windows (backward LOCF carry + the
+    bracketing points for linear). No extrapolation: linear is null
+    before the first / after the last observation.
+
+    Output: (key, ts_bucket, locf_v, linear_v, filled).
+
+    Scale: one shuffle on the key for the grid join + windows (same
+    partitioning reused); grid explode is map-side. Dense-grid blowup is
+    bounded by (range/step) per key — pick the step to match the rollup,
+    not the raw event rate. Rounding of interpolated values is explicit
+    floor(x*1e4+0.5)/1e4 so both engines agree on exact-half doubles.
+    """
+    sparse = df
+    bounds = sparse.groupBy(key).agg(F.min(ts_bucket).alias("__lo"), F.max(ts_bucket).alias("__hi"))
+    grid = bounds.select(
+        key, F.explode(F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))).alias(ts_bucket)
+    )
+    j = grid.join(sparse, [key, ts_bucket], "left")
+    wb = Window.partitionBy(key).orderBy(ts_bucket).rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.partitionBy(key).orderBy(ts_bucket).rowsBetween(0, Window.unboundedFollowing)
+    v = F.col(value)
+    locf_v = F.last(v, ignorenulls=True).over(wb)
+    prev_h = F.last(F.when(v.isNotNull(), F.col(ts_bucket)), ignorenulls=True).over(wb)
+    next_v = F.first(v, ignorenulls=True).over(wf)
+    next_h = F.first(F.when(v.isNotNull(), F.col(ts_bucket)), ignorenulls=True).over(wf)
+    eh = F.unix_timestamp(ts_bucket).cast("double")
+    ep = F.unix_timestamp(prev_h).cast("double")
+    en = F.unix_timestamp(next_h).cast("double")
+    interp = locf_v + (next_v - locf_v) * (eh - ep) / (en - ep)
+    linear_v = (
+        F.when(v.isNotNull(), F.round(v, 4))
+        .when(locf_v.isNull() | next_v.isNull(), F.lit(None))
+        .otherwise(F.floor(interp * 10000.0 + 0.5) / 10000.0)
+    )
+    return j.select(
+        key,
+        ts_bucket,
+        F.round(locf_v, 4).alias("locf_v"),
+        linear_v.alias("linear_v"),
+        v.isNull().alias("filled"),
+    )

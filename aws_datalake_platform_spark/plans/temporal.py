@@ -235,3 +235,60 @@ def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "q78_gap_fill",
+    """
+    WITH sparse AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, max(value) AS v
+      FROM events WHERE value > 95 GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM sparse GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(range(lo, hi + INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.event_type, g.h, s.v
+      FROM grid g LEFT JOIN sparse s ON s.event_type = g.event_type AND s.h = g.h
+    ),
+    wnd AS (
+      SELECT event_type, h, v,
+             last_value(v IGNORE NULLS) OVER wb AS locf_v,
+             last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wb AS ph,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wf AS nh
+      FROM j
+      WINDOW wb AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h, ROUND(locf_v, 4) AS locf_v,
+           CASE WHEN v IS NOT NULL THEN ROUND(v, 4)
+                WHEN locf_v IS NULL OR nv IS NULL THEN NULL
+                ELSE floor((locf_v + (nv - locf_v)
+                            * (CAST(epoch(h) AS DOUBLE) - CAST(epoch(ph) AS DOUBLE))
+                            / (CAST(epoch(nh) AS DOUBLE) - CAST(epoch(ph) AS DOUBLE)))
+                           * 1e4 + 0.5) / 1e4 END AS linear_v,
+           (v IS NULL) AS filled
+    FROM wnd
+    """,
+    doc="Hypertable gap fill: densify sparse hourly max-value series per "
+    "event type to a regular grid; LOCF carry-forward + bracketed linear "
+    "interpolation, no extrapolation past the observed range. "
+    "(time_bucket_gapfill/locf/interpolate re-expressed as sequence-"
+    "explode + left join + two windows.)",
+)
+def q78_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..operators.asof import gap_fill
+
+    ev = load_table(spark, sf_dir, "events")
+    sparse = (
+        ev.filter(F.col("value") > 95)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.max("value").alias("v"))
+    )
+    return gap_fill(sparse, key="event_type", ts_bucket="h", value="v", step="1 hour")

@@ -55,7 +55,7 @@ def canonical_rows(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = [tuple(_norm(r[i]) for i in order) for r in rows]
     out.sort()
-    return [columns[i] for i in order], out
+    return [columns[i] for i in order], out  # name-sorted columns + rows
 
 
 def compare(spark_df, con, sql: str) -> tuple[bool, str]:

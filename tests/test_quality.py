@@ -80,3 +80,21 @@ def test_snapshot_diff_multi_key(spark):
     assert out[(2, "a")]["new_val"] is None
     assert out[(4, "a")]["change_type"] == "INSERT"
     assert out[(4, "a")]["old_val"] is None
+
+
+def test_gap_fill_locf_and_linear(spark):
+    from datetime import datetime
+
+    from aws_datalake_platform_spark.operators.asof import gap_fill
+
+    h = lambda i: datetime(2024, 1, 1, i)  # noqa: E731
+    sparse = spark.createDataFrame(
+        [("a", h(0), 10.0), ("a", h(3), 40.0), ("a", h(4), 8.0)], ["k", "h", "v"]
+    )
+    rows = {r["h"].hour: r for r in gap_fill(sparse, "k", "h", "v").collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4]  # densified grid
+    assert [rows[i]["filled"] for i in range(5)] == [False, True, True, False, False]
+    assert [rows[i]["locf_v"] for i in range(5)] == [10.0, 10.0, 10.0, 40.0, 8.0]
+    # linear between (0h,10) and (3h,40): +10/hour
+    assert rows[1]["linear_v"] == 20.0 and rows[2]["linear_v"] == 30.0
+    assert rows[3]["linear_v"] == 40.0
