@@ -88,3 +88,20 @@ def write_csv(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.csv(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
+    """Partitioned ORC write (zlib default) — the interchange format for
+    Hive-ecosystem consumers; same dynamic-overwrite semantics as the
+    parquet path."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan; predicate pushdown and column pruning work as with
+    parquet (ORC is a first-class Spark source with its own vectorized
+    reader)."""
+    return spark.read.orc(path)

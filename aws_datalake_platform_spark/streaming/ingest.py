@@ -257,3 +257,45 @@ def stream_stream_join(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}"))
     )
     return l.join(r, cond, how)
+
+
+def stream_upsert_to_lake(
+    sdf: DataFrame,
+    path: str,
+    key_cols: list[str],
+    version_col: str,
+    partition_cols: list[str],
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Streaming CDC apply: merge each micro-batch into the parquet lake
+    with merge_upsert (winner-per-key by version, touched-partitions-only
+    rewrite) via foreachBatch — the standard stream->lake upsert pattern.
+
+    Exactly-once story: foreachBatch is at-least-once (a batch can replay
+    after a crash between sink commit and checkpoint commit), but the
+    merge itself is IDEMPOTENT — replaying the same batch re-elects the
+    same winners, because a version tie keeps the incoming row and equal
+    rows are byte-identical. Idempotent-merge + checkpointed offsets is
+    the practical exactly-once contract (the same one Delta's
+    foreachBatch-MERGE guidance relies on).
+
+    Scale: each micro-batch rewrite touches only the partitions present
+    in the batch (update locality, not table size); the per-batch window
+    runs on batch + touched partitions only. State: none beyond source
+    offsets — the lake itself is the state.
+    """
+    from ..operators.maintenance import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(
+            batch_df.sparkSession, path, batch_df, key_cols, version_col, partition_cols
+        )
+
+    writer = sdf.writeStream.foreachBatch(apply_batch).option("checkpointLocation", checkpoint)
+    writer = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime="60 seconds")
+    )
+    return writer.start()

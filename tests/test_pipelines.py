@@ -402,3 +402,17 @@ def test_compact_partitions_reduces_files(spark, tmp_path):
     assert all(n == 1 for n, _ in post.values()), post
     after = {tuple(r) for r in spark.read.parquet(path).collect()}
     assert before == after
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.sources.io import read_orc, write_orc
+
+    df = load_table(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "nation.orc")
+    write_orc(df, path, partition_cols=["n_regionkey"])
+    back = read_orc(spark, path)
+    assert sorted(back.columns) == sorted(df.columns)
+    a = sorted(tuple(r[c] for c in sorted(df.columns)) for r in back.collect())
+    b = sorted(tuple(r[c] for c in sorted(df.columns)) for r in df.collect())
+    assert a == b
