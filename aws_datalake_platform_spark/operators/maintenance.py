@@ -131,3 +131,69 @@ def compact_partitions(
     )
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     return stats
+
+
+def zorder_key(a, b, bits: int = 16):
+    """32-bit Morton (Z-order) code interleaving the low ``bits`` bits of
+    two integer columns: bit i of ``a`` lands at position 2i+1, bit i of
+    ``b`` at 2i. Pure bitwise Column expressions (codegen'd, exact SQL
+    mirror exists), no Python.
+
+    Sorting or range-partitioning by this key co-locates rows that are
+    close in BOTH dimensions, which tightens per-file min/max ranges for
+    both columns at once — the multi-dimensional data-skipping trick
+    single-column sorting cannot give you.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    a = a.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    b = b.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(abit, 2 * i + 1)).bitwiseOR(F.shiftleft(bbit, 2 * i))
+    return z
+
+
+def cluster_by_zorder(
+    df: DataFrame, path: str, cols: tuple[str, str], n_files: int, bits: int = 16
+) -> None:
+    """Rewrite ``df`` into ``n_files`` parquet files range-partitioned and
+    sorted by the Z-order key of ``cols`` — the OPTIMIZE ZORDER BY of
+    table formats, expressed with plain repartitionByRange + parquet.
+
+    Each dimension is min-max scaled to the full ``bits`` width before
+    interleaving: raw-bit interleave degenerates when ranges differ (a
+    0-149 column only touches low bits, so the curve collapses to a sort
+    on the wider column and that dimension's files stay full-span).
+    Min-max scaling is one tiny pre-aggregate + map-side math; for
+    heavily SKEWED dimensions substitute rank-based bucket ids.
+
+    Scale: one range shuffle (sampled boundaries) + in-partition sort;
+    downstream scans with predicates on EITHER column skip most files on
+    parquet row-group min/max stats. Run it per partition after
+    compaction; frequency amortizes against scan savings.
+    """
+    stats = df.agg(
+        F.min(cols[0]).alias("lo0"), F.max(cols[0]).alias("hi0"),
+        F.min(cols[1]).alias("lo1"), F.max(cols[1]).alias("hi1"),
+    ).first()
+
+    def scaled(c: str, lo, hi):
+        span = max(int(hi) - int(lo), 0) + 1
+        return F.floor((F.col(c).cast("long") - int(lo)) * (1 << bits) / span)
+
+    z = zorder_key(
+        scaled(cols[0], stats["lo0"], stats["hi0"]),
+        scaled(cols[1], stats["lo1"], stats["hi1"]),
+        bits,
+    )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -183,3 +183,55 @@ def q73_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         orders, newsnap, keys=["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
     )
+
+
+def _zorder_oracle_sql(bits: int = 16) -> str:
+    # every shift term fully parenthesized: DuckDB (like Postgres) gives
+    # << and | EQUAL precedence with left associativity, so an unwrapped
+    # "a << 1 | b << 2" chain re-shifts the accumulated value and overflows
+    terms = []
+    for i in range(bits):
+        terms.append(f"((((o_custkey & 65535) >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((((o_orderkey & 65535) >> {i}) & 1) << {2 * i})")
+    z = " | ".join(terms)
+    return f"SELECT o_orderkey, ({z}) AS z FROM orders"
+
+
+@register(
+    "q79_zorder_key",
+    _zorder_oracle_sql(),
+    doc="32-bit Morton (Z-order) interleave of (o_custkey, o_orderkey) "
+    "low 16 bits each — the clustering key behind multi-dimensional "
+    "data skipping (cluster_by_zorder). Pure bitwise exprs, bit-exact "
+    "against the SQL oracle.",
+)
+def q79_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.maintenance import zorder_key
+
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", zorder_key("o_custkey", "o_orderkey").alias("z")
+    )
+
+
+@register(
+    "q80_approx_percentiles",
+    None,  # t-digest internals differ per engine: rows-only + pytest bound
+    doc="approx_percentile (p50/p90/p99) per return flag — the sketch "
+    "path for percentile queries whose exact form (q43) needs a full "
+    "sort. Accuracy bound asserted against exact percentiles in pytest "
+    "(test_profiling.py).",
+)
+def q80_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("pcts")[0], 2).alias("p50"),
+            F.round(F.col("pcts")[1], 2).alias("p90"),
+            F.round(F.col("pcts")[2], 2).alias("p99"),
+        )
+    )

@@ -66,3 +66,62 @@ def test_quantization_profile_constant_vector_has_zero_error(spark):
     assert rows[2]["lo"] == 0.0 and rows[2]["hi"] == 3.0
     # endpoints are exactly representable -> error only from the 255-step grid
     assert rows[2]["mean_abs_err"] < 0.01
+
+
+def test_zorder_clustering_tightens_file_ranges(spark, tmp_path):
+    """Z-order clustering must shrink per-file min/max spans on BOTH
+    dimensions versus the unsorted layout (the data-skipping payoff)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.operators.maintenance import cluster_by_zorder
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "zordered")
+    cluster_by_zorder(orders, path, cols=("o_custkey", "o_orderkey"), n_files=8)
+
+    spans = {"o_custkey": [], "o_orderkey": []}
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(f)
+        for col in spans:
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            spans[col].append(hi - lo)
+    glob_span = {}
+    for c in spans:
+        r = orders.agg(F.min(c).alias("mn"), F.max(c).alias("mx")).first()
+        glob_span[c] = r["mx"] - r["mn"]
+    for col in spans:
+        avg_span = sum(spans[col]) / len(spans[col])
+        # 8 files over a 2-D z-curve: each file should cover well under
+        # the full range on each dimension (unsorted files cover ~100%)
+        assert avg_span < 0.6 * glob_span[col], (col, avg_span, glob_span[col])
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    from pyspark.sql import functions as F
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERY_REGISTRY["q80_approx_percentiles"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("p"))
+        .collect()
+    }
+    for flag, row in approx.items():
+        for i, name in enumerate(["p50", "p90", "p99"]):
+            rel = abs(row[name] - exact[flag]["p"][i]) / exact[flag]["p"][i]
+            assert rel < 0.02, (flag, name, row[name], exact[flag]["p"][i])
