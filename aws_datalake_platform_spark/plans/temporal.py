@@ -292,3 +292,104 @@ def q78_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("v"))
     )
     return gap_fill(sparse, key="event_type", ts_bucket="h", value="v", step="1 hour")
+
+
+@register(
+    "q81_funnel_steps",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.t_view GROUP BY 1
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t_click GROUP BY 1
+    )
+    SELECT t1.user_id, t1.t_view, t2.t_click, t3.t_purchase
+    FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+            LEFT JOIN t3 ON t1.user_id = t3.user_id
+    """,
+    doc="Ordered funnel (view -> click -> purchase): first view, first "
+    "click strictly after it, first purchase strictly after that — the "
+    "sequential-constraint semantics dashboards call 'funnel', which a "
+    "naive per-type min gets wrong. Three user-keyed aggregates; the "
+    "groupBy hash partitioning is reused by every join (one shuffle).",
+)
+def q81_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(evts: DataFrame, etype: str, prev: DataFrame, prev_ts: str, out: str) -> DataFrame:
+        return (
+            evts.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t2 = first_after(ev, "click", t1, "t_view", "t_click")
+    t3 = first_after(ev, "purchase", t2, "t_click", "t_purchase")
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+    )
+
+
+@register(
+    "q82_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST((epoch(CAST(date_trunc('week', e.ts) AS TIMESTAMP))
+                   - epoch(f.cohort_week)) / 604800 AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users bucketed by first-activity week, counted "
+    "per (cohort, week-offset) of later activity. first-activity agg + "
+    "join-back + distinct + count — all user-keyed shuffles that reuse "
+    "one partitioning; counts are exact integers (hash-stable).",
+)
+def q82_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                    - F.unix_timestamp("cohort_week")
+                )
+                / 604800
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -98,3 +98,31 @@ def test_gap_fill_locf_and_linear(spark):
     # linear between (0h,10) and (3h,40): +10/hour
     assert rows[1]["linear_v"] == 20.0 and rows[2]["linear_v"] == 30.0
     assert rows[3]["linear_v"] == 40.0
+
+
+def test_funnel_requires_sequential_order(spark):
+    """A click BEFORE the first view must not count as funnel progress."""
+    from datetime import datetime
+
+    from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+    import aws_datalake_platform_spark.plans.temporal as T
+
+    t = lambda i: datetime(2024, 1, 1, i)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            # user 1: proper order -> full funnel
+            (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+            # user 2: click precedes the only view -> funnel stops at view
+            (2, t(2), "click"), (2, t(3), "view"), (2, t(4), "purchase"),
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        # q81 reads events via load_table; plant a mini events table
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        rows = {r["user_id"]: r for r in QUERY_REGISTRY["q81_funnel_steps"].fn(spark, d).collect()}
+    assert rows[1]["t_click"] == t(2) and rows[1]["t_purchase"] == t(3)
+    assert rows[2]["t_view"] == t(3)
+    assert rows[2]["t_click"] is None  # the early click must not count
+    assert rows[2]["t_purchase"] is None  # and purchase needs a click first
