@@ -311,3 +311,56 @@ def q63_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "q83_fuzzy_entity_match",
+    """
+    WITH c AS (SELECT c_name, substr(c_name, length(c_name) - 3, 4) AS blk FROM customer),
+         s AS (SELECT s_name, substr(s_name, length(s_name) - 3, 4) AS blk FROM supplier)
+    SELECT c.c_name, s.s_name, levenshtein(c.c_name, s.s_name) AS dist
+    FROM c JOIN s ON c.blk = s.blk
+    WHERE levenshtein(c.c_name, s.s_name) <= 6
+    """,
+    doc="Blocked fuzzy entity matching: block on the trailing id digits "
+    "(equi-join — never the all-pairs cross product), then Levenshtein "
+    "within blocks. The entity-resolution shape at scale: candidate "
+    "generation by cheap blocking key, expensive distance only inside "
+    "blocks. Both engines implement the identical Wagner-Fischer "
+    "distance, so the query is hash-checkable.",
+)
+def q83_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blk = lambda c: F.substring(F.col(c), -4, 4)  # noqa: E731
+    cust = load_table(spark, sf_dir, "customer").select("c_name", blk("c_name").alias("blk"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_name", blk("s_name").alias("blk"))
+    return (
+        cust.join(supp, "blk")
+        .select("c_name", "s_name", F.levenshtein("c_name", "s_name").alias("dist"))
+        .filter(F.col("dist") <= 6)
+    )
+
+
+@register(
+    "q84_hll_sketch_algebra",
+    None,  # Apache DataSketches HLL binary: no DuckDB mirror; pytest
+    # asserts 5% accuracy AND exact merged-vs-direct consistency
+    doc="Mergeable distinct-count sketches: per-nation HLL sketch of "
+    "customers, union-merged into a global estimate. The scale story: "
+    "sketches pre-aggregate per partition/day and MERGE later (incremental "
+    "distinct maintenance) — recomputing exact distincts over 100 TB is "
+    "the thing this avoids. Estimates are deterministic; merged == direct "
+    "is asserted exactly in pytest (HLL register-max is order-invariant).",
+)
+def q84_hll_sketch_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg(F.col("c_custkey").cast("string")).alias("sk")
+    )
+    nation_est = per_nation.select(
+        F.col("c_nationkey").cast("string").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("est"),
+    )
+    global_est = per_nation.agg(F.hll_union_agg("sk").alias("g")).select(
+        F.lit("__merged__").alias("scope"), F.hll_sketch_estimate("g").alias("est")
+    )
+    return nation_est.unionByName(global_est)

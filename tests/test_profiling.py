@@ -125,3 +125,32 @@ def test_approx_percentiles_close_to_exact(spark):
         for i, name in enumerate(["p50", "p90", "p99"]):
             rel = abs(row[name] - exact[flag]["p"][i]) / exact[flag]["p"][i]
             assert rel < 0.02, (flag, name, row[name], exact[flag]["p"][i])
+
+
+def test_hll_sketch_merge_consistency_and_accuracy(spark):
+    """Merged per-nation sketches must give EXACTLY the same global
+    estimate as one direct sketch over all rows (register-max is
+    order/partition invariant), and estimates must be within 5% of exact."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["scope"]: r["est"] for r in QUERY_REGISTRY["q84_hll_sketch_algebra"].fn(spark, sf).collect()}
+    cust = load_table(spark, sf, "customer")
+    direct = cust.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("c_custkey").cast("string"))).alias("e")
+    ).first()["e"]
+    assert rows["__merged__"] == direct  # sketch algebra: merge == direct, exactly
+
+    exact_total = cust.select("c_custkey").distinct().count()
+    assert abs(rows["__merged__"] - exact_total) / exact_total < 0.05
+    exact_per = {
+        str(r["c_nationkey"]): r["n"]
+        for r in cust.groupBy("c_nationkey").agg(F.count_distinct("c_custkey").alias("n")).collect()
+    }
+    for scope, est in rows.items():
+        if scope == "__merged__":
+            continue
+        assert abs(est - exact_per[scope]) / exact_per[scope] < 0.05, (scope, est, exact_per[scope])
