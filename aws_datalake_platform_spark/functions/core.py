@@ -78,3 +78,21 @@ def mint_sensor_id(city: Column | str, idx: Column | str) -> Column:
     i = F.col(idx) if isinstance(idx, str) else idx
     seed = F.concat(F.replace(F.lower(c), F.lit(" "), F.lit("_")), F.lit("_"), F.lpad(i.cast("string"), 3, "0"))
     return F.concat(F.lit("sensor-"), F.substring(F.sha2(seed, 256), 1, 12))
+
+
+def encrypt_column(col: Column | str, key: str, mode: str = "GCM") -> Column:
+    """AES column-level encryption for PII at rest (binary ciphertext).
+    GCM (default) is authenticated but salts a random IV per value —
+    ciphertexts differ between runs and CANNOT be grouped/joined on.
+    Pass mode='ECB' only when deterministic ciphertext is required for
+    equi-joins, accepting the equality-leak tradeoff (same plaintext ->
+    same ciphertext). Keys: 16/24/32-byte AES; distribute via a secret
+    manager, never inline in production jobs. JVM-native (no Python)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aes_encrypt(c.cast("string"), F.lit(key), F.lit(mode))
+
+
+def decrypt_column(col: Column | str, key: str, mode: str = "GCM") -> Column:
+    """Inverse of encrypt_column; returns the plaintext string."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aes_decrypt(c, F.lit(key), F.lit(mode)).cast("string")

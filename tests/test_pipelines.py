@@ -416,3 +416,21 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     a = sorted(tuple(r[c] for c in sorted(df.columns)) for r in back.collect())
     b = sorted(tuple(r[c] for c in sorted(df.columns)) for r in df.collect())
     assert a == b
+
+
+def test_column_encryption_roundtrip_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from aws_datalake_platform_spark.functions.core import decrypt_column, encrypt_column
+
+    key = "0123456789abcdef"
+    df = spark.createDataFrame([("alice",), ("bob",), ("alice",)], ["name"])
+    gcm = df.select(
+        decrypt_column(encrypt_column("name", key), key).alias("pt"),
+        encrypt_column("name", key).alias("ct"),
+    )
+    rows = gcm.collect()
+    assert [r["pt"] for r in rows] == ["alice", "bob", "alice"]
+    # ECB is deterministic (joinable); verify equal plaintexts collide
+    ecb = df.select(encrypt_column("name", key, "ECB").alias("ct")).collect()
+    assert bytes(ecb[0]["ct"]) == bytes(ecb[2]["ct"]) != bytes(ecb[1]["ct"])
