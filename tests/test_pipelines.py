@@ -434,3 +434,29 @@ def test_column_encryption_roundtrip_and_determinism(spark):
     # ECB is deterministic (joinable); verify equal plaintexts collide
     ecb = df.select(encrypt_column("name", key, "ECB").alias("ct")).collect()
     assert bytes(ecb[0]["ct"]) == bytes(ecb[2]["ct"]) != bytes(ecb[1]["ct"])
+
+
+def test_python_datasource_matches_generator(spark):
+    """The custom DataSource must emit exactly the deterministic fake's
+    values, one input partition per city, with short-array None padding."""
+    from aws_datalake_platform_spark.sources.pyds import OpenMeteoSimDataSource
+    from aws_datalake_platform_spark.sources.synthetic import open_meteo_like_response
+
+    spark.dataSource.register(OpenMeteoSimDataSource)
+    df = (
+        spark.read.format("openmeteo_sim")
+        .option("cities", "london,paris")
+        .option("date", "2026-01-02")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # one partition per city
+    rows = df.orderBy("city", "time").collect()
+    assert len(rows) == 48
+
+    ref = open_meteo_like_response({"name": "london"}, "2026-01-02")["hourly"]
+    london = [r for r in rows if r["city"] == "london"]
+    assert [r["time"] for r in london] == ref["time"]
+    assert [r["temperature_2m"] for r in london] == ref["temperature_2m"]
+    # precipitation array is 2 short -> padded with None at the tail
+    assert london[-1]["precipitation"] is None and london[-2]["precipitation"] is None
+    assert [r["precipitation"] for r in london[:-2]] == ref["precipitation"]
