@@ -21,7 +21,12 @@ sources/http.py to go live). Registration:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _CityPartition(InputPartition):
@@ -82,3 +87,87 @@ class OpenMeteoSimDataSource(DataSource):
 
     def reader(self, schema) -> OpenMeteoSimReader:
         return OpenMeteoSimReader(self.options)
+
+
+# ── Streaming: the IoT tick stream as a custom streaming format ─────────
+# The reference's stream generator is a Lambda fired every 5 minutes
+# (eventbridge/main.tf:60-77) pushing one batch of readings to Kinesis.
+# Re-expressed: a SimpleDataSourceStreamReader whose offset IS the tick
+# counter — each micro-batch emits the readings for the ticks elapsed
+# since the last checkpointed offset, and replaying an offset range
+# regenerates identical rows (deterministic), giving exactly-once
+# end-to-end with any idempotent sink.
+
+
+def _py_u01(seed: int, *parts) -> float:
+    """Python twin of the deterministic-uniform trick: sha256 -> [0,1)."""
+    import hashlib
+
+    h = hashlib.sha256("|".join(str(p) for p in (seed, *parts)).encode()).digest()
+    return int.from_bytes(h[:8], "big") / 2**64
+
+
+def _iot_tick_rows(tick: int, cities: list[str], sensors: int, seed: int):
+    import hashlib
+
+    for city in cities:
+        for idx in range(sensors):
+            sid = "sensor-" + hashlib.sha256(
+                f"{city.lower().replace(' ', '_')}_{idx:03d}".encode()
+            ).hexdigest()[:12]
+            key = (city, idx, tick)
+            yield (
+                tick,
+                sid,
+                city,
+                round(15.0 + 30.0 * _py_u01(seed, *key, "t"), 1),
+                round(20.0 + 75.0 * _py_u01(seed, *key, "h"), 1),
+                round(15.0 + 85.0 * _py_u01(seed, *key, "b"), 1),
+            )
+
+
+_STREAM_SCHEMA = (
+    "tick long, sensor_id string, city string, "
+    "temperature_c double, humidity_pct double, battery_level double"
+)
+
+
+class IoTTickStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.cities = [c for c in options.get("cities", "london,paris").split(",") if c]
+        self.sensors = int(options.get("sensors_per_city", "2"))
+        self.seed = int(options.get("seed", "42"))
+        self.ticks_per_batch = int(options.get("ticks_per_batch", "1"))
+        self.max_ticks = int(options.get("max_ticks", "0"))  # 0 = unbounded
+
+    def initialOffset(self):
+        return {"tick": 0}
+
+    def read(self, start: dict):
+        end = start["tick"] + self.ticks_per_batch
+        if self.max_ticks:
+            end = min(end, self.max_ticks)
+        # a LIST, not a generator: Spark's prefetch cache copy.copy()s
+        # this iterator for replay, and generators are not copyable
+        return (self.readBetweenOffsets(start, {"tick": end}), {"tick": end})
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list:
+        # deterministic replay: same offsets -> identical rows (the
+        # recovery path Structured Streaming uses after a crash)
+        return [
+            row
+            for tick in range(start["tick"], end["tick"])
+            for row in _iot_tick_rows(tick, self.cities, self.sensors, self.seed)
+        ]
+
+
+class IoTTickStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "iot_ticks"
+
+    def schema(self) -> str:
+        return _STREAM_SCHEMA
+
+    def simpleStreamReader(self, schema) -> IoTTickStreamReader:
+        return IoTTickStreamReader(self.options)

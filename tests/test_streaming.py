@@ -281,3 +281,49 @@ def test_stream_upsert_to_lake(spark, tmp_path):
     run()
     state = {r["id"]: (r["version"], r["val"]) for r in spark.read.parquet(lake).collect()}
     assert state == {1: (1, "a"), 2: (2, "b2"), 3: (1, "c"), 4: (1, "d")}
+
+
+def test_python_streaming_datasource_ticks(spark):
+    """Custom SimpleDataSourceStreamReader: tick-offset micro-batches,
+    deterministic rows, and the Python sensor-id twin must match the JVM
+    mint_sensor_id exactly."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aws_datalake_platform_spark.functions.core import mint_sensor_id
+    from aws_datalake_platform_spark.sources.pyds import (
+        IoTTickStreamDataSource,
+        _iot_tick_rows,
+    )
+
+    spark.dataSource.register(IoTTickStreamDataSource)
+    sdf = (
+        spark.readStream.format("iot_ticks")
+        .option("cities", "london,new york")
+        .option("sensors_per_city", "2")
+        .option("max_ticks", "2")
+        .load()
+    )
+    q = sdf.writeStream.format("memory").queryName("tick_test").trigger(
+        processingTime="1 second"
+    ).start()
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) c FROM tick_test").first()["c"] >= 8:
+            break
+        time.sleep(1)
+    q.stop()
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM tick_test").collect())
+    want = sorted(
+        row for t in range(2) for row in _iot_tick_rows(t, ["london", "new york"], 2, 42)
+    )
+    assert got == want  # byte-deterministic across offsets and replays
+
+    jvm_ids = sorted(
+        r["sid"]
+        for r in spark.createDataFrame([("london", 0), ("london", 1), ("new york", 0), ("new york", 1)], ["city", "idx"])
+        .select(mint_sensor_id("city", "idx").alias("sid"))
+        .collect()
+    )
+    assert sorted({r[1] for r in want}) == jvm_ids  # Python twin == JVM sha256 mint
