@@ -28,6 +28,7 @@ sort order.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -70,3 +71,32 @@ def bucketed_join(
     to a normal shuffled join transparently if the layouts don't line up,
     so callers never get wrong answers from a mis-bucketed table."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot key of the BIG side over
+    ``n_salts`` reducers by joining on (key, salt), replicating the small
+    side once per salt. Use when one key dominates (power-law fan-in) and
+    the small side is too big to broadcast outright; AQE's skew-join
+    split handles sort-merge skew automatically, but salting also covers
+    aggregation-after-join and streaming joins where AQE cannot re-plan.
+
+    The big-side salt is a deterministic hash of the whole row (pmod of
+    xxhash64), so the join OUTPUT is independent of the salt — provably:
+    every (big row, small row) key match still meets exactly once, on the
+    big row's one salt value. Cost: small side inflated x n_salts through
+    its shuffle; pick n_salts ~ the observed hot-key skew factor, not
+    higher.
+    """
+    salt_big = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    b = big.withColumn("__salt", salt_big.cast("int"))
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, [key, "__salt"], how).drop("__salt")

@@ -364,3 +364,32 @@ def q84_hll_sketch_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__merged__").alias("scope"), F.hll_sketch_estimate("g").alias("est")
     )
     return nation_est.unionByName(global_est)
+
+
+@register(
+    "q85_salted_join",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Skew-resistant salted equi-join: big side salted by row hash, "
+    "small side replicated per salt; output provably identical to the "
+    "plain join (the oracle IS the plain join). For hot-key fan-in that "
+    "AQE's sort-merge skew split cannot cover (post-join aggs, stream "
+    "joins).",
+)
+def q85_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bucketing import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

@@ -460,3 +460,41 @@ def test_python_datasource_matches_generator(spark):
     # precipitation array is 2 short -> padded with None at the tail
     assert london[-1]["precipitation"] is None and london[-2]["precipitation"] is None
     assert [r["precipitation"] for r in london[:-2]] == ref["precipitation"]
+
+
+def test_salted_join_handles_planted_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from aws_datalake_platform_spark.operators.bucketing import salted_join
+
+    # 1000 rows on ONE hot key + a long tail
+    big = spark.createDataFrame(
+        [(1, i) for i in range(1000)] + [(k, 0) for k in range(2, 52)], ["k", "payload"]
+    )
+    small = spark.createDataFrame([(k, f"dim{k}") for k in range(1, 52)], ["k", "name"])
+    out = salted_join(big, small, "k", n_salts=8)
+    agg = {r["k"]: r["n"] for r in out.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert agg[1] == 1000  # every hot-key row matched exactly once
+    assert all(agg[k] == 1 for k in range(2, 52))
+    # and the hot key's rows actually carry multiple salt values (the
+    # spread mechanism; AQE re-coalesces tiny test shuffles so physical
+    # partition counts are not observable at this scale)
+    from aws_datalake_platform_spark.operators.bucketing import salted_join as _sj  # noqa: F401
+    salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8))
+    )
+    n_salts_hot = salted.filter(F.col("k") == 1).select("__salt").distinct().count()
+    assert n_salts_hot > 4
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Appending files with an added column must be readable as one table
+    with mergeSchema (old rows null-filled) — the lake's schema-evolution
+    contract without a table format."""
+    path = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], ["id", "v1"]).write.parquet(path)
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "v1", "v2"]).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert sorted(merged.columns) == ["id", "v1", "v2"]
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["v2"] is None and rows[2]["v2"] == 9.5
