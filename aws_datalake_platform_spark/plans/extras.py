@@ -393,3 +393,26 @@ def q85_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "q86_variant_extract",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY 1
+    """,
+    doc="Semi-structured VARIANT path (Spark 4): parse_json once into a "
+    "binary variant, variant_get typed extraction — the shredded-JSON "
+    "plan that replaces per-query string re-parsing (q41's "
+    "get_json_object) when many fields are read. DuckDB oracle uses its "
+    "native JSON extraction.",
+)
+def q86_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k")
+    )
+    return ev.groupBy((F.col("k") % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("sum_k")
+    )
