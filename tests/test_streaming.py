@@ -327,3 +327,63 @@ def test_python_streaming_datasource_ticks(spark):
         .collect()
     )
     assert sorted({r[1] for r in want}) == jvm_ids  # Python twin == JVM sha256 mint
+
+
+def test_transform_with_state_running_stats(spark, tmp_path):
+    """Spark 4 transformWithState: per-key running stats across multiple
+    micro-batches (maxFilesPerTrigger=1 forces batch-per-file), final
+    state equals the batch-global aggregate.
+
+    Environment boundary: the transformWithState protocol needs the
+    google-protobuf python package (absent in this container, no pip
+    allowed) — skip when missing; the operator itself is cluster-ready."""
+    pytest.importorskip("google.protobuf.descriptor")
+    import pyspark.sql.types as T
+
+    from aws_datalake_platform_spark.streaming.ingest import (
+        running_stats_transform_with_state,
+    )
+
+    src = tmp_path / "src"
+    schema = T.StructType(
+        [T.StructField("event_type", T.StringType()), T.StructField("value", T.DoubleType())]
+    )
+    b1 = [("click", 1.0), ("click", 3.0), ("view", 10.0)]
+    b2 = [("click", 8.0), ("view", 2.0), ("view", 6.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(src))
+        stats = running_stats_transform_with_state(sdf, key="event_type", value_col="value")
+        q = (
+            stats.writeStream.format("memory")
+            .queryName("tws_stats")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    # memory sink in update mode appends each batch's emission; the LAST
+    # row per key is the final running state
+    rows = spark.sql("SELECT * FROM tws_stats").collect()
+    by_key = {}
+    for r in rows:
+        if r["event_type"] not in by_key or r["n"] > by_key[r["event_type"]]["n"]:
+            by_key[r["event_type"]] = r
+    assert by_key["click"]["n"] == 3 and by_key["click"]["avg_value"] == 4.0
+    assert by_key["click"]["min_value"] == 1.0 and by_key["click"]["max_value"] == 8.0
+    assert by_key["view"]["n"] == 3 and by_key["view"]["avg_value"] == 6.0
+    assert by_key["view"]["min_value"] == 2.0 and by_key["view"]["max_value"] == 10.0
