@@ -149,11 +149,48 @@ def q24_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q25_simhash_dedup",
-    None,  # 64-bit SimHash signature math is not SQL-expressible in DuckDB;
-    # correctness is pinned by tests/test_dedup.py against the planted
-    # near-duplicate pairs instead (rows-only driver check).
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, i.i AS i,
+             SUM(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+      GROUP BY 1, 2
+    ),
+    usig AS (
+      SELECT doc_id,
+             bit_or(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << i
+                         ELSE CAST(0 AS UBIGINT) END) AS us
+      FROM votes GROUP BY 1
+    ),
+    sigs AS (
+      SELECT d.doc_id, COALESCE(u.us, CAST(0 AS UBIGINT)) AS us
+      FROM documents d LEFT JOIN usig u USING (doc_id)
+    ),
+    bands AS (
+      SELECT doc_id, us, i.i AS band, (us >> (i.i * 16)) & 65535 AS val
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.us AS ua, b.us AS ub
+      FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+                                AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ua, ub)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ua, ub)) <= 3
+    """,
     doc="SimHash near-dup pairs: vectorized 64-bit signatures, pigeonhole "
-    "banding for candidates, bit_count Hamming verify.",
+    "banding for candidates, bit_count Hamming verify. The oracle mirrors "
+    "the ENTIRE bit pipeline (md5 token hash -> per-bit +-1 votes -> "
+    "bit_or signature assembly -> 16-bit pigeonhole bands -> "
+    "bit_count(xor) Hamming) in DuckDB integer SQL, so even this "
+    "signature-based op is hash-checked, not rows-only.",
 )
 def q25_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(
