@@ -108,17 +108,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown, so callers should filter/select on the returned DataFrame
     rather than materializing it.
 
-    The events table stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects by default — read nanos as long and convert
-    to a microsecond timestamp (floor division, matching how nanosecond
-    values truncate to Python/Arrow microsecond datetimes downstream).
+    The events table's ``ts`` has shipped in three parquet flavors across
+    driver testdata generations: TIMESTAMP(NANOS) (read as bigint nanos
+    under nanosAsLong), naive microseconds (read as TIMESTAMP_NTZ), and
+    UTC-adjusted micros (TIMESTAMP_LTZ). Normalize all three to
+    TIMESTAMP_LTZ — event-time streaming (watermarks) requires LTZ, and
+    with the session timezone pinned to UTC the NTZ→LTZ cast is an
+    identity on the wall-clock values the oracle compares.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         ensure_nanos_as_long(spark)
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

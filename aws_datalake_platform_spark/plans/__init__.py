@@ -5,3 +5,4 @@ from . import extras  # noqa: F401,E402  (populates QUERY_REGISTRY)
 from . import sql_surface  # noqa: F401,E402  (populates QUERY_REGISTRY)
 from . import curation  # noqa: F401,E402  (populates QUERY_REGISTRY)
 from . import profiling  # noqa: F401,E402  (populates QUERY_REGISTRY)
+from . import advanced  # noqa: F401,E402  (populates QUERY_REGISTRY)

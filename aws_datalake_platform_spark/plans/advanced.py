@@ -1,0 +1,412 @@
+"""Advanced query surface, round 2: chunking, mixture sampling, ordered-set
+aggregates, map columns, LATERAL joins, LM-style scoring, Python UDTFs,
+calendar arithmetic, higher statistical moments, and time-range windows.
+
+These extend the Athena-SQL serving role (reference: README.md:128-132,
+athena/main.tf:18-38) and the LLM-training-data operator set with the
+surfaces a curation pipeline reaches for next: splitting documents into
+model-context-sized chunks, hitting a per-language mixture target, and
+scoring text against corpus statistics. Every query carries a DuckDB
+oracle; scale notes are in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .queries import register
+
+# ── q87: document chunking ──────────────────────────────────────────────────
+
+_CHUNK_SIZE = 400
+_CHUNK_STEP = 300  # 100-char overlap between consecutive chunks
+
+
+@register(
+    "q87_document_chunks",
+    f"""
+    SELECT doc_id,
+           CAST((s - 1) // {_CHUNK_STEP} AS INTEGER) AS chunk_idx,
+           substring(text, s, {_CHUNK_SIZE}) AS chunk_text
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, greatest(length(text), 1), {_CHUNK_STEP}))
+                   AS s
+          FROM documents)
+    """,
+    doc="Sliding-window document chunking (400-char chunks, 100-char "
+    "overlap) — the split step before tokenization/embedding in a "
+    "training-data pipeline. sequence + posexplode + substring, all "
+    "codegen'd; no Python.",
+)
+def q87_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: pure map-side fan-out (no shuffle at all) — each input row
+    emits len/step chunks locally; output partitioning inherits the scan.
+    At 100 TB this is the shape you want: chunking never becomes a
+    shuffle, and downstream ops see ~3x rows at ~1/3 size each."""
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.expr(f"sequence(1, greatest(char_length(text), 1), {_CHUNK_STEP})")
+    return (
+        docs.select("doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr(f"substring(text, start, {_CHUNK_SIZE})").alias("chunk_text"),
+        )
+    )
+
+
+# ── q88: per-language mixture sampling ──────────────────────────────────────
+
+_MIX = {"en": 0.25, "es": 0.5, "fr": 1.0, "de": 1.0}  # zh: dropped
+_HASH_SPACE = 1 << 60
+
+
+def _mix_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{lang}' THEN {int(frac * _HASH_SPACE)}" for lang, frac in sorted(_MIX.items())
+    )
+    return f"CASE lang {arms} ELSE -1 END"
+
+
+@register(
+    "q88_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          < {_mix_case_sql()}
+    """,
+    doc="Domain-mixture sampling: keep 25% of en, 50% of es, all fr/de, "
+    "drop zh — membership is a pure row-content hash (md5 60-bit "
+    "threshold per stratum), so the mix is reproducible across runs, "
+    "engines, and partitionings (operators/sampling.py:stratified_sample).",
+)
+def q88_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: map-side filter at the scan — no shuffle, no RNG state, no
+    sampleBy() two-pass fraction estimation. Changing the mix spec is a
+    literal change, not a re-shuffle."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(docs, "doc_id", "lang", _MIX, seed=42)
+
+
+# ── q89: ordered-set aggregates ─────────────────────────────────────────────
+
+
+@register(
+    "q89_ordered_set_aggs",
+    """
+    SELECT r.r_name,
+           string_agg(DISTINCT n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(MEDIAN(c.c_acctbal), 2) AS median_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Ordered-set aggregates: LISTAGG ... WITHIN GROUP (Spark 4) and "
+    "MEDIAN per region over a dim-dim-fact join (DuckDB string_agg/median "
+    "oracle).",
+)
+def q89_ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both dims broadcast; one shuffle on r_name. LISTAGG
+    concatenates a bounded set (nations per region), never an unbounded
+    fact column — the per-group buffer stays O(dim)."""
+    for t in ("customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(DISTINCT n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations,
+               COUNT(*) AS n_customers,
+               ROUND(MEDIAN(c.c_acctbal), 2) AS median_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+# ── q90: map-typed aggregation roundtrip ────────────────────────────────────
+
+
+@register(
+    "q90_map_aggregation",
+    """
+    SELECT event_type,
+           CAST(hour(ts) AS INTEGER) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type, hour(ts)
+    """,
+    doc="MapType surface: per-event-type map<hour,count> built with "
+    "map_from_entries(collect_list(struct)), then exploded back to flat "
+    "rows — exercises map construction, map explode, and the array_sort "
+    "struct ordering; the oracle checks the flat equivalent.",
+)
+def q90_map_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the map is per-group state bounded by 24 hours — safe to
+    collect_list. The pattern matters because feature stores ship exactly
+    this shape (entity -> map<bucket, stat>) to serving."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    maps = hourly.groupBy("event_type").agg(
+        F.map_from_entries(F.array_sort(F.collect_list(F.struct("hr", "n_events")))).alias(
+            "hr_counts"
+        )
+    )
+    return maps.select("event_type", F.explode("hr_counts").alias("hr", "n_events"))
+
+
+# ── q91: LATERAL correlated top-k join ──────────────────────────────────────
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  LIMIT 2) o
+    WHERE c.c_acctbal > 9000
+"""
+
+
+@register(
+    "q91_lateral_topk",
+    _LATERAL_SQL,
+    doc="LATERAL correlated subquery with ORDER BY + LIMIT (top-2 orders "
+    "per rich customer) — Catalyst decorrelates to a window/rank plan; "
+    "DuckDB executes the identical statement.",
+)
+def q91_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: decorrelation turns the per-row subquery into ONE pass over
+    orders (rank by custkey), not N correlated scans — the plan survives
+    a 100 TB orders table because the customer filter semi-joins first."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
+
+
+# ── q92: unigram language-model scoring ─────────────────────────────────────
+
+
+@register(
+    "q92_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents,
+           UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(tf) AS total FROM vocab)
+    SELECT toks.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(LN(v.tf / t.total)), 4) AS avg_logprob
+    FROM toks JOIN vocab v USING (tok) CROSS JOIN tot t
+    GROUP BY toks.doc_id
+    """,
+    doc="Perplexity-style quality scoring: corpus unigram LM, each doc "
+    "scored by mean token log-probability — the classic cheap LM filter "
+    "for training-data curation (two aggregates + one broadcast join).",
+)
+def q92_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: vocab is a heavy-tailed but bounded relation (≪ corpus) —
+    broadcast it and the scalar total; the only big shuffles are the
+    vocab count and the per-doc re-aggregation, both map-side-combined.
+    Token explode is a local fan-out, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("total"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("tf") / F.col("total"))), 4).alias("avg_logprob"),
+        )
+    )
+
+
+# ── q93: Python UDTF sentence splitting ─────────────────────────────────────
+
+try:  # pyspark >= 3.5 only
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx: int, sentence: string")
+    class _SplitSentences:
+        """Emit ('. '-delimited) sentences with their position; index
+        counts every split slot so it is reconstructible downstream even
+        when empties are dropped."""
+
+        def eval(self, text: str):  # noqa: D102
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                if s:
+                    yield i, s
+
+except ImportError:  # pragma: no cover
+    _SplitSentences = None
+
+
+@register(
+    "q93_sentence_udtf",
+    """
+    SELECT doc_id,
+           CAST(i - 1 AS INTEGER) AS sent_idx,
+           parts[i] AS sentence
+    FROM (SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS i
+          FROM (SELECT doc_id, string_split(text, '. ') AS parts
+                FROM documents WHERE doc_id < 50))
+    WHERE parts[i] <> ''
+    """,
+    doc="Python UDTF (Spark 4 table function) splitting documents into "
+    "sentences, invoked via LATERAL in SQL — the extension point for "
+    "row-to-many Python logic (segmenters, parsers) when no builtin "
+    "generator fits.",
+)
+def q93_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: UDTFs run in Python workers (slow path) — acceptable here
+    because sentence segmentation is genuinely imperative; the builtin
+    split+posexplode twin (q87) is the fast path when a regex suffices.
+    The doc_id filter bounds the Python fan-out."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.udtf.register("split_sentences", _SplitSentences)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM documents d, LATERAL split_sentences(d.text) s
+        WHERE d.doc_id < 50
+        """
+    )
+
+
+# ── q94: calendar / interval arithmetic ─────────────────────────────────────
+
+
+@register(
+    "q94_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER)
+             AS age_days,
+           CAST(isodow(o_orderdate) - 1 AS INTEGER) AS dow,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+    FROM orders
+    """,
+    doc="Calendar arithmetic surface: date_trunc, last_day, add_months "
+    "(month-end clamping matches DuckDB interval addition), datediff, "
+    "weekday, quarter — the date dimension a partitioned lake lives on "
+    "(reference stores date partitions as substring(timestamp,1,10), "
+    "transform.py:176).",
+)
+def q94_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: all pure column expressions inside whole-stage codegen; a
+    date-partitioned lake prunes on exactly these derivations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months("o_orderdate", 3).alias("plus3m"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate")).alias("age_days"),
+        F.weekday("o_orderdate").alias("dow"),
+        F.quarter("o_orderdate").alias("qtr"),
+    )
+
+
+# ── q95: higher statistical moments ─────────────────────────────────────────
+
+
+@register(
+    "q95_stats_moments",
+    """
+    WITH mu AS (SELECT l_returnflag, AVG(l_quantity) AS m
+                FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(corr(l.l_quantity, l.l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l.l_quantity, l.l_extendedprice), 2) AS covar_qp,
+           ROUND(stddev_samp(l.l_quantity), 4) AS sd_qty,
+           ROUND(AVG(POW(l.l_quantity - mu.m, 3))
+                 / POW(AVG(POW(l.l_quantity - mu.m, 2)), 1.5), 4) + 0.0 AS skew_qty,
+           ROUND(AVG(POW(l.l_quantity - mu.m, 4))
+                 / POW(AVG(POW(l.l_quantity - mu.m, 2)), 2) - 3, 4) + 0.0 AS kurt_qty
+    FROM lineitem l JOIN mu USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+    doc="Statistical profile per group: correlation, sample covariance, "
+    "stddev, population skewness and excess kurtosis (Spark's one-pass "
+    "central-moment aggregates; the oracle recomputes the moments "
+    "two-pass from the mean).",
+)
+def q95_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: all six statistics stream in ONE partial-aggregate pass
+    (central moment sketches merge associatively) — no second scan, no
+    per-group buffering, unlike the oracle's two-pass formulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        # + 0.0 collapses IEEE negative zero (round can yield -0.0 on one
+        # engine and +0.0 on the other for near-zero moments)
+        (F.round(F.skewness("l_quantity"), 4) + F.lit(0.0)).alias("skew_qty"),
+        (F.round(F.kurtosis("l_quantity"), 4) + F.lit(0.0)).alias("kurt_qty"),
+    )
+
+
+# ── q96: event-time range window ────────────────────────────────────────────
+
+_HOUR_MICROS = 3_600_000_000
+
+
+@register(
+    "q96_time_range_window",
+    """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER w, 4) AS trail_avg_1h,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing 1-hour per-user moving average via a RANGE window over "
+    "event time (microsecond-exact frame bounds on both engines) — the "
+    "batch twin of a sliding streaming window.",
+)
+def q96_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on user_id, then a sorted range-frame scan per
+    partition; RANGE frames are peer-deterministic so tied timestamps
+    can't flip results. unix_micros ordering keeps the frame arithmetic
+    integer-exact (a seconds cast would truncate sub-second event times)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_HOUR_MICROS, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("trail_avg_1h"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )

@@ -92,10 +92,10 @@ def q36_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
-    """File-source stream over the events table with the same TIMESTAMP
-    (NANOS) handling as catalog.load_table: convert ``ts`` only when the
-    parquet stores bigint nanos — an empty or re-written mirror with a
-    real timestamp column streams through unchanged."""
+    """File-source stream over the events table with the same ``ts``
+    normalization as catalog.load_table: bigint nanos and naive-micros
+    (TIMESTAMP_NTZ) parquet flavors both become TIMESTAMP_LTZ, which
+    event-time watermarks require."""
     from pyspark.sql import types as T
 
     ensure_nanos_as_long(spark)  # guarded: driver-owned sessions only
@@ -108,6 +108,8 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     )
     if isinstance(schema["ts"].dataType, T.LongType):
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf
 
 
