@@ -6,3 +6,4 @@ from . import sql_surface  # noqa: F401,E402  (populates QUERY_REGISTRY)
 from . import curation  # noqa: F401,E402  (populates QUERY_REGISTRY)
 from . import profiling  # noqa: F401,E402  (populates QUERY_REGISTRY)
 from . import advanced  # noqa: F401,E402  (populates QUERY_REGISTRY)
+from . import advanced2  # noqa: F401,E402  (populates QUERY_REGISTRY)

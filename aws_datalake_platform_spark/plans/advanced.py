@@ -102,7 +102,7 @@ def q88_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.r_name,
            string_agg(DISTINCT n.n_name, ',' ORDER BY n.n_name) AS nations,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(MEDIAN(c.c_acctbal), 2) AS median_acctbal
+           MEDIAN(c.c_acctbal) AS median_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -123,7 +123,7 @@ def q89_ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r.r_name,
                listagg(DISTINCT n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations,
                COUNT(*) AS n_customers,
-               ROUND(MEDIAN(c.c_acctbal), 2) AS median_acctbal
+               MEDIAN(c.c_acctbal) AS median_acctbal
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -409,4 +409,260 @@ def q96_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.avg("value").over(w), 4).alias("trail_avg_1h"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+# ── q97: bloom-filter join pre-filter ───────────────────────────────────────
+
+_Q97_ORACLE = """
+    SELECT o.o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0
+             AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY o.o_orderkey
+"""
+
+
+@register(
+    "q97_bloom_join_prefilter",
+    _Q97_ORACLE,
+    doc="Bloom-filter join pre-filter: build a k-hash Bloom bitmap over "
+    "the selective orders side (xxhash64 positions, bounded collect_set), "
+    "drop non-matching lineitem rows map-side BEFORE the join shuffle, "
+    "then join exactly — false positives are eliminated by the real join, "
+    "so the result is exact and the oracle is the plain join.",
+)
+def q97_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: THE pattern for selective fact-dim joins at 100 TB — the
+    bitmap is O(m) broadcast (m = 2^16 positions regardless of build-side
+    rows), and the fact side sheds rows map-side instead of shuffling
+    them; this hand-rolls what Spark's runtime row-level filtering
+    injects when stats allow, from public primitives only (Spark's
+    bloom_filter_agg expression is not SQL-registered)."""
+    m, seeds = 1 << 16, (1, 2, 3)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def positions(key: str):
+        return [F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(m)) for s in seeds]
+
+    # one row: the Bloom bitmap as a sorted int array (≤ m entries)
+    bloom = orders.select(F.explode(F.array(*positions("o_orderkey"))).alias("pos")).agg(
+        F.array_sort(F.collect_set("pos")).alias("bits")
+    )
+    member = None
+    for p in positions("l_orderkey"):
+        hit = F.array_contains(F.col("bits"), p)
+        member = hit if member is None else member & hit
+    li_pref = li.join(F.broadcast(bloom)).filter(member).drop("bits")
+    return (
+        li_pref.join(orders, li_pref.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            # exact integer-cents arithmetic: prices/discounts carry 2
+            # decimals, so the sum is integer — accumulation-order and
+            # round-half-mode independent across engines
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                )
+                / 10000.0
+            ).alias("revenue"),
+        )
+    )
+
+
+# ── q98: regex collocation extraction ───────────────────────────────────────
+
+
+@register(
+    "q98_regex_collocations",
+    """
+    SELECT doc_id,
+           CAST(len(hits) AS INTEGER) AS n_hits,
+           COALESCE(array_to_string(hits, '|'), '') AS hits_joined
+    FROM (SELECT doc_id,
+                 regexp_extract_all(text, '[a-z]+ join') AS hits
+          FROM documents)
+    """,
+    doc="regexp_extract_all collocation mining ('<word> join' bigrams per "
+    "document) — the regex-surface twin of the tokenizer ops; arrays "
+    "stay JVM-side (no Python).",
+)
+def q98_regex_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: pure map-side column expressions inside codegen; regex state
+    machines run per-row with zero shuffle. Non-overlapping scan
+    semantics are identical in Java regex and RE2 for this pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = F.expr("regexp_extract_all(text, '[a-z]+ join', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(hits).alias("n_hits"),
+        F.array_join(hits, "|").alias("hits_joined"),
+    )
+
+
+# ── q99: deterministic argmax per group ─────────────────────────────────────
+
+# Fixed-width sortable encoding makes (price, orderkey) a single ordering
+# key both engines compare identically — arg_max/max_by tie-break is
+# engine-arbitrary otherwise.
+_ARGMAX_KEY_SPARK = "format_string('%018.4f|%018d', l_extendedprice, l_orderkey)"
+_ARGMAX_KEY_DUCK = "printf('%018.4f|%018d', l_extendedprice, l_orderkey)"
+
+
+@register(
+    "q99_argmax_group",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           arg_max(l_orderkey, {_ARGMAX_KEY_DUCK}) AS top_orderkey,
+           ROUND(MAX(l_extendedprice), 2) AS top_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Deterministic per-group argmax via max_by/arg_max over a "
+    "fixed-width sortable composite key (price, orderkey) — single-pass "
+    "alternative to the window-rank top-1 (q10).",
+)
+def q99_argmax_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one partial-aggregable pass (max_by merges associatively) —
+    no window sort, no per-group buffering; preferred over row_number
+    when only the top-1 row is needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr(f"max_by(l_orderkey, {_ARGMAX_KEY_SPARK})").alias("top_orderkey"),
+        F.round(F.max("l_extendedprice"), 2).alias("top_price"),
+    )
+
+
+# ── q100: aggregated-IN subquery (TPC-H Q18 shape) ──────────────────────────
+
+_Q100_SQL = """
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey
+                           FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING SUM(l_quantity) > 120)
+"""
+
+
+@register(
+    "q100_big_order_customers",
+    _Q100_SQL,
+    doc="TPC-H Q18 shape: IN over an aggregated-HAVING subquery (large-"
+    "volume orders) joined back to customers — Catalyst plans the "
+    "subquery as an aggregate + left-semi join.",
+)
+def q100_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the HAVING aggregate reduces lineitem to qualifying keys
+    before any join; the semi join then prunes orders. Both shuffles are
+    on the join key — co-partitioned, no broadcast of the big side."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q100_SQL)
+
+
+# ── q101: streaming session windows ─────────────────────────────────────────
+
+
+@register(
+    "q101_stream_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts >= LAG(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 12 HOUR AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+    doc="Structured Streaming session_window (12h gap) over the events "
+    "file stream — merging session state maintained by the streaming "
+    "engine; oracle is the batch gaps-and-islands twin (q36) with the "
+    "window-end = last event + gap convention. Session boundary uses >= "
+    "(an event exactly gap after the previous one starts a new session), "
+    "matching session_window's half-open [start, last+gap) windows.",
+)
+def q101_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: session state is per-key and merges incrementally in the
+    state store; complete+availableNow here only because the oracle needs
+    the full final result — production uses append mode + watermark so
+    closed sessions emit and state is reaped."""
+    import uuid
+
+    sdf = _events_stream_shared(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.session_window("ts", "12 hours"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"q101_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def _events_stream_shared(spark: SparkSession, sf_dir: str):
+    from .temporal import _events_stream
+
+    return _events_stream(spark, sf_dir)
+
+
+# ── q102: keep-latest dedup (CDC compaction shape) ──────────────────────────
+
+
+@register(
+    "q102_keep_latest",
+    """
+    SELECT user_id, event_id, ts, value
+    FROM (SELECT user_id, event_id, ts, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    doc="Keep-latest-per-key dedup (row_number DESC over event time) — "
+    "the CDC/upsert compaction primitive: collapse a change stream to "
+    "current state.",
+)
+def q102_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: Spark plans WindowGroupLimit below the shuffle (rank filter
+    pushdown), so each map task forwards only its local latest rows per
+    key — shuffle volume is O(keys), not O(events)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )

@@ -1,0 +1,258 @@
+"""Advanced query surface, round 2 (continued): windowed distinct counts,
+null-safe joins, UNPIVOT reshaping, and array higher-order functions.
+
+Each closes a semantics gap in the Athena-style serving surface
+(reference: README.md:128-132): running DISTINCT aggregation, NULL-keyed
+equality, wide-to-long reshape, and JVM-side array math over embedding
+columns. Every query has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .queries import register
+
+# ── q103: running distinct count over a window ──────────────────────────────
+
+
+@register(
+    "q103_window_distinct",
+    """
+    SELECT event_id, user_id,
+           CAST(count(DISTINCT event_type)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS INTEGER) AS n_types_seen
+    FROM events
+    """,
+    doc="Running per-user distinct-event-type count. Spark windows don't "
+    "accept DISTINCT aggregates, so the engine uses "
+    "size(collect_set() OVER w) — semantically identical; DuckDB runs the "
+    "literal windowed COUNT(DISTINCT).",
+)
+def q103_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on user_id; the collect_set frame state is
+    bounded by the event-type cardinality (small), NOT the frame length —
+    safe on unbounded user histories. A high-cardinality distinct column
+    would need the HLL-sketch variant (q84) instead."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
+    )
+
+
+# ── q104: null-safe join ────────────────────────────────────────────────────
+
+
+@register(
+    "q104_null_safe_join",
+    """
+    WITH a AS (SELECT nullif(event_type, 'click') AS k,
+                      CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1),
+         b AS (SELECT nullif(event_type, 'click') AS k,
+                      ROUND(AVG(value), 4) AS avg_value
+               FROM events GROUP BY 1)
+    SELECT a.k, a.n_events, b.avg_value
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of silently dropping — the semantics "
+    "upserts and dimension lookups with unknown keys need.",
+)
+def q104_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: <=> is still hash-joinable (null hashes to a regular
+    bucket), so the plan is an ordinary shuffle/broadcast hash join — no
+    nested-loop penalty for null-safe semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("nullif(event_type, 'click')")
+    a = ev.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n_events"))
+    b = ev.groupBy(k.alias("k")).agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"], "n_events", "avg_value")
+
+
+# ── q105: UNPIVOT (wide → long reshape) ─────────────────────────────────────
+
+
+@register(
+    "q105_unpivot",
+    """
+    SELECT event_type, metric, val
+    FROM (SELECT event_type,
+                 ROUND(AVG(value), 4) AS avg_value,
+                 ROUND(MIN(value), 4) AS min_value,
+                 ROUND(MAX(value), 4) AS max_value
+          FROM events GROUP BY event_type)
+    UNPIVOT (val FOR metric IN (avg_value, min_value, max_value))
+    """,
+    doc="UNPIVOT / melt: wide per-type stat columns reshaped to "
+    "(entity, metric, value) long form — the inverse of q39's pivot; "
+    "DataFrame.unpivot in Spark, UNPIVOT clause in DuckDB.",
+)
+def q105_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: unpivot is a map-side Expand (rows × metrics), no shuffle
+    beyond the feeding aggregate — long form is what metric stores and
+    plotting layers want."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+    return wide.unpivot(
+        ids=["event_type"],
+        values=["avg_value", "min_value", "max_value"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+# ── q106: array higher-order functions ──────────────────────────────────────
+
+
+@register(
+    "q106_array_hof",
+    """
+    SELECT vec_id,
+           ROUND(list_reduce(
+                   list_prepend(0.0, list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                   (acc, x) -> acc + x), 4) AS sq_norm,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           CAST(list_max(embedding) AS DOUBLE) AS max_elem
+    FROM embeddings
+    """,
+    doc="Array higher-order functions over the embedding column: "
+    "squared-norm via a left fold (aggregate), positive-component count "
+    "via filter, array_max — all JVM-side lambdas, zero Python; the "
+    "oracle replays the identical fold order (list_prepend seeds the "
+    "accumulator) so the float math is bit-equal.",
+)
+def q106_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: HOF lambdas run inside codegen per-row — the fast path for
+    embedding math under ~1k dims (the similarity module's measured
+    crossover to Arrow UDFs is per-PAIR ops, not per-row folds). No
+    shuffle; projection prunes to (vec_id, embedding) at the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.round(sq, 4).alias("sq_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.array_max("embedding").cast("double").alias("max_elem"),
+    )
+
+
+# ── q107: recursive CTE ─────────────────────────────────────────────────────
+
+_Q107_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT n_nationkey AS child,
+             LAG(n_nationkey) OVER (PARTITION BY n_regionkey
+                                    ORDER BY n_nationkey) AS parent
+      FROM nation
+    ),
+    walk AS (
+      SELECT child AS node, 0 AS depth FROM edges WHERE parent IS NULL
+      UNION ALL
+      SELECT e.child, w.depth + 1
+      FROM walk w JOIN edges e ON e.parent = w.node
+    )
+    SELECT node, depth FROM walk
+"""
+
+
+@register(
+    "q107_recursive_cte",
+    _Q107_SQL,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): walk a parent-child "
+    "chain derived from the nation table (per-region lag ordering) and "
+    "emit each node's depth — hierarchy traversal without driver loops; "
+    "DuckDB runs the identical statement.",
+)
+def q107_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each recursion step is one co-partitioned join on the edge
+    key; depth is bounded by the hierarchy height, not row count. For
+    massive graphs the iterative min-label operator
+    (operators/dedup.py:connected_components) is the batch-tuned path."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_Q107_SQL)
+
+
+# ── q108: rank-function pack ────────────────────────────────────────────────
+
+
+@register(
+    "q108_rank_functions",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           ROUND(percent_rank() OVER w, 6) AS prnk,
+           ROUND(cume_dist() OVER w, 6) AS cdist,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="Ranking-function pack in one named window frame: rank, "
+    "dense_rank, percent_rank, cume_dist, ntile — completes the window "
+    "surface beyond q10/q11/q54.",
+)
+def q108_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: all five functions share ONE sort within one window spec —
+    a single shuffle+sort, not five."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ── q109: GROUP BY ALL ──────────────────────────────────────────────────────
+
+_Q109_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+"""
+
+
+@register(
+    "q109_group_by_all",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    """,
+    doc="GROUP BY ALL (infer grouping keys from the non-aggregate select "
+    "list) — modern-SQL ergonomics surface; identical statement on both "
+    "engines.",
+)
+def q109_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q109_SQL)

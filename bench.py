@@ -50,6 +50,11 @@ HEADLINE = [
     "q41_json_extract",
     "q44_broadcast_join",
     "q45_salted_agg",
+    "q87_document_chunks",
+    "q92_unigram_logprob",
+    "q96_time_range_window",
+    "q97_bloom_join_prefilter",
+    "q102_keep_latest",
 ]
 
 
