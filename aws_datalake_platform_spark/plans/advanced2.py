@@ -256,3 +256,115 @@ _Q109_SQL = """
 def q109_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q109_SQL)
+
+
+# ── q110: linear-regression aggregates ──────────────────────────────────────
+
+
+@register(
+    "q110_regression_aggs",
+    """
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Per-group ordinary-least-squares via the regr_* aggregate family "
+    "(slope/intercept/R², price ~ quantity) — one-pass streaming moments, "
+    "identical call surface on both engines.",
+)
+def q110_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: regr_* aggregates are merge-able moment sketches — partial
+    aggregation map-side, one shuffle on the group key; no per-group
+    value buffering (contrast with exact-percentile q43)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+# ── q111: grouped-map applyInPandas ─────────────────────────────────────────
+
+
+@register(
+    "q111_grouped_map_zscore",
+    """
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 3) AS z
+    FROM events
+    """,
+    doc="Grouped-map applyInPandas: per-event-type z-score computed by a "
+    "vectorized pandas function over each group (Arrow transfer) — the "
+    "escape hatch for per-group logic no SQL expresses; here the logic "
+    "IS SQL-expressible, so the window formulation is the oracle.",
+)
+def q111_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on the group key; each group must fit one
+    executor's memory (the applyInPandas contract — groups here are
+    event types, bounded). When the logic fits a window/agg, prefer that
+    (JVM-side); this query exists to pin the grouped-map API surface."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)  # matches stddev_samp
+        z = (pdf["value"] - mu) / sd
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": z.round(3)}
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id long, event_type string, z double"
+    )
+
+
+# ── q112: weighted reservoir sample (Efraimidis–Spirakis) ───────────────────
+
+_ES_KEY_DUCK = """
+    POW((CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+        / 1152921504606846976.0, 1.0 / n_chars)
+"""
+
+
+@register(
+    "q112_weighted_sample",
+    f"""
+    SELECT doc_id, n_chars, ROUND({_ES_KEY_DUCK}, 6) AS es_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY {_ES_KEY_DUCK} DESC, doc_id
+    LIMIT 10
+    """,
+    doc="Weighted sampling without replacement (Efraimidis–Spirakis A-ES): "
+    "per-row key u^(1/w) from a deterministic md5 uniform, global top-k by "
+    "key — longer documents proportionally more likely, reproducible "
+    "across engines/partitionings; the oracle evaluates the identical "
+    "formula.",
+)
+def q112_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: TakeOrderedAndProject — each partition keeps its local
+    top-k, driver merges k·partitions rows; no global sort, no RNG state.
+    The same key with a per-group window rank gives per-stratum weighted
+    reservoirs."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("7|"), F.col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") + 1
+    ) / F.lit(float(1 << 60))
+    es_key = F.pow(u, 1.0 / F.col("n_chars"))
+    return (
+        docs.select("doc_id", "n_chars", F.round(es_key, 6).alias("es_key"), es_key.alias("__k"))
+        .orderBy(F.col("__k").desc(), "doc_id")
+        .limit(10)
+        .drop("__k")
+    )
