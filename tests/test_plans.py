@@ -47,3 +47,36 @@ def test_partition_pruning_reads_only_matching_dirs(spark, tmp_path):
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "2024-01-02" in pf  # predicate became a partition filter, not a row filter
     assert pruned.count() == 10  # ids with i % 3 == 1
+
+
+def test_keep_latest_gets_window_group_limit(spark):
+    """q102's rn=1 filter must push a WindowGroupLimit below the shuffle —
+    the property that keeps shuffle volume O(keys), not O(events)."""
+    assert "WindowGroupLimit" in _plan(spark, "q102_keep_latest")
+
+
+def test_chunking_plan_has_no_shuffle(spark):
+    """q87 chunking must stay a map-side generate — zero exchanges."""
+    assert "Exchange" not in _plan(spark, "q87_document_chunks")
+
+
+def test_mixture_sample_is_scan_level_filter(spark):
+    """q88's hash-threshold membership must run as a plain Filter over the
+    scan (no shuffle, no sampling operator)."""
+    plan = _plan(spark, "q88_stratified_sample")
+    assert "Exchange" not in plan and "Sample" not in plan
+
+
+def test_weighted_sample_uses_take_ordered(spark):
+    """q112's global top-k must plan as TakeOrderedAndProject (per-partition
+    local top-k + driver merge), never a full global sort."""
+    plan = _plan(spark, "q112_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_bloom_prefilter_broadcasts_bitmap(spark):
+    """q97's bloom bitmap must reach the fact side via broadcast — the
+    fact table must not shuffle before its membership filter."""
+    plan = _plan(spark, "q97_bloom_join_prefilter")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
