@@ -368,3 +368,106 @@ def q112_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .drop("__k")
     )
+
+
+# ── q113: line-level dedup (CCNet-style) ────────────────────────────────────
+
+
+@register(
+    "q113_line_dedup_ratio",
+    """
+    WITH lines AS (
+      SELECT doc_id, parts[i] AS line
+      FROM (SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS i
+            FROM (SELECT doc_id, string_split(text, '. ') AS parts
+                  FROM documents))
+      WHERE parts[i] <> ''
+    ),
+    freq AS (SELECT line, COUNT(*) AS df FROM lines GROUP BY line)
+    SELECT l.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+           ROUND(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS dup_line_ratio
+    FROM lines l JOIN freq f USING (line)
+    GROUP BY l.doc_id
+    """,
+    doc="CCNet-style line-level dedup scoring: split documents into "
+    "sentences, count cross-corpus duplicate lines, emit each document's "
+    "duplicated-line ratio — the standard boilerplate filter for web "
+    "pretraining corpora.",
+)
+def q113_line_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: line frequency is a heavy-tailed but line-keyed aggregate
+    (one shuffle, map-side combined); the join back is line-keyed too —
+    at 100 TB hash the line to a 64-bit key first so the shuffle carries
+    8 bytes instead of the text (same shape as the MinHash hash-set
+    trick; kept as raw lines here so the oracle stays a literal mirror)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = (
+        docs.select("doc_id", F.explode(F.split("text", "\\. ")).alias("line"))
+        .filter(F.col("line") != "")
+    )
+    freq = lines.groupBy("line").agg(F.count(F.lit(1)).alias("df"))
+    dup = F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+    return (
+        lines.join(freq, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dup.cast("long").alias("n_dup_lines"),
+            F.round(dup * 1.0 / F.count(F.lit(1)), 4).alias("dup_line_ratio"),
+        )
+    )
+
+
+# ── q114: sequence packing (concat-and-split) ───────────────────────────────
+
+_PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "q114_sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+               AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS offset_total
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(offset_total // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(offset_total % {_PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM cum
+    """,
+    doc="GPT-style sequence packing (concat-and-split): documents are "
+    "concatenated in deterministic doc_id order and cut into fixed "
+    "512-token training sequences; each doc gets its pack id and offset "
+    "from a running token prefix-sum — no bin-packing loop, pure window "
+    "arithmetic.",
+)
+def q114_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the global prefix-sum orders by doc_id — a single-partition
+    window here. At 100 TB: prefix-sum per shard (hash bucket), then add
+    per-shard base offsets computed from shard totals (two tiny jobs) —
+    same arithmetic, embarrassingly parallel; packs then never cross
+    shards, which is what data loaders want anyway."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", "\\s+"), lambda t: t != "")).alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = toks.withColumn("offset_total", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("offset_total") / _PACK_BUDGET).cast("long").alias("pack_id"),
+        (F.col("offset_total") % _PACK_BUDGET).cast("long").alias("pack_offset"),
+    )
