@@ -443,3 +443,187 @@ def quantization_profile(
         F.round(hi, 4).alias("hi"),
         F.round(mean_err, 6).alias("mean_abs_err"),
     )
+
+
+# ── Product quantization (PQ) ────────────────────────────────────────────────
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 1024,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subspace Euclidean k-means codebooks, shape
+    (m_subspaces, n_codes, dim/m_subspaces).
+
+    Same determinism scheme as _centroid_matrix: hash-ordered sample
+    (order-free under any partitioning), farthest-point init per
+    subspace, Lloyd on the driver, argmin ties -> lowest index. Euclidean
+    (not spherical) because PQ approximates raw L2 geometry per subspace;
+    the final re-rank restores exact cosine; inputs are L2-normalized
+    first so subspace L2 ranks consistently with cosine.
+
+    Scale: one TakeOrdered corpus scan for the sample; the codebooks are
+    m*K*sub_dim doubles (tiny) and broadcast inside UDF closures."""
+    ranked = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string"))).alias("h"),
+    )
+    rows = ranked.orderBy("h", "id").limit(max(sample_size, n_codes)).collect()
+    if not rows:
+        return np.zeros((0, 0, 0))
+    x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    # L2-normalize: the ANN truth metric is cosine, and on the unit sphere
+    # squared L2 = 2 - 2*cos, so per-subspace Euclidean codebooks rank
+    # candidates consistently with the exact re-rank
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub = dim // m_subspaces
+    books = np.zeros((m_subspaces, n_codes, sub))
+    for j in range(m_subspaces):
+        xj = x[:, j * sub : (j + 1) * sub]
+        seed_idx = [0]
+        d2 = ((xj - xj[0]) ** 2).sum(axis=1)  # squared dist to nearest seed
+        for _ in range(1, min(n_codes, len(xj))):
+            nxt = int(np.argmax(d2))  # farthest point; argmax ties -> lowest
+            seed_idx.append(nxt)
+            d2 = np.minimum(d2, ((xj - xj[nxt]) ** 2).sum(axis=1))
+        cents = xj[seed_idx].copy()
+        if len(cents) < n_codes:  # degenerate tiny corpus: pad by repeating
+            cents = np.vstack([cents] * (n_codes // len(cents) + 1))[:n_codes]
+        for _ in range(n_iter):
+            d = ((xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)  # ties -> lowest: deterministic
+            for ci in range(n_codes):
+                members = xj[assign == ci]
+                if len(members):
+                    cents[ci] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding, codes array<int>): each vector compressed to
+    m_subspaces nearest-codeword indices — 64 floats become 8 small ints
+    (the 100 TB play: the ADC scan touches ~3% of the raw bytes).
+    Map-side only; the codebooks ride the UDF closure."""
+    m, n_codes, sub = codebooks.shape
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        out = np.zeros((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xj = x[:, j * sub : (j + 1) * sub]
+            d = ((xj[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        encode(F.col(vec_col)).alias("codes"),
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m_subspaces: int = 8,
+    n_codes: int = 32,
+    refine: int = 8,
+) -> DataFrame:
+    """PQ + ADC approximate top-k with exact re-rank.
+
+    Per query: a distance table (m x n_codes, flattened) of squared
+    distances from the query's subvectors to every codeword; a corpus
+    row's approximate distance is m element_at lookups summed — pure JVM
+    column arithmetic over the 8-int codes, never touching the raw
+    corpus vectors. The top refine*k ADC candidates per query are then
+    re-ranked by exact cosine against the real vectors.
+
+    Scale: the ADC scan reads (id, codes) only — with m=8 that is ~3% of
+    the embedding bytes, which is the entire point at 100 TB: the
+    compressed scan is IO-bound on 1/32nd the data, and the exact re-rank
+    touches refine*k rows per query instead of N. Queries broadcast; the
+    only shuffle is the per-query top-k window.
+    """
+    books = pq_codebooks(corpus, id_col, vec_col, m_subspaces, n_codes)
+    if books.size == 0:
+        return queries.limit(0).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("sim"),
+            F.lit(1).alias("rank"),
+        )
+    m, nc, sub = books.shape
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def dist_table(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        tables = np.zeros((len(x), m * nc))
+        for j in range(m):
+            xj = x[:, j * sub : (j + 1) * sub]
+            tables[:, j * nc : (j + 1) * nc] = (
+                (xj[:, None, :] - books[j][None, :, :]) ** 2
+            ).sum(axis=2)
+        return pd.Series(list(tables))
+
+    cb = pq_encode(corpus, books, id_col, vec_col).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        norm(F.col("embedding")).alias("__cn"),
+        "codes",
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
+        dist_table(F.col(vec_col)).alias("__tbl"),
+    )
+    # ADC: sum_j table[j*nc + codes[j]] — JVM-side fold over the code array
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(F.col("__tbl"), (j * nc + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__adc").asc(), F.col("neighbor_id"))
+    cand = (
+        cb.join(F.broadcast(qb))  # corpus-major scan, query tables broadcast
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__adc", adc)
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= refine * k)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -471,3 +471,26 @@ def q114_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("offset_total") / _PACK_BUDGET).cast("long").alias("pack_id"),
         (F.col("offset_total") % _PACK_BUDGET).cast("long").alias("pack_offset"),
     )
+
+
+# ── q115: product-quantization ANN ──────────────────────────────────────────
+
+
+@register(
+    "q115_ann_pq_topk",
+    None,  # approximate: rows-only driver check; pytest asserts recall
+    doc="Product-quantization ANN top-k: per-subspace k-means codebooks "
+    "compress each vector to 8 code bytes; the candidate scan is pure "
+    "ADC table lookups over the codes (never the raw vectors), then the "
+    "top refine*k candidates re-rank by exact cosine. Recall bound vs "
+    "brute force asserted in tests/test_text_similarity.py.",
+)
+def q115_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the ADC scan reads (id, codes) — ~3% of the embedding
+    bytes; exact re-rank touches refine*k rows per query instead of N.
+    Queries broadcast; one window shuffle on query_id."""
+    from ..operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(queries, emb, k=5, m_subspaces=8, n_codes=32, refine=8)

@@ -228,3 +228,27 @@ def test_multimodal_frame_sampling(spark):
     assert len(by_doc[1][0]["frame"]) == 64
     # short payload -> single frame 0
     assert [r["frame_idx"] for r in by_doc[2]] == [0]
+
+
+def test_pq_topk_recall_vs_brute_force(spark, emb):
+    """PQ+ADC with exact re-rank must recover most true top-5 neighbors;
+    identical determinism contract as the IVF/LSH variants (hash-ordered
+    sample, argmin ties -> lowest index)."""
+    from aws_datalake_platform_spark.operators.similarity import brute_force_topk, pq_topk
+
+    queries = emb.filter("vec_id < 10")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(queries, emb, k=5).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(queries, emb, k=5, m_subspaces=8, n_codes=32, refine=8).collect()
+    }
+    assert len(pq & exact) / len(exact) >= 0.6, f"PQ recall {len(pq & exact) / len(exact)}"
+    # determinism: a second run returns the identical set
+    pq2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(queries, emb, k=5, m_subspaces=8, n_codes=32, refine=8).collect()
+    }
+    assert pq == pq2
