@@ -494,3 +494,112 @@ def q115_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_topk(queries, emb, k=5, m_subspaces=8, n_codes=32, refine=8)
+
+
+# ── q116: streaming sliding windows ─────────────────────────────────────────
+
+
+@register(
+    "q116_stream_sliding_window",
+    """
+    WITH buckets AS (
+      SELECT e.value,
+             date_trunc('hour', e.ts) - INTERVAL 1 HOUR * off.o AS win_start
+      FROM events e,
+           (SELECT unnest(generate_series(0, 1)) AS o) off
+    )
+    SELECT win_start,
+           win_start + INTERVAL 2 HOUR AS win_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM buckets
+    GROUP BY win_start
+    """,
+    doc="Structured Streaming SLIDING window (2 h length, 1 h slide): "
+    "each event lands in two overlapping windows; oracle materializes "
+    "the same two covering buckets per event relationally.",
+)
+def q116_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: sliding windows multiply state by length/slide (2x here) —
+    the streaming aggregation keys on (window, ...) so state is bounded
+    by active windows, and the watermark (production mode) reaps closed
+    ones. complete+availableNow only because the oracle wants the full
+    final result."""
+    import uuid
+
+    from .temporal import _events_stream
+
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"q116_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+# ── q117: IGNORE NULLS window functions (LOCF) ──────────────────────────────
+
+
+@register(
+    "q117_ignore_nulls_locf",
+    """
+    SELECT event_id, user_id,
+           last_value(v_sparse IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS v_locf,
+           first_value(v_sparse IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS v_first_obs
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'purchase' THEN value END AS v_sparse
+          FROM events)
+    """,
+    doc="IGNORE NULLS window functions: last_value carries the previous "
+    "purchase value forward (LOCF over a sparse column), first_value "
+    "finds the first observation per user — the windowed twin of the "
+    "gap-fill operator (q78); identical IGNORE NULLS semantics both "
+    "engines.",
+)
+def q117_ignore_nulls_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on user_id, one sort, two frames sharing it;
+    LOCF via last_value(ignorenulls) needs no self-join and no gap-fill
+    densification when the grid is the event stream itself."""
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("v_sparse"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return sparse.select(
+        "event_id",
+        "user_id",
+        F.last("v_sparse", ignorenulls=True).over(w_run).alias("v_locf"),
+        F.first("v_sparse", ignorenulls=True).over(w_all).alias("v_first_obs"),
+    )
