@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just the fixture corpus — soundness of verified dedup pairs,
+sampling determinism/monotonicity, and packing conservation laws.
+
+Examples are kept small (Spark job per example); the properties, not the
+volume, carry the weight.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.sampled_from("the quick brown fox jumps over a lazy dog spark".split())
+texts = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+
+@given(docs=st.lists(texts, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_minhash_pairs_are_sound(spark, docs):
+    """Every emitted pair's jaccard is the TRUE Jaccard over 3-shingles
+    and >= the threshold — LSH may miss pairs (recall), but verified
+    output must never overstate similarity (soundness)."""
+    from aws_datalake_platform_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    out = minhash_lsh_pairs(df, "doc_id", "text", k=3, threshold=0.5).collect()
+
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for r in out:
+        a, b = shingles(docs[r["doc_a"]]), shingles(docs[r["doc_b"]])
+        true_j = len(a & b) / len(a | b)
+        assert abs(r["jaccard"] - round(true_j, 4)) < 1e-9
+        assert r["jaccard"] >= 0.5
+
+
+@given(docs=st.lists(texts, min_size=2, max_size=8))
+@settings(**SETTINGS)
+def test_minhash_identical_docs_always_pair(spark, docs):
+    """Planted exact duplicates (J=1) must ALWAYS be found: identical
+    docs share every band bucket, so banding cannot miss them."""
+    from aws_datalake_platform_spark.operators.dedup import minhash_lsh_pairs
+
+    long_doc = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, t) for i, t in enumerate(docs)] + [(100, long_doc), (101, long_doc)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(df, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    assert (100, 101) in pairs
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=50, unique=True),
+    f1=st.floats(min_value=0.05, max_value=0.5),
+    f2=st.floats(min_value=0.5, max_value=0.95),
+)
+@settings(**SETTINGS)
+def test_deterministic_sample_monotone_and_partition_free(spark, ids, f1, f2):
+    """Raising the fraction only ADDS rows (nested samples), and the
+    selection is identical under a different partitioning — the two
+    properties df.sample() does NOT give you."""
+    from aws_datalake_platform_spark.operators.sampling import deterministic_sample
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    s1 = {r["id"] for r in deterministic_sample(df, "id", f1).collect()}
+    s2 = {r["id"] for r in deterministic_sample(df, "id", f2).collect()}
+    assert s1 <= s2
+    rep = {r["id"] for r in deterministic_sample(df.repartition(7), "id", f1).collect()}
+    assert rep == s1
+
+
+@given(lens=st.lists(st.integers(min_value=0, max_value=600), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_sequence_packing_conserves_tokens(spark, lens):
+    """Concat-and-split invariants for any doc-length profile: offsets
+    equal the running prefix sum (no token lost or duplicated), offsets
+    stay inside the budget, and pack ids are non-decreasing in doc
+    order."""
+    budget = 512
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)], "doc_id long, text string"
+    )
+    toks = df.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", "\\s+"), lambda t: t != "")).alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        toks.withColumn("off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("off") / budget).cast("long").alias("pack_id"),
+            (F.col("off") % budget).alias("pack_offset"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    running = 0
+    prev_pack = 0
+    for r in out:
+        assert r["pack_id"] * budget + r["pack_offset"] == running
+        assert 0 <= r["pack_offset"] < budget
+        assert r["pack_id"] >= prev_pack
+        prev_pack = r["pack_id"]
+        running += r["n_tokens"]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    ),
+    cap=st.integers(min_value=1, max_value=5),
+)
+@settings(**SETTINGS)
+def test_cap_per_group_bound_and_determinism(spark, rows, cap):
+    """cap_per_group never exceeds the cap, keeps the LOWEST-ordered rows
+    per group, and is partitioning-independent."""
+    from aws_datalake_platform_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(rows, "g string, id long")
+    out = cap_per_group(df, ["g"], ["id"], cap).collect()
+    by_g: dict[str, list[int]] = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["id"])
+    expected: dict[str, list[int]] = {}
+    for g, i in rows:
+        expected.setdefault(g, []).append(i)
+    for g, got in by_g.items():
+        assert sorted(got) == sorted(expected[g])[:cap]
+    rep = cap_per_group(df.repartition(5), ["g"], ["id"], cap).collect()
+    assert {(r["g"], r["id"]) for r in rep} == {(r["g"], r["id"]) for r in out}
