@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -170,3 +171,70 @@ def sample_frames(media_df: DataFrame, frame_bytes: int = 64, every_n: int = 4) 
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media_df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+# ── Audio PCM path (real DSP — no codec needed for raw PCM) ─────────────────
+
+AUDIO_SR = 8000
+AUDIO_N_SAMPLES = 2048
+AUDIO_WIN = 256
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("win_idx", T.IntegerType(), False),
+        T.StructField("sum_sq", T.LongType(), True),
+        T.StructField("zcr", T.IntegerType(), True),
+    ]
+)
+
+
+def synth_pcm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): deterministic 16-bit little-endian PCM, one
+    'recording' per row — a pure tone whose frequency/amplitude derive
+    from the id. Unlike the image path, RAW PCM needs no codec, so this
+    models the real multimodal flow end-to-end: binary in, numpy DSP out.
+    Sample formula (mirrored by the q118 oracle):
+    s_i = trunc(amp * sin(2*pi*f*i/SR)) as int16,
+    f = 100 + (id % 20)*10, amp = 8000 + (id % 7)*1000."""
+
+    @pandas_udf(T.BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        i = np.arange(AUDIO_N_SAMPLES, dtype=np.float64)
+        out = []
+        for d in ids:
+            f = 100 + (int(d) % 20) * 10
+            amp = 8000 + (int(d) % 7) * 1000
+            s = np.trunc(amp * np.sin(2 * np.pi * f * i / AUDIO_SR)).astype("<i2")
+            out.append(s.tobytes())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("doc_id"), synth(F.col(id_col)).alias("payload"))
+
+
+def audio_window_energy(media_df: DataFrame) -> DataFrame:
+    """Per-window audio features over int16 PCM payloads: energy as the
+    EXACT integer sum of squares (accumulation-order free) plus the
+    zero-crossing count — real signal processing via numpy frombuffer,
+    Arrow-batched in mapInPandas.
+
+    Scale: decode + feature-extract run where the bytes live (map-side,
+    no shuffle); emitting integer sufficient statistics instead of
+    floats keeps downstream aggregation exact and engine-independent —
+    rms = sqrt(sum_sq / WIN) is derivable at serving time."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, wins, sums, zcrs = [], [], [], []
+            for d, buf in zip(pdf["doc_id"], pdf["payload"]):
+                s = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+                n_win = len(s) // AUDIO_WIN
+                for w in range(n_win):
+                    seg = s[w * AUDIO_WIN : (w + 1) * AUDIO_WIN]
+                    ids.append(d)
+                    wins.append(w)
+                    sums.append(int((seg * seg).sum()))
+                    zcrs.append(int(((seg[:-1] >= 0) != (seg[1:] >= 0)).sum()))
+            yield pd.DataFrame({"doc_id": ids, "win_idx": wins, "sum_sq": sums, "zcr": zcrs})
+
+    return media_df.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

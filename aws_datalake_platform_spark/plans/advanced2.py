@@ -603,3 +603,47 @@ def q117_ignore_nulls_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v_sparse", ignorenulls=True).over(w_run).alias("v_locf"),
         F.first("v_sparse", ignorenulls=True).over(w_all).alias("v_first_obs"),
     )
+
+
+# ── q118: audio PCM window features ─────────────────────────────────────────
+
+
+@register(
+    "q118_audio_window_energy",
+    """
+    WITH samp AS (
+      SELECT doc_id, i,
+             CAST(TRUNC((8000 + (doc_id % 7) * 1000)
+                        * SIN(2 * PI() * (100 + (doc_id % 20) * 10) * i / 8000))
+                  AS BIGINT) AS s
+      FROM (SELECT doc_id, unnest(generate_series(0, 2047)) AS i FROM documents)
+    ),
+    nxt AS (
+      SELECT doc_id, i, s,
+             LEAD(s) OVER (PARTITION BY doc_id ORDER BY i) AS s2
+      FROM samp
+    )
+    SELECT doc_id,
+           CAST(i // 256 AS INTEGER) AS win_idx,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(SUM(CASE WHEN i % 256 < 255 AND (s >= 0) <> (s2 >= 0)
+                         THEN 1 ELSE 0 END) AS INTEGER) AS zcr
+    FROM nxt
+    GROUP BY doc_id, i // 256
+    """,
+    doc="Audio feature extraction over REAL int16 PCM binaries: "
+    "deterministic per-doc tone synthesis -> numpy frombuffer decode -> "
+    "per-256-sample window energy (exact integer sum of squares) and "
+    "zero-crossing counts via mapInPandas. The oracle recomputes the "
+    "waveform from the closed-form sample formula — the binary decode "
+    "path itself is hash-checked, not stubbed.",
+)
+def q118_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: synthesis stands in for reading real recordings; decode +
+    windowed features are map-side Arrow batches (no shuffle), and the
+    emitted features are integer sufficient statistics so downstream
+    rollups stay exact on any engine."""
+    from ..operators.multimodal import audio_window_energy, synth_pcm_payload
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return audio_window_energy(synth_pcm_payload(docs))

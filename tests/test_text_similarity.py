@@ -252,3 +252,24 @@ def test_pq_topk_recall_vs_brute_force(spark, emb):
         for r in pq_topk(queries, emb, k=5, m_subspaces=8, n_codes=32, refine=8).collect()
     }
     assert pq == pq2
+
+
+def test_audio_pcm_decode_known_signal(spark):
+    """int16 PCM decode + windowed features verified against a hand-built
+    waveform: constant amplitude alternating signal -> exact sum of
+    squares and maximal zero-crossing count."""
+    import numpy as np
+
+    from aws_datalake_platform_spark.operators.multimodal import (
+        AUDIO_WIN,
+        audio_window_energy,
+    )
+
+    # 512 samples alternating +1000 / -1000: zcr = 255 per 256-window
+    sig = np.tile(np.array([1000, -1000], dtype="<i2"), 256)
+    df = spark.createDataFrame([(7, bytearray(sig.tobytes()))], "doc_id long, payload binary")
+    rows = {r["win_idx"]: r for r in audio_window_energy(df).collect()}
+    assert set(rows) == {0, 1}
+    for w in (0, 1):
+        assert rows[w]["sum_sq"] == 1000 * 1000 * AUDIO_WIN
+        assert rows[w]["zcr"] == AUDIO_WIN - 1
