@@ -55,6 +55,7 @@ HEADLINE = [
     "q96_time_range_window",
     "q97_bloom_join_prefilter",
     "q102_keep_latest",
+    "q118_audio_window_energy",
 ]
 
 

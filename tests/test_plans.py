@@ -80,3 +80,24 @@ def test_bloom_prefilter_broadcasts_bitmap(spark):
     fact table must not shuffle before its membership filter."""
     plan = _plan(spark, "q97_bloom_join_prefilter")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_join_strategy_hints_are_respected(spark):
+    """The serving surface honors per-join strategy hints: merge ->
+    SortMergeJoin, shuffle_hash -> ShuffledHashJoin, broadcast ->
+    BroadcastHashJoin — the knobs a 100 TB query author reaches for when
+    stats mislead the optimizer."""
+    from aws_datalake_platform_spark.catalog import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+
+    def plan(j):
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    merge = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in plan(merge)
+    shash = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+    assert "ShuffledHashJoin" in plan(shash)
+    bcast = li.join(orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey)
+    assert "BroadcastHashJoin" in plan(bcast)
