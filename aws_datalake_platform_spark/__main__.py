@@ -1,0 +1,82 @@
+"""CLI: run registered queries or ad-hoc SQL against a testdata lake.
+
+The serving-surface ergonomics of the reference's Athena console
+(reference: README.md:128-132) as a command line:
+
+    python -m aws_datalake_platform_spark list
+    python -m aws_datalake_platform_spark run q01_pricing_summary
+    python -m aws_datalake_platform_spark run q24_minhash_lsh_dedup \
+        --sf-dir /root/testdata/sf0.01 --limit 50 --explain
+    python -m aws_datalake_platform_spark sql \
+        "SELECT COUNT(*) FROM lineitem" --sf-dir /root/testdata/sf0.001
+
+`run --output <dir>` writes the full result as parquet instead of
+showing it (the driver-free path to materialize any operator's output).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="aws_datalake_platform_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries")
+
+    runp = sub.add_parser("run", help="run a registered query")
+    runp.add_argument("name")
+    runp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    runp.add_argument("--limit", type=int, default=20)
+    runp.add_argument("--explain", action="store_true", help="print the formatted plan")
+    runp.add_argument("--output", help="write full result as parquet to this dir")
+
+    sqlp = sub.add_parser("sql", help="run ad-hoc SQL over the testdata views")
+    sqlp.add_argument("statement")
+    sqlp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    sqlp.add_argument("--limit", type=int, default=20)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    from .plans.queries import QUERY_REGISTRY
+
+    if args.cmd == "list":
+        for name in sorted(QUERY_REGISTRY):
+            spec = QUERY_REGISTRY[name]
+            kind = "sql-oracle" if spec.sql else "rows-only"
+            print(f"{name}  [{kind}]  {spec.doc.splitlines()[0] if spec.doc else ''}")
+        return 0
+
+    from .catalog import register_testdata
+    from .session import get_spark
+
+    spark = get_spark("cli")
+    if args.cmd == "run":
+        if args.name not in QUERY_REGISTRY:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        df = QUERY_REGISTRY[args.name].fn(spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            print(f"wrote {args.output}")
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
+
+    # sql
+    register_testdata(spark, args.sf_dir)
+    spark.sql(args.statement).show(args.limit, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

@@ -96,3 +96,18 @@ def decrypt_column(col: Column | str, key: str, mode: str = "GCM") -> Column:
     """Inverse of encrypt_column; returns the plaintext string."""
     c = F.col(col) if isinstance(col, str) else col
     return F.aes_decrypt(c, F.lit(key), F.lit(mode)).cast("string")
+
+
+def haversine_km(lat1: Column | str, lon1: Column | str, lat2: Column | str, lon2: Column | str) -> Column:
+    """Great-circle distance in km between two (lat, lon) pairs — the
+    spatial primitive the reference's weather domain implies (city
+    coordinates ride every record, batch_ingest/lambda_function.py:66;
+    nearest-station joins and radius filters need exactly this). Pure
+    column trigonometry: codegen'd, no UDF.
+    """
+    c = lambda x: F.col(x) if isinstance(x, str) else x  # noqa: E731
+    rlat1, rlat2 = F.radians(c(lat1)), F.radians(c(lat2))
+    dlat = F.radians(c(lat2) - c(lat1)) / 2
+    dlon = F.radians(c(lon2) - c(lon1)) / 2
+    a = F.sin(dlat) ** 2 + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) ** 2
+    return 2 * 6371.0088 * F.asin(F.sqrt(a))

@@ -498,3 +498,43 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     assert sorted(merged.columns) == ["id", "v1", "v2"]
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["v2"] is None and rows[2]["v2"] == 9.5
+
+
+def test_haversine_known_distances(spark):
+    """haversine_km against surveyed city distances (±0.5%)."""
+    from aws_datalake_platform_spark.functions.core import haversine_km
+
+    rows = [
+        # city pair, surveyed great-circle km
+        ("paris-london", 48.8566, 2.3522, 51.5074, -0.1278, 343.5),
+        ("nyc-la", 40.7128, -74.0060, 34.0522, -118.2437, 3935.7),
+        ("sydney-tokyo", -33.8688, 151.2093, 35.6762, 139.6503, 7823.0),
+        ("same-point", 10.0, 20.0, 10.0, 20.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "pair string, lat1 double, lon1 double, lat2 double, lon2 double, want double"
+    )
+    got = {
+        r["pair"]: (r["km"], r["want"])
+        for r in df.select(
+            "pair", haversine_km("lat1", "lon1", "lat2", "lon2").alias("km"), "want"
+        ).collect()
+    }
+    for pair, (km, want) in got.items():
+        assert abs(km - want) <= max(0.005 * want, 0.01), (pair, km, want)
+
+
+def test_cli_list_and_run(spark, capsys, tmp_path):
+    """CLI surface: list prints the registry; run executes a query and
+    writes parquet via --output."""
+    from aws_datalake_platform_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out and "sql-oracle" in out
+
+    dst = str(tmp_path / "q01_out")
+    assert main(["run", "q01_pricing_summary", "--output", dst]) == 0
+    assert spark.read.parquet(dst).count() == 6
+
+    assert main(["run", "no_such_query"]) == 2
