@@ -647,3 +647,57 @@ def q118_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return audio_window_energy(synth_pcm_payload(docs))
+
+
+# ── q119: stream-static dimension join ──────────────────────────────────────
+
+_TYPE_WEIGHTS = [("click", 1.0), ("view", 0.5), ("purchase", 5.0), ("error", 0.0), ("signup", 2.0)]
+
+
+@register(
+    "q119_stream_static_join",
+    """
+    WITH dim(event_type, w) AS (
+      VALUES ('click', 1.0), ('view', 0.5), ('purchase', 5.0),
+             ('error', 0.0), ('signup', 2.0)
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value * d.w), 2) AS weighted_value
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="Stream-static join: the event file stream enriched against a "
+    "static in-memory dimension (type -> weight) before a streaming "
+    "aggregation — the standard dimension-enrichment topology; the "
+    "static side re-reads per micro-batch, no state.",
+)
+def q119_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the static dim broadcasts into every micro-batch (no
+    stream-stream state, no watermark bookkeeping); at 100 TB the dim is
+    a real table and the same plan holds — broadcast if small, shuffle
+    join if not, chosen per micro-batch."""
+    import uuid
+
+    from .temporal import _events_stream
+
+    dim = spark.createDataFrame(_TYPE_WEIGHTS, "event_type string, w double")
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("w")), 2).alias("weighted_value"),
+        )
+    )
+    name = f"q119_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

@@ -538,3 +538,20 @@ def test_cli_list_and_run(spark, capsys, tmp_path):
     assert spark.read.parquet(dst).count() == 6
 
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_file_metadata_provenance_columns(spark):
+    """The hidden _metadata struct exposes per-row file provenance
+    (path, size, modification time) — the lineage hook a lake audit
+    needs, with zero extra IO."""
+    import os
+
+    from .conftest import SF_SMOKE
+
+    path = os.path.join(SF_SMOKE, "orders.parquet")
+    df = spark.read.parquet(path).select(
+        "_metadata.file_path", "_metadata.file_size", "o_orderkey"
+    )
+    rows = df.limit(5).collect()
+    assert rows and all(r["file_path"].endswith(".parquet") for r in rows)
+    assert all(r["file_size"] > 0 for r in rows)
