@@ -555,3 +555,29 @@ def test_file_metadata_provenance_columns(spark):
     rows = df.limit(5).collect()
     assert rows and all(r["file_path"].endswith(".parquet") for r in rows)
     assert all(r["file_size"] > 0 for r in rows)
+
+
+def test_binary_file_source_for_media_ingest(spark, tmp_path):
+    """spark.read.format('binaryFile') is the ingestion path for media
+    corpora: whole-file bytes + path/length/modificationTime metadata,
+    feeding the multimodal operators without any custom reader."""
+    d = tmp_path / "media"
+    d.mkdir()
+    payloads = {f"rec{i}.pcm": bytes([i] * (10 + i)) for i in range(3)}
+    for name, data in payloads.items():
+        (d / name).write_bytes(data)
+
+    df = spark.read.format("binaryFile").load(str(d))
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == set(payloads)
+    for name, data in payloads.items():
+        assert bytes(rows[name]["content"]) == data
+        assert rows[name]["length"] == len(data)
+
+
+def test_text_source_line_oriented(spark, tmp_path):
+    """spark.read.text: line-per-row ingestion for raw text corpora."""
+    f = tmp_path / "corpus.txt"
+    f.write_text("alpha\nbeta\ngamma\n")
+    got = sorted(r["value"] for r in spark.read.text(str(f)).collect())
+    assert got == ["alpha", "beta", "gamma"]

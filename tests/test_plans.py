@@ -101,3 +101,23 @@ def test_join_strategy_hints_are_respected(spark):
     assert "ShuffledHashJoin" in plan(shash)
     bcast = li.join(orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey)
     assert "BroadcastHashJoin" in plan(bcast)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Joining a date-partitioned fact to a filtered dim must inject a
+    dynamic-pruning subquery on the fact's partition column — at 100 TB
+    this is the difference between scanning 3 partitions and 3000."""
+    fact_path = str(tmp_path / "fact")
+    spark.createDataFrame(
+        [(i, f"2024-01-{(i % 5) + 1:02d}", float(i)) for i in range(100)],
+        ["id", "date", "v"],
+    ).write.partitionBy("date").parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("2024-01-02", "keep"), ("2024-01-03", "drop")], ["date", "tag"]
+    ).filter(F.col("tag") == "keep")  # a filtered dim is what makes DPP kick in
+
+    fact = spark.read.parquet(fact_path)
+    joined = fact.join(dim, "date")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.count() == 20
