@@ -15,20 +15,45 @@ explicit schema to skip the inference scan (full extra pass at 100 TB).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_CORRUPT = "_corrupt_record"
 
 
 def read_ndjson(
     spark: SparkSession, path: str, schema: T.StructType | None = None, bad_records_path: str | None = None
 ) -> DataFrame:
-    """JSON directory scan (S4). With a schema: single pass, corrupt rows
-    routed to badRecordsPath (the Firehose error-prefix analogue,
-    kinesis/main.tf:39) or a _corrupt_record column."""
+    """JSON directory scan (S4). With a schema: single pass, no inference
+    job. With ``bad_records_path`` (requires a schema): corrupt lines are
+    routed to a dead-letter directory — the Firehose error-prefix
+    analogue (kinesis/main.tf:39) — and only clean rows are returned.
+
+    The routing is the OSS PERMISSIVE + columnNameOfCorruptRecord
+    pattern: Databricks' ``badRecordsPath`` reader option is NOT
+    implemented in open-source Spark (it is silently ignored), so relying
+    on it would drop the dead-letter guarantee without any error. The
+    split caches the scan once (Spark refuses to filter on the corrupt
+    column of an uncached frame), appends raw bad lines to the
+    dead-letter path, and returns the good rows."""
+    if bad_records_path is not None:
+        if schema is None:
+            raise ValueError("bad_records_path requires an explicit schema")
+        aug = T.StructType(list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())])
+        df = (
+            spark.read.schema(aug)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", _CORRUPT)
+            .json(path)
+            .cache()
+        )
+        df.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT).write.mode("append").text(
+            bad_records_path
+        )
+        return df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    if bad_records_path is not None:
-        reader = reader.option("badRecordsPath", bad_records_path)
     return reader.json(path)
 
 
@@ -60,17 +85,32 @@ def read_csv(
     bad_records_path: str | None = None,
 ) -> DataFrame:
     """CSV directory scan. With a schema: single pass, no inference job
-    (at 100 TB inference is a full extra read); corrupt rows routed to
-    badRecordsPath, mirroring the JSON reader's error policy. Without a
+    (at 100 TB inference is a full extra read); with ``bad_records_path``
+    (requires a schema) malformed rows are dead-lettered via the same
+    PERMISSIVE + corrupt-column split as read_ndjson (Databricks'
+    badRecordsPath option is a silent no-op on OSS Spark). Without a
     schema, inference reads once to sample — acceptable only for ad-hoc
     exploration."""
     reader = spark.read.option("header", str(header).lower()).option("sep", delimiter)
+    if bad_records_path is not None:
+        if schema is None:
+            raise ValueError("bad_records_path requires an explicit schema")
+        aug = T.StructType(list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())])
+        df = (
+            reader.schema(aug)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", _CORRUPT)
+            .csv(path)
+            .cache()
+        )
+        df.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT).write.mode("append").text(
+            bad_records_path
+        )
+        return df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
     if schema is not None:
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", "true")
-    if bad_records_path is not None:
-        reader = reader.option("badRecordsPath", bad_records_path)
     return reader.csv(path)
 
 

@@ -581,3 +581,30 @@ def test_text_source_line_oriented(spark, tmp_path):
     f.write_text("alpha\nbeta\ngamma\n")
     got = sorted(r["value"] for r in spark.read.text(str(f)).collect())
     assert got == ["alpha", "beta", "gamma"]
+
+
+def test_ndjson_dead_letter_routing(spark, tmp_path):
+    """Corrupt raw lines must land in the dead-letter dir and NEVER reach
+    the returned frame — real OSS routing (Databricks' badRecordsPath
+    option silently no-ops on open-source Spark)."""
+    from pyspark.sql import types as T
+
+    from aws_datalake_platform_spark.sources.io import read_ndjson
+
+    src = tmp_path / "raw"
+    src.mkdir()
+    (src / "part.json").write_text(
+        '{"city": "berlin", "temp": 11.5}\n'
+        "THIS IS NOT JSON\n"
+        '{"city": "paris", "temp": 14.0}\n'
+        '{"city": "oslo", "temp": broken}\n'
+    )
+    dead = str(tmp_path / "dead")
+    schema = T.StructType(
+        [T.StructField("city", T.StringType()), T.StructField("temp", T.DoubleType())]
+    )
+    good = read_ndjson(spark, str(src), schema=schema, bad_records_path=dead)
+    assert {r["city"] for r in good.collect()} == {"berlin", "paris"}
+    assert good.columns == ["city", "temp"]
+    bad_lines = {r["value"] for r in spark.read.text(dead).collect()}
+    assert bad_lines == {"THIS IS NOT JSON", '{"city": "oslo", "temp": broken}'}
