@@ -701,3 +701,105 @@ def q119_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+# ── q120: XML extraction (Spark 4 from_xml) ─────────────────────────────────
+
+
+@register(
+    "q120_xml_extract",
+    """
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           o_totalprice AS price
+    FROM orders
+    """,
+    doc="XML ingestion surface (Spark 4 from_xml): order rows serialized "
+    "to XML strings, then parsed back through the XML reader with a "
+    "typed schema — parse(serialize(x)) == x, so the oracle is the "
+    "original relational projection and the XML path is value-hash "
+    "checked.",
+)
+def q120_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: from_xml is per-row JVM parsing inside codegen — the same
+    map-side shape as from_json/parse_json (q41/q86); schema-first so no
+    inference pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(F.col("o_orderkey"), F.expr(
+            # parse the serialized row back with a typed schema
+            "from_xml(concat('<o><k>', o_orderkey, '</k><s>', o_orderstatus, "
+            "'</s><p>', o_totalprice, '</p></o>'), 'k long, s string, p double')"
+        ).alias("x"))
+        .select(
+            "o_orderkey",
+            F.col("x.s").alias("status"),
+            F.col("x.p").alias("price"),
+        )
+    )
+
+
+# ── q121: collation-aware grouping (Spark 4 collations) ─────────────────────
+
+
+@register(
+    "q121_collation_group",
+    """
+    SELECT lower(mixed) AS key_lc,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM (SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                      ELSE event_type END AS mixed,
+                 value
+          FROM events)
+    GROUP BY lower(mixed)
+    """,
+    doc="Collation-aware grouping (Spark 4 COLLATE UTF8_LCASE): "
+    "mixed-case keys group case-insensitively via the collation itself, "
+    "not an explicit lower() rewrite; the oracle uses the lower() "
+    "equivalent.",
+)
+def q121_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: collation is a property of the comparison, so the hash
+    aggregate shuffles on the collation key directly — no derived-column
+    materialization; same one-shuffle plan as any group-by."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = F.when(F.col("event_id") % 2 == 0, F.upper("event_type")).otherwise(
+        F.col("event_type")
+    )
+    return (
+        ev.select(mixed.alias("mixed"), "value")
+        .groupBy(F.expr("collate(mixed, 'UTF8_LCASE')").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.lower("k").alias("key_lc"), "n", "sum_value")
+    )
+
+
+# ── q122: ANSI-safe try_* functions ─────────────────────────────────────────
+
+
+@register(
+    "q122_try_functions",
+    """
+    SELECT event_id,
+           value / nullif(CAST(event_id % 3 AS DOUBLE), 0.0) AS safe_div,
+           TRY_CAST(props AS DOUBLE) AS bad_cast,
+           CASE WHEN event_id % 3 = 0 THEN NULL
+                ELSE ROUND(value / (event_id % 3), 4) END AS safe_div_round
+    FROM events
+    """,
+    doc="ANSI-safe arithmetic (Spark 4 runs ANSI mode by default, where "
+    "division by zero and bad casts THROW): try_divide/try_cast return "
+    "NULL instead — the batch-pipeline behavior you want when one bad "
+    "record must not kill a 100 TB job. Oracle mirrors with "
+    "nullif/TRY_CAST.",
+)
+def q122_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    denom = (F.col("event_id") % 3).cast("double")
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), denom).alias("safe_div"),
+        F.expr("try_cast(props AS DOUBLE)").alias("bad_cast"),
+        F.round(F.try_divide(F.col("value"), denom), 4).alias("safe_div_round"),
+    )
