@@ -803,3 +803,90 @@ def q122_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(props AS DOUBLE)").alias("bad_cast"),
         F.round(F.try_divide(F.col("value"), denom), 4).alias("safe_div_round"),
     )
+
+
+# ── q123: PageRank over the event-type transition graph ─────────────────────
+
+_PR_ITERS = 10
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled fixed-iteration PageRank in pure SQL: recursive CTEs
+    cannot aggregate over their own prior iteration (the PostgreSQL
+    restriction DuckDB inherits), so the oracle chains it0..itN CTEs —
+    the literal power iteration, one CTE per step."""
+    head = """
+    WITH ord AS (
+      SELECT user_id, event_type AS cur,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    edges AS (SELECT prev, cur, COUNT(*) AS w FROM ord
+              WHERE prev IS NOT NULL GROUP BY prev, cur),
+    outd AS (SELECT prev, SUM(w) AS od FROM edges GROUP BY prev),
+    e AS (SELECT edges.prev, edges.cur, edges.w * 1.0 / outd.od AS p
+          FROM edges JOIN outd USING (prev)),
+    nodes AS (SELECT DISTINCT event_type AS v FROM events),
+    it0 AS (SELECT v, 1.0 / (SELECT COUNT(*) FROM nodes) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(f"""
+    it{i} AS (
+      SELECT n.v,
+             {1 - _PR_DAMP} / (SELECT COUNT(*) FROM nodes)
+             + {_PR_DAMP} * COALESCE((SELECT SUM(e.p * prev.r)
+                                      FROM e JOIN it{i - 1} prev ON prev.v = e.prev
+                                      WHERE e.cur = n.v), 0) AS r
+      FROM nodes n)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"\n    SELECT v, ROUND(r, 6) AS pagerank FROM it{_PR_ITERS}"
+    )
+
+
+@register(
+    "q123_pagerank_transitions",
+    _pagerank_oracle_sql(),
+    doc="PageRank (10 power iterations, damping 0.85) over the "
+    "event-type transition graph mined from per-user event sequences — "
+    "an iterative graph algorithm whose every iteration is value-checked: "
+    "the oracle unrolls the identical power iteration as chained CTEs.",
+)
+def q123_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: edge mining is one lag-window + aggregate over the event
+    log (the heavy part — shuffles on user then on edge key); the
+    iteration itself runs on the NODE set, which for any real taxonomy
+    is tiny — each step is one co-partitioned join + aggregate, and at
+    graph scale this exact loop is connected_components' shape
+    (persist + localCheckpoint cadence, operators/dedup.py:560)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("cur"), F.lag("event_type").over(w).alias("prev")
+    )
+    edges = (
+        ordered.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outd = edges.groupBy("prev").agg(F.sum("w").alias("od"))
+    e = edges.join(outd, "prev").select(
+        "prev", "cur", (F.col("w") * 1.0 / F.col("od")).alias("p")
+    )
+    nodes = ev.select(F.col("event_type").alias("v")).distinct()
+    n = nodes.count()
+    if n == 0:  # empty lake: schema-stable empty result
+        return spark.createDataFrame([], "v string, pagerank double")
+    ranks = nodes.select("v", F.lit(1.0 / n).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(ranks, e["prev"] == ranks["v"])
+            .groupBy("cur")
+            .agg(F.sum(F.col("p") * F.col("r")).alias("c"))
+        )
+        ranks = nodes.join(contrib, nodes["v"] == contrib["cur"], "left").select(
+            "v", (F.lit((1 - _PR_DAMP) / n) + _PR_DAMP * F.coalesce("c", F.lit(0.0))).alias("r")
+        )
+    return ranks.select("v", F.round("r", 6).alias("pagerank"))
