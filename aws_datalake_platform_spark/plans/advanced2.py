@@ -890,3 +890,55 @@ def q123_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v", (F.lit((1 - _PR_DAMP) / n) + _PR_DAMP * F.coalesce("c", F.lit(0.0))).alias("r")
         )
     return ranks.select("v", F.round("r", 6).alias("pagerank"))
+
+
+# ── q124: train/val/test split assignment ───────────────────────────────────
+
+_SPLIT_HASH = "CAST(('0x' || substr(md5('split42|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+_SPLIT_TRAIN = int(0.8 * (1 << 60))
+_SPLIT_VAL = int(0.9 * (1 << 60))
+
+
+@register(
+    "q124_train_val_test_split",
+    f"""
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT lang, n_chars,
+                 CASE WHEN {_SPLIT_HASH} < {_SPLIT_TRAIN} THEN 'train'
+                      WHEN {_SPLIT_HASH} < {_SPLIT_VAL} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+    GROUP BY split, lang
+    """,
+    doc="Deterministic 80/10/10 train/val/test split: the split label is "
+    "a pure row-content hash range, so membership is stable across runs, "
+    "engines, partitionings, and dataset growth (a doc never migrates "
+    "between splits when new data arrives) — reported as per-split "
+    "per-language doc and char counts.",
+)
+def q124_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: split assignment is a map-side expression at the scan (no
+    shuffle, no RNG); the only shuffle is the reporting aggregate.
+    Contrast randomSplit(): partition-order dependent, migrates rows on
+    re-runs, and cannot be recomputed engine-independently."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split42|"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+    )
+    split = (
+        F.when(h < _SPLIT_TRAIN, "train").when(h < _SPLIT_VAL, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", "n_chars", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
