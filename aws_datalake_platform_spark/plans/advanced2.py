@@ -942,3 +942,146 @@ def q124_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# ── q125-q128: classic TPC-H query shapes ───────────────────────────────────
+
+
+@register(
+    "q125_tpch_q6",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 (forecasting revenue change): pure scan-filter-agg — "
+    "every predicate pushes to the parquet scan, the aggregate is one "
+    "map-side-combined sum; the canonical IO-bound benchmark query.",
+)
+def q125_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: zero shuffles beyond the final 1-row combine; the scan
+    reads 4 columns and row groups are pruned by the shipdate min/max
+    stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q126_tpch_q13",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 (customer order-count distribution): left join so "
+    "order-less customers count as zero, then a distribution re-group — "
+    "the two-level aggregation benchmark shape.",
+)
+def q126_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: first group-by rides the join's custkey partitioning (no
+    second exchange); the distribution re-group shuffles only
+    (c_count, 1) pairs."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q127_tpch_q14",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+    doc="TPC-H Q14 (promotion effect): conditional revenue share over a "
+    "fact-dim join — broadcast the part dim, one fused conditional "
+    "aggregate.",
+)
+def q127_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: part broadcasts; the month filter prunes lineitem at the
+    scan; both sums fuse into one aggregate pass."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
+    )
+
+
+@register(
+    "q128_tpch_q10",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1995-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 (returned-item reporting): 4-way join, quarter filter, "
+    "returned lineitems only, top-20 by lost revenue with a custkey "
+    "tiebreak for determinism.",
+)
+def q128_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: orders filtered to one quarter BEFORE the fact join (the
+    selective side drives); nation broadcasts; TakeOrderedAndProject
+    caps the result without a global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        # integer-cents arithmetic: exact, accumulation-order independent
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                )
+                / 10000.0
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
