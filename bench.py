@@ -56,6 +56,8 @@ HEADLINE = [
     "q97_bloom_join_prefilter",
     "q102_keep_latest",
     "q118_audio_window_energy",
+    "q125_tpch_q6",
+    "q128_tpch_q10",
 ]
 
 
