@@ -1085,3 +1085,36 @@ def q128_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ── q129: grouping_id over rollup ───────────────────────────────────────────
+
+
+@register(
+    "q129_grouping_id",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="grouping_id over ROLLUP: the bitmask that tells subtotal rows "
+    "apart from genuinely-NULL group keys — without it a rollup over "
+    "nullable dimensions is ambiguous; identical GROUPING() semantics "
+    "both engines.",
+)
+def q129_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same single Expand + hash-aggregate plan as q15; the
+    grouping id is a literal tag per Expand branch — zero extra cost."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
