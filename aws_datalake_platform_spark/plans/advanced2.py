@@ -1118,3 +1118,34 @@ def q129_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
     )
+
+
+# ── q130: discrete percentiles ──────────────────────────────────────────────
+
+
+@register(
+    "q130_percentile_disc",
+    """
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.25) AS p25,
+           quantile_disc(l_quantity, 0.50) AS p50,
+           quantile_disc(l_quantity, 0.90) AS p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Discrete percentiles (percentile_disc == DuckDB quantile_disc): "
+    "always returns an ACTUAL population value, never an interpolated "
+    "midpoint — the right semantics for quantizing to real observations "
+    "(latency SLOs, discrete sizes); complements q43's continuous "
+    "interpolation.",
+)
+def q130_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same per-group value buffer as any exact percentile —
+    bounded group cardinality here; unbounded groups go through
+    approx_percentile (q80)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").alias("p25"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity)").alias("p50"),
+        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY l_quantity)").alias("p90"),
+    )
