@@ -1149,3 +1149,36 @@ def q130_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity)").alias("p50"),
         F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY l_quantity)").alias("p90"),
     )
+
+
+# ── q131: string-function pack 2 ────────────────────────────────────────────
+
+
+@register(
+    "q131_string_functions2",
+    """
+    SELECT c_custkey,
+           split_part(c_name, '#', 2) AS cust_num,
+           left(c_name, 8) AS name_prefix,
+           right(c_name, 4) AS name_suffix,
+           reverse(c_mktsegment) AS seg_rev,
+           CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+           repeat(c_mktsegment, 2) AS seg_twice
+    FROM customer
+    """,
+    doc="Second scalar string pack: split_part, left/right, reverse, "
+    "position (instr/strpos), repeat — completes q42's function-library "
+    "coverage with the delimiter-field and affix helpers ETL leans on.",
+)
+def q131_string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: pure codegen'd column expressions; zero shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_num"),
+        F.expr("left(c_name, 8)").alias("name_prefix"),
+        F.expr("right(c_name, 4)").alias("name_suffix"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.repeat("c_mktsegment", 2).alias("seg_twice"),
+    )
