@@ -1182,3 +1182,78 @@ def q131_string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("c_name", "#").alias("hash_pos"),
         F.repeat("c_mktsegment", 2).alias("seg_twice"),
     )
+
+
+# ── q132: median absolute deviation (robust spread) ─────────────────────────
+
+
+@register(
+    "q132_mad_robust_spread",
+    """
+    WITH med AS (SELECT l_returnflag, MEDIAN(l_quantity) AS m
+                 FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           ROUND(MEDIAN(ABS(l.l_quantity - med.m)), 4) AS mad_qty,
+           ROUND(ANY_VALUE(med.m), 4) AS median_qty
+    FROM lineitem l JOIN med USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+    doc="Median absolute deviation per group — the robust spread measure "
+    "outlier-heavy pipelines use instead of stddev (one wild value moves "
+    "stddev, not MAD). Two-phase: per-group median, then median of "
+    "absolute deviations.",
+)
+def q132_mad_robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two grouped medians on the same key — the second group-by
+    reuses the join's partitioning, so the plan pays one extra exchange
+    for the medians join, not two; at unbounded group sizes swap both
+    medians for approx_percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(F.median("l_quantity").alias("m"))
+    return (
+        li.join(med, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.median(F.abs(F.col("l_quantity") - F.col("m"))), 4).alias("mad_qty"),
+            F.round(F.any_value("m"), 4).alias("median_qty"),
+        )
+    )
+
+
+# ── q134: Benford leading-digit profile ─────────────────────────────────────
+
+
+@register(
+    "q134_benford_digits",
+    """
+    WITH d AS (
+      SELECT left(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 4) AS observed_freq,
+           ROUND(LOG10(1.0 + 1.0 / CAST(digit AS BIGINT)), 4) AS benford_freq
+    FROM d
+    GROUP BY digit
+    """,
+    doc="Benford leading-digit profile of order totals: observed "
+    "first-digit frequencies next to the Benford expectation "
+    "log10(1 + 1/d) — the classic fabricated-data / anomaly screen for "
+    "financial columns. FLOOR before the integer cast on both engines "
+    "(DuckDB CAST(double AS BIGINT) rounds, Spark casts truncate).",
+)
+def q134_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one hash aggregate on a 9-value key plus a single-row
+    window for the total — the window over () is one tiny exchange of
+    9 rows, not a data-sized sort."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+    counts = orders.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    return counts.select(
+        "digit",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w), 4).alias("observed_freq"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit").cast("long")), 4).alias("benford_freq"),
+    )
