@@ -58,6 +58,7 @@ HEADLINE = [
     "q118_audio_window_energy",
     "q125_tpch_q6",
     "q128_tpch_q10",
+    "q133_tpch_q5",
 ]
 
 
