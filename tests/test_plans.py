@@ -121,3 +121,54 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert joined.count() == 20
+
+
+def test_tpch_q5_dims_broadcast_one_agg_shuffle(spark):
+    """q133's supplier/nation/region must broadcast (no dim ever on a
+    shuffle) and the revenue rollup must be the plan's only hash
+    exchange besides AQE's final combine."""
+    plan = _plan(spark, "q133_tpch_q5")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q18_semi_join_is_broadcast(spark):
+    """q139's qualifying-order set (HAVING sum(qty) > cap) must reach
+    lineitem as a broadcast LeftSemi, never a fact-fact shuffle join."""
+    plan = _plan(spark, "q139_tpch_q18")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_tpch_q19_single_side_predicates_push_below_join(spark):
+    """q140's OR spans both tables, but Catalyst must still push the
+    derived single-side implications into the parquet scans (brand IN
+    set on part, quantity range on lineitem)."""
+    plan = _plan(spark, "q140_tpch_q19")
+    # lineitem scan: the derived quantity bands reach parquet pushdown
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in plan, plan
+    # part side: the brand/size disjunction filters before the join (the
+    # scan's PushedFilters list is elided in toString, so assert the
+    # Filter node instead — it sits below the broadcast exchange)
+    assert "(p_brand" in plan and "p_size" in plan
+
+
+def test_scd2_build_uses_single_window_exchange(spark):
+    """q142's lag, change filter, and lead all key on user_id with the
+    same ordering — the build must plan exactly one hash exchange, not
+    one per window."""
+    plan = _plan(spark, "q142_scd2_intervals")
+    assert plan.count("Exchange hashpartitioning") == 1, plan.count("Exchange hashpartitioning")
+
+
+def test_cdc_merge_changelog_collapse_prunes_to_rank1(spark):
+    """q143's latest-per-key collapse must get WindowGroupLimit so rank>1
+    changelog rows die map-side before the shuffle."""
+    plan = _plan(spark, "q143_cdc_merge_apply")
+    assert "WindowGroupLimit" in plan
+
+
+def test_countmin_probe_broadcasts_cells(spark):
+    """q144's probe joins a <=192-row cell grid — it must broadcast; the
+    truth side must not shuffle for the probe."""
+    plan = _plan(spark, "q144_countmin_sketch")
+    assert "BroadcastHashJoin" in plan
