@@ -1257,3 +1257,91 @@ def q134_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") * 1.0 / F.sum("n").over(w), 4).alias("observed_freq"),
         F.round(F.log10(1.0 + 1.0 / F.col("digit").cast("long")), 4).alias("benford_freq"),
     )
+
+
+# ── q145: array set-operation pack ──────────────────────────────────────────
+
+
+@register(
+    "q145_array_setops",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(tokens)) AS INTEGER) AS n_distinct,
+           COALESCE(array_to_string(list_sort(list_intersect(
+             tokens, ['the','a','of','and','to','in','is','it'])), ','), '') AS stop_found,
+           COALESCE(array_to_string(
+             list_sort(list_distinct(list_filter(tokens,
+               t -> NOT list_contains(['the','a','of','and','to','in','is','it'], t)
+             )))[1:5], ','), '') AS content_sample,
+           CAST(list_position(tokens, 'the') AS INTEGER) AS the_pos,
+           len(list_intersect(tokens,
+             ['the','a','of','and','to','in','is','it'])) > 0 AS has_stopword
+    FROM tok
+    """,
+    doc="Array set-operation pack over tokenized documents: "
+    "array_distinct, array_intersect, array_except (DuckDB mirrors via "
+    "list_filter + list_contains — Spark's except also dedups), "
+    "array_position (both engines return 0 for missing), slice, "
+    "arrays_overlap. Set results are sorted then joined to strings so "
+    "the comparison is representation-independent (COALESCE to '' — "
+    "DuckDB's array_to_string yields NULL on empty lists, Spark's "
+    "concat_ws yields '').",
+)
+def q145_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: every op is a JVM-side array expression inside one
+    codegen'd project — no explode, no shuffle, no Python; cost is
+    linear in tokens per row regardless of corpus size."""
+    stop = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "to", "in", "is", "it"]])
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.lower("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(tokens)).alias("n_distinct"),
+        F.concat_ws(",", F.array_sort(F.array_intersect(tokens, stop))).alias("stop_found"),
+        F.concat_ws(
+            ",", F.slice(F.array_sort(F.array_except(tokens, stop)), 1, 5)
+        ).alias("content_sample"),
+        F.array_position(tokens, "the").cast("int").alias("the_pos"),
+        F.arrays_overlap(tokens, stop).alias("has_stopword"),
+    )
+
+
+# ── q146: bitwise-function pack ─────────────────────────────────────────────
+
+
+@register(
+    "q146_bitwise_pack",
+    """
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           xor(event_id, user_id) AS key_xor,
+           (1 << CAST(user_id % 8 AS INTEGER)) | 1 AS flag_mask,
+           user_id << 3 AS shl3,
+           event_id >> 4 AS shr4,
+           CAST(bit_count(event_id) AS INTEGER) AS popcount
+    FROM events
+    """,
+    doc="Bitwise scalar pack: AND-masking, XOR key mixing, OR'd flag "
+    "masks from shifts, left/right shifts, and population count — the "
+    "bit-twiddling surface partitioning schemes and bitmap encodings "
+    "are built from. DuckDB spells xor as a function (its ^ is power) "
+    "and bit_count returns BIGINT vs Spark's INT; the query pins the "
+    "portable forms.",
+)
+def q146_bitwise_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: pure codegen'd integer expressions on the scan — zero
+    shuffles, zero UDFs; nothing here changes shape at any SF."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("event_id & 255").alias("low_byte"),
+        F.expr("event_id ^ user_id").alias("key_xor"),
+        F.expr("shiftleft(1, CAST(user_id % 8 AS INT)) | 1").alias("flag_mask"),
+        F.expr("shiftleft(user_id, 3)").alias("shl3"),
+        F.expr("shiftright(event_id, 4)").alias("shr4"),
+        F.bit_count("event_id").alias("popcount"),
+    )
