@@ -1345,3 +1345,42 @@ def q146_bitwise_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(event_id, 4)").alias("shr4"),
         F.bit_count("event_id").alias("popcount"),
     )
+
+
+# ── q149: epoch / timezone conversion pack ──────────────────────────────────
+
+
+@register(
+    "q149_epoch_tz_pack",
+    """
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           epoch_ms(ts) AS epoch_millis,
+           CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP)
+             AS ts_roundtrip,
+           CAST(floor(epoch(timezone('America/New_York', ts))) AS BIGINT)
+             AS ny_epoch_s,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start
+    FROM events
+    """,
+    doc="Epoch/timezone conversion pack: seconds + millis since epoch, "
+    "epoch->timestamp roundtrip, wall-clock reinterpretation "
+    "(America/New_York -> UTC, DST-aware via each engine's tz "
+    "database), day truncation. Both sessions pin UTC so naive "
+    "timestamps mean the same instant everywhere — the contract a "
+    "distributed lake needs. Portability pins: floor(epoch) (DuckDB's "
+"cast rounds fractional seconds, Spark truncates) and an explicit "
+"TIMESTAMP cast on day_start (DuckDB date_trunc('day') yields DATE).",
+)
+def q149_epoch_tz_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: pure codegen'd timestamp arithmetic on the scan — no
+    shuffle, no UDFs; the tz conversion is a JVM zoneinfo lookup."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.unix_millis("ts").alias("epoch_millis"),
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts_roundtrip"),
+        F.unix_timestamp(F.to_utc_timestamp("ts", "America/New_York")).alias("ny_epoch_s"),
+        F.date_trunc("day", "ts").alias("day_start"),
+    )

@@ -482,3 +482,88 @@ def q141_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ── q147: TPC-H Q4 shape — late-order priority check (adapted) ──────────────
+
+
+@register(
+    "q147_tpch_q4_late_orders",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order priority checking), adapted: orders in a "
+    "quarter with at least one lineitem shipped 60+ days after order "
+    "date, counted by priority (the testdata lacks "
+    "commit/receipt dates, so shipdate-vs-orderdate lateness stands "
+    "in). Correlated EXISTS with a non-equi conjunct -> semi-join.",
+)
+def q147_tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the quarter filter prunes orders first; the EXISTS plans
+    as a left-semi join on orderkey carrying the lateness predicate as
+    a join residual — lineitem is never widened, duplicates never
+    materialize (semi stops at first match)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ── q148: TPC-H Q12 shape — shipping lateness by priority (adapted) ─────────
+
+
+@register(
+    "q148_tpch_q12_ship_lateness",
+    """
+    SELECT o.o_orderpriority,
+           CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+           CAST(SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ontime_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q12 shape (shipping mode / lateness distribution), "
+    "adapted to shipdate-vs-orderdate lag over order priority (no "
+    "shipmode column in the testdata): fused conditional counts over "
+    "a fact-fact join pruned by the shipdate year.",
+)
+def q148_tpch_q12_ship_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the year filter prunes lineitem at the scan; both
+    conditional sums fuse into one aggregate over the orderkey join;
+    group key cardinality (priorities) is tiny so the final combine is
+    a 5-row exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_count"),
+            F.sum(F.when(~late, 1).otherwise(0)).alias("ontime_count"),
+        )
+    )
