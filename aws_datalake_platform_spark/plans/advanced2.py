@@ -1384,3 +1384,102 @@ def q149_epoch_tz_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.to_utc_timestamp("ts", "America/New_York")).alias("ny_epoch_s"),
         F.date_trunc("day", "ts").alias("day_start"),
     )
+
+
+# ── q150: Pareto frontier (skyline) ─────────────────────────────────────────
+
+
+@register(
+    "q150_pareto_skyline",
+    """
+    WITH pts AS (
+      SELECT o_orderkey, o_totalprice AS price, o_orderdate AS odate
+      FROM orders
+    ),
+    by_price AS (SELECT price, max(odate) AS mx FROM pts GROUP BY price),
+    runmax AS (
+      SELECT price,
+             max(mx) OVER (ORDER BY price
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prevmax
+      FROM by_price
+    )
+    SELECT p.o_orderkey, p.price, p.odate
+    FROM pts p JOIN runmax r ON p.price = r.price
+    WHERE r.prevmax IS NULL OR r.prevmax <= p.odate
+    """,
+    doc="Pareto frontier (skyline): orders not strictly dominated on "
+    "(cheaper AND more recent) — kept iff no strictly-cheaper order has "
+    "a strictly-later date, via a running-max-date sweep over prices "
+    "instead of the naive O(N^2) dominance anti-join. The "
+    "multi-objective shortlist query (cheapest-freshest, "
+    "best-quality-smallest, ...) every curation pipeline ends with.",
+)
+def q150_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two-phase skyline — phase 1 computes a LOCAL skyline per
+    hash partition (32-way parallel sweep; domination is transitive, so
+    any globally-dominated point is eliminated by some local survivor
+    later), phase 2 re-sweeps only the local survivors (frontier-sized,
+    tiny) in one partition. The oracle runs the single-phase sweep —
+    same set by the skyline-merge property. The global sort is over
+    per-price maxima of survivors, never raw data."""
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("odate"),
+    )
+
+    def sweep(df: DataFrame, *part_cols: str) -> DataFrame:
+        by_price = df.groupBy(*part_cols, "price").agg(F.max("odate").alias("mx"))
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy("price")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        runmax = by_price.select(
+            *part_cols, "price", F.max("mx").over(w).alias("prevmax")
+        )
+        return df.join(runmax, [*part_cols, "price"]).filter(
+            F.col("prevmax").isNull() | (F.col("prevmax") <= F.col("odate"))
+        )
+
+    local = sweep(
+        pts.withColumn("pid", (F.col("o_orderkey") % 32).cast("int")), "pid"
+    ).select("o_orderkey", "price", "odate", F.lit(0).alias("g"))
+    return sweep(local, "g").select("o_orderkey", "price", "odate")
+
+
+# ── q151: conditional aggregate pack ────────────────────────────────────────
+
+
+@register(
+    "q151_conditional_aggs",
+    """
+    SELECT event_type,
+           CAST(count_if(value > 0.5) AS BIGINT) AS n_high,
+           bool_and(value >= 0.0) AS all_nonneg,
+           bool_or(value > 0.99) AS any_extreme,
+           ROUND(AVG(CASE WHEN value > 0.5 THEN value END), 6) AS avg_high,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Conditional aggregate pack: count_if, bool_and/bool_or "
+    "(ANSI every/any), NULL-skipping conditional AVG (CASE with no "
+    "ELSE), distinct count — the predicate-summary surface of "
+    "data-quality dashboards, fused into one grouped pass.",
+)
+def q151_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: all six aggregates fuse into one hash aggregate with
+    map-side partials except COUNT(DISTINCT), which Spark plans as the
+    standard two-phase expand — still one shuffle keyed on
+    (event_type, user_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 0.5).alias("n_high"),
+        F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 0.99).alias("any_extreme"),
+        F.round(F.avg(F.when(F.col("value") > 0.5, F.col("value"))), 6).alias("avg_high"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
