@@ -567,3 +567,58 @@ def q148_tpch_q12_ship_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~late, 1).otherwise(0)).alias("ontime_count"),
         )
     )
+
+
+# ── q152: TPC-H Q9 shape — product-line profit by nation-year (adapted) ─────
+
+
+@register(
+    "q152_tpch_q9_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) * 10
+               - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT) * 5000) / 100000.0 AS profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape (product-type profit), adapted: profit = "
+    "discounted revenue minus half the part's retail price per unit "
+    "(the testdata has no partsupp.ps_supplycost), for widget parts, "
+    "by supplier nation and order year. The contains-LIKE part filter "
+    "drives a 5-way join; exact tenth-of-millicent integer arithmetic "
+    "keeps the mixed sum order-independent.",
+)
+def q152_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the %widget% filter can't use stats but still prunes at
+    the part scan before broadcast; lineitem shuffles only for the
+    orders join; profit is one fused integer sum (scale 1e-5) so no
+    float accumulation order can flip the hash."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    profit_units = _rev_cents() * 10 - (
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.col("l_quantity").cast("long")
+        * 5000
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), supp["s_suppkey"] == li["l_suppkey"])
+        .join(orders, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg((F.sum(profit_units) / 100000.0).alias("profit"))
+    )
