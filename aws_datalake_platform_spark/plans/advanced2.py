@@ -1483,3 +1483,114 @@ def q151_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.when(F.col("value") > 0.5, F.col("value"))), 6).alias("avg_high"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+# ── q153: deterministic mode per group ──────────────────────────────────────
+
+
+@register(
+    "q153_mode_per_group",
+    """
+    WITH counts AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+      SELECT event_type, user_id, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, user_id) AS rn
+      FROM counts
+    )
+    SELECT event_type, user_id AS modal_user, n AS n_events
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Deterministic mode: the most frequent user per event type via "
+    "count-then-rank with an explicit id tiebreak — both engines' "
+    "native mode() breaks frequency ties arbitrarily, which can never "
+    "be hash-verified; this form pins the winner.",
+)
+def q153_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the count keys on (event_type, user_id) and the rank
+    re-keys on event_type — two exchanges, the second over
+    already-collapsed counts; WindowGroupLimit prunes rank>1
+    map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "user_id")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("modal_user"), F.col("n").alias("n_events"))
+    )
+
+
+# ── q154: period-over-period change ─────────────────────────────────────────
+
+
+@register(
+    "q154_month_over_month",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders, total,
+           ROUND(100.0 * (total - lag(total) OVER (ORDER BY month))
+                 / lag(total) OVER (ORDER BY month), 4) AS pct_change
+    FROM monthly
+    """,
+    doc="Month-over-month revenue change: aggregate to periods, then "
+    "lag over the period axis for the %% delta — the period-over-period "
+    "reporting shape every dashboard ends with (first period yields "
+    "NULL, not zero).",
+)
+def q154_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the unpartitioned lag runs over period-cardinality rows
+    (dozens), not data — one tiny single-partition window after a
+    map-side-combined monthly aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("total"),
+    )
+    w = Window.partitionBy().orderBy("month")
+    prev = F.lag("total").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        "total",
+        F.round(100.0 * (F.col("total") - prev) / prev, 4).alias("pct_change"),
+    )
+
+
+# ── q155: top-k per group with ties ─────────────────────────────────────────
+
+
+@register(
+    "q155_topk_with_ties",
+    """
+    SELECT * FROM (
+      SELECT l_returnflag, l_orderkey, l_quantity,
+             rank() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_quantity DESC) AS qty_rank
+      FROM lineitem
+    ) WHERE qty_rank <= 3
+    """,
+    doc="Top-k per group WITH TIES: rank() <= k admits every row tied "
+    "at the boundary (SQL:2008 FETCH ... WITH TIES semantics) — the "
+    "row_number() variant (q10) would drop tied rows arbitrarily, "
+    "which is unverifiable; result size is k + ties, not k.",
+)
+def q155_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same WindowGroupLimit pushdown as row_number top-k —
+    rank() is group-limit eligible, so per-partition pre-filtering
+    keeps only candidate rows ahead of the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    return (
+        li.select("l_returnflag", "l_orderkey", "l_quantity")
+        .withColumn("qty_rank", F.rank().over(w))
+        .filter(F.col("qty_rank") <= 3)
+    )
