@@ -619,7 +619,7 @@ def q101_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     state store; complete+availableNow here only because the oracle needs
     the full final result — production uses append mode + watermark so
     closed sessions emit and state is reaped."""
-    import uuid
+    from .temporal import mem_sink_name
 
     sdf = _events_stream_shared(spark, sf_dir)
     agg = (
@@ -632,7 +632,7 @@ def q101_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    name = f"q101_{uuid.uuid4().hex[:8]}"
+    name = mem_sink_name("q101", sf_dir)
     query = (
         agg.writeStream.format("memory")
         .queryName(name)

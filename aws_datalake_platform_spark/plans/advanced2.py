@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load_table
 from .queries import register
@@ -525,9 +526,7 @@ def q116_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     by active windows, and the watermark (production mode) reaps closed
     ones. complete+availableNow only because the oracle wants the full
     final result."""
-    import uuid
-
-    from .temporal import _events_stream
+    from .temporal import _events_stream, mem_sink_name
 
     sdf = _events_stream(spark, sf_dir)
     agg = (
@@ -540,7 +539,7 @@ def q116_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    name = f"q116_{uuid.uuid4().hex[:8]}"
+    name = mem_sink_name("q116", sf_dir)
     query = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -677,9 +676,7 @@ def q119_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-stream state, no watermark bookkeeping); at 100 TB the dim is
     a real table and the same plan holds — broadcast if small, shuffle
     join if not, chosen per micro-batch."""
-    import uuid
-
-    from .temporal import _events_stream
+    from .temporal import _events_stream, mem_sink_name
 
     dim = spark.createDataFrame(_TYPE_WEIGHTS, "event_type string, w double")
     sdf = _events_stream(spark, sf_dir)
@@ -691,7 +688,7 @@ def q119_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value") * F.col("w")), 2).alias("weighted_value"),
         )
     )
-    name = f"q119_{uuid.uuid4().hex[:8]}"
+    name = mem_sink_name("q119", sf_dir)
     query = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -872,12 +869,15 @@ def q123_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     outd = edges.groupBy("prev").agg(F.sum("w").alias("od"))
-    e = edges.join(outd, "prev").select(
-        "prev", "cur", (F.col("w") * 1.0 / F.col("od")).alias("p")
+    e = (
+        edges.join(outd, "prev")
+        .select("prev", "cur", (F.col("w") * 1.0 / F.col("od")).alias("p"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = ev.select(F.col("event_type").alias("v")).distinct()
     n = nodes.count()
     if n == 0:  # empty lake: schema-stable empty result
+        e.unpersist()
         return spark.createDataFrame([], "v string, pagerank double")
     ranks = nodes.select("v", F.lit(1.0 / n).alias("r"))
     for _ in range(_PR_ITERS):
@@ -889,7 +889,11 @@ def q123_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = nodes.join(contrib, nodes["v"] == contrib["cur"], "left").select(
             "v", (F.lit((1 - _PR_DAMP) / n) + _PR_DAMP * F.coalesce("c", F.lit(0.0))).alias("r")
         )
-    return ranks.select("v", F.round("r", 6).alias("pagerank"))
+    # Materialize before unpersisting so the returned plan does not embed
+    # ten copies of the edge-mining subtree (VERDICT r2 item 2).
+    out = ranks.select("v", F.round("r", 6).alias("pagerank")).localCheckpoint(eager=True)
+    e.unpersist()
+    return out
 
 
 # ── q124: train/val/test split assignment ───────────────────────────────────

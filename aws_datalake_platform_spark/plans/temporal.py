@@ -8,7 +8,7 @@ result — so the streaming engine itself is under the DuckDB oracle.
 
 from __future__ import annotations
 
-import uuid
+import re as _re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -16,6 +16,19 @@ from pyspark.sql import functions as F
 from ..catalog import ensure_nanos_as_long, load_table
 from ..operators.asof import asof_join, range_join_count, sessionize
 from .queries import register
+
+
+def mem_sink_name(prefix: str, sf_dir: str) -> str:
+    """Deterministic memory-sink query name: ``{prefix}_{sf tag}``.
+
+    Replaces the former uuid4 suffix (VERDICT r2 nit 3) so repeated runs in
+    one session are replayable. Safe for re-runs: each of these queries is
+    availableNow + awaitTermination, so by the time a second invocation
+    starts the first has terminated and the memory sink re-registers the
+    temp view under the same name.
+    """
+    tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf_dir).strip("_")
+    return f"{prefix}_{tag}"
 
 
 @register(
@@ -132,7 +145,7 @@ def q37_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("window.start").alias("hour_bucket"), "n_events", "sum_value")
     )
-    name = f"q37_{uuid.uuid4().hex[:8]}"
+    name = mem_sink_name("q37", sf_dir)
     query = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -170,7 +183,7 @@ def q58_stateful_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = running_stats_with_state(
         sdf, key="event_type", value_col="value", ts_col="ts", watermark="1 hour"
     )
-    name = f"q58_{uuid.uuid4().hex[:8]}"
+    name = mem_sink_name("q58", sf_dir)
     query = (
         stats.writeStream.format("memory")
         .queryName(name)
@@ -227,7 +240,7 @@ def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("r.purchase_ts") <= F.col("l.click_ts") + F.expr("INTERVAL 1 HOUR")),
         "inner",
     ).select("click_id", "purchase_id", "user_id")
-    name = f"q65_{uuid.uuid4().hex[:8]}"
+    name = mem_sink_name("q65", sf_dir)
     query = (
         joined.writeStream.format("memory")
         .queryName(name)
