@@ -448,13 +448,49 @@ def q59_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_planes_values() -> str:
+    """q32's 8-plane hyperplane matrix as DuckDB VALUES rows (p, w) —
+    same md5-derived doubles as the Spark UDF (seed 42, dim 64), so both
+    engines compute identical sign-bit bucket ids. Same replay scheme the
+    q59/q25 oracles use."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(8, 64, 42)
+    return ",\n      ".join(
+        f"({p}, [{', '.join(repr(float(v)) for v in planes[p])}])" for p in range(8)
+    )
+
+
 @register(
     "q32_ann_lsh_topk",
-    None,  # random-hyperplane bucketing uses numpy matmul signatures; recall
-    # vs the exact baseline is asserted in tests/test_similarity.py
-    # (rows-only driver check).
+    f"""
+    WITH planes AS (SELECT * FROM (VALUES {_ann_planes_values()}) pl(p, w)),
+    buckets AS (
+      SELECT e.vec_id, e.embedding,
+             CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+                            i -> e.embedding[i]::DOUBLE * pl.w[i])) > 0
+                       THEN (1 << pl.p) ELSE 0 END) AS INT) AS bucket
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id, e.embedding
+    ),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_COS.format(a="q.embedding", b="c.embedding")}, 6) AS sim
+      FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM sims) t
+    WHERE rank <= 5
+    """,
     doc="Approximate k-NN: deterministic random-hyperplane LSH buckets "
-    "(Arrow-vectorized) restrict candidates before exact cosine rank.",
+    "(Arrow-vectorized) restrict candidates before exact cosine rank. "
+    "The oracle replays the identical md5-derived planes, sign-bit bucket "
+    "packing, bucket equi-join, and (sim, id) ranking in DuckDB — the "
+    "whole approximate pipeline is hash-checkable (VERDICT r2 item 1).",
 )
 def q32_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
