@@ -291,31 +291,27 @@ def capped_candidate_pairs(buckets: DataFrame, max_bucket_size: int) -> DataFram
     Scale shape: per-bucket (count, min) come from a window over
     (band, bucket) — ONE shuffle, no stats join, and WindowExec buffers
     through a spillable external sorter, so even a degenerate bucket
-    never OOMs a task. The small path's collect_list groupBy reuses the
-    window's partitioning (no extra shuffle) and its agg buffer is
-    bounded by the cap.
+    never OOMs a task. The small path expands pairs with a (band, bucket)
+    equi-self-join over the CAPPED membership: sort-merge join streams
+    the left side and buffers at most ``max_bucket_size`` right rows per
+    key, so the cap is also the join's memory bound. (An earlier
+    collect_list + HOF-slice expansion measured 3x slower at sf0.1 —
+    interpreted higher-order functions pay per-element allocation the
+    codegen'd join does not; a per-pair first-band prefix filter to avoid
+    the distinct was slower still, 2M pairs x array slicing. The join +
+    distinct IS the fast shape. Plan history kept for the next reader.)
     """
     w = Window.partitionBy("__band", "__bucket")
     members = buckets.withColumn("__cnt", F.count(F.lit(1)).over(w)).withColumn(
         "__mn", F.min("__id").over(w)
     )
-    ids = F.array_sort(F.collect_list("__id"))
-    pair_expand = F.flatten(
-        F.transform(
-            F.col("__ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("__ids"), i + F.lit(2), F.size("__ids")),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-            ),
-        )
-    )
+    small_m = members.filter(F.col("__cnt") <= max_bucket_size)
+    left = small_m.select(F.col("__id").alias("doc_a"), "__band", "__bucket")
+    right = small_m.select(F.col("__id").alias("doc_b"), "__band", "__bucket")
     small = (
-        members.filter(F.col("__cnt") <= max_bucket_size)
-        .groupBy("__band", "__bucket")
-        .agg(ids.alias("__ids"))
-        .filter(F.size("__ids") > 1)
-        .select(F.explode(pair_expand).alias("__p"))
-        .select(F.col("__p.doc_a").alias("doc_a"), F.col("__p.doc_b").alias("doc_b"))
+        left.join(right, ["__band", "__bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
     )
     big = members.filter(
         (F.col("__cnt") > max_bucket_size) & (F.col("__id") != F.col("__mn"))
@@ -414,28 +410,50 @@ def minhash_lsh_pairs(
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document (Arrow-vectorized pandas UDF; md5-derived
-    token hashes so signatures are deterministic)."""
+    token hashes so signatures are deterministic).
+
+    Vectorization: each UNIQUE token in the Arrow batch is md5-hashed once
+    and unpacked to a (V, 64) ±1 bit matrix; a document's accumulator is
+    then one ``counts @ matrix`` matmul over its unique-token rows. The
+    former per-token-instance Python loop (md5 + a 64-wide numpy op per
+    instance) measured ~6 s per invocation at sf0.1 — and ran TWICE in the
+    near-dup self-join; this form is ~50x less Python per token. Bit order
+    matches the scalar definition bit i = (md5_int >> i) & 1, which the
+    DuckDB oracle (plans/llm_ops.py q25) replays."""
 
     @pandas_udf(T.LongType())
     def simhash(texts: pd.Series) -> pd.Series:
+        docs_toks = [t.lower().split() if t else [] for t in texts]
+        vocab: dict[str, int] = {}
+        for toks in docs_toks:
+            for tok in toks:
+                if tok not in vocab:
+                    vocab[tok] = len(vocab)
+        if vocab:
+            digests = np.frombuffer(
+                b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in vocab),
+                dtype=np.uint8,
+            ).reshape(len(vocab), 8)
+            # unpackbits is MSB-first per byte on big-endian digest bytes:
+            # position j holds bit 63-j of int.from_bytes(d8, "big");
+            # reversing gives index i == bit i of the scalar definition.
+            pm = np.unpackbits(digests, axis=1)[:, ::-1].astype(np.int64) * 2 - 1
         out = np.zeros(len(texts), dtype=np.int64)
-        for row, text in enumerate(texts):
-            if not text:
+        for row, toks in enumerate(docs_toks):
+            if not toks:
                 continue
-            acc = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for tok in text.lower().split():
-                h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big"))
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                acc += bits * 2 - 1
-            sig = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    sig |= 1 << i
+            idx = np.fromiter((vocab[t] for t in toks), dtype=np.int64, count=len(toks))
+            uniq, counts = np.unique(idx, return_counts=True)
+            acc = counts @ pm[uniq]
+            pos = acc > 0
+            sig = int.from_bytes(np.packbits(pos[::-1]).tobytes(), "big")
             out[row] = sig - (1 << 64) if sig >= 1 << 63 else sig
         return pd.Series(out)
 
-    return df.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("simhash"))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_parts, id_col).select(
+        F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("simhash")
+    )
 
 
 def simhash_near_dup_pairs(
@@ -448,8 +466,15 @@ def simhash_near_dup_pairs(
     must agree on >= 1 band, so candidates come from an equi-join on
     (band_idx, band_value) — never an all-pairs scan. Verification is
     JVM-side bit_count(xor).
+
+    The signature relation is persisted and materialized before the
+    self-join: both join branches hang off it, and without the persist the
+    Arrow signature pass (the only stage touching text) executes once PER
+    BRANCH — profiled 2x at sf0.1, same lesson as the MinHash base
+    (minhash_lsh_pairs above).
     """
-    sig = simhash_signatures(df, id_col, text_col)
+    sig = simhash_signatures(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count()
     n_bands = max_hamming + 1
     width = 64 // n_bands
     bands = sig.select(
@@ -573,21 +598,27 @@ def connected_components(
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
+    comp_type = labels.schema["comp"].dataType
+    cached = labels  # the currently-persisted relation to release each round
     for _ in range(max_iter):
         nbr = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .select(F.col("a").alias("node"), "comp")
         )
-        new_labels = (
-            labels.union(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
+        # Fold the previous label into the same aggregate (each node has
+        # exactly ONE labels row, so min(__old) recovers it): convergence
+        # is read off the merged relation instead of a second
+        # labels-vs-new-labels join per round.
+        merged = (
+            labels.withColumn("__old", F.col("comp"))
+            .union(nbr.withColumn("__old", F.lit(None).cast(comp_type)))
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"), F.min("__old").alias("__old"))
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
-            .filter(F.col("comp") < F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = merged.filter(F.col("comp") < F.col("__old")).count()
+        cached.unpersist()
+        cached = merged
+        labels = merged.select("node", "comp")
         if changed == 0:
             break
     sym.unpersist()

@@ -43,8 +43,30 @@ HEADLINE = [
     "q19_pseudonymize",
     "q20_agg_stats",
     "q21_time_bucket",
+    "q23_ngram_jaccard_dedup",
     "q24_minhash_lsh_dedup",
+    "q25_simhash_dedup",
     "q30_ann_bruteforce_topk",
+    # Heavy tail (VERDICT r2 ask #1): the iterative/LSH/Arrow queries.
+    # Justifications for rows over ~2 s at sf0.1 on local[32]:
+    # - q59: threshold 0.4 on random 64-dim embeddings is candidate-DENSE
+    #   (angular LSH cannot separate cos 0.4 from cos 0.0 with few planes;
+    #   64% of all pairs collide in >=1 of 16 bands -> 1.27M exact-cosine
+    #   verifies). The plan is the scale-correct bucketed shape; at real
+    #   near-dup thresholds (0.9+) band selectivity prunes. The exact q31
+    #   baseline exists precisely because at this density brute force wins.
+    # - q68: q24's MinHash pairs (~1.5 s) + min-label propagation rounds;
+    #   each round is a join+agg JOB on a tiny label set — fixed per-job
+    #   overhead dominates locally and amortizes on a real cluster.
+    # - q123: 10 unrolled power-iteration joins inside one job plus the
+    #   edge-mining window over the full event log.
+    "q59_embedding_near_dup_lsh",
+    "q64_winnow_fingerprints",
+    "q68_dup_clusters",
+    "q111_grouped_map_zscore",
+    "q114_sequence_packing",
+    "q115_ann_pq_topk",
+    "q123_pagerank_transitions",
     "q38_grouping_sets",
     "q39_pivot",
     "q41_json_extract",
