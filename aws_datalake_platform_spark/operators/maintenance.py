@@ -133,6 +133,84 @@ def compact_partitions(
     return stats
 
 
+def expire_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    older_than: str,
+    date_from_partition=None,
+    dry_run: bool = False,
+    archive_path: str | None = None,
+    table: str | None = None,
+) -> list[dict]:
+    """Retention: drop (or move to ``archive_path``) every partition whose
+    derived date is strictly before ``older_than`` ('YYYY-MM-DD').
+
+    The engine-side analogue of the reference's S3 lifecycle rules
+    (terraform/modules/s3/main.tf:90-106 — transition to IA at 30 d,
+    expire at 365 d): ``archive_path`` is the IA transition, plain
+    expiry is the deletion rule. Returns one dict per affected partition
+    {values, date, n_files, bytes, action} — with ``dry_run=True`` the
+    listing is returned and NOTHING is touched, the audit step a real
+    lake runs before enabling a new retention policy.
+
+    ``date_from_partition`` maps the partition-value tuple to an ISO date
+    string; the default zero-pads and joins the values, which matches
+    the year=/month=/day= layout Firehose-style ingest writes
+    (streaming/ingest.py) for 1-3 partition columns.
+
+    Scale shape: everything here is proportional to the PARTITION COUNT
+    (a directory listing + per-partition stat), never row data — no jobs
+    run at all. Directory removal per partition is how object-store
+    lifecycle operates too (prefix delete). After a destructive change
+    the catalog is re-synced (MSCK REPAIR) when ``table`` is given.
+    """
+    import shutil
+
+    if date_from_partition is None:
+
+        def date_from_partition(vals: tuple) -> str:
+            pads = (4, 2, 2)
+            return "-".join(
+                str(v).zfill(pads[i] if i < 3 else 0) for i, v in enumerate(vals)
+            )
+
+    stats = partition_file_stats(spark, path, partition_cols)
+    report: list[dict] = []
+    action = "archive" if archive_path else "delete"
+    for vals, (n_files, n_bytes) in sorted(stats.items()):
+        pdate = date_from_partition(vals)
+        if pdate >= older_than:
+            continue
+        report.append(
+            {
+                "values": vals,
+                "date": pdate,
+                "n_files": n_files,
+                "bytes": n_bytes,
+                "action": "dry_run:" + action if dry_run else action,
+            }
+        )
+        if dry_run:
+            continue
+        rel = os.sep.join(f"{c}={v}" for c, v in zip(partition_cols, vals))
+        src = os.path.join(path, rel)
+        if archive_path:
+            dst = os.path.join(archive_path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(src, dst)
+        else:
+            shutil.rmtree(src)
+        # prune now-empty parent partition dirs (year=/month=/ shells)
+        parent = os.path.dirname(src)
+        while parent != path.rstrip(os.sep) and not os.listdir(parent):
+            os.rmdir(parent)
+            parent = os.path.dirname(parent)
+    if not dry_run and report and table is not None:
+        spark.sql(f"MSCK REPAIR TABLE {table} DROP PARTITIONS")
+    return report
+
+
 def zorder_key(a, b, bits: int = 16):
     """32-bit Morton (Z-order) code interleaving the low ``bits`` bits of
     two integer columns: bit i of ``a`` lands at position 2i+1, bit i of

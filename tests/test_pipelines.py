@@ -608,3 +608,86 @@ def test_ndjson_dead_letter_routing(spark, tmp_path):
     assert good.columns == ["city", "temp"]
     bad_lines = {r["value"] for r in spark.read.text(dead).collect()}
     assert bad_lines == {"THIS IS NOT JSON", '{"city": "oslo", "temp": broken}'}
+
+
+def _dated_lake(spark, path):
+    """year=/month=/day= lake with 4 dated partitions spanning a cutoff."""
+    rows = []
+    for i, (y, m, d) in enumerate([(2023, 12, 30), (2023, 12, 31), (2024, 1, 1), (2024, 1, 2)]):
+        rows += [(i * 10 + j, y, m, d) for j in range(3)]
+    spark.createDataFrame(rows, "id long, year int, month int, day int").write.partitionBy(
+        "year", "month", "day"
+    ).parquet(path)
+
+
+def test_expire_partitions_dry_run_touches_nothing(spark, tmp_path):
+    from aws_datalake_platform_spark.operators.maintenance import expire_partitions
+
+    path = str(tmp_path / "lake")
+    _dated_lake(spark, path)
+    report = expire_partitions(
+        spark, path, ["year", "month", "day"], older_than="2024-01-01", dry_run=True
+    )
+    assert [r["date"] for r in report] == ["2023-12-30", "2023-12-31"]
+    assert all(r["action"] == "dry_run:delete" and r["n_files"] >= 1 for r in report)
+    # nothing touched: all 12 rows still readable
+    assert spark.read.parquet(path).count() == 12
+
+
+def test_expire_partitions_deletes_old_keeps_new(spark, tmp_path):
+    from aws_datalake_platform_spark.operators.maintenance import expire_partitions
+
+    path = str(tmp_path / "lake")
+    _dated_lake(spark, path)
+    report = expire_partitions(
+        spark, path, ["year", "month", "day"], older_than="2024-01-01"
+    )
+    assert [r["date"] for r in report] == ["2023-12-30", "2023-12-31"]
+    left = spark.read.parquet(path)
+    assert left.count() == 6
+    assert {(r["year"], r["month"], r["day"]) for r in left.collect()} == {
+        (2024, 1, 1), (2024, 1, 2)
+    }
+    # the empty year=2023 shell dirs are pruned too
+    import os
+
+    assert "year=2023" not in os.listdir(path)
+
+
+def test_expire_partitions_archive_mode_moves(spark, tmp_path):
+    from aws_datalake_platform_spark.operators.maintenance import expire_partitions
+
+    path = str(tmp_path / "lake")
+    arch = str(tmp_path / "archive")
+    _dated_lake(spark, path)
+    report = expire_partitions(
+        spark, path, ["year", "month", "day"], older_than="2024-01-01",
+        archive_path=arch,
+    )
+    assert all(r["action"] == "archive" for r in report)
+    assert spark.read.parquet(path).count() == 6
+    # archived partitions remain readable at the archive root
+    archived = spark.read.parquet(arch)
+    assert archived.count() == 6
+    assert {(r["year"], r["month"], r["day"]) for r in archived.collect()} == {
+        (2023, 12, 30), (2023, 12, 31)
+    }
+
+
+def test_expire_partitions_syncs_catalog(spark, tmp_path):
+    from aws_datalake_platform_spark.operators.maintenance import expire_partitions
+
+    path = str(tmp_path / "lake")
+    _dated_lake(spark, path)
+    spark.sql("DROP TABLE IF EXISTS t_expire")
+    spark.catalog.createTable("t_expire", path=path, source="parquet")
+    spark.sql("MSCK REPAIR TABLE t_expire")
+    assert spark.sql("SHOW PARTITIONS t_expire").count() == 4
+
+    expire_partitions(
+        spark, path, ["year", "month", "day"], older_than="2024-01-01",
+        table="t_expire",
+    )
+    assert spark.sql("SHOW PARTITIONS t_expire").count() == 2
+    assert spark.table("t_expire").count() == 6
+    spark.sql("DROP TABLE t_expire")
