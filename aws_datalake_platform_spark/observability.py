@@ -1,0 +1,136 @@
+"""Job-level metrics capture + alarm hooks — the engine-side analogue of
+the reference's CloudWatch monitoring (monitoring/main.tf:45-164: Glue
+job failure alarms, Lambda error alarms, data-freshness checks).
+
+The reference alarms on AWS-emitted metrics; a Spark engine has to emit
+its own. ``MetricsCollector.run`` wraps any driver action in a job
+group, then reads the per-stage executor metrics (input/output/shuffle
+bytes and records) for exactly the jobs that action spawned from the
+AppStatusStore — the same store that backs the Spark UI, populated even
+with the UI disabled. No listener registration or callback server is
+needed, so it works identically under spark-submit, notebooks, and
+tests.
+
+Scale note: everything here is driver-side bookkeeping over per-STAGE
+aggregates (a few rows per job), never row data. The status store is
+fed asynchronously by the listener bus, so totals are polled briefly
+until stable.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+_STAGE_FIELDS = {
+    "input_bytes": "inputBytes",
+    "input_records": "inputRecords",
+    "output_bytes": "outputBytes",
+    "output_records": "outputRecords",
+    "shuffle_read_bytes": "shuffleReadBytes",
+    "shuffle_write_bytes": "shuffleWriteBytes",
+}
+
+
+class MetricsCollector:
+    """Collects one metrics record per wrapped action.
+
+    Record shape::
+
+        {"name", "status" ("ok"|"failed"), "error", "wall_sec", "n_jobs",
+         "input_bytes", "input_records", "output_bytes", "output_records",
+         "shuffle_read_bytes", "shuffle_write_bytes"}
+
+    ``run`` returns the record (with the action's return value under
+    "result") and appends it to ``records`` — pipelines merge these into
+    their status dicts. ``breaches`` is the alarm hook: pass a predicate
+    over records and get the breaching ones back (the engine-side twin of
+    a CloudWatch alarm condition).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.records: list[dict[str, Any]] = []
+
+    # ── internals ────────────────────────────────────────────────────────
+
+    def _group_totals(self, group: str) -> dict[str, int]:
+        sc = self.spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        job_ids = sc.statusTracker().getJobIdsForGroup(group)
+        totals = dict.fromkeys(_STAGE_FIELDS, 0)
+        totals["n_jobs"] = len(job_ids)
+        seen_stages: set[int] = set()
+        for jid in job_ids:
+            try:
+                job = store.job(jid)
+                sids = [job.stageIds().apply(i) for i in range(job.stageIds().size())]
+            except Exception:
+                continue
+            for sid in sids:
+                if sid in seen_stages:  # stages shared across jobs count once
+                    continue
+                seen_stages.add(sid)
+                try:
+                    sd = store.lastStageAttempt(sid)
+                except Exception:
+                    continue  # skipped stage: no attempt data
+                for out_key, accessor in _STAGE_FIELDS.items():
+                    totals[out_key] += getattr(sd, accessor)()
+        return totals
+
+    def _settled_totals(self, group: str, timeout: float = 3.0) -> dict[str, int]:
+        # The status store is fed by the async listener bus; poll until two
+        # consecutive reads agree (or timeout) so late task-end events land.
+        prev = self._group_totals(group)
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            time.sleep(0.15)
+            cur = self._group_totals(group)
+            if cur == prev:
+                return cur
+            prev = cur
+        return prev
+
+    # ── public API ───────────────────────────────────────────────────────
+
+    def run(
+        self,
+        name: str,
+        action: Callable[[], Any],
+        raise_on_error: bool = True,
+    ) -> dict[str, Any]:
+        """Execute ``action`` under a dedicated job group and record its
+        wall time, status, and stage-level I/O metrics."""
+        sc = self.spark.sparkContext
+        group = f"metrics::{name}::{len(self.records)}"
+        sc.setJobGroup(group, name)
+        t0 = time.perf_counter()
+        status, error, result = "ok", None, None
+        try:
+            result = action()
+        except Exception as ex:  # noqa: BLE001 — status surface, rethrown below
+            status, error = "failed", f"{type(ex).__name__}: {ex}"
+        finally:
+            wall = time.perf_counter() - t0
+            sc.setJobGroup("", "")
+        record: dict[str, Any] = {
+            "name": name,
+            "status": status,
+            "error": error,
+            "wall_sec": round(wall, 3),
+            **self._settled_totals(group),
+        }
+        self.records.append(record)
+        if status == "failed" and raise_on_error:
+            raise RuntimeError(f"job '{name}' failed: {error}")
+        return {**record, "result": result}
+
+    def breaches(self, predicate: Callable[[dict[str, Any]], bool]) -> list[dict[str, Any]]:
+        """Alarm hook: records for which ``predicate`` holds — e.g.
+        ``lambda r: r["status"] == "failed"`` (the Glue failure alarm) or
+        ``lambda r: r["input_records"] == 0`` (the freshness alarm)."""
+        return [r for r in self.records if predicate(r)]

@@ -59,12 +59,33 @@ def transform_iot_sensors(
     raw_df: DataFrame | None = None,
     halt_on_validation_failure: bool = False,
     infer_schema: bool = False,
+    metrics=None,
 ) -> dict[str, Any] | None:
     """End-to-end IoT job (transform.py:193-270 semantics).
 
     Reads with the catalog's RAW_IOT_SENSORS schema by default (inference
     is a full extra pass at scale); infer_schema=True opts back into the
-    reference's infer-on-read (transform.py:203)."""
+    reference's infer-on-read (transform.py:203).
+
+    ``metrics`` (an observability.MetricsCollector) wraps the whole job:
+    the returned status dict gains a ``job_metrics`` entry with wall
+    time, stage I/O totals, and status — the engine-side analogue of the
+    reference's per-job CloudWatch metrics (monitoring/main.tf:45-164);
+    a raising job yields {"success": False, "job_metrics": {...}} with
+    status="failed" instead of propagating."""
+    if metrics is not None:
+        rec = metrics.run(
+            "transform_iot_sensors",
+            lambda: transform_iot_sensors(
+                spark, raw_path, curated_path, raw_df,
+                halt_on_validation_failure, infer_schema, metrics=None,
+            ),
+            raise_on_error=False,
+        )
+        result = rec.pop("result")
+        if rec["status"] == "failed":
+            return {"success": False, "job_metrics": rec}
+        return None if result is None else {**result, "job_metrics": rec}
     if raw_df is None:
         try:
             raw_df = read_ndjson(spark, raw_path, schema=None if infer_schema else RAW_IOT_SENSORS)

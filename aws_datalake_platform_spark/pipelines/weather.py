@@ -55,6 +55,7 @@ def transform_weather(
     raw_df: DataFrame | None = None,
     halt_on_validation_failure: bool = False,
     infer_schema: bool = False,
+    metrics=None,
 ) -> dict[str, Any] | None:
     """End-to-end weather job (transform.py:134-190 semantics):
     read -> empty guard -> validate -> derive -> partitioned write.
@@ -63,7 +64,23 @@ def transform_weather(
     Reads with the catalog's authoritative RAW_WEATHER schema by default
     (catalog-as-source-of-truth, SURVEY §1.3): at 100 TB schema inference
     is a full extra pass over the raw zone. infer_schema=True restores the
-    reference's infer-on-read behavior (transform.py:144)."""
+    reference's infer-on-read behavior (transform.py:144).
+
+    ``metrics`` wraps the job in an observability.MetricsCollector run —
+    see pipelines/iot.py for the contract."""
+    if metrics is not None:
+        rec = metrics.run(
+            "transform_weather",
+            lambda: transform_weather(
+                spark, raw_path, curated_path, raw_df,
+                halt_on_validation_failure, infer_schema, metrics=None,
+            ),
+            raise_on_error=False,
+        )
+        result = rec.pop("result")
+        if rec["status"] == "failed":
+            return {"success": False, "job_metrics": rec}
+        return None if result is None else {**result, "job_metrics": rec}
     if raw_df is None:
         try:
             raw_df = read_ndjson(spark, raw_path, schema=None if infer_schema else RAW_WEATHER)
