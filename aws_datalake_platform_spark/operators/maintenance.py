@@ -35,32 +35,49 @@ def merge_upsert(
     key_cols: list[str],
     version_col: str,
     partition_cols: list[str],
+    max_collect_partitions: int = 1024,
 ) -> None:
     """Upsert ``updates`` into the parquet lake at ``path``: per key keep
     the row with the highest ``version_col`` (update wins over an equal-
     or-older existing row), writing back only the touched partitions.
 
-    Plan shape: the touched partition values are collected to the driver
-    (distinct over the update batch's partition columns — small by
-    construction: an update batch touches few partitions), the existing
-    scan is pruned to exactly those partitions via an isin filter
-    (partition pruning, no full-table read), and the winner-per-key
-    window runs over touched-partition rows + updates only. The final
-    dynamic-overwrite write replaces just those partitions.
+    Plan shape — two-regime read pruning, never an unbounded collect:
+
+    - **Sparse batch** (touched-partition count <= max_collect_partitions,
+      the common case): the DISTINCT partition tuples — never row data —
+      are collected and become a static OR-of-AND predicate that lands in
+      the scan's PartitionFilters, so untouched partitions are not read.
+      The collect is bounded by the cap, not by the table.
+    - **Dense batch** (cap exceeded): fall back to a LEFT SEMI join
+      against the distinct partition values. Spark's dynamic-partition-
+      pruning rule does not fire here (an arbitrary update batch has no
+      selective predicate for the rule's heuristic), so this regime scans
+      the table — acceptable because a batch touching that many
+      partitions REWRITES that many partitions; read cost stays
+      proportional to the work the write must do anyway.
+
+    The winner-per-key window runs over touched rows + updates only; the
+    dynamic-overwrite write replaces exactly the partitions present in
+    the output.
     """
-    touched = [tuple(r) for r in updates.select(*partition_cols).distinct().collect()]
-    if not touched:
+    touched = updates.select(*partition_cols).distinct()
+    head = touched.limit(max_collect_partitions + 1).collect()
+    if not head:
         return
     out_cols = updates.columns
     if os.path.exists(path):
         existing = spark.read.parquet(path)
-        cond = F.lit(False)
-        for vals in touched:
-            match = F.lit(True)
-            for col, val in zip(partition_cols, vals):
-                match = match & (F.col(col) == F.lit(val))
-            cond = cond | match
-        merged = existing.filter(cond).select(*out_cols).unionByName(updates)
+        if len(head) <= max_collect_partitions:
+            cond = F.lit(False)
+            for row in head:
+                match = F.lit(True)
+                for col in partition_cols:
+                    match = match & (F.col(col) == F.lit(row[col]))
+                cond = cond | match
+            pruned = existing.filter(cond)
+        else:
+            pruned = existing.join(F.broadcast(touched), partition_cols, "left_semi")
+        merged = pruned.select(*out_cols).unionByName(updates)
     else:
         merged = updates
     w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())

@@ -358,6 +358,27 @@ def test_merge_upsert_touches_only_affected_partitions(spark, tmp_path):
     assert before == after, "untouched partition must not be rewritten"
 
 
+def test_merge_upsert_dense_batch_semi_join_fallback(spark, tmp_path):
+    """Touched-partition count over the collect cap switches to the
+    LEFT SEMI pruning regime; results identical to the sparse path."""
+    from aws_datalake_platform_spark.operators.maintenance import merge_upsert
+
+    path = str(tmp_path / "lake3")
+    spark.createDataFrame(
+        [(1, "a", 1, "d1"), (2, "b", 1, "d2"), (3, "c", 1, "d3")],
+        "id long, payload string, version long, date string",
+    ).write.partitionBy("date").parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "a2", 2, "d1"), (2, "b2", 2, "d2")],
+        "id long, payload string, version long, date string",
+    )
+    merge_upsert(
+        spark, path, updates, ["id"], "version", ["date"], max_collect_partitions=1
+    )
+    got = {(r["id"], r["payload"], r["version"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a2", 2), (2, "b2", 2), (3, "c", 1)}
+
+
 def test_merge_upsert_older_version_loses(spark, tmp_path):
     from aws_datalake_platform_spark.operators.maintenance import merge_upsert
 
