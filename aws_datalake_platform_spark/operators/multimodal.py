@@ -195,8 +195,12 @@ def synth_pcm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from the id. Unlike the image path, RAW PCM needs no codec, so this
     models the real multimodal flow end-to-end: binary in, numpy DSP out.
     Sample formula (mirrored by the q118 oracle):
-    s_i = trunc(amp * sin(2*pi*f*i/SR)) as int16,
-    f = 100 + (id % 20)*10, amp = 8000 + (id % 7)*1000."""
+    s_i = trunc(round(amp * sin(2*pi*f*i/SR), 3)) as int16,
+    f = 100 + (id % 20)*10, amp = 8000 + (id % 7)*1000.
+    The round-to-3-decimals BEFORE trunc quantizes away the libm
+    fragility: sin is not correctly rounded, so a 1-ulp platform
+    difference could otherwise flip trunc when amp*sin lands within
+    float noise of an integer (ADVICE r2)."""
 
     @pandas_udf(T.BinaryType())
     def synth(ids: pd.Series) -> pd.Series:
@@ -205,7 +209,7 @@ def synth_pcm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for d in ids:
             f = 100 + (int(d) % 20) * 10
             amp = 8000 + (int(d) % 7) * 1000
-            s = np.trunc(amp * np.sin(2 * np.pi * f * i / AUDIO_SR)).astype("<i2")
+            s = np.trunc(np.round(amp * np.sin(2 * np.pi * f * i / AUDIO_SR), 3)).astype("<i2")
             out.append(s.tobytes())
         return pd.Series(out)
 

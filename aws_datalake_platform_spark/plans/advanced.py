@@ -210,13 +210,18 @@ def q91_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(tf) AS total FROM vocab)
     SELECT toks.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(AVG(LN(v.tf / t.total)), 4) AS avg_logprob
+           ROUND(SUM(CAST(ROUND(LN(v.tf / t.total) * 1000000) AS BIGINT))
+                 / (COUNT(*) * 1000000.0), 4) AS avg_logprob
     FROM toks JOIN vocab v USING (tok) CROSS JOIN tot t
     GROUP BY toks.doc_id
     """,
     doc="Perplexity-style quality scoring: corpus unigram LM, each doc "
     "scored by mean token log-probability — the classic cheap LM filter "
-    "for training-data curation (two aggregates + one broadcast join).",
+    "for training-data curation (two aggregates + one broadcast join). "
+    "Each token's log-prob is quantized to integer micro-nats BEFORE the "
+    "per-doc sum, so the aggregate is an order-free integer sum on both "
+    "engines — the former double AVG could flip its 4th decimal on a "
+    "different partition layout (ADVICE r2 flakiness class).",
 )
 def q92_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: vocab is a heavy-tailed but bounded relation (≪ corpus) —
@@ -236,7 +241,11 @@ def q92_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("tf") / F.col("total"))), 4).alias("avg_logprob"),
+            F.round(
+                F.sum(F.round(F.log(F.col("tf") / F.col("total")) * 1e6).cast("long"))
+                / (F.count(F.lit(1)) * 1e6),
+                4,
+            ).alias("avg_logprob"),
         )
     )
 
@@ -355,7 +364,12 @@ def q94_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Statistical profile per group: correlation, sample covariance, "
     "stddev, population skewness and excess kurtosis (Spark's one-pass "
     "central-moment aggregates; the oracle recomputes the moments "
-    "two-pass from the mean).",
+    "two-pass from the mean). Known, accepted flakiness class (ADVICE "
+    "r2): ROUND(...,4) of float aggregates whose accumulation order is "
+    "partition-dependent can flip the last digit if a value lands within "
+    "float noise of a 5e-5 boundary; quantizing would discard exactly "
+    "the one-pass moment surface this query exists to exercise, so the "
+    "risk (~1e-8/value) is documented instead.",
 )
 def q95_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: all six statistics stream in ONE partial-aggregate pass

@@ -612,8 +612,8 @@ def q117_ignore_nulls_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH samp AS (
       SELECT doc_id, i,
-             CAST(TRUNC((8000 + (doc_id % 7) * 1000)
-                        * SIN(2 * PI() * (100 + (doc_id % 20) * 10) * i / 8000))
+             CAST(TRUNC(ROUND((8000 + (doc_id % 7) * 1000)
+                        * SIN(2 * PI() * (100 + (doc_id % 20) * 10) * i / 8000), 3))
                   AS BIGINT) AS s
       FROM (SELECT doc_id, unnest(generate_series(0, 2047)) AS i FROM documents)
     ),
@@ -849,7 +849,12 @@ def _pagerank_oracle_sql() -> str:
     doc="PageRank (10 power iterations, damping 0.85) over the "
     "event-type transition graph mined from per-user event sequences — "
     "an iterative graph algorithm whose every iteration is value-checked: "
-    "the oracle unrolls the identical power iteration as chained CTEs.",
+    "the oracle unrolls the identical power iteration as chained CTEs. "
+    "Accepted flakiness class (ADVICE r2): ROUND(...,6) of an iterated "
+    "float recurrence; both engines follow the same iteration order so "
+    "divergence needs a contribution sum to land within float noise of "
+    "a 5e-7 boundary — documented rather than quantized, since integer "
+    "arithmetic cannot express the damped fixpoint.",
 )
 def q123_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: edge mining is one lag-window + aggregate over the event

@@ -580,7 +580,7 @@ def q148_tpch_q12_ship_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
                  * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) * 10
                - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
-                 * CAST(l.l_quantity AS BIGINT) * 5000) / 100000.0 AS profit
+                 * CAST(l.l_quantity AS BIGINT) * 500) / 100000.0 AS profit
     FROM part p
     JOIN lineitem l ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -609,7 +609,7 @@ def q152_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit_units = _rev_cents() * 10 - (
         F.round(F.col("p_retailprice") * 100).cast("long")
         * F.col("l_quantity").cast("long")
-        * 5000
+        * 500
     )
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])

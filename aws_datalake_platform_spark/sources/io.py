@@ -33,23 +33,31 @@ def read_ndjson(
     pattern: Databricks' ``badRecordsPath`` reader option is NOT
     implemented in open-source Spark (it is silently ignored), so relying
     on it would drop the dead-letter guarantee without any error. The
-    split caches the scan once (Spark refuses to filter on the corrupt
-    column of an uncached frame), appends raw bad lines to the
-    dead-letter path, and returns the good rows."""
+    scan is materialized ONCE via an eager localCheckpoint (Spark refuses
+    to filter on the corrupt column of a plain scan, and a cache() here
+    would leak blocks in a long-lived session with no unpersist handle —
+    checkpoint blocks are reclaimed by the ContextCleaner when the
+    returned frame is garbage-collected); bad lines land under a per-run
+    ``run=<millis>`` subdirectory, so re-reading the same input logs each
+    invocation separately instead of blindly appending duplicates into
+    one flat dir — the Firehose error-prefix layout."""
     if bad_records_path is not None:
         if schema is None:
             raise ValueError("bad_records_path requires an explicit schema")
+        import time as _time
+
         aug = T.StructType(list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())])
         df = (
             spark.read.schema(aug)
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", _CORRUPT)
             .json(path)
-            .cache()
+            .localCheckpoint(eager=True)
         )
-        df.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT).write.mode("append").text(
-            bad_records_path
-        )
+        run_dir = f"{bad_records_path}/run={int(_time.time() * 1000)}"
+        df.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT).write.mode(
+            "error"
+        ).text(run_dir)
         return df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
     reader = spark.read
     if schema is not None:
@@ -96,16 +104,19 @@ def read_csv(
         if schema is None:
             raise ValueError("bad_records_path requires an explicit schema")
         aug = T.StructType(list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())])
+        import time as _time
+
         df = (
             reader.schema(aug)
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", _CORRUPT)
             .csv(path)
-            .cache()
+            .localCheckpoint(eager=True)  # same rationale as read_ndjson
         )
-        df.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT).write.mode("append").text(
-            bad_records_path
-        )
+        run_dir = f"{bad_records_path}/run={int(_time.time() * 1000)}"
+        df.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT).write.mode(
+            "error"
+        ).text(run_dir)
         return df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
     if schema is not None:
         reader = reader.schema(schema)
