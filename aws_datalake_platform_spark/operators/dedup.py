@@ -457,7 +457,11 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -466,6 +470,14 @@ def simhash_near_dup_pairs(
     must agree on >= 1 band, so candidates come from an equi-join on
     (band_idx, band_value) — never an all-pairs scan. Verification is
     JVM-side bit_count(xor).
+
+    Candidates route through capped_candidate_pairs: the sf1 scale proof
+    (PROGRESS.jsonl r3) planted 2,000 boilerplate-identical docs and the
+    then-uncapped band self-join expanded them quadratically — a
+    million-doc boilerplate block would OOM/runaway the join. Oversized
+    buckets now degrade to star pairs exactly like the MinHash path
+    (cluster stays connected for group resolution); the q25 oracle
+    mirrors the cap.
 
     The signature relation is persisted and materialized before the
     self-join: both join branches hang off it, and without the persist the
@@ -477,31 +489,25 @@ def simhash_near_dup_pairs(
     sig.count()
     n_bands = max_hamming + 1
     width = 64 // n_bands
-    bands = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
+    buckets = sig.select(
+        F.col("doc_id").alias("__id"),
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("val"),
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
                     )
                     for i in range(n_bands)
                 ]
             )
-        ).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
-
-    left = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("__sa"), "band", "val")
-    right = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("__sb"), "band", "val")
+        ).alias("__band", "__bucket"),
+    )
+    candidates = capped_candidate_pairs(buckets, max_bucket_size)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("__sa"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("__sb"))
     return (
-        left.join(right, ["band", "val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "__sa", "__sb")
-        .distinct()
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
         .withColumn("hamming", F.bit_count(F.expr("__sa ^ __sb")))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

@@ -177,24 +177,39 @@ def q24_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, us, i.i AS band, (us >> (i.i * 16)) & 65535 AS val
       FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
     ),
+    bstats AS (SELECT band, val, count(*) AS cnt, min(doc_id) AS mn
+               FROM bands GROUP BY band, val),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.us AS ua, b.us AS ub
-      FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
-                                AND a.doc_id < b.doc_id
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        JOIN bstats s ON s.band = a.band AND s.val = a.val
+        WHERE s.cnt <= 512
+        UNION ALL
+        SELECT s.mn AS doc_a, m.doc_id AS doc_b
+        FROM bands m JOIN bstats s ON s.band = m.band AND s.val = m.val
+        WHERE s.cnt > 512 AND m.doc_id <> s.mn
+      )
     )
-    SELECT doc_a, doc_b, CAST(bit_count(xor(ua, ub)) AS INT) AS hamming
-    FROM cand WHERE bit_count(xor(ua, ub)) <= 3
+    SELECT doc_a, doc_b, CAST(bit_count(xor(a.us, b.us)) AS INT) AS hamming
+    FROM cand
+    JOIN sigs a ON a.doc_id = doc_a
+    JOIN sigs b ON b.doc_id = doc_b
+    WHERE bit_count(xor(a.us, b.us)) <= 3
     """,
     doc="SimHash near-dup pairs: vectorized 64-bit signatures, pigeonhole "
-    "banding for candidates, bit_count Hamming verify. The oracle mirrors "
-    "the ENTIRE bit pipeline (md5 token hash -> per-bit +-1 votes -> "
-    "bit_or signature assembly -> 16-bit pigeonhole bands -> "
-    "bit_count(xor) Hamming) in DuckDB integer SQL, so even this "
+    "banding for candidates (hot-bucket cap with star degradation, same "
+    "scheme as the MinHash path), bit_count Hamming verify. The oracle "
+    "mirrors the ENTIRE bit pipeline (md5 token hash -> per-bit +-1 "
+    "votes -> bit_or signature assembly -> 16-bit pigeonhole bands -> "
+    "cap -> bit_count(xor) Hamming) in DuckDB integer SQL, so even this "
     "signature-based op is hash-checked, not rows-only.",
 )
 def q25_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        max_hamming=3, max_bucket_size=512,
     )
 
 

@@ -60,6 +60,9 @@ HEADLINE = [
     #   overhead dominates locally and amortizes on a real cluster.
     # - q123: 10 unrolled power-iteration joins inside one job plus the
     #   edge-mining window over the full event log.
+    # - q25: ~2.4 s after the hot-bucket cap landed (window + stats join
+    #   are the cap's fixed cost; the cap exists because an uncapped band
+    #   self-join went quadratic on the sf1 boilerplate corpus).
     "q59_embedding_near_dup_lsh",
     "q64_winnow_fingerprints",
     "q68_dup_clusters",
