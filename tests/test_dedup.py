@@ -158,3 +158,38 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_simhash_cap_star_links_degenerate_corpus(spark):
+    """SimHash twin of the MinHash cap test (added after the sf1 proof
+    found the band self-join uncapped): identical docs land in one bucket
+    per band; with the cap they degrade to star pairs — candidate count
+    is linear, and the boilerplate block stays ONE connected component."""
+    from aws_datalake_platform_spark.operators.dedup import (
+        connected_components,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "terms of service boilerplate apply to all users") for i in range(200)],
+        "doc_id long, text string",
+    )
+    pairs = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3, max_bucket_size=64)
+    rows = pairs.collect()
+    # star degradation: linear pair count (min-id hub), not C(200,2)=19900
+    assert len(rows) == 199, len(rows)
+    assert all(r["hamming"] == 0 for r in rows)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    assert comp.select("comp").distinct().count() == 1
+
+
+def test_pagerank_plan_embeds_single_edge_subtree(spark):
+    """q123 returns a checkpointed result: the final plan must NOT embed
+    ten copies of the edge-mining window subtree (VERDICT r2 item 2 —
+    pre-fix the lag-window appeared once per power iteration)."""
+    from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+
+    df = QUERY_REGISTRY["q123_pagerank_transitions"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 0, "edge-mining subtree leaked into the returned plan"
+    assert df.count() > 0
