@@ -82,18 +82,50 @@ class MetricsCollector:
                     totals[out_key] += getattr(sd, accessor)()
         return totals
 
-    def _settled_totals(self, group: str, timeout: float = 3.0) -> dict[str, int]:
-        # The status store is fed by the async listener bus; poll until two
-        # consecutive reads agree (or timeout) so late task-end events land.
-        prev = self._group_totals(group)
-        deadline = time.time() + timeout
+    def _jobs_terminal(self, group: str, expect_jobs: bool) -> bool:
+        # Completion-based readiness: every job the group spawned must be
+        # visible in the store AND report a terminal status with all tasks
+        # accounted for. (An earlier stable-two-reads poll could return
+        # all-zero totals while the listener bus was merely lagging —
+        # exactly the condition the freshness alarm fires on.)
+        sc = self.spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        job_ids = sc.statusTracker().getJobIdsForGroup(group)
+        if expect_jobs and not job_ids:
+            return False  # listener bus has not surfaced the jobs yet
+        for jid in job_ids:
+            try:
+                job = store.job(jid)
+            except Exception:
+                return False
+            if job.status().toString() not in ("SUCCEEDED", "FAILED"):
+                return False
+            if job.numCompletedTasks() + job.numFailedTasks() + job.numSkippedTasks() < job.numTasks():
+                return False
+        return True
+
+    def _settled_totals(
+        self, group: str, timeout: float = 5.0, appear_grace: float = 1.0
+    ) -> dict[str, int]:
+        # The status store is fed by the async listener bus; wait until the
+        # group's jobs all report terminal (or timeout), then read totals.
+        # A driver-only action legitimately spawns zero jobs — give the bus
+        # ``appear_grace`` to surface any before accepting an empty group.
+        start = time.time()
+        deadline = start + timeout
         while time.time() < deadline:
-            time.sleep(0.15)
-            cur = self._group_totals(group)
-            if cur == prev:
-                return cur
-            prev = cur
-        return prev
+            has_jobs = bool(
+                self.spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+            )
+            if not has_jobs:
+                if time.time() - start >= appear_grace:
+                    break
+                time.sleep(0.05)
+                continue
+            if self._jobs_terminal(group, expect_jobs=True):
+                break
+            time.sleep(0.1)
+        return self._group_totals(group)
 
     # ── public API ───────────────────────────────────────────────────────
 
@@ -134,3 +166,18 @@ class MetricsCollector:
         ``lambda r: r["status"] == "failed"`` (the Glue failure alarm) or
         ``lambda r: r["input_records"] == 0`` (the freshness alarm)."""
         return [r for r in self.records if predicate(r)]
+
+
+def wrap_pipeline(
+    metrics: MetricsCollector, name: str, fn: Callable[[], Any]
+) -> dict[str, Any] | None:
+    """Shared pipeline-instrumentation contract (used by transform_iot_sensors
+    and transform_weather): run the pipeline body under ``metrics.run`` and
+    merge a ``job_metrics`` entry into its status dict. A raising body yields
+    {"success": False, "job_metrics": {... status="failed"}} instead of
+    propagating; a None body result (empty/missing input) passes through."""
+    rec = metrics.run(name, fn, raise_on_error=False)
+    result = rec.pop("result")
+    if rec["status"] == "failed":
+        return {"success": False, "job_metrics": rec}
+    return None if result is None else {**result, "job_metrics": rec}

@@ -76,7 +76,10 @@ def merge_upsert(
                 cond = cond | match
             pruned = existing.filter(cond)
         else:
-            pruned = existing.join(F.broadcast(touched), partition_cols, "left_semi")
+            # No broadcast hint: an explicit broadcast would materialize the
+            # full touched relation on the driver — the unbounded path this
+            # cap exists to avoid. AQE broadcasts it only when small.
+            pruned = existing.join(touched, partition_cols, "left_semi")
         merged = pruned.select(*out_cols).unionByName(updates)
     else:
         merged = updates
@@ -214,6 +217,15 @@ def expire_partitions(
         src = os.path.join(path, rel)
         if archive_path:
             dst = os.path.join(archive_path, rel)
+            if os.path.exists(dst):
+                # shutil.move into an existing dir would NEST src inside it
+                # (archive/.../day=30/day=30/...), corrupting partition
+                # discovery on the archive — refuse loudly instead.
+                raise FileExistsError(
+                    f"archive destination already exists: {dst} — the "
+                    "partition was archived before and re-created; merge or "
+                    "remove the prior archive copy first"
+                )
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.move(src, dst)
         else:

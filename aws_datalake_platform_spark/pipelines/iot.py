@@ -74,18 +74,16 @@ def transform_iot_sensors(
     a raising job yields {"success": False, "job_metrics": {...}} with
     status="failed" instead of propagating."""
     if metrics is not None:
-        rec = metrics.run(
+        from ..observability import wrap_pipeline
+
+        return wrap_pipeline(
+            metrics,
             "transform_iot_sensors",
             lambda: transform_iot_sensors(
                 spark, raw_path, curated_path, raw_df,
                 halt_on_validation_failure, infer_schema, metrics=None,
             ),
-            raise_on_error=False,
         )
-        result = rec.pop("result")
-        if rec["status"] == "failed":
-            return {"success": False, "job_metrics": rec}
-        return None if result is None else {**result, "job_metrics": rec}
     if raw_df is None:
         try:
             raw_df = read_ndjson(spark, raw_path, schema=None if infer_schema else RAW_IOT_SENSORS)

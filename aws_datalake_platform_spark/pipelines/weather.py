@@ -69,18 +69,16 @@ def transform_weather(
     ``metrics`` wraps the job in an observability.MetricsCollector run —
     see pipelines/iot.py for the contract."""
     if metrics is not None:
-        rec = metrics.run(
+        from ..observability import wrap_pipeline
+
+        return wrap_pipeline(
+            metrics,
             "transform_weather",
             lambda: transform_weather(
                 spark, raw_path, curated_path, raw_df,
                 halt_on_validation_failure, infer_schema, metrics=None,
             ),
-            raise_on_error=False,
         )
-        result = rec.pop("result")
-        if rec["status"] == "failed":
-            return {"success": False, "job_metrics": rec}
-        return None if result is None else {**result, "job_metrics": rec}
     if raw_df is None:
         try:
             raw_df = read_ndjson(spark, raw_path, schema=None if infer_schema else RAW_WEATHER)

@@ -25,7 +25,10 @@ def mem_sink_name(prefix: str, sf_dir: str) -> str:
     one session are replayable. Safe for re-runs: each of these queries is
     availableNow + awaitTermination, so by the time a second invocation
     starts the first has terminated and the memory sink re-registers the
-    temp view under the same name.
+    temp view under the same name. Contract: SEQUENTIAL invocation per
+    (query, sf_dir) — two truly concurrent runs of the same query on the
+    same sf_dir would collide on the active-query name; the harness and
+    bench both run queries sequentially.
     """
     tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf_dir).strip("_")
     return f"{prefix}_{tag}"

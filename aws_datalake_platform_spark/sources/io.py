@@ -14,11 +14,48 @@ explicit schema to skip the inference scan (full extra pass at 100 TB).
 
 from __future__ import annotations
 
+import itertools
+import os
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 _CORRUPT = "_corrupt_record"
+_RUN_SEQ = itertools.count()
+
+
+def _dead_letter_split(df: DataFrame, bad_records_path: str) -> DataFrame:
+    """Shared corrupt-row routing for the PERMISSIVE + corrupt-column
+    readers (read_ndjson / read_csv).
+
+    - Bad lines land under a per-run ``run=<millis>-<pid>-<seq>``
+      subdirectory (partition-style name, so a plain read of the
+      dead-letter root still globs): each invocation logs what IT saw —
+      the Firehose error-prefix layout — and the pid+seq suffix makes
+      same-millisecond invocations collision-free under mode("error").
+    - The scan is persisted only for the bad-line write: Spark rejects a
+      corrupt-column-ONLY query over a raw file scan, so that one query
+      must run over the cached relation. The returned good-rows frame
+      references the data columns too (allowed uncached), so the cache is
+      released immediately after the write — no leaked blocks, and the
+      returned frame recomputes from lineage (an earlier localCheckpoint
+      variant lost that recompute path on executor loss).
+    """
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        run_dir = (
+            f"{bad_records_path}/run={int(time.time() * 1000)}"
+            f"-{os.getpid()}-{next(_RUN_SEQ)}"
+        )
+        df.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT).write.mode(
+            "error"
+        ).text(run_dir)
+        return df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    finally:
+        df.unpersist(blocking=False)
 
 
 def read_ndjson(
@@ -32,33 +69,19 @@ def read_ndjson(
     The routing is the OSS PERMISSIVE + columnNameOfCorruptRecord
     pattern: Databricks' ``badRecordsPath`` reader option is NOT
     implemented in open-source Spark (it is silently ignored), so relying
-    on it would drop the dead-letter guarantee without any error. The
-    scan is materialized ONCE via an eager localCheckpoint (Spark refuses
-    to filter on the corrupt column of a plain scan, and a cache() here
-    would leak blocks in a long-lived session with no unpersist handle —
-    checkpoint blocks are reclaimed by the ContextCleaner when the
-    returned frame is garbage-collected); bad lines land under a per-run
-    ``run=<millis>`` subdirectory, so re-reading the same input logs each
-    invocation separately instead of blindly appending duplicates into
-    one flat dir — the Firehose error-prefix layout."""
+    on it would drop the dead-letter guarantee without any error. See
+    _dead_letter_split for the caching + per-run-directory contract."""
     if bad_records_path is not None:
         if schema is None:
             raise ValueError("bad_records_path requires an explicit schema")
-        import time as _time
-
         aug = T.StructType(list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())])
         df = (
             spark.read.schema(aug)
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", _CORRUPT)
             .json(path)
-            .localCheckpoint(eager=True)
         )
-        run_dir = f"{bad_records_path}/run={int(_time.time() * 1000)}"
-        df.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT).write.mode(
-            "error"
-        ).text(run_dir)
-        return df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+        return _dead_letter_split(df, bad_records_path)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -104,20 +127,13 @@ def read_csv(
         if schema is None:
             raise ValueError("bad_records_path requires an explicit schema")
         aug = T.StructType(list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())])
-        import time as _time
-
         df = (
             reader.schema(aug)
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", _CORRUPT)
             .csv(path)
-            .localCheckpoint(eager=True)  # same rationale as read_ndjson
         )
-        run_dir = f"{bad_records_path}/run={int(_time.time() * 1000)}"
-        df.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT).write.mode(
-            "error"
-        ).text(run_dir)
-        return df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+        return _dead_letter_split(df, bad_records_path)
     if schema is not None:
         reader = reader.schema(schema)
     else:

@@ -712,3 +712,55 @@ def test_expire_partitions_syncs_catalog(spark, tmp_path):
     assert spark.sql("SHOW PARTITIONS t_expire").count() == 2
     assert spark.table("t_expire").count() == 6
     spark.sql("DROP TABLE t_expire")
+
+
+def test_expire_partitions_archive_refuses_existing_destination(spark, tmp_path):
+    """Re-expiring a re-created partition must refuse loudly instead of
+    nesting the directory inside the prior archive copy."""
+    import pytest as _pytest
+
+    from aws_datalake_platform_spark.operators.maintenance import expire_partitions
+
+    path = str(tmp_path / "lake")
+    arch = str(tmp_path / "archive")
+    _dated_lake(spark, path)
+    expire_partitions(spark, path, ["year", "month", "day"],
+                      older_than="2024-01-01", archive_path=arch)
+    # re-create one expired partition (late backfill), then expire again
+    spark.createDataFrame([(99, 2023, 12, 30)], "id long, year int, month int, day int")\
+        .write.mode("append").partitionBy("year", "month", "day").parquet(path)
+    with _pytest.raises(FileExistsError, match="archived before"):
+        expire_partitions(spark, path, ["year", "month", "day"],
+                          older_than="2024-01-01", archive_path=arch)
+
+
+def test_dead_letter_per_run_dirs_and_no_cache_leak(spark, tmp_path):
+    """Two reads of the same corrupt input log to separate run= dirs (no
+    silent duplicate-append into one flat dir), the returned good rows
+    remain usable after the internal cache is released, and no cached
+    blocks leak."""
+    from pyspark.sql import types as T
+
+    from aws_datalake_platform_spark.sources.io import read_ndjson
+
+    src = tmp_path / "raw"
+    src.mkdir()
+    (src / "a.json").write_text('{"city": "rome", "temp": 20.0}\nBROKEN\n')
+    dead = str(tmp_path / "dead")
+    schema = T.StructType(
+        [T.StructField("city", T.StringType()), T.StructField("temp", T.DoubleType())]
+    )
+    g1 = read_ndjson(spark, str(src), schema=schema, bad_records_path=dead)
+    g2 = read_ndjson(spark, str(src), schema=schema, bad_records_path=dead)
+    # good rows usable post-unpersist (recompute from lineage)
+    assert [r["city"] for r in g1.collect()] == ["rome"]
+    assert [r["city"] for r in g2.collect()] == ["rome"]
+    import os
+
+    runs = [d for d in os.listdir(dead) if d.startswith("run=")]
+    assert len(runs) == 2, runs
+    bad = spark.read.text(dead)
+    assert bad.count() == 2  # one BROKEN line per run, separately attributed
+    # no leaked cache: the reader released its persist
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
