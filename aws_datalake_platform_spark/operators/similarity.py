@@ -186,6 +186,35 @@ def banded_lsh_buckets(
     )
 
 
+def lsh_band_params(
+    corpus_size: int,
+    threshold: float,
+    target_recall: float = 0.95,
+    target_bucket: int = 64,
+) -> tuple[int, int]:
+    """(bands, planes_per_band) sized for a corpus and cosine threshold.
+
+    The sf1 scale proof (PROGRESS.jsonl r3) showed WHY this matters: with
+    planes_per_band=4 (16 buckets/band) a 20k-vector corpus pushes EVERY
+    bucket past any sane hot-bucket cap, so pair recall collapses to star
+    pairs (519 found of 90,000 planted); widening to 10 planes/band
+    restored recall 1.0 at 10.5 s. Buckets per band must scale with the
+    corpus: planes_per_band ~ log2(N / target_bucket), then bands chosen
+    from the AND-OR amplification bound 1-(1-p^r)^b >= target_recall with
+    p = 1 - acos(threshold)/pi.
+    """
+    import math
+
+    r = max(2, math.ceil(math.log2(max(corpus_size, 2) / max(target_bucket, 1))))
+    p = 1 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    pr = p**r
+    if pr >= 1.0:
+        b = 1
+    else:
+        b = max(1, math.ceil(math.log(1 - target_recall) / math.log(1 - pr)))
+    return b, r
+
+
 def embedding_near_dup_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",

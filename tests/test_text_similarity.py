@@ -273,3 +273,26 @@ def test_audio_pcm_decode_known_signal(spark):
     for w in (0, 1):
         assert rows[w]["sum_sq"] == 1000 * 1000 * AUDIO_WIN
         assert rows[w]["zcr"] == AUDIO_WIN - 1
+
+
+def test_lsh_band_params_scale_with_corpus():
+    """Bucket width must grow with the corpus (the sf1 proof's recall
+    collapse: 16 buckets/band at 20k vectors put every bucket over the
+    cap) and the band count must satisfy the amplification recall bound."""
+    import math
+
+    from aws_datalake_platform_spark.operators.similarity import lsh_band_params
+
+    b_small, r_small = lsh_band_params(2_000, threshold=0.95)
+    b_big, r_big = lsh_band_params(20_000, threshold=0.95)
+    assert r_big > r_small  # more planes per band as the corpus grows
+    # 2^r buckets keep expected bucket size near the target
+    assert 2_000 / 2**r_small <= 128
+    assert 20_000 / 2**r_big <= 128
+    # recall bound holds at the threshold it was sized for
+    for n, (b, r) in [(2_000, (b_small, r_small)), (20_000, (b_big, r_big))]:
+        p = 1 - math.acos(0.95) / math.pi
+        assert 1 - (1 - p**r) ** b >= 0.95
+    # a million-doc corpus still yields sane, finite parameters
+    b_m, r_m = lsh_band_params(1_000_000, threshold=0.9)
+    assert 2**r_m >= 1_000_000 / 128 and b_m < 200
