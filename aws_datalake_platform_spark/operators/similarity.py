@@ -220,8 +220,8 @@ def embedding_near_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    bands: int = 16,
-    planes_per_band: int = 4,
+    bands: int | None = 16,
+    planes_per_band: int | None = 4,
     seed: int = 42,
     dim: int = 64,
     max_bucket_size: int = 512,
@@ -235,13 +235,21 @@ def embedding_near_dup_pairs_lsh(
     rows all satisfy sim >= threshold; recall vs the exact baseline is
     1-(1-p^r)^b per pair (see banded_lsh_buckets) and is pinned by pytest.
 
+    Pass ``bands=None`` (or ``planes_per_band=None``) to auto-size both
+    from the corpus count via lsh_band_params — REQUIRED reading before
+    fixing parameters by hand: bucket width must grow with the corpus or
+    every bucket exceeds the cap and recall collapses to star pairs (the
+    sf1 proof measured recall 0.006 at 20k vectors with the 4-plane
+    default vs 1.0 auto-sized). The explicit defaults exist for the
+    oracle-checked q59 form at test scale.
+
     Scale: bucketing is map-side (one matmul per Arrow batch); the only
     shuffles are the bucket groupBy/join on (band, bucket) and the two
     candidate->vector hash joins — cost is O(N*b) + sum of capped bucket
-    fan-outs, never N^2. Defaults (16 bands x 4 planes) hold recall ~0.94
-    even down at cosine 0.4; at a real near-dup threshold (0.9+) recall is
-    >0.999 and bucket selectivity is what prunes the work.
+    fan-outs, never N^2.
     """
+    if bands is None or planes_per_band is None:
+        bands, planes_per_band = lsh_band_params(df.count(), threshold)
     bk = banded_lsh_buckets(df, id_col, vec_col, bands, planes_per_band, seed, dim).persist(
         StorageLevel.MEMORY_AND_DISK
     )

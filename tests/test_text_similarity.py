@@ -296,3 +296,27 @@ def test_lsh_band_params_scale_with_corpus():
     # a million-doc corpus still yields sane, finite parameters
     b_m, r_m = lsh_band_params(1_000_000, threshold=0.9)
     assert 2**r_m >= 1_000_000 / 128 and b_m < 200
+
+
+def test_near_dup_lsh_auto_sizing_finds_planted_pairs(spark):
+    """bands=None auto-sizes band structure from the corpus count; planted
+    near-identical vectors are all recovered."""
+    import numpy as np
+
+    from aws_datalake_platform_spark.operators.similarity import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(300, 64)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.tolist()))
+        w = v.copy()
+        w[0] += 0.01  # planted near-dup, cosine ~0.99999
+        rows.append((i + 10_000, w.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs_lsh(df, threshold=0.99, bands=None, planes_per_band=None)
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    planted = {(i, i + 10_000) for i in range(300)}
+    assert planted <= got, f"missing {len(planted - got)} planted pairs"
