@@ -421,7 +421,10 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket,
     then exact cosine + window rank. Recall rises with fewer planes
-    (bigger buckets) or multiprobe; cost falls with more planes."""
+    (bigger buckets) or multiprobe; cost falls with more planes. Size
+    n_planes ~ log2(corpus / desired_bucket_size) as the corpus grows
+    (see lsh_band_params) — a fixed plane count leaves per-query probe
+    cost growing linearly with the corpus."""
     qb = lsh_bucket_ids(queries, id_col, vec_col, n_planes, seed, dim).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qv"),

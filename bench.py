@@ -63,6 +63,9 @@ HEADLINE = [
     # - q25: ~2.4 s after the hot-bucket cap landed (window + stats join
     #   are the cap's fixed cost; the cap exists because an uncapped band
     #   self-join went quadratic on the sf1 boilerplate corpus).
+    # - q23: ~3 s — EXACT n-gram Jaccard (shared-shingle equi-join with a
+    #   max_df hot-shingle guard); the approximate scale path is q24, this
+    #   row is the exact baseline priced honestly.
     "q59_embedding_near_dup_lsh",
     "q64_winnow_fingerprints",
     "q68_dup_clusters",
