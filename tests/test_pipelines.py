@@ -750,6 +750,8 @@ def test_dead_letter_per_run_dirs_and_no_cache_leak(spark, tmp_path):
     schema = T.StructType(
         [T.StructField("city", T.StringType()), T.StructField("temp", T.DoubleType())]
     )
+    jsc = spark.sparkContext._jsc.sc()
+    cached_before = jsc.getPersistentRDDs().size()
     g1 = read_ndjson(spark, str(src), schema=schema, bad_records_path=dead)
     g2 = read_ndjson(spark, str(src), schema=schema, bad_records_path=dead)
     # good rows usable post-unpersist (recompute from lineage)
@@ -761,6 +763,6 @@ def test_dead_letter_per_run_dirs_and_no_cache_leak(spark, tmp_path):
     assert len(runs) == 2, runs
     bad = spark.read.text(dead)
     assert bad.count() == 2  # one BROKEN line per run, separately attributed
-    # no leaked cache: the reader released its persist
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    # no leaked cache: the reader released its persist (relative check —
+    # the shared session holds by-design persists from other operators)
+    assert jsc.getPersistentRDDs().size() <= cached_before
