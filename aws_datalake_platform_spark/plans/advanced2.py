@@ -1603,3 +1603,94 @@ def q155_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("qty_rank", F.rank().over(w))
         .filter(F.col("qty_rank") <= 3)
     )
+
+
+# ── q156: exact distinct counts via bitmap aggregates ───────────────────────
+
+
+@register(
+    "q156_bitmap_distinct",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="EXACT distinct counting via Spark 3.5+ bitmap aggregates: keys "
+    "map to (bucket, bit) positions, per-(group, bucket) bitmaps build "
+    "map-side, and the final count is a sum of bitmap_count over buckets "
+    "— the mergeable-sketch shape that lets exact distinct counts "
+    "pre-aggregate and roll up (unlike COUNT(DISTINCT), which cannot "
+    "partial-aggregate and must shuffle raw keys). Oracle is the plain "
+    "COUNT(DISTINCT) it must equal.",
+)
+def q156_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: COUNT(DISTINCT) expands every (group, key) pair through the
+    shuffle; the bitmap form shuffles one <=4 KB bitmap per (group,
+    bucket of 32768 keys) — at 100 TB that is the difference between
+    shuffling the key universe and shuffling a fixed sketch per bucket.
+    Both forms are EXACT; bitmaps are also the storable/mergeable
+    representation an incremental rollup would persist."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_bucket = (
+        orders.groupBy(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("__bucket"),
+        )
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("__bm"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(__bm)")).cast("long").alias("n_customers"),
+        F.sum("__n").cast("long").alias("n_orders"),
+    )
+
+
+# ── q157: exact money arithmetic in DECIMAL ─────────────────────────────────
+
+
+@register(
+    "q157_decimal_money",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             AS gross,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DECIMAL(20,4)) AS net,
+           CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             AS min_price,
+           CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact money arithmetic in DECIMAL: prices and discounts cast to "
+    "fixed-point before any arithmetic, so sums are associative integers "
+    "underneath — order-independent and engine-exact (the float-double "
+    "formulation of the same aggregate is what forces the integer-cents "
+    "idiom elsewhere, e.g. q128/q133). Exercises decimal cast rounding, "
+    "scale propagation through multiply, and final re-scaling, with the "
+    "identical ANSI DECIMAL semantics on both engines. The net column "
+    "stays at the product scale (4): engines disagree on decimal "
+    "rounding MODE (Spark HALF_UP, DuckDB HALF_EVEN), so exactness "
+    "means never rounding a representable midpoint away.",
+)
+def q157_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: decimal aggregation partial-aggregates like any sum (the
+    accumulator is a 128-bit integer) — exactness costs no extra shuffle;
+    the cast happens at the scan projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("decimal(18,2)").alias("gross"),
+        # net stays at the product's natural scale 4: a lossy re-cast to
+        # scale 2 hits exact .xx50 midpoints, where Spark rounds HALF_UP
+        # and DuckDB HALF_EVEN — keeping full scale avoids rounding at all
+        F.sum(price * (one - disc)).cast("decimal(20,4)").alias("net"),
+        F.min(price).cast("decimal(18,2)").alias("min_price"),
+        F.max(price).cast("decimal(18,2)").alias("max_price"),
+    )
