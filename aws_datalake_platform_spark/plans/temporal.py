@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import re as _re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import ensure_nanos_as_long, load_table
@@ -410,4 +410,81 @@ def q82_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# ── q158: max concurrent sessions (sweep-line over interval boundaries) ─────
+
+
+@register(
+    "q158_concurrency_sweep",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts > LAG(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sx AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    ),
+    iv AS (SELECT MIN(ts) AS s, MAX(ts) AS e FROM sx GROUP BY user_id, sess),
+    b AS (
+      SELECT s AS ts, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e AS ts, -1 AS delta FROM iv
+    ),
+    r AS (
+      SELECT ts, delta,
+             SUM(delta) OVER (ORDER BY ts, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS run
+      FROM b
+    )
+    SELECT CAST(ts AS DATE) AS day, CAST(MAX(run) AS BIGINT) AS max_concurrent
+    FROM r GROUP BY 1
+    """,
+    doc="Max concurrent sessions per day — sweep-line over session "
+    "interval boundaries (+1 at start, -1 at end; starts sort before "
+    "ends at equal timestamps so touching intervals count as "
+    "concurrent). The oracle runs the textbook single-ordering global "
+    "window; the engine computes the SAME running sum distributed: "
+    "per-day partitioned partial prefix sums plus a tiny cumulative "
+    "day-offset relation — no global single-partition sort.",
+)
+def q158_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: a naive SUM() OVER (ORDER BY ts) serializes the whole lake
+    through ONE task. This plan is the distributed two-phase prefix sum:
+    (1) boundaries partition by day — running sums within each day are
+    parallel; (2) per-day deltas aggregate to a day-level relation
+    (rows = #days, trivially small) whose cumulative sum gives each
+    day's starting offset; (3) max(run) + offset is the global answer.
+    Same decomposition sequence packing (q114) uses; works for any
+    time-bucketed prefix-sum at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = sessionize(ev, key="user_id", ts="ts", order_tiebreak="event_id", gap="12 hours")
+    b = iv.select(F.col("session_start").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("session_end").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    b = b.withColumn("day", F.to_date("ts"))
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = b.withColumn("run", F.sum("delta").over(w_day))
+    per_day = running.groupBy("day").agg(
+        F.max("run").alias("day_max"), F.sum("delta").alias("day_tot")
+    )
+    # day-level cumulative offset: rows = #distinct days, a tiny relation —
+    # the single-partition window here is over days, not events
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_day.withColumn(
+            "offset", F.coalesce(F.sum("day_tot").over(w_days) - F.col("day_tot"), F.lit(0))
+        )
+        .select("day", (F.col("day_max") + F.col("offset")).cast("long").alias("max_concurrent"))
     )
