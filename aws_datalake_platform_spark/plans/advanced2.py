@@ -1694,3 +1694,104 @@ def q157_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(price).cast("decimal(18,2)").alias("min_price"),
         F.max(price).cast("decimal(18,2)").alias("max_price"),
     )
+
+
+# ── q159: exponential time-decay scoring ────────────────────────────────────
+
+_DECAY_ANCHOR = "2024-02-01 00:00:00"  # just past the events table's range
+_DECAY_TAU_US = 7 * 86_400 * 1_000_000  # e-folding time: one week, in micros
+
+
+@register(
+    "q159_time_decay_score",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(CAST(ROUND(value * EXP(-(epoch_us(TIMESTAMP '{_DECAY_ANCHOR}')
+                                               - epoch_us(ts)) / {_DECAY_TAU_US}.0)
+                                 * 1000000) AS BIGINT)) / 1000000.0, 4)
+             AS decayed_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Recency-weighted (exponential time-decay) scoring: each event "
+    "contributes value * exp(-age/tau) with a one-week e-folding time "
+    "against a fixed anchor — the standard freshness-weighted popularity "
+    "aggregate. Each term is quantized to integer micro-units BEFORE the "
+    "sum (same scheme as q92), so the aggregate is an order-free integer "
+    "sum on both engines; age is computed in exact microseconds "
+    "(unix_micros / epoch_us).",
+)
+def q159_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: decay weight is a map-side expression at the scan (exact
+    integer micros in, one exp per row); the only shuffle is the final
+    small aggregate. Contrast a windowed recency rank: no sort, no
+    per-key state — decay handles recency weighting in one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor_us = F.unix_micros(F.lit(_DECAY_ANCHOR).cast("timestamp"))
+    age_us = anchor_us - F.unix_micros(F.col("ts"))
+    term = F.round(F.col("value") * F.exp(-age_us / F.lit(float(_DECAY_TAU_US))) * 1e6).cast(
+        "long"
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(term) / 1e6, 4).alias("decayed_value"),
+    )
+
+
+# ── q160: referential-integrity audit across the star schema ────────────────
+
+_FK_RELS = [
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_oracle_sql() -> str:
+    parts = [
+        f"""SELECT '{name}' AS relationship,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_child_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+                WHERE c.{ck} IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck}))
+                 AS n_orphans"""
+        for name, child, ck, parent, pk in _FK_RELS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "q160_fk_integrity_audit",
+    _fk_oracle_sql(),
+    doc="Referential-integrity audit over every FK edge of the star "
+    "schema: per relationship, child row count and orphan count (child "
+    "keys with no matching parent) — the relational extension of the "
+    "reference's per-column validation suite (F1-F4) to cross-table "
+    "invariants. A lake-quality dashboard runs exactly this after every "
+    "load.",
+)
+def q160_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each orphan check is ONE left-anti join on the key (parent
+    side reduced to distinct keys first, broadcast when small); child
+    scans are single-column (column pruning). No collect, no loop over
+    rows — the relationship list is static config."""
+    out = None
+    for name, child, ck, parent, pk in _FK_RELS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("__pk")).distinct()
+        total = c.agg(F.count(F.lit(1)).cast("long").alias("n_child_rows"))
+        orphans = (
+            c.filter(F.col(ck).isNotNull())
+            .join(p, F.col(ck) == F.col("__pk"), "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        )
+        row = (
+            total.crossJoin(orphans)
+            .select(F.lit(name).alias("relationship"), "n_child_rows", "n_orphans")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
