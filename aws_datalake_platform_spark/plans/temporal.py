@@ -466,9 +466,17 @@ def q158_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-bucketed prefix-sum at 100 TB."""
     ev = load_table(spark, sf_dir, "events")
     iv = sessionize(ev, key="user_id", ts="ts", order_tiebreak="event_id", gap="12 hours")
-    b = iv.select(F.col("session_start").alias("ts"), F.lit(1).alias("delta")).unionAll(
-        iv.select(F.col("session_end").alias("ts"), F.lit(-1).alias("delta"))
-    )
+    # one explode instead of a two-branch union: a union would plan the
+    # whole sessionize subtree twice (once per branch); the fan-out is
+    # map-side either way, but this keeps a single upstream computation
+    b = iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("session_start").alias("ts"), F.lit(1).alias("delta")),
+                F.struct(F.col("session_end").alias("ts"), F.lit(-1).alias("delta")),
+            )
+        ).alias("__b")
+    ).select(F.col("__b.ts").alias("ts"), F.col("__b.delta").alias("delta"))
     b = b.withColumn("day", F.to_date("ts"))
     w_day = (
         Window.partitionBy("day")

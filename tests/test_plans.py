@@ -172,3 +172,30 @@ def test_countmin_probe_broadcasts_cells(spark):
     truth side must not shuffle for the probe."""
     plan = _plan(spark, "q144_countmin_sketch")
     assert "BroadcastHashJoin" in plan
+
+
+def test_q158_event_scale_window_is_day_partitioned(spark):
+    """The sweep-line's event-scale running sum must partition by day;
+    the only SinglePartition exchange feeds the tiny day-level offset
+    relation — and the sessionize subtree appears ONCE (explode fan-out,
+    not a two-branch union)."""
+    from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+
+    df = QUERY_REGISTRY["q158_concurrency_sweep"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "hashpartitioning(day" in plan
+    assert plan.count("hashpartitioning(user_id") == 1, "sessionize subtree duplicated"
+    assert df.count() > 0
+
+
+def test_q156_bitmap_distinct_partial_aggregates(spark):
+    """The bitmap formulation must partial-aggregate (map-side combine):
+    the plan carries partial_ aggregate modes for the bitmap build, which
+    COUNT(DISTINCT <key>) over raw keys cannot do in one pass."""
+    from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+
+    df = QUERY_REGISTRY["q156_bitmap_distinct"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_bitmap_construct_agg" in plan, plan
+    assert df.count() > 0
