@@ -1795,3 +1795,47 @@ def q160_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ── q161: equi-depth (quantile-bucket) histogram ────────────────────────────
+
+
+@register(
+    "q161_equidepth_histogram",
+    """
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 4) AS lo,
+           ROUND(MAX(value), 4) AS hi
+    FROM (
+      SELECT event_type, value,
+             CAST(ntile(10) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS INTEGER) AS bucket
+      FROM events WHERE value IS NOT NULL
+    )
+    GROUP BY event_type, bucket
+    """,
+    doc="Equi-DEPTH histogram: ntile(10) assigns each value to a "
+    "same-population decile per group and the buckets report their "
+    "boundaries — the quantile-bucket twin of the equi-WIDTH histogram "
+    "(q75). event_id tiebreak makes tied-value bucket assignment "
+    "deterministic on both engines (ntile splits ties arbitrarily "
+    "otherwise).",
+)
+def q161_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle + sort per group partition (the same window
+    sort any ranking needs); buckets aggregate in the partitioning the
+    window already established. For a global (non-grouped) equi-depth
+    cut at 100 TB use approx percentiles for boundaries instead —
+    q80's t-digest is that path."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )

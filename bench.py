@@ -87,6 +87,11 @@ HEADLINE = [
     "q125_tpch_q6",
     "q128_tpch_q10",
     "q133_tpch_q5",
+    "q156_bitmap_distinct",
+    "q157_decimal_money",
+    "q158_concurrency_sweep",
+    "q159_time_decay_score",
+    "q160_fk_integrity_audit",
 ]
 
 
