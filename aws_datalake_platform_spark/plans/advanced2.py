@@ -1775,25 +1775,53 @@ def _fk_oracle_sql() -> str:
     "load.",
 )
 def q160_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: each orphan check is ONE left-anti join on the key (parent
-    side reduced to distinct keys first, broadcast when small); child
-    scans are single-column (column pruning). No collect, no loop over
-    rows — the relationship list is static config."""
+    """Scale: ONE scan per child table regardless of how many FK edges it
+    carries — all of a child's checks ride the same pass as left joins
+    against distinct parent keys (broadcast when small), fused into one
+    aggregate whose per-edge orphan counts then unpivot to rows. The
+    same fused-single-pass story as the validator (F1-F4, SURVEY §4):
+    a naive per-edge formulation scans lineitem six times; this scans it
+    once. No collect, no loop over rows — the edge list is static
+    config."""
+    from collections import defaultdict
+
+    by_child: dict[str, list[tuple]] = defaultdict(list)
+    for rel in _FK_RELS:
+        by_child[rel[1]].append(rel)
     out = None
-    for name, child, ck, parent, pk in _FK_RELS:
-        c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("__pk")).distinct()
-        total = c.agg(F.count(F.lit(1)).cast("long").alias("n_child_rows"))
-        orphans = (
-            c.filter(F.col(ck).isNotNull())
-            .join(p, F.col(ck) == F.col("__pk"), "left_anti")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+    for child, rels in by_child.items():
+        c = load_table(spark, sf_dir, child).select(*[r[2] for r in rels])
+        joined = c
+        for i, (_, _, ck, parent, pk) in enumerate(rels):
+            p = (
+                load_table(spark, sf_dir, parent)
+                .select(F.col(pk).alias(f"__pk{i}"))
+                .distinct()
+            )
+            joined = joined.join(p, F.col(ck) == F.col(f"__pk{i}"), "left")
+        agg = joined.agg(
+            F.count(F.lit(1)).cast("long").alias("__total"),
+            *[
+                F.sum(
+                    F.when(
+                        F.col(rels[i][2]).isNotNull() & F.col(f"__pk{i}").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"__orph{i}")
+                for i in range(len(rels))
+            ],
         )
-        row = (
-            total.crossJoin(orphans)
-            .select(F.lit(name).alias("relationship"), "n_child_rows", "n_orphans")
+        stack = F.expr(
+            "stack({}, {}) as (relationship, n_orphans)".format(
+                len(rels),
+                ", ".join(f"'{rels[i][0]}', __orph{i}" for i in range(len(rels))),
+            )
         )
-        out = row if out is None else out.unionAll(row)
+        rows = agg.select(F.col("__total").alias("n_child_rows"), stack).select(
+            "relationship", "n_child_rows", "n_orphans"
+        )
+        out = rows if out is None else out.unionAll(rows)
     return out
 
 
