@@ -9,9 +9,14 @@ The serving-surface ergonomics of the reference's Athena console
         --sf-dir /root/testdata/sf0.01 --limit 50 --explain
     python -m aws_datalake_platform_spark sql \
         "SELECT COUNT(*) FROM lineitem" --sf-dir /root/testdata/sf0.001
+    python -m aws_datalake_platform_spark expire /lake/events \
+        --partition-cols year,month,day --older-than 2025-01-01   # dry-run
+    python -m aws_datalake_platform_spark compact /lake/events \
+        --partition-cols date --target-bytes 134217728
 
 `run --output <dir>` writes the full result as parquet instead of
 showing it (the driver-free path to materialize any operator's output).
+`expire` is a dry-run listing unless --apply is passed.
 """
 
 from __future__ import annotations
@@ -39,6 +44,22 @@ def _build_parser() -> argparse.ArgumentParser:
     sqlp.add_argument("statement")
     sqlp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     sqlp.add_argument("--limit", type=int, default=20)
+
+    exp = sub.add_parser(
+        "expire", help="retention: drop/archive partitions older than a cutoff"
+    )
+    exp.add_argument("path", help="partitioned parquet lake root")
+    exp.add_argument("--partition-cols", required=True,
+                     help="comma-separated partition columns, e.g. year,month,day")
+    exp.add_argument("--older-than", required=True, help="cutoff date YYYY-MM-DD")
+    exp.add_argument("--archive", help="move expired partitions under this root")
+    exp.add_argument("--apply", action="store_true",
+                     help="actually delete/move (default: dry-run listing)")
+
+    cmp_ = sub.add_parser("compact", help="compact small files per partition")
+    cmp_.add_argument("path")
+    cmp_.add_argument("--partition-cols", required=True)
+    cmp_.add_argument("--target-bytes", type=int, default=128 << 20)
     return p
 
 
@@ -70,6 +91,32 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote {args.output}")
         else:
             df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "expire":
+        from .operators.maintenance import expire_partitions
+
+        report = expire_partitions(
+            spark,
+            args.path,
+            args.partition_cols.split(","),
+            older_than=args.older_than,
+            dry_run=not args.apply,
+            archive_path=args.archive,
+        )
+        for row in report:
+            print(row)
+        print(f"{len(report)} partition(s) {'affected' if args.apply else 'would expire'}")
+        return 0
+
+    if args.cmd == "compact":
+        from .operators.maintenance import compact_partitions
+
+        pre = compact_partitions(
+            spark, args.path, args.partition_cols.split(","), args.target_bytes
+        )
+        for part, (n, b) in sorted(pre.items()):
+            print(f"{part}: {n} files, {b} bytes (pre-compaction)")
         return 0
 
     # sql
