@@ -205,6 +205,8 @@ def lsh_band_params(
     """
     import math
 
+    import warnings
+
     r = max(2, math.ceil(math.log2(max(corpus_size, 2) / max(target_bucket, 1))))
     p = 1 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     pr = p**r
@@ -212,6 +214,24 @@ def lsh_band_params(
         b = 1
     else:
         b = max(1, math.ceil(math.log(1 - target_recall) / math.log(1 - pr)))
+    # Ceiling: at LOW thresholds on large corpora the recall bound wants
+    # explosive band counts (threshold 0.4 at 1M vectors solves to ~1,900
+    # bands x 14 planes — ~26k projections and billions of bucket rows).
+    # That regime is not an LSH problem: angular LSH cannot cheaply
+    # separate cos 0.4 from cos 0.0, and the exact all-pairs plan is the
+    # honest alternative (see q31 vs q59). Cap and warn instead of
+    # silently emitting a job that never finishes.
+    max_bands = 64
+    if b > max_bands:
+        achieved = 1 - (1 - pr) ** max_bands
+        warnings.warn(
+            f"lsh_band_params: threshold {threshold} at corpus {corpus_size} "
+            f"wants {b} bands; capping at {max_bands} (recall bound drops to "
+            f"~{achieved:.3f}). At low thresholds prefer the exact all-pairs "
+            "path — LSH cannot prune there.",
+            stacklevel=2,
+        )
+        b = max_bands
     return b, r
 
 
@@ -249,6 +269,13 @@ def embedding_near_dup_pairs_lsh(
     fan-outs, never N^2.
     """
     if bands is None or planes_per_band is None:
+        # Persist before the sizing count: the bucketing pass AND the
+        # verify branch below both re-read the input, which would
+        # otherwise recompute the upstream lineage per consumer on
+        # exactly the large-corpus path auto-sizing targets. Stays
+        # cached under the session's LRU (same contract as the MinHash
+        # base; clearCache between unrelated workloads).
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
         bands, planes_per_band = lsh_band_params(df.count(), threshold)
     bk = banded_lsh_buckets(df, id_col, vec_col, bands, planes_per_band, seed, dim).persist(
         StorageLevel.MEMORY_AND_DISK

@@ -67,7 +67,7 @@ def test_rotation_survives_corrupt_correctness_file(tmp_path, monkeypatch):
     try:
         names = list(entry.queries())
         assert len(names) >= 160
-        assert names[-1] == "q01_pricing_summary" or "q01_pricing_summary" in names
-        assert names[0] != "q01_pricing_summary"  # the one checked query rotated back
+        # the single checked query must land at the very BACK of the order
+        assert names[-1] == "q01_pricing_summary"
     finally:
         monkeypatch.setattr(entry, "__file__", real_file)

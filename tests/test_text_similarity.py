@@ -320,3 +320,18 @@ def test_near_dup_lsh_auto_sizing_finds_planted_pairs(spark):
     got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
     planted = {(i, i + 10_000) for i in range(300)}
     assert planted <= got, f"missing {len(planted - got)} planted pairs"
+
+
+def test_lsh_band_params_caps_explosive_low_threshold():
+    """Low thresholds on big corpora would solve to thousands of bands;
+    the helper caps at 64 and warns (LSH cannot prune at cos ~0.4 — the
+    exact path is the honest plan there)."""
+    import warnings
+
+    from aws_datalake_platform_spark.operators.similarity import lsh_band_params
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        b, r = lsh_band_params(1_000_000, threshold=0.4)
+    assert b == 64
+    assert any("capping" in str(x.message) for x in w)
