@@ -1867,3 +1867,58 @@ def q161_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("hi"),
         )
     )
+
+
+# ── q162: per-source curation profile ───────────────────────────────────────
+
+
+@register(
+    "q162_source_quality_profile",
+    r"""
+    WITH d AS (
+      SELECT source, lang, n_chars,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                                     ' +', ' ', 'g'))) AS fp,
+             length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0
+               / NULLIF(length(text), 0) AS punct
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(1.0 - COUNT(DISTINCT fp) * 1.0 / COUNT(*), 4) AS exact_dup_ratio,
+           ROUND(AVG(punct), 6) AS avg_punct_ratio
+    FROM d GROUP BY source
+    """,
+    doc="Per-source curation profile: doc/char volume, language spread, "
+    "EXACT-duplicate ratio (normalized-text fingerprints, q22's scheme), "
+    "and mean punctuation ratio — the source-level dashboard a crawl "
+    "pipeline uses to decide which sources to down-weight or drop before "
+    "expensive near-dup passes.",
+)
+def q162_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one pass computes the fingerprint and quality signals at the
+    scan; the aggregate shuffles on source only. The dup ratio reuses the
+    exact-dedup fingerprint so source-level triage agrees with the
+    doc-level dedup op (operators/dedup.py:normalize_text)."""
+    from ..operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    punct = (
+        F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", ""))
+        * F.lit(1.0)
+        / F.nullif(F.length("text"), F.lit(0))
+    )
+    d = docs.select(
+        "source", "lang", "n_chars",
+        F.md5(normalize_text("text")).alias("fp"),
+        punct.alias("punct"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(1.0 - F.countDistinct("fp") / F.count(F.lit(1)), 4).alias("exact_dup_ratio"),
+        F.round(F.avg("punct"), 6).alias("avg_punct_ratio"),
+    )

@@ -766,3 +766,33 @@ def test_dead_letter_per_run_dirs_and_no_cache_leak(spark, tmp_path):
     # no leaked cache: the reader released its persist (relative check —
     # the shared session holds by-design persists from other operators)
     assert jsc.getPersistentRDDs().size() <= cached_before
+
+
+def test_cli_expire_and_compact_subcommands(spark, tmp_path):
+    """CLI maintenance surface: expire dry-run leaves data, --apply
+    removes; compact reports pre-compaction stats and reduces files."""
+    from aws_datalake_platform_spark.__main__ import main
+
+    path = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(i, 2023 + i % 2, 1, 1) for i in range(10)],
+        "id long, year int, month int, day int",
+    ).repartition(4).write.partitionBy("year", "month", "day").parquet(path)
+
+    rc = main(["expire", path, "--partition-cols", "year,month,day",
+               "--older-than", "2024-01-01"])
+    assert rc == 0
+    assert spark.read.parquet(path).count() == 10  # dry-run: untouched
+
+    rc = main(["expire", path, "--partition-cols", "year,month,day",
+               "--older-than", "2024-01-01", "--apply"])
+    assert rc == 0
+    assert spark.read.parquet(path).count() == 5
+
+    rc = main(["compact", path, "--partition-cols", "year,month,day",
+               "--target-bytes", str(1 << 30)])
+    assert rc == 0
+    from aws_datalake_platform_spark.operators.maintenance import partition_file_stats
+
+    post = partition_file_stats(spark, path, ["year", "month", "day"])
+    assert all(n == 1 for n, _ in post.values())

@@ -148,3 +148,30 @@ def test_cap_per_group_bound_and_determinism(spark, rows, cap):
         assert sorted(got) == sorted(expected[g])[:cap]
     rep = cap_per_group(df.repartition(5), ["g"], ["id"], cap).collect()
     assert {(r["g"], r["id"]) for r in rep} == {(r["g"], r["id"]) for r in out}
+
+
+@given(
+    n=st.integers(min_value=2, max_value=10_000_000),
+    threshold=st.floats(min_value=0.3, max_value=0.999),
+)
+@settings(max_examples=200, deadline=None)
+def test_lsh_band_params_properties(n, threshold):
+    """Sizing invariants: finite sane outputs for any corpus/threshold,
+    bucket width grows (weakly) with the corpus, recall bound holds
+    whenever the cap did not bite."""
+    import math
+    import warnings
+
+    from aws_datalake_platform_spark.operators.similarity import lsh_band_params
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        b, r = lsh_band_params(n, threshold)
+        assert 1 <= b <= 64 and 2 <= r <= 32
+        # weak monotonicity in corpus size (same threshold)
+        b2, r2 = lsh_band_params(n * 2, threshold)
+    assert r2 >= r
+    # recall bound holds when uncapped
+    p = 1 - math.acos(threshold) / math.pi
+    if b < 64:
+        assert 1 - (1 - p**r) ** b >= 0.95 - 1e-9
