@@ -29,13 +29,17 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the nearest right timestamp at-or-before
     (backward) / at-or-after (forward) its own. Inner semantics: left rows
     with no match are dropped. Output: left columns + ``asof_ts``.
 
     Equal timestamps match (right row sorts before left via the tag), the
-    same tie rule as DuckDB's ASOF JOIN ``l.ts >= r.ts``.
+    same tie rule as DuckDB's ASOF JOIN ``l.ts >= r.ts``. ``tolerance``
+    (an INTERVAL string, e.g. "2 hours") additionally bounds the match
+    distance — pandas.merge_asof's tolerance semantics: matches farther
+    than the tolerance are dropped, not clamped.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -66,11 +70,18 @@ def asof_join(
         )
         asof_ts = F.first(F.when(F.col("__tag") == 0, F.col("__ts")), ignorenulls=True).over(w)
 
-    return (
+    out = (
         unioned.withColumn("__asof", asof_ts)
         .filter((F.col("__tag") == 1) & F.col("__asof").isNotNull())
         .select(*[F.col(f"__row.{c}").alias(c) for c in l_cols], F.col("__asof").alias("asof_ts"))
     )
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            out = out.filter(F.col(left_ts) - F.col("asof_ts") <= tol)
+        else:
+            out = out.filter(F.col("asof_ts") - F.col(left_ts) <= tol)
+    return out
 
 
 def asof_join_pandas(

@@ -496,3 +496,86 @@ def q158_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", (F.col("day_max") + F.col("offset")).cast("long").alias("max_concurrent"))
     )
+
+
+# ── q163: forward as-of join with tolerance ─────────────────────────────────
+
+
+@register(
+    "q163_asof_forward_tolerance",
+    """
+    SELECT c.event_id, c.user_id, c.ts, p.ts AS next_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    WHERE p.ts - c.ts <= INTERVAL 2 HOUR
+    """,
+    doc="FORWARD as-of join with tolerance: each click paired with the "
+    "user's NEXT purchase at-or-after it, matches farther than 2 hours "
+    "dropped (pandas.merge_asof direction='forward' + tolerance "
+    "semantics). Same union+window encoding as the backward form (q34), "
+    "mirrored frame direction.",
+)
+def q163_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical single-shuffle shape as q34 — the tolerance is a
+    post-window filter, not a join predicate, so the plan is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        direction="forward", tolerance="2 hours",
+    ).select("event_id", "user_id", "ts", F.col("asof_ts").alias("next_purchase_ts"))
+
+
+# ── q164: weighted median ───────────────────────────────────────────────────
+
+
+@register(
+    "q164_weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag AS g, l_quantity AS v,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    c AS (
+      SELECT g, v,
+             SUM(wt) OVER (PARTITION BY g ORDER BY v) AS cum,
+             SUM(wt) OVER (PARTITION BY g) AS tot
+      FROM w
+    )
+    SELECT g AS l_returnflag, MIN(v) AS weighted_median_qty
+    FROM c WHERE cum * 2 >= tot GROUP BY g
+    """,
+    doc="Weighted median (50% of total weight) of quantity weighted by "
+    "extended price, per return flag — the revenue-centric 'typical "
+    "order size'. Weights are integer cents and the cumulative window "
+    "uses the default RANGE frame, so tied values accumulate as one "
+    "peer block — crossing-point selection is order-independent and "
+    "engine-exact.",
+)
+def q164_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two windows over one (group, value) sort — the same single
+    shuffle any per-group ranking pays; no collect, no iteration. The
+    integer-cents weights keep the running sums exact under any
+    partitioning (float cum-sums would make the crossing row
+    platform-dependent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").alias("v"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("wt"),
+    )
+    win_cum = Window.partitionBy("g").orderBy("v")  # default RANGE frame: peers merge
+    win_tot = Window.partitionBy("g")
+    c = w.select(
+        "g", "v",
+        F.sum("wt").over(win_cum).alias("cum"),
+        F.sum("wt").over(win_tot).alias("tot"),
+    )
+    return (
+        c.filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy(F.col("g").alias("l_returnflag"))
+        .agg(F.min("v").alias("weighted_median_qty"))
+    )
