@@ -579,3 +579,56 @@ def q164_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("g").alias("l_returnflag"))
         .agg(F.min("v").alias("weighted_median_qty"))
     )
+
+
+# ── q165: inter-event gap profile ───────────────────────────────────────────
+
+
+@register(
+    "q165_interevent_gaps",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT)
+               AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(FLOOR(MEDIAN(gap_us)) AS BIGINT) AS median_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    HAVING COUNT(gap_us) >= 5
+    """,
+    doc="Per-user inter-event gap profile (microsecond-exact lag "
+    "differences; min/max/median cadence for users with enough "
+    "history) — the behavioral-cadence feature behind bot detection "
+    "and engagement scoring. Gaps are exact integers, and the median "
+    "of an integer multiset is engine-exact: both engines average "
+    "the two middle values on even counts, and the explicit FLOOR "
+    "before the BIGINT cast removes the one semantic difference "
+    "(Spark casts double->long by truncation, DuckDB by rounding).",
+)
+def q165_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on user_id shared by the lag window and the
+    aggregate (the groupBy reuses the window's partitioning); gaps are
+    integer micros so every statistic is order-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.floor(F.expr("percentile(gap_us, 0.5)")).cast("long").alias("median_gap_us"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
