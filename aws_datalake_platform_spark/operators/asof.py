@@ -70,18 +70,21 @@ def asof_join(
         )
         asof_ts = F.first(F.when(F.col("__tag") == 0, F.col("__ts")), ignorenulls=True).over(w)
 
-    out = (
-        unioned.withColumn("__asof", asof_ts)
-        .filter((F.col("__tag") == 1) & F.col("__asof").isNotNull())
-        .select(*[F.col(f"__row.{c}").alias(c) for c in l_cols], F.col("__asof").alias("asof_ts"))
+    matched = unioned.withColumn("__asof", asof_ts).filter(
+        (F.col("__tag") == 1) & F.col("__asof").isNotNull()
     )
     if tolerance is not None:
+        # filter on the internal columns BEFORE the output projection: a
+        # left frame that itself carries an `asof_ts` column would make a
+        # post-select F.col("asof_ts") reference ambiguous
         tol = F.expr(f"INTERVAL {tolerance}")
         if direction == "backward":
-            out = out.filter(F.col(left_ts) - F.col("asof_ts") <= tol)
+            matched = matched.filter(F.col("__ts") - F.col("__asof") <= tol)
         else:
-            out = out.filter(F.col("asof_ts") - F.col(left_ts) <= tol)
-    return out
+            matched = matched.filter(F.col("__asof") - F.col("__ts") <= tol)
+    return matched.select(
+        *[F.col(f"__row.{c}").alias(c) for c in l_cols], F.col("__asof").alias("asof_ts")
+    )
 
 
 def asof_join_pandas(

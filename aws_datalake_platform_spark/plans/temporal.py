@@ -628,7 +628,7 @@ def q165_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("gap_us").alias("n_gaps"),
             F.min("gap_us").alias("min_gap_us"),
             F.max("gap_us").alias("max_gap_us"),
-            F.floor(F.expr("percentile(gap_us, 0.5)")).cast("long").alias("median_gap_us"),
+            F.floor(F.expr("percentile(gap_us, 0.5)")).alias("median_gap_us"),
         )
         .filter(F.col("n_gaps") >= 5)
     )
