@@ -632,3 +632,37 @@ def q165_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") >= 5)
     )
+
+
+# ── q166: rolling median over an event window ───────────────────────────────
+
+
+@register(
+    "q166_rolling_median",
+    """
+    SELECT event_id, user_id,
+           MEDIAN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             AS rolling_median_5
+    FROM events
+    """,
+    doc="Rolling median of the last 5 events per user — an aggregate "
+    "function used as a WINDOW function (robust smoothing where a "
+    "moving average would chase outliers). Exact on both engines: a "
+    "median of <=5 doubles is a selection plus at most one two-value "
+    "average, no accumulation-order sensitivity.",
+)
+def q166_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on user_id + in-partition sort; the frame holds
+    at most 5 values so per-row evaluation is O(k log k) with no state
+    growth — the robust-statistics twin of the q96 trailing average."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.expr("percentile(value, 0.5)").over(w).alias("rolling_median_5"),
+    )
