@@ -372,3 +372,131 @@ def q171_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_bits",
         )
     )
+
+
+# ── q175: label-centroid cosine similarity (no UDF vector math) ────────────
+
+_Q175_SQL = """
+    WITH unn AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT label, pos,
+             CAST(ROUND(CAST(v AS DOUBLE) * 100) AS BIGINT) AS qv
+      FROM unn
+    ),
+    c AS (SELECT label, pos, SUM(qv) AS s FROM q GROUP BY label, pos)
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(SUM(a.s * b.s)
+                 / (SQRT(SUM(a.s * a.s)) * SQRT(SUM(b.s * b.s))), 4)
+             AS centroid_cos
+    FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+"""
+
+
+@register(
+    "q175_centroid_similarity",
+    _Q175_SQL,
+    doc="Pairwise cosine similarity between per-label embedding centroids "
+    "— cluster-separation health for an embedding table, in pure SQL "
+    "(posexplode + integer aggregation, no UDF). Components are "
+    "quantized to exact BIGINTs BEFORE summing, so the per-dimension "
+    "sums are accumulation-order-proof; cosine of the summed vectors "
+    "equals cosine of the centroids (counts cancel), computed once "
+    "from exact integers and rounded at 1e-4.",
+)
+def q175_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the explode produces |rows| x dims narrow tuples that
+    partial-aggregate map-side down to |labels| x dims before the
+    shuffle; the pairwise join runs on that tiny centroid relation.
+    Integer-sum headroom: |qv| <= 100*|v|, so BIGINT holds exact sums to
+    ~1e7 rows/label per dimension at these magnitudes — past that,
+    aggregate into DECIMAL(38,0) (q157's path). Quantization at 1e-2 per
+    component perturbs a unit-vector cosine by O(1e-2/sqrt(n)) — far
+    below the 1e-4 output rounding at any realistic n."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    unn = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("p", "v")
+    ).select(
+        "label",
+        (F.col("p") + 1).alias("pos"),
+        F.round(F.col("v").cast("double") * 100).cast("long").alias("qv"),
+    )
+    c = unn.groupBy("label", "pos").agg(F.sum("qv").alias("s"))
+    a = c.alias("a")
+    b = c.alias("b")
+    return (
+        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(
+            F.round(
+                F.sum(F.col("a.s") * F.col("b.s"))
+                / (
+                    F.sqrt(F.sum(F.col("a.s") * F.col("a.s")))
+                    * F.sqrt(F.sum(F.col("b.s") * F.col("b.s")))
+                ),
+                4,
+            ).alias("centroid_cos")
+        )
+    )
+
+
+# ── q176: mutual information between categorical columns ───────────────────
+
+_Q176_SQL = """
+    WITH c AS (
+      SELECT event_type AS x, dayofweek(ts) + 1 AS y, COUNT(*) AS c
+      FROM events GROUP BY event_type, dayofweek(ts) + 1
+    ),
+    mx AS (SELECT x, SUM(c) AS cx FROM c GROUP BY x),
+    my AS (SELECT y, SUM(c) AS cy FROM c GROUP BY y),
+    t AS (SELECT SUM(c) AS n FROM c)
+    SELECT c.x AS x, CAST(c.y AS INT) AS y,
+           CAST(c.c AS BIGINT) AS n_xy,
+           ROUND((c.c * 1.0 / n) * LN((c.c * 1.0 * n) / (cx * 1.0 * cy)), 6)
+             AS mi_contrib
+    FROM c JOIN mx ON c.x = mx.x JOIN my ON c.y = my.y, t
+"""
+
+
+@register(
+    "q176_mutual_information",
+    _Q176_SQL,
+    doc="Mutual information between event type and day-of-week, emitted "
+    "as per-cell contributions — the feature-dependence screen run "
+    "before training on tabular slices. The contingency table and both "
+    "marginals are exact integer counts; each ln() consumes a ratio of "
+    "exact integer products (no float accumulation before the "
+    "transcendental), rounded at 1e-6.",
+)
+def q176_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one scan to a |X|x|Y|-bounded contingency aggregate
+    (map-side combine); marginals and total derive from that tiny table,
+    broadcast back. The same shape serves chi-square / G-test by
+    swapping the per-cell expression."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.col("event_type").alias("x"), F.dayofweek("ts").alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mx = c.groupBy("x").agg(F.sum("c").alias("cx"))
+    my = c.groupBy("y").agg(F.sum("c").alias("cy"))
+    t = c.agg(F.sum("c").alias("n"))
+    return (
+        c.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .join(F.broadcast(t))
+        .select(
+            "x",
+            F.col("y").cast("int").alias("y"),
+            F.col("c").cast("long").alias("n_xy"),
+            F.round(
+                (F.col("c") / F.col("n"))
+                * F.log((F.col("c") * F.col("n")) / (F.col("cx") * F.col("cy"))),
+                6,
+            ).alias("mi_contrib"),
+        )
+    )

@@ -235,3 +235,187 @@ def q80_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pcts")[2], 2).alias("p99"),
         )
     )
+
+
+# ── q172: exact duplicated-substring spans (Lee et al. style) ──────────────
+
+_Q172_K = 8  # tokens per gram; spans are maximal unions of duplicated grams
+
+
+@register(
+    "q172_dup_span_merge",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(range(1, len(toks) - 6)) AS s,
+             unnest(list_transform(range(1, len(toks) - 6),
+                                   i -> array_to_string(toks[i:i+7], ' '))) AS g
+      FROM tok WHERE len(toks) >= 8
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT grams.doc_id, grams.s FROM grams JOIN dup USING (g)),
+    isl AS (
+      SELECT doc_id, s,
+             CASE WHEN LAG(s) OVER w IS NULL OR s - LAG(s) OVER w > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY s)
+    ),
+    sp AS (
+      SELECT doc_id, s,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(island AS BIGINT) AS span_id,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(s) + 7 AS BIGINT) AS span_end,
+           CAST(MAX(s) + 7 - MIN(s) + 1 AS BIGINT) AS span_tokens
+    FROM sp GROUP BY doc_id, island
+    """,
+    doc="Exact duplicated-substring spans: every 8-token gram occurring in "
+    ">=2 distinct documents marks its positions, and overlapping/adjacent "
+    "marked grams merge into maximal spans (gaps-and-islands per doc) — "
+    "the exact-substring deduplication signal from the 'Deduplicating "
+    "Training Data' line of work, at token granularity. Output is "
+    "(doc, span) with token offsets, ready to cut or down-weight.",
+)
+def q172_dup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the gram groupBy/semi-join shuffles the gram set twice — at
+    100 TB you shuffle xxhash64(gram) instead of the string (64-bit
+    collisions only ever ADD a span token, never lose one) and cap hot
+    grams with the q23/q24 max_df guard; the island merge is a per-doc
+    window, map-side after the doc_id shuffle. Exact strings kept here so
+    the DuckDB oracle replays the pipeline verbatim."""
+    k = _Q172_K
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= k)
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {k - 1}), "
+                f"i -> array_join(slice(toks, i, {k}), ' '))"
+            )
+        ).alias("p", "g"),
+    ).select("doc_id", (F.col("p") + 1).cast("long").alias("s"), "g")
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup, "g", "left_semi").select("doc_id", "s")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("s")
+    isl = hits.select(
+        "doc_id",
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.col("s") - F.lag("s").over(w) > k), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sp = isl.select("doc_id", "s", F.sum("brk").over(wc).alias("island"))
+    return sp.groupBy("doc_id", F.col("island").cast("long").alias("span_id")).agg(
+        F.min("s").alias("span_start"),
+        (F.max("s") + (k - 1)).alias("span_end"),
+        (F.max("s") + (k - 1) - F.min("s") + 1).alias("span_tokens"),
+    )
+
+
+# ── q173: model-based quality scoring (logistic regression inference) ──────
+
+_Q173_STOPS = "('the','a','an','and','of','to','in','is','it','that')"
+
+
+@register(
+    "q173_quality_logreg",
+    rf"""
+    WITH f AS (
+      SELECT doc_id,
+             len(text) AS l_chars,
+             len(string_split_regex(trim(text), '\s+')) AS n_words,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             t -> t IN {_Q173_STOPS})) AS n_stop,
+             len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+             len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             len(array_to_string(string_split_regex(trim(text), '\s+'), ''))
+               AS n_word_chars
+      FROM documents WHERE len(trim(text)) > 0
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(n_stop * 1.0 / n_words, 4) AS stop_frac,
+           ROUND(1.0 / (1.0 + EXP(-(-2.0
+             + 0.35 * LN(1 + n_words)
+             + 2.5 * (n_stop * 1.0 / n_words)
+             - 4.0 * (n_punct * 1.0 / l_chars)
+             - 3.0 * (n_digit * 1.0 / l_chars)
+             + 0.1 * (n_word_chars * 1.0 / n_words)))), 4) AS quality_score,
+           ROUND(1.0 / (1.0 + EXP(-(-2.0
+             + 0.35 * LN(1 + n_words)
+             + 2.5 * (n_stop * 1.0 / n_words)
+             - 4.0 * (n_punct * 1.0 / l_chars)
+             - 3.0 * (n_digit * 1.0 / l_chars)
+             + 0.1 * (n_word_chars * 1.0 / n_words)))), 4) >= 0.5 AS quality_pass
+    FROM f
+    """,
+    doc="Model-based quality filter: logistic-regression inference over "
+    "cheap text features (log word count, stopword/punct/digit "
+    "fractions, mean word length) with a fixed offline-trained weight "
+    "vector — the fastText-classifier shape of LLM-corpus curation as "
+    "pure column math. Features are exact integer ratios; the single "
+    "sigmoid consumes them unaccumulated and is rounded at 1e-4, with "
+    "the pass/fail threshold applied to the ROUNDED score on both "
+    "engines.",
+)
+def q173_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: map-side only — no shuffle, no UDF; the scorer fuses into
+    whatever scan feeds it. Swapping in real trained weights is a
+    constant change; a real fastText/transformer scorer would slot in as
+    an Arrow mapInPandas with this exact output contract."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ltoks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    f = docs.select(
+        "doc_id",
+        F.length("text").alias("l_chars"),
+        F.size(toks).alias("n_words"),
+        F.size(F.expr(rf"filter(split(trim(lower(text)), '\\s+'), t -> t IN {_Q173_STOPS})")).alias(
+            "n_stop"
+        ),
+        (F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))).alias(
+            "n_punct"
+        ),
+        (F.length("text") - F.length(F.regexp_replace("text", r"[0-9]", ""))).alias(
+            "n_digit"
+        ),
+        F.length(F.array_join(toks, "")).alias("n_word_chars"),
+    )
+    z = (
+        F.lit(-2.0)
+        + 0.35 * F.log(1 + F.col("n_words"))
+        + 2.5 * (F.col("n_stop") / F.col("n_words"))
+        - 4.0 * (F.col("n_punct") / F.col("l_chars"))
+        - 3.0 * (F.col("n_digit") / F.col("l_chars"))
+        + 0.1 * (F.col("n_word_chars") / F.col("n_words"))
+    )
+    score = F.round(1.0 / (1.0 + F.exp(-z)), 4)
+    return f.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(F.col("n_stop") / F.col("n_words"), 4).alias("stop_frac"),
+        score.alias("quality_score"),
+        (score >= 0.5).alias("quality_pass"),
+    )

@@ -666,3 +666,33 @@ def q166_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.expr("percentile(value, 0.5)").over(w).alias("rolling_median_5"),
     )
+
+
+@register(
+    "q174_stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    doc="Streaming exact deduplication: dropDuplicates over the event "
+    "stream (availableNow replay, memory sink), final distinct key set "
+    "under the batch DISTINCT oracle — so the streaming dedup state "
+    "machinery itself is hash-checked. Output restricted to the dedup "
+    "keys, making 'which physical row was kept first' irrelevant to "
+    "the contract.",
+)
+def q174_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production path bounds state with dropDuplicatesWithinWatermark
+    (streaming/ingest.py:127, pytest-covered); this query uses unbounded
+    dropDuplicates because the oracle contract is EXACT global dedup over
+    a bounded replay — on an infinite stream you accept the watermark
+    variant's within-delay guarantee instead."""
+    sdf = _events_stream(spark, sf_dir)
+    dd = sdf.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    name = mem_sink_name("q174", sf_dir)
+    query = (
+        dd.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

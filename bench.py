@@ -88,6 +88,11 @@ HEADLINE = [
     "q128_tpch_q10",
     "q133_tpch_q5",
     "q156_bitmap_distinct",
+    "q167_ohlc_downsample",
+    "q168_trade_triangles",
+    "q169_ks_drift",
+    "q172_dup_span_merge",
+    "q175_centroid_similarity",
     "q157_decimal_money",
     "q158_concurrency_sweep",
     "q159_time_decay_score",
