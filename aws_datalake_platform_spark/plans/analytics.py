@@ -500,3 +500,231 @@ def q176_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mi_contrib"),
         )
     )
+
+
+# ── q178: winsorized robust stats (integer-cents, exact) ───────────────────
+
+_Q178_SQL = """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    b AS (
+      SELECT l_returnflag,
+             quantile_disc(cents, 0.05) AS lo,
+             quantile_disc(cents, 0.95) AS hi
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag AS l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_low,
+           CAST(SUM(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_high,
+           CAST(SUM(LEAST(GREATEST(cents, lo), hi)) AS BIGINT)
+             AS sum_wins_cents,
+           ROUND(SUM(LEAST(GREATEST(cents, lo), hi)) / (100.0 * COUNT(*)), 4)
+             AS avg_winsorized
+    FROM c JOIN b USING (l_returnflag)
+    GROUP BY c.l_returnflag
+"""
+
+
+@register(
+    "q178_winsorized_stats",
+    _Q178_SQL,
+    doc="Winsorized (p05/p95-clamped) price statistics per return flag — "
+    "the outlier-robust aggregate feeding curation thresholds, exact to "
+    "the cent: values are quantized to BIGINT cents, bounds come from "
+    "percentile_disc (an actual population value, q130 semantics), and "
+    "the clamped sum is an exact integer — the average is one division "
+    "of exact integers (no float accumulation anywhere).",
+)
+def q178_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two passes over lineitem (exact per-group percentile, then
+    clamp+sum with the 3-row bounds broadcast back). Single-pass variant
+    at 100 TB: approx_percentile bounds (q80's sketch) in pass one of a
+    fused scan — same output contract, 0.1% bound error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    b = c.groupBy("l_returnflag").agg(
+        # percentile_disc returns DOUBLE in Spark even over integer input;
+        # the bound is an actual population value, so the cast is exact
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("hi"),
+    )
+    wins = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        c.join(F.broadcast(b), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("cents") < F.col("lo")).cast("long")).alias("n_clamped_low"),
+            F.sum((F.col("cents") > F.col("hi")).cast("long")).alias("n_clamped_high"),
+            F.sum(wins).alias("sum_wins_cents"),
+            F.round(F.sum(wins) / (100.0 * F.count(F.lit(1))), 4).alias(
+                "avg_winsorized"
+            ),
+        )
+    )
+
+
+# ── q179: two-proportion z-test (A/B experiment readout) ───────────────────
+
+_Q179_SQL = """
+    WITH per_user AS (
+      SELECT user_id,
+             user_id % 2 AS grp,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       > SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id, user_id % 2
+    ),
+    g AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM per_user GROUP BY grp
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN grp = 0 THEN n_users END) AS n0,
+             MAX(CASE WHEN grp = 0 THEN n_converted END) AS c0,
+             MAX(CASE WHEN grp = 1 THEN n_users END) AS n1,
+             MAX(CASE WHEN grp = 1 THEN n_converted END) AS c1
+      FROM g
+    )
+    SELECT n0, c0, n1, c1,
+           ROUND(c0 * 1.0 / n0, 6) AS p0,
+           ROUND(c1 * 1.0 / n1, 6) AS p1,
+           ROUND((c0 * 1.0 / n0 - c1 * 1.0 / n1)
+                 / NULLIF(SQRT(((c0 + c1) * 1.0 / (n0 + n1))
+                        * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 0), 4) AS z_score
+    FROM w
+"""
+
+
+@register(
+    "q179_ab_proportion_test",
+    _Q179_SQL,
+    doc="Two-proportion z-test between hash-split cohorts (user_id parity = "
+    "the deterministic assignment a real experiment framework uses) on a "
+    "per-user conversion (more purchases than error events) — the "
+    "experiment readout query. Conversions and cohort sizes are exact "
+    "integers; the z-score is one closed-form expression over them, "
+    "rounded at 1e-4 (NULL when a cohort saturates).",
+)
+def q179_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per-user conversion is a partial-aggregable groupBy on
+    user_id (the one real shuffle); everything after runs on a 2-row
+    relation pivoted driver-free."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("grp")
+    ).agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    g = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    return w.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.round(
+            (p0 - p1)
+            / F.nullif(
+                F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("z_score"),
+    )
+
+
+# ── q180: Gini concentration (skew monitoring) ─────────────────────────────
+
+_Q180_SQL = """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM rev
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           ROUND(2.0 * SUM(CAST(i AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))
+                 / (MAX(n) * 1.0 * SUM(cents))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+    FROM ranked
+"""
+
+
+@register(
+    "q180_gini_concentration",
+    _Q180_SQL,
+    doc="Gini coefficient of per-customer revenue — the concentration/"
+    "skew monitor: a rising Gini on a join key predicts hot-key skew "
+    "(the q45/q85 salting trigger) before a job falls over. Revenue is "
+    "exact integer cents; the rank-weighted sum accumulates in "
+    "DECIMAL(38,0) (exact), and the closed-form Gini is one division "
+    "at the end, rounded at 1e-6.",
+)
+def q180_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per-key revenue is a partial-aggregable groupBy; the rank
+    window runs over the KEY relation (customers, not orders). A global
+    ROW_NUMBER is a single-partition sort at extreme key cardinality —
+    the two-phase partition-offset prefix-sum (q158's pattern) is the
+    drop-in when keys outgrow one partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    iw = F.col("i").cast("decimal(38,0)") * F.col("cents").cast("decimal(38,0)")
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.round(
+            2.0 * F.sum(iw) / (F.max("n") * 1.0 * F.sum("cents"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

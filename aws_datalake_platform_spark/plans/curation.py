@@ -419,3 +419,64 @@ def q173_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("quality_score"),
         (score >= 0.5).alias("quality_pass"),
     )
+
+
+# ── q177: end-to-end dedup verdict (keep best per exact-dup group) ─────────
+
+# longest-text-wins, then smallest doc_id: fixed-width sortable key so
+# max_by/arg_max tie-breaks are engine-identical (q99's pattern)
+_Q177_KEY_SPARK = "format_string('%012d|%012d', n_chars, 999999999999 - doc_id)"
+_Q177_KEY_DUCK = "printf('%012d|%012d', n_chars, 999999999999 - doc_id)"
+
+
+@register(
+    "q177_dedup_keep_best",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    canon AS (
+      SELECT fingerprint,
+             arg_max(doc_id, {_Q177_KEY_DUCK}) AS canonical_id,
+             COUNT(*) AS n_docs
+      FROM fp GROUP BY fingerprint
+    )
+    SELECT f.doc_id AS doc_id,
+           c.canonical_id AS canonical_id,
+           f.doc_id = c.canonical_id AS keep,
+           CAST(c.n_docs AS BIGINT) AS n_docs
+    FROM fp f JOIN canon c USING (fingerprint)
+    """,
+    doc="The end-to-end exact-dedup VERDICT: every document mapped to its "
+    "group's canonical representative (longest text wins, then smallest "
+    "id) with a keep/drop flag — the row-level decision a curation "
+    "pipeline actually applies, extending q22's group summary. "
+    "Group-by and join share the fingerprint key, so Catalyst reuses "
+    "one exchange for both.",
+)
+def q177_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on the fingerprint; the canon aggregate is
+    co-partitioned with the join probe (same key), so the join adds no
+    second shuffle of the big side. Quality-aware keep policies swap the
+    sort key (e.g. q173's score) without changing the plan shape."""
+    from ..operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(normalize_text("text")).alias("fingerprint"),
+    )
+    canon = fp.groupBy("fingerprint").agg(
+        F.expr(f"max_by(doc_id, {_Q177_KEY_SPARK})").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return fp.join(canon, "fingerprint").select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )

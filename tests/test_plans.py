@@ -199,3 +199,57 @@ def test_q156_bitmap_distinct_partial_aggregates(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_bitmap_construct_agg" in plan, plan
     assert df.count() > 0
+
+
+def test_q167_ohlc_is_single_pass_partial_aggregate(spark):
+    """OHLC must be one aggregate pass with map-side combine (partial
+    min_by below the single exchange) and NO window — the associative
+    min_by/max_by claim. (min_by plans as SortAggregate: the per-group
+    sort it needs is per-partition, not a global window sort.)"""
+    plan = _plan(spark, "q167_ohlc_downsample")
+    assert "Window" not in plan
+    assert "partial_min_by" in plan  # map-side combine before the shuffle
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_q168_triangle_plan_mines_edges_once(spark):
+    """After the eager localCheckpoint, the 4 edge consumers (threshold +
+    e1/e2/e3) must all read the materialized RDD — zero parquet scans of
+    the fact tables in the final plan (the q123 lineage lesson)."""
+    plan = _plan(spark, "q168_trade_triangles")
+    assert "Scan parquet" not in plan
+    assert plan.count("Scan ExistingRDD") >= 4
+
+
+def test_q169_ks_window_sees_distinct_values_not_rows(spark):
+    """The ordered ECDF window must sit ABOVE the value-collapsing
+    aggregate (exchange->agg->sort->window order), and orders must be
+    scanned exactly once (totals ride the same window pass)."""
+    plan = _plan(spark, "q169_ks_drift")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Window" in plan
+
+
+def test_q172_span_merge_semi_joins_dup_grams(spark):
+    """Duplicate-gram membership must be a semi join (gram set never
+    widens the hits relation) feeding a per-doc window."""
+    plan = _plan(spark, "q172_dup_span_merge")
+    assert "LeftSemi" in plan
+    assert "Window" in plan
+
+
+def test_q173_quality_logreg_is_map_side_only(spark):
+    """Model inference is pure column math: no exchange, no UDF eval."""
+    plan = _plan(spark, "q173_quality_logreg")
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_q175_centroid_partial_aggregates_before_shuffle(spark):
+    """The |rows| x dims explode must partial-aggregate map-side (hash
+    aggregate below the first exchange), and the pairwise join must not
+    touch the un-aggregated explode output."""
+    plan = _plan(spark, "q175_centroid_similarity")
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[:first_exchange] or "HashAggregate" in plan
+    assert "Generate" in plan  # posexplode survived as a generate, no UDF
