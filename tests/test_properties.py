@@ -175,3 +175,126 @@ def test_lsh_band_params_properties(n, threshold):
     p = 1 - math.acos(threshold) / math.pi
     if b < 64:
         assert 1 - (1 - p**r) ** b >= 0.95 - 1e-9
+
+
+# ── round-3 analytics invariants ────────────────────────────────────────────
+
+
+def _run_q(spark, name, sf="/root/testdata/sf0.001"):
+    from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+
+    return QUERY_REGISTRY[name].fn(spark, sf)
+
+
+def test_ks_drift_statistic_in_unit_interval(spark):
+    row = _run_q(spark, "q169_ks_drift").collect()[0]
+    assert 0.0 <= row.d_stat <= 1.0
+    assert row.d_num <= row.na * row.nb
+    # exact integer numerator consistent with the rounded statistic
+    assert abs(row.d_stat - row.d_num / (row.na * row.nb)) < 1e-6
+
+
+def test_ks_identical_samples_is_zero(spark):
+    """KS of a distribution against itself must be exactly 0 — pin the
+    integer cross-multiplication (ca*nb == cb*na when the samples are
+    copies)."""
+    from pyspark.sql import Window
+    from aws_datalake_platform_spark.plans.analytics import q169_ks_drift  # noqa: F401
+
+    df = spark.createDataFrame([(float(v % 7),) for v in range(200)], "v double")
+    tagged = df.select("v", (F.lit(1)).alias("in_a")).unionAll(
+        df.select("v", F.lit(0).alias("in_a"))
+    )
+    pv = tagged.groupBy("v").agg(
+        F.sum("in_a").alias("ca_v"), F.sum(1 - F.col("in_a")).alias("cb_v")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = pv.select(
+        F.sum("ca_v").over(w).alias("ca"),
+        F.sum("cb_v").over(w).alias("cb"),
+        F.sum("ca_v").over(wf).alias("na"),
+        F.sum("cb_v").over(wf).alias("nb"),
+    )
+    d = cum.agg(
+        F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))).alias("d")
+    ).collect()[0].d
+    assert d == 0
+
+
+def test_dup_spans_are_maximal_and_disjoint(spark):
+    """Per doc: spans are >= k tokens, pairwise disjoint, AND separated by
+    more than adjacency (else the island merge failed to be maximal)."""
+    from aws_datalake_platform_spark.plans.curation import _Q172_K
+
+    rows = _run_q(spark, "q172_dup_span_merge").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r.span_tokens == r.span_end - r.span_start + 1 >= _Q172_K
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1, "adjacent/overlapping spans must have merged"
+
+
+def test_winsorized_stats_bounds(spark):
+    """Clamp counts are consistent with p05/p95 (each tail <= ~5% + ties)
+    and the winsorized average sits within the clamp bounds."""
+    rows = _run_q(spark, "q178_winsorized_stats").collect()
+    for r in rows:
+        assert 0 <= r.n_clamped_low and 0 <= r.n_clamped_high
+        assert r.n_clamped_low <= 0.06 * r.n + 1
+        assert r.n_clamped_high <= 0.06 * r.n + 1
+        # rounded average is consistent with the exact integer sum
+        assert abs(r.avg_winsorized - r.sum_wins_cents / (100.0 * r.n)) < 1e-4
+
+
+def test_gini_in_unit_interval_and_uniform_is_zero(spark):
+    row = _run_q(spark, "q180_gini_concentration").collect()[0]
+    assert 0.0 <= row.gini <= 1.0
+    # closed form on a uniform distribution must be ~0
+    from pyspark.sql import Window
+
+    rev = spark.createDataFrame([(i, 100) for i in range(1, 101)], "k long, cents long")
+    w = Window.orderBy("cents", "k")
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    g = ranked.agg(
+        (
+            2.0
+            * F.sum(F.col("i").cast("double") * F.col("cents"))
+            / (F.max("n") * 1.0 * F.sum("cents"))
+            - (F.max("n") + 1.0) / F.max("n")
+        ).alias("g")
+    ).collect()[0].g
+    assert abs(g) < 1e-9
+
+
+def test_centroid_similarity_is_bounded_and_symmetric_free(spark):
+    """Cosines lie in [-1, 1] and each unordered label pair appears
+    exactly once (a < b canonicalization)."""
+    rows = _run_q(spark, "q175_centroid_similarity").collect()
+    seen = set()
+    for r in rows:
+        assert -1.0001 <= r.centroid_cos <= 1.0001
+        assert r.label_a < r.label_b
+        key = (r.label_a, r.label_b)
+        assert key not in seen
+        seen.add(key)
+
+
+def test_triangles_are_canonical_and_edge_consistent(spark):
+    """Every emitted triangle is strictly ordered n1<n2<n3 and unique."""
+    rows = _run_q(spark, "q168_trade_triangles").collect()
+    seen = set()
+    for r in rows:
+        assert r.n1 < r.n2 < r.n3
+        t = (r.n1, r.n2, r.n3)
+        assert t not in seen
+        seen.add(t)
