@@ -60,6 +60,20 @@ def _build_parser() -> argparse.ArgumentParser:
     cmp_.add_argument("path")
     cmp_.add_argument("--partition-cols", required=True)
     cmp_.add_argument("--target-bytes", type=int, default=128 << 20)
+
+    snap = sub.add_parser(
+        "snapshots", help="snapshot store: history / time-travel / rollback / expire"
+    )
+    snap.add_argument("path", help="snapshot table root (with _manifest.json)")
+    snap.add_argument("--read", type=int, metavar="V",
+                      help="show the table as of version V")
+    snap.add_argument("--rollback", type=int, metavar="V",
+                      help="commit a new snapshot re-pointing at version V")
+    snap.add_argument("--expire-keep", type=int, metavar="N",
+                      help="expire all but the newest N snapshots")
+    snap.add_argument("--apply", action="store_true",
+                      help="with --expire-keep: actually delete (default dry-run)")
+    snap.add_argument("--limit", type=int, default=20)
     return p
 
 
@@ -117,6 +131,26 @@ def main(argv: list[str] | None = None) -> int:
         )
         for part, (n, b) in sorted(pre.items()):
             print(f"{part}: {n} files, {b} bytes (pre-compaction)")
+        return 0
+
+    if args.cmd == "snapshots":
+        from .operators import snapshots as snapmod
+
+        if args.rollback is not None:
+            v = snapmod.rollback(args.path, args.rollback)
+            print(f"rolled back to {args.rollback} as new version {v}")
+        if args.expire_keep is not None:
+            report = snapmod.expire_snapshots(
+                args.path, keep_last=args.expire_keep, dry_run=not args.apply
+            )
+            print(report)
+        if args.read is not None:
+            snapmod.read_snapshot(spark, args.path, args.read).show(
+                args.limit, truncate=False
+            )
+        if args.rollback is None and args.expire_keep is None and args.read is None:
+            for s in snapmod.list_snapshots(args.path):
+                print(s)
         return 0
 
     # sql

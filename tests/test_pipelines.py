@@ -796,3 +796,26 @@ def test_cli_expire_and_compact_subcommands(spark, tmp_path):
 
     post = partition_file_stats(spark, path, ["year", "month", "day"])
     assert all(n == 1 for n, _ in post.values())
+
+
+def test_cli_snapshots_subcommand(spark, tmp_path, capsys):
+    from aws_datalake_platform_spark.__main__ import main
+    from aws_datalake_platform_spark.operators.snapshots import write_snapshot
+
+    path = str(tmp_path / "snap_tbl")
+    write_snapshot(spark.createDataFrame([(1,)], "id long"), path)
+    write_snapshot(spark.createDataFrame([(2,)], "id long"), path)
+
+    assert main(["snapshots", path]) == 0
+    out = capsys.readouterr().out
+    assert "'version': 1" in out and "'version': 2" in out
+
+    assert main(["snapshots", path, "--rollback", "1"]) == 0
+    assert main(["snapshots", path, "--read", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "rolled back to 1 as new version 3" in out
+
+    assert main(["snapshots", path, "--expire-keep", "1"]) == 0  # dry run
+    assert main(["snapshots", path, "--expire-keep", "1", "--apply"]) == 0
+    out = capsys.readouterr().out
+    assert "expired_versions" in out
