@@ -728,3 +728,95 @@ def q180_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ── q181: rank-biased overlap between two rankings ─────────────────────────
+
+_Q181_K = 50
+_Q181_P = 0.9
+
+_Q181_SQL = f"""
+    WITH agg AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS rev_cents,
+             SUM(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey,
+             ROW_NUMBER() OVER (ORDER BY rev_cents DESC, l_partkey) AS ra,
+             ROW_NUMBER() OVER (ORDER BY qty DESC, l_partkey) AS rb
+      FROM agg
+    ),
+    topk AS (
+      SELECT l_partkey, ra, rb FROM ranked
+      WHERE ra <= {_Q181_K} OR rb <= {_Q181_K}
+    ),
+    depths AS (SELECT unnest(range(1, {_Q181_K} + 1)) AS d),
+    x AS (
+      SELECT d, COUNT(*) AS x_d
+      FROM depths JOIN topk ON ra <= d AND rb <= d
+      GROUP BY d
+    )
+    SELECT CAST({_Q181_K} AS BIGINT) AS k,
+           CAST(MAX(CASE WHEN d = {_Q181_K} THEN x_d END) AS BIGINT)
+             AS overlap_at_k,
+           ROUND((1 - {_Q181_P}) * SUM(POW({_Q181_P}, d - 1) * x_d / d), 4)
+             AS rbo
+    FROM x
+"""
+
+
+@register(
+    "q181_rbo_rank_drift",
+    _Q181_SQL,
+    doc="Rank-biased overlap (RBO@50, p=0.9) between the revenue-ranked "
+    "and quantity-ranked part lists — the ranking-drift monitor for "
+    "serving/search pipelines (two ranker versions, yesterday vs "
+    "today). Both rankings are computed over EXACT integer keys "
+    "(cents / unit counts) with a key tiebreak, so the top-k sets are "
+    "engine-identical; per-depth overlaps are integer counts and the "
+    "weighted sum is rounded at 1e-4.",
+)
+def q181_rbo_rank_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: ONE scan of lineitem into a per-key aggregate; both
+    row_number windows run over that bounded key relation, and the
+    depth-overlap theta join touches <= 2k rows. Ranking on integer
+    sufficient statistics is what makes the query hash-stable — ranking
+    on a float SUM would let a 1-ulp accumulation difference swap two
+    ranks and flip the whole top-k comparison."""
+    k, p = _Q181_K, _Q181_P
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        ).alias("rev_cents"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+    wa = Window.orderBy(F.desc("rev_cents"), F.asc("l_partkey"))
+    wb = Window.orderBy(F.desc("qty"), F.asc("l_partkey"))
+    ranked = agg.select(
+        "l_partkey",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    topk = ranked.filter((F.col("ra") <= k) | (F.col("rb") <= k))
+    depths = spark.range(1, k + 1).select(F.col("id").alias("d"))
+    x = (
+        depths.join(
+            F.broadcast(topk), (F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d"))
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("x_d"))
+    )
+    return x.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.max(F.when(F.col("d") == k, F.col("x_d"))).cast("long").alias("overlap_at_k"),
+        F.round(
+            (1 - p) * F.sum(F.pow(F.lit(p), F.col("d") - 1) * F.col("x_d") / F.col("d")),
+            4,
+        ).alias("rbo"),
+    )
