@@ -540,14 +540,19 @@ def q116_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = mem_sink_name("q116", sf_dir)
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    from ..streaming.ingest import state_partitions
+
+    # bounded availableNow replay: size the state layout to the tiny
+    # state, not the session's batch default (see state_partitions doc)
+    with state_partitions(spark, 8):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name)
 
 
@@ -689,14 +694,19 @@ def q119_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = mem_sink_name("q119", sf_dir)
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    from ..streaming.ingest import state_partitions
+
+    # bounded availableNow replay: size the state layout to the tiny
+    # state, not the session's batch default (see state_partitions doc)
+    with state_partitions(spark, 8):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name)
 
 

@@ -149,14 +149,19 @@ def q37_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("hour_bucket"), "n_events", "sum_value")
     )
     name = mem_sink_name("q37", sf_dir)
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    from ..streaming.ingest import state_partitions
+
+    # bounded availableNow replay: size the state layout to the tiny
+    # state, not the session's batch default (see state_partitions doc)
+    with state_partitions(spark, 8):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name)
 
 
@@ -187,14 +192,19 @@ def q58_stateful_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf, key="event_type", value_col="value", ts_col="ts", watermark="1 hour"
     )
     name = mem_sink_name("q58", sf_dir)
-    query = (
-        stats.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    from ..streaming.ingest import state_partitions
+
+    # bounded availableNow replay: size the state layout to the tiny
+    # state, not the session's batch default (see state_partitions doc)
+    with state_partitions(spark, 8):
+        query = (
+            stats.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     # update-mode sink holds one row per key per micro-batch; the FINAL
     # state per key is the row with the largest n (n is monotone).
     snap = spark.table(name)
@@ -244,14 +254,19 @@ def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("click_id", "purchase_id", "user_id")
     name = mem_sink_name("q65", sf_dir)
-    query = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    from ..streaming.ingest import state_partitions
+
+    # bounded availableNow replay: size the state layout to the tiny
+    # state, not the session's batch default (see state_partitions doc)
+    with state_partitions(spark, 8):
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name)
 
 
@@ -687,12 +702,17 @@ def q174_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = _events_stream(spark, sf_dir)
     dd = sdf.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
     name = mem_sink_name("q174", sf_dir)
-    query = (
-        dd.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    from ..streaming.ingest import state_partitions
+
+    # bounded availableNow replay: size the state layout to the tiny
+    # state, not the session's batch default (see state_partitions doc)
+    with state_partitions(spark, 8):
+        query = (
+            dd.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name)
