@@ -68,6 +68,8 @@ HEADLINE = [
     #   row is the exact baseline priced honestly.
     "q59_embedding_near_dup_lsh",
     "q64_winnow_fingerprints",
+    "q65_stream_stream_join",
+    "q70_repetition_stats",
     "q68_dup_clusters",
     "q111_grouped_map_zscore",
     "q114_sequence_packing",
