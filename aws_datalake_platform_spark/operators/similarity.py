@@ -496,15 +496,33 @@ def quantization_profile(
     vs half-away ambiguity — so a SQL oracle can reproduce results
     bit-for-bit. Pure codegen'd HOF projection, zero shuffles.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    lo, hi = F.array_min(v), F.array_max(v)
-    step = F.when(hi > lo, (hi - lo) / F.lit(255.0)).otherwise(F.lit(1.0))
+    # bind lo/hi/step as ATTRIBUTES before any lambda closes over them:
+    # an unbound array_min(transform(...)) inlined into the per-element
+    # lambda re-evaluates per element — O(d^2) per row (the q70 lesson,
+    # README performance notes)
+    base = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    stats = base.select(
+        id_col,
+        "__v",
+        F.array_min("__v").alias("__lo"),
+        F.array_max("__v").alias("__hi"),
+    ).withColumn(
+        "__step",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            (F.col("__hi") - F.col("__lo")) / F.lit(255.0),
+        ).otherwise(F.lit(1.0)),
+    )
+    lo, hi, step = F.col("__lo"), F.col("__hi"), F.col("__step")
     code = lambda x: F.least(  # noqa: E731
         F.greatest(F.floor((x - lo) / step + F.lit(0.5)), F.lit(0)), F.lit(255)
     )
-    abs_err = F.transform(v, lambda x: F.abs(x - (lo + code(x) * step)))
-    mean_err = F.aggregate(abs_err, F.lit(0.0), lambda acc, x: acc + x) / F.size(v)
-    return df.select(
+    abs_err = F.transform("__v", lambda x: F.abs(x - (lo + code(x) * step)))
+    mean_err = F.aggregate(abs_err, F.lit(0.0), lambda acc, x: acc + x) / F.size("__v")
+    return stats.select(
         F.col(id_col),
         F.round(lo, 4).alias("lo"),
         F.round(hi, 4).alias("hi"),
