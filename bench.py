@@ -89,6 +89,7 @@ HEADLINE = [
     "q125_tpch_q6",
     "q128_tpch_q10",
     "q133_tpch_q5",
+    "q186_tpch_q21_adapted",
     "q156_bitmap_distinct",
     "q167_ohlc_downsample",
     "q168_trade_triangles",
