@@ -253,3 +253,18 @@ def test_q175_centroid_partial_aggregates_before_shuffle(spark):
     first_exchange = plan.index("Exchange")
     assert "HashAggregate" in plan[:first_exchange] or "HashAggregate" in plan
     assert "Generate" in plan  # posexplode survived as a generate, no UDF
+
+
+def test_q186_q21_single_lineitem_scan(spark):
+    """The one-pass aggregate rewrite must scan lineitem exactly ONCE —
+    the classic EXISTS/NOT-EXISTS form scans it three times."""
+    plan = _plan(spark, "q186_tpch_q21_adapted")
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_q182_q2_dims_broadcast_and_window_min(spark):
+    """Q2's correlated MIN decorrelates into a per-part window over the
+    region-filtered partsupp; all dimension joins broadcast."""
+    plan = _plan(spark, "q182_tpch_q2")
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan  # everything dimension-sized broadcasts
