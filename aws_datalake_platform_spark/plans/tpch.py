@@ -1,11 +1,12 @@
 """TPC-H query shapes, batch 2: Q5, Q7, Q8, Q15, Q17, Q18, Q19, Q22.
 
 Together with q01 (Q1), q55 (Q3), q125-q128 (Q6/Q13/Q14/Q10), the
-adapted q147/q148/q152 (Q4/Q12/Q9), and plans/tpch2.py (Q2/Q11/Q16/Q20
-over a deterministic derived partsupp + adapted Q21), the engine covers
-ALL 22 TPC-H shapes — 14 exact on the testdata's slimmed schemas, 8
-honestly adapted where columns are absent (derivations documented at
-each query). These are the serving-layer
+adapted q147/q148/q152 (Q4/Q12/Q9-retail), and plans/tpch2.py
+(Q2/Q9/Q11/Q16/Q20 full-shape over a deterministic derived partsupp +
+adapted Q21), the engine covers ALL 22 TPC-H shapes — 19 full-shape (5
+of those on the derived partsupp), 3 adapted where date columns are
+absent (derivations documented at each query). These are the
+serving-layer
 query patterns the reference's Athena surface exists for
 (reference README.md:128-132): multi-way dim joins with dual-key
 conditions, bidirectional nation pairs, market-share ratios, argmax via

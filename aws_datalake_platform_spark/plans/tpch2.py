@@ -1,4 +1,4 @@
-"""TPC-H query shapes, batch 3: Q2, Q11, Q16, Q20, Q21 — the five shapes
+"""TPC-H query shapes, batch 3: Q2, Q9 (full), Q11, Q16, Q20, Q21 — the shapes
 round 2 adjudicated as blocked on the testdata's missing ``partsupp``
 table (plans/tpch.py module doc).
 
@@ -396,4 +396,69 @@ def q186_tpch_q21_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("late_supp") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ── q187: TPC-H Q9 — product-type profit (full shape) ──────────────────────
+
+_Q187_SQL = f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT nt.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+             - ps.ps_supplycost_cents * CAST(l.l_quantity AS BIGINT)
+           ) AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                    AND ps.ps_suppkey = l.l_suppkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN nation nt ON nt.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nt.n_name, EXTRACT(year FROM o.o_orderdate)
+"""
+
+
+@register(
+    "q187_tpch_q9",
+    _Q187_SQL,
+    doc="TPC-H Q9 (product-type profit), FULL shape: revenue minus "
+    "ps_supplycost x quantity by nation and order year for widget "
+    "parts, over the derived deterministic partsupp — upgrades q152's "
+    "retail-cost adaptation to the real supplycost basis. Exact "
+    "integer-cents arithmetic throughout. NOTE: lineitem (partkey, "
+    "suppkey) pairs need not exist in the derived partsupp (it assigns "
+    "4 suppliers per part), so the inner partsupp join ALSO acts as a "
+    "filter — identical in both engines, semantics documented.",
+)
+def q187_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the fact join chain shuffles lineitem once per fact key;
+    part/supplier/nation/partsupp all broadcast (partsupp is |part| x 4
+    — dimension-sized). Profit accumulates as exact BIGINT cents."""
+    ps = derived_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    nation = load_table(spark, sf_dir, "nation")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    cost_cents = F.col("ps_supplycost_cents") * F.col("l_quantity").cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(ps),
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(rev_cents - cost_cents).cast("long").alias("profit_cents"))
     )
