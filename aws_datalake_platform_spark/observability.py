@@ -105,12 +105,17 @@ class MetricsCollector:
         return True
 
     def _settled_totals(
-        self, group: str, timeout: float = 5.0, appear_grace: float = 1.0
+        self, group: str, timeout: float = 5.0, appear_grace: float = 0.25
     ) -> dict[str, int]:
         # The status store is fed by the async listener bus; wait until the
         # group's jobs all report terminal (or timeout), then read totals.
         # A driver-only action legitimately spawns zero jobs — give the bus
         # ``appear_grace`` to surface any before accepting an empty group.
+        # 0.25 s (was 1.0 s, an r3 review latency finding): job-start
+        # events surface within milliseconds in practice, so this bounds
+        # the per-record cost of job-less actions while still absorbing
+        # listener-bus lag; callers measuring long actions never wait at
+        # all (their jobs are already visible).
         start = time.time()
         deadline = start + timeout
         while time.time() < deadline:
@@ -141,11 +146,11 @@ class MetricsCollector:
         group = f"metrics::{name}::{len(self.records)}"
         sc.setJobGroup(group, name)
         t0 = time.perf_counter()
-        status, error, result = "ok", None, None
+        status, error, result, caught = "ok", None, None, None
         try:
             result = action()
         except Exception as ex:  # noqa: BLE001 — status surface, rethrown below
-            status, error = "failed", f"{type(ex).__name__}: {ex}"
+            status, error, caught = "failed", f"{type(ex).__name__}: {ex}", ex
         finally:
             wall = time.perf_counter() - t0
             sc.setJobGroup("", "")
@@ -158,7 +163,9 @@ class MetricsCollector:
         }
         self.records.append(record)
         if status == "failed" and raise_on_error:
-            raise RuntimeError(f"job '{name}' failed: {error}")
+            # chain the original (r3 review): without `from`, the real
+            # traceback into the failing action is discarded
+            raise RuntimeError(f"job '{name}' failed: {error}") from caught
         return {**record, "result": result}
 
     def breaches(self, predicate: Callable[[dict[str, Any]], bool]) -> list[dict[str, Any]]:

@@ -299,15 +299,30 @@ def capped_candidate_pairs(
       enough that per-bucket arrays strain the collect_list buffer.
     - big (cnt > max_bucket_size): STAR pairs (bucket-min id, member) —
       linear in the bucket size; the bucket stays ONE connected
-      component for group resolution, so the duplicate group is still
-      fully reported and only redundant quadratic intra-bucket edges are
-      dropped. Degenerate corpora (millions of boilerplate-identical
-      docs in one bucket) can never OOM a task: the window stats spill
-      through WindowExec's external sorter and no agg buffer exceeds
-      the cap. Callers quantify drops with bucket_stats().
+      component for GROUP RESOLUTION (connected_components), so the
+      duplicate group is still fully reported there. Precision caveat
+      (r3 review): when a caller VERIFIES candidate pairs afterwards
+      (hamming / jaccard threshold), a star pair whose anchor fails the
+      check is dropped, and a (B, C) pair both within threshold of each
+      other but not of the bucket-min anchor is then LOST for
+      pair-emitting queries — the connectivity guarantee holds for the
+      candidate graph, not the post-verification pair set. The oracles
+      (q24/q25) mirror the cap, so the contract is explicit. Degenerate
+      corpora (millions of boilerplate-identical docs in one bucket) can
+      never OOM a task: the window stats spill through WindowExec's
+      external sorter and no agg buffer exceeds the cap. Callers
+      quantify drops with bucket_stats().
     """
     if join_threshold is None:
         join_threshold = max_bucket_size
+    if join_threshold > max_bucket_size:
+        # a threshold above the cap would collect_list-expand buckets the
+        # cap exists to bound (quadratic pairs, unbounded agg buffer) AND
+        # double-emit star pairs for the overlap regime
+        raise ValueError(
+            f"join_threshold ({join_threshold}) must be <= max_bucket_size "
+            f"({max_bucket_size})"
+        )
     w = Window.partitionBy("__band", "__bucket")
     members = buckets.withColumn("__cnt", F.count(F.lit(1)).over(w)).withColumn(
         "__mn", F.min("__id").over(w)
@@ -506,9 +521,13 @@ def simhash_near_dup_pairs(
     (PROGRESS.jsonl r3) planted 2,000 boilerplate-identical docs and the
     then-uncapped band self-join expanded them quadratically — a
     million-doc boilerplate block would OOM/runaway the join. Oversized
-    buckets now degrade to star pairs exactly like the MinHash path
-    (cluster stays connected for group resolution); the q25 oracle
-    mirrors the cap.
+    buckets now degrade to star pairs exactly like the MinHash path; note
+    the post-verification precision caveat in capped_candidate_pairs —
+    with every shared band oversized, a pair within hamming range of
+    each other but not of the bucket-min anchor is not emitted (the
+    candidate graph stays connected for group resolution; the verified
+    PAIR set is anchor-limited). The q25 oracle mirrors the cap, so the
+    contract is explicit and hash-checked.
 
     The signature relation is persisted and materialized before the
     self-join: both join branches hang off it, and without the persist the

@@ -164,7 +164,10 @@ def expire_partitions(
     table: str | None = None,
 ) -> list[dict]:
     """Retention: drop (or move to ``archive_path``) every partition whose
-    derived date is strictly before ``older_than`` ('YYYY-MM-DD').
+    ENTIRE date range is strictly before ``older_than`` ('YYYY-MM-DD') —
+    a coarse partition (year= or year=/month=) is kept while any part of
+    its period reaches the cutoff, so a mid-month cutoff never deletes
+    rows newer than itself.
 
     The engine-side analogue of the reference's S3 lifecycle rules
     (terraform/modules/s3/main.tf:90-106 — transition to IA at 30 d,
@@ -186,6 +189,7 @@ def expire_partitions(
     the catalog is re-synced (MSCK REPAIR) when ``table`` is given.
     """
     import shutil
+    from datetime import date, timedelta
 
     if date_from_partition is None:
 
@@ -195,12 +199,28 @@ def expire_partitions(
                 str(v).zfill(pads[i] if i < 3 else 0) for i, v in enumerate(vals)
             )
 
+    def _upper_bound(pdate: str) -> str:
+        # exclusive end of the period a (possibly partial) partition date
+        # covers: '2024' -> 2025-01-01, '2024-01' -> 2024-02-01,
+        # '2024-01-15' -> 2024-01-16. A coarse partition (year=/month=)
+        # expires only when its WHOLE range is older than the cutoff —
+        # comparing the partial string itself deletes a month that still
+        # contains rows newer than a mid-month cutoff (r3 review finding,
+        # test_expire_partitions_coarse_granularity_is_conservative).
+        parts = [int(x) for x in pdate.split("-")]
+        if len(parts) == 1:
+            return f"{parts[0] + 1:04d}-01-01"
+        if len(parts) == 2:
+            y, m = parts
+            return f"{y + (m == 12):04d}-{m % 12 + 1:02d}-01"
+        return (date(*parts) + timedelta(days=1)).isoformat()
+
     stats = partition_file_stats(spark, path, partition_cols)
     report: list[dict] = []
     action = "archive" if archive_path else "delete"
     for vals, (n_files, n_bytes) in sorted(stats.items()):
         pdate = date_from_partition(vals)
-        if pdate >= older_than:
+        if _upper_bound(pdate) > older_than:
             continue
         report.append(
             {

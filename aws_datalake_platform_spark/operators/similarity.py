@@ -207,9 +207,14 @@ def lsh_band_params(
 
     import warnings
 
+    # clamp BOTH tuning knobs to their open intervals: target_recall=1.0
+    # is log(0) and threshold=-1.0 makes pr=0 (log(1-0)=0 divisor) — the
+    # r3 review's boundary crashes; the clamps turn them into the nearest
+    # meaningful request (essentially-all recall / match-anything band)
+    target_recall = min(max(target_recall, 1e-6), 1 - 1e-9)
     r = max(2, math.ceil(math.log2(max(corpus_size, 2) / max(target_bucket, 1))))
     p = 1 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    pr = p**r
+    pr = max(p**r, 1e-12)
     if pr >= 1.0:
         b = 1
     else:

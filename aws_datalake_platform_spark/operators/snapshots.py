@@ -87,7 +87,20 @@ def write_snapshot(df: DataFrame, table_path: str, mode: str = "overwrite") -> i
     versions = manifest["versions"]
     new_version = (versions[-1]["version"] + 1) if versions else 1
     data_dir = os.path.join("data", f"{new_version:05d}")
-    df.write.mode("errorifexists").parquet(os.path.join(table_path, data_dir))
+    full_dir = os.path.join(table_path, data_dir)
+    # crash recovery: a write that failed AFTER creating the dir but
+    # BEFORE the manifest commit leaves an orphan that would wedge every
+    # retry with PATH_ALREADY_EXISTS (r3 review finding). The new
+    # version's dir can never be referenced by any committed manifest
+    # entry (versions only grow; rollback re-points at OLD dirs), so an
+    # existing dir here is provably uncommitted garbage — reclaim it.
+    if os.path.exists(full_dir):
+        shutil.rmtree(full_dir)
+    try:
+        df.write.mode("errorifexists").parquet(full_dir)
+    except Exception:
+        shutil.rmtree(full_dir, ignore_errors=True)
+        raise
     n_new = df.sparkSession.read.parquet(os.path.join(table_path, data_dir)).count()
     if mode == "append" and versions:
         parent = versions[-1]

@@ -633,8 +633,6 @@ def q101_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     state store; complete+availableNow here only because the oracle needs
     the full final result — production uses append mode + watermark so
     closed sessions emit and state is reaped."""
-    from .temporal import mem_sink_name
-
     sdf = _events_stream_shared(spark, sf_dir)
     agg = (
         sdf.groupBy(F.session_window("ts", "12 hours"), "user_id")
@@ -646,16 +644,9 @@ def q101_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    name = mem_sink_name("q101", sf_dir)
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(name)
+    from .temporal import run_memory_stream
+
+    return run_memory_stream(spark, agg, "q101", sf_dir, output_mode="complete")
 
 
 def _events_stream_shared(spark: SparkSession, sf_dir: str):

@@ -526,7 +526,7 @@ def q116_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     by active windows, and the watermark (production mode) reaps closed
     ones. complete+availableNow only because the oracle wants the full
     final result."""
-    from .temporal import _events_stream, mem_sink_name
+    from .temporal import _events_stream, run_memory_stream
 
     sdf = _events_stream(spark, sf_dir)
     agg = (
@@ -539,21 +539,7 @@ def q116_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    name = mem_sink_name("q116", sf_dir)
-    from ..streaming.ingest import state_partitions
-
-    # bounded availableNow replay: size the state layout to the tiny
-    # state, not the session's batch default (see state_partitions doc)
-    with state_partitions(spark, 8):
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    return spark.table(name)
+    return run_memory_stream(spark, agg, "q116", sf_dir, output_mode="complete")
 
 
 # ── q117: IGNORE NULLS window functions (LOCF) ──────────────────────────────
@@ -681,7 +667,7 @@ def q119_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-stream state, no watermark bookkeeping); at 100 TB the dim is
     a real table and the same plan holds — broadcast if small, shuffle
     join if not, chosen per micro-batch."""
-    from .temporal import _events_stream, mem_sink_name
+    from .temporal import _events_stream, run_memory_stream
 
     dim = spark.createDataFrame(_TYPE_WEIGHTS, "event_type string, w double")
     sdf = _events_stream(spark, sf_dir)
@@ -693,21 +679,7 @@ def q119_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value") * F.col("w")), 2).alias("weighted_value"),
         )
     )
-    name = mem_sink_name("q119", sf_dir)
-    from ..streaming.ingest import state_partitions
-
-    # bounded availableNow replay: size the state layout to the tiny
-    # state, not the session's batch default (see state_partitions doc)
-    with state_partitions(spark, 8):
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    return spark.table(name)
+    return run_memory_stream(spark, agg, "q119", sf_dir, output_mode="complete")
 
 
 # ── q120: XML extraction (Spark 4 from_xml) ─────────────────────────────────

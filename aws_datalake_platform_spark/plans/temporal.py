@@ -34,6 +34,39 @@ def mem_sink_name(prefix: str, sf_dir: str) -> str:
     return f"{prefix}_{tag}"
 
 
+def run_memory_stream(
+    spark: SparkSession,
+    df,
+    prefix: str,
+    sf_dir: str,
+    output_mode: str,
+    n_state_partitions: int = 8,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion against a deterministic
+    memory sink and return the settled table.
+
+    One place for the availableNow + awaitTermination + state-sizing
+    block the oracle-checked streaming queries all share (it was
+    copy-pasted 7x before the r3 review, and the copy q101 had silently
+    missed the state_partitions treatment). The bounded replay's state
+    layout is sized to the tiny state, not the session's batch shuffle
+    default — see streaming.ingest.state_partitions for the measured
+    rationale."""
+    from ..streaming.ingest import state_partitions
+
+    name = mem_sink_name(prefix, sf_dir)
+    with state_partitions(spark, n_state_partitions):
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name)
+
+
 @register(
     "q34_asof_join",
     """
@@ -148,21 +181,7 @@ def q37_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("window.start").alias("hour_bucket"), "n_events", "sum_value")
     )
-    name = mem_sink_name("q37", sf_dir)
-    from ..streaming.ingest import state_partitions
-
-    # bounded availableNow replay: size the state layout to the tiny
-    # state, not the session's batch default (see state_partitions doc)
-    with state_partitions(spark, 8):
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    return spark.table(name)
+    return run_memory_stream(spark, agg, "q37", sf_dir, output_mode="complete")
 
 
 @register(
@@ -191,23 +210,9 @@ def q58_stateful_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = running_stats_with_state(
         sdf, key="event_type", value_col="value", ts_col="ts", watermark="1 hour"
     )
-    name = mem_sink_name("q58", sf_dir)
-    from ..streaming.ingest import state_partitions
-
-    # bounded availableNow replay: size the state layout to the tiny
-    # state, not the session's batch default (see state_partitions doc)
-    with state_partitions(spark, 8):
-        query = (
-            stats.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
     # update-mode sink holds one row per key per micro-batch; the FINAL
     # state per key is the row with the largest n (n is monotone).
-    snap = spark.table(name)
+    snap = run_memory_stream(spark, stats, "q58", sf_dir, output_mode="update")
     w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
     return (
         snap.withColumn("_rn", F.row_number().over(w))
@@ -253,21 +258,7 @@ def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("r.purchase_ts") <= F.col("l.click_ts") + F.expr("INTERVAL 1 HOUR")),
         "inner",
     ).select("click_id", "purchase_id", "user_id")
-    name = mem_sink_name("q65", sf_dir)
-    from ..streaming.ingest import state_partitions
-
-    # bounded availableNow replay: size the state layout to the tiny
-    # state, not the session's batch default (see state_partitions doc)
-    with state_partitions(spark, 8):
-        query = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    return spark.table(name)
+    return run_memory_stream(spark, joined, "q65", sf_dir, output_mode="append")
 
 
 @register(
@@ -701,18 +692,4 @@ def q174_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant's within-delay guarantee instead."""
     sdf = _events_stream(spark, sf_dir)
     dd = sdf.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
-    name = mem_sink_name("q174", sf_dir)
-    from ..streaming.ingest import state_partitions
-
-    # bounded availableNow replay: size the state layout to the tiny
-    # state, not the session's batch default (see state_partitions doc)
-    with state_partitions(spark, 8):
-        query = (
-            dd.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    return spark.table(name)
+    return run_memory_stream(spark, dd, "q174", sf_dir, output_mode="append")

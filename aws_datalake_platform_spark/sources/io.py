@@ -27,7 +27,7 @@ _CORRUPT = "_corrupt_record"
 _RUN_SEQ = itertools.count()
 
 
-def _dead_letter_split(df: DataFrame, bad_records_path: str) -> DataFrame:
+def _dead_letter_split(df: DataFrame, bad_records_path: str, clean_df: DataFrame) -> DataFrame:
     """Shared corrupt-row routing for the PERMISSIVE + corrupt-column
     readers (read_ndjson / read_csv).
 
@@ -36,13 +36,19 @@ def _dead_letter_split(df: DataFrame, bad_records_path: str) -> DataFrame:
       dead-letter root still globs): each invocation logs what IT saw —
       the Firehose error-prefix layout — and the pid+seq suffix makes
       same-millisecond invocations collision-free under mode("error").
-    - The scan is persisted only for the bad-line write: Spark rejects a
-      corrupt-column-ONLY query over a raw file scan, so that one query
-      must run over the cached relation. The returned good-rows frame
-      references the data columns too (allowed uncached), so the cache is
-      released immediately after the write — no leaked blocks, and the
-      returned frame recomputes from lineage (an earlier localCheckpoint
-      variant lost that recompute path on executor loss).
+    - The PERMISSIVE scan is persisted only for the bad-line write:
+      Spark rejects a corrupt-column-ONLY query over a raw file scan, so
+      that one query must run over the cached relation; the cache is
+      released immediately after — no leaked blocks.
+    - The RETURNED frame is ``clean_df`` — a DROPMALFORMED re-read whose
+      lineage has no corrupt column at all. Returning a filter over the
+      PERMISSIVE scan instead breaks under column pruning: count() /
+      isEmpty() prune every data column, leaving a corrupt-column-only
+      scan that Spark refuses (UNSUPPORTED_FEATURE.QUERY_ONLY_
+      CORRUPT_RECORD_COLUMN — r3 review finding, regression test
+      test_pipelines.py::test_dead_letter_good_rows_count_directly).
+      Same rows (DROPMALFORMED drops exactly the rows PERMISSIVE marks),
+      fully recomputable from the files, nothing cached.
     """
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -53,7 +59,7 @@ def _dead_letter_split(df: DataFrame, bad_records_path: str) -> DataFrame:
         df.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT).write.mode(
             "error"
         ).text(run_dir)
-        return df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+        return clean_df
     finally:
         df.unpersist(blocking=False)
 
@@ -81,7 +87,8 @@ def read_ndjson(
             .option("columnNameOfCorruptRecord", _CORRUPT)
             .json(path)
         )
-        return _dead_letter_split(df, bad_records_path)
+        clean = spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
+        return _dead_letter_split(df, bad_records_path, clean)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -133,7 +140,14 @@ def read_csv(
             .option("columnNameOfCorruptRecord", _CORRUPT)
             .csv(path)
         )
-        return _dead_letter_split(df, bad_records_path)
+        clean = (
+            spark.read.option("header", str(header).lower())
+            .option("sep", delimiter)
+            .schema(schema)
+            .option("mode", "DROPMALFORMED")
+            .csv(path)
+        )
+        return _dead_letter_split(df, bad_records_path, clean)
     if schema is not None:
         reader = reader.schema(schema)
     else:

@@ -819,3 +819,51 @@ def test_cli_snapshots_subcommand(spark, tmp_path, capsys):
     assert main(["snapshots", path, "--expire-keep", "1", "--apply"]) == 0
     out = capsys.readouterr().out
     assert "expired_versions" in out
+
+
+def test_dead_letter_good_rows_count_directly(spark, tmp_path):
+    """Regression (r3 review): count()/isEmpty() on the returned good-rows
+    frame must work. A filter over the PERMISSIVE scan breaks here —
+    column pruning leaves a corrupt-column-only scan, which Spark refuses
+    with UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN."""
+    from pyspark.sql import types as T
+
+    from aws_datalake_platform_spark.sources.io import read_ndjson
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text('{"id": 1, "v": "ok"}\nnot json at all\n{"id": 2, "v": "ok2"}\n')
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    good = read_ndjson(spark, str(src), schema=schema, bad_records_path=str(tmp_path / "dead"))
+    assert good.count() == 2        # the action that used to raise
+    assert not good.isEmpty()
+    assert sorted(r.id for r in good.collect()) == [1, 2]
+
+
+def test_expire_partitions_coarse_granularity_is_conservative(spark, tmp_path):
+    """Regression (r3 review): a year=/month= partition must NOT expire
+    under a mid-month cutoff — only when its whole month is older."""
+    from aws_datalake_platform_spark.operators.maintenance import expire_partitions
+
+    path = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, 2023, 12), (2, 2024, 1), (3, 2024, 2)], ["id", "year", "month"]
+    )
+    df.write.partitionBy("year", "month").parquet(path)
+
+    report = expire_partitions(
+        spark, path, ["year", "month"], older_than="2024-01-15", dry_run=True
+    )
+    expired = {r["date"] for r in report}
+    assert expired == {"2023-12"}  # 2024-01 spans past the cutoff -> kept
+
+    report = expire_partitions(
+        spark, path, ["year", "month"], older_than="2024-02-01"
+    )
+    assert {r["date"] for r in report} == {"2023-12", "2024-01"}
+    import os
+
+    assert not os.path.exists(os.path.join(path, "year=2024", "month=1"))
+    assert os.path.exists(os.path.join(path, "year=2024", "month=2"))

@@ -87,3 +87,29 @@ def test_unknown_version_and_empty_store_raise(spark, tmp_path, store):
         read_snapshot(spark, store, 99)
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_failed_write_does_not_wedge_the_store(spark, tmp_path):
+    """Regression (r3 review): an orphan data dir from a crashed write
+    (created, never committed) must not block every future write."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(spark.createDataFrame([(1,)], "id long"), path)
+    # simulate a crash between parquet write and manifest commit
+    orphan = os.path.join(path, "data", "00002")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-junk.parquet"), "w").write("junk")
+    v = write_snapshot(spark.createDataFrame([(2,)], "id long"), path)
+    assert v == 2
+    assert sorted(r.id for r in read_snapshot(spark, path).collect()) == [2]
+    # a write that raises mid-flight cleans its own dir
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(3,)], "id long").select(
+        (F.col("id") / F.lit(0)).alias("boom")  # ANSI division error at write
+    )
+    with _pytest.raises(Exception):
+        write_snapshot(bad, path)
+    assert not os.path.exists(os.path.join(path, "data", "00003"))
+    assert write_snapshot(spark.createDataFrame([(4,)], "id long"), path) == 3
