@@ -324,3 +324,76 @@ def cluster_by_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zone_maps(path: str, columns: list[str] | None = None) -> list[dict]:
+    """Per-file min/max column statistics from parquet FOOTERS — the zone
+    maps query engines use for file skipping, read with pyarrow and zero
+    Spark jobs.
+
+    Returns [{file, n_rows, stats: {col: (min, max)}}] for every data
+    file under ``path`` (recursive, so partitioned lakes work). Columns
+    without footer statistics are omitted from ``stats``. This is the
+    observability half of cluster_by_zorder: run it before and after
+    clustering to SEE the span tightening that makes skipping effective.
+
+    Scale: footer reads are O(files) metadata fetches — the same listing
+    a table format's manifest covers; at object-store scale you'd batch
+    them, but no row data is ever read.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for f in sorted(
+        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ):
+        md = pq.read_metadata(f)
+        names = md.schema.names
+        cols = [c for c in (columns or names) if c in names]
+        stats: dict = {}
+        for col in cols:
+            idx = names.index(col)
+            mins, maxs = [], []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                stats[col] = (min(mins), max(maxs))
+        out.append({"file": f, "n_rows": md.num_rows, "stats": stats})
+    return out
+
+
+def files_skipped_by_range(path: str, column: str, lo, hi) -> dict:
+    """How much of the table a ``column BETWEEN lo AND hi`` predicate can
+    skip on footer stats alone: a file is skippable iff its zone map is
+    disjoint from [lo, hi].
+
+    Returns {n_files, n_skippable, rows_total, rows_skippable,
+    skip_fraction}. The effectiveness meter for layout decisions —
+    cluster_by_zorder / sort-on-write exist precisely to push
+    skip_fraction toward 1 for the predicates a workload actually runs.
+    """
+    maps = zone_maps(path, [column])
+    n_files = len(maps)
+    n_skip = rows_total = rows_skip = 0
+    for m in maps:
+        rows_total += m["n_rows"]
+        if column not in m["stats"]:
+            continue  # no stats -> must read
+        mn, mx = m["stats"][column]
+        if mx < lo or mn > hi:
+            n_skip += 1
+            rows_skip += m["n_rows"]
+    return {
+        "n_files": n_files,
+        "n_skippable": n_skip,
+        "rows_total": rows_total,
+        "rows_skippable": rows_skip,
+        "skip_fraction": round(n_skip / n_files, 4) if n_files else 0.0,
+    }

@@ -154,3 +154,31 @@ def test_hll_sketch_merge_consistency_and_accuracy(spark):
         if scope == "__merged__":
             continue
         assert abs(est - exact_per[scope]) / exact_per[scope] < 0.05, (scope, est, exact_per[scope])
+
+
+def test_zone_maps_and_range_skipping(spark, tmp_path):
+    """zone_maps reads real footer stats; a sorted-on-write layout makes
+    range predicates skip most files, an unsorted one skips none."""
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.operators.maintenance import (
+        files_skipped_by_range,
+        zone_maps,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    sorted_path = str(tmp_path / "sorted")
+    orders.repartitionByRange(8, "o_custkey").write.parquet(sorted_path)
+    unsorted_path = str(tmp_path / "unsorted")
+    orders.repartition(8).write.parquet(unsorted_path)
+
+    maps = zone_maps(sorted_path, ["o_custkey"])
+    assert len(maps) == 8 and all("o_custkey" in m["stats"] for m in maps)
+    assert sum(m["n_rows"] for m in maps) == orders.count()
+
+    r = orders.agg({"o_custkey": "max"}).first()[0]
+    lo, hi = 0, r // 10  # bottom decile of the key range
+    good = files_skipped_by_range(sorted_path, "o_custkey", lo, hi)
+    bad = files_skipped_by_range(unsorted_path, "o_custkey", lo, hi)
+    assert good["skip_fraction"] >= 0.5       # range-clustered layout skips
+    assert bad["skip_fraction"] == 0.0        # every unsorted file overlaps
+    assert good["rows_skippable"] > 0
