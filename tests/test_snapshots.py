@@ -113,3 +113,42 @@ def test_failed_write_does_not_wedge_the_store(spark, tmp_path):
         write_snapshot(bad, path)
     assert not os.path.exists(os.path.join(path, "data", "00003"))
     assert write_snapshot(spark.createDataFrame([(4,)], "id long"), path) == 3
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ops = st.lists(
+    st.tuples(st.sampled_from(["overwrite", "append", "rollback"]),
+              st.lists(st.integers(0, 99), min_size=1, max_size=4, unique=True)),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=_ops)
+def test_snapshot_history_model(spark, tmp_path_factory, ops):
+    """Model-based check: after ANY sequence of overwrite/append/rollback,
+    every version reads back exactly the model's tracked row set."""
+    path = str(tmp_path_factory.mktemp("snap") / "tbl")
+    model: dict[int, list[int]] = {}
+    current: list[int] = []
+    for op, ids in ops:
+        if op == "rollback" and model:
+            target = sorted(model)[len(model) // 2]
+            v = rollback(path, target)
+            current = list(model[target])
+        else:
+            df = spark.createDataFrame([(i,) for i in ids], "id long")
+            if op == "append" and model:
+                v = write_snapshot(df, path, mode="append")
+                current = current + ids
+            else:
+                v = write_snapshot(df, path, mode="overwrite")
+                current = list(ids)
+        model[v] = list(current)
+    for v, expect in model.items():
+        got = sorted(r.id for r in read_snapshot(spark, path, v).collect())
+        assert got == sorted(expect), (v, got, expect)
+    assert [s["version"] for s in list_snapshots(path)] == sorted(model)
