@@ -74,6 +74,14 @@ def _build_parser() -> argparse.ArgumentParser:
     snap.add_argument("--apply", action="store_true",
                       help="with --expire-keep: actually delete (default dry-run)")
     snap.add_argument("--limit", type=int, default=20)
+
+    zm = sub.add_parser(
+        "zonemap", help="per-file footer stats + range skip-fraction meter"
+    )
+    zm.add_argument("path")
+    zm.add_argument("--column", required=True)
+    zm.add_argument("--lo", help="range predicate lower bound (numeric)")
+    zm.add_argument("--hi", help="range predicate upper bound (numeric)")
     return p
 
 
@@ -131,6 +139,20 @@ def main(argv: list[str] | None = None) -> int:
         )
         for part, (n, b) in sorted(pre.items()):
             print(f"{part}: {n} files, {b} bytes (pre-compaction)")
+        return 0
+
+    if args.cmd == "zonemap":
+        from .operators.maintenance import files_skipped_by_range, zone_maps
+
+        if args.lo is not None and args.hi is not None:
+            print(
+                files_skipped_by_range(
+                    args.path, args.column, float(args.lo), float(args.hi)
+                )
+            )
+        else:
+            for m in zone_maps(args.path, [args.column]):
+                print(m)
         return 0
 
     if args.cmd == "snapshots":

@@ -820,3 +820,62 @@ def q181_rbo_rank_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rbo"),
     )
+
+
+# ── q188: CUSUM change-point detection (exact integers) ────────────────────
+
+_Q188_SQL = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    tot AS (SELECT COUNT(*) AS n_days, SUM(x) AS sx FROM daily),
+    c AS (
+      SELECT d, x,
+             SUM(x) OVER (ORDER BY d) * (SELECT n_days FROM tot)
+               - (SELECT sx FROM tot)
+                 * ROW_NUMBER() OVER (ORDER BY d) AS cnum
+      FROM daily
+    )
+    SELECT d, CAST(x AS BIGINT) AS x,
+           CAST(cnum - MIN(cnum) OVER (ORDER BY d) AS BIGINT) AS cusum_pos,
+           CAST(MAX(cnum) OVER (ORDER BY d) - cnum AS BIGINT) AS cusum_neg
+    FROM c
+"""
+
+
+@register(
+    "q188_cusum_changepoint",
+    _Q188_SQL,
+    doc="CUSUM change-point statistics over the daily event-count series: "
+    "upward drift = deviation-prefix-sum minus its running minimum, "
+    "downward = running maximum minus it (the closed form of the "
+    "recursive CUSUM). Deviations are scaled by n_days so EVERYTHING "
+    "stays an exact BIGINT — no mean division, no float accumulation; "
+    "an alerting layer thresholds cusum_pos/cusum_neg directly.",
+)
+def q188_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: a day-grain aggregate (bounded output) feeds one ordered
+    window over DAYS, not rows. The recursive s_d = max(0, s_{d-1}+dev)
+    form needs sequential state; the prefix-sum-minus-running-min
+    identity is what makes CUSUM a plain window query."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count(F.lit(1)).alias("x"))
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("x").alias("sx")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = daily.join(F.broadcast(tot)).select(
+        "d",
+        "x",
+        (
+            F.sum("x").over(w) * F.col("n_days")
+            - F.col("sx") * F.row_number().over(Window.orderBy("d"))
+        ).alias("cnum"),
+    )
+    return c.select(
+        "d",
+        F.col("x").cast("long").alias("x"),
+        (F.col("cnum") - F.min("cnum").over(w)).cast("long").alias("cusum_pos"),
+        (F.max("cnum").over(w) - F.col("cnum")).cast("long").alias("cusum_neg"),
+    )

@@ -867,3 +867,18 @@ def test_expire_partitions_coarse_granularity_is_conservative(spark, tmp_path):
 
     assert not os.path.exists(os.path.join(path, "year=2024", "month=1"))
     assert os.path.exists(os.path.join(path, "year=2024", "month=2"))
+
+
+def test_cli_zonemap_subcommand(spark, tmp_path, capsys):
+    from aws_datalake_platform_spark.__main__ import main
+
+    path = str(tmp_path / "zm")
+    spark.range(100).selectExpr("id", "id * 2 AS v").repartitionByRange(
+        4, "id"
+    ).write.parquet(path)
+    assert main(["zonemap", path, "--column", "id"]) == 0
+    out = capsys.readouterr().out
+    assert "'stats'" in out and out.count("'file'") == 4
+    assert main(["zonemap", path, "--column", "id", "--lo", "0", "--hi", "10"]) == 0
+    out = capsys.readouterr().out
+    assert "'skip_fraction'" in out
