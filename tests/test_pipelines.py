@@ -882,3 +882,41 @@ def test_cli_zonemap_subcommand(spark, tmp_path, capsys):
     assert main(["zonemap", path, "--column", "id", "--lo", "0", "--hi", "10"]) == 0
     out = capsys.readouterr().out
     assert "'skip_fraction'" in out
+
+
+def test_corpus_curation_pipeline_end_to_end(spark, tmp_path):
+    """The composed curation flow: dedup -> quality -> decontaminate ->
+    sample -> snapshot write, over real testdata documents."""
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.operators.snapshots import (
+        list_snapshots,
+        read_snapshot,
+    )
+    from aws_datalake_platform_spark.pipelines.corpus import curate_corpus
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "curated")
+    r = curate_corpus(spark, docs, out_path=out)
+
+    # monotone funnel: every stage can only drop rows
+    assert r["n_raw"] >= r["n_after_dedup"] >= 0
+    assert r["n_after_quality"] <= r["n_after_dedup"]
+    assert r["n_after_decontam"] <= r["n_after_quality"]
+    assert r["n_final"] <= r["n_after_decontam"]
+    assert r["n_final"] > 0  # the testdata corpus survives curation
+    # benchmark slice is fully excluded from the output
+    assert r["curated"].filter(F.col("doc_id") % 20 == 0).count() == 0
+    assert "quality_score" in r["curated"].columns
+
+    # committed as snapshot v1, readable through the store
+    assert r["snapshot_version"] == 1
+    assert read_snapshot(spark, out).count() == r["n_final"]
+    assert [s["version"] for s in list_snapshots(out)] == [1]
+
+    # deterministic: a second run produces the identical corpus (v2)
+    r2 = curate_corpus(spark, docs, out_path=out)
+    assert r2["n_final"] == r["n_final"]
+    assert r2["snapshot_version"] == 2
+    a = {x.doc_id for x in read_snapshot(spark, out, 1).collect()}
+    b = {x.doc_id for x in read_snapshot(spark, out, 2).collect()}
+    assert a == b
