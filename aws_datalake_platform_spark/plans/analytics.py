@@ -879,3 +879,97 @@ def q188_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cnum") - F.min("cnum").over(w)).cast("long").alias("cusum_pos"),
         (F.max("cnum").over(w) - F.col("cnum")).cast("long").alias("cusum_neg"),
     )
+
+
+# ── q189: seasonality profile (weekday x hour) ─────────────────────────────
+
+_Q189_SQL = """
+    WITH cell AS (
+      SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr, COUNT(*) AS c
+      FROM events GROUP BY dayofweek(ts) + 1, hour(ts)
+    ),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS n_cells FROM cell)
+    SELECT CAST(dow AS INT) AS dow, CAST(hr AS INT) AS hr,
+           CAST(c AS BIGINT) AS n_events,
+           ROUND(c * 1.0 * n_cells / n, 4) AS lift
+    FROM cell, tot
+"""
+
+
+@register(
+    "q189_seasonality_profile",
+    _Q189_SQL,
+    doc="Weekday x hour seasonality profile of event volume: per-cell "
+    "lift vs the uniform rate (count * n_cells / total, exact integer "
+    "inputs to one rounded division) — the traffic-shape baseline that "
+    "anomaly thresholds (q188's CUSUM, q159's decay scores) are "
+    "normalized against.",
+)
+def q189_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one scan to a 7x24-bounded cell aggregate with map-side
+    combine; the totals broadcast back. Spark dayofweek is 1..7 (Sun=1);
+    DuckDB's 0..6 is shifted in the oracle to match."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = cell.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_cells"))
+    return cell.join(F.broadcast(tot)).select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("hr").cast("int").alias("hr"),
+        F.col("c").cast("long").alias("n_events"),
+        F.round(F.col("c") * F.col("n_cells") / F.col("n"), 4).alias("lift"),
+    )
+
+
+# ── q190: shipping SLA latency rollup ──────────────────────────────────────
+
+_Q190_SQL = """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS ship_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(quantile_disc(ship_days, 0.50) AS BIGINT) AS p50_days,
+           CAST(quantile_disc(ship_days, 0.95) AS BIGINT) AS p95_days,
+           CAST(SUM(CASE WHEN ship_days > 60 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_breaching
+    FROM lat GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q190_sla_latency",
+    _Q190_SQL,
+    doc="Order-to-ship latency SLA rollup per priority: p50/p95 in whole "
+    "days (percentile_disc — an actual observed value) plus the count "
+    "breaching the 60-day bar (the q147 lateness convention) — the "
+    "operational freshness dashboard behind the reference's alarms. "
+    "Day diffs are exact integers end to end.",
+)
+def q190_sla_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one fact-fact equi-join on the order key (the only
+    shuffle), then a 5-group aggregate; exact per-group percentiles are
+    safe at this group cardinality (q80's sketch is the unbounded-group
+    path)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long").alias(
+            "ship_days"
+        ),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY ship_days)")
+        .cast("long")
+        .alias("p50_days"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY ship_days)")
+        .cast("long")
+        .alias("p95_days"),
+        F.sum((F.col("ship_days") > 60).cast("long")).alias("n_breaching"),
+    )
