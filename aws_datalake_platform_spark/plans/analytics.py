@@ -829,11 +829,13 @@ _Q188_SQL = """
       SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
       FROM events GROUP BY CAST(ts AS DATE)
     ),
-    tot AS (SELECT COUNT(*) AS n_days, SUM(x) AS sx FROM daily),
     c AS (
       SELECT d, x,
-             SUM(x) OVER (ORDER BY d) * (SELECT n_days FROM tot)
-               - (SELECT sx FROM tot)
+             SUM(x) OVER (ORDER BY d)
+               * COUNT(*) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING)
+               - SUM(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
                  * ROW_NUMBER() OVER (ORDER BY d) AS cnum
       FROM daily
     )
@@ -861,16 +863,18 @@ def q188_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity is what makes CUSUM a plain window query."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count(F.lit(1)).alias("x"))
-    tot = daily.agg(
-        F.count(F.lit(1)).alias("n_days"), F.sum("x").alias("sx")
-    )
+    # totals ride a full frame of the SAME sorted window pass (the q169
+    # pattern) — no second scan of events for n_days/sx
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = daily.join(F.broadcast(tot)).select(
+    wf = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = daily.select(
         "d",
         "x",
         (
-            F.sum("x").over(w) * F.col("n_days")
-            - F.col("sx") * F.row_number().over(Window.orderBy("d"))
+            F.sum("x").over(w) * F.count(F.lit(1)).over(wf)
+            - F.sum("x").over(wf) * F.row_number().over(Window.orderBy("d"))
         ).alias("cnum"),
     )
     return c.select(

@@ -268,3 +268,25 @@ def test_q182_q2_dims_broadcast_and_window_min(spark):
     plan = _plan(spark, "q182_tpch_q2")
     assert "Window" in plan
     assert "SortMergeJoin" not in plan  # everything dimension-sized broadcasts
+
+
+def test_q188_cusum_window_runs_on_day_grain(spark):
+    """The CUSUM windows must sit above the day-grain aggregate — one
+    parquet scan, windows over days, not events."""
+    plan = _plan(spark, "q188_cusum_changepoint")
+    assert plan.count("Scan parquet") == 1
+    assert "Window" in plan
+
+
+def test_q190_sla_single_fact_shuffle(spark):
+    """The SLA rollup's only wide operation is the order-key join; dims
+    of the aggregate never re-shuffle the fact rows a second time."""
+    plan = _plan(spark, "q190_sla_latency")
+    assert plan.count("Scan parquet") == 2  # lineitem + orders, once each
+
+
+def test_q178_winsorize_bounds_broadcast(spark):
+    """The 3-row percentile bounds must reach the clamp pass via
+    broadcast — the big side never shuffles for the bounds join."""
+    plan = _plan(spark, "q178_winsorized_stats")
+    assert "BroadcastHashJoin" in plan
