@@ -11,17 +11,15 @@ Stages (each an oracle-checked operator elsewhere in the engine):
                           benchmark slice (operators/quality.py, q72)
   4. mixture sampling   — deterministic hash-threshold per language
                           (operators/sampling.py, q88)
-  5. sequence packing   — greedy concat into fixed token budgets
-                          (q114's prefix-sum shape, simplified here to
-                          per-doc chunk assignment)
-  6. curated write      — snappy parquet, snapshot-versioned
+  5. curated write      — snappy parquet, snapshot-versioned
                           (operators/snapshots.py)
 
-Every stage is lazy column logic over one growing plan — Catalyst fuses
-the filters into the scan, so the pipeline costs ONE pass over the
-corpus plus the dedup/decontamination joins, not six passes. Per-stage
-row counts are collected through observe() metrics (single action), the
-engine-side CloudWatch analogue (reference monitoring/main.tf:45-164).
+Downstream steps (chunking q87, sequence packing q114) run over the
+curated snapshot — they change row shape, so they belong after the
+keep/drop decisions this pipeline makes. Stages are lazy column logic
+over one growing plan; the scored relation is persisted once so the
+funnel counts (plain actions, reported in the result dict) read cached
+data instead of re-running the dedup join per count.
 """
 
 from __future__ import annotations
