@@ -144,10 +144,23 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "zonemap":
         from .operators.maintenance import files_skipped_by_range, zone_maps
 
+        def _bound(s: str):
+            # r3 advisor: a blind float() cast broke string/date columns
+            # (TypeError inside the stat comparison or silent mis-compare).
+            # Parse numerics when they look numeric, else pass the raw
+            # string through — files_skipped_by_range type-checks against
+            # the footer stats and raises a usable error on a mismatch.
+            for cast in (int, float):
+                try:
+                    return cast(s)
+                except ValueError:
+                    continue
+            return s
+
         if args.lo is not None and args.hi is not None:
             print(
                 files_skipped_by_range(
-                    args.path, args.column, float(args.lo), float(args.hi)
+                    args.path, args.column, _bound(args.lo), _bound(args.hi)
                 )
             )
         else:

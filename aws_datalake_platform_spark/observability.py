@@ -104,18 +104,39 @@ class MetricsCollector:
                 return False
         return True
 
+    def _next_job_id(self) -> int:
+        """DAGScheduler's job counter — incremented SYNCHRONOUSLY at job
+        submission, unlike everything fed by the async listener bus. A
+        before/after snapshot around an action tells us for certain
+        whether any job was submitted, so an empty status-store group can
+        be classified as 'genuinely driver-only' vs 'bus is lagging'."""
+        try:
+            return int(self.spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
+        except Exception:
+            return -1  # scheduler introspection unavailable: fall back to grace
+
     def _settled_totals(
-        self, group: str, timeout: float = 5.0, appear_grace: float = 0.25
+        self,
+        group: str,
+        timeout: float = 5.0,
+        appear_grace: float = 0.25,
+        jobs_submitted: bool | None = None,
     ) -> dict[str, int]:
         # The status store is fed by the async listener bus; wait until the
         # group's jobs all report terminal (or timeout), then read totals.
-        # A driver-only action legitimately spawns zero jobs — give the bus
-        # ``appear_grace`` to surface any before accepting an empty group.
-        # 0.25 s (was 1.0 s, an r3 review latency finding): job-start
-        # events surface within milliseconds in practice, so this bounds
-        # the per-record cost of job-less actions while still absorbing
-        # listener-bus lag; callers measuring long actions never wait at
-        # all (their jobs are already visible).
+        # A driver-only action legitimately spawns zero jobs. Whether to
+        # wait for jobs to APPEAR is decided by ``jobs_submitted`` (the
+        # synchronous DAGScheduler counter, see _next_job_id):
+        #   False -> no job was submitted anywhere during the action; an
+        #            empty group is certain — return immediately, no sleep.
+        #   True  -> jobs were submitted; a lagging bus must not undercount
+        #            (r3 advisor finding), so wait for the group's jobs up
+        #            to the full timeout before accepting empty. (Jobs from
+        #            a concurrent session can also advance the counter —
+        #            the cost of that false positive is bounded wait, never
+        #            a wrong record.)
+        #   None  -> unknown (introspection failed): the old appear_grace
+        #            heuristic.
         start = time.time()
         deadline = start + timeout
         while time.time() < deadline:
@@ -123,7 +144,9 @@ class MetricsCollector:
                 self.spark.sparkContext.statusTracker().getJobIdsForGroup(group)
             )
             if not has_jobs:
-                if time.time() - start >= appear_grace:
+                if jobs_submitted is False:
+                    break
+                if jobs_submitted is None and time.time() - start >= appear_grace:
                     break
                 time.sleep(0.05)
                 continue
@@ -145,6 +168,7 @@ class MetricsCollector:
         sc = self.spark.sparkContext
         group = f"metrics::{name}::{len(self.records)}"
         sc.setJobGroup(group, name)
+        jobs_before = self._next_job_id()
         t0 = time.perf_counter()
         status, error, result, caught = "ok", None, None, None
         try:
@@ -154,12 +178,16 @@ class MetricsCollector:
         finally:
             wall = time.perf_counter() - t0
             sc.setJobGroup("", "")
+        jobs_after = self._next_job_id()
+        submitted = (
+            None if jobs_before < 0 or jobs_after < 0 else jobs_after > jobs_before
+        )
         record: dict[str, Any] = {
             "name": name,
             "status": status,
             "error": error,
             "wall_sec": round(wall, 3),
-            **self._settled_totals(group),
+            **self._settled_totals(group, jobs_submitted=submitted),
         }
         self.records.append(record)
         if status == "failed" and raise_on_error:

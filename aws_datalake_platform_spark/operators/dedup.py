@@ -344,6 +344,12 @@ def capped_candidate_pairs(
         .filter(F.size("__ids") > 1)
         .select(F.explode(pair_expand).alias("__p"))
         .select(F.col("__p.doc_a").alias("doc_a"), F.col("__p.doc_b").alias("doc_b"))
+        # r3 advisor: callers may feed duplicate (__id, __band, __bucket)
+        # rows (public API — internal producers happen to be dup-free);
+        # sorted duplicate ids would then expand to doc_a == doc_b
+        # self-pairs that survive distinct(). The old join path's a < b
+        # guard, restored as a codegen'd filter.
+        .filter(F.col("doc_a") < F.col("doc_b"))
     )
     big = members.filter(
         (F.col("__cnt") > max_bucket_size) & (F.col("__id") != F.col("__mn"))

@@ -387,7 +387,18 @@ def files_skipped_by_range(path: str, column: str, lo, hi) -> dict:
         if column not in m["stats"]:
             continue  # no stats -> must read
         mn, mx = m["stats"][column]
-        if mx < lo or mn > hi:
+        # r3 advisor: comparing a bound of the wrong type against footer
+        # stats (float vs str, str vs date, ...) either raises deep inside
+        # the loop or silently mis-compares — surface a usable error.
+        try:
+            skip = mx < lo or mn > hi
+        except TypeError as exc:
+            raise TypeError(
+                f"column '{column}' has {type(mn).__name__} footer stats but the "
+                f"range bounds are {type(lo).__name__} — pass bounds of the "
+                f"column's own type (e.g. a string for string columns)"
+            ) from exc
+        if skip:
             n_skip += 1
             rows_skip += m["n_rows"]
     return {

@@ -14,6 +14,13 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.similarity import ivf_topk
+from ..operators.sketches import (
+    hll_estimate,
+    hll_merge,
+    hll_oracle_cte,
+    hll_oracle_estimate,
+    hll_registers,
+)
 from .queries import register
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -75,21 +82,31 @@ def q39_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q40_SQL = f"""
+    WITH {hll_oracle_cte("SELECT event_type, user_id FROM events", "event_type", "user_id")}
+    {hll_oracle_estimate("hll_regs", est_col="approx_users", scope_alias="event_type")}
+"""
+
+
 @register(
     "q40_approx_distinct",
-    None,  # HLL estimates are engine-specific; bound-checked in pytest
-    doc="approx_count_distinct (HyperLogLog++) per event_type — the "
-    "constant-memory distinct used at 100 TB where exact COUNT(DISTINCT) "
-    "would shuffle every key. Rows-only driver check; the pytest asserts "
-    "the estimate lands within 5% of the exact count.",
+    _Q40_SQL,
+    doc="Approximate distinct users per event_type via the explicit-"
+    "register HLL (operators/sketches.py) — the constant-memory distinct "
+    "used at 100 TB where exact COUNT(DISTINCT) would shuffle every key. "
+    "Registers are md5-derived pure-integer math replayed verbatim by "
+    "the DuckDB oracle (q32's plane-replay precedent), so the estimate "
+    "is hash-checked, not rows-only; pytest separately bounds it within "
+    "5% of the exact count and cross-checks Spark's built-in "
+    "approx_count_distinct.",
 )
 def q40_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: HLL sketches merge map-side; shuffle carries one sketch per
-    group instead of every distinct key."""
+    """Scale: register build is one shuffle on (event_type, reg_idx) with
+    map-side max — at most 4096 rows per group survive the map side; the
+    estimate pass reduces those to one row per group."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
-    )
+    regs = hll_registers(ev, ["event_type"], "user_id")
+    return hll_estimate(regs, ["event_type"], est_col="approx_users")
 
 
 @register(
@@ -340,30 +357,52 @@ def q83_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q84_SQL = f"""
+    WITH {hll_oracle_cte(
+        "SELECT CAST(c_nationkey AS VARCHAR) AS scope_src, c_custkey FROM customer",
+        "scope_src",
+        "c_custkey",
+    )},
+    merged_regs AS (
+      SELECT '__merged__' AS scope, reg_idx, MAX(mj) AS mj
+      FROM hll_regs GROUP BY reg_idx
+    ),
+    all_regs AS (
+      SELECT * FROM hll_regs UNION ALL SELECT * FROM merged_regs
+    )
+    {hll_oracle_estimate("all_regs", est_col="est")}
+"""
+
+
 @register(
     "q84_hll_sketch_algebra",
-    None,  # Apache DataSketches HLL binary: no DuckDB mirror; pytest
-    # asserts 5% accuracy AND exact merged-vs-direct consistency
-    doc="Mergeable distinct-count sketches: per-nation HLL sketch of "
-    "customers, union-merged into a global estimate. The scale story: "
-    "sketches pre-aggregate per partition/day and MERGE later (incremental "
-    "distinct maintenance) — recomputing exact distincts over 100 TB is "
-    "the thing this avoids. Estimates are deterministic; merged == direct "
-    "is asserted exactly in pytest (HLL register-max is order-invariant).",
+    _Q84_SQL,
+    doc="Mergeable distinct-count sketches: per-nation explicit-register "
+    "HLL of customers (operators/sketches.py), union-merged (per-register "
+    "MAX — exact, order-invariant) into a global estimate. The scale "
+    "story: sketches pre-aggregate per partition/day and MERGE later "
+    "(incremental distinct maintenance) — recomputing exact distincts "
+    "over 100 TB is the thing this avoids. The DuckDB oracle replays the "
+    "register build AND the merge, so both the per-nation and the merged "
+    "estimates are hash-checked (formerly rows-only under the built-in "
+    "DataSketches binary); pytest keeps the built-in hll_sketch_agg "
+    "cross-check and the 5%-accuracy bound.",
 )
 def q84_hll_sketch_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the register relation is ≤4096 rows per nation; the merge
+    re-aggregates registers, never raw rows — this is the incremental-
+    maintenance path (yesterday's registers + today's delta registers)."""
     cust = load_table(spark, sf_dir, "customer")
-    per_nation = cust.groupBy("c_nationkey").agg(
-        F.hll_sketch_agg(F.col("c_custkey").cast("string")).alias("sk")
+    per_nation = hll_registers(
+        cust.select(F.col("c_nationkey").cast("string").alias("scope"), "c_custkey"),
+        ["scope"],
+        "c_custkey",
     )
-    nation_est = per_nation.select(
-        F.col("c_nationkey").cast("string").alias("scope"),
-        F.hll_sketch_estimate("sk").alias("est"),
+    merged = hll_merge(
+        per_nation.select(F.lit("__merged__").alias("scope"), "reg_idx", "mj"),
+        ["scope"],
     )
-    global_est = per_nation.agg(F.hll_union_agg("sk").alias("g")).select(
-        F.lit("__merged__").alias("scope"), F.hll_sketch_estimate("g").alias("est")
-    )
-    return nation_est.unionByName(global_est)
+    return hll_estimate(per_nation.unionByName(merged), ["scope"], est_col="est")
 
 
 @register(

@@ -71,7 +71,7 @@ def q75_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q76_incremental_rollup",
     """
     SELECT o_orderstatus, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
            COUNT(*) AS cnt,
            floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
                  * 1e4 + 0.5) / 1e4 AS avg_price
@@ -105,7 +105,12 @@ def q76_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "o_orderstatus",
         "month",
-        "total",
+        # Pin the sum's result WIDTH, not just its scale: Spark widens
+        # sum(DECIMAL(18,2)) to DECIMAL(28,2) while DuckDB widens to
+        # DECIMAL(38,2) — identical values, different Arrow types, and a
+        # type-aware hash flips on width alone. Both sides cast back to
+        # DECIMAL(18,2) (values fit: max total << 10^16).
+        F.col("total").cast("decimal(18,2)").alias("total"),
         "cnt",
         # explicit floor(x*1e4+0.5)/1e4, not round(): Spark rounds the
         # shortest decimal repr HALF_UP while DuckDB rounds the binary

@@ -250,15 +250,22 @@ def q07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q08_anti_join",
     """
     SELECT c_custkey, c_acctbal FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
-    doc="Left-anti join (NOT EXISTS): customers with no orders.",
+    doc="Left-anti join (NOT EXISTS): customers with no URGENT orders. "
+    "(The unfiltered 'no orders at all' variant is vacuous in this "
+    "testdata — every customer has orders at every SF — and a 0-row "
+    "oracle proves nothing.)",
 )
 def q08_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
     ).select("c_custkey", "c_acctbal")
 
 

@@ -69,9 +69,11 @@ def q49_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
     FROM orders
-    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
     """,
-    doc="Uncorrelated scalar subquery (global average) as a filter bound.",
+    doc="Uncorrelated scalar subquery (global average) as a filter bound. "
+    "Bound is 1.5x avg: the testdata's max/avg price ratio is ~2.0, so "
+    "a 2x bound returns 0 rows at sf>=0.01 (vacuous oracle).",
 )
 def q50_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: the scalar subquery executes once and broadcasts as a
@@ -81,7 +83,7 @@ def q50_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
         FROM orders
-        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
         """
     )
 

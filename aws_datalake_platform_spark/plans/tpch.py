@@ -113,8 +113,8 @@ def q133_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
     JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
       AND l.l_shipdate >= TIMESTAMP '1996-01-01'
       AND l.l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY supp_nation, cust_nation, l_year
@@ -128,7 +128,10 @@ def q135_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed below the joins (it spans both sides) but each nation
     broadcast is pre-filtered to the two named nations, so the fact
     stream shrinks at the supplier and customer joins, not at the end."""
-    pair = ["NATION_1", "NATION_2"]
+    # NATION_3/NATION_8: the only nation pair with suppliers at EVERY
+    # test SF (sf0.001 has just 10 suppliers over 10 nations) — the
+    # old NATION_1/NATION_2 pair made the query vacuous at sf0.001.
+    pair = ["NATION_3", "NATION_8"]
     supp = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))

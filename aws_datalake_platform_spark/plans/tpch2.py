@@ -99,7 +99,7 @@ _Q182_SQL = f"""
            ROUND(c.ps_supplycost_cents / 100.0, 2) AS supplycost
     FROM costs c
     JOIN part p ON p.p_partkey = c.ps_partkey
-    WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+    WHERE p.p_size % 5 = 0 AND p.p_type = 'LARGE'
       AND c.ps_supplycost_cents = c.min_cost
 """
 
@@ -107,7 +107,8 @@ _Q182_SQL = f"""
 @register(
     "q182_tpch_q2",
     _Q182_SQL,
-    doc="TPC-H Q2 (minimum-cost supplier): for every size-15 LARGE part, "
+    doc="TPC-H Q2 (minimum-cost supplier): for every LARGE part with a "
+    "multiple-of-5 size (non-vacuous slice at every SF), "
     "the EUROPE supplier(s) offering the region-wide minimum supply "
     "cost — the correlated-MIN-subquery shape, decorrelated into a "
     "per-part MIN window over the region-filtered partsupp. Derived "
@@ -141,7 +142,10 @@ def q182_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ps_supplycost_cents") == F.col("min_cost"))
     )
     return costs.join(
-        F.broadcast(part.filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))),
+        # p_size % 5 == 0, not == 15: the point filter is vacuous at small
+        # SF (0 parts at sf0.001, 1 at sf0.01) and a 0-row oracle proves
+        # nothing — the modulo slice keeps ~10/50 sizes at EVERY scale.
+        F.broadcast(part.filter((F.col("p_size") % 5 == 0) & (F.col("p_type") == "LARGE"))),
         costs.ps_partkey == F.col("p_partkey"),
     ).select(
         "s_acctbal",
@@ -163,7 +167,7 @@ _Q183_SQL = f"""
       FROM partsupp ps
       JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
       JOIN nation nt ON s.s_nationkey = nt.n_nationkey
-      WHERE nt.n_name = 'NATION_7'
+      WHERE nt.n_name = 'NATION_3'
     ),
     tot AS (SELECT SUM(v) AS total_v FROM natps)
     SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
@@ -177,7 +181,7 @@ _Q183_SQL = f"""
     "q183_tpch_q11",
     _Q183_SQL,
     doc="TPC-H Q11 (important stock): per-part inventory value "
-    "(supplycost x availqty, exact integer cents) for NATION_7 "
+    "(supplycost x availqty, exact integer cents) for NATION_3 "
     "suppliers, keeping parts above 0.1% of the nation total — the "
     "HAVING-against-global-aggregate shape with a 1-row broadcast "
     "total.",
@@ -188,7 +192,7 @@ def q183_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back — integer arithmetic end to end."""
     ps = derived_partsupp(spark, sf_dir)
     supp = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     natps = (
         ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))

@@ -47,8 +47,18 @@ def _dead_letter_split(df: DataFrame, bad_records_path: str, clean_df: DataFrame
       scan that Spark refuses (UNSUPPORTED_FEATURE.QUERY_ONLY_
       CORRUPT_RECORD_COLUMN — r3 review finding, regression test
       test_pipelines.py::test_dead_letter_good_rows_count_directly).
-      Same rows (DROPMALFORMED drops exactly the rows PERMISSIVE marks),
-      fully recomputable from the files, nothing cached.
+      Fully recomputable from the files, nothing cached.
+    - DROPMALFORMED is itself PROJECTION-DEPENDENT (r3 advisor finding):
+      under column pruning Spark drops only rows malformed in the
+      REQUIRED columns, so ``count()`` (zero required columns) keeps a
+      type-mismatched row that ``collect()`` drops — funnel counts would
+      silently disagree with delivered rows AND with the dead-letter
+      dir. The returned frame therefore carries a filter that references
+      EVERY schema column (``to_json(struct(*)) IS NOT NULL`` — always
+      true on surviving rows, but to_json is nullable-typed so the
+      optimizer cannot fold it away and pruning can never shrink the
+      required set below the full schema). Regression:
+      test_pipelines.py::test_dead_letter_count_equals_collect.
     """
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -59,7 +69,9 @@ def _dead_letter_split(df: DataFrame, bad_records_path: str, clean_df: DataFrame
         df.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT).write.mode(
             "error"
         ).text(run_dir)
-        return clean_df
+        return clean_df.filter(
+            F.to_json(F.struct(*clean_df.columns)).isNotNull()
+        )
     finally:
         df.unpersist(blocking=False)
 

@@ -193,3 +193,18 @@ def test_pagerank_plan_embeds_single_edge_subtree(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") == 0, "edge-mining subtree leaked into the returned plan"
     assert df.count() > 0
+
+
+def test_capped_pairs_no_self_pairs_on_duplicate_membership(spark):
+    """Regression (r3 advisor): duplicate (__id, __band, __bucket) rows
+    from a caller must not produce doc_a == doc_b self-pairs in the tiny
+    collect_list expansion (the old join path's a < b guard, restored)."""
+    from aws_datalake_platform_spark.operators.dedup import capped_candidate_pairs
+
+    buckets = spark.createDataFrame(
+        [(1, 0, 7), (1, 0, 7), (2, 0, 7), (3, 0, 7), (3, 0, 7)],
+        ["__id", "__band", "__bucket"],
+    )
+    rows = capped_candidate_pairs(buckets, max_bucket_size=64).collect()
+    assert all(r["doc_a"] < r["doc_b"] for r in rows), rows
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2), (1, 3), (2, 3)}

@@ -15,12 +15,12 @@ def test_oracle_keys_subset_of_queries():
     q, o = entry.queries(), entry.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 160
-    # rows-only set is the documented approximate-sketch list
+    # rows-only set is the documented approximate-sketch list (q40/q84
+    # graduated to hash-checked in r4 via the explicit-register HLL
+    # whose DuckDB oracle replays the md5 register math)
     assert set(q) - set(o) == {
-        "q40_approx_distinct",
         "q47_ann_ivf_topk",
         "q80_approx_percentiles",
-        "q84_hll_sketch_algebra",
         "q115_ann_pq_topk",
     }
 

@@ -842,6 +842,46 @@ def test_dead_letter_good_rows_count_directly(spark, tmp_path):
     assert sorted(r.id for r in good.collect()) == [1, 2]
 
 
+def test_dead_letter_count_equals_collect(spark, tmp_path):
+    """Regression (r3 advisor): DROPMALFORMED is projection-dependent —
+    a VALID-JSON line with a type mismatch ('id': 'oops' against LONG)
+    is malformed only if the pruned projection requires the bad column,
+    so count() (zero required columns) used to include a row collect()
+    excluded. The returned frame must force full-row parsing so every
+    action sees the same row set, and the bad row must be dead-lettered."""
+    import glob as _glob
+
+    from pyspark.sql import types as T
+
+    from aws_datalake_platform_spark.sources.io import read_csv, read_ndjson
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"id": 1, "v": "ok"}\n{"id": "oops", "v": "typed-bad"}\n{"id": 2, "v": "ok2"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    good = read_ndjson(spark, str(src), schema=schema, bad_records_path=str(tmp_path / "dead"))
+    rows = good.collect()
+    assert good.count() == len(rows) == 2, "count() disagrees with collect()"
+    assert sorted(r.id for r in rows) == [1, 2]
+    dead = []
+    for f in _glob.glob(str(tmp_path / "dead" / "run=*" / "part-*")):
+        dead += open(f).read().splitlines()
+    assert len(dead) == 1 and "oops" in dead[0]
+
+    # same contract on the CSV path: 'xx' cannot parse as LONG
+    (tmp_path / "csv").mkdir()
+    (tmp_path / "csv" / "a.csv").write_text("id,v\n1,ok\nxx,typed-bad\n2,ok2\n")
+    good_csv = read_csv(
+        spark, str(tmp_path / "csv"), schema=schema, bad_records_path=str(tmp_path / "dead2")
+    )
+    rows_csv = good_csv.collect()
+    assert good_csv.count() == len(rows_csv) == 2
+
+
 def test_expire_partitions_coarse_granularity_is_conservative(spark, tmp_path):
     """Regression (r3 review): a year=/month= partition must NOT expire
     under a mid-month cutoff — only when its whole month is older."""

@@ -130,19 +130,32 @@ def test_approx_percentiles_close_to_exact(spark):
 def test_hll_sketch_merge_consistency_and_accuracy(spark):
     """Merged per-nation sketches must give EXACTLY the same global
     estimate as one direct sketch over all rows (register-max is
-    order/partition invariant), and estimates must be within 5% of exact."""
+    order/partition invariant), estimates must be within 5% of exact,
+    and the explicit-register estimate must agree with Spark's built-in
+    DataSketches HLL to sketch accuracy (two independent HLLs)."""
     from pyspark.sql import functions as F
 
     from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.operators.sketches import hll_estimate, hll_registers
     from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
 
     sf = "/root/testdata/sf0.001"
     rows = {r["scope"]: r["est"] for r in QUERY_REGISTRY["q84_hll_sketch_algebra"].fn(spark, sf).collect()}
     cust = load_table(spark, sf, "customer")
-    direct = cust.agg(
+    # direct explicit-register sketch over ALL rows, no per-nation split:
+    # union-merge == direct is an exact identity, not an approximation
+    direct_regs = hll_registers(
+        cust.select(F.lit("__all__").alias("scope"), "c_custkey"), ["scope"], "c_custkey"
+    )
+    direct = hll_estimate(direct_regs, ["scope"]).first()["est"]
+    assert rows["__merged__"] == direct  # sketch algebra: merge == direct, exactly
+
+    # independent cross-check: the built-in DataSketches HLL should land
+    # within combined sketch error of the explicit-register estimate
+    builtin = cust.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg(F.col("c_custkey").cast("string"))).alias("e")
     ).first()["e"]
-    assert rows["__merged__"] == direct  # sketch algebra: merge == direct, exactly
+    assert abs(rows["__merged__"] - builtin) / builtin < 0.08
 
     exact_total = cust.select("c_custkey").distinct().count()
     assert abs(rows["__merged__"] - exact_total) / exact_total < 0.05
@@ -182,3 +195,22 @@ def test_zone_maps_and_range_skipping(spark, tmp_path):
     assert good["skip_fraction"] >= 0.5       # range-clustered layout skips
     assert bad["skip_fraction"] == 0.0        # every unsorted file overlaps
     assert good["rows_skippable"] > 0
+
+def test_zonemap_string_column_bounds_and_type_mismatch(spark, tmp_path):
+    """Regression (r3 advisor): string-typed bounds must work against
+    string footer stats, and a numeric bound against a string column must
+    raise a usable TypeError instead of failing deep in the comparison."""
+    import pytest
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.operators.maintenance import files_skipped_by_range
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "by_priority")
+    orders.repartitionByRange(4, "o_orderpriority").write.parquet(path)
+
+    r = files_skipped_by_range(path, "o_orderpriority", "1-URGENT", "1-URGENT")
+    assert r["n_files"] >= 1 and r["n_skippable"] >= 1  # sorted layout skips
+
+    with pytest.raises(TypeError, match="o_orderpriority.*str footer stats"):
+        files_skipped_by_range(path, "o_orderpriority", 0.0, 1.0)
