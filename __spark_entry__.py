@@ -53,14 +53,36 @@ def _driver_checked() -> set[str]:
     return checked
 
 
+# Queries whose PLAN or ORACLE changed in the current round: a green row
+# from a previous round no longer certifies the current code, so these
+# jump to the very front of the gate regardless of checked status.
+# Round 4: q76 decimal-width pin; q40/q84 gained replayed-sketch oracles;
+# q08/q50/q135/q182/q183 were de-vacuified (filters changed on both
+# sides). Clear this list once CORRECTNESS_r04 shows them green.
+_REVERIFY = [
+    "q76_incremental_rollup",
+    "q40_approx_distinct",
+    "q84_hll_sketch_algebra",
+    "q182_tpch_q2",
+    "q183_tpch_q11",
+    "q08_anti_join",
+    "q50_scalar_subquery",
+    "q135_tpch_q7",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2,
-    never-driver-checked queries first (see _driver_checked)."""
-    checked = _driver_checked()
+    """One entry per implemented operator from SURVEY.md §2: changed-
+    this-round queries first (_REVERIFY), then never-driver-checked
+    queries (see _driver_checked), then the green tail."""
+    checked = _driver_checked() - set(_REVERIFY)
     items = list(QUERY_REGISTRY.items())
-    ordered = [it for it in items if it[0] not in checked] + [
-        it for it in items if it[0] in checked
-    ]
+    front = [(n, QUERY_REGISTRY[n]) for n in _REVERIFY if n in QUERY_REGISTRY]
+    ordered = (
+        front
+        + [it for it in items if it[0] not in checked and it[0] not in _REVERIFY]
+        + [it for it in items if it[0] in checked]
+    )
     return {name: spec.fn for name, spec in ordered}
 
 

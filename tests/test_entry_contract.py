@@ -26,10 +26,15 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_rotation_puts_unchecked_first(tmp_path, monkeypatch):
-    """queries() must order never-hash-green queries before green ones,
-    reading whatever CORRECTNESS_r*.json files sit next to the module."""
+    """queries() must order changed-this-round queries (_REVERIFY) first,
+    then never-hash-green queries, then green ones, reading whatever
+    CORRECTNESS_r*.json files sit next to the module."""
     names = list(entry.queries())
-    checked = entry._driver_checked()
+    # the re-verify block leads, in its declared order
+    assert names[: len(entry._REVERIFY)] == [
+        n for n in entry._REVERIFY if n in names
+    ]
+    checked = entry._driver_checked() - set(entry._REVERIFY)
     if not checked:  # fresh checkout: order is registry order, nothing to assert
         return
     # every unchecked name precedes every checked name
@@ -45,7 +50,7 @@ def test_rotation_puts_unchecked_first(tmp_path, monkeypatch):
             seen.add(name)
             if isinstance(row, dict) and row.get("hash_match") is True:
                 green.add(name)
-    assert checked == green
+    assert checked == green - set(entry._REVERIFY)
     for name in seen - green:
         assert name not in checked
 

@@ -960,3 +960,20 @@ def test_corpus_curation_pipeline_end_to_end(spark, tmp_path):
     a = {x.doc_id for x in read_snapshot(spark, out, 1).collect()}
     b = {x.doc_id for x in read_snapshot(spark, out, 2).collect()}
     assert a == b
+
+
+def test_cli_smoke_subcommand(spark, capsys, tmp_path):
+    """`smoke` mirrors the reference runbook's weekly operational
+    checklist (docs/runbook.md:156-163): land raw data, trigger both
+    pipelines, verify curated rows + partition pruning, sanity query,
+    alarm sweep — exit 0 with every check PASS."""
+    from aws_datalake_platform_spark.__main__ import main
+
+    rc = main(["smoke", "--workdir", str(tmp_path / "lake")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "smoke: 9/9 checks passed" in out
+    assert "[FAIL]" not in out
+    # --workdir keeps the lake for inspection: curated zones exist
+    assert (tmp_path / "lake" / "curated" / "sensor-readings").exists()
+    assert (tmp_path / "lake" / "curated" / "weather").exists()
