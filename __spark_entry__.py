@@ -53,34 +53,65 @@ def _driver_checked() -> set[str]:
     return checked
 
 
-# Queries whose PLAN or ORACLE changed in the current round: a green row
-# from a previous round no longer certifies the current code, so these
-# jump to the very front of the gate regardless of checked status.
-# Round 4: q76 decimal-width pin; q40/q84 gained replayed-sketch oracles;
-# q08/q50/q135/q182/q183 were de-vacuified (filters changed on both
-# sides). Clear this list once CORRECTNESS_r04 shows them green.
-_REVERIFY = [
-    "q76_incremental_rollup",
-    "q40_approx_distinct",
-    "q84_hll_sketch_algebra",
-    "q182_tpch_q2",
-    "q183_tpch_q11",
-    "q08_anti_join",
-    "q50_scalar_subquery",
-    "q135_tpch_q7",
-]
+# Queries whose PLAN or ORACLE changed after round N (the value): a green
+# row from a round <= N no longer certifies the current code, so these
+# jump to the very front of the gate until a round > N re-greens them
+# (self-clearing — no manual list maintenance next round).
+# Changed after r3: q76 decimal-width pin; q40/q84 gained replayed-sketch
+# oracles; q08/q50/q135/q182/q183 were de-vacuified (filters changed on
+# both sides).
+_CHANGED_AFTER_ROUND = {
+    "q76_incremental_rollup": 3,
+    "q40_approx_distinct": 3,
+    "q84_hll_sketch_algebra": 3,
+    "q182_tpch_q2": 3,
+    "q183_tpch_q11": 3,
+    "q08_anti_join": 3,
+    "q50_scalar_subquery": 3,
+    "q135_tpch_q7": 3,
+}
+
+
+def _reverify() -> list[str]:
+    """Changed queries not yet re-greened by a round AFTER the change."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    green_rounds: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green_rounds[name] = max(green_rounds.get(name, 0), rnd)
+    return [
+        n
+        for n, changed_rnd in _CHANGED_AFTER_ROUND.items()
+        if green_rounds.get(n, 0) <= changed_rnd
+    ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2: changed-
-    this-round queries first (_REVERIFY), then never-driver-checked
+    since-last-green queries first (_reverify), then never-driver-checked
     queries (see _driver_checked), then the green tail."""
-    checked = _driver_checked() - set(_REVERIFY)
+    reverify = _reverify()
+    checked = _driver_checked() - set(reverify)
     items = list(QUERY_REGISTRY.items())
-    front = [(n, QUERY_REGISTRY[n]) for n in _REVERIFY if n in QUERY_REGISTRY]
+    front = [(n, QUERY_REGISTRY[n]) for n in reverify if n in QUERY_REGISTRY]
     ordered = (
         front
-        + [it for it in items if it[0] not in checked and it[0] not in _REVERIFY]
+        + [it for it in items if it[0] not in checked and it[0] not in reverify]
         + [it for it in items if it[0] in checked]
     )
     return {name: spec.fn for name, spec in ordered}

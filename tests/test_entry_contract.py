@@ -31,10 +31,9 @@ def test_rotation_puts_unchecked_first(tmp_path, monkeypatch):
     CORRECTNESS_r*.json files sit next to the module."""
     names = list(entry.queries())
     # the re-verify block leads, in its declared order
-    assert names[: len(entry._REVERIFY)] == [
-        n for n in entry._REVERIFY if n in names
-    ]
-    checked = entry._driver_checked() - set(entry._REVERIFY)
+    reverify = entry._reverify()
+    assert names[: len(reverify)] == [n for n in reverify if n in names]
+    checked = entry._driver_checked() - set(reverify)
     if not checked:  # fresh checkout: order is registry order, nothing to assert
         return
     # every unchecked name precedes every checked name
@@ -50,7 +49,7 @@ def test_rotation_puts_unchecked_first(tmp_path, monkeypatch):
             seen.add(name)
             if isinstance(row, dict) and row.get("hash_match") is True:
                 green.add(name)
-    assert checked == green - set(entry._REVERIFY)
+    assert checked == green - set(entry._reverify())
     for name in seen - green:
         assert name not in checked
 
@@ -76,3 +75,33 @@ def test_rotation_survives_corrupt_correctness_file(tmp_path, monkeypatch):
         assert names[-1] == "q01_pricing_summary"
     finally:
         monkeypatch.setattr(entry, "__file__", real_file)
+
+
+def test_reverify_self_clears_after_regreen(tmp_path, monkeypatch):
+    """A changed query drops out of the re-verify front block as soon as
+    a round AFTER the change records it hash-green; older greens do not
+    clear it."""
+    import json
+    import os
+
+    name = next(iter(entry._CHANGED_AFTER_ROUND))
+    changed_rnd = entry._CHANGED_AFTER_ROUND[name]
+    real_dir = os.path.dirname(os.path.abspath(entry.__file__))
+
+    def fake_dirname(_):
+        return str(tmp_path)
+
+    monkeypatch.setattr(entry.os.path if hasattr(entry, "os") else __import__("os").path,
+                        "dirname", fake_dirname, raising=False)
+    # green in the SAME round as the change -> still needs re-verify
+    (tmp_path / f"CORRECTNESS_r{changed_rnd:02d}.json").write_text(
+        json.dumps({name: {"hash_match": True}})
+    )
+    assert name in entry._reverify()
+    # green in a LATER round -> cleared
+    (tmp_path / f"CORRECTNESS_r{changed_rnd + 1:02d}.json").write_text(
+        json.dumps({name: {"hash_match": True}})
+    )
+    assert name not in entry._reverify()
+    monkeypatch.undo()
+    assert os.path.dirname(os.path.abspath(entry.__file__)) == real_dir
