@@ -699,3 +699,130 @@ def connected_components(
             break
     sym.unpersist()
     return labels.select("node", "comp")
+
+
+# ── Incremental dedup against a stored corpus index ──────────────────────────
+
+
+def build_dedup_index(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Per-document dedup metadata (__id, __fp, __bks, __mh): the exact
+    fingerprint, the banded LSH buckets, and the 60-bit shingle-hash set,
+    all in ONE scan of the corpus (fingerprint + _minhash_features fused
+    into the same projection).
+
+    This is the STORED artifact that makes dedup incremental: a daily
+    ingest batch joins against this metadata — never against corpus
+    text — so yesterday's curated corpus is scanned exactly once, on the
+    day it was curated. Size per doc is 8 bucket strings + the distinct
+    shingle hashes (8 bytes each), independent of future batch count.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(n_parts, id_col)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.md5(normalize_text(text_col)).alias("__fp"),
+            _minhash_features(text_col, k, num_hashes, bands).alias("__f"),
+        )
+        .select("__id", "__fp", F.col("__f.bks").alias("__bks"), F.col("__f.mh").alias("__mh"))
+    )
+
+
+def incremental_dedup_verdicts(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int = 512,
+) -> DataFrame:
+    """Verdict per NEW document against an existing corpus
+    (:func:`build_dedup_index` artifact): ``exact_dup`` (identical
+    normalized-text fingerprint), ``near_dup`` (LSH candidate whose
+    exact Jaccard over the 60-bit shingle-hash sets >= threshold), else
+    ``unique``. ``dup_of`` is the smallest matching corpus id
+    (deterministic; exact wins over near). Returns (doc_id, verdict,
+    dup_of).
+
+    Batch-internal duplicates are out of scope by design — run
+    :func:`exact_dedup` / :func:`minhash_lsh_pairs` WITHIN the batch
+    first; this operator answers only "is it already in the corpus".
+
+    Scale: the batch's features are one Arrow pass over the batch; the
+    exact stage is an equi-join on fingerprint (broadcastable when the
+    daily batch is small — Catalyst/AQE decides); candidates come from
+    the same banded bucket join as minhash_lsh_pairs with corpus-side
+    hot buckets degraded to their min-id star representative (a
+    boilerplate bucket with a million corpus members contributes ONE
+    candidate per new doc, not a million); verification touches only
+    candidate pairs. Corpus text is never read.
+    """
+    new_idx = build_dedup_index(new_docs, id_col, text_col, k, num_hashes, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    corpus = index
+
+    exact = (
+        new_idx.select("__id", "__fp")
+        .join(corpus.select("__fp", F.col("__id").alias("__cid")), "__fp")
+        .groupBy("__id")
+        .agg(F.min("__cid").alias("__exact_of"))
+    )
+
+    cb = corpus.select("__id", F.posexplode("__bks").alias("__band", "__bucket"))
+    w = Window.partitionBy("__band", "__bucket")
+    cb = cb.withColumn("__cnt", F.count(F.lit(1)).over(w)).withColumn(
+        "__mn", F.min("__id").over(w)
+    )
+    nb = new_idx.select(
+        F.col("__id").alias("__nid"), F.posexplode("__bks").alias("__band", "__bucket")
+    )
+    cand_small = nb.join(
+        cb.filter(F.col("__cnt") <= max_bucket_size), ["__band", "__bucket"]
+    ).select("__nid", F.col("__id").alias("__cid"))
+    cand_big = nb.join(
+        cb.filter(F.col("__cnt") > max_bucket_size)
+        .select("__band", "__bucket", "__mn")
+        .distinct(),
+        ["__band", "__bucket"],
+    ).select("__nid", F.col("__mn").alias("__cid"))
+    cand = cand_small.union(cand_big).distinct()
+
+    pairs = (
+        cand.join(
+            new_idx.select(F.col("__id").alias("__nid"), F.col("__mh").alias("__mh_n")),
+            "__nid",
+        )
+        .join(
+            corpus.select(F.col("__id").alias("__cid"), F.col("__mh").alias("__mh_c")),
+            "__cid",
+        )
+        .withColumn("__i", F.size(F.array_intersect("__mh_n", "__mh_c")))
+        .withColumn("__u", F.size("__mh_n") + F.size("__mh_c") - F.col("__i"))
+    )
+    near = (
+        pairs.filter(F.col("__i") * 1.0 / F.col("__u") >= threshold)
+        .groupBy("__nid")
+        .agg(F.min("__cid").alias("__near_of"))
+        .withColumnRenamed("__nid", "__id")
+    )
+
+    out = (
+        new_idx.select("__id")
+        .join(exact, "__id", "left")
+        .join(near, "__id", "left")
+        .select(
+            F.col("__id").alias("doc_id"),
+            F.when(F.col("__exact_of").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("__near_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+            F.coalesce("__exact_of", "__near_of").alias("dup_of"),
+        )
+    )
+    return out

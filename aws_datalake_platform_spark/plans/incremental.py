@@ -1,0 +1,145 @@
+"""Incremental-maintenance queries: dedup a new ingest batch against an
+existing curated corpus using its STORED dedup index (fingerprints +
+MinHash metadata) — the daily-pipeline pattern where yesterday's corpus
+text is never re-read.
+
+Registered LAST (plans/__init__ import order) so these new entries queue
+behind the existing never-driver-checked block in the gate rotation.
+
+Oracle story: the md5 hash family is the same one q24's oracle already
+replays relationally (plans/llm_ops.py), so the full incremental flow —
+fingerprint anti-join, signature build, banded bucket join with the
+corpus-side hot-bucket star cap, hash-set Jaccard verify — is
+hash-checkable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import build_dedup_index, incremental_dedup_verdicts
+from .llm_ops import _MH_SEEDS_VALUES
+from .queries import register
+
+# Corpus = documents with doc_id % 10 != 0 (the "already curated" 90%);
+# new batch = doc_id % 10 == 0 (today's ingest) PLUS deterministic
+# re-ingestions — corpus docs with doc_id % 100 == 1 re-appear verbatim
+# under id + 1,000,000. The testdata has NO natural exact dup straddling
+# the split at any SF (checked r4), so without the planted re-ingestions
+# the exact_dup verdict would be vacuous; near-dups occur naturally.
+_Q191_SQL = rf"""
+    WITH all_docs AS (
+      SELECT doc_id, text, FALSE AS is_new FROM documents WHERE doc_id % 10 != 0
+      UNION ALL
+      SELECT doc_id, text, TRUE AS is_new FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text, TRUE AS is_new FROM documents
+      WHERE doc_id % 10 != 0 AND doc_id % 100 = 1
+    ),
+    fp AS (
+      SELECT doc_id, is_new,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                                     ' +', ' ', 'g'))) AS fp
+      FROM all_docs
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+             ELSE []::VARCHAR[] END)) AS s
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM all_docs)
+    ),
+    hh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+    hsz AS (SELECT doc_id, count(*) AS sz FROM hh GROUP BY doc_id),
+    seeds AS (SELECT * FROM (VALUES {_MH_SEEDS_VALUES}) t(seed, a, b)),
+    mh AS (
+      SELECT doc_id, seed, min((a * (h % 2147483647) + b) % 2147483647) AS mh
+      FROM hh CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    buckets AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bucket
+      FROM mh GROUP BY doc_id, seed // 4
+    ),
+    corpus_ids AS (SELECT doc_id FROM all_docs WHERE NOT is_new),
+    new_ids AS (SELECT doc_id FROM all_docs WHERE is_new),
+    cstat AS (
+      -- hot-bucket stats over the CORPUS side only (mirrors the
+      -- corpus-index window in incremental_dedup_verdicts)
+      SELECT band, bucket, count(*) AS cnt, min(doc_id) AS mn
+      FROM buckets JOIN corpus_ids USING (doc_id) GROUP BY band, bucket
+    ),
+    nb AS (SELECT buckets.* FROM buckets JOIN new_ids USING (doc_id)),
+    cand AS (
+      SELECT nb.doc_id AS nid, cb.doc_id AS cid
+      FROM nb
+      JOIN (SELECT buckets.* FROM buckets JOIN corpus_ids USING (doc_id)) cb
+        ON cb.band = nb.band AND cb.bucket = nb.bucket
+      JOIN cstat s ON s.band = nb.band AND s.bucket = nb.bucket
+      WHERE s.cnt <= 512
+      UNION
+      SELECT nb.doc_id AS nid, s.mn AS cid
+      FROM nb JOIN cstat s ON s.band = nb.band AND s.bucket = nb.bucket
+      WHERE s.cnt > 512
+    ),
+    inter AS (
+      SELECT nid, cid, count(*) AS i
+      FROM cand
+      JOIN hh a ON a.doc_id = nid
+      JOIN hh b ON b.doc_id = cid AND a.h = b.h
+      GROUP BY nid, cid
+    ),
+    near AS (
+      SELECT nid, CAST(min(cid) AS BIGINT) AS near_of
+      FROM inter
+      JOIN hsz sa ON sa.doc_id = nid
+      JOIN hsz sb ON sb.doc_id = cid
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+      GROUP BY nid
+    ),
+    exact AS (
+      SELECT n.doc_id AS nid, CAST(min(c.doc_id) AS BIGINT) AS exact_of
+      FROM fp n JOIN fp c ON c.fp = n.fp AND NOT c.is_new
+      WHERE n.is_new GROUP BY n.doc_id
+    )
+    SELECT f.doc_id,
+           CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+                WHEN nr.near_of IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS verdict,
+           COALESCE(e.exact_of, nr.near_of) AS dup_of
+    FROM fp f
+    LEFT JOIN exact e ON e.nid = f.doc_id
+    LEFT JOIN near nr ON nr.nid = f.doc_id
+    WHERE f.is_new
+"""
+
+
+@register(
+    "q191_incremental_dedup",
+    _Q191_SQL,
+    doc="Incremental dedup verdicts: today's ingest batch (doc_id%10==0 "
+    "plus deterministic re-ingestions of 1%% of the corpus under shifted "
+    "ids) judged against the stored dedup index of the existing corpus — "
+    "exact_dup on fingerprint match, near_dup on LSH candidate with "
+    "hash-set Jaccard >= 0.5, else unique; dup_of = smallest matching "
+    "corpus id. The production daily-dedup pattern: corpus TEXT is "
+    "never re-read, only its per-doc index metadata (operators/"
+    "dedup.py:build_dedup_index), and corpus-side hot buckets degrade "
+    "to a star representative exactly as in q24.",
+)
+def q191_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: index build is a once-per-corpus Arrow pass (amortized to
+    zero across daily batches); per batch the work is one fingerprint
+    equi-join + one banded bucket join + verification on candidates only
+    — all sized by the BATCH, not the corpus. The 512 cap bounds any
+    boilerplate bucket's fan-out to one star candidate per new doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    reingested = corpus.filter(F.col("doc_id") % 100 == 1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 0).unionByName(reingested)
+    index = build_dedup_index(corpus, "doc_id", "text")
+    return incremental_dedup_verdicts(batch, index, "doc_id", "text", threshold=0.5)

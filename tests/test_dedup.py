@@ -208,3 +208,60 @@ def test_capped_pairs_no_self_pairs_on_duplicate_membership(spark):
     rows = capped_candidate_pairs(buckets, max_bucket_size=64).collect()
     assert all(r["doc_a"] < r["doc_b"] for r in rows), rows
     assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_incremental_dedup_verdicts_planted(spark):
+    """Hand-planted batch vs corpus: an exact re-ingest -> exact_dup with
+    dup_of = the corpus id; a one-token edit of a long doc -> near_dup;
+    fresh text -> unique; and exact wins precedence when both match."""
+    from aws_datalake_platform_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_verdicts,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the patient tortoise wins the long race every time")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text about spark " 
+                        "partitioning strategies and shuffle boundaries at scale")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, base),                                   # exact re-ingest
+            (101, base.replace("tortoise", "turtle")),     # near dup (1-token edit)
+            (102, "entirely novel document with no overlap whatsoever "
+                  "covering watermarks state stores and output modes"),  # unique
+        ],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(corpus, "doc_id", "text")
+    out = {r["doc_id"]: r for r in
+           incremental_dedup_verdicts(batch, index, "doc_id", "text", threshold=0.5).collect()}
+    assert out[100]["verdict"] == "exact_dup" and out[100]["dup_of"] == 1
+    assert out[101]["verdict"] == "near_dup" and out[101]["dup_of"] == 1
+    assert out[102]["verdict"] == "unique" and out[102]["dup_of"] is None
+
+
+def test_incremental_dedup_hot_bucket_star_cap(spark):
+    """A corpus bucket above the cap contributes only its min-id star
+    representative as a candidate — the batch still detects the dup but
+    the join fan-out is 1 per new doc, not |bucket|."""
+    from aws_datalake_platform_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_verdicts,
+    )
+
+    boiler = ("all rights reserved terms of service apply to every user "
+              "of this site please read them very carefully before use")
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(10, 40)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame([(500, boiler)], "doc_id long, text string")
+    index = build_dedup_index(corpus, "doc_id", "text")
+    out = incremental_dedup_verdicts(
+        batch, index, "doc_id", "text", threshold=0.5, max_bucket_size=4
+    ).collect()
+    assert len(out) == 1
+    # exact match fires regardless; dup_of is the smallest corpus id
+    assert out[0]["verdict"] == "exact_dup" and out[0]["dup_of"] == 10
