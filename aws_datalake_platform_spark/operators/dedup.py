@@ -762,10 +762,20 @@ def incremental_dedup_verdicts(
     candidate per new doc, not a million); verification touches only
     candidate pairs. Corpus text is never read.
     """
+    # Persist + eagerly materialize BOTH feature relations: three branches
+    # read each (exact join / bucket explode / verify side), and cold-cache
+    # races across AQE-materialized exchanges re-run the Arrow feature UDF
+    # once per branch (the minhash_lsh_pairs lesson — profiled there as a
+    # doubled UDF stage; here the corpus pass ran 3x before this). In
+    # production the index arrives FROM STORAGE, so its persist is a no-op
+    # cache of a parquet scan; for a freshly built index it is the
+    # difference between one corpus pass and three.
     new_idx = build_dedup_index(new_docs, id_col, text_col, k, num_hashes, bands).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    corpus = index
+    new_idx.count()
+    corpus = index.persist(StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
 
     exact = (
         new_idx.select("__id", "__fp")

@@ -290,3 +290,15 @@ def test_q178_winsorize_bounds_broadcast(spark):
     broadcast — the big side never shuffles for the bounds join."""
     plan = _plan(spark, "q178_winsorized_stats")
     assert "BroadcastHashJoin" in plan
+
+
+def test_q191_incremental_dedup_no_cartesian_no_fullcorpus_fanout(spark):
+    """Incremental dedup must stay an equi-join pipeline: no cartesian
+    product anywhere, candidates come from the banded bucket equi-join,
+    and the corpus/batch feature relations are persisted (InMemoryRelation
+    in the plan) so the Arrow feature UDF runs once per side, not once
+    per consuming branch."""
+    plan = _plan(spark, "q191_incremental_dedup")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # persisted feature relations
+    assert "Window" in plan  # corpus-side hot-bucket stats
