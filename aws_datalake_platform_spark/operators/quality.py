@@ -189,3 +189,121 @@ def snapshot_diff(
     out_cols += [F.col(f"old_{c}") for c in compare_cols]
     out_cols += [F.col(f"new_{c}") for c in compare_cols]
     return joined.filter(o_key.isNull() | n_key.isNull() | ~same).select(*out_cols)
+
+
+# ── Gopher rule-based quality filter ────────────────────────────────────
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_distinct_stopwords: int = 2,
+    stopwords: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with"),
+) -> DataFrame:
+    """Gopher/MassiveText rule-based document filter (Rae et al. 2021,
+    arXiv:2112.11446 Appendix A1.1), the standard pre-training heuristic
+    gate the reference's 3-way quality CASE (transform.py:238-251)
+    approximates. Per document: word count, mean word length,
+    symbol-to-word ratio (# and ... occurrences), alphabetic-word ratio,
+    and distinct-stopword count, each with its rule verdict, plus the
+    conjunctive ``passes`` flag.
+
+    Scale: pure Column expressions over a single projection — the token
+    array is bound ONCE as a column and every statistic folds it with
+    higher-order functions, so the whole filter is a map-only stage (no
+    shuffle, no Python, whole-stage codegen) regardless of corpus size.
+    Defaults are the paper's; callers tune per corpus (tests use
+    corpus-scaled bounds so every rule actually bites).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = df.select(F.col(id_col), F.col(text_col)).withColumn("__toks", toks)
+    wc = F.size("__toks")
+    sum_len = F.aggregate(
+        F.transform("__toks", lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    hashes = F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+    ellipses = (
+        F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ) / 3
+    alpha_words = F.size(F.filter("__toks", lambda t: t.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform("__toks", F.lower)),
+            F.array(*[F.lit(s) for s in stopwords]),
+        )
+    )
+    out = out.select(
+        F.col(id_col),
+        wc.alias("word_count"),
+        F.round(sum_len / wc, 4).alias("mean_word_len"),
+        F.round((hashes + ellipses) / wc, 4).alias("symbol_ratio"),
+        F.round(alpha_words / wc, 4).alias("alpha_word_ratio"),
+        stop_hits.alias("n_stopwords"),
+    )
+    r_wc = out.word_count.between(min_words, max_words)
+    r_mwl = out.mean_word_len.between(min_mean_word_len, max_mean_word_len)
+    r_sym = out.symbol_ratio <= max_symbol_ratio
+    r_alpha = out.alpha_word_ratio >= min_alpha_word_ratio
+    r_stop = out.n_stopwords >= min_distinct_stopwords
+    return out.select(
+        "*",
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_wc & r_mwl & r_sym & r_alpha & r_stop).alias("passes"),
+    )
+
+
+# ── Temperature-scaled domain mixing ────────────────────────────────────
+
+
+def mixture_weights(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str,
+    *,
+    token_budget: int = 1_000_000,
+) -> DataFrame:
+    """Per-domain sampling weights for corpus mixing with temperature
+    alpha = 0.5: w_d = sqrt(p_d) / sum_e sqrt(p_e), where p_d is the
+    domain's share of corpus tokens — the standard up-/down-sampling
+    rule for multilingual & multi-source pre-training mixes (mBERT /
+    XLM-R style temperature sampling). ``expected_epochs`` is how many
+    passes over a domain the ``token_budget`` implies — >1 means the
+    domain is repeated, the usual oversampling red flag.
+
+    alpha is fixed at 0.5 because sqrt is IEEE-correctly-rounded on
+    every engine (pow(x, 0.55) is not), which keeps the output
+    bit-checkable against the SQL oracle. Scale: one partial agg on
+    domain_col; domain cardinality is tiny by construction, so the
+    whole-corpus window over the aggregate is a no-op shuffle of
+    |domains| rows, never of data.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = per.n_tokens / F.sum("n_tokens").over(w)
+    weight = F.sqrt(share) / F.sum(F.sqrt(share)).over(w)
+    return per.select(
+        domain_col,
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(weight, 6).alias("mix_weight"),
+        F.round(F.lit(token_budget) * weight / per.n_tokens, 4).alias("expected_epochs"),
+    )

@@ -126,3 +126,48 @@ def test_funnel_requires_sequential_order(spark):
     assert rows[2]["t_view"] == t(3)
     assert rows[2]["t_click"] is None  # the early click must not count
     assert rows[2]["t_purchase"] is None  # and purchase needs a click first
+
+
+def test_gopher_rules_canonical_thresholds(spark):
+    """Planted docs exercise the rule edges the synthetic corpus can't:
+    symbol-heavy, ellipsis-heavy, non-alpha tokens, missing stopwords."""
+    from aws_datalake_platform_spark.operators.quality import gopher_rules
+
+    good = "the quick brown fox jumps over and over with the lazy dog " * 6
+    docs = [
+        (1, good),  # 72 words, all rules pass at canonical defaults
+        (2, "the of " + "# # # # with be that " * 10),  # symbol_ratio 40/72
+        (3, "the of have " + "word... more... " * 30),  # ellipsis-heavy
+        (4, "the and " + "123 456 789 000 111 " * 12),  # non-alpha words
+        (5, "lorem ipsum dolor sit amet " * 12),  # no stopwords at all
+        (6, "the to " + "word " * 4),  # 6 words: too short
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text").collect()}
+    assert rows[1]["passes"]
+    assert not rows[2]["rule_symbol_ratio"] and rows[2]["symbol_ratio"] > 0.1
+    assert not rows[3]["rule_symbol_ratio"]  # '...' counted via replace-diff
+    assert not rows[4]["rule_alpha_words"] and rows[4]["alpha_word_ratio"] < 0.8
+    assert not rows[5]["rule_stopwords"] and rows[5]["n_stopwords"] == 0
+    assert not rows[6]["rule_word_count"]
+    for i in (2, 3, 4, 5, 6):
+        assert not rows[i]["passes"]
+
+
+def test_mixture_weights_invariants(spark):
+    """Weights sum to 1, sqrt-temperature flattens the mix (small domains
+    up-weighted relative to their raw share), epochs = budget*w/tokens."""
+    from aws_datalake_platform_spark.operators.quality import mixture_weights
+
+    df = spark.createDataFrame(
+        [("big", ("w " * 900).strip()), ("small", ("w " * 100).strip())],
+        ["source", "text"],
+    )
+    rows = {r["source"]: r for r in
+            mixture_weights(df, "source", "text", token_budget=1000).collect()}
+    assert abs(rows["big"]["mix_weight"] + rows["small"]["mix_weight"] - 1.0) < 1e-5
+    # temperature flattening: small's weight > its raw 0.1 share, big's <0.9
+    assert rows["small"]["mix_weight"] > rows["small"]["token_share"]
+    assert rows["big"]["mix_weight"] < rows["big"]["token_share"]
+    exp = 1000 * rows["small"]["mix_weight"] / rows["small"]["n_tokens"]
+    assert abs(rows["small"]["expected_epochs"] - round(exp, 4)) < 1e-3
