@@ -307,3 +307,46 @@ def mixture_weights(
         F.round(weight, 6).alias("mix_weight"),
         F.round(F.lit(token_budget) * weight / per.n_tokens, 4).alias("expected_epochs"),
     )
+
+
+# ── k-anonymity / l-diversity audit ─────────────────────────────────────
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """Privacy-risk audit over quasi-identifier equivalence classes
+    (Sweeney 2002 k-anonymity; Machanavajjhala 2007 l-diversity): group
+    rows by the quasi-identifier tuple, flag classes smaller than ``k``
+    (re-identification risk) and classes whose sensitive attribute takes
+    fewer than ``l`` distinct values (attribute-disclosure risk).
+
+    Completes the platform's privacy surface next to the PII drop
+    (reference transform.py:131-140) and regex redaction: those remove
+    direct identifiers; this measures what the REMAINING quasi-columns
+    still leak. Callers generalize (bucket) continuous quasi-columns
+    before calling — pass the bucketed expression as a column.
+
+    Scale: one partial aggregate on the quasi-tuple (count + distinct
+    count, both map-side combinable); output is |equivalence classes|,
+    never rows. No Python, no second scan.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct(sensitive_col).alias("n_sensitive_distinct"),
+        )
+        .select(
+            *quasi_cols,
+            "class_size",
+            "n_sensitive_distinct",
+            (F.col("class_size") >= k).alias("k_anonymous"),
+            (F.col("n_sensitive_distinct") >= l).alias("l_diverse"),
+        )
+    )

@@ -587,3 +587,34 @@ def q193_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import mixture_weights
 
     return mixture_weights(load_table(spark, sf_dir, "documents"), "source", "text")
+
+
+@register(
+    "q194_k_anonymity",
+    """
+    SELECT c_mktsegment,
+           CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_sensitive_distinct,
+           COUNT(*) >= 5 AS k_anonymous,
+           COUNT(DISTINCT c_nationkey) >= 2 AS l_diverse
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    doc="k-anonymity + l-diversity audit over (market segment, "
+    "generalized balance bucket) quasi-identifiers with nation as the "
+    "sensitive attribute: class sizes, distinct-sensitive counts, and "
+    "per-class risk flags. One map-side-combinable aggregate; output is "
+    "|classes|, never rows.",
+)
+def q194_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization (width-2000 balance bucket) happens BEFORE the
+    audit, mirroring a real anonymization hierarchy step."""
+    from ..operators.quality import k_anonymity_audit
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 2000).cast("long")
+    )
+    return k_anonymity_audit(
+        cust, ["c_mktsegment", "bal_bucket"], "c_nationkey", k=5, l=2
+    )

@@ -171,3 +171,21 @@ def test_mixture_weights_invariants(spark):
     assert rows["big"]["mix_weight"] < rows["big"]["token_share"]
     exp = 1000 * rows["small"]["mix_weight"] / rows["small"]["n_tokens"]
     assert abs(rows["small"]["expected_epochs"] - round(exp, 4)) < 1e-3
+
+
+def test_k_anonymity_audit_flags(spark):
+    from aws_datalake_platform_spark.operators.quality import k_anonymity_audit
+
+    rows = [
+        # class A: 5 rows, 3 distinct sensitive -> k-anon (k=5), diverse
+        *[("A", "x", s) for s in ("s1", "s2", "s3", "s1", "s2")],
+        # class B: 2 rows, 1 distinct -> neither
+        ("B", "x", "s1"),
+        ("B", "x", "s1"),
+    ]
+    df = spark.createDataFrame(rows, ["seg", "bucket", "sensitive"])
+    out = {tuple(r[:2]): r for r in
+           k_anonymity_audit(df, ["seg", "bucket"], "sensitive", k=5, l=2).collect()}
+    a, b = out[("A", "x")], out[("B", "x")]
+    assert a["class_size"] == 5 and a["k_anonymous"] and a["l_diverse"]
+    assert b["class_size"] == 2 and not b["k_anonymous"] and not b["l_diverse"]
