@@ -618,3 +618,123 @@ def q194_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_audit(
         cust, ["c_mktsegment", "bal_bucket"], "c_nationkey", k=5, l=2
     )
+
+
+@register(
+    "q195_source_overlap_matrix",
+    r"""
+    WITH tok AS (
+      SELECT source, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source, unnest(
+        CASE WHEN len(toks) >= 5
+             THEN list_transform(range(1, len(toks)-3),
+                                 i -> array_to_string(toks[i:i+4], ' '))
+             ELSE []::VARCHAR[] END) AS s
+      FROM tok
+    ),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, za.n AS n_a, zb.n AS n_b, n_shared,
+           ROUND(n_shared * 1.0 / (za.n + zb.n - n_shared), 6) AS jaccard
+    FROM shared
+    JOIN sz za ON za.source = source_a
+    JOIN sz zb ON zb.source = source_b
+    """,
+    doc="Source-level redundancy matrix: Jaccard similarity of distinct "
+    "5-gram shingle sets for every source pair — which corpus slices "
+    "near-duplicate each other wholesale (the source-granularity view "
+    "the per-document dedup family can't give). Exact-fingerprint "
+    "overlap is provably zero on this corpus, so the matrix uses "
+    "shingle sets, which genuinely vary.",
+)
+def q195_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: ONE shuffle on the shingle key; per-shingle join fan-out is
+    bounded by |sources|^2 (a few hundred), never by corpus size; the
+    per-source size relation is |sources| rows and broadcasts. Shingling
+    reuses the Arrow-vectorized word_shingles pass (operators/dedup.py)."""
+    from ..operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(word_shingles("text", 5)).alias("s")
+    ).distinct()
+    sz = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "s")
+    b = sh.select(F.col("source").alias("source_b"), "s")
+    shared = (
+        a.join(b, "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q196_inverted_index",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(toks) AS term,
+             unnest(range(1, len(toks) + 1)) AS p
+      FROM tok
+    ),
+    post AS (
+      SELECT term, doc_id,
+             CAST(count(*) AS BIGINT) AS tf,
+             list_sort(list(p)) AS positions
+      FROM pos GROUP BY term, doc_id
+    ),
+    docfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term)
+    SELECT p.term, p.doc_id, p.tf, p.positions, d.df
+    FROM post p JOIN docfreq d ON p.term = d.term
+    """,
+    doc="Inverted-index build: per (term, doc) posting with term "
+    "frequency and sorted 1-based position list, plus document "
+    "frequency — the search/retrieval primitive over the corpus. "
+    "Positional postings enable phrase queries; df enables BM25/TF-IDF "
+    "scoring downstream (q69 computes the scores; this materializes the "
+    "index itself).",
+)
+def q196_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: posexplode -> one shuffle on (term, doc); df comes from a
+    second tiny aggregate JOINED back (broadcast under AQE) rather than
+    a count-over-term window, because WindowExec would buffer a stop
+    term's whole partition (millions of postings at corpus scale) while
+    the groupBy stays map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias("p0", "term"),
+    ).select("doc_id", "term", (F.col("p0") + 1).cast("long").alias("p"))
+    post = pos.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list("p")).alias("positions"),
+    )
+    df_rel = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return post.join(df_rel, "term").select("term", "doc_id", "tf", "positions", "df")

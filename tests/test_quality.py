@@ -189,3 +189,51 @@ def test_k_anonymity_audit_flags(spark):
     a, b = out[("A", "x")], out[("B", "x")]
     assert a["class_size"] == 5 and a["k_anonymous"] and a["l_diverse"]
     assert b["class_size"] == 2 and not b["k_anonymous"] and not b["l_diverse"]
+
+
+def test_source_overlap_matrix_planted(spark):
+    """Two sources share exactly one 5-gram; a third shares none."""
+    from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon tail1", "en", "sA", 1),
+            (2, "alpha beta gamma delta epsilon tail2", "en", "sB", 1),
+            (3, "one two three four five six", "en", "sC", 1),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = QUERY_REGISTRY["q195_source_overlap_matrix"].fn(spark, d).collect()
+    out = {(r["source_a"], r["source_b"]): r for r in rows}
+    # only the sA-sB pair shares anything: the 5-grams "alpha..epsilon"
+    # and "beta..tail*" -> shared=1 of union 2+2-1=3
+    assert set(out) == {("sA", "sB")}
+    r = out[("sA", "sB")]
+    assert (r["n_a"], r["n_b"], r["n_shared"]) == (2, 2, 1)
+    assert abs(r["jaccard"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_inverted_index_positions_and_df(spark):
+    from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "to be or not to be", "en", "s", 1),
+            (2, "be quick", "en", "s", 1),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = QUERY_REGISTRY["q196_inverted_index"].fn(spark, d).collect()
+    out = {(r["term"], r["doc_id"]): r for r in rows}
+    assert out[("be", 1)]["tf"] == 2 and out[("be", 1)]["positions"] == [2, 6]
+    assert out[("be", 2)]["positions"] == [1]
+    assert out[("be", 1)]["df"] == 2  # 'be' appears in both docs
+    assert out[("to", 1)]["df"] == 1 and out[("to", 1)]["positions"] == [1, 5]
