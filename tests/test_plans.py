@@ -302,3 +302,50 @@ def test_q191_incremental_dedup_no_cartesian_no_fullcorpus_fanout(spark):
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan  # persisted feature relations
     assert "Window" in plan  # corpus-side hot-bucket stats
+
+
+def test_q192_gopher_rules_map_only(spark):
+    """The rule gate must stay one map-only codegen stage: no exchange,
+    no Python (every statistic is a Catalyst HOF fold over the bound
+    token array), and the scan pruned to (doc_id, text)."""
+    plan = _plan(spark, "q192_gopher_quality_rules")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert read_schema.count(":") == 2  # doc_id + text only
+
+
+def test_q193_mixture_windows_aggregate_rows_only(spark):
+    """Normalization windows run AFTER the per-domain aggregate — the
+    window input is |domains| rows, so the plan must show the hash
+    aggregate below the window, and the scan reads only (source, text)."""
+    plan = _plan(spark, "q193_mixture_weights")
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")  # window above agg
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert read_schema.count(":") == 2  # source + text only
+
+
+def test_q194_k_anonymity_single_aggregate(spark):
+    """k-anonymity is ONE partial aggregate on the quasi-tuple: a single
+    exchange pair (partial agg -> shuffle -> final), no join, no window."""
+    plan = _plan(spark, "q194_k_anonymity")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_q195_overlap_sizes_broadcast(spark):
+    """The per-source size relation joins back by BROADCAST — the shared
+    shingle relation never re-shuffles for the size lookups — and there
+    is no cartesian product anywhere."""
+    plan = _plan(spark, "q195_source_overlap_matrix")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # n_a and n_b lookups
+
+
+def test_q196_inverted_index_no_window(spark):
+    """df must come from the re-aggregate join, never a count-over-term
+    window (WindowExec would buffer a stop term's whole partition)."""
+    plan = _plan(spark, "q196_inverted_index")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
