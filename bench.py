@@ -100,6 +100,10 @@ HEADLINE = [
     "q158_concurrency_sweep",
     "q159_time_decay_score",
     "q160_fk_integrity_audit",
+    # round-4 additions: the new curation/retrieval ops
+    "q192_gopher_quality_rules",
+    "q195_source_overlap_matrix",
+    "q196_inverted_index",
 ]
 
 

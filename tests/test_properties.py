@@ -298,3 +298,81 @@ def test_triangles_are_canonical_and_edge_consistent(spark):
         t = (r.n1, r.n2, r.n3)
         assert t not in seen
         seen.add(t)
+
+
+@given(docs=st.lists(texts, min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_gopher_rules_match_python_reference(spark, docs):
+    """Every emitted statistic equals a pure-Python recomputation, and
+    ``passes`` is exactly the conjunction of the rule flags — for ANY
+    token content, including empty-ish docs."""
+    from aws_datalake_platform_spark.operators.quality import gopher_rules
+
+    rows = [(i, t) for i, t in enumerate(docs) if t.strip()]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text").collect()}
+    stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    for i, t in rows:
+        toks = t.strip().split()
+        r = out[i]
+        assert r["word_count"] == len(toks)
+        assert r["mean_word_len"] == round(sum(map(len, toks)) / len(toks), 4)
+        assert r["n_stopwords"] == len({w.lower() for w in toks} & stop)
+        assert r["alpha_word_ratio"] == round(
+            sum(any(c.isalpha() for c in w) for w in toks) / len(toks), 4
+        )
+        flags = (r["rule_word_count"], r["rule_mean_word_len"], r["rule_symbol_ratio"],
+                 r["rule_alpha_words"], r["rule_stopwords"])
+        assert r["passes"] == all(flags)
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=5)
+)
+@settings(**SETTINGS)
+def test_mixture_weights_partition_of_unity(spark, sizes):
+    """For ANY domain size profile: weights are positive, sum to ~1, and
+    ordering by weight equals ordering by token count (sqrt is
+    monotone) — temperature reshapes, never reorders."""
+    from aws_datalake_platform_spark.operators.quality import mixture_weights
+
+    rows = [(f"d{i}", ("w " * n).strip()) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = mixture_weights(df, "source", "text").collect()
+    assert abs(sum(r["mix_weight"] for r in out) - 1.0) < 1e-4
+    assert all(r["mix_weight"] > 0 for r in out)
+    by_tokens = sorted(out, key=lambda r: (r["n_tokens"], r["source"]))
+    by_weight = sorted(out, key=lambda r: (r["mix_weight"], r["source"]))
+    assert [r["source"] for r in by_tokens] == [r["source"] for r in by_weight]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("AB"), st.sampled_from("xy"), st.sampled_from("stuvw")),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_k_anonymity_counts_match_reference(spark, rows):
+    """Class sizes and distinct-sensitive counts equal a pure-Python
+    recomputation; flags follow the thresholds exactly."""
+    from collections import defaultdict
+
+    from aws_datalake_platform_spark.operators.quality import k_anonymity_audit
+
+    df = spark.createDataFrame(rows, "q1 string, q2 string, s string")
+    out = {(r["q1"], r["q2"]): r for r in
+           k_anonymity_audit(df, ["q1", "q2"], "s", k=3, l=2).collect()}
+    ref = defaultdict(list)
+    for q1, q2, s in rows:
+        ref[(q1, q2)].append(s)
+    assert set(out) == set(ref)
+    for key, vals in ref.items():
+        r = out[key]
+        assert r["class_size"] == len(vals)
+        assert r["n_sensitive_distinct"] == len(set(vals))
+        assert r["k_anonymous"] == (len(vals) >= 3)
+        assert r["l_diverse"] == (len(set(vals)) >= 2)
