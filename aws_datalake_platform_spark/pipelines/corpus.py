@@ -5,14 +5,21 @@ Stages (each an oracle-checked operator elsewhere in the engine):
 
   1. exact dedup        — keep one doc per normalized-text fingerprint
                           (operators/dedup.py, q22/q177)
-  2. quality filter     — logistic-regression score >= threshold
+  2. rule gate (opt-in) — Gopher/MassiveText heuristic rules BEFORE the
+                          model score: cheap map-only rejects first
+                          (operators/quality.py gopher_rules, q192)
+  3. quality filter     — logistic-regression score >= threshold
                           (plans/curation.py q173 feature/weight set)
-  3. decontamination    — drop docs sharing any 5-gram with a held-out
+  4. decontamination    — drop docs sharing any 5-gram with a held-out
                           benchmark slice (operators/quality.py, q72)
-  4. mixture sampling   — deterministic hash-threshold per language
+  5. mixture sampling   — deterministic hash-threshold per language
                           (operators/sampling.py, q88)
-  5. curated write      — snappy parquet, snapshot-versioned
+  6. curated write      — snappy parquet, snapshot-versioned
                           (operators/snapshots.py)
+
+With ``report_mixture=True`` the result additionally carries the final
+corpus's per-source temperature-0.5 sampling weights (q193) — the
+hand-off artifact a training run needs to build its data loader mix.
 
 Downstream steps (chunking q87, sequence packing q114) run over the
 curated snapshot — they change row shape, so they belong after the
@@ -38,6 +45,8 @@ def curate_corpus(
     mixture: dict[str, float] | None = None,
     bench_modulus: int = 20,
     seed: int = 42,
+    rule_gate: dict[str, Any] | None = None,
+    report_mixture: bool = False,
 ) -> dict[str, Any]:
     """Run the full curation flow over a ``documents``-shaped frame
     (doc_id, text, lang, source, n_chars). Returns per-stage counts and
@@ -52,6 +61,19 @@ def curate_corpus(
 
     # 1. exact dedup (hash-groupBy, one shuffle on the fingerprint)
     deduped = exact_dedup(docs, "doc_id", "text")
+
+    # 2. optional Gopher rule gate — heuristic rejects are map-only
+    # column math, so they run BEFORE the (also cheap, but wider) model
+    # score; pass rule thresholds as kwargs for gopher_rules
+    n_pre_rules = None
+    if rule_gate is not None:
+        from ..operators.quality import gopher_rules
+
+        n_pre_rules = deduped.count()  # opt-in extra action, pre-gate size
+        passing = gopher_rules(deduped, "doc_id", "text", **rule_gate).filter(
+            "passes"
+        ).select("doc_id")
+        deduped = deduped.join(passing, "doc_id", "left_semi")
 
     # 2. model-based quality filter — q173's feature/weight set, pure
     # column math that fuses into the scan
@@ -111,13 +133,28 @@ def curate_corpus(
 
     result: dict[str, Any] = {
         "n_raw": n_raw,
-        "n_after_dedup": n_dedup,
+        # with the rule gate on, n_after_dedup is the PRE-gate size and
+        # n_after_rules the post-gate (scored) size; without it the two
+        # stages coincide
+        "n_after_dedup": n_pre_rules if n_pre_rules is not None else n_dedup,
+        "n_after_rules": n_dedup if n_pre_rules is not None else None,
         "n_after_quality": n_quality,
         "n_after_decontam": n_clean,
         "n_final": n_final,
         "drop_fraction": round(1 - n_final / n_raw, 4) if n_raw else 0.0,
         "curated": curated,
     }
+    if report_mixture:
+        from ..operators.quality import mixture_weights
+
+        result["mixture_report"] = {
+            r["source"]: {
+                "n_docs": r["n_docs"],
+                "n_tokens": r["n_tokens"],
+                "mix_weight": r["mix_weight"],
+            }
+            for r in mixture_weights(curated, "source", "text").collect()
+        }
     if out_path is not None:
         from ..operators.snapshots import write_snapshot
 

@@ -977,3 +977,35 @@ def test_cli_smoke_subcommand(spark, capsys, tmp_path):
     # --workdir keeps the lake for inspection: curated zones exist
     assert (tmp_path / "lake" / "curated" / "sensor-readings").exists()
     assert (tmp_path / "lake" / "curated" / "weather").exists()
+
+
+def test_corpus_pipeline_rule_gate_and_mixture_report(spark):
+    """Opt-in Gopher rule gate drops rule-failing docs before scoring;
+    report_mixture hands back the final corpus's per-source temperature
+    weights (partition of unity)."""
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.pipelines.corpus import curate_corpus
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    gate = {
+        "min_words": 20,
+        "max_words": 1000,
+        "stopwords": ("the", "a", "of", "and", "to", "in"),
+    }
+    r = curate_corpus(spark, docs, rule_gate=gate, report_mixture=True)
+    # the gate sits between dedup and scoring and can only drop
+    assert r["n_after_rules"] is not None
+    assert r["n_after_rules"] <= r["n_after_dedup"]
+    assert r["n_after_quality"] <= r["n_after_rules"]
+    assert r["n_final"] > 0
+    # every surviving doc passes the rules (spot-check via recompute)
+    from aws_datalake_platform_spark.operators.quality import gopher_rules
+
+    survivors = gopher_rules(r["curated"], "doc_id", "text", **gate)
+    assert survivors.filter(~F.col("passes")).count() == 0
+    # mixture report: weights over the FINAL corpus sum to ~1
+    w = sum(v["mix_weight"] for v in r["mixture_report"].values())
+    assert abs(w - 1.0) < 1e-4
+    assert set(r["mixture_report"]) == {
+        x["source"] for x in r["curated"].select("source").distinct().collect()
+    }
