@@ -223,8 +223,12 @@ def gopher_rules(
     Defaults are the paper's; callers tune per corpus (tests use
     corpus-scaled bounds so every rule actually bites).
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    out = df.select(F.col(id_col), F.col(text_col)).withColumn("__toks", toks)
+    # null text behaves like empty text (word_count 1 for the empty
+    # token, every ratio defined, passes=False via the word-count rule)
+    # instead of poisoning every statistic and flag with NULLs
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.split(F.trim(text), r"\s+")
+    out = df.select(F.col(id_col), text.alias(text_col)).withColumn("__toks", toks)
     wc = F.size("__toks")
     sum_len = F.aggregate(
         F.transform("__toks", lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
@@ -291,7 +295,12 @@ def mixture_weights(
     """
     from pyspark.sql.window import Window
 
-    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # a domain of NULL texts weighs 0, it does not poison the sum: NULL
+    # token counts would give that domain a NULL share/weight while the
+    # others silently renormalized among themselves
+    toks = F.coalesce(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")), F.lit(0)
+    )
     per = df.groupBy(domain_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(toks).alias("n_tokens"),
@@ -305,7 +314,11 @@ def mixture_weights(
         "n_tokens",
         F.round(share, 6).alias("token_share"),
         F.round(weight, 6).alias("mix_weight"),
-        F.round(F.lit(token_budget) * weight / per.n_tokens, 4).alias("expected_epochs"),
+        # try_divide: a 0-token domain has no defined epoch count (NULL),
+        # and under ANSI mode (Spark 4 default) a plain / would throw
+        F.round(F.try_divide(F.lit(token_budget) * weight, per.n_tokens), 4).alias(
+            "expected_epochs"
+        ),
     )
 
 

@@ -237,3 +237,24 @@ def test_inverted_index_positions_and_df(spark):
     assert out[("be", 2)]["positions"] == [1]
     assert out[("be", 1)]["df"] == 2  # 'be' appears in both docs
     assert out[("to", 1)]["df"] == 1 and out[("to", 1)]["positions"] == [1, 5]
+
+
+def test_gopher_and_mixture_null_text_hardening(spark):
+    """NULL text must behave like empty text: gopher stats stay defined
+    (passes=False), and a null-only domain weighs 0 without poisoning
+    the other domains' normalization."""
+    from aws_datalake_platform_spark.operators.quality import (
+        gopher_rules,
+        mixture_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "dnull"), (2, "the a word list here now", "dok")],
+        "doc_id long, text string, source string",
+    )
+    g = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text").collect()}
+    assert g[1]["passes"] is False and g[1]["word_count"] == 1
+    assert g[1]["mean_word_len"] == 0.0
+    m = {r["source"]: r for r in mixture_weights(df, "source", "text").collect()}
+    assert m["dnull"]["n_tokens"] == 0 and m["dnull"]["mix_weight"] == 0.0
+    assert m["dok"]["mix_weight"] == 1.0
