@@ -93,6 +93,27 @@ def _build_parser() -> argparse.ArgumentParser:
         "--workdir",
         help="lake root for the smoke run (default: a fresh temp dir)",
     )
+
+    cor = sub.add_parser(
+        "corpus",
+        help="run the corpus curation pipeline (dedup -> optional rule "
+        "gate -> quality -> decontaminate -> sample -> snapshot)",
+    )
+    cor.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    cor.add_argument("--output", help="snapshot-versioned curated output dir")
+    cor.add_argument("--quality-threshold", type=float, default=0.5)
+    cor.add_argument(
+        "--rule-gate",
+        action="store_true",
+        help="apply the Gopher heuristic rule gate before scoring "
+        "(corpus-scaled thresholds)",
+    )
+    cor.add_argument(
+        "--mixture-report",
+        action="store_true",
+        help="print per-source temperature-0.5 sampling weights of the "
+        "final corpus",
+    )
     return p
 
 
@@ -215,6 +236,47 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("cli")
     if args.cmd == "smoke":
         return _smoke(spark, args.workdir)
+    if args.cmd == "corpus":
+        from .catalog import load_table
+        from .pipelines.corpus import curate_corpus
+
+        gate = (
+            {
+                "min_words": 20,
+                "max_words": 1000,
+                "stopwords": ("the", "a", "of", "and", "to", "in"),
+            }
+            if args.rule_gate
+            else None
+        )
+        res = curate_corpus(
+            spark,
+            load_table(spark, args.sf_dir, "documents"),
+            out_path=args.output,
+            quality_threshold=args.quality_threshold,
+            rule_gate=gate,
+            report_mixture=args.mixture_report,
+        )
+        for key in (
+            "n_raw",
+            "n_after_dedup",
+            "n_after_rules",
+            "n_after_quality",
+            "n_after_decontam",
+            "n_final",
+            "drop_fraction",
+        ):
+            if res.get(key) is not None:
+                print(f"{key}: {res[key]}")
+        if args.mixture_report:
+            for src, row in sorted(res["mixture_report"].items()):
+                print(
+                    f"mixture {src}: weight={row['mix_weight']} "
+                    f"docs={row['n_docs']} tokens={row['n_tokens']}"
+                )
+        if args.output:
+            print(f"snapshot_version: {res['snapshot_version']}")
+        return 0
     if args.cmd == "run":
         if args.name not in QUERY_REGISTRY:
             print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)

@@ -1009,3 +1009,27 @@ def test_corpus_pipeline_rule_gate_and_mixture_report(spark):
     assert set(r["mixture_report"]) == {
         x["source"] for x in r["curated"].select("source").distinct().collect()
     }
+
+
+def test_cli_corpus_subcommand(spark, capsys, tmp_path):
+    """`corpus` drives the curation pipeline end-to-end from the CLI:
+    funnel counts, mixture report, and a committed snapshot."""
+    from aws_datalake_platform_spark.__main__ import main
+
+    out = str(tmp_path / "curated")
+    rc = main(
+        [
+            "corpus",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--rule-gate",
+            "--mixture-report",
+            "--output",
+            out,
+        ]
+    )
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "n_after_rules:" in text and "n_final:" in text
+    assert "mixture src" in text  # per-source weight lines
+    assert "snapshot_version: 1" in text
