@@ -5,6 +5,9 @@ Stages (each an oracle-checked operator elsewhere in the engine):
 
   1. exact dedup        — keep one doc per normalized-text fingerprint
                           (operators/dedup.py, q22/q177)
+  1b. near-dup (opt-in) — MinHash-LSH pairs at a Jaccard threshold,
+                          min-label clustering, keep min-id per
+                          component (operators/dedup.py, q24/q68)
   2. rule gate (opt-in) — Gopher/MassiveText heuristic rules BEFORE the
                           model score: cheap map-only rejects first
                           (operators/quality.py gopher_rules, q192)
@@ -47,6 +50,7 @@ def curate_corpus(
     seed: int = 42,
     rule_gate: dict[str, Any] | None = None,
     report_mixture: bool = False,
+    near_dup_threshold: float | None = None,
 ) -> dict[str, Any]:
     """Run the full curation flow over a ``documents``-shaped frame
     (doc_id, text, lang, source, n_chars). Returns per-stage counts and
@@ -61,6 +65,23 @@ def curate_corpus(
 
     # 1. exact dedup (hash-groupBy, one shuffle on the fingerprint)
     deduped = exact_dedup(docs, "doc_id", "text")
+
+    # 1b. optional NEAR-dup pass: MinHash-LSH candidate pairs verified at
+    # the Jaccard threshold, clustered by min-label propagation, keep the
+    # min-id representative per component. Runs after exact dedup so the
+    # LSH pass never hashes byte-identical copies twice; only non-
+    # canonical members are dropped (join is an anti on losers).
+    if near_dup_threshold is not None:
+        from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            deduped, "doc_id", "text", threshold=near_dup_threshold
+        )
+        comp = connected_components(pairs)
+        losers = comp.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias("doc_id")
+        )
+        deduped = deduped.join(losers, "doc_id", "left_anti")
 
     # 2. optional Gopher rule gate — heuristic rejects are map-only
     # column math, so they run BEFORE the (also cheap, but wider) model

@@ -1033,3 +1033,30 @@ def test_cli_corpus_subcommand(spark, capsys, tmp_path):
     assert "n_after_rules:" in text and "n_final:" in text
     assert "mixture src" in text  # per-source weight lines
     assert "snapshot_version: 1" in text
+
+
+def test_corpus_pipeline_near_dup_stage(spark):
+    """Planted near-duplicates (same text, one token appended) collapse
+    to one survivor when near_dup_threshold is set; exact-only runs keep
+    them all."""
+    from aws_datalake_platform_spark.pipelines.corpus import curate_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to the old stone bridge near the quiet river bank today"
+    )
+    rows = [(i, base + f" v{i}", "en", "s0", len(base)) for i in range(1, 5)]
+    rows += [(10 + i, f"unique document number {i} " + " ".join(
+        f"tok{i}w{j}" for j in range(25)), "en", "s1", 100) for i in range(3)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    exact_only = curate_corpus(spark, docs, quality_threshold=0.0, bench_modulus=1000)
+    near = curate_corpus(
+        spark, docs, quality_threshold=0.0, bench_modulus=1000,
+        near_dup_threshold=0.7,
+    )
+    assert exact_only["n_after_dedup"] == 7  # no byte-identical copies
+    assert near["n_after_dedup"] == 4  # 4 variants -> 1 survivor, 3 unique kept
+    survivors = {r["doc_id"] for r in near["curated"].select("doc_id").collect()}
+    assert 1 in survivors and not {2, 3, 4} & survivors
