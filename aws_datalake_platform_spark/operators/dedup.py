@@ -836,3 +836,52 @@ def incremental_dedup_verdicts(
         )
     )
     return out
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment C(A in B) = |A∩B| / |A| over word
+    k-shingles — catches a SHORT document swallowed by a longer one
+    (quote, excerpt, boilerplate-plus-payload), which symmetric Jaccard
+    misses: a 50-shingle doc inside a 1000-shingle doc has J ≈ 0.05 but
+    containment 1.0.
+
+    Same relational shape (and max_df hot-shingle guard) as
+    ngram_jaccard_pairs; emits ORDERED pairs (doc_a contained-in doc_b,
+    doc_a != doc_b), so a pair of mutual near-copies appears twice —
+    once per direction.
+    """
+    sh = _exploded_shingles(df, id_col, text_col, k)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("__sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+        )
+        sh = sh.join(rare.select("__sh"), "__sh", "left_semi")
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.select(F.col("__id").alias("doc_a"), "__sh")
+    b = sh.select(F.col("__id").alias("doc_b"), "__sh")
+    inter = (
+        a.join(b, "__sh")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    sz_a = sizes.select(F.col("__id").alias("doc_a"), F.col("__sz").alias("__sza"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("__i") / F.col("__sza")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", F.round("containment", 4).alias("containment"))
+    )

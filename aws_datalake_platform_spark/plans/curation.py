@@ -738,3 +738,258 @@ def q196_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_rel = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return post.join(df_rel, "term").select("term", "doc_id", "tf", "positions", "df")
+
+
+_BM25_TERMS = ("join", "hash", "window", "spark", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "q197_bm25_scoring",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+      WHERE term IN {tuple(_BM25_TERMS)!r}
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.term, tf.doc_id,
+             ROUND(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * ({_BM25_K1} + 1)
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / stats.avgdl)), 6) AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT term, doc_id, score, rank FROM (
+      SELECT term, doc_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY term
+                                     ORDER BY score DESC, doc_id) AS INTEGER)
+               AS rank
+      FROM scored) t
+    WHERE rank <= 10
+    """,
+    doc="BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query-term "
+    "set: Robertson idf x saturated tf with length normalization, "
+    "top-10 docs per term. Ranking orders by the ROUNDED score so both "
+    "engines break ulp-level log() ties identically (q95's documented "
+    "float class).",
+)
+def q197_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: term filter lands BEFORE the tf aggregate, so only query-
+    term postings shuffle (|terms| x df rows, not the corpus); N/avgdl
+    ride one broadcast scalar row; df is a tiny broadcast relation. The
+    full-index materialization is q196 — this is the query-time path."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks")
+    )
+    dl = tok.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.join(F.broadcast(df_rel), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            F.round(
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+                * F.col("tf")
+                * (k1 + 1)
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("term", "doc_id", "score", "rank")
+    )
+
+
+@register(
+    "q198_vocab_js_drift",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    a AS (SELECT term, CAST(count(*) AS BIGINT) AS ca FROM tok
+          WHERE doc_id % 2 = 0 GROUP BY term),
+    b AS (SELECT term, CAST(count(*) AS BIGINT) AS cb FROM tok
+          WHERE doc_id % 2 = 1 GROUP BY term),
+    tot AS (SELECT (SELECT SUM(ca) FROM a) AS ta, (SELECT SUM(cb) FROM b) AS tb),
+    m AS (
+      SELECT COALESCE(a.term, b.term) AS term,
+             COALESCE(ca, 0) * 1.0 / ta AS p,
+             COALESCE(cb, 0) * 1.0 / tb AS q
+      FROM a FULL OUTER JOIN b ON a.term = b.term CROSS JOIN tot
+    )
+    SELECT term, ROUND(p, 6) AS p_a, ROUND(q, 6) AS p_b,
+           ROUND(0.5 * (CASE WHEN p > 0 THEN p * log2(p / ((p + q) / 2)) ELSE 0 END)
+                 + 0.5 * (CASE WHEN q > 0 THEN q * log2(q / ((p + q) / 2)) ELSE 0 END),
+                 6) + 0.0 AS js_term
+    FROM m
+    """,
+    doc="Vocabulary drift between two corpus snapshots (even/odd doc-id "
+    "halves): per-term Jensen-Shannon divergence contributions over the "
+    "union vocabulary, 0*log(0)=0 handled explicitly. Summing js_term "
+    "gives the corpus JS divergence; per-term rows localize WHICH "
+    "tokens drifted — the vocabulary sibling of the numeric KS/PSI "
+    "drift ops (q169/q170).",
+)
+def q198_vocab_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two partial term aggregates + one full-outer on the term
+    key; totals are single broadcast scalar rows. Output is |vocab|,
+    never tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    )
+    a = (
+        tok.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        tok.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    tot = a.agg(F.sum("ca").alias("ta")).crossJoin(b.agg(F.sum("cb").alias("tb")))
+    m = (
+        a.join(b, "term", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            (F.coalesce("ca", F.lit(0)) / F.col("ta")).alias("p"),
+            (F.coalesce("cb", F.lit(0)) / F.col("tb")).alias("q"),
+        )
+    )
+    half = (F.col("p") + F.col("q")) / 2
+    js = 0.5 * F.when(F.col("p") > 0, F.col("p") * F.log2(F.col("p") / half)).otherwise(
+        0.0
+    ) + 0.5 * F.when(F.col("q") > 0, F.col("q") * F.log2(F.col("q") / half)).otherwise(0.0)
+    return m.select(
+        "term",
+        F.round("p", 6).alias("p_a"),
+        F.round("q", 6).alias("p_b"),
+        (F.round(js, 6) + F.lit(0.0)).alias("js_term"),
+    )
+
+
+@register(
+    "q199_shingle_containment",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks)-1),
+                                 i -> array_to_string(toks[i:i+2], ' '))
+             ELSE []::VARCHAR[] END)) AS s
+      FROM tok
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, ROUND(i * 1.0 / sa.sz, 4) AS containment
+    FROM inter JOIN sz sa ON sa.doc_id = doc_a
+    WHERE i * 1.0 / sa.sz >= 0.8
+    """,
+    doc="Asymmetric shingle containment |A∩B|/|A| >= 0.8: short docs "
+    "swallowed by longer ones (excerpts, boilerplate-plus-payload) that "
+    "symmetric Jaccard (q23) misses. Ordered pairs, one row per "
+    "direction.",
+)
+def q199_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same shared-shingle equi-join shape and max_df hot-shingle guard
+    as q23's operator; the only asymmetries are the a != b filter and
+    the |A|-only denominator."""
+    from ..operators.dedup import shingle_containment_pairs
+
+    return shingle_containment_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.8
+    )
+
+
+@register(
+    "q200_dataset_card",
+    r"""
+    SELECT lang, source,
+           CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS n_tokens,
+           ROUND(AVG(len(string_split_regex(trim(text), '\s+'))), 4)
+             AS avg_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+    doc="Dataset card / datasheet rollup: doc and token counts, token "
+    "means, and char ranges at every granularity of (lang x source) via "
+    "CUBE — the one-query summary a corpus release ships with. "
+    "grouping-id column disambiguates subtotal rows from real NULLs.",
+)
+def q200_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass: CUBE expands grouping sets inside the same partial
+    aggregate (Expand + HashAggregate), no repeated scans per grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            # grouping() is only resolvable INSIDE the cube's aggregate
+            (F.grouping("lang") * 2 + F.grouping("source")).cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("n_tokens"),
+            F.round(F.avg(toks), 4).alias("avg_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "lang",
+            "source",
+            "gid",
+            "n_docs",
+            "n_tokens",
+            "avg_tokens",
+            "min_chars",
+            "max_chars",
+        )
+    )

@@ -349,3 +349,36 @@ def test_q196_inverted_index_no_window(spark):
     plan = _plan(spark, "q196_inverted_index")
     assert "Window" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_q197_bm25_filters_terms_before_aggregate(spark):
+    """Only query-term postings may shuffle: the isin() filter must sit
+    below the tf aggregate, and corpus stats arrive via broadcast."""
+    plan = _plan(spark, "q197_bm25_scoring")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the term filter appears in a Filter before any aggregate
+    assert "term" in plan.split("HashAggregate", 1)[0] or "IN (" in plan
+
+
+def test_q198_js_drift_totals_broadcast(spark):
+    """The two corpus-total scalars join by broadcast; the only wide ops
+    are the two term aggregates and the full-outer term join."""
+    plan = _plan(spark, "q198_vocab_js_drift")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals cross join
+
+
+def test_q199_containment_no_cartesian(spark):
+    """Candidates come from an EQUI-join on the shingle key (AQE picks
+    broadcast at tiny SF, shuffle at scale) — never a cartesian."""
+    plan = _plan(spark, "q199_shingle_containment")
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan and "__sh" in plan  # shingle-key equi-join
+
+
+def test_q200_dataset_card_single_expand_aggregate(spark):
+    """CUBE runs as one Expand + one aggregate pair over a single scan —
+    never one scan per grain."""
+    plan = _plan(spark, "q200_dataset_card")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
