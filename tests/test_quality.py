@@ -258,3 +258,101 @@ def test_gopher_and_mixture_null_text_hardening(spark):
     m = {r["source"]: r for r in mixture_weights(df, "source", "text").collect()}
     assert m["dnull"]["n_tokens"] == 0 and m["dnull"]["mix_weight"] == 0.0
     assert m["dok"]["mix_weight"] == 1.0
+
+
+def _mini_docs(spark, rows):
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_bm25_matches_hand_computation(spark):
+    """Two-doc corpus, query term 'spark': scores equal the closed-form
+    BM25 with k1=1.2, b=0.75 computed by hand in Python."""
+    import math
+
+    from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+
+    d = _mini_docs(
+        spark,
+        [
+            (1, "spark spark join line", "en", "s", 1),  # tf=2, dl=4
+            (2, "spark row row row row row", "en", "s", 1),  # tf=1, dl=6
+        ],
+    )
+    rows = {
+        (r["term"], r["doc_id"]): r
+        for r in QUERY_REGISTRY["q197_bm25_scoring"].fn(spark, d).collect()
+    }
+    n_docs, avgdl, k1, b = 2, 5.0, 1.2, 0.75
+    for doc_id, tf, dl in ((1, 2, 4), (2, 1, 6)):
+        idf = math.log((n_docs - 2 + 0.5) / (2 + 0.5) + 1)
+        expect = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        assert abs(rows[("spark", doc_id)]["score"] - round(expect, 6)) < 1e-9
+    # ranking: doc 1 (higher tf, shorter) outranks doc 2
+    assert rows[("spark", 1)]["rank"] == 1 and rows[("spark", 2)]["rank"] == 2
+
+
+def test_js_drift_identical_halves_is_zero_and_disjoint_is_one(spark):
+    from pyspark.sql import functions as F
+
+    from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+
+    # identical halves -> every per-term contribution is 0
+    d = _mini_docs(
+        spark,
+        [(0, "alpha beta gamma", "en", "s", 1), (1, "alpha beta gamma", "en", "s", 1)],
+    )
+    out = QUERY_REGISTRY["q198_vocab_js_drift"].fn(spark, d)
+    assert out.agg(F.sum("js_term")).first()[0] == 0.0
+    # fully disjoint vocabularies -> total JS divergence = 1 bit
+    d2 = _mini_docs(
+        spark,
+        [(0, "alpha beta gamma", "en", "s", 1), (1, "delta epsilon zeta", "en", "s", 1)],
+    )
+    out2 = QUERY_REGISTRY["q198_vocab_js_drift"].fn(spark, d2)
+    assert abs(out2.agg(F.sum("js_term")).first()[0] - 1.0) < 1e-4
+
+
+def test_containment_catches_swallowed_doc_jaccard_misses(spark):
+    from aws_datalake_platform_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_containment_pairs,
+    )
+
+    short = "one two three four five"
+    long_ = short + " " + " ".join(f"pad{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    cont = shingle_containment_pairs(df, "doc_id", "text", k=3, threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"], r["containment"]) for r in cont] == [(1, 2, 1.0)]
+    # symmetric Jaccard at the same bar sees nothing
+    assert ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5).count() == 0
+
+
+def test_dataset_card_grand_total_row(spark):
+    from pyspark.sql import functions as F
+
+    from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+
+    d = _mini_docs(
+        spark,
+        [
+            (1, "a b c", "en", "s0", 3),
+            (2, "d e", "en", "s1", 2),
+            (3, "f", "fr", "s0", 1),
+        ],
+    )
+    out = QUERY_REGISTRY["q200_dataset_card"].fn(spark, d)
+    total = out.filter(F.col("gid") == 3).collect()
+    assert len(total) == 1
+    t = total[0]
+    assert (t["n_docs"], t["n_tokens"], t["min_chars"], t["max_chars"]) == (3, 6, 1, 3)
+    # 4 grains: 2x3 cells(3 present) + 2 langs + 2 sources + 1 total
+    assert out.count() == 3 + 2 + 2 + 1
