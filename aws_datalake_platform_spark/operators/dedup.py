@@ -856,6 +856,16 @@ def shingle_containment_pairs(
     ngram_jaccard_pairs; emits ORDERED pairs (doc_a contained-in doc_b,
     doc_a != doc_b), so a pair of mutual near-copies appears twice —
     once per direction.
+
+    SCALE ORDER MATTERS (measured, 10x planted-variant corpus, 50k
+    docs): on a duplicate-heavy corpus the OUTPUT is quadratic in the
+    duplicates (501k true pairs, 343 s), and max_df cannot cut it —
+    variant groups collide on medium-df shingles far below any sane
+    cap (max_df=200 left all 501k rows, 321 s). Run containment AFTER
+    exact+near dedup: the same corpus deduped first leaves 4,756
+    residual docs and the whole dedup+containment chain finishes in
+    37 s. This operator is the residual-corpus excerpt detector, not a
+    substitute for the dedup pass.
     """
     sh = _exploded_shingles(df, id_col, text_col, k)
     if max_df is not None:
