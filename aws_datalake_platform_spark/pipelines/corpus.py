@@ -8,6 +8,10 @@ Stages (each an oracle-checked operator elsewhere in the engine):
   1b. near-dup (opt-in) — MinHash-LSH pairs at a Jaccard threshold,
                           min-label clustering, keep min-id per
                           component (operators/dedup.py, q24/q68)
+  1c. excerpt drop (opt-in) — shingle containment on the deduped
+                          residual drops docs swallowed by longer ones
+                          (operators/dedup.py, q199; MUST follow the
+                          dedup passes — see the 10x counter-example)
   2. rule gate (opt-in) — Gopher/MassiveText heuristic rules BEFORE the
                           model score: cheap map-only rejects first
                           (operators/quality.py gopher_rules, q192)
@@ -51,6 +55,7 @@ def curate_corpus(
     rule_gate: dict[str, Any] | None = None,
     report_mixture: bool = False,
     near_dup_threshold: float | None = None,
+    containment_threshold: float | None = None,
 ) -> dict[str, Any]:
     """Run the full curation flow over a ``documents``-shaped frame
     (doc_id, text, lang, source, n_chars). Returns per-stage counts and
@@ -82,6 +87,24 @@ def curate_corpus(
             F.col("node").alias("doc_id")
         )
         deduped = deduped.join(losers, "doc_id", "left_anti")
+
+    # 1c. optional excerpt drop: shingle containment AFTER the dedup
+    # passes — the measured 10x counter-example (operators/dedup.py
+    # shingle_containment_pairs docstring) shows containment on a
+    # duplicate-heavy corpus is quadratic in the duplicates, so this
+    # stage only ever runs on the deduped residual, where it is cheap.
+    # Drops the SHORTER side (doc_a, the contained doc) of each pair.
+    if containment_threshold is not None:
+        from ..operators.dedup import shingle_containment_pairs
+
+        swallowed = (
+            shingle_containment_pairs(
+                deduped, "doc_id", "text", threshold=containment_threshold
+            )
+            .select(F.col("doc_a").alias("doc_id"))
+            .distinct()
+        )
+        deduped = deduped.join(swallowed, "doc_id", "left_anti")
 
     # 2. optional Gopher rule gate — heuristic rejects are map-only
     # column math, so they run BEFORE the (also cheap, but wider) model

@@ -1060,3 +1060,32 @@ def test_corpus_pipeline_near_dup_stage(spark):
     assert near["n_after_dedup"] == 4  # 4 variants -> 1 survivor, 3 unique kept
     survivors = {r["doc_id"] for r in near["curated"].select("doc_id").collect()}
     assert 1 in survivors and not {2, 3, 4} & survivors
+
+
+def test_corpus_pipeline_excerpt_drop_stage(spark):
+    """A short doc fully contained in a longer unique doc is dropped by
+    the containment stage; the longer host and unrelated docs survive."""
+    from aws_datalake_platform_spark.pipelines.corpus import curate_corpus
+
+    host = (
+        "the old stone bridge near the quiet river bank carries a narrow "
+        "road that winds up the green hill toward the white village church "
+        "and the small market square beyond it"
+    )
+    excerpt = "the old stone bridge near the quiet river bank"
+    other = "completely different content about spark joins and shuffles here"
+    docs = spark.createDataFrame(
+        [
+            (1, host, "en", "s", len(host)),
+            (2, excerpt, "en", "s", len(excerpt)),
+            (3, other, "en", "s", len(other)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = curate_corpus(
+        spark, docs, quality_threshold=0.0, bench_modulus=1000,
+        containment_threshold=0.9,
+    )
+    survivors = {x["doc_id"] for x in r["curated"].select("doc_id").collect()}
+    assert 2 not in survivors  # the excerpt is swallowed
+    assert {1, 3} <= survivors
