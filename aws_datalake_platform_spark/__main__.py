@@ -114,6 +114,19 @@ def _build_parser() -> argparse.ArgumentParser:
         help="print per-source temperature-0.5 sampling weights of the "
         "final corpus",
     )
+    cor.add_argument(
+        "--near-dup",
+        type=float,
+        metavar="J",
+        help="also drop MinHash-LSH near-duplicates at Jaccard >= J",
+    )
+    cor.add_argument(
+        "--containment",
+        type=float,
+        metavar="C",
+        help="also drop docs contained in a longer survivor at >= C "
+        "(runs after the dedup passes)",
+    )
     return p
 
 
@@ -256,6 +269,8 @@ def main(argv: list[str] | None = None) -> int:
             quality_threshold=args.quality_threshold,
             rule_gate=gate,
             report_mixture=args.mixture_report,
+            near_dup_threshold=args.near_dup,
+            containment_threshold=args.containment,
         )
         for key in (
             "n_raw",

@@ -106,6 +106,16 @@ def curate_corpus(
         )
         deduped = deduped.join(swallowed, "doc_id", "left_anti")
 
+    # NOTE on (non-)caching: the heavy near-dup subtree is already
+    # materialized exactly once — connected_components runs its loop
+    # EAGERLY (per-round convergence counts) and leaves the final label
+    # relation persisted, so every downstream consumer of `losers`
+    # reads that cache; only the cheap exact-dedup join re-executes per
+    # action. An experiment that additionally persisted the full
+    # `deduped` residual OOM'd the 52k full-stack funnel twice (16g and
+    # 32g driver heap, local mode) without improving wall time, so the
+    # residual is deliberately NOT cached here.
+
     # 2. optional Gopher rule gate — heuristic rejects are map-only
     # column math, so they run BEFORE the (also cheap, but wider) model
     # score; pass rule thresholds as kwargs for gopher_rules
