@@ -94,17 +94,26 @@ def curate_corpus(
     # duplicate-heavy corpus is quadratic in the duplicates, so this
     # stage only ever runs on the deduped residual, where it is cheap.
     # Drops the SHORTER side (doc_a, the contained doc) of each pair.
+    swallowed_cached = None
     if containment_threshold is not None:
+        from pyspark import StorageLevel as _SL
+
         from ..operators.dedup import shingle_containment_pairs
 
-        swallowed = (
+        # persist the ID LIST, not the residual rows: every downstream
+        # action re-executes this anti-join's build side, and the
+        # containment self-join behind it is the most expensive subtree
+        # in the pipeline. A bigint id list is bounded by the residual
+        # count; the earlier full-row residual cache is documented below.
+        swallowed_cached = (
             shingle_containment_pairs(
                 deduped, "doc_id", "text", threshold=containment_threshold
             )
             .select(F.col("doc_a").alias("doc_id"))
             .distinct()
+            .persist(_SL.MEMORY_AND_DISK)
         )
-        deduped = deduped.join(swallowed, "doc_id", "left_anti")
+        deduped = deduped.join(swallowed_cached, "doc_id", "left_anti")
 
     # NOTE on (non-)caching: the heavy near-dup subtree is already
     # materialized exactly once — connected_components runs its loop
@@ -215,4 +224,6 @@ def curate_corpus(
         result["snapshot_version"] = write_snapshot(curated, out_path)
     scored.unpersist()
     clean.unpersist()
+    if swallowed_cached is not None:
+        swallowed_cached.unpersist()
     return result

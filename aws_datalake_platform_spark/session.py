@@ -61,6 +61,14 @@ def get_spark(
         # a proper timestamp. Set once here — queries must never mutate
         # session conf as a side effect.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Deeply composed pipelines (dedup -> CC -> containment -> gate,
+        # each step embedding cached subplans) grow plan TREES whose
+        # string form is quadratic-ish in depth; Spark stringifies the
+        # plan for every action's SQL-listener event, and the default
+        # cap (~2 GB) let one 52k-doc funnel OOM a 32 GB driver inside
+        # explainString (Arrays.copyOf in StringConcat.append — measured
+        # r4). 1 MB keeps events useful and bounds the cost.
+        .config("spark.sql.maxPlanStringLength", str(1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
