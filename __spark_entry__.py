@@ -42,6 +42,8 @@ def _driver_checked() -> set[str]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            continue  # valid JSON but not the expected object shape
         # Only hash-green rows count as checked — a rows-only/no_oracle row
         # (e.g. q32 in r02, before it grew a SQL oracle) should rotate back
         # to the front once it becomes fully checkable.
@@ -91,6 +93,8 @@ def _reverify() -> list[str]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            continue  # e.g. a JSON array: items() would AttributeError
         for name, row in rows.items():
             if isinstance(row, dict) and row.get("hash_match") is True:
                 green_rounds[name] = max(green_rounds.get(name, 0), rnd)

@@ -111,3 +111,21 @@ def haversine_km(lat1: Column | str, lon1: Column | str, lat2: Column | str, lon
     dlon = F.radians(c(lon2) - c(lon1)) / 2
     a = F.sin(dlat) ** 2 + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) ** 2
     return 2 * 6371.0088 * F.asin(F.sqrt(a))
+
+
+def round_half_up(col: Column | str, digits: int) -> Column:
+    """Engine-pinned HALF-UP rounding for NON-NEGATIVE doubles:
+    floor(x * 10^d + 0.5) / 10^d.
+
+    Spark's round() rounds the shortest decimal repr HALF_UP while
+    DuckDB's rounds the binary value — they disagree on exact .xxx5
+    doubles, which flips oracle hashes (q76 precedent,
+    plans/profiling.py:115). Floor math on identical doubles cannot
+    diverge. The SQL mirror is the same expression:
+    ``floor((x) * 1eD + 0.5) / 1eD``. Negative inputs would round
+    toward +inf (floor(-1.25*10+0.5) = -12, not -13); every current
+    caller emits ratios/scores >= 0.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    m = float(10**digits)
+    return F.floor(c * m + 0.5) / m

@@ -103,6 +103,48 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ── n-gram Jaccard near-dup ──────────────────────────────────────────────────
 
 
+def _shingle_pair_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_df: int | None,
+    symmetric: bool,
+):
+    """Shared scaffolding for the exact shingle-pair family: explode to
+    (id, shingle), optionally drop hot stop-shingles (df > max_df),
+    aggregate per-doc set sizes, and self-join on the shingle into
+    per-pair intersection counts. ``symmetric`` picks doc_a < doc_b
+    (unordered pairs, Jaccard) vs doc_a != doc_b (ordered pairs,
+    containment). Returns (inter, sizes) with columns
+    (doc_a, doc_b, __i) and (__id, __sz). One shared implementation so
+    the max_df guard and join shape can never diverge between the two
+    operators (r4 review)."""
+    sh = _exploded_shingles(df, id_col, text_col, k)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("__sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+        )
+        sh = sh.join(rare.select("__sh"), "__sh", "left_semi")
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.select(F.col("__id").alias("doc_a"), "__sh")
+    b = sh.select(F.col("__id").alias("doc_b"), "__sh")
+    cond = (
+        F.col("doc_a") < F.col("doc_b")
+        if symmetric
+        else F.col("doc_a") != F.col("doc_b")
+    )
+    inter = (
+        a.join(b, "__sh")
+        .filter(cond)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    return inter, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -126,19 +168,8 @@ def ngram_jaccard_pairs(
     neither creates candidates nor inflates the denominator. Leave
     max_df=None for true Jaccard (the oracle-checked configuration).
     """
-    sh = _exploded_shingles(df, id_col, text_col, k)
-    if max_df is not None:
-        rare = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df")).filter(F.col("__df") <= max_df)
-        sh = sh.join(rare.select("__sh"), "__sh", "left_semi")
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
-
-    a = sh.select(F.col("__id").alias("doc_a"), "__sh")
-    b = sh.select(F.col("__id").alias("doc_b"), "__sh")
-    inter = (
-        a.join(b, "__sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("__i"))
+    inter, sizes = _shingle_pair_intersections(
+        df, id_col, text_col, k, max_df, symmetric=True
     )
     sz_a = sizes.select(F.col("__id").alias("doc_a"), F.col("__sz").alias("__sza"))
     sz_b = sizes.select(F.col("__id").alias("doc_b"), F.col("__sz").alias("__szb"))
@@ -867,22 +898,8 @@ def shingle_containment_pairs(
     37 s. This operator is the residual-corpus excerpt detector, not a
     substitute for the dedup pass.
     """
-    sh = _exploded_shingles(df, id_col, text_col, k)
-    if max_df is not None:
-        rare = (
-            sh.groupBy("__sh")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_df)
-        )
-        sh = sh.join(rare.select("__sh"), "__sh", "left_semi")
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
-    a = sh.select(F.col("__id").alias("doc_a"), "__sh")
-    b = sh.select(F.col("__id").alias("doc_b"), "__sh")
-    inter = (
-        a.join(b, "__sh")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("__i"))
+    inter, sizes = _shingle_pair_intersections(
+        df, id_col, text_col, k, max_df, symmetric=False
     )
     sz_a = sizes.select(F.col("__id").alias("doc_a"), F.col("__sz").alias("__sza"))
     return (
@@ -893,5 +910,13 @@ def shingle_containment_pairs(
             (F.col("__i") / F.col("__sza")).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
-        .select("doc_a", "doc_b", F.round("containment", 4).alias("containment"))
+        # pinned half-up floor math, not round(): engine-divergent on
+        # exact .xxx5 doubles (r4 review; q76 precedent)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(F.col("containment") * 10000.0 + 0.5) / 10000.0).alias(
+                "containment"
+            ),
+        )
     )

@@ -244,12 +244,16 @@ def gopher_rules(
             F.array(*[F.lit(s) for s in stopwords]),
         )
     )
+    from ..functions.core import round_half_up
+
     out = out.select(
         F.col(id_col),
         wc.alias("word_count"),
-        F.round(sum_len / wc, 4).alias("mean_word_len"),
-        F.round((hashes + ellipses) / wc, 4).alias("symbol_ratio"),
-        F.round(alpha_words / wc, 4).alias("alpha_word_ratio"),
+        # pinned half-up floor math, not round(): engine-divergent on
+        # exact .xxx5 doubles (r4 review; q76 precedent)
+        round_half_up(sum_len / wc, 4).alias("mean_word_len"),
+        round_half_up((hashes + ellipses) / wc, 4).alias("symbol_ratio"),
+        round_half_up(alpha_words / wc, 4).alias("alpha_word_ratio"),
         stop_hits.alias("n_stopwords"),
     )
     r_wc = out.word_count.between(min_words, max_words)
@@ -308,17 +312,19 @@ def mixture_weights(
     w = Window.partitionBy()
     share = per.n_tokens / F.sum("n_tokens").over(w)
     weight = F.sqrt(share) / F.sum(F.sqrt(share)).over(w)
+    from ..functions.core import round_half_up
+
     return per.select(
         domain_col,
         "n_docs",
         "n_tokens",
-        F.round(share, 6).alias("token_share"),
-        F.round(weight, 6).alias("mix_weight"),
+        round_half_up(share, 6).alias("token_share"),
+        round_half_up(weight, 6).alias("mix_weight"),
         # try_divide: a 0-token domain has no defined epoch count (NULL),
         # and under ANSI mode (Spark 4 default) a plain / would throw
-        F.round(F.try_divide(F.lit(token_budget) * weight, per.n_tokens), 4).alias(
-            "expected_epochs"
-        ),
+        round_half_up(
+            F.try_divide(F.lit(token_budget) * weight, per.n_tokens), 4
+        ).alias("expected_epochs"),
     )
 
 

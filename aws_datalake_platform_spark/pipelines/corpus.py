@@ -100,15 +100,29 @@ def curate_corpus(
 
         from ..operators.dedup import shingle_containment_pairs
 
+        # MUTUAL containment (two near-copies above threshold in BOTH
+        # directions — pairs are ordered, so both appear as doc_a) must
+        # keep ONE representative: dropping every doc_a would delete the
+        # content entirely (r4 review finding, reproduced). One-way
+        # swallowed docs drop unconditionally; mutual pairs drop only
+        # the larger id. Chain caveat: A⊂B one-way + B~C mutual keeps C
+        # with B's (≈A's) content, so no content is lost transitively.
+        pairs = shingle_containment_pairs(
+            deduped, "doc_id", "text", threshold=containment_threshold
+        ).select("doc_a", "doc_b")
+        rev = pairs.select(
+            F.col("doc_a").alias("doc_b"), F.col("doc_b").alias("doc_a")
+        )
+        mutual = pairs.join(rev, ["doc_a", "doc_b"], "left_semi")
+        oneway = pairs.join(rev, ["doc_a", "doc_b"], "left_anti")
         # persist the ID LIST, not the residual rows: every downstream
         # action re-executes this anti-join's build side, and the
         # containment self-join behind it is the most expensive subtree
         # in the pipeline. A bigint id list is bounded by the residual
         # count; the earlier full-row residual cache is documented below.
         swallowed_cached = (
-            shingle_containment_pairs(
-                deduped, "doc_id", "text", threshold=containment_threshold
-            )
+            oneway.select("doc_a")
+            .union(mutual.filter(F.col("doc_a") > F.col("doc_b")).select("doc_a"))
             .select(F.col("doc_a").alias("doc_id"))
             .distinct()
             .persist(_SL.MEMORY_AND_DISK)
@@ -132,7 +146,11 @@ def curate_corpus(
     if rule_gate is not None:
         from ..operators.quality import gopher_rules
 
-        n_pre_rules = deduped.count()  # opt-in extra action, pre-gate size
+        # same empty-text basis as scored/n_dedup, so n_after_dedup
+        # means the same thing whether or not the gate is on (r4 review)
+        n_pre_rules = deduped.filter(
+            F.length(F.trim(F.col("text"))) > 0
+        ).count()  # opt-in extra action, pre-gate size
         passing = gopher_rules(deduped, "doc_id", "text", **rule_gate).filter(
             "passes"
         ).select("doc_id")

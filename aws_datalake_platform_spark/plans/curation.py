@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.core import round_half_up
 from ..operators.quality import (
     contamination_pairs,
     pii_counts,
@@ -507,11 +508,12 @@ def q177_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT doc_id,
              len(toks) AS word_count,
-             ROUND(list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks), 4)
-               AS mean_word_len,
-             ROUND((hashes + ellipses) * 1.0 / len(toks), 4) AS symbol_ratio,
-             ROUND(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
-                   * 1.0 / len(toks), 4) AS alpha_word_ratio,
+             floor(list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks)
+                   * 10000 + 0.5) / 10000 AS mean_word_len,
+             floor((hashes + ellipses) * 1.0 / len(toks) * 10000 + 0.5) / 10000
+               AS symbol_ratio,
+             floor(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                   * 1.0 / len(toks) * 10000 + 0.5) / 10000 AS alpha_word_ratio,
              len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
                  ['the','a','of','and','to','in'])) AS n_stopwords
       FROM t
@@ -569,10 +571,11 @@ def q192_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, n_tokens * 1.0 / SUM(n_tokens) OVER () AS share FROM per
     )
     SELECT source, n_docs, n_tokens,
-           ROUND(share, 6) AS token_share,
-           ROUND(sqrt(share) / SUM(sqrt(share)) OVER (), 6) AS mix_weight,
-           ROUND(1000000 * (sqrt(share) / SUM(sqrt(share)) OVER ())
-                 / n_tokens, 4) AS expected_epochs
+           floor(share * 1000000 + 0.5) / 1000000 AS token_share,
+           floor(sqrt(share) / SUM(sqrt(share)) OVER () * 1000000 + 0.5) / 1000000
+             AS mix_weight,
+           floor(1000000 * (sqrt(share) / SUM(sqrt(share)) OVER ())
+                 / n_tokens * 10000 + 0.5) / 10000 AS expected_epochs
     FROM shared
     """,
     doc="Temperature-scaled (alpha=0.5) domain-mixing weights: per-source "
@@ -642,7 +645,8 @@ def q194_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT source_a, source_b, za.n AS n_a, zb.n AS n_b, n_shared,
-           ROUND(n_shared * 1.0 / (za.n + zb.n - n_shared), 6) AS jaccard
+           floor(n_shared * 1.0 / (za.n + zb.n - n_shared) * 1000000 + 0.5)
+             / 1000000 AS jaccard
     FROM shared
     JOIN sz za ON za.source = source_a
     JOIN sz zb ON zb.source = source_b
@@ -685,7 +689,7 @@ def q195_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             "n_shared",
-            F.round(
+            round_half_up(
                 F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
             ).alias("jaccard"),
         )
@@ -764,10 +768,11 @@ _BM25_K1, _BM25_B = 1.2, 0.75
     df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
     scored AS (
       SELECT tf.term, tf.doc_id,
-             ROUND(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+             floor(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
                    * tf.tf * ({_BM25_K1} + 1)
                    / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
-                      + {_BM25_B} * dl.dl / stats.avgdl)), 6) AS score
+                      + {_BM25_B} * dl.dl / stats.avgdl)) * 1000000 + 0.5)
+               / 1000000 AS score
       FROM tf
       JOIN df USING (term)
       JOIN dl USING (doc_id)
@@ -817,7 +822,7 @@ def q197_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "term",
             "doc_id",
-            F.round(
+            round_half_up(
                 F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
                 * F.col("tf")
                 * (k1 + 1)
@@ -852,10 +857,12 @@ def q197_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(cb, 0) * 1.0 / tb AS q
       FROM a FULL OUTER JOIN b ON a.term = b.term CROSS JOIN tot
     )
-    SELECT term, ROUND(p, 6) AS p_a, ROUND(q, 6) AS p_b,
-           ROUND(0.5 * (CASE WHEN p > 0 THEN p * log2(p / ((p + q) / 2)) ELSE 0 END)
-                 + 0.5 * (CASE WHEN q > 0 THEN q * log2(q / ((p + q) / 2)) ELSE 0 END),
-                 6) + 0.0 AS js_term
+    SELECT term,
+           floor(p * 1000000 + 0.5) / 1000000 AS p_a,
+           floor(q * 1000000 + 0.5) / 1000000 AS p_b,
+           floor((0.5 * (CASE WHEN p > 0 THEN p * log2(p / ((p + q) / 2)) ELSE 0 END)
+                  + 0.5 * (CASE WHEN q > 0 THEN q * log2(q / ((p + q) / 2)) ELSE 0 END))
+                 * 1000000 + 0.5) / 1000000 AS js_term
     FROM m
     """,
     doc="Vocabulary drift between two corpus snapshots (even/odd doc-id "
@@ -898,11 +905,13 @@ def q198_vocab_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     js = 0.5 * F.when(F.col("p") > 0, F.col("p") * F.log2(F.col("p") / half)).otherwise(
         0.0
     ) + 0.5 * F.when(F.col("q") > 0, F.col("q") * F.log2(F.col("q") / half)).otherwise(0.0)
+    # floor half-up math also collapses IEEE -0.0: js >= 0 by Jensen's
+    # inequality, so no +0.0 re-normalization is needed
     return m.select(
         "term",
-        F.round("p", 6).alias("p_a"),
-        F.round("q", 6).alias("p_b"),
-        (F.round(js, 6) + F.lit(0.0)).alias("js_term"),
+        round_half_up("p", 6).alias("p_a"),
+        round_half_up("q", 6).alias("p_b"),
+        round_half_up(js, 6).alias("js_term"),
     )
 
 
@@ -926,7 +935,8 @@ def q198_vocab_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
       GROUP BY 1, 2
     )
-    SELECT doc_a, doc_b, ROUND(i * 1.0 / sa.sz, 4) AS containment
+    SELECT doc_a, doc_b, floor(i * 1.0 / sa.sz * 10000 + 0.5) / 10000
+             AS containment
     FROM inter JOIN sz sa ON sa.doc_id = doc_a
     WHERE i * 1.0 / sa.sz >= 0.8
     """,
@@ -954,8 +964,8 @@ def q199_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
              AS n_tokens,
-           ROUND(AVG(len(string_split_regex(trim(text), '\s+'))), 4)
-             AS avg_tokens,
+           floor(AVG(len(string_split_regex(trim(text), '\s+'))) * 10000 + 0.5)
+             / 10000 AS avg_tokens,
            CAST(MIN(n_chars) AS BIGINT) AS min_chars,
            CAST(MAX(n_chars) AS BIGINT) AS max_chars
     FROM documents
@@ -978,7 +988,7 @@ def q200_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.grouping("lang") * 2 + F.grouping("source")).cast("long").alias("gid"),
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(toks).alias("n_tokens"),
-            F.round(F.avg(toks), 4).alias("avg_tokens"),
+            round_half_up(F.avg(toks), 4).alias("avg_tokens"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
         )

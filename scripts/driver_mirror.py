@@ -24,6 +24,12 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--n", type=int, default=50)
     ap.add_argument("--only", nargs="*", default=None, help="query names to run")
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="write the full per-query results dict (the CORRECTNESS_r{N} "
+        "analogue) to this JSON file",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -70,6 +76,9 @@ def main() -> int:
             bad += 1
         print(f"{name:40s} {time.time() - t0:6.1f}s  {status}", flush=True)
 
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(results, fh, indent=1)
     print(json.dumps({"total": len(names), "bad": bad}))
     return 1 if bad else 0
 

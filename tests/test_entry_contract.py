@@ -105,3 +105,29 @@ def test_reverify_self_clears_after_regreen(tmp_path, monkeypatch):
     assert name not in entry._reverify()
     monkeypatch.undo()
     assert os.path.dirname(os.path.abspath(entry.__file__)) == real_dir
+
+
+def test_rotation_survives_non_dict_correctness_json(tmp_path, monkeypatch):
+    """A CORRECTNESS file holding a JSON ARRAY (valid JSON, wrong shape)
+    must be skipped by both rotation helpers, not crash queries()."""
+    import json
+    import os
+    import shutil
+
+    import __spark_entry__ as entry
+
+    here = os.path.dirname(os.path.abspath(entry.__file__))
+    src = os.path.join(here, "__spark_entry__.py")
+    work = tmp_path / "repo"
+    work.mkdir()
+    shutil.copy(src, work / "__spark_entry__.py")
+    (work / "CORRECTNESS_r99.json").write_text(json.dumps([{"q": 1}]))
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_isolated", work / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    q = mod.queries()  # must not raise
+    assert len(q) == len(entry.queries())

@@ -1089,3 +1089,47 @@ def test_corpus_pipeline_excerpt_drop_stage(spark):
     survivors = {x["doc_id"] for x in r["curated"].select("doc_id").collect()}
     assert 2 not in survivors  # the excerpt is swallowed
     assert {1, 3} <= survivors
+
+
+def test_corpus_pipeline_mutual_containment_keeps_one(spark):
+    """Two near-copies mutually contained above threshold must keep ONE
+    representative (min id) — dropping both loses the content (r4
+    review finding, reproduced before the fix)."""
+    from aws_datalake_platform_spark.pipelines.corpus import curate_corpus
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, base + " endA", "en", "s", 100),
+            (2, base + " endB", "en", "s", 100),  # mutual ~0.95 containment
+            (3, "totally different words " + " ".join(f"x{i}" for i in range(20)),
+             "en", "s", 100),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = curate_corpus(
+        spark, docs, quality_threshold=0.0, bench_modulus=1000,
+        containment_threshold=0.8,
+    )
+    survivors = {x["doc_id"] for x in r["curated"].select("doc_id").collect()}
+    assert 1 in survivors  # min id of the mutual pair survives
+    assert 2 not in survivors
+    assert 3 in survivors
+
+
+def test_cli_smoke_reports_fail_on_missing_curated(spark, capsys, tmp_path, monkeypatch):
+    """When a pipeline produces no curated output, smoke must print FAIL
+    lines and exit 1 — never an unhandled traceback (r4 review)."""
+    import aws_datalake_platform_spark.__main__ as cli
+
+    def broken_iot(spark, raw_path, curated_path, metrics=None):
+        return {"success": False}  # simulates a validation-failed pipeline
+
+    import aws_datalake_platform_spark.pipelines.iot as iot_mod
+
+    monkeypatch.setattr(iot_mod, "transform_iot_sensors", broken_iot)
+    # _smoke imports the symbol at call time from .pipelines.iot
+    rc = cli._smoke(spark, str(tmp_path / "lake"))
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "FAIL" in out and "checks passed" in out
