@@ -356,3 +356,37 @@ def test_dataset_card_grand_total_row(spark):
     assert (t["n_docs"], t["n_tokens"], t["min_chars"], t["max_chars"]) == (3, 6, 1, 3)
     # 4 grains: 2x3 cells(3 present) + 2 langs + 2 sources + 1 total
     assert out.count() == 3 + 2 + 2 + 1
+
+
+def test_round_half_up_agrees_with_duckdb_everywhere(spark):
+    """The pinned floor(x*10^d+0.5)/10^d idiom must agree bit-for-bit
+    between Spark and DuckDB on arbitrary non-negative doubles —
+    including the near-.xxx5 ties where the engines' round() builtins
+    disagree (the reason the idiom exists)."""
+    import random
+
+    import duckdb
+
+    from aws_datalake_platform_spark.functions.core import round_half_up
+
+    rng = random.Random(42)
+    vals = [rng.uniform(0, 100) for _ in range(200)]
+    # crafted near-tie values: k/2 * 1e-4 lands exactly on .xxxx5 grid
+    # points where representable, the round() divergence zone
+    vals += [k / 20000.0 for k in range(1, 400, 7)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
+    got = {
+        r["i"]: (r["r4"], r["r6"])
+        for r in df.select(
+            "i",
+            round_half_up("x", 4).alias("r4"),
+            round_half_up("x", 6).alias("r6"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, v in enumerate(vals):
+        d4, d6 = con.execute(
+            "SELECT floor(? * 10000 + 0.5) / 10000, floor(? * 1000000 + 0.5) / 1000000",
+            [v, v],
+        ).fetchone()
+        assert got[i] == (d4, d6), (i, v, got[i], (d4, d6))
