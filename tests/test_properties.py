@@ -376,3 +376,30 @@ def test_k_anonymity_counts_match_reference(spark, rows):
         assert r["n_sensitive_distinct"] == len(set(vals))
         assert r["k_anonymous"] == (len(vals) >= 3)
         assert r["l_diverse"] == (len(set(vals)) >= 2)
+
+
+@given(docs=st.lists(texts, min_size=2, max_size=10))
+@settings(**SETTINGS)
+def test_prefix_containment_equals_brute(spark, docs):
+    """Prefix filtering is a LOSSLESS candidate filter: the prefix-
+    filtered operator must return exactly the brute self-join's pairs
+    and values for ANY corpus."""
+    from aws_datalake_platform_spark.operators.dedup import (
+        shingle_containment_pairs,
+        shingle_containment_pairs_prefix,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in shingle_containment_pairs(df, "doc_id", "text", k=3, threshold=0.6).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in shingle_containment_pairs_prefix(
+            df, "doc_id", "text", k=3, threshold=0.6
+        ).collect()
+    }
+    assert brute == pref
