@@ -62,8 +62,16 @@ def _driver_checked() -> set[str]:
 # Changed after r3: q76 decimal-width pin; q40/q84 gained replayed-sketch
 # oracles; q08/q50/q135/q182/q183 were de-vacuified (filters changed on
 # both sides).
+# Changed after r4: q76/q157 no longer emit DECIMAL output columns (the
+# pandas-layer Decimal-vs-float64 dtype gap the driver hash cannot
+# reconcile — VERDICT r4 item 1); q196 serializes its positions array to
+# a comma-joined string (driver canonicalizer crashed on list cells);
+# q192's oracle gained the NULL-text coalesce (ADVICE r4).
 _CHANGED_AFTER_ROUND = {
-    "q76_incremental_rollup": 3,
+    "q76_incremental_rollup": 4,
+    "q157_decimal_money": 4,
+    "q196_inverted_index": 4,
+    "q192_gopher_quality_rules": 4,
     "q40_approx_distinct": 3,
     "q84_hll_sketch_algebra": 3,
     "q182_tpch_q2": 3,

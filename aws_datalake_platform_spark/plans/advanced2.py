@@ -1637,15 +1637,15 @@ def q156_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q157_decimal_money",
     """
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
-             AS gross,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+             AS gross_cents,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-                AS DECIMAL(20,4)) AS net,
-           CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
-             AS min_price,
-           CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
-             AS max_price
+                * 10000 AS BIGINT) AS net_e4,
+           CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+             AS min_price_cents,
+           CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+             AS max_price_cents
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Exact money arithmetic in DECIMAL: prices and discounts cast to "
@@ -1653,11 +1653,13 @@ def q156_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "underneath — order-independent and engine-exact (the float-double "
     "formulation of the same aggregate is what forces the integer-cents "
     "idiom elsewhere, e.g. q128/q133). Exercises decimal cast rounding, "
-    "scale propagation through multiply, and final re-scaling, with the "
-    "identical ANSI DECIMAL semantics on both engines. The net column "
-    "stays at the product scale (4): engines disagree on decimal "
-    "rounding MODE (Spark HALF_UP, DuckDB HALF_EVEN), so exactness "
-    "means never rounding a representable midpoint away.",
+    "scale propagation through multiply, and final re-scaling, with "
+    "identical ANSI DECIMAL semantics on both engines. The OUTPUT is "
+    "projected to exact integer sub-units (cents / 1e-4 units) as "
+    "BIGINT: DECIMAL output columns are the one type the driver's "
+    "pandas-level hash cannot reconcile (Spark object/Decimal vs DuckDB "
+    "float64 — proven on q76 in r3/r4), and integer sub-units preserve "
+    "the full exactness story with zero float involvement.",
 )
 def q157_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: decimal aggregation partial-aggregates like any sum (the
@@ -1667,14 +1669,15 @@ def q157_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
     one = F.lit(1).cast("decimal(3,2)")
+    # net is aggregated at the product's natural scale 4 (a lossy
+    # re-cast to scale 2 would hit exact .xx50 midpoints where Spark
+    # rounds HALF_UP and DuckDB HALF_EVEN); the *100 / *10000 rescale
+    # to integer sub-units is exact — no rounding ever happens.
     return li.groupBy("l_returnflag").agg(
-        F.sum(price).cast("decimal(18,2)").alias("gross"),
-        # net stays at the product's natural scale 4: a lossy re-cast to
-        # scale 2 hits exact .xx50 midpoints, where Spark rounds HALF_UP
-        # and DuckDB HALF_EVEN — keeping full scale avoids rounding at all
-        F.sum(price * (one - disc)).cast("decimal(20,4)").alias("net"),
-        F.min(price).cast("decimal(18,2)").alias("min_price"),
-        F.max(price).cast("decimal(18,2)").alias("max_price"),
+        (F.sum(price) * 100).cast("long").alias("gross_cents"),
+        (F.sum(price * (one - disc)) * 10000).cast("long").alias("net_e4"),
+        (F.min(price) * 100).cast("long").alias("min_price_cents"),
+        (F.max(price) * 100).cast("long").alias("max_price_cents"),
     )
 
 

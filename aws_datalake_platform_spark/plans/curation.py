@@ -498,12 +498,17 @@ def q177_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q192_gopher_quality_rules",
     """
-    WITH t AS (
+    WITH t0 AS (
+      -- mirror the Spark side's coalesce(text, ''): a NULL text must
+      -- behave like an empty text in BOTH engines (ADVICE r4)
+      SELECT doc_id, coalesce(text, '') AS text FROM documents
+    ),
+    t AS (
       SELECT doc_id, text,
              string_split_regex(trim(text), '\\s+') AS toks,
              len(text) - len(replace(text, '#', '')) AS hashes,
              (len(text) - len(replace(text, '...', ''))) / 3 AS ellipses
-      FROM documents
+      FROM t0
     ),
     s AS (
       SELECT doc_id,
@@ -711,7 +716,7 @@ def q195_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     post AS (
       SELECT term, doc_id,
              CAST(count(*) AS BIGINT) AS tf,
-             list_sort(list(p)) AS positions
+             array_to_string(list_sort(list(p)), ',') AS positions
       FROM pos GROUP BY term, doc_id
     ),
     docfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term)
@@ -738,7 +743,14 @@ def q196_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "term", (F.col("p0") + 1).cast("long").alias("p"))
     post = pos.groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).alias("tf"),
-        F.sort_array(F.collect_list("p")).alias("positions"),
+        # the posting list is SERIALIZED to a comma-joined string: the
+        # driver's pandas-level canonicalizer cannot sort/hash list cells
+        # (r4: 'unhashable type: list'), and a scalar posting encoding is
+        # also what a real index segment would store per posting row
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("p")), lambda p: p.cast("string")),
+            ",",
+        ).alias("positions"),
     )
     df_rel = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return post.join(df_rel, "term").select("term", "doc_id", "tf", "positions", "df")

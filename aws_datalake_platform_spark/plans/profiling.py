@@ -71,7 +71,7 @@ def q75_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q76_incremental_rollup",
     """
     SELECT o_orderstatus, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
            COUNT(*) AS cnt,
            floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
                  * 1e4 + 0.5) / 1e4 AS avg_price
@@ -105,12 +105,15 @@ def q76_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "o_orderstatus",
         "month",
-        # Pin the sum's result WIDTH, not just its scale: Spark widens
-        # sum(DECIMAL(18,2)) to DECIMAL(28,2) while DuckDB widens to
-        # DECIMAL(38,2) — identical values, different Arrow types, and a
-        # type-aware hash flips on width alone. Both sides cast back to
-        # DECIMAL(18,2) (values fit: max total << 10^16).
-        F.col("total").cast("decimal(18,2)").alias("total"),
+        # DECIMAL stays INTERNAL only. The r3/r4 driver runs proved the
+        # values bit-identical yet the hash still flipped: at the pandas
+        # layer Spark renders decimals as object/Decimal while DuckDB
+        # renders float64 — a dtype-kind gap no width pin can close. So
+        # the output projects to DOUBLE on both sides. Exactness holds:
+        # the decimal value is n/100 with n << 2^53, and decimal->double
+        # is correctly rounded in both engines, so the doubles agree
+        # bit-for-bit.
+        F.col("total").cast("double").alias("total"),
         "cnt",
         # explicit floor(x*1e4+0.5)/1e4, not round(): Spark rounds the
         # shortest decimal repr HALF_UP while DuckDB rounds the binary

@@ -32,6 +32,12 @@ def main() -> int:
     )
     args = ap.parse_args()
 
+    # driver memory must be set BEFORE the JVM launches: builder.config
+    # has no effect in local mode once the gateway is up (ADVICE r4)
+    import os
+
+    os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 8g pyspark-shell")
+
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry
@@ -42,7 +48,6 @@ def main() -> int:
         .appName("driver-mirror")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     con = duckdb_conn(args.sf)

@@ -233,10 +233,12 @@ def test_inverted_index_positions_and_df(spark):
         docs.write.parquet(os.path.join(d, "documents.parquet"))
         rows = QUERY_REGISTRY["q196_inverted_index"].fn(spark, d).collect()
     out = {(r["term"], r["doc_id"]): r for r in rows}
-    assert out[("be", 1)]["tf"] == 2 and out[("be", 1)]["positions"] == [2, 6]
-    assert out[("be", 2)]["positions"] == [1]
+    # positions are serialized to a comma-joined string (the driver's
+    # pandas canonicalizer cannot hash list cells — VERDICT r4 item 2)
+    assert out[("be", 1)]["tf"] == 2 and out[("be", 1)]["positions"] == "2,6"
+    assert out[("be", 2)]["positions"] == "1"
     assert out[("be", 1)]["df"] == 2  # 'be' appears in both docs
-    assert out[("to", 1)]["df"] == 1 and out[("to", 1)]["positions"] == [1, 5]
+    assert out[("to", 1)]["df"] == 1 and out[("to", 1)]["positions"] == "1,5"
 
 
 def test_gopher_and_mixture_null_text_hardening(spark):

@@ -40,31 +40,47 @@ def test_query_matches_oracle(spark, con, name):
         assert nonempty, f"{name}: oracle returns 0 rows at sf0.001 — vacuous correctness"
 
 
-def test_decimal_widths_match_oracle(spark, con):
-    """Engines widen decimal aggregates differently (Spark sum(DEC(18,2))
-    → DEC(28,2), DuckDB → DEC(38,2)); the driver hashes Arrow-typed
-    values, so width alone can flip a hash on value-identical results
-    (r3's q76). Every decimal-emitting query must pin its output width
-    to the same Arrow type both engines produce."""
+def test_compare_repr_catches_both_r4_driver_failure_classes(spark, con):
+    """The strict compare must flag exactly the two classes the driver
+    failed on in r4 while the value-only compare said 'ok': DECIMAL
+    outputs (q76 — values bit-identical, typed hash red) and nested
+    cells (q196 — canonicalizer TypeError). Both engines return the SAME
+    values here; only representation differs."""
+    dec_sql = "SELECT CAST(1.50 AS DECIMAL(18,2)) AS total"
+    ok, msg = compare(spark.sql(dec_sql), con, dec_sql)
+    assert not ok and "decimal" in msg, msg
+
+    ok2, msg2 = compare(spark.sql("SELECT array(1, 2) AS positions"), con, "SELECT [1, 2] AS positions")
+    assert not ok2 and "nested" in msg2, msg2
+
+    # and the whitelisted normalization stays green: tz-naive µs Spark
+    # timestamps vs DuckDB timestamps (q102/q116 driver-green precedent)
+    ts_sql = "SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts"
+    ok3, msg3 = compare(spark.sql(ts_sql), con, ts_sql)
+    assert ok3, msg3
+
+
+def test_no_decimal_or_nested_output_columns(spark):
+    """The driver hashes PANDAS-TYPED frames: Spark toPandas() renders
+    DECIMAL as object/Decimal while DuckDB fetchdf() renders float64, a
+    dtype-kind gap no width pin can close (q76 was proven value- and
+    Arrow-schema-identical in r4 and still hash-flipped), and list/map
+    cells crash the driver's sort_values canonicalizer outright (q196,
+    r4). So the invariant is representational: NO oracle-checked query
+    may emit DECIMAL, ARRAY, MAP, or STRUCT output columns — decimal
+    math stays internal, projected to DOUBLE or exact integer sub-units;
+    collections are serialized to strings."""
     import pyspark.sql.types as T
 
-    checked = 0
+    banned = (T.DecimalType, T.ArrayType, T.MapType, T.StructType)
+    offenders = []
     for name, spec in sorted(QUERY_REGISTRY.items()):
         if spec.sql is None:
             continue
         df = spec.fn(spark, SF_SMOKE)
-        dec_cols = {
-            f.name: (f.dataType.precision, f.dataType.scale)
+        offenders += [
+            f"{name}.{f.name}: {f.dataType.simpleString()}"
             for f in df.schema.fields
-            if isinstance(f.dataType, T.DecimalType)
-        }
-        if not dec_cols:
-            continue
-        checked += 1
-        arrow = con.execute(spec.sql).fetch_arrow_table().schema
-        for col, (prec, scale) in dec_cols.items():
-            fld = arrow.field(col)
-            assert str(fld.type) == f"decimal128({prec}, {scale})", (
-                f"{name}.{col}: spark DECIMAL({prec},{scale}) vs oracle {fld.type}"
-            )
-    assert checked >= 2  # q76, q157 at minimum — sweep must actually run
+            if isinstance(f.dataType, banned)
+        ]
+    assert not offenders, f"driver-unhashable output columns: {offenders}"
