@@ -106,9 +106,13 @@ def curate_corpus(
         # directions — pairs are ordered, so both appear as doc_a) must
         # keep ONE representative: dropping every doc_a would delete the
         # content entirely (r4 review finding, reproduced). One-way
-        # swallowed docs drop unconditionally; mutual pairs drop only
-        # the larger id. Chain caveat: A⊂B one-way + B~C mutual keeps C
-        # with B's (≈A's) content, so no content is lost transitively.
+        # swallowed docs drop only when a HOST of theirs survives:
+        # containment is not transitive (A⊂B⊂C one-way gives A-in-C of
+        # only ~t², so dropping both A and B can lose A's content
+        # entirely — ADVICE r4). The keep/drop set is the kernel of the
+        # one-way containment DAG (edges shorter→longer content, so
+        # acyclic): survivor ⇔ no surviving host, computed by fixpoint
+        # iteration that converges within the longest-chain length.
         pairs = shingle_containment_pairs(
             deduped, "doc_id", "text", threshold=containment_threshold
         ).select("doc_a", "doc_b")  # prefix variant: same output, 8.7x
@@ -116,15 +120,48 @@ def curate_corpus(
             F.col("doc_a").alias("doc_b"), F.col("doc_b").alias("doc_a")
         )
         mutual = pairs.join(rev, ["doc_a", "doc_b"], "left_semi")
-        oneway = pairs.join(rev, ["doc_a", "doc_b"], "left_anti")
+        oneway = pairs.join(rev, ["doc_a", "doc_b"], "left_anti").persist(
+            _SL.MEMORY_AND_DISK
+        )
+        # fixpoint on the (small) pair relation only — corpus text is
+        # never touched; each step is one anti-join + distinct. Start
+        # from "every contained doc drops" and re-derive: drop doc_a iff
+        # some host doc_b is NOT itself dropped. On a DAG this is the
+        # bottom-up losing-position computation and converges in at most
+        # longest-chain steps; the cap is a safety net, and on a
+        # non-converged cap the INTERSECTION of the last two iterates is
+        # used — erring toward keeping docs, never losing content.
+        drops = oneway.select("doc_a").distinct().persist(_SL.MEMORY_AND_DISK)
+        prev = None
+        converged = False
+        for _ in range(25):
+            dropped_hosts = drops.select(F.col("doc_a").alias("doc_b"))
+            new_drops = (
+                oneway.join(dropped_hosts, "doc_b", "left_anti")
+                .select("doc_a")
+                .distinct()
+                .persist(_SL.MEMORY_AND_DISK)
+            )
+            changed = (
+                new_drops.join(drops, "doc_a", "left_anti").count()
+                + drops.join(new_drops, "doc_a", "left_anti").count()
+            )
+            if changed == 0:
+                new_drops.unpersist()
+                converged = True
+                break
+            if prev is not None:
+                prev.unpersist()
+            prev, drops = drops, new_drops
+        if not converged and prev is not None:
+            drops = drops.join(prev, "doc_a", "left_semi")
         # persist the ID LIST, not the residual rows: every downstream
         # action re-executes this anti-join's build side, and the
         # containment self-join behind it is the most expensive subtree
         # in the pipeline. A bigint id list is bounded by the residual
         # count; the earlier full-row residual cache is documented below.
         swallowed_cached = (
-            oneway.select("doc_a")
-            .union(mutual.filter(F.col("doc_a") > F.col("doc_b")).select("doc_a"))
+            drops.union(mutual.filter(F.col("doc_a") > F.col("doc_b")).select("doc_a"))
             .select(F.col("doc_a").alias("doc_id"))
             .distinct()
             .persist(_SL.MEMORY_AND_DISK)

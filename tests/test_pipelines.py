@@ -1117,6 +1117,37 @@ def test_corpus_pipeline_mutual_containment_keeps_one(spark):
     assert 3 in survivors
 
 
+def test_corpus_pipeline_containment_chain_keeps_leaf_content(spark):
+    """One-way containment is NOT transitive: with A⊂B and B⊂C one-way
+    but A-in-C below threshold, dropping both A and B would lose A's
+    content everywhere (ADVICE r4). The host-survival fixpoint must drop
+    only B (its host C survives) and keep A (its only host died)."""
+    from aws_datalake_platform_spark.pipelines.corpus import curate_corpus
+
+    a_run = " ".join(f"alpha{i}" for i in range(12))
+    m_run = " ".join(f"mid{i}" for i in range(80))
+    z_run = " ".join(f"zeta{i}" for i in range(30))
+    doc_a = a_run  # 10 shingles, all inside B, none in C
+    doc_b = a_run + " " + m_run  # 90 shingles; 78 (m-interior) in C -> 0.87
+    doc_c = m_run + " " + z_run  # 108 shingles; C-in-B 78/108=0.72 (one-way)
+    docs = spark.createDataFrame(
+        [
+            (1, doc_a, "en", "s", len(doc_a)),
+            (2, doc_b, "en", "s", len(doc_b)),
+            (3, doc_c, "en", "s", len(doc_c)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = curate_corpus(
+        spark, docs, quality_threshold=0.0, bench_modulus=1000,
+        containment_threshold=0.8,
+    )
+    survivors = {x["doc_id"] for x in r["curated"].select("doc_id").collect()}
+    assert 2 not in survivors  # B swallowed by surviving host C
+    assert 1 in survivors  # A's host died -> A must survive
+    assert 3 in survivors
+
+
 def test_cli_smoke_reports_fail_on_missing_curated(spark, capsys, tmp_path, monkeypatch):
     """When a pipeline produces no curated output, smoke must print FAIL
     lines and exit 1 — never an unhandled traceback (r4 review)."""
