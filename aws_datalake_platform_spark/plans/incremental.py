@@ -143,3 +143,111 @@ def q191_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 0).unionByName(reingested)
     index = build_dedup_index(corpus, "doc_id", "text")
     return incremental_dedup_verdicts(batch, index, "doc_id", "text", threshold=0.5)
+
+
+# ── q201: SemDeDup — semantic dedup via cluster-bounded cosine pairs ────────
+
+_SEMDEDUP_K = 8  # deterministic seed centroids (vec_id < K) for oracle replay
+_SEMDEDUP_T = 0.4  # cosine threshold on round(sim, 6), q31's proven setting
+
+
+def _semdedup_sql() -> str:
+    from .llm_ops import _COS
+
+    cos_assign = _COS.format(a="e.embedding", b="c.ce")
+    cos_pair = _COS.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id < {_SEMDEDUP_K}
+    ),
+    sims AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROUND({cos_assign}, 6) AS csim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cluster FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, cid) AS rk
+        FROM sims) t
+      WHERE rk = 1
+    ),
+    dup AS (
+      SELECT a.vec_id, CAST(MIN(b.vec_id) AS BIGINT) AS dup_of
+      FROM assign a JOIN assign b
+        ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+      WHERE ROUND({cos_pair}, 6) >= {_SEMDEDUP_T}
+      GROUP BY a.vec_id
+    )
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+           CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of,
+           d.dup_of IS NULL AS kept
+    FROM assign a LEFT JOIN dup d USING (vec_id)
+    """
+
+
+@register(
+    "q201_semdedup",
+    _semdedup_sql(),
+    doc="SemDeDup (arXiv:2303.09540): semantic dedup that bounds the "
+    "quadratic pair search to CLUSTERS — assign every embedding to its "
+    "nearest centroid by cosine, then drop any vector with a lower-id "
+    "same-cluster neighbor above the similarity threshold (dup_of = "
+    "that smallest keeper id, -1 for keepers; the null is coalesced so "
+    "neither engine emits a nullable-int column the pandas layer would "
+    "render differently). Centroids are the K smallest vec_ids — "
+    "deterministic, so the DuckDB oracle replays assignment and pair "
+    "cosines with the q30/q31 sequential-double idiom; learned k-means "
+    "centroids (the production path) are exactly what q47 IVF provides, "
+    "rows-only by nature.",
+)
+def q201_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: assignment is a broadcast crossJoin against K centroid rows
+    — map-side, no shuffle of the corpus; the pair search shuffles once
+    on the cluster key and is quadratic only within a cluster (SemDeDup's
+    point: K grows with the corpus, pairs stay bounded per cluster; a
+    skewed mega-cluster is handled the same way q24/q59 cap hot buckets).
+    Reference tie-in: the embedding-dedup twin of text near-dup K1-K3."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = (
+        emb.filter(F.col("vec_id") < _SEMDEDUP_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+    sims = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(cosine(F.col("embedding"), F.col("ce")), 6).alias("csim"),
+    )
+    rk = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    assign = (
+        sims.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
+    )
+    a = assign.alias("a")
+    b = assign.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+            >= F.lit(_SEMDEDUP_T)
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("b.vec_id")).alias("dup_of"))
+    )
+    return assign.join(dup, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+        F.col("dup_of").isNull().alias("kept"),
+    )

@@ -382,3 +382,13 @@ def test_q200_dataset_card_single_expand_aggregate(spark):
     plan = _plan(spark, "q200_dataset_card")
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan
+
+
+def test_q201_semdedup_broadcast_assign_equi_pair_join(spark):
+    """Centroid assignment must be a broadcast join (map-side, K rows);
+    the pair search must be an EQUI-join on the cluster key — quadratic
+    work stays bounded per cluster, never a corpus-wide cartesian."""
+    plan = _plan(spark, "q201_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "cluster" in plan  # the pair join keys on cluster

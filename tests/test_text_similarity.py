@@ -375,3 +375,37 @@ def test_decode_media_without_pil_raises(monkeypatch):
     monkeypatch.setattr(mm, "_PILImage", None)
     with _pytest.raises(NotImplementedError):
         mm.decode_media(b"x", "png")
+
+
+def test_semdedup_drops_planted_near_duplicate(spark):
+    """A vector nearly parallel to a keeper must land in the same cluster
+    and be dropped with dup_of pointing at the keeper; orthogonal-ish
+    vectors survive. Also pins the invariants: keepers carry dup_of=-1,
+    and every dropped vec's dup_of is a lower id in the same cluster."""
+    import os
+    import tempfile
+
+    from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+
+    dim = 64
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[(axis + 1) % dim] = eps
+        return v
+
+    rows = [(i, vec(i)) for i in range(8)]  # centroids: one per axis
+    rows.append((100, vec(3, eps=0.05)))  # near-parallel to centroid 3
+    rows.append((101, vec(9)))  # far from everything above threshold
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with tempfile.TemporaryDirectory() as d:
+        emb.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = {r["vec_id"]: r for r in QUERY_REGISTRY["q201_semdedup"].fn(spark, d).collect()}
+    assert out[100]["cluster"] == 3 and not out[100]["kept"]
+    assert out[100]["dup_of"] == 3
+    assert out[101]["kept"] and out[101]["dup_of"] == -1
+    clusters = {v: r["cluster"] for v, r in out.items()}
+    for v, r in out.items():
+        if not r["kept"]:
+            assert r["dup_of"] < v and clusters[r["dup_of"]] == r["cluster"]
