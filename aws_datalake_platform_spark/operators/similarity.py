@@ -717,3 +717,76 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    threshold: float = 0.4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): semantic dedup with the quadratic
+    pair search bounded to CLUSTERS.
+
+    Assign every vector to its nearest centroid by round(cosine, 6)
+    (ties break on the smaller centroid id), then drop any vector that
+    has a LOWER-id same-cluster neighbor at or above ``threshold``;
+    ``dup_of`` is the smallest such keeper id (-1 for keepers, so the
+    output never carries a nullable-int column).
+
+    ``centroids`` defaults to the ``n_centroids`` smallest-id vectors —
+    deterministic, which is what lets q201's DuckDB oracle replay the
+    whole flow. Pass a learned k-means frame (``ivf_assign``'s input
+    shape: cid, ce) for the production path.
+
+    Scale: assignment is a broadcast crossJoin against K centroid rows
+    (map-side argmax, no corpus shuffle); the pair join shuffles once on
+    the cluster key and is quadratic only within a cluster. K is the
+    knob: pairs per cluster shrink ~K^2-fold for balanced corpora, so a
+    mega-cluster means K is too small for the corpus — grow K (SemDeDup
+    runs K in the tens of thousands at web scale) rather than capping,
+    which would silently skip comparisons.
+    """
+    from pyspark.sql import Window
+
+    emb = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    if centroids is None:
+        ids = emb.select("vec_id").orderBy("vec_id").limit(n_centroids)
+        centroids = emb.join(F.broadcast(ids), "vec_id", "left_semi").select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        )
+    sims = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(cosine(F.col("embedding"), F.col("ce")), 6).alias("csim"),
+    )
+    rk = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    assign = (
+        sims.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
+    )
+    a = assign.alias("a")
+    b = assign.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+            >= F.lit(threshold)
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("b.vec_id")).alias("dup_of"))
+    )
+    return assign.join(dup, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+        F.col("dup_of").isNull().alias("kept"),
+    )

@@ -205,49 +205,14 @@ def _semdedup_sql() -> str:
 def q201_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: assignment is a broadcast crossJoin against K centroid rows
     — map-side, no shuffle of the corpus; the pair search shuffles once
-    on the cluster key and is quadratic only within a cluster (SemDeDup's
-    point: K grows with the corpus, pairs stay bounded per cluster; a
-    skewed mega-cluster is handled the same way q24/q59 cap hot buckets).
-    Reference tie-in: the embedding-dedup twin of text near-dup K1-K3."""
-    from pyspark.sql import Window
-
-    from ..operators.similarity import cosine
+    on the cluster key and is quadratic only within a cluster. K is the
+    scale knob (SemDeDup runs tens of thousands of clusters at web
+    scale); a skewed mega-cluster means K is too small for the corpus.
+    Reference tie-in: the embedding-dedup twin of text near-dup K1-K3.
+    The deterministic seed centroids (smallest K ids — the testdata's
+    vec_id < K) are what keep the oracle replayable; the operator
+    accepts learned centroids for the production path."""
+    from ..operators.similarity import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = (
-        emb.filter(F.col("vec_id") < _SEMDEDUP_K)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    )
-    sims = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        F.round(cosine(F.col("embedding"), F.col("ce")), 6).alias("csim"),
-    )
-    rk = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    assign = (
-        sims.withColumn("rk", F.row_number().over(rk))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
-    )
-    a = assign.alias("a")
-    b = assign.alias("b")
-    dup = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("b.vec_id") < F.col("a.vec_id")),
-        )
-        .filter(
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
-            >= F.lit(_SEMDEDUP_T)
-        )
-        .groupBy(F.col("a.vec_id").alias("vec_id"))
-        .agg(F.min(F.col("b.vec_id")).alias("dup_of"))
-    )
-    return assign.join(dup, "vec_id", "left").select(
-        "vec_id",
-        "cluster",
-        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
-        F.col("dup_of").isNull().alias("kept"),
-    )
+    return semdedup(emb, n_centroids=_SEMDEDUP_K, threshold=_SEMDEDUP_T)
