@@ -121,11 +121,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checked = _driver_checked() - set(reverify)
     items = list(QUERY_REGISTRY.items())
     front = [(n, QUERY_REGISTRY[n]) for n in reverify if n in QUERY_REGISTRY]
-    ordered = (
-        front
-        + [it for it in items if it[0] not in checked and it[0] not in reverify]
-        + [it for it in items if it[0] in checked]
-    )
+    pending = [it for it in items if it[0] not in checked and it[0] not in reverify]
+    # Oracle-backed queries first within the pending block: a no-oracle
+    # query can only ever earn a rows-only record, so once it has been
+    # sampled once it must not keep occupying a 50-slot-gate seat ahead
+    # of never-hashed queries (q47/q115 burned 2 slots/round otherwise).
+    pending.sort(key=lambda it: it[1].sql is None)
+    ordered = front + pending + [it for it in items if it[0] in checked]
     return {name: spec.fn for name, spec in ordered}
 
 
