@@ -790,3 +790,120 @@ def semdedup(
         F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
         F.col("dup_of").isNull().alias("kept"),
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR'98)
+    of each query's exact top-``n_candidates`` neighbors: greedily pick
+    ``k`` results maximizing ``lam * rel - (1 - lam) * max_sim_to_picked``
+    — the diversity stage a retrieval pipeline runs after ANN (q30/q32)
+    so near-duplicate passages don't crowd a context window.
+
+    Fully declarative: the greedy loop is unrolled into ``k`` chained
+    join+window steps (no UDF, no collect), each an equi-join on
+    query_id over the bounded candidate set — so the plan is static and
+    every step distributes by query key no matter how many queries run
+    at once. Candidate relevance and pairwise sims use the rounded
+    sequential-double cosine (oracle-replayable, q30 idiom); the
+    combined score uses the pinned floor-half-up idiom, which cannot
+    diverge cross-engine even for negative scores because both engines
+    evaluate the identical floor expression.
+
+    Scale: the quadratic part is n_candidates^2 per query — a constant
+    (the ANN stage already bounded it), NOT corpus-sized. cand/pairs are
+    cached because each greedy step re-reads them; both are k*n and
+    k*n^2 rows per query.
+    """
+    from ..functions.core import round_half_up
+
+    cand = brute_force_topk(queries, corpus, id_col, vec_col, k=n_candidates).select(
+        "query_id", "neighbor_id", F.col("sim").alias("rel")
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+    )
+    # localCheckpoint, not persist: each greedy step references these
+    # frames twice, so with plain persist the ANALYZED plan tree doubles
+    # per step (2^k copies of the crossJoin+window subtree — measured
+    # 7 MB plan strings and ~25 s of pure compilation at sf0.1).
+    # Truncating lineage to a LogicalRDD leaf keeps the unrolled plan
+    # O(k); both frames are ANN-bounded (k*n and k*n^2 rows per query).
+    cand = cand.join(vecs, "neighbor_id").localCheckpoint(eager=True)
+    a = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("a_id"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("b_id"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    pairs = (
+        a.join(b, ["query_id"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            F.round(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    slim = cand.select("query_id", "neighbor_id", "rel")
+    w = Window.partitionBy("query_id").orderBy(F.desc("mmr_score"), F.asc("neighbor_id"))
+    picked: DataFrame | None = None
+    for step in range(1, k + 1):
+        if picked is None:
+            scored = slim.withColumn(
+                "mmr_score", round_half_up(F.lit(lam) * F.col("rel"), 6)
+            )
+        else:
+            pen = (
+                pairs.join(
+                    picked.select("query_id", F.col("neighbor_id").alias("b_id")),
+                    ["query_id", "b_id"],
+                )
+                .groupBy("query_id", "a_id")
+                .agg(F.max("sim").alias("pen"))
+            )
+            scored = (
+                slim.join(picked.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti")
+                .join(
+                    pen.select("query_id", F.col("a_id").alias("neighbor_id"), "pen"),
+                    ["query_id", "neighbor_id"],
+                    "left",
+                )
+                .withColumn(
+                    "mmr_score",
+                    round_half_up(
+                        F.lit(lam) * F.col("rel")
+                        - F.lit(1.0 - lam) * F.coalesce(F.col("pen"), F.lit(0.0)),
+                        6,
+                    ),
+                )
+                .drop("pen")
+            )
+        top = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn("pick_rank", F.lit(step).cast("long"))
+        )
+        picked = top if picked is None else picked.unionByName(top)
+    assert picked is not None
+    return picked.select("query_id", "pick_rank", "neighbor_id", "rel", "mmr_score")

@@ -216,3 +216,120 @@ def q201_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return semdedup(emb, n_centroids=_SEMDEDUP_K, threshold=_SEMDEDUP_T)
+
+
+# ── q202: MMR diversified re-rank of ANN candidates ─────────────────────────
+
+_MMR_NQ = 5  # queries: vec_id < 5
+_MMR_N = 20  # ANN candidate pool per query
+_MMR_K = 5  # picks per query
+_MMR_LAM = 0.7
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy MMR as _MMR_K chained CTEs — no recursion, so the
+    oracle is plain ANSI SQL. Literals for lambda and (1 - lambda) are
+    repr()'d Python doubles: 1.0 - 0.7 is 0.30000000000000004, and the
+    Spark side computes exactly that, so a hand-written 0.3 would flip
+    the hash."""
+    from .llm_ops import _COS
+
+    lam, one_minus = repr(_MMR_LAM), repr(1.0 - _MMR_LAM)
+    cos_rel = _COS.format(a="qe", b="c.embedding")
+    cos_pair = _COS.format(a="ea.embedding", b="eb.embedding")
+    steps = []
+    for t in range(1, _MMR_K + 1):
+        if t == 1:
+            score = f"floor(({lam} * rel) * 1000000 + 0.5) / 1000000"
+            steps.append(f"""
+    p1 AS (
+      SELECT query_id, neighbor_id, rel, score FROM (
+        SELECT query_id, neighbor_id, rel, {score} AS score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY {score} DESC, neighbor_id) AS rn
+        FROM cand) t WHERE rn = 1),
+    picked1 AS (SELECT query_id, neighbor_id FROM p1)""")
+        else:
+            score = (
+                f"floor(({lam} * c.rel - {one_minus} * COALESCE(pen.mx, 0.0))"
+                " * 1000000 + 0.5) / 1000000"
+            )
+            steps.append(f"""
+    p{t} AS (
+      SELECT query_id, neighbor_id, rel, score FROM (
+        SELECT c.query_id, c.neighbor_id, c.rel, {score} AS score,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                 ORDER BY {score} DESC, c.neighbor_id) AS rn
+        FROM cand c
+        LEFT JOIN (
+          SELECT pr.query_id, pr.a_id, MAX(pr.sim) AS mx
+          FROM pairs pr
+          JOIN picked{t - 1} pk ON pk.query_id = pr.query_id
+                               AND pk.neighbor_id = pr.b_id
+          GROUP BY pr.query_id, pr.a_id) pen
+          ON pen.query_id = c.query_id AND pen.a_id = c.neighbor_id
+        WHERE NOT EXISTS (SELECT 1 FROM picked{t - 1} pk
+                          WHERE pk.query_id = c.query_id
+                            AND pk.neighbor_id = c.neighbor_id)) t
+      WHERE rn = 1),
+    picked{t} AS (SELECT query_id, neighbor_id FROM picked{t - 1}
+                  UNION ALL SELECT query_id, neighbor_id FROM p{t})""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT query_id, CAST({t} AS BIGINT) AS pick_rank, neighbor_id, rel,"
+        f" score AS mmr_score FROM p{t}"
+        for t in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {_MMR_NQ}),
+    rel0 AS (
+      SELECT query_id, c.vec_id AS neighbor_id, ROUND({cos_rel}, 6) AS rel
+      FROM q JOIN embeddings c ON c.vec_id <> query_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, neighbor_id) AS rk
+        FROM rel0) t
+      WHERE rk <= {_MMR_N}
+    ),
+    pairs AS (
+      SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+             ROUND({cos_pair}, 6) AS sim
+      FROM cand a
+      JOIN cand b ON b.query_id = a.query_id AND b.neighbor_id <> a.neighbor_id
+      JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+      JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+    ),{",".join(steps)}
+    {finals}
+    """
+
+
+@register(
+    "q202_mmr_rerank",
+    _mmr_sql(),
+    doc="Maximal Marginal Relevance re-rank (Carbonell & Goldstein, "
+    "SIGIR'98): after exact/ANN retrieval of each query's top candidates "
+    "(q30/q32), greedily pick k diversified results maximizing "
+    "lambda*relevance - (1-lambda)*max-similarity-to-already-picked — "
+    "the stage that keeps near-duplicate passages from crowding a RAG "
+    "context window. Completes the retrieval story: inverted index "
+    "(q196) -> BM25 (q197) -> ANN (q30/q32/q47/q115) -> MMR (q202).",
+)
+def q202_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the greedy loop is unrolled into k static join+window
+    steps, all equi-joins on query_id over the ANN-bounded candidate set
+    (n^2 pairs per query is a CONSTANT, never corpus-sized) — so the
+    plan distributes by query key for any number of concurrent queries
+    and contains no UDF, no collect, no recursion. See
+    operators/similarity.mmr_rerank for the cache rationale."""
+    from ..operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") < _MMR_NQ),
+        emb,
+        n_candidates=_MMR_N,
+        k=_MMR_K,
+        lam=_MMR_LAM,
+    )

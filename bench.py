@@ -104,6 +104,8 @@ HEADLINE = [
     "q192_gopher_quality_rules",
     "q195_source_overlap_matrix",
     "q196_inverted_index",
+    "q201_semdedup",
+    "q202_mmr_rerank",
 ]
 
 

@@ -409,3 +409,33 @@ def test_semdedup_drops_planted_near_duplicate(spark):
     for v, r in out.items():
         if not r["kept"]:
             assert r["dup_of"] < v and clusters[r["dup_of"]] == r["cluster"]
+
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    """A near-verbatim twin of the first pick must lose its #2 slot to a
+    less-relevant but diverse candidate — the whole point of MMR. c2 is
+    exactly parallel to c1 (sim 1.0), so at lambda=0.5 its step-2 score
+    is 0.5*0.995 - 0.5*1.0 = -0.0025 while the orthogonal-ish c3 scores
+    0.5*0.6 - 0.5*0.597 = +0.0015."""
+    from aws_datalake_platform_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),  # query
+        (1, [1.0, 0.1, 0.0, 0.0]),  # top candidate
+        (2, [2.0, 0.2, 0.0, 0.0]),  # parallel to c1: redundant
+        (3, [0.6, 0.0, 0.8, 0.0]),  # diverse, lower relevance
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(
+        emb.filter("vec_id = 0"), emb, n_candidates=3, k=3, lam=0.5
+    ).collect()
+    picks = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["pick_rank"])]
+    assert picks == [1, 3, 2]
+    by_rank = {r["pick_rank"]: r for r in out}
+    # step-1 score is just lambda*rel (no one picked yet), half-up to 6
+    import math
+
+    assert by_rank[1]["mmr_score"] == math.floor(0.5 * by_rank[1]["rel"] * 1e6 + 0.5) / 1e6
+    # every later pick scores no higher than the one before it
+    for t in range(2, 4):
+        assert by_rank[t]["mmr_score"] <= by_rank[t - 1]["mmr_score"]
