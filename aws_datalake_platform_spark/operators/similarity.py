@@ -726,6 +726,7 @@ def semdedup(
     n_centroids: int = 8,
     threshold: float = 0.4,
     centroids: DataFrame | None = None,
+    assign_strategy: str = "exact",
 ) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): semantic dedup with the quadratic
     pair search bounded to CLUSTERS.
@@ -741,13 +742,27 @@ def semdedup(
     whole flow. Pass a learned k-means frame (``ivf_assign``'s input
     shape: cid, ce) for the production path.
 
-    Scale: assignment is a broadcast crossJoin against K centroid rows
-    (map-side argmax, no corpus shuffle); the pair join shuffles once on
-    the cluster key and is quadratic only within a cluster. K is the
-    knob: pairs per cluster shrink ~K^2-fold for balanced corpora, so a
-    mega-cluster means K is too small for the corpus — grow K (SemDeDup
-    runs K in the tens of thousands at web scale) rather than capping,
-    which would silently skip comparisons.
+    ``assign_strategy`` picks the nearest-centroid implementation:
+
+    - ``"exact"`` (q201's oracle path): broadcast crossJoin + per-vector
+      window — bit-replayable in SQL, but it pushes N*K rows through a
+      partitionBy(vec_id) shuffle, so the cost GROWS with K: a 50k x 10x
+      stress measured K=512 at 150 s vs K=128 at 40 s even though the
+      pair join shrank 4x. Oracle-K only (K <= a few dozen).
+    - ``"vectorized"`` (production): one numpy matmul + argmax per Arrow
+      batch against the broadcast centroid matrix — map-side, NO
+      assignment shuffle, O(N*K) flops in BLAS. Same rounded-cosine
+      argmax and smaller-cid tie-break; pairwise-summed dots can differ
+      from the sequential path by ulps, which survives round(.,6) only
+      when two centroids tie to six decimals (measure-zero for learned
+      centroids, same argument as the q59 plane signs).
+
+    The pair join is shared: one shuffle on the cluster key, quadratic
+    only within a cluster. K is the knob — pairs per cluster shrink
+    ~K^2-fold for balanced corpora, so a mega-cluster means K is too
+    small for the corpus; grow K (SemDeDup runs K in the tens of
+    thousands at web scale, which is exactly the vectorized regime)
+    rather than capping, which would silently skip comparisons.
     """
     from pyspark.sql import Window
 
@@ -757,18 +772,54 @@ def semdedup(
         centroids = emb.join(F.broadcast(ids), "vec_id", "left_semi").select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
         )
-    sims = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        F.round(cosine(F.col("embedding"), F.col("ce")), 6).alias("csim"),
-    )
-    rk = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    assign = (
-        sims.withColumn("rk", F.row_number().over(rk))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
-    )
+    if assign_strategy == "vectorized":
+        # bounded collect: K centroid rows (the q47 IVF precedent)
+        cents = centroids.select("cid", "ce").orderBy("cid").collect()
+        cid_arr = np.array([r["cid"] for r in cents], dtype=np.int64)
+        cmat = np.array([[float(x) for x in r["ce"]] for r in cents], dtype=np.float64)
+        cmat = cmat / np.sqrt((cmat * cmat).sum(axis=1, keepdims=True))
+        out_schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                emb.schema["embedding"],
+                T.StructField("cluster", T.LongType()),
+            ]
+        )
+
+        def _argmax(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                v = v / np.sqrt((v * v).sum(axis=1, keepdims=True))
+                sims = np.round(v @ cmat.T, 6)
+                # argmax returns the FIRST max; cid_arr is sorted, so ties
+                # break to the smaller centroid id exactly like the window
+                yield pdf.assign(cluster=cid_arr[np.argmax(sims, axis=1)])[
+                    ["vec_id", "embedding", "cluster"]
+                ]
+
+        # the pair join references assign three times (a, b, final join);
+        # truncate lineage so the matmul pass runs once, not three times.
+        # The exact path skips this: K is small by contract there, and
+        # checkpointing would hide the broadcast-join plan shape the
+        # oracle-path tests pin.
+        assign = emb.mapInPandas(_argmax, out_schema).localCheckpoint(eager=False)
+    elif assign_strategy == "exact":
+        sims = emb.crossJoin(F.broadcast(centroids)).select(
+            "vec_id",
+            "embedding",
+            "cid",
+            F.round(cosine(F.col("embedding"), F.col("ce")), 6).alias("csim"),
+        )
+        rk = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+        assign = (
+            sims.withColumn("rk", F.row_number().over(rk))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "embedding", F.col("cid").alias("cluster"))
+        )
+    else:
+        raise ValueError(f"unknown assign_strategy: {assign_strategy!r}")
     a = assign.alias("a")
     b = assign.alias("b")
     dup = (

@@ -439,3 +439,30 @@ def test_mmr_rerank_prefers_diverse_over_redundant(spark):
     # every later pick scores no higher than the one before it
     for t in range(2, 4):
         assert by_rank[t]["mmr_score"] <= by_rank[t - 1]["mmr_score"]
+
+
+def test_semdedup_vectorized_assign_matches_exact(spark):
+    """The production (numpy-matmul) assignment must produce the same
+    clusters/verdicts as the oracle (crossJoin+window) path on data with
+    clear margins — and the exact path's N*K-shuffle cost inversion is
+    why the vectorized path exists (50k stress: K=512 149.7s exact vs
+    12.9s vectorized; see README performance notes)."""
+    from aws_datalake_platform_spark.operators.similarity import semdedup
+
+    dim = 64
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[(axis + 1) % dim] = eps
+        return v
+
+    rows = [(i, vec(i)) for i in range(8)]
+    rows += [(100, vec(3, eps=0.05)), (101, vec(9)), (102, vec(5, eps=0.03))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {r["vec_id"]: (r["cluster"], r["dup_of"], r["kept"])
+             for r in semdedup(emb, n_centroids=8, threshold=0.4).collect()}
+    fast = {r["vec_id"]: (r["cluster"], r["dup_of"], r["kept"])
+            for r in semdedup(emb, n_centroids=8, threshold=0.4,
+                              assign_strategy="vectorized").collect()}
+    assert fast == exact
