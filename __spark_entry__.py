@@ -67,7 +67,10 @@ def _driver_checked() -> set[str]:
 # reconcile — VERDICT r4 item 1); q196 serializes its positions array to
 # a comma-joined string (driver canonicalizer crashed on list cells);
 # q192's oracle gained the NULL-text coalesce (ADVICE r4).
+# Changed after r5: q201's oracle centroid pick mirrored to
+# ORDER BY vec_id LIMIT K (ADVICE r5 — was WHERE vec_id < K).
 _CHANGED_AFTER_ROUND = {
+    "q201_semdedup": 5,
     "q76_incremental_rollup": 4,
     "q157_decimal_money": 4,
     "q196_inverted_index": 4,

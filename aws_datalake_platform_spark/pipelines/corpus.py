@@ -153,6 +153,7 @@ def curate_corpus(
             if prev is not None:
                 prev.unpersist()
             prev, drops = drops, new_drops
+        last_iterate = drops
         if not converged and prev is not None:
             drops = drops.join(prev, "doc_a", "left_semi")
         # persist the ID LIST, not the residual rows: every downstream
@@ -166,6 +167,13 @@ def curate_corpus(
             .distinct()
             .persist(_SL.MEMORY_AND_DISK)
         )
+        # materialize the id list EAGERLY so the fixpoint scaffolding can
+        # be unpersisted now (ADVICE r5: prev/oneway/drops caches were
+        # accumulating across the long pipeline otherwise)
+        swallowed_cached.count()
+        for scaffold in (last_iterate, prev, oneway):
+            if scaffold is not None:
+                scaffold.unpersist()
         deduped = deduped.join(swallowed_cached, "doc_id", "left_anti")
 
     # NOTE on (non-)caching: the heavy near-dup subtree is already

@@ -240,7 +240,15 @@ def q80_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle of per-partition summaries, never the raw rows. The
     exact-mode accuracy used for oracle replay caps memory at one group's
     sample count per task (~1.6 MB/group at sf0.1); a 100 TB run lowers
-    accuracy to the paper's epsilon-bounded size."""
+    accuracy to the paper's epsilon-bounded size.
+
+    Exact-replay bound (ADVICE r5): GK retains every sample only while
+    the group cardinality stays under accuracy/2 = 500k rows; lineitem
+    return-flag groups cross that around sf>=0.3. The oracle gate runs
+    at sf0.01 (~20k rows/group, 25x headroom) and
+    tests/test_profiling.py::test_q80_exact_replay_headroom pins the
+    bound at the gated sf so a testdata regeneration can't silently
+    break hash parity."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")

@@ -147,7 +147,7 @@ def q191_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ── q201: SemDeDup — semantic dedup via cluster-bounded cosine pairs ────────
 
-_SEMDEDUP_K = 8  # deterministic seed centroids (vec_id < K) for oracle replay
+_SEMDEDUP_K = 8  # deterministic seed centroids (K smallest vec_ids) for oracle replay
 _SEMDEDUP_T = 0.4  # cosine threshold on round(sim, 6), q31's proven setting
 
 
@@ -158,8 +158,11 @@ def _semdedup_sql() -> str:
     cos_pair = _COS.format(a="a.embedding", b="b.embedding")
     return f"""
     WITH cent AS (
+      -- mirror semdedup's default centroid pick (orderBy(vec_id).limit(K))
+      -- rather than WHERE vec_id < K, so both sides agree even if ids
+      -- have gaps below K or start above 0 (ADVICE r5)
       SELECT vec_id AS cid, embedding AS ce FROM embeddings
-      WHERE vec_id < {_SEMDEDUP_K}
+      ORDER BY vec_id LIMIT {_SEMDEDUP_K}
     ),
     sims AS (
       SELECT e.vec_id, e.embedding, c.cid,
@@ -209,9 +212,10 @@ def q201_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale knob (SemDeDup runs tens of thousands of clusters at web
     scale); a skewed mega-cluster means K is too small for the corpus.
     Reference tie-in: the embedding-dedup twin of text near-dup K1-K3.
-    The deterministic seed centroids (smallest K ids — the testdata's
-    vec_id < K) are what keep the oracle replayable; the operator
-    accepts learned centroids for the production path."""
+    The deterministic seed centroids (the K smallest vec_ids, mirrored
+    as ORDER BY vec_id LIMIT K in the oracle) are what keep the oracle
+    replayable; the operator accepts learned centroids for the
+    production path."""
     from ..operators.similarity import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -36,7 +36,13 @@ def main() -> int:
     # has no effect in local mode once the gateway is up (ADVICE r4)
     import os
 
-    os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 8g pyspark-shell")
+    submit = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    if "--driver-memory" not in submit:
+        # prepend so an existing trailing "pyspark-shell" stays last
+        submit = ("--driver-memory 8g " + submit).strip()
+        if "pyspark-shell" not in submit:
+            submit += " pyspark-shell"
+        os.environ["PYSPARK_SUBMIT_ARGS"] = submit
 
     from pyspark.sql import SparkSession
 

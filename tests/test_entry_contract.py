@@ -17,10 +17,11 @@ def test_oracle_keys_subset_of_queries():
     assert len(q) >= 160
     # rows-only set is the documented approximate-sketch list (q40/q84
     # graduated to hash-checked in r4 via the explicit-register HLL
-    # whose DuckDB oracle replays the md5 register math)
+    # whose DuckDB oracle replays the md5 register math; q80 graduated
+    # in r5 via the GK-exact-replay precedent — percentile_approx with
+    # accuracy high enough that the summary retains every sample)
     assert set(q) - set(o) == {
         "q47_ann_ivf_topk",
-        "q80_approx_percentiles",
         "q115_ann_pq_topk",
     }
 

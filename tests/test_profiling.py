@@ -127,6 +127,27 @@ def test_approx_percentiles_close_to_exact(spark):
             assert rel < 0.02, (flag, name, row[name], exact[flag]["p"][i])
 
 
+def test_q80_exact_replay_headroom(spark):
+    """q80's hash parity with DuckDB quantile_disc relies on GK exact
+    mode, which only holds while every group's cardinality stays under
+    accuracy/2 (= 500k at the hard-coded accuracy=1e6). Pin that bound
+    at the DRIVER-GATED sf (0.01) with 2x margin so a testdata
+    regeneration that inflates lineitem can't silently push a group
+    into GK compression and break the oracle (ADVICE r5)."""
+    from aws_datalake_platform_spark.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    max_group = (
+        li.groupBy("l_returnflag").count().agg(F.max("count").alias("m")).first()["m"]
+    )
+    accuracy = 1_000_000
+    assert max_group < accuracy // 4, (
+        f"largest l_returnflag group ({max_group}) is within 2x of the "
+        f"GK exact-mode bound ({accuracy // 2}); raise q80's accuracy "
+        "or re-derive it from group cardinality"
+    )
+
+
 def test_hll_sketch_merge_consistency_and_accuracy(spark):
     """Merged per-nation sketches must give EXACTLY the same global
     estimate as one direct sketch over all rows (register-max is
