@@ -306,6 +306,29 @@ def embedding_near_dup_pairs_lsh(
     )
 
 
+def _seq_dots(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Dot products of every row of ``x`` against every row of ``c``,
+    accumulated as a strict LEFT FOLD over dimensions (acc starts 0.0,
+    one rounding per multiply and per add, in dim order) — bit-identical
+    to DuckDB's list_sum(list_transform(...)) and Spark's F.aggregate
+    fold, unlike BLAS matmul whose accumulation order is unspecified.
+    Vectorized over rows, so cost is dim elementwise passes, not a
+    Python per-element loop."""
+    acc = np.zeros((x.shape[0], c.shape[0]))
+    for d in range(x.shape[1]):
+        acc += x[:, d, None] * c[None, :, d]
+    return acc
+
+
+def _seq_norms(x: np.ndarray) -> np.ndarray:
+    """Row L2 norms via the same sequential dim-order fold (see
+    _seq_dots); np.linalg.norm's pairwise summation is NOT replayable."""
+    acc = np.zeros(x.shape[0])
+    for d in range(x.shape[1]):
+        acc += x[:, d] * x[:, d]
+    return np.sqrt(acc)
+
+
 def _centroid_matrix(
     corpus: DataFrame,
     id_col: str,
@@ -344,23 +367,35 @@ def _centroid_matrix(
     if not rows:  # empty corpus -> no centroids; callers emit an empty result
         return np.zeros((0, 0))
     x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
-    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    # every accumulation below is a sequential dim-/member-order fold
+    # (never BLAS/pairwise): that is what lets the q47 oracle replay the
+    # whole quantizer in SQL bit-for-bit, and it also makes centroids
+    # identical across BLAS builds. Cost is unchanged at this size
+    # (<= sample_size x dim doubles on the driver).
+    x = x / np.maximum(_seq_norms(x)[:, None], 1e-12)
 
     seed_idx = [0]
-    min_sim = x @ x[0]  # cosine to nearest chosen seed, per point
+    min_sim = _seq_dots(x, x[0:1])[:, 0]  # cosine to nearest chosen seed
     for _ in range(1, n_centroids):
         nxt = int(np.argmin(min_sim))  # farthest point; argmin ties -> lowest index
         seed_idx.append(nxt)
-        min_sim = np.maximum(min_sim, x @ x[nxt])
+        min_sim = np.maximum(min_sim, _seq_dots(x, x[nxt : nxt + 1])[:, 0])
     cents = x[seed_idx].copy()
 
     for _ in range(n_iter):
-        assign = np.argmax(x @ cents.T, axis=1)  # ties -> lowest index: deterministic
+        # ties -> lowest index: deterministic
+        assign = np.argmax(_seq_dots(x, cents), axis=1)
         for ci in range(n_centroids):
             members = x[assign == ci]
             if len(members):
-                cents[ci] = members.mean(axis=0)
-        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+                # mean as (sequential member-order sum) / count — members
+                # appear in sample (hash) order because boolean masking
+                # preserves row order
+                acc = np.zeros(x.shape[1])
+                for m in members:
+                    acc = acc + m
+                cents[ci] = acc / len(members)
+        cents = cents / np.maximum(_seq_norms(cents)[:, None], 1e-12)
     return cents
 
 
@@ -378,9 +413,14 @@ def ivf_assign(
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def nearest(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy()).astype(np.float64)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ centroids.T  # (batch, K)
-        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        m = m / np.maximum(_seq_norms(m)[:, None], 1e-12)
+        # sequential dim-order fold + STABLE sort: dots are bit-identical
+        # to the SQL oracle's list_sum fold, and ties break to the lowest
+        # centroid id on both sides (np.argsort default introsort is NOT
+        # stable — a tie would desync from ROW_NUMBER ... ORDER BY dv
+        # DESC, cid)
+        sims = _seq_dots(m, centroids)  # (batch, K)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(top.astype(np.int32)))
 
     return df.select(
@@ -873,11 +913,29 @@ def mmr_rerank(
     cached because each greedy step re-reads them; both are k*n and
     k*n^2 rows per query.
     """
-    from ..functions.core import round_half_up
-
     cand = brute_force_topk(queries, corpus, id_col, vec_col, k=n_candidates).select(
         "query_id", "neighbor_id", F.col("sim").alias("rel")
     )
+    return mmr_over_candidates(cand, corpus, id_col, vec_col, k=k, lam=lam)
+
+
+def mmr_over_candidates(
+    cand: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """The MMR greedy loop over an EXTERNALLY-supplied candidate frame
+    ``cand`` (query_id, neighbor_id, rel) — the relevance can come from
+    any retrieval stage: exact/ANN cosine (mmr_rerank, q202) or a BM25
+    shortlist (the CLI ``search`` flow). ``corpus`` supplies the
+    embedding column used for the pairwise diversity penalty. Same
+    unrolled join+window steps and localCheckpoint plan-bounding as
+    mmr_rerank (whose docstring has the measured rationale)."""
+    from ..functions.core import round_half_up
+
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__v"),

@@ -270,17 +270,163 @@ def q46_array_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "pos", F.round(F.col("__v").cast("double"), 4).alias("val"))
 
 
+def _ivf_sql(
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    sample_size: int = 1024,
+    n_iter: int = 10,
+    seed: int = 42,
+    n_queries: int = 10,
+    dim: int = 64,
+) -> str:
+    """Full SQL replay of ivf_topk's deterministic k-means quantizer
+    (the q32 plane-replay precedent taken to its conclusion).
+
+    Replays, bit-for-bit: the md5(seed||id)-ordered sample, L2
+    normalization, farthest-point seed selection (n_centroids-1 unrolled
+    steps), n_iter unrolled Lloyd iterations (argmax-cosine assignment,
+    per-cluster mean as a sequential member-order sum / count, centroid
+    renormalization), corpus/query inverted-list assignment, and the
+    exact-cosine re-rank. Possible only because the Spark side
+    (operators/similarity.py _seq_dots/_seq_norms) accumulates every
+    float as a strict left fold over dimensions — the same rounding
+    sequence as list_sum(list_transform(...)) here — instead of BLAS
+    matmul / numpy pairwise summation whose order is unspecified."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1,{dim + 1}), "
+            f"i -> {a}[i] * {b}[i]))"
+        )
+
+    def rawnorm(v: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform(range(1,{dim + 1}), "
+            f"i -> {v}[i]::DOUBLE * {v}[i]::DOUBLE)))"
+        )
+
+    # exact-cosine re-rank on RAW vectors: the identical expression to
+    # q30's proven oracle
+    from .llm_ops import _COS
+
+    # farthest-point init: seed 1 is sample idx 1; each next seed
+    # minimizes its max cosine to the seeds so far (ties -> lowest idx)
+    fp_steps = []
+    for t in range(2, n_centroids + 1):
+        fp_steps.append(f"""
+    sd{t} AS MATERIALIZED (SELECT nv FROM ms{t - 1} ORDER BY ms ASC, idx ASC LIMIT 1),
+    ms{t} AS MATERIALIZED (SELECT m.idx, m.nv, greatest(m.ms, {dot("m.nv", "c.nv")}) AS ms
+              FROM ms{t - 1} m CROSS JOIN sd{t} c)""")
+    seed_union = "\n      UNION ALL ".join(
+        ["SELECT 0 AS cid, nv AS cv FROM sn WHERE idx = 1"]
+        + [f"SELECT {t - 1} AS cid, nv AS cv FROM sd{t}" for t in range(2, n_centroids + 1)]
+    )
+
+    # Lloyd iterations, unrolled: assign (argmax cosine, ties -> lowest
+    # cid), mean = sequential member-order sum / count per dimension,
+    # empty cluster keeps its previous centroid, then ALL centroids are
+    # renormalized (matching the Spark side, which renormalizes
+    # carried-over centroids too)
+    lloyd = []
+    for t in range(1, n_iter + 1):
+        lloyd.append(f"""
+    asg{t} AS MATERIALIZED (
+      SELECT idx, nv, cid FROM (
+        SELECT s.idx, s.nv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.idx
+                 ORDER BY {dot("s.nv", "c.cv")} DESC, c.cid) AS rn
+        FROM sn s CROSS JOIN cents{t - 1} c) z
+      WHERE rn = 1),
+    newc{t} AS MATERIALIZED (
+      SELECT cid, list(md ORDER BY d) AS mv FROM (
+        SELECT cid, d, list_sum(list(val ORDER BY idx)) / COUNT(*) AS md
+        FROM (SELECT idx, cid, UNNEST(range(1,{dim + 1})) AS d,
+                     UNNEST(nv) AS val
+              FROM asg{t}) u
+        GROUP BY cid, d) m
+      GROUP BY cid),
+    cu{t} AS MATERIALIZED (SELECT p.cid, COALESCE(nc.mv, p.cv) AS uv
+              FROM cents{t - 1} p LEFT JOIN newc{t} nc USING (cid)),
+    cents{t} AS MATERIALIZED (
+      SELECT cid, list_transform(uv,
+               e -> e / greatest(sqrt(list_sum(list_transform(uv, q -> q*q))),
+                                 1e-12)) AS cv
+      FROM cu{t})""")
+
+    cos_final = _COS.format(a="q.embedding", b="n.embedding")
+    return f"""
+    WITH sord AS MATERIALIZED (
+      SELECT vec_id AS id, embedding AS v,
+             md5(concat('{seed}', CAST(vec_id AS VARCHAR))) AS h
+      FROM embeddings ORDER BY h, id LIMIT {sample_size}
+    ),
+    sidx AS (SELECT id, v, ROW_NUMBER() OVER (ORDER BY h, id) AS idx FROM sord),
+    sn AS MATERIALIZED (
+      SELECT idx, list_transform(range(1,{dim + 1}),
+               i -> v[i]::DOUBLE / greatest({rawnorm("v")}, 1e-12)) AS nv
+      FROM sidx
+    ),
+    ms1 AS MATERIALIZED (SELECT s.idx, s.nv, {dot("s.nv", "c.nv")} AS ms
+            FROM sn s CROSS JOIN (SELECT nv FROM sn WHERE idx = 1) c),{",".join(fp_steps)},
+    cents0 AS MATERIALIZED (
+      {seed_union}
+    ),{",".join(lloyd)},
+    en AS MATERIALIZED (
+      SELECT vec_id, embedding, list_transform(range(1,{dim + 1}),
+               i -> embedding[i]::DOUBLE / greatest({rawnorm("embedding")}, 1e-12)) AS env
+      FROM embeddings
+    ),
+    cb AS MATERIALIZED (
+      SELECT vec_id AS neighbor_id, embedding, cid AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dot("e.env", "c.cv")} DESC, c.cid) AS rn
+        FROM en e CROSS JOIN cents{n_iter} c) z
+      WHERE rn = 1),
+    qb AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding, cid AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dot("e.env", "c.cv")} DESC, c.cid) AS rn
+        FROM en e CROSS JOIN cents{n_iter} c
+        WHERE e.vec_id < {n_queries}) z
+      WHERE rn <= {n_probe}),
+    sims AS (
+      SELECT DISTINCT q.query_id, n.neighbor_id,
+             ROUND({cos_final}, 6) AS sim
+      FROM qb q JOIN cb n USING (cluster)
+      WHERE n.neighbor_id <> q.query_id)
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM sims) t
+    WHERE rank <= {k}
+    """
+
+
 @register(
     "q47_ann_ivf_topk",
-    None,  # approximate index; recall vs brute force asserted in pytest
+    _ivf_sql(),
     doc="IVF approximate nearest neighbors: deterministic coarse "
     "quantizer -> inverted lists -> n_probe list scan per query -> exact "
     "cosine rank. The scale path between brute force and LSH "
-    "(operators/similarity.py).",
+    "(operators/similarity.py). Graduated from rows-only in r6: the "
+    "oracle replays the ENTIRE quantizer — md5-ordered sample, "
+    "farthest-point init, 10 Lloyd iterations, assignment — because the "
+    "Spark side accumulates every float as a sequential dim-/member-"
+    "order fold (_seq_dots/_seq_norms), the same rounding sequence as "
+    "DuckDB's list_sum fold. Recall vs brute force additionally "
+    "asserted in pytest.",
 )
 def q47_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: candidate join is an equi-join on cluster id — cost
-    O(Q*N*n_probe/K); corpus assignment is one matmul per Arrow batch."""
+    O(Q*N*n_probe/K); corpus assignment is one vectorized fold per Arrow
+    batch (map-side). The k-means itself runs on a bounded driver sample
+    (one TakeOrdered scan), so the oracle-replayable sequential math
+    costs nothing at 100 TB — the quantizer never touches the corpus
+    beyond that single sample scan."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)

@@ -19,9 +19,10 @@ def test_oracle_keys_subset_of_queries():
     # graduated to hash-checked in r4 via the explicit-register HLL
     # whose DuckDB oracle replays the md5 register math; q80 graduated
     # in r5 via the GK-exact-replay precedent — percentile_approx with
-    # accuracy high enough that the summary retains every sample)
+    # accuracy high enough that the summary retains every sample; q47
+    # graduated in r6 by replaying the ENTIRE k-means quantizer in SQL,
+    # enabled by sequential-fold float accumulation on the Spark side)
     assert set(q) - set(o) == {
-        "q47_ann_ivf_topk",
         "q115_ann_pq_topk",
     }
 
