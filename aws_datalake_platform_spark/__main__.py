@@ -133,6 +133,43 @@ def _build_parser() -> argparse.ArgumentParser:
         help="also drop docs contained in a longer survivor at >= C "
         "(runs after the dedup passes)",
     )
+    cor.add_argument(
+        "--semantic",
+        type=float,
+        metavar="T",
+        help="also drop SemDeDup semantic near-duplicates at cosine >= T "
+        "(learned k-means centroids + vectorized map-side assignment; "
+        "joins the embeddings table on vec_id == doc_id)",
+    )
+    cor.add_argument(
+        "--semantic-centroids",
+        type=int,
+        default=64,
+        metavar="K",
+        help="cluster count for the SemDeDup coarse quantizer",
+    )
+
+    srch = sub.add_parser(
+        "search",
+        help="retrieval over a documents+embeddings snapshot: inverted-"
+        "index postings -> BM25 shortlist -> embedding re-score -> MMR "
+        "diversified top-k (q196 -> q197 -> q30 -> q202 composed)",
+    )
+    srch.add_argument("query", help="free-text query, e.g. 'data pipeline quality'")
+    srch.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    srch.add_argument("--k", type=int, default=5, help="final diversified picks")
+    srch.add_argument(
+        "--shortlist", type=int, default=50, help="BM25 candidate pool size"
+    )
+    srch.add_argument(
+        "--lambda", dest="lam", type=float, default=0.7,
+        help="MMR relevance/diversity trade-off",
+    )
+    srch.add_argument(
+        "--no-rerank",
+        action="store_true",
+        help="stop at the BM25 shortlist (skip embedding re-score + MMR)",
+    )
     return p
 
 
@@ -258,6 +295,117 @@ def _smoke(spark, workdir: str | None) -> int:
     return 1 if failed else 0
 
 
+def _search(spark, sf_dir, query_text, k, shortlist, lam, no_rerank) -> int:
+    """Retrieval composed end-to-end from the engine's own operators —
+    the `corpus` command's counterpart for the read path:
+
+      1. tokenize the free-text query; BM25-score its terms against the
+         documents table (q197's exact shape: term filter BEFORE the tf
+         aggregate, broadcast df/stats) and SUM per doc -> shortlist
+      2. pseudo-relevance query vector (Rocchio): mean embedding of the
+         top-3 BM25 docs (bounded 3-row collect) — there is no text
+         encoder in the engine, so the embedding-space query point comes
+         from the lexical stage's best hits
+      3. exact cosine re-score of the shortlist against that vector
+         (map-side: the vector rides the plan as a literal array)
+      4. MMR diversified top-k (q202's operator) so near-duplicate
+         passages don't crowd the result list
+
+    Scale: only query-term postings shuffle (|terms| x df rows); the
+    shortlist bounds every later stage (n^2 pairs on `shortlist` rows,
+    per query constant), so the flow costs one corpus token scan + one
+    embedding scan no matter the corpus size."""
+    import re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .catalog import load_table
+    from .functions.core import round_half_up
+    from .operators.similarity import cosine, mmr_over_candidates
+
+    terms = [t for t in re.split(r"\s+", query_text.strip().lower()) if t]
+    if not terms:
+        print("empty query", file=sys.stderr)
+        return 2
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks"))
+    dl = tok.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        tok.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = 1.2, 0.75
+    per_term = (
+        tf.join(F.broadcast(df_rel), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+                * F.col("tf") * (k1 + 1)
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    short = (
+        per_term.groupBy("doc_id")
+        .agg(round_half_up(F.sum("s"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(shortlist)
+    )
+    if no_rerank:
+        hits = short.join(docs.select("doc_id", "text"), "doc_id").orderBy(
+            F.desc("bm25"), F.asc("doc_id")
+        )
+        for r in hits.limit(k).collect():
+            print(f"{r['doc_id']:>8}  bm25={r['bm25']:<10} {r['text'][:80]!r}")
+        return 0
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    seed_rows = (
+        short.limit(3).join(emb, "doc_id").select("embedding").collect()
+    )  # bounded: 3 rows
+    if not seed_rows:
+        print("no shortlist docs have embeddings; rerun with --no-rerank",
+              file=sys.stderr)
+        return 1
+    dim = len(seed_rows[0]["embedding"])
+    qvec = [
+        sum(float(r["embedding"][d]) for r in seed_rows) / len(seed_rows)
+        for d in range(dim)
+    ]
+    cand_emb = short.join(emb, "doc_id")
+    cand = cand_emb.select(
+        F.lit(0).alias("query_id"),
+        F.col("doc_id").alias("neighbor_id"),
+        F.round(
+            cosine(F.col("embedding"), F.array(*[F.lit(x) for x in qvec])), 6
+        ).alias("rel"),
+    )
+    corpus = cand_emb.select(F.col("doc_id").alias("vec_id"), "embedding")
+    picked = mmr_over_candidates(cand, corpus, k=k, lam=lam)
+    out = (
+        picked.join(docs.select(F.col("doc_id").alias("neighbor_id"), "text"),
+                    "neighbor_id")
+        .orderBy("pick_rank")
+        .select("pick_rank", "neighbor_id", "rel", "mmr_score", "text")
+    )
+    for r in out.collect():
+        print(
+            f"#{r['pick_rank']}  doc={r['neighbor_id']:<6} rel={r['rel']:<9} "
+            f"mmr={r['mmr_score']:<9} {r['text'][:70]!r}"
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
 
@@ -276,6 +424,11 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("cli")
     if args.cmd == "smoke":
         return _smoke(spark, args.workdir)
+    if args.cmd == "search":
+        return _search(
+            spark, args.sf_dir, args.query, args.k, args.shortlist,
+            args.lam, args.no_rerank,
+        )
     if args.cmd == "corpus":
         from .catalog import load_table
         from .pipelines.corpus import curate_corpus
@@ -289,6 +442,13 @@ def main(argv: list[str] | None = None) -> int:
             if args.rule_gate
             else None
         )
+        emb = None
+        if args.semantic is not None:
+            from pyspark.sql import functions as F
+
+            emb = load_table(spark, args.sf_dir, "embeddings").select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            )
         res = curate_corpus(
             spark,
             load_table(spark, args.sf_dir, "documents"),
@@ -298,9 +458,13 @@ def main(argv: list[str] | None = None) -> int:
             report_mixture=args.mixture_report,
             near_dup_threshold=args.near_dup,
             containment_threshold=args.containment,
+            embeddings=emb,
+            semantic_threshold=args.semantic,
+            semantic_n_centroids=args.semantic_centroids,
         )
         for key in (
             "n_raw",
+            "n_before_semantic",
             "n_after_dedup",
             "n_after_rules",
             "n_after_quality",

@@ -56,6 +56,9 @@ def curate_corpus(
     report_mixture: bool = False,
     near_dup_threshold: float | None = None,
     containment_threshold: float | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float | None = None,
+    semantic_n_centroids: int = 64,
 ) -> dict[str, Any]:
     """Run the full curation flow over a ``documents``-shaped frame
     (doc_id, text, lang, source, n_chars). Returns per-stage counts and
@@ -176,6 +179,42 @@ def curate_corpus(
                 scaffold.unpersist()
         deduped = deduped.join(swallowed_cached, "doc_id", "left_anti")
 
+    # 1d. optional SEMANTIC dedup (SemDeDup, q201) — the production
+    # configuration the oracle path can't exercise: learned k-means
+    # centroids from the IVF coarse quantizer (q47's _centroid_matrix)
+    # wired into the map-side vectorized assignment, so the only
+    # corpus-sized costs are one Arrow matmul pass and the
+    # cluster-bounded pair join. Runs AFTER the text-level passes:
+    # byte/shingle duplicates are already gone, so the embedding pass
+    # only pays for the residual. Drops any doc whose embedding has a
+    # lower-id same-cluster neighbor at cosine >= semantic_threshold.
+    n_pre_semantic = None
+    if semantic_threshold is not None and embeddings is not None:
+        from ..operators.similarity import _centroid_matrix, semdedup
+
+        emb = embeddings.select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ).join(
+            deduped.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
+        cents = _centroid_matrix(emb, "vec_id", "embedding", semantic_n_centroids)
+        if cents.size:
+            n_pre_semantic = deduped.count()
+            cdf = spark.createDataFrame(
+                [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+                "cid BIGINT, ce ARRAY<DOUBLE>",
+            )
+            verdicts = semdedup(
+                emb,
+                centroids=cdf,
+                threshold=semantic_threshold,
+                assign_strategy="vectorized",
+            )
+            sem_losers = verdicts.filter(~F.col("kept")).select(
+                F.col("vec_id").alias("doc_id")
+            )
+            deduped = deduped.join(sem_losers, "doc_id", "left_anti")
+
     # NOTE on (non-)caching: the heavy near-dup subtree is already
     # materialized exactly once — connected_components runs its loop
     # EAGERLY (per-round convergence counts) and leaves the final label
@@ -266,6 +305,9 @@ def curate_corpus(
         # stages coincide
         "n_after_dedup": n_pre_rules if n_pre_rules is not None else n_dedup,
         "n_after_rules": n_dedup if n_pre_rules is not None else None,
+        # pre-semantic residual size (text passes only); the post-
+        # semantic count is n_after_dedup/n_after_rules downstream
+        "n_before_semantic": n_pre_semantic,
         "n_after_quality": n_quality,
         "n_after_decontam": n_clean,
         "n_final": n_final,

@@ -1164,3 +1164,91 @@ def test_cli_smoke_reports_fail_on_missing_curated(spark, capsys, tmp_path, monk
     out = capsys.readouterr().out
     assert rc == 1
     assert "FAIL" in out and "checks passed" in out
+
+
+def test_corpus_pipeline_semantic_stage_learned_centroids(spark):
+    """SemDeDup production configuration inside the pipeline: LEARNED
+    k-means centroids (the IVF coarse quantizer) + the vectorized
+    map-side assignment, opt-in via embeddings/semantic_threshold.
+
+    Planted structure at ~10x the usual unit-test corpus: 4 orthogonal
+    clusters x 50 members (each member jittered along its own extra
+    axis, so same-cluster non-twin cosine ~0.89), plus a near-identical
+    TWIN (cosine ~0.999999) for 12 members of every cluster. With
+    threshold 0.97 the stage must drop exactly the 48 higher-id twins —
+    100% recall, zero false positives — regardless of how k-means
+    splits the clusters, because each twin lands in its original's
+    cluster and only twin pairs clear the threshold."""
+    from aws_datalake_platform_spark.pipelines.corpus import curate_corpus
+
+    n_clusters, n_per, twins_per = 4, 50, 12
+    dim = 4 + n_per
+    docs_rows, emb_rows, twin_ids = [], [], []
+    for c in range(n_clusters):
+        for j in range(n_per):
+            did = 1 + c * n_per + j
+            v = [0.0] * dim
+            v[c] = 1.0
+            v[4 + j] = 0.35
+            text = f"cluster {c} member {j} " + " ".join(
+                f"w{c}x{j}y{t}" for t in range(8)
+            )
+            docs_rows.append((did, text, "en", "s", len(text)))
+            emb_rows.append((did, v))
+            if j < twins_per:
+                tid = did + 1000
+                tv = list(v)
+                tv[4 + j] = 0.3501
+                ttext = f"twin of cluster {c} member {j} " + " ".join(
+                    f"t{c}x{j}z{t}" for t in range(8)
+                )
+                docs_rows.append((tid, ttext, "en", "s", len(ttext)))
+                emb_rows.append((tid, tv))
+                twin_ids.append(tid)
+    docs = spark.createDataFrame(
+        docs_rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    emb = spark.createDataFrame(emb_rows, "doc_id long, embedding array<double>")
+
+    r = curate_corpus(
+        spark, docs, quality_threshold=0.0, bench_modulus=100_000,
+        embeddings=emb, semantic_threshold=0.97, semantic_n_centroids=4,
+    )
+    n_total = n_clusters * (n_per + twins_per)
+    assert r["n_before_semantic"] == n_total
+    survivors = {x["doc_id"] for x in r["curated"].select("doc_id").collect()}
+    assert not (set(twin_ids) & survivors)  # every twin dropped (recall)
+    # zero false positives: every original survives the whole funnel
+    originals = {1 + c * n_per + j for c in range(n_clusters) for j in range(n_per)}
+    assert originals <= survivors
+    assert r["n_final"] == n_clusters * n_per
+
+    # stage off -> nothing dropped semantically
+    r0 = curate_corpus(spark, docs, quality_threshold=0.0, bench_modulus=100_000)
+    assert r0["n_before_semantic"] is None
+    assert r0["n_final"] == n_total
+
+
+def test_cli_search_end_to_end(spark, capsys):
+    """`search` composes the retrieval story on a stored snapshot:
+    BM25 shortlist (q197 shape) -> pseudo-relevance embedding re-score
+    -> MMR diversified top-k (q202's operator). Structural checks: k
+    ranked lines, pick ranks in order, and the --no-rerank lexical
+    path prints BM25 scores."""
+    from aws_datalake_platform_spark.__main__ import main
+
+    rc = main(["search", "spark stream window join", "--k", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.startswith("#")]
+    assert len(lines) == 3
+    assert lines[0].startswith("#1") and lines[2].startswith("#3")
+    assert "rel=" in lines[0] and "mmr=" in lines[0]
+
+    rc = main(["search", "spark", "--no-rerank", "--k", "2"])
+    assert rc == 0
+    out2 = capsys.readouterr().out
+    assert "bm25=" in out2
+
+    rc = main(["search", "   "])
+    assert rc == 2

@@ -392,3 +392,17 @@ def test_q201_semdedup_broadcast_assign_equi_pair_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "cluster" in plan  # the pair join keys on cluster
+
+
+def test_q202_mmr_no_cross_join_after_candidates(spark):
+    """Every greedy MMR step must be an equi-join on query_id over the
+    bounded candidate set. The candidate-generation crossJoin (the
+    documented exact baseline standing in for ANN) is truncated behind
+    the eager localCheckpoint, so the returned plan must contain NO
+    cartesian/nested-loop join at all — only the checkpoint leaves plus
+    hash joins, which is what lets the operator distribute by query key
+    for arbitrarily many queries (README many-query scaling note)."""
+    plan = _plan(spark, "q202_mmr_rerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # the O(k)-bounding checkpoint leaves
