@@ -270,29 +270,19 @@ def q46_array_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "pos", F.round(F.col("__v").cast("double"), 4).alias("val"))
 
 
-def _ivf_sql(
+def _kmeans_prefix_sql(
     n_centroids: int = 16,
-    n_probe: int = 4,
-    k: int = 5,
     sample_size: int = 1024,
     n_iter: int = 10,
     seed: int = 42,
-    n_queries: int = 10,
     dim: int = 64,
 ) -> str:
-    """Full SQL replay of ivf_topk's deterministic k-means quantizer
-    (the q32 plane-replay precedent taken to its conclusion).
-
-    Replays, bit-for-bit: the md5(seed||id)-ordered sample, L2
-    normalization, farthest-point seed selection (n_centroids-1 unrolled
-    steps), n_iter unrolled Lloyd iterations (argmax-cosine assignment,
-    per-cluster mean as a sequential member-order sum / count, centroid
-    renormalization), corpus/query inverted-list assignment, and the
-    exact-cosine re-rank. Possible only because the Spark side
-    (operators/similarity.py _seq_dots/_seq_norms) accumulates every
-    float as a strict left fold over dimensions — the same rounding
-    sequence as list_sum(list_transform(...)) here — instead of BLAS
-    matmul / numpy pairwise summation whose order is unspecified."""
+    """The shared SQL replay of _centroid_matrix + corpus ivf_assign:
+    CTEs from the md5-ordered sample through `cents{n_iter}` (the final
+    centroid relation, cid/cv) and `cb` (per-corpus-vector nearest
+    cluster: vec_id/embedding/cluster). Composed by _ivf_sql (q47) and
+    q203's cluster-profile oracle. Returns text WITHOUT the leading
+    'WITH' so callers can append their own CTEs."""
 
     def dot(a: str, b: str) -> str:
         return (
@@ -305,10 +295,6 @@ def _ivf_sql(
             f"sqrt(list_sum(list_transform(range(1,{dim + 1}), "
             f"i -> {v}[i]::DOUBLE * {v}[i]::DOUBLE)))"
         )
-
-    # exact-cosine re-rank on RAW vectors: the identical expression to
-    # q30's proven oracle
-    from .llm_ops import _COS
 
     # farthest-point init: seed 1 is sample idx 1; each next seed
     # minimizes its max cosine to the seeds so far (ties -> lowest idx)
@@ -354,9 +340,8 @@ def _ivf_sql(
                                  1e-12)) AS cv
       FROM cu{t})""")
 
-    cos_final = _COS.format(a="q.embedding", b="n.embedding")
     return f"""
-    WITH sord AS MATERIALIZED (
+    sord AS MATERIALIZED (
       SELECT vec_id AS id, embedding AS v,
              md5(concat('{seed}', CAST(vec_id AS VARCHAR))) AS h
       FROM embeddings ORDER BY h, id LIMIT {sample_size}
@@ -383,7 +368,47 @@ def _ivf_sql(
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY {dot("e.env", "c.cv")} DESC, c.cid) AS rn
         FROM en e CROSS JOIN cents{n_iter} c) z
-      WHERE rn = 1),
+      WHERE rn = 1)"""
+
+
+def _ivf_sql(
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    sample_size: int = 1024,
+    n_iter: int = 10,
+    seed: int = 42,
+    n_queries: int = 10,
+    dim: int = 64,
+) -> str:
+    """Full SQL replay of ivf_topk's deterministic k-means quantizer
+    (the q32 plane-replay precedent taken to its conclusion).
+
+    Replays, bit-for-bit: the md5(seed||id)-ordered sample, L2
+    normalization, farthest-point seed selection (n_centroids-1 unrolled
+    steps), n_iter unrolled Lloyd iterations (argmax-cosine assignment,
+    per-cluster mean as a sequential member-order sum / count, centroid
+    renormalization), corpus/query inverted-list assignment, and the
+    exact-cosine re-rank. Possible only because the Spark side
+    (operators/similarity.py _seq_dots/_seq_norms) accumulates every
+    float as a strict left fold over dimensions — the same rounding
+    sequence as list_sum(list_transform(...)) here — instead of BLAS
+    matmul / numpy pairwise summation whose order is unspecified.
+    MATERIALIZED CTEs are load-bearing: plain inlining re-expands the
+    iteration chain exponentially (each step references its predecessor
+    twice)."""
+    from .llm_ops import _COS
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1,{dim + 1}), "
+            f"i -> {a}[i] * {b}[i]))"
+        )
+
+    prefix = _kmeans_prefix_sql(n_centroids, sample_size, n_iter, seed, dim)
+    cos_final = _COS.format(a="q.embedding", b="n.embedding")
+    return f"""
+    WITH {prefix},
     qb AS MATERIALIZED (
       SELECT vec_id AS query_id, embedding, cid AS cluster FROM (
         SELECT e.vec_id, e.embedding, c.cid,

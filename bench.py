@@ -106,6 +106,12 @@ HEADLINE = [
     "q196_inverted_index",
     "q201_semdedup",
     "q202_mmr_rerank",
+    # round-6 additions: IVF (newly oracle-backed) + training-data shaping
+    "q47_ann_ivf_topk",
+    "q203_kmeans_clusters",
+    "q204_semantic_decontamination",
+    "q205_bpe_pair_stats",
+    "q206_padding_efficiency",
 ]
 
 

@@ -1,0 +1,86 @@
+"""Invariant tests for the round-6 training-data shaping operators
+(q203-q206) beyond the DuckDB oracle equivalence the driver gate checks."""
+
+from __future__ import annotations
+
+from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+
+from .conftest import SF_SMOKE
+
+
+def test_q203_cluster_profile_partitions_corpus(spark):
+    """Cluster sizes must partition the corpus (every vector assigned to
+    exactly one cluster) and mean cosine-to-centroid must be a valid
+    cosine; a healthy quantizer uses more than one cluster."""
+    from aws_datalake_platform_spark.catalog import load_table
+
+    rows = QUERY_REGISTRY["q203_kmeans_clusters"].fn(spark, SF_SMOKE).collect()
+    n_corpus = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n_corpus
+    assert 1 < len(rows) <= 12
+    for r in rows:
+        assert -1.0 <= r["avg_cos"] <= 1.0
+        assert r["n_members"] > 0
+    # members should on average be CLOSER to their centroid than random
+    # vectors are to each other (the clustering did something)
+    total = sum(r["avg_cos"] * r["n_members"] for r in rows) / n_corpus
+    assert total > 0.1
+
+
+def test_q204_semantic_decontamination_flags_only_train(spark):
+    """Flagged ids must come from the training split only, hit counts
+    must be positive, and max_sim must clear the threshold."""
+    rows = QUERY_REGISTRY["q204_semantic_decontamination"].fn(spark, SF_SMOKE).collect()
+    assert rows  # vacuity: the threshold must fire at test scale
+    for r in rows:
+        assert r["vec_id"] % 20 != 0
+        assert r["n_bench_hits"] >= 1
+        assert r["max_sim"] >= 0.35
+
+
+def test_q205_bpe_pairs_ranked_and_shaped(spark):
+    rows = sorted(
+        QUERY_REGISTRY["q205_bpe_pair_stats"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert len(rows) == 25
+    assert all(len(r["pair"]) == 2 for r in rows)
+    occ = [r["n_occurrences"] for r in rows]
+    assert occ == sorted(occ, reverse=True)
+    assert all(r["n_word_types"] <= r["n_occurrences"] for r in rows)
+
+
+def test_q206_padding_buckets_partition_and_bound_waste(spark):
+    """Buckets partition the non-empty docs; padding identity holds per
+    bucket; bucketed waste must beat the single-global-bucket baseline."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    rows = QUERY_REGISTRY["q206_padding_efficiency"].fn(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["padding_tokens"] == r["max_tokens"] * r["n_docs"] - r["sum_tokens"]
+        assert 0.0 <= r["waste_frac"] < 1.0
+    global_max = max(r["max_tokens"] for r in rows)
+    n = sum(r["n_docs"] for r in rows)
+    toks = sum(r["sum_tokens"] for r in rows)
+    bucketed_pad = sum(r["padding_tokens"] for r in rows)
+    assert bucketed_pad < global_max * n - toks  # bucketing must help
+
+
+def test_training_queries_registered_at_tail():
+    """Rotation invariant: the round-6 registry entries must sit BEHIND
+    every older never-sampled query in registry order."""
+    names = list(QUERY_REGISTRY)
+    idx = {n: i for i, n in enumerate(names)}
+    for newer in (
+        "q203_kmeans_clusters",
+        "q204_semantic_decontamination",
+        "q205_bpe_pair_stats",
+        "q206_padding_efficiency",
+    ):
+        assert idx[newer] > idx["q202_mmr_rerank"]
