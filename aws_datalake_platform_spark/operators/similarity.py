@@ -329,6 +329,17 @@ def _seq_norms(x: np.ndarray) -> np.ndarray:
     return np.sqrt(acc)
 
 
+def _seq_sqdist(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Squared L2 distances of every row of ``x`` to every row of ``c``,
+    accumulated as the sequential dim-order fold — the PQ counterpart of
+    _seq_dots (one (diff*diff) rounding pair per dim, in dim order)."""
+    acc = np.zeros((x.shape[0], c.shape[0]))
+    for d in range(x.shape[1]):
+        diff = x[:, d, None] - c[None, :, d]
+        acc += diff * diff
+    return acc
+
+
 def _centroid_matrix(
     corpus: DataFrame,
     id_col: str,
@@ -397,6 +408,57 @@ def _centroid_matrix(
                 cents[ci] = acc / len(members)
         cents = cents / np.maximum(_seq_norms(cents)[:, None], 1e-12)
     return cents
+
+
+def pca_power(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 1024,
+    n_iter: int = 12,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Top principal component of the embedding cloud by power iteration
+    on a deterministic driver sample — (mean, component, eigenvalue).
+
+    Sample selection is the _centroid_matrix md5-rank idiom (order-free,
+    one TakeOrdered corpus scan). All float accumulation is the
+    sequential fold (_seq_dots/_seq_norms + member-order sums), so the
+    whole computation — mean, covariance, every matvec and
+    normalization — replays bit-for-bit in SQL (q207's oracle), exactly
+    like the q47 k-means replay. v0 = e_0; the returned sign is
+    therefore deterministic too.
+
+    Scale: the corpus only pays one sample scan; covariance and the
+    power loop are dim^2-sized driver math. Downstream projection
+    (dot(x - mean, v)) is a JVM-side column expression — no UDF."""
+    ranked = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string"))).alias("h"),
+    )
+    rows = ranked.orderBy("h", "id").limit(sample_size).collect()
+    if not rows:
+        return np.zeros(0), np.zeros(0), 0.0
+    x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    n, dim = x.shape
+    mean = np.zeros(dim)
+    for r in x:  # member-order fold (sample hash order)
+        mean = mean + r
+    mean = mean / n
+    xc = x - mean
+    cov = np.zeros((dim, dim))
+    for r in xc:  # member-order fold of outer products
+        cov = cov + r[:, None] * r[None, :]
+    cov = cov / n
+    v = np.zeros(dim)
+    v[0] = 1.0
+    for _ in range(n_iter):
+        w = _seq_dots(cov, v[None, :])[:, 0]
+        v = w / max(_seq_norms(w[None, :])[0], 1e-12)
+    w2 = _seq_dots(cov, v[None, :])[:, 0]
+    lam = float(_seq_dots(v[None, :], w2[None, :])[0, 0])
+    return mean, v, lam
 
 
 def ivf_assign(
@@ -611,8 +673,11 @@ def pq_codebooks(
     x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
     # L2-normalize: the ANN truth metric is cosine, and on the unit sphere
     # squared L2 = 2 - 2*cos, so per-subspace Euclidean codebooks rank
-    # candidates consistently with the exact re-rank
-    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    # candidates consistently with the exact re-rank.
+    # All accumulation below is the sequential dim-/member-order fold
+    # (see _seq_dots) so q115's oracle can replay the whole codebook
+    # training in SQL, exactly like the q47 quantizer replay.
+    x = x / np.maximum(_seq_norms(x)[:, None], 1e-12)
     dim = x.shape[1]
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
@@ -621,21 +686,25 @@ def pq_codebooks(
     for j in range(m_subspaces):
         xj = x[:, j * sub : (j + 1) * sub]
         seed_idx = [0]
-        d2 = ((xj - xj[0]) ** 2).sum(axis=1)  # squared dist to nearest seed
+        d2 = _seq_sqdist(xj, xj[0:1])[:, 0]  # squared dist to nearest seed
         for _ in range(1, min(n_codes, len(xj))):
             nxt = int(np.argmax(d2))  # farthest point; argmax ties -> lowest
             seed_idx.append(nxt)
-            d2 = np.minimum(d2, ((xj - xj[nxt]) ** 2).sum(axis=1))
+            d2 = np.minimum(d2, _seq_sqdist(xj, xj[nxt : nxt + 1])[:, 0])
         cents = xj[seed_idx].copy()
         if len(cents) < n_codes:  # degenerate tiny corpus: pad by repeating
             cents = np.vstack([cents] * (n_codes // len(cents) + 1))[:n_codes]
         for _ in range(n_iter):
-            d = ((xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            d = _seq_sqdist(xj, cents)
             assign = np.argmin(d, axis=1)  # ties -> lowest: deterministic
             for ci in range(n_codes):
                 members = xj[assign == ci]
                 if len(members):
-                    cents[ci] = members.mean(axis=0)
+                    # sequential member-order sum / count (sample order)
+                    acc = np.zeros(sub)
+                    for mrow in members:
+                        acc = acc + mrow
+                    cents[ci] = acc / len(members)
         books[j] = cents
     return books
 
@@ -655,11 +724,11 @@ def pq_encode(
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def encode(vecs: pd.Series) -> pd.Series:
         x = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        x = x / np.maximum(_seq_norms(x)[:, None], 1e-12)
         out = np.zeros((len(x), m), dtype=np.int32)
         for j in range(m):
             xj = x[:, j * sub : (j + 1) * sub]
-            d = ((xj[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            d = _seq_sqdist(xj, codebooks[j])  # oracle-replayable fold
             out[:, j] = np.argmin(d, axis=1)
         return pd.Series(list(out))
 
@@ -708,13 +777,11 @@ def pq_topk(
     @pandas_udf(T.ArrayType(T.DoubleType()))
     def dist_table(vecs: pd.Series) -> pd.Series:
         x = np.stack(vecs.to_numpy()).astype(np.float64)
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        x = x / np.maximum(_seq_norms(x)[:, None], 1e-12)
         tables = np.zeros((len(x), m * nc))
         for j in range(m):
             xj = x[:, j * sub : (j + 1) * sub]
-            tables[:, j * nc : (j + 1) * nc] = (
-                (xj[:, None, :] - books[j][None, :, :]) ** 2
-            ).sum(axis=2)
+            tables[:, j * nc : (j + 1) * nc] = _seq_sqdist(xj, books[j])
         return pd.Series(list(tables))
 
     cb = pq_encode(corpus, books, id_col, vec_col).select(

@@ -477,14 +477,165 @@ def q114_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ── q115: product-quantization ANN ──────────────────────────────────────────
 
 
+def _pq_sql(
+    m: int = 8,
+    n_codes: int = 32,
+    k: int = 5,
+    refine: int = 8,
+    sample_size: int = 1024,
+    n_iter: int = 10,
+    seed: int = 42,
+    n_queries: int = 10,
+    dim: int = 64,
+) -> str:
+    """Full SQL replay of pq_topk: normalized md5-ordered sample,
+    per-subspace farthest-point init (n_codes-1 unrolled steps, all
+    subspaces handled relationally by a `j` key), n_iter unrolled Lloyd
+    iterations (Euclidean argmin, member-order mean sums, NO
+    renormalization — PQ is raw-L2 per subspace), corpus/query code
+    assignment, the ADC fold (sum of per-subspace table lookups in j
+    order), and the exact-cosine re-rank of the top refine*k ADC
+    candidates. Same sequential-fold contract as the q47/q207 replays;
+    assumes corpus >= n_codes rows (the operator's degenerate-corpus
+    padding branch is not replayed — every gated sf is far above it)."""
+    from .llm_ops import _COS
+
+    sub = dim // m
+    rng_s = f"range(1,{sub + 1})"
+
+    def sqd(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform({rng_s}, "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    def rawnorm(v: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform(range(1,{dim + 1}), "
+            f"i -> {v}[i]::DOUBLE * {v}[i]::DOUBLE)))"
+        )
+
+    fp = []
+    for t in range(2, n_codes + 1):
+        fp.append(f"""
+    st{t} AS MATERIALIZED (
+      SELECT j, sv AS cv FROM (
+        SELECT j, idx, sv,
+               ROW_NUMBER() OVER (PARTITION BY j ORDER BY d2 DESC, idx ASC)
+                 AS rn
+        FROM dd{t - 1}) z WHERE rn = 1),
+    dd{t} AS MATERIALIZED (
+      SELECT m.j, m.idx, m.sv, LEAST(m.d2, {sqd("m.sv", "s.cv")}) AS d2
+      FROM dd{t - 1} m JOIN st{t} s USING (j))""")
+    cb0 = "\n      UNION ALL ".join(
+        ["SELECT j, 0 AS code, cv FROM c1"]
+        + [f"SELECT j, {t - 1} AS code, cv FROM st{t}" for t in range(2, n_codes + 1)]
+    )
+    lloyd = []
+    for t in range(1, n_iter + 1):
+        lloyd.append(f"""
+    asg{t} AS MATERIALIZED (
+      SELECT j, idx, sv, code FROM (
+        SELECT s.j, s.idx, s.sv, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.j, s.idx
+                 ORDER BY {sqd("s.sv", "c.cv")} ASC, c.code ASC) AS rn
+        FROM ss s JOIN cb{t - 1} c USING (j)) z
+      WHERE rn = 1),
+    nm{t} AS MATERIALIZED (
+      SELECT j, code, list(md ORDER BY d) AS mv FROM (
+        SELECT j, code, d, list_sum(list(val ORDER BY idx)) / COUNT(*) AS md
+        FROM (SELECT j, code, idx, UNNEST({rng_s}) AS d, UNNEST(sv) AS val
+              FROM asg{t}) u
+        GROUP BY j, code, d) g
+      GROUP BY j, code),
+    cb{t} AS MATERIALIZED (
+      SELECT p.j, p.code, COALESCE(n.mv, p.cv) AS cv
+      FROM cb{t - 1} p LEFT JOIN nm{t} n ON n.j = p.j AND n.code = p.code)""")
+
+    cos_final = _COS.format(a="qe.embedding", b="ne.embedding")
+    return f"""
+    WITH sord AS MATERIALIZED (
+      SELECT vec_id AS id, embedding AS v,
+             md5(concat('{seed}', CAST(vec_id AS VARCHAR))) AS h
+      FROM embeddings ORDER BY h, id LIMIT {sample_size}
+    ),
+    sidx AS (SELECT id, v, ROW_NUMBER() OVER (ORDER BY h, id) AS idx FROM sord),
+    snv AS MATERIALIZED (
+      SELECT idx, list_transform(range(1,{dim + 1}),
+               i -> v[i]::DOUBLE / greatest({rawnorm("v")}, 1e-12)) AS nv
+      FROM sidx
+    ),
+    ss AS MATERIALIZED (
+      SELECT idx, j, list_transform({rng_s}, i -> nv[(j - 1) * {sub} + i]) AS sv
+      FROM snv CROSS JOIN (SELECT UNNEST(range(1,{m + 1})) AS j) js
+    ),
+    c1 AS MATERIALIZED (SELECT j, sv AS cv FROM ss WHERE idx = 1),
+    dd1 AS MATERIALIZED (
+      SELECT s.j, s.idx, s.sv, {sqd("s.sv", "c.cv")} AS d2
+      FROM ss s JOIN c1 c USING (j)),{",".join(fp)},
+    cb0 AS MATERIALIZED (
+      {cb0}
+    ),{",".join(lloyd)},
+    pen AS MATERIALIZED (
+      SELECT vec_id, embedding, list_transform(range(1,{dim + 1}),
+               i -> embedding[i]::DOUBLE / greatest({rawnorm("embedding")}, 1e-12))
+                 AS env
+      FROM embeddings
+    ),
+    es AS MATERIALIZED (
+      SELECT vec_id, j, list_transform({rng_s}, i -> env[(j - 1) * {sub} + i])
+               AS sv
+      FROM pen CROSS JOIN (SELECT UNNEST(range(1,{m + 1})) AS j) js
+    ),
+    ec AS MATERIALIZED (
+      SELECT vec_id, j, code FROM (
+        SELECT e.vec_id, e.j, c.code,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.j
+                 ORDER BY {sqd("e.sv", "c.cv")} ASC, c.code ASC) AS rn
+        FROM es e JOIN cb{n_iter} c USING (j)) z
+      WHERE rn = 1),
+    qd AS MATERIALIZED (
+      SELECT e.vec_id AS query_id, e.j, c.code, {sqd("e.sv", "c.cv")} AS dv
+      FROM es e JOIN cb{n_iter} c USING (j)
+      WHERE e.vec_id < {n_queries}),
+    adc AS MATERIALIZED (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_sum(list(q.dv ORDER BY q.j)) AS adc
+      FROM ec e JOIN qd q ON q.j = e.j AND q.code = e.code
+      WHERE e.vec_id <> q.query_id
+      GROUP BY q.query_id, e.vec_id),
+    cand AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc ASC, neighbor_id ASC) AS rn
+        FROM adc) z
+      WHERE rn <= {refine * k})
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT c.query_id, c.neighbor_id,
+             ROUND({cos_final}, 6) AS sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c.query_id
+                     ORDER BY ROUND({cos_final}, 6) DESC, c.neighbor_id)
+                  AS INTEGER) AS rank
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ne ON ne.vec_id = c.neighbor_id) t
+    WHERE rank <= {k}
+    """
+
+
 @register(
     "q115_ann_pq_topk",
-    None,  # approximate: rows-only driver check; pytest asserts recall
+    _pq_sql(),
     doc="Product-quantization ANN top-k: per-subspace k-means codebooks "
     "compress each vector to 8 code bytes; the candidate scan is pure "
     "ADC table lookups over the codes (never the raw vectors), then the "
     "top refine*k candidates re-rank by exact cosine. Recall bound vs "
-    "brute force asserted in tests/test_text_similarity.py.",
+    "brute force asserted in tests/test_text_similarity.py. Graduated "
+    "from rows-only in r6: the oracle replays codebook training (all 8 "
+    "subspaces relationally), encoding, the ADC fold, and the re-rank "
+    "via the sequential-fold float contract (q47 precedent) — with this "
+    "the registry has ZERO rows-only queries.",
 )
 def q115_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: the ADC scan reads (id, codes) — ~3% of the embedding

@@ -307,3 +307,251 @@ def q206_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ── q208: bigram-LM held-out perplexity (CCNet-style quality signal) ────────
+
+
+@register(
+    "q208_bigram_perplexity",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM tok WHERE len(toks) >= 2
+    ),
+    train_uni AS (
+      SELECT w1 AS w, CAST(COUNT(*) AS BIGINT) AS c1 FROM big
+      WHERE doc_id % 5 <> 0 GROUP BY w1
+    ),
+    train_big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM big
+      WHERE doc_id % 5 <> 0 GROUP BY w1, w2
+    ),
+    vsize AS (
+      SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v FROM (
+        SELECT unnest(toks) AS tk FROM tok WHERE doc_id % 5 <> 0)
+    ),
+    held AS (SELECT doc_id, w1, w2 FROM big WHERE doc_id % 5 = 0),
+    scored AS (
+      SELECT h.doc_id,
+             CAST(FLOOR(LN((COALESCE(tb.cb, 0) + 1)::DOUBLE
+                           / (COALESCE(tu.c1, 0) + vs.v)) * 1000000 + 0.5)
+                  AS BIGINT) AS q6
+      FROM held h
+      LEFT JOIN train_big tb ON tb.w1 = h.w1 AND tb.w2 = h.w2
+      LEFT JOIN train_uni tu ON tu.w = h.w1
+      CROSS JOIN vsize vs
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           FLOOR(SUM(q6)::DOUBLE / (COUNT(*) * 1000000.0) * 10000 + 0.5)
+             / 10000 AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Bigram-LM quality scoring (the CCNet recipe, arXiv:1911.00359 "
+    "§4.3, with add-one smoothing instead of a pretrained KenLM): train "
+    "P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) on docs with doc_id %% 5 != 0, "
+    "score each HELD-OUT doc by mean bigram log-probability — the "
+    "conditional upgrade of q92's unigram filter, which is blind to "
+    "word-order scrambling. Each bigram's log-prob is ln of an exact "
+    "integer ratio (IEEE-identical cross-engine), floor-half-up "
+    "quantized to micro-nats BEFORE the per-doc sum so the aggregate is "
+    "an order-free integer sum.",
+)
+def q208_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: bigram/unigram count relations are vocabulary-bounded
+    (zipf, ≪ corpus) and broadcast; V rides one scalar row. The held-out
+    scan joins map-side and re-aggregates per doc with map-side combine
+    on integers. Bigram explode is a local fan-out. At a vocabulary too
+    big to broadcast, the joins degrade to shuffle hash joins on the
+    bigram key — same plan shape, one extra exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"), lambda t: t != ""
+        ).alias("toks"),
+    )
+    n = F.size("toks")
+    big = (
+        tok.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, n - 1).alias("w1"),
+                    F.slice("toks", 2, n - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    train = big.filter(F.col("doc_id") % 5 != 0)
+    train_uni = train.groupBy(F.col("w1").alias("w")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    train_big = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    vsize = (
+        tok.filter(F.col("doc_id") % 5 != 0)
+        .select(F.explode("toks").alias("tk"))
+        .agg(F.countDistinct("tk").alias("v"))
+    )
+    held = big.filter(F.col("doc_id") % 5 == 0)
+    q6 = F.floor(
+        F.log(
+            (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+        )
+        * 1_000_000
+        + 0.5
+    ).cast("long")
+    return (
+        held.join(F.broadcast(train_big), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(train_uni),
+            held["w1"] == F.col("w"),
+            "left",
+        )
+        .crossJoin(F.broadcast(vsize))
+        .select("doc_id", q6.alias("q6"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            round_half_up(
+                F.sum("q6").cast("double") / (F.count(F.lit(1)) * 1_000_000.0), 4
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ── q207: PCA top component (power iteration, fully hash-certified) ─────────
+
+_Q207_ITER = 12
+_Q207_TOP = 20
+
+
+def _q207_sql(sample_size: int = 1024, n_iter: int = _Q207_ITER, seed: int = 42,
+              dim: int = 64) -> str:
+    """SQL replay of pca_power + the map-side projection: md5-ordered
+    sample, per-dim mean (member-order list_sum fold), centered
+    covariance (member-order fold of element products / n), n_iter
+    power-iteration matvecs with renormalization, eigenvalue, and the
+    per-vector projection score. Same sequential-fold contract as the
+    q47 quantizer replay; MATERIALIZED CTEs stop the iteration chain
+    re-inlining."""
+    rng = f"range(1,{dim + 1})"
+    steps = []
+    for t in range(1, n_iter + 1):
+        steps.append(f"""
+    w{t} AS MATERIALIZED (
+      SELECT c.d1 AS d, list_sum(list_transform({rng}, j -> c.cr[j] * v.vv[j]))
+               AS wd
+      FROM crow c CROSS JOIN v{t - 1} v),
+    wa{t} AS MATERIALIZED (SELECT list(wd ORDER BY d) AS wv FROM w{t}),
+    v{t} AS MATERIALIZED (
+      SELECT list_transform(wv,
+               e -> e / greatest(sqrt(list_sum(list_transform(wv, q -> q*q))),
+                                 1e-12)) AS vv
+      FROM wa{t})""")
+    return f"""
+    WITH sord AS MATERIALIZED (
+      SELECT vec_id AS id, embedding AS v,
+             md5(concat('{seed}', CAST(vec_id AS VARCHAR))) AS h
+      FROM embeddings ORDER BY h, id LIMIT {sample_size}
+    ),
+    sidx AS (SELECT id, v, ROW_NUMBER() OVER (ORDER BY h, id) AS idx FROM sord),
+    sx AS MATERIALIZED (
+      SELECT idx, list_transform({rng}, i -> v[i]::DOUBLE) AS xv FROM sidx
+    ),
+    mv AS MATERIALIZED (
+      SELECT list(md ORDER BY d) AS mv FROM (
+        SELECT d, list_sum(list(val ORDER BY idx)) / COUNT(*) AS md
+        FROM (SELECT idx, UNNEST({rng}) AS d, UNNEST(xv) AS val FROM sx) u
+        GROUP BY d) m
+    ),
+    cx AS MATERIALIZED (
+      SELECT idx, list_transform({rng}, i -> s.xv[i] - m.mv[i]) AS cxv
+      FROM sx s CROSS JOIN mv m
+    ),
+    ux AS MATERIALIZED (
+      SELECT idx, UNNEST({rng}) AS d, UNNEST(cxv) AS cval FROM cx
+    ),
+    crow AS MATERIALIZED (
+      SELECT d1, list(cv ORDER BY d2) AS cr FROM (
+        SELECT a.d AS d1, b.d AS d2,
+               list_sum(list(a.cval * b.cval ORDER BY a.idx)) / COUNT(*) AS cv
+        FROM ux a JOIN ux b USING (idx)
+        GROUP BY a.d, b.d) g
+      GROUP BY d1
+    ),
+    v0 AS MATERIALIZED (
+      SELECT list_transform({rng}, i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END)
+               AS vv
+    ),{",".join(steps)},
+    eig AS MATERIALIZED (
+      SELECT FLOOR(list_sum(list_transform({rng}, j -> v.vv[j] * w.wd2[j]))
+                   * 1000000 + 0.5) / 1000000 AS eigval
+      FROM v{n_iter} v CROSS JOIN (
+        SELECT list(wd ORDER BY d) AS wd2 FROM (
+          SELECT c.d1 AS d,
+                 list_sum(list_transform({rng}, j -> c.cr[j] * v.vv[j])) AS wd
+          FROM crow c CROSS JOIN v{n_iter} v) z) w
+    ),
+    proj AS (
+      SELECT e.vec_id,
+             FLOOR(list_sum(list_transform({rng},
+                     i -> (e.embedding[i]::DOUBLE - m.mv[i]) * v.vv[i]))
+                   * 1000000 + 0.5) / 1000000 AS proj
+      FROM embeddings e CROSS JOIN mv m CROSS JOIN v{n_iter} v
+    )
+    SELECT vec_id, proj, rank, eigval FROM (
+      SELECT vec_id, proj,
+             CAST(ROW_NUMBER() OVER (ORDER BY ABS(proj) DESC, vec_id)
+                  AS INTEGER) AS rank
+      FROM proj) t CROSS JOIN eig
+    WHERE rank <= {_Q207_TOP}
+    """
+
+
+@register(
+    "q207_pca_top_component",
+    _q207_sql(),
+    doc="Top principal component of the embedding cloud (power "
+    "iteration on a deterministic driver sample) with the top-20 "
+    "largest-|projection| vectors — the outlier/drift-axis readout an "
+    "embedding pipeline uses to spot clusters of anomalous documents. "
+    "Fully hash-certified: mean, covariance, every matvec, the "
+    "eigenvalue, and the map-side projection replay in SQL via the "
+    "same sequential-fold float contract as the q47 k-means replay — "
+    "an iterative LINEAR-ALGEBRA algorithm under the exact oracle, not "
+    "rows-only.",
+)
+def q207_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one TakeOrdered sample scan + dim^2 driver math; the
+    per-vector projection is a JVM-side fold expression (no UDF, no
+    shuffle) and the top-k is a TakeOrdered. Nothing corpus-sized
+    shuffles."""
+    from ..operators.similarity import dot, pca_power
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mean, comp, lam = pca_power(emb, "vec_id", "embedding", n_iter=_Q207_ITER)
+    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    comp_lit = F.array(*[F.lit(float(c)) for c in comp])
+    centered = F.zip_with(
+        "embedding", mean_lit, lambda x, y: x.cast("double") - y
+    )
+    proj6 = F.floor(dot(centered, comp_lit) * 1_000_000 + 0.5) / 1_000_000
+    eig6 = float(__import__("math").floor(lam * 1_000_000 + 0.5)) / 1_000_000
+    w = Window.orderBy(F.abs(F.col("proj")).desc(), F.asc("vec_id"))
+    return (
+        emb.select("vec_id", proj6.alias("proj"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _Q207_TOP)
+        .withColumn("eigval", F.lit(eig6))
+    )

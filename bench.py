@@ -112,6 +112,8 @@ HEADLINE = [
     "q204_semantic_decontamination",
     "q205_bpe_pair_stats",
     "q206_padding_efficiency",
+    "q207_pca_top_component",
+    "q208_bigram_perplexity",
 ]
 
 

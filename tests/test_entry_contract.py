@@ -15,16 +15,12 @@ def test_oracle_keys_subset_of_queries():
     q, o = entry.queries(), entry.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 160
-    # rows-only set is the documented approximate-sketch list (q40/q84
-    # graduated to hash-checked in r4 via the explicit-register HLL
-    # whose DuckDB oracle replays the md5 register math; q80 graduated
-    # in r5 via the GK-exact-replay precedent — percentile_approx with
-    # accuracy high enough that the summary retains every sample; q47
-    # graduated in r6 by replaying the ENTIRE k-means quantizer in SQL,
-    # enabled by sequential-fold float accumulation on the Spark side)
-    assert set(q) - set(o) == {
-        "q115_ann_pq_topk",
-    }
+    # The rows-only set is EMPTY as of r6: every registered query is
+    # oracle-backed. Graduation history: q40/q84 in r4 (explicit-register
+    # HLL replay), q80 in r5 (GK exact replay), q47 and q115 in r6 (full
+    # k-means-quantizer / PQ-codebook SQL replay, enabled by
+    # sequential-fold float accumulation on the Spark side).
+    assert set(q) - set(o) == set()
 
 
 def test_rotation_puts_unchecked_first(tmp_path, monkeypatch):

@@ -84,3 +84,51 @@ def test_training_queries_registered_at_tail():
         "q206_padding_efficiency",
     ):
         assert idx[newer] > idx["q202_mmr_rerank"]
+
+
+def test_q207_pca_rayleigh_quotient_near_top_eigenvalue(spark):
+    """The power-iteration eigenvalue is a Rayleigh quotient: it can
+    never exceed the true top eigenvalue of the sample covariance, and
+    after 12 iterations it must capture most of it even with this
+    corpus's small eigengap (lambda2/lambda1 ~ 0.93). Projections must
+    be rank-ordered by |proj|."""
+    import numpy as np
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    rows = sorted(
+        QUERY_REGISTRY["q207_pca_top_component"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert len(rows) == 20 and [r["rank"] for r in rows] == list(range(1, 21))
+    absp = [abs(r["proj"]) for r in rows]
+    assert absp == sorted(absp, reverse=True)
+    lam = rows[0]["eigval"]
+    assert all(r["eigval"] == lam for r in rows)
+
+    x = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, SF_SMOKE, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    xc = x - x.mean(axis=0)
+    true_top = float(np.linalg.eigvalsh(xc.T @ xc / len(x))[-1])
+    assert lam <= true_top + 1e-9  # Rayleigh bound
+    assert lam >= 0.9 * true_top  # convergence quality
+
+
+def test_q208_bigram_scores_held_out_only_and_sane(spark):
+    rows = QUERY_REGISTRY["q208_bigram_perplexity"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % 5 == 0  # held-out split only
+        assert r["n_bigrams"] >= 1
+        assert r["avg_logprob"] < 0  # log-probabilities
+    # smoothing floor: nothing can be less likely than 1/(0 + V) with
+    # V = train vocab; mean log-prob must stay above ln(1/(max_c1+V))
+    # trivially > -20 at this scale — a sanity band, not a tight bound
+    assert all(r["avg_logprob"] > -20 for r in rows)
