@@ -1,8 +1,11 @@
 """Training-data shaping operators (round 6): the pre-training steps a
 data team runs AFTER curation — clustering the corpus for mixture /
-dedup decisions, decontaminating against a benchmark in EMBEDDING
-space, inducing tokenizer merge candidates, and shaping length buckets
-for efficient batch packing.
+dedup decisions (q203), decontaminating against a benchmark in
+EMBEDDING space (q204), inducing tokenizer merge candidates (q205),
+shaping length buckets for efficient batch packing (q206), spotting
+outlier axes via PCA (q207), LM-perplexity quality scoring (q208),
+auditing ANN index recall (q209), and positional phrase retrieval
+(q210).
 
 Reference tie-in: the reference delegates all analytics to Athena
 (README.md:128-132); these extend the engine's LLM-pipeline surface
@@ -567,4 +570,133 @@ def q207_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _Q207_TOP)
         .withColumn("eigval", F.lit(eig6))
+    )
+
+
+# ── q209: ANN recall audit (IVF vs exact, certified metric) ─────────────────
+
+
+def _q209_sql() -> str:
+    from .extras import _ivf_sql
+    from .llm_ops import _COS
+
+    cos = _COS.format(a="qe", b="c.embedding")
+    return f"""
+    WITH ivf AS ({_ivf_sql()}),
+    exact AS (
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                 WHERE vec_id < 10),
+      sims AS (
+        SELECT query_id, c.vec_id AS neighbor_id, ROUND({cos}, 6) AS sim
+        FROM q JOIN embeddings c ON c.vec_id <> query_id
+      )
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims) t
+      WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           FLOOR(COUNT(i.neighbor_id)::DOUBLE / 5 * 1000000 + 0.5) / 1000000
+             AS recall
+    FROM exact e
+    LEFT JOIN ivf i ON i.query_id = e.query_id
+                   AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@register(
+    "q209_ann_recall_audit",
+    _q209_sql(),
+    doc="ANN quality evaluation as a first-class query: per-query "
+    "recall@5 of the IVF index (q47) against the exact brute-force "
+    "top-5 (q30) — the continuous-monitoring metric an embedding "
+    "platform alerts on when an index drifts stale. Because BOTH "
+    "retrieval paths replay exactly in SQL (the q47 quantizer replay), "
+    "the recall numbers themselves are hash-certified, not just "
+    "pytest-bounded; recall values are exact binary fractions (n/5).",
+)
+def q209_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both sides are the already-audited operators (broadcast
+    queries, cluster-equi-join candidates); the audit join is k rows per
+    query. In production the exact side runs over a fixed probe SAMPLE
+    (queries here are 10 probes), so the audit costs one brute-force
+    scan over probes x corpus — the price of ground truth, amortized by
+    scheduling it, not a per-query cost."""
+    from ..operators.similarity import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(probes, emb, k=5).select("query_id", "neighbor_id")
+    ivf = ivf_topk(probes, emb, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", F.col("neighbor_id").alias("__in")
+    )
+    joined = exact.join(
+        ivf,
+        (exact["query_id"] == ivf["query_id"])
+        & (exact["neighbor_id"] == ivf["__in"]),
+        "left",
+    ).select(exact["query_id"], "neighbor_id", "__in")
+    return joined.groupBy("query_id").agg(
+        F.count("__in").alias("n_hits"),
+        round_half_up(F.count("__in").cast("double") / 5, 6).alias("recall"),
+    )
+
+
+# ── q210: positional phrase search over the inverted index ──────────────────
+
+_Q210_PHRASE = ("spark", "window")
+
+
+@register(
+    "q210_phrase_search",
+    rf"""
+    WITH pos AS (
+      SELECT doc_id, unnest(toks) AS term,
+             unnest(range(1, len(toks) + 1)) AS p
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+    ),
+    a AS (SELECT doc_id, p FROM pos WHERE term = '{_Q210_PHRASE[0]}'),
+    b AS (SELECT doc_id, p FROM pos WHERE term = '{_Q210_PHRASE[1]}')
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(a.p) AS first_pos
+    FROM a JOIN b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    GROUP BY a.doc_id
+    """,
+    doc="Exact phrase search via POSITIONAL postings (the reason q196's "
+    "index stores positions): docs containing the query phrase as "
+    "adjacent tokens, with occurrence count and first match position — "
+    "the retrieval feature a bag-of-words index cannot answer. "
+    "Adjacency is an equi-join of the two terms' postings on "
+    "(doc_id, p+1).",
+)
+def q210_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: only the PHRASE TERMS' postings leave the scan (term
+    filter before anything shuffles — q197's discipline), so the join
+    is |postings(w1)| x |postings(w2)| on doc_id, not corpus-sized;
+    n-word phrases chain n-1 such equi-joins. With the q196 index
+    MATERIALIZED, the scan is an index lookup instead of a corpus
+    tokenize."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias("p0", "term"),
+    ).select("doc_id", "term", (F.col("p0") + 1).cast("long").alias("p"))
+    a = pos.filter(F.col("term") == _Q210_PHRASE[0]).select("doc_id", "p")
+    b = pos.filter(F.col("term") == _Q210_PHRASE[1]).select(
+        "doc_id", F.col("p").alias("p2")
+    )
+    return (
+        a.join(b, ["doc_id"])
+        .filter(F.col("p2") == F.col("p") + 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("p").alias("first_pos"),
+        )
     )

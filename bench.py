@@ -114,6 +114,8 @@ HEADLINE = [
     "q206_padding_efficiency",
     "q207_pca_top_component",
     "q208_bigram_perplexity",
+    "q209_ann_recall_audit",
+    "q210_phrase_search",
 ]
 
 
