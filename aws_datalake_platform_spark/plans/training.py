@@ -4,8 +4,9 @@ dedup decisions (q203), decontaminating against a benchmark in
 EMBEDDING space (q204), inducing tokenizer merge candidates (q205),
 shaping length buckets for efficient batch packing (q206), spotting
 outlier axes via PCA (q207), LM-perplexity quality scoring (q208),
-auditing ANN index recall (q209), and positional phrase retrieval
-(q210).
+auditing ANN index recall (q209), positional phrase retrieval (q210),
+and the tabular-ML feature-prep pair — WOE/IV screening (q211) and
+leakage-safe K-fold target encoding (q212).
 
 Reference tie-in: the reference delegates all analytics to Athena
 (README.md:128-132); these extend the engine's LLM-pipeline surface
@@ -699,4 +700,151 @@ def q210_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_occurrences"),
             F.min("p").alias("first_pos"),
         )
+    )
+
+
+# ── q211: weight-of-evidence / information value (feature screening) ────────
+
+
+@register(
+    "q211_woe_iv",
+    """
+    WITH agg AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bad,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_good
+      FROM orders GROUP BY o_orderpriority
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_bad) AS BIGINT) AS tb, CAST(SUM(n_good) AS BIGINT) AS tg
+      FROM agg
+    )
+    SELECT o_orderpriority, n_good, n_bad,
+           FLOOR(LN((n_bad::DOUBLE * tg) / (tb::DOUBLE * n_good)) * 1000000
+                 + 0.5) / 1000000 AS woe,
+           FLOOR((n_bad::DOUBLE / tb - n_good::DOUBLE / tg)
+                 * (FLOOR(LN((n_bad::DOUBLE * tg) / (tb::DOUBLE * n_good))
+                          * 1000000 + 0.5) / 1000000)
+                 * 1000000 + 0.5) / 1000000 AS iv_term
+    FROM agg CROSS JOIN tot
+    """,
+    doc="Weight-of-evidence / information-value feature screening "
+    "(credit-scoring's standard categorical diagnostic, here o_orderpriority "
+    "vs the order-status target): per category, WOE = ln(bad-share / "
+    "good-share) computed as ln of one exact integer-ratio expression, "
+    "and the category's IV contribution. Every input to ln is exact "
+    "integer arithmetic widened to double in the same order on both "
+    "engines; outputs are floor-half-up rounded. Summing iv_term gives "
+    "the feature's IV — left per-category so the oracle stays "
+    "order-free.",
+)
+def q211_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one map-side-combinable aggregate over the fact table (the
+    conditional-count fusion of q04), a one-row totals broadcast, and
+    |categories| output rows — the cheapest useful feature screen at
+    100 TB."""
+    li = load_table(spark, sf_dir, "orders")
+    agg = li.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_bad"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 0).otherwise(1)).alias("n_good"),
+    )
+    tot = agg.agg(F.sum("n_bad").alias("tb"), F.sum("n_good").alias("tg"))
+    woe = (
+        F.floor(
+            F.log(
+                (F.col("n_bad").cast("double") * F.col("tg"))
+                / (F.col("tb").cast("double") * F.col("n_good"))
+            )
+            * 1_000_000
+            + 0.5
+        )
+        / 1_000_000
+    )
+    iv_term = (
+        F.floor(
+            (
+                F.col("n_bad").cast("double") / F.col("tb")
+                - F.col("n_good").cast("double") / F.col("tg")
+            )
+            * woe
+            * 1_000_000
+            + 0.5
+        )
+        / 1_000_000
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority", "n_good", "n_bad", woe.alias("woe"), iv_term.alias("iv_term")
+    )
+
+
+# ── q212: leakage-safe K-fold target encoding ───────────────────────────────
+
+_Q212_FOLDS = 3
+
+
+@register(
+    "q212_target_encoding",
+    f"""
+    WITH base AS (
+      SELECT o_orderpriority, CAST(o_orderkey % {_Q212_FOLDS} AS INT) AS fold,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    per_fold AS (
+      SELECT o_orderpriority, fold,
+             CAST(SUM(y) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY o_orderpriority, fold
+    ),
+    per_cat AS (
+      SELECT o_orderpriority, CAST(SUM(s) AS BIGINT) AS st,
+             CAST(SUM(c) AS BIGINT) AS ct
+      FROM per_fold GROUP BY o_orderpriority
+    )
+    SELECT f.o_orderpriority, f.fold,
+           f.c AS n_rows,
+           FLOOR((p.st - f.s)::DOUBLE / (p.ct - f.c) * 1000000 + 0.5) / 1000000
+             AS encoded
+    FROM per_fold f JOIN per_cat p USING (o_orderpriority)
+    """,
+    doc="Leakage-safe K-fold target encoding (the mean-target categorical "
+    "encoder every tabular-ML pipeline ships): rows in fold f receive "
+    "the category's target mean computed over the OTHER folds — "
+    "(sum_all - sum_f) / (cnt_all - cnt_f), exact integer sums with one "
+    "deterministic double division, floor-half-up rounded. Output is the "
+    "compact (category, fold) encoding table a scorer broadcast-joins "
+    "back onto the raw rows.",
+)
+def q212_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two map-side-combinable integer aggregates (category x fold,
+    then category) and a categories-sized join — no row-level shuffle at
+    all; the encoding table is tiny and broadcasts onto the training
+    frame downstream."""
+    li = load_table(spark, sf_dir, "orders")
+    base = li.select(
+        "o_orderpriority",
+        (F.col("o_orderkey") % _Q212_FOLDS).cast("int").alias("fold"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    per_fold = base.groupBy("o_orderpriority", "fold").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    per_cat = per_fold.groupBy("o_orderpriority").agg(
+        F.sum("s").alias("st"), F.sum("c").alias("ct")
+    )
+    enc = (
+        F.floor(
+            (F.col("st") - F.col("s")).cast("double")
+            / (F.col("ct") - F.col("c"))
+            * 1_000_000
+            + 0.5
+        )
+        / 1_000_000
+    )
+    return per_fold.join(F.broadcast(per_cat), "o_orderpriority").select(
+        "o_orderpriority",
+        "fold",
+        F.col("c").alias("n_rows"),
+        enc.alias("encoded"),
     )

@@ -116,6 +116,8 @@ HEADLINE = [
     "q208_bigram_perplexity",
     "q209_ann_recall_audit",
     "q210_phrase_search",
+    "q211_woe_iv",
+    "q212_target_encoding",
 ]
 
 

@@ -174,3 +174,51 @@ def test_q210_phrase_search_matches_text_scan(spark):
         if any(toks[i] == "spark" and toks[i + 1] == "window"
                for i in range(len(toks) - 1)):
             assert did in rows
+
+
+def test_q211_woe_partitions_and_signs(spark):
+    """Counts must partition orders; WOE sign must match whether the
+    category's bad-rate exceeds the global bad-rate."""
+    from aws_datalake_platform_spark.catalog import load_table
+
+    rows = QUERY_REGISTRY["q211_woe_iv"].fn(spark, SF_SMOKE).collect()
+    orders = load_table(spark, SF_SMOKE, "orders")
+    assert sum(r["n_good"] + r["n_bad"] for r in rows) == orders.count()
+    tb = sum(r["n_bad"] for r in rows)
+    tg = sum(r["n_good"] for r in rows)
+    for r in rows:
+        expected_sign = (r["n_bad"] / tb) - (r["n_good"] / tg)
+        if abs(expected_sign) > 1e-9:
+            assert (r["woe"] > 0) == (expected_sign > 0), r
+        assert r["iv_term"] >= -1e-6  # (a-b)*ln(a/b) >= 0 up to rounding
+
+
+def test_q212_target_encoding_leaves_fold_out(spark):
+    """Each (category, fold) encoding must equal the category's target
+    mean computed over the OTHER folds only."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    rows = QUERY_REGISTRY["q212_target_encoding"].fn(spark, SF_SMOKE).collect()
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderkey") % 3).cast("int").alias("fold"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    raw = orders.groupBy("o_orderpriority", "fold").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("c")
+    ).collect()
+    sums = {}
+    for r in raw:
+        sums.setdefault(r["o_orderpriority"], {})[r["fold"]] = (r["s"], r["c"])
+    assert len(rows) == len(sums) * 3
+    import math
+
+    for r in rows:
+        other = [v for f, v in sums[r["o_orderpriority"]].items() if f != r["fold"]]
+        s = sum(x[0] for x in other)
+        c = sum(x[1] for x in other)
+        want = math.floor(s / c * 1e6 + 0.5) / 1e6
+        assert r["encoded"] == want, (r, want)
+        assert r["n_rows"] == sums[r["o_orderpriority"]][r["fold"]][1]
