@@ -406,3 +406,32 @@ def test_q202_mmr_no_cross_join_after_candidates(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Scan ExistingRDD" in plan  # the O(k)-bounding checkpoint leaves
+
+
+def test_q204_bench_broadcast_no_cartesian(spark):
+    """The benchmark side must BROADCAST (one nested-loop join against
+    the broadcast relation — the documented small-side shape), never a
+    cartesian; the train scan is round-robin repartitioned so per-pair
+    HOF work spreads across cores."""
+    plan = _plan(spark, "q204_semantic_decontamination")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "RoundRobinPartitioning" in plan  # the single-split spread
+
+
+def test_q210_phrase_join_is_hash_equi_join(spark):
+    """Phrase adjacency must plan as an equi-join on doc_id over the
+    term-filtered postings — postings-sized, never a corpus cartesian."""
+    plan = _plan(spark, "q210_phrase_search")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q212_encoding_table_broadcast_join(spark):
+    """The category-level encoding join must broadcast (both sides are
+    |categories|-sized); no sort-merge shuffle join anywhere."""
+    plan = _plan(spark, "q212_target_encoding")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
