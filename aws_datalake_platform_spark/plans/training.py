@@ -5,8 +5,10 @@ EMBEDDING space (q204), inducing tokenizer merge candidates (q205),
 shaping length buckets for efficient batch packing (q206), spotting
 outlier axes via PCA (q207), LM-perplexity quality scoring (q208),
 auditing ANN index recall (q209), positional phrase retrieval (q210),
-and the tabular-ML feature-prep pair — WOE/IV screening (q211) and
-leakage-safe K-fold target encoding (q212).
+the tabular-ML feature-prep pair — WOE/IV screening (q211) and
+leakage-safe K-fold target encoding (q212) — plus the monitoring
+readouts: embedding-distribution drift between corpus halves (q213)
+and the dup-cluster size histogram (q214).
 
 Reference tie-in: the reference delegates all analytics to Athena
 (README.md:128-132); these extend the engine's LLM-pipeline surface
@@ -848,3 +850,197 @@ def q212_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_rows"),
         enc.alias("encoded"),
     )
+
+
+# ── q213: embedding distribution drift between corpus halves ────────────────
+
+
+@register(
+    "q213_embedding_drift",
+    """
+    WITH ex AS (
+      SELECT vec_id % 2 AS half, UNNEST(range(1,65)) AS pos,
+             UNNEST(list_transform(range(1,65),
+               i -> CAST(FLOOR(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT)))
+               AS q6
+      FROM embeddings
+    ),
+    sums AS (
+      SELECT half, pos, CAST(SUM(q6) AS BIGINT) AS s
+      FROM ex GROUP BY half, pos
+    ),
+    va AS (SELECT list(CAST(s AS DOUBLE) ORDER BY pos) AS v FROM sums WHERE half = 0),
+    vb AS (SELECT list(CAST(s AS DOUBLE) ORDER BY pos) AS v FROM sums WHERE half = 1),
+    cosrel AS (
+      SELECT FLOOR(
+               list_sum(list_transform(range(1,65), i -> va.v[i] * vb.v[i]))
+               / (sqrt(list_sum(list_transform(range(1,65), i -> va.v[i] * va.v[i])))
+                  * sqrt(list_sum(list_transform(range(1,65), i -> vb.v[i] * vb.v[i]))))
+               * 1000000 + 0.5) / 1000000 AS cos_shift
+      FROM va CROSS JOIN vb
+    ),
+    diffs AS (
+      SELECT o.pos, o.s AS sum_old, n.s AS sum_new, ABS(n.s - o.s) AS shift
+      FROM sums o JOIN sums n ON n.pos = o.pos AND o.half = 0 AND n.half = 1
+    )
+    SELECT CAST(pos AS INT) AS pos, sum_old, sum_new, shift, rank, cos_shift
+    FROM (
+      SELECT pos, sum_old, sum_new, shift,
+             CAST(ROW_NUMBER() OVER (ORDER BY shift DESC, pos) AS INTEGER)
+               AS rank
+      FROM diffs) t CROSS JOIN cosrel
+    WHERE rank <= 10
+    """,
+    doc="Embedding-distribution drift between two corpus halves (the "
+    "old-snapshot vs new-snapshot readout an embedding pipeline alerts "
+    "on): per-dimension component sums are floor-half-up quantized to "
+    "1e-6 BIGINT — order-free exact integer aggregates — then the "
+    "cosine between the two halves' sum vectors (== cosine of their "
+    "mean vectors; counts cancel) is one deterministic fold over the "
+    "64 integer-valued dims, plus the 10 dimensions with the largest "
+    "absolute shift (exact integer differences).",
+)
+def q213_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one posexplode pass with a map-side-combinable integer
+    aggregate on (half, pos) — 128 groups regardless of corpus size —
+    then driver-free constant-size math. The quantization makes the
+    per-dim sums order-free, so the big aggregation needs no fold
+    discipline; only the final 64-element cosine does, and it runs on
+    the 2x64 aggregated relation."""
+    from ..operators.similarity import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("p0", "val"),
+    ).select(
+        "half",
+        (F.col("p0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("q6"),
+    )
+    sums = ex.groupBy("half", "pos").agg(F.sum("q6").alias("s"))
+    vecs = (
+        sums.groupBy("half")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"))
+        .select(
+            "half",
+            F.expr("transform(ps, x -> cast(x.s as double))").alias("v"),
+        )
+    )
+    va = vecs.filter(F.col("half") == 0).select(F.col("v").alias("__va"))
+    vb = vecs.filter(F.col("half") == 1).select(F.col("v").alias("__vb"))
+    cosrel = (
+        va.crossJoin(vb)
+        .select(
+            (
+                F.floor(
+                    dot(F.col("__va"), F.col("__vb"))
+                    / (norm(F.col("__va")) * norm(F.col("__vb")))
+                    * 1_000_000
+                    + 0.5
+                )
+                / 1_000_000
+            ).alias("cos_shift")
+        )
+    )
+    old = sums.filter(F.col("half") == 0).select(
+        "pos", F.col("s").alias("sum_old")
+    )
+    new = sums.filter(F.col("half") == 1).select(
+        "pos", F.col("s").alias("sum_new")
+    )
+    diffs = old.join(new, "pos").withColumn(
+        "shift", F.abs(F.col("sum_new") - F.col("sum_old"))
+    )
+    w = Window.orderBy(F.desc("shift"), F.asc("pos"))
+    return (
+        diffs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .crossJoin(F.broadcast(cosrel))
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            "sum_old", "sum_new", "shift", "rank", "cos_shift",
+        )
+    )
+
+
+# ── q214: dup-cluster size histogram (corpus redundancy readout) ────────────
+
+
+def _q214_sql() -> str:
+    from .llm_ops import _Q24_PAIRS_SQL
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_Q24_PAIRS_SQL}),
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT w.a, e.b FROM walk w JOIN e ON w.b = e.a
+    ),
+    lab AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      FROM walk GROUP BY a
+    ),
+    csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM lab GROUP BY cluster_id),
+    hist AS (
+      SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(sz) AS BIGINT) AS n_docs
+      FROM csz GROUP BY sz
+    ),
+    singles AS (
+      SELECT CAST(1 AS BIGINT) AS cluster_size,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM lab)
+    )
+    SELECT * FROM hist UNION ALL SELECT * FROM singles
+    """
+
+
+@register(
+    "q214_dup_cluster_histogram",
+    _q214_sql(),
+    doc="Corpus-redundancy readout: histogram of near-dup cluster sizes "
+    "(MinHash-LSH pairs -> connected components, q24/q68's exact "
+    "replayed pipeline) including the singleton mass — the one-line "
+    "answer to 'how much of this corpus is boilerplate?' and the "
+    "monitor that catches a crawler loop flooding one mega-cluster. "
+    "n_docs per row = cluster_size x n_clusters; rows sum to the "
+    "corpus size.",
+)
+def q214_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: everything corpus-sized is the already-audited q24/q68
+    machinery (banded LSH, capped buckets, per-round equi-join CC); the
+    histogram itself aggregates the tiny cluster-label relation, and
+    the singleton count is one anti-join. No new scale surface."""
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    csz = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+    hist = csz.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"), F.sum("sz").alias("n_docs")
+    )
+    singles = (
+        docs.join(
+            comp.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n").alias("n_clusters"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+    return hist.unionByName(singles)

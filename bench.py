@@ -118,6 +118,8 @@ HEADLINE = [
     "q210_phrase_search",
     "q211_woe_iv",
     "q212_target_encoding",
+    "q213_embedding_drift",
+    "q214_dup_cluster_histogram",
 ]
 
 

@@ -222,3 +222,37 @@ def test_q212_target_encoding_leaves_fold_out(spark):
         want = math.floor(s / c * 1e6 + 0.5) / 1e6
         assert r["encoded"] == want, (r, want)
         assert r["n_rows"] == sums[r["o_orderpriority"]][r["fold"]][1]
+
+
+def test_q213_drift_shape_and_cosine_bounds(spark):
+    rows = sorted(
+        QUERY_REGISTRY["q213_embedding_drift"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert len(rows) == 10 and [r["rank"] for r in rows] == list(range(1, 11))
+    shifts = [r["shift"] for r in rows]
+    assert shifts == sorted(shifts, reverse=True)
+    cos = rows[0]["cos_shift"]
+    assert all(r["cos_shift"] == cos for r in rows)
+    assert -1.0 <= cos <= 1.0
+    for r in rows:
+        assert r["shift"] == abs(r["sum_new"] - r["sum_old"])
+        assert 1 <= r["pos"] <= 64
+
+
+def test_q214_histogram_partitions_corpus(spark):
+    """Histogram rows (including the singleton row) must partition the
+    corpus: sum(n_docs) == |documents|, n_docs == size * n_clusters for
+    multi-doc clusters, and no cluster size below 2 except the
+    singleton row."""
+    from aws_datalake_platform_spark.catalog import load_table
+
+    rows = QUERY_REGISTRY["q214_dup_cluster_histogram"].fn(spark, SF_SMOKE).collect()
+    n_docs_total = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    for r in rows:
+        if r["cluster_size"] == 1:
+            assert r["n_docs"] == r["n_clusters"]
+        else:
+            assert r["cluster_size"] >= 2
+            assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
