@@ -7,8 +7,9 @@ outlier axes via PCA (q207), LM-perplexity quality scoring (q208),
 auditing ANN index recall (q209), positional phrase retrieval (q210),
 the tabular-ML feature-prep pair — WOE/IV screening (q211) and
 leakage-safe K-fold target encoding (q212) — plus the monitoring
-readouts: embedding-distribution drift between corpus halves (q213)
-and the dup-cluster size histogram (q214).
+readouts: embedding-distribution drift between corpus halves (q213),
+the dup-cluster size histogram (q214), DP-style noisy count release
+(q215), and last-touch purchase attribution (q216).
 
 Reference tie-in: the reference delegates all analytics to Athena
 (README.md:128-132); these extend the engine's LLM-pipeline surface
@@ -1044,3 +1045,127 @@ def q214_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hist.unionByName(singles)
+
+
+# ── q215: differential-privacy-style noisy counts (seeded Laplace) ──────────
+
+_Q215_EPS = 1.0
+_Q215_SEED = "dp42"
+_Q215_DENOM = float(16**13)  # 2^52 — 13 hex chars parse exactly into a double
+
+
+@register(
+    "q215_dp_noisy_counts",
+    f"""
+    WITH counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM events GROUP BY event_type
+    ),
+    noise AS (
+      SELECT event_type, n_true,
+             CAST(('0x' || substr(md5(concat('{_Q215_SEED}', event_type)), 1, 13))
+                  AS BIGINT) / {_Q215_DENOM!r} AS u
+      FROM counts
+    )
+    SELECT event_type, n_true,
+           FLOOR((n_true + (-1.0 / {_Q215_EPS!r}) * sign(u - 0.5)
+                  * ln(greatest(1e-15, 1 - 2 * abs(u - 0.5)))) * 10000 + 0.5)
+             / 10000 AS n_noisy
+    FROM noise
+    """,
+    doc="Differential-privacy-style noisy counts (Laplace mechanism, "
+    "sensitivity 1, epsilon 1): per-group counts perturbed by "
+    "Laplace(1/eps) noise drawn via inverse-CDF from a SEEDED "
+    "md5-derived uniform — u = first 13 hex chars / 16^13, an exact "
+    "integer ratio both engines parse identically (the q40/q84 HLL "
+    "hex-parse idiom), so the 'random' noise replays bit-for-bit in "
+    "the oracle. Completes the privacy surface: removal (P4/q71), "
+    "pseudonymization (U1), measurement (q194 k-anonymity), and now "
+    "noisy release. True counts are included for the oracle check — a "
+    "production release would drop that column.",
+)
+def q215_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one map-side-combinable count aggregate; the noise math is
+    per-GROUP column arithmetic (5 rows here). Seeded noise is the same
+    trade a seeded sample makes: reproducible runs, with the seed
+    rotated per release in production."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(_Q215_SEED), F.col("event_type"))), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(_Q215_DENOM)
+    )
+    noise = (
+        F.lit(-1.0 / _Q215_EPS)
+        * F.signum(u - 0.5)
+        * F.log(F.greatest(F.lit(1e-15), 1 - 2 * F.abs(u - 0.5)))
+    )
+    return counts.select(
+        "event_type",
+        "n_true",
+        (F.floor((F.col("n_true") + noise) * 10_000 + 0.5) / 10_000).alias("n_noisy"),
+    )
+
+
+# ── q216: last-touch purchase attribution ───────────────────────────────────
+
+
+@register(
+    "q216_touch_attribution",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM events
+    )
+    SELECT COALESCE(last_touch, 'none') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             / 10000.0 AS total_value
+    FROM ordered
+    WHERE event_type = 'purchase'
+    GROUP BY COALESCE(last_touch, 'none')
+    """,
+    doc="Last-touch purchase attribution: each purchase event credits "
+    "the user's most recent preceding click/view (LAST_VALUE IGNORE "
+    "NULLS over the deterministic (ts, event_id) order — q117's LOCF "
+    "idiom), 'none' when the purchase had no preceding touch; revenue "
+    "is summed as floor-half-up 1e-4-quantized integers so the "
+    "aggregate is order-free. The standard behavioral-analytics readout "
+    "over the event stream (first-touch is the same window with "
+    "FIRST_VALUE).",
+)
+def q216_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on user_id for the window (state bounded per
+    user), then a 3-group aggregate on quantized integers. The window
+    carries one VARCHAR of running state — no buffering of the
+    partition beyond Spark's running-frame optimization for
+    UNBOUNDED PRECEDING frames."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    q4 = F.floor(F.col("value") * 10_000 + 0.5).cast("long")
+    return (
+        ev.withColumn("last_touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("last_touch"), F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (F.sum(q4) / 10_000.0).alias("total_value"),
+        )
+    )

@@ -120,6 +120,8 @@ HEADLINE = [
     "q212_target_encoding",
     "q213_embedding_drift",
     "q214_dup_cluster_histogram",
+    "q215_dp_noisy_counts",
+    "q216_touch_attribution",
 ]
 
 

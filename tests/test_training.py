@@ -256,3 +256,43 @@ def test_q214_histogram_partitions_corpus(spark):
         else:
             assert r["cluster_size"] >= 2
             assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+
+
+def test_q215_noise_is_seeded_laplace(spark):
+    """Noisy counts must differ from true counts by reproducible
+    Laplace noise recomputed from the md5-derived uniform in Python."""
+    import hashlib
+    import math
+
+    rows = QUERY_REGISTRY["q215_dp_noisy_counts"].fn(spark, SF_SMOKE).collect()
+    assert {r["event_type"] for r in rows} == {
+        "click", "view", "purchase", "signup", "error"
+    }
+    for r in rows:
+        h = hashlib.md5(f"dp42{r['event_type']}".encode()).hexdigest()
+        u = int(h[:13], 16) / float(16**13)
+        noise = -1.0 * math.copysign(1.0, u - 0.5) * math.log(
+            max(1e-15, 1 - 2 * abs(u - 0.5))
+        ) if u != 0.5 else 0.0
+        want = math.floor((r["n_true"] + noise) * 1e4 + 0.5) / 1e4
+        assert r["n_noisy"] == want, (r, want)
+
+
+def test_q216_attribution_partitions_purchases(spark):
+    """Attributed purchase counts/revenue must partition all purchases,
+    and every touch_type must be a real touch or 'none'."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    rows = QUERY_REGISTRY["q216_touch_attribution"].fn(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    assert sum(r["n_purchases"] for r in rows) == purchases.count()
+    assert {r["touch_type"] for r in rows} <= {"click", "view", "none"}
+    want_total = (
+        purchases.select(
+            F.floor(F.col("value") * 10_000 + 0.5).cast("long").alias("q")
+        ).agg(F.sum("q")).first()[0] / 1e4
+    )
+    assert abs(sum(r["total_value"] for r in rows) - want_total) < 1e-6
