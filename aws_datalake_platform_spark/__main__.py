@@ -61,6 +61,19 @@ def _build_parser() -> argparse.ArgumentParser:
     cmp_.add_argument("--partition-cols", required=True)
     cmp_.add_argument("--target-bytes", type=int, default=128 << 20)
 
+    bf = sub.add_parser(
+        "backfill",
+        help="plan a backfill: diff expected daily partitions over a date "
+        "range against what exists on disk (missing / empty / present)",
+    )
+    bf.add_argument("path", help="partitioned parquet lake root")
+    bf.add_argument("--partition-cols", required=True,
+                    help="date (1 col) or year,month,day (3 cols)")
+    bf.add_argument("--start", required=True, help="first expected day YYYY-MM-DD")
+    bf.add_argument("--end", required=True, help="last expected day YYYY-MM-DD")
+    bf.add_argument("--all", action="store_true",
+                    help="print present partitions too (default: only gaps)")
+
     snap = sub.add_parser(
         "snapshots", help="snapshot store: history / time-travel / rollback / expire"
     )
@@ -512,6 +525,24 @@ def main(argv: list[str] | None = None) -> int:
             print(row)
         print(f"{len(report)} partition(s) {'affected' if args.apply else 'would expire'}")
         return 0
+
+    if args.cmd == "backfill":
+        from .operators.maintenance import plan_backfill
+
+        plan = plan_backfill(
+            args.path, args.partition_cols.split(","), args.start, args.end
+        )
+        gaps = [r for r in plan if r["status"] != "present"]
+        for r in plan if args.all else gaps:
+            print(f"{r['date']}  {r['status']:8s} {r['partition']}"
+                  + (f"  ({r['n_files']} files)" if r["status"] == "present" else ""))
+        print(
+            f"{len(plan)} expected day(s): "
+            f"{len(plan) - len(gaps)} present, "
+            f"{sum(1 for r in gaps if r['status'] == 'missing')} missing, "
+            f"{sum(1 for r in gaps if r['status'] == 'empty')} empty"
+        )
+        return 1 if gaps else 0
 
     if args.cmd == "compact":
         from .operators.maintenance import compact_partitions

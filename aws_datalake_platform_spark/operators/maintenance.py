@@ -408,3 +408,79 @@ def files_skipped_by_range(path: str, column: str, lo, hi) -> dict:
         "rows_skippable": rows_skip,
         "skip_fraction": round(n_skip / n_files, 4) if n_files else 0.0,
     }
+
+
+def plan_backfill(
+    path: str,
+    partition_cols: list[str],
+    start: str,
+    end: str,
+    date_to_partition=None,
+) -> list[dict]:
+    """Backfill planner: diff the DAILY partitions a lake SHOULD hold over
+    ``[start, end]`` (inclusive ISO dates) against what exists on disk,
+    and return one dict per expected day — ``{date, partition, status,
+    n_files}`` with status ``present`` (has data files), ``empty``
+    (directory exists but holds no data files — a crashed write), or
+    ``missing``. The operational complement of expire_partitions: that
+    one retires old partitions, this one tells a scheduler exactly which
+    ingest runs to replay after an outage. Pure directory metadata — no
+    Spark jobs, cost proportional to the day count.
+
+    ``date_to_partition`` maps an ISO date to the relative partition dir;
+    the default handles the two layouts this engine writes: one column
+    (``date=YYYY-MM-DD``) and the Firehose-style three columns
+    (``year=YYYY/month=MM/day=DD``, streaming/ingest.py).
+    """
+    from datetime import date, timedelta
+
+    if date_to_partition is None:
+        if len(partition_cols) == 1:
+
+            def date_to_partition(d: str) -> str:
+                return f"{partition_cols[0]}={d}"
+
+        elif len(partition_cols) == 3:
+
+            def date_to_partition(d: str) -> str:
+                y, m, dd = d.split("-")
+                return (
+                    f"{partition_cols[0]}={y}/{partition_cols[1]}={m}/"
+                    f"{partition_cols[2]}={dd}"
+                )
+
+        else:
+            raise ValueError(
+                "default layout supports 1 (date=) or 3 (y/m/d) partition "
+                f"columns, got {len(partition_cols)}; pass date_to_partition"
+            )
+
+    def _n_data_files(p: str) -> int:
+        if not os.path.isdir(p):
+            return -1  # missing
+        return sum(
+            1
+            for root, _dirs, files in os.walk(p)
+            for f in files
+            if not f.startswith((".", "_"))
+        )
+
+    d0 = date.fromisoformat(start)
+    d1 = date.fromisoformat(end)
+    if d1 < d0:
+        raise ValueError(f"end {end} before start {start}")
+    plan = []
+    cur = d0
+    while cur <= d1:
+        rel = date_to_partition(cur.isoformat())
+        n = _n_data_files(os.path.join(path, rel))
+        plan.append(
+            {
+                "date": cur.isoformat(),
+                "partition": rel,
+                "status": "missing" if n < 0 else ("empty" if n == 0 else "present"),
+                "n_files": max(n, 0),
+            }
+        )
+        cur += timedelta(days=1)
+    return plan

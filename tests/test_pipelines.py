@@ -1252,3 +1252,51 @@ def test_cli_search_end_to_end(spark, capsys):
 
     rc = main(["search", "   "])
     assert rc == 2
+
+
+def test_backfill_planner_and_cli(spark, tmp_path, capsys):
+    """plan_backfill must classify each expected day as present / empty /
+    missing from directory metadata alone, for both the date= and the
+    year=/month=/day= layouts; the CLI exits 1 while gaps remain."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_datalake_platform_spark.__main__ import main
+    from aws_datalake_platform_spark.operators.maintenance import plan_backfill
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, "2026-01-01"), (2, "2026-01-02"), (3, "2026-01-04")], "id long, date string"
+    )
+    df.write.partitionBy("date").parquet(lake)
+    # simulate a crashed write: directory exists, data files removed
+    crashed = os.path.join(lake, "date=2026-01-02")
+    for f in os.listdir(crashed):
+        if not f.startswith((".", "_")):
+            os.remove(os.path.join(crashed, f))
+
+    plan = {r["date"]: r["status"] for r in
+            plan_backfill(lake, ["date"], "2026-01-01", "2026-01-05")}
+    assert plan == {
+        "2026-01-01": "present",
+        "2026-01-02": "empty",
+        "2026-01-03": "missing",
+        "2026-01-04": "present",
+        "2026-01-05": "missing",
+    }
+
+    rc = main(["backfill", lake, "--partition-cols", "date",
+               "--start", "2026-01-01", "--end", "2026-01-05"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "2026-01-03  missing" in out and "2026-01-02  empty" in out
+    assert "2 present, 2 missing, 1 empty" in out
+
+    # y/m/d layout, fully present -> exit 0
+    lake3 = str(tmp_path / "lake3")
+    spark.createDataFrame([(1, "2026", "01", "01")], "id long, year string, month string, day string") \
+        .write.partitionBy("year", "month", "day").parquet(lake3)
+    rc = main(["backfill", lake3, "--partition-cols", "year,month,day",
+               "--start", "2026-01-01", "--end", "2026-01-01"])
+    assert rc == 0
