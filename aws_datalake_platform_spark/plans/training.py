@@ -9,7 +9,8 @@ the tabular-ML feature-prep pair — WOE/IV screening (q211) and
 leakage-safe K-fold target encoding (q212) — plus the monitoring
 readouts: embedding-distribution drift between corpus halves (q213),
 the dup-cluster size histogram (q214), DP-style noisy count release
-(q215), and last-touch purchase attribution (q216).
+(q215), last-touch purchase attribution (q216), daily session bounce
+rate (q217), and per-source quantile normalization (q218).
 
 Reference tie-in: the reference delegates all analytics to Athena
 (README.md:128-132); these extend the engine's LLM-pipeline surface
@@ -1168,4 +1169,120 @@ def q216_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_purchases"),
             (F.sum(q4) / 10_000.0).alias("total_value"),
         )
+    )
+
+
+# ── q217: daily session quality (bounce rate over sessionized events) ───────
+
+
+@register(
+    "q217_session_bounce",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts > LAG(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END
+               AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    ),
+    sessions AS (
+      SELECT user_id, sess, CAST(MIN(ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id, sess
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           FLOOR(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*) * 1000000 + 0.5) / 1000000 AS bounce_rate
+    FROM sessions GROUP BY day
+    """,
+    doc="Daily session-quality readout: q36's gaps-and-islands "
+    "sessionization (12 h inactivity gap, deterministic (ts, event_id) "
+    "order) rolled up to sessions-per-day with the single-event BOUNCE "
+    "count and rate — the product-analytics KPI the event stream "
+    "serves; a session is dated by its start. Integer counts with one "
+    "deterministic division, floor-half-up rounded.",
+)
+def q217_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on user_id for the session windows (running
+    frames, no partition buffering), one map-side-combinable aggregate
+    per (user, session), then a days-sized aggregate. Same shape as q36
+    plus two tiny rollups."""
+    from .temporal import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessionize(
+        ev, key="user_id", ts="ts", order_tiebreak="event_id", gap="12 hours"
+    ).select(F.col("session_start").cast("date").alias("day"), "n_events")
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sessions.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.alias("n_bounces"),
+        (
+            F.floor(bounce.cast("double") / F.count(F.lit(1)) * 1_000_000 + 0.5)
+            / 1_000_000
+        ).alias("bounce_rate"),
+    )
+
+
+# ── q218: per-source quantile normalization of a numeric feature ────────────
+
+
+@register(
+    "q218_quantile_normalization",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           CASE WHEN n = 1 THEN 0.5
+                ELSE FLOOR((rk - 1)::DOUBLE / (n - 1) * 1000000 + 0.5) / 1000000
+           END AS pct_rank
+    FROM ranked
+    """,
+    doc="Per-source quantile normalization of document length: each "
+    "doc's percent-rank WITHIN its source ((rank-1)/(n-1) over the "
+    "deterministic (n_chars, doc_id) order, 0.5 for a singleton source) "
+    "— the feature transform that makes length comparable across "
+    "sources whose raw distributions differ (a web source and a books "
+    "source agree on 'long for its source'). Exact integer ranks, one "
+    "deterministic division per row.",
+)
+def q218_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on the source key; ROW_NUMBER and the count
+    both ride the same window partitioning (single WindowExec). At a
+    skewed mega-source, swap exact ranks for the q161 equi-depth
+    histogram boundaries (broadcast range lookup) — same output
+    contract at sketch precision."""
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id", "source", "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    return ranked.select(
+        "doc_id", "source", "n_chars",
+        F.when(F.col("n") == 1, F.lit(0.5))
+        .otherwise(
+            F.floor(
+                (F.col("rk") - 1).cast("double") / (F.col("n") - 1) * 1_000_000
+                + 0.5
+            )
+            / 1_000_000
+        )
+        .alias("pct_rank"),
     )

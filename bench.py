@@ -122,6 +122,8 @@ HEADLINE = [
     "q214_dup_cluster_histogram",
     "q215_dp_noisy_counts",
     "q216_touch_attribution",
+    "q217_session_bounce",
+    "q218_quantile_normalization",
 ]
 
 

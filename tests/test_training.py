@@ -296,3 +296,33 @@ def test_q216_attribution_partitions_purchases(spark):
         ).agg(F.sum("q")).first()[0] / 1e4
     )
     assert abs(sum(r["total_value"] for r in rows) - want_total) < 1e-6
+
+
+def test_q217_bounce_invariants(spark):
+    """Sessions partition into bounces and non-bounces; total sessions
+    across days must match q36's session count."""
+    rows = QUERY_REGISTRY["q217_session_bounce"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    n_sessions_q36 = QUERY_REGISTRY["q36_sessionize"].fn(spark, SF_SMOKE).count()
+    assert sum(r["n_sessions"] for r in rows) == n_sessions_q36
+    for r in rows:
+        assert 0 <= r["n_bounces"] <= r["n_sessions"]
+        assert 0.0 <= r["bounce_rate"] <= 1.0
+
+
+def test_q218_pct_rank_is_uniform_within_source(spark):
+    """Within every source the percent ranks must be the exact lattice
+    {0, 1/(n-1), ..., 1} (ties broken by doc_id make ranks unique)."""
+    import math
+
+    rows = QUERY_REGISTRY["q218_quantile_normalization"].fn(spark, SF_SMOKE).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["pct_rank"])
+    for src, pr in by_src.items():
+        n = len(pr)
+        if n == 1:
+            assert pr == [0.5]
+            continue
+        want = sorted(math.floor(i / (n - 1) * 1e6 + 0.5) / 1e6 for i in range(n))
+        assert sorted(pr) == want, src
