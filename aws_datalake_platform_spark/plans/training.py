@@ -1286,3 +1286,252 @@ def q218_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("pct_rank"),
     )
+
+
+# ── q219: vocabulary OOV coverage (tokenizer-health audit) ──────────────────
+
+_Q219_V = 500  # vocabulary size (top-V train-split unigrams)
+
+
+@register(
+    "q219_vocab_oov_coverage",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    flat AS (SELECT doc_id, source, unnest(toks) AS tk FROM tok),
+    vocab AS (
+      SELECT tk FROM (
+        SELECT tk, COUNT(*) AS c FROM flat WHERE doc_id % 5 <> 0
+        GROUP BY tk ORDER BY c DESC, tk LIMIT {_Q219_V})
+    ),
+    held AS (
+      SELECT f.source, f.tk, v.tk AS vk
+      FROM flat f LEFT JOIN vocab v ON v.tk = f.tk
+      WHERE f.doc_id % 5 = 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN vk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(COUNT(DISTINCT CASE WHEN vk IS NULL THEN tk END) AS BIGINT)
+             AS n_oov_types,
+           FLOOR(SUM(CASE WHEN vk IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*) * 1000000 + 0.5) / 1000000 AS oov_rate
+    FROM held GROUP BY source
+    """,
+    doc=f"Vocabulary coverage / OOV-rate audit (tokenizer health): "
+    f"freeze the top-{_Q219_V} unigram vocabulary on the train split "
+    f"(doc_id %% 5 != 0, ties broken (count DESC, token ASC)), then "
+    f"measure each source's held-out OOV token rate and distinct OOV "
+    f"type count — the standard check that a tokenizer/vocab trained "
+    f"on one mix still covers every source before pretraining. "
+    f"Complements q198 (distribution drift) and q208 (LM quality): "
+    f"this one is about coverage, not shape.",
+)
+def q219_vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: token counts are vocabulary-bounded (zipf); the top-V
+    selection is a TakeOrdered over that bounded relation, and the
+    V-row vocab broadcasts into the held-out scan (no corpus shuffle
+    for membership). Per-source rollup is a map-side-combinable
+    aggregate; COUNT(DISTINCT oov type) re-shuffles only the OOV
+    subset, keyed (source, token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    flat = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+        ).alias("tk"),
+    )
+    vocab = (
+        flat.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tk")
+        .limit(_Q219_V)
+        .select(F.col("tk").alias("vk"))
+    )
+    held = flat.filter(F.col("doc_id") % 5 == 0).join(
+        F.broadcast(vocab), flat["tk"] == F.col("vk"), "left"
+    )
+    oov = F.sum(F.when(F.col("vk").isNull(), 1).otherwise(0))
+    return held.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        oov.cast("long").alias("n_oov"),
+        F.countDistinct(F.when(F.col("vk").isNull(), F.col("tk"))).alias(
+            "n_oov_types"
+        ),
+        (F.floor(oov.cast("double") / F.count(F.lit(1)) * 1_000_000 + 0.5)
+         / 1_000_000).alias("oov_rate"),
+    )
+
+
+# ── q220: most-duplicated n-grams (memorization-risk audit) ─────────────────
+
+
+@register(
+    "q220_duplicate_ngrams",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    gr AS (
+      SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-3)) AS i
+            FROM tok WHERE len(toks) >= 5)
+    )
+    SELECT gram,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS occ
+    FROM gr GROUP BY gram
+    ORDER BY df DESC, occ DESC, gram LIMIT 50
+    """,
+    doc="Memorization-risk audit: inventory the 50 most cross-document "
+    "duplicated word 5-grams (document frequency, then total "
+    "occurrences, then gram as the deterministic tie-break). Passages "
+    "repeated verbatim across many training documents are the ones a "
+    "model memorizes; this is the corpus-level readout that drives "
+    "n-gram-based scrubbing, complementing q113 (per-doc duplicated "
+    "LINE ratio) and q70 (WITHIN-doc repetition).",
+)
+def q220_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the explode is a local fan-out; the (gram → df, occ)
+    aggregate is one shuffle keyed by gram with map-side combine
+    (count-distinct over doc_id rides the same exchange as a partial
+    aggregate). Top-50 is a TakeOrdered, never a global sort. At
+    100 TB hash each gram to a 64-bit key for the shuffle and join the
+    top keys back for display text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+    grams = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 4),
+                    lambda i: F.array_join(F.slice("toks", i, F.lit(5)), " "),
+                )
+            ).alias("gram"),
+        )
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("occ"),
+        )
+        .orderBy(F.desc("df"), F.desc("occ"), "gram")
+        .limit(50)
+    )
+
+
+# ── q221: dedup threshold sensitivity curve ─────────────────────────────────
+
+
+def _q221_sql() -> str:
+    from .llm_ops import _SH_CTE
+
+    return f"""
+    WITH {_SH_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pb AS (
+      SELECT doc_a, doc_b,
+             LEAST((i * 10) // (sa.sz + sb.sz - i), 9) AS b
+      FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b
+    ),
+    ph AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS np FROM pb GROUP BY b),
+    dmax AS (
+      SELECT doc, MAX(b) AS mb FROM (
+        SELECT doc_a AS doc, b FROM pb
+        UNION ALL SELECT doc_b AS doc, b FROM pb)
+      GROUP BY doc
+    ),
+    dh AS (SELECT mb, CAST(COUNT(*) AS BIGINT) AS nd FROM dmax GROUP BY mb),
+    t AS (SELECT unnest(range(0, 10)) AS b)
+    SELECT t.b / 10.0 AS thr,
+           (SELECT CAST(COALESCE(SUM(np), 0) AS BIGINT) FROM ph
+             WHERE ph.b >= t.b) AS n_pairs_ge,
+           (SELECT CAST(COALESCE(SUM(nd), 0) AS BIGINT) FROM dh
+             WHERE dh.mb >= t.b) AS n_docs_ge
+    FROM t
+    """
+
+
+@register(
+    "q221_dedup_threshold_curve",
+    _q221_sql(),
+    doc="Dedup threshold sensitivity: for each Jaccard threshold 0.0, "
+    "0.1, ..., 0.9, how many near-dup pairs — and how many distinct "
+    "documents — would a shingle-Jaccard dedup at that threshold "
+    "touch. The tuning curve run BEFORE committing to q23's fixed 0.5: "
+    "pick the knee, not a guess. Buckets come from exact integer "
+    "arithmetic ((i*10) DIV union, both BIGINT) so the 0.1-boundary "
+    "assignment is bit-identical cross-engine; the shingle universe is "
+    "q23's word-3-shingle relation verbatim.",
+)
+def q221_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the expensive part is the shared-shingle pair join — the
+    SAME relation q23 builds (use max_df there to cap hot shingles at
+    real scale); everything after is a pairs-sized projection, two tiny
+    histograms, and a 10-row non-equi rollup (broadcast nested loop
+    over 10x10). Running the curve costs one q23, not ten."""
+    from ..operators.dedup import _shingle_pair_intersections
+
+    docs = load_table(spark, sf_dir, "documents")
+    inter, sizes = _shingle_pair_intersections(
+        docs, "doc_id", "text", k=3, max_df=None, symmetric=True
+    )
+    sz_a = sizes.select(F.col("__id").alias("doc_a"), F.col("__sz").alias("__sza"))
+    sz_b = sizes.select(F.col("__id").alias("doc_b"), F.col("__sz").alias("__szb"))
+    pb = (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.least(
+                F.expr("(__i * 10) DIV (__sza + __szb - __i)"), F.lit(9)
+            ).alias("b"),
+        )
+    )
+    ph = pb.groupBy("b").agg(F.count(F.lit(1)).alias("np"))
+    dh = (
+        pb.select(F.col("doc_a").alias("doc"), "b")
+        .unionAll(pb.select(F.col("doc_b").alias("doc"), "b"))
+        .groupBy("doc")
+        .agg(F.max("b").alias("mb"))
+        .groupBy("mb")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    t = spark.range(0, 10).select(F.col("id").alias("tb"))
+    cp = (
+        t.join(F.broadcast(ph), F.col("b") >= F.col("tb"), "left")
+        .groupBy("tb")
+        .agg(F.coalesce(F.sum("np"), F.lit(0)).alias("n_pairs_ge"))
+    )
+    cd = (
+        t.join(F.broadcast(dh), F.col("mb") >= F.col("tb"), "left")
+        .groupBy("tb")
+        .agg(F.coalesce(F.sum("nd"), F.lit(0)).alias("n_docs_ge"))
+    )
+    return (
+        cp.join(cd, "tb")
+        .select(
+            (F.col("tb") / 10.0).alias("thr"), "n_pairs_ge", "n_docs_ge"
+        )
+    )

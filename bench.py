@@ -124,6 +124,9 @@ HEADLINE = [
     "q216_touch_attribution",
     "q217_session_bounce",
     "q218_quantile_normalization",
+    "q219_vocab_oov_coverage",
+    "q220_duplicate_ngrams",
+    "q221_dedup_threshold_curve",
 ]
 
 

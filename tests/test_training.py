@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
 
 from .conftest import SF_SMOKE
@@ -326,3 +328,63 @@ def test_q218_pct_rank_is_uniform_within_source(spark):
             continue
         want = sorted(math.floor(i / (n - 1) * 1e6 + 0.5) / 1e6 for i in range(n))
         assert sorted(pr) == want, src
+
+
+def test_q219_oov_partition_and_bounds(spark):
+    """OOV tokens are a subset of held-out tokens; rate in [0,1]; the
+    summed per-source token count matches a direct recount of the
+    held-out split."""
+    rows = QUERY_REGISTRY["q219_vocab_oov_coverage"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert 0 <= r["n_oov_types"] <= r["n_oov"] or r["n_oov"] == 0
+        assert 0.0 <= r["oov_rate"] <= 1.0
+    from aws_datalake_platform_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    want = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+            ).alias("tk")
+        )
+        .count()
+    )
+    assert sum(r["n_tokens"] for r in rows) == want
+
+
+def test_q220_df_occ_ordering(spark):
+    """Every inventory row has occ >= df >= 1 and the listing is the
+    true top by (df, occ, gram)."""
+    rows = QUERY_REGISTRY["q220_duplicate_ngrams"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["occ"] >= r["df"] >= 1
+    keys = [(-r["df"], -r["occ"], r["gram"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_q221_curve_monotone_and_q23_consistent(spark):
+    """Both cumulative counts are non-increasing in the threshold, and
+    the 0.5 point agrees with q23's pair relation (the integer-bucket
+    boundary (i*10) DIV u >= 5 is exactly j >= 0.5)."""
+    rows = {
+        r["thr"]: r
+        for r in QUERY_REGISTRY["q221_dedup_threshold_curve"].fn(spark, SF_SMOKE).collect()
+    }
+    assert len(rows) == 10
+    thrs = sorted(rows)
+    for lo, hi in zip(thrs, thrs[1:]):
+        assert rows[lo]["n_pairs_ge"] >= rows[hi]["n_pairs_ge"]
+        assert rows[lo]["n_docs_ge"] >= rows[hi]["n_docs_ge"]
+    q23 = QUERY_REGISTRY["q23_ngram_jaccard_dedup"].fn(spark, SF_SMOKE)
+    assert rows[0.5]["n_pairs_ge"] == q23.count()
+    docs_in_pairs = (
+        q23.select(F.col("doc_a").alias("d"))
+        .unionAll(q23.select(F.col("doc_b").alias("d")))
+        .distinct()
+        .count()
+    )
+    assert rows[0.5]["n_docs_ge"] == docs_in_pairs
