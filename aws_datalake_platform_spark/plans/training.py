@@ -1535,3 +1535,154 @@ def q221_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tb") / 10.0).alias("thr"), "n_pairs_ge", "n_docs_ge"
         )
     )
+
+
+# ── q222: join-key skew profiler (the "should I salt?" readout) ─────────────
+
+
+@register(
+    "q222_key_skew_profile",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS k
+      FROM c
+    ),
+    r AS (
+      SELECT user_id, n_rows,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) AS INT)
+               AS rk
+      FROM c
+    )
+    SELECT rk, user_id, n_rows,
+           FLOOR(n_rows::DOUBLE / t * 1000000 + 0.5) / 1000000 AS share,
+           FLOOR((SUM(n_rows) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING))
+                 ::DOUBLE / t * 1000000 + 0.5) / 1000000 AS cum_share,
+           FLOOR(n_rows::DOUBLE * k / t * 1000000 + 0.5) / 1000000
+             AS hot_factor
+    FROM r CROSS JOIN tot WHERE rk <= 20
+    """,
+    doc="Join-key skew profiler: the 20 hottest event-stream keys with "
+    "row count, corpus share, cumulative share, and hot_factor = this "
+    "key's rows over the mean rows-per-key — the diagnostic a data "
+    "team runs BEFORE a user-keyed join/groupBy to decide whether to "
+    "salt (q45/q85 are the remedies; this is the detector). All "
+    "ratios are one deterministic division over exact integer "
+    "aggregates, floor-half-up quantized.",
+)
+def q222_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the per-key count is one map-side-combinable shuffle; the
+    top-20 is a TakeOrdered (never a global sort); rank and running
+    share are windowed over the 20-row result only, so the
+    single-partition window is constant-size by construction. The
+    scalar (t, k) totals broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = c.agg(
+        F.sum("n_rows").alias("t"), F.count(F.lit(1)).alias("k")
+    )
+    top = c.orderBy(F.desc("n_rows"), "user_id").limit(20)
+    w = Window.orderBy(F.desc("n_rows"), "user_id")
+    cum = F.sum("n_rows").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    q6 = lambda x: F.floor(x * 1_000_000 + 0.5) / 1_000_000
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("int"))
+        .withColumn("__cum", cum)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rk",
+            "user_id",
+            "n_rows",
+            q6(F.col("n_rows").cast("double") / F.col("t")).alias("share"),
+            q6(F.col("__cum").cast("double") / F.col("t")).alias("cum_share"),
+            q6(F.col("n_rows").cast("double") * F.col("k") / F.col("t")).alias(
+                "hot_factor"
+            ),
+        )
+    )
+
+
+# ── q223: per-dimension embedding scaling stats (feature-scaling readout) ───
+
+
+@register(
+    "q223_embedding_dim_stats",
+    """
+    WITH ex AS (
+      SELECT UNNEST(range(1,65)) AS pos,
+             UNNEST(list_transform(range(1,65),
+               i -> CAST(FLOOR(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT)))
+               AS q6
+      FROM embeddings
+    ),
+    agg AS (
+      SELECT CAST(pos AS INT) AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q6) AS BIGINT) AS s,
+             CAST(SUM(q6 * q6) AS BIGINT) AS ssq,
+             CAST(MIN(q6) AS BIGINT) AS mn,
+             CAST(MAX(q6) AS BIGINT) AS mx
+      FROM ex GROUP BY pos
+    )
+    SELECT dim, n,
+           FLOOR(s::DOUBLE / n + 0.5) / 1000000 AS mean,
+           FLOOR(SQRT(GREATEST(ssq::DOUBLE / n
+                               - (s::DOUBLE / n) * (s::DOUBLE / n), 0))
+                 + 0.5) / 1000000 AS std,
+           FLOOR(mn::DOUBLE + 0.5) / 1000000 AS min_v,
+           FLOOR(mx::DOUBLE + 0.5) / 1000000 AS max_v
+    FROM agg
+    """,
+    doc="Per-dimension embedding scaling statistics: mean, population "
+    "std, min, max for each of the 64 dims — the feature-scaling / "
+    "dead-dimension readout run before whitening, quantization (q77 "
+    "picks its clip range from exactly this), or PQ codebook training "
+    "(q115). Components are floor-half-up quantized to 1e-6 BIGINT "
+    "first, so SUM and SUM of squares are order-free exact integer "
+    "aggregates; mean and std then come from one deterministic "
+    "double expression over those scalars (sqrt, not pow, for IEEE "
+    "parity — q213's integer-quantize-then-fold idiom).",
+)
+def q223_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one posexplode pass feeding a map-side-combinable integer
+    aggregate with exactly 64 groups regardless of corpus size; the
+    double math runs on the 64-row aggregated relation. At corpora
+    where SUM(q6^2) nears int64 range (~1e6 vectors per dim at unit
+    scale it's still 1e18/64 — safe; beyond, widen to DECIMAL(38,0))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("p0", "val")).select(
+        (F.col("p0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("q6"),
+    )
+    agg = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q6").alias("s"),
+        F.sum(F.col("q6") * F.col("q6")).alias("ssq"),
+        F.min("q6").alias("mn"),
+        F.max("q6").alias("mx"),
+    )
+    sd, nd = F.col("s").cast("double"), F.col("n")
+    return agg.select(
+        F.col("pos").cast("int").alias("dim"),
+        "n",
+        (F.floor(sd / nd + 0.5) / 1_000_000).alias("mean"),
+        (
+            F.floor(
+                F.sqrt(
+                    F.greatest(
+                        F.col("ssq").cast("double") / nd - (sd / nd) * (sd / nd),
+                        F.lit(0.0),
+                    )
+                )
+                + 0.5
+            )
+            / 1_000_000
+        ).alias("std"),
+        (F.floor(F.col("mn").cast("double") + 0.5) / 1_000_000).alias("min_v"),
+        (F.floor(F.col("mx").cast("double") + 0.5) / 1_000_000).alias("max_v"),
+    )

@@ -127,6 +127,8 @@ HEADLINE = [
     "q219_vocab_oov_coverage",
     "q220_duplicate_ngrams",
     "q221_dedup_threshold_curve",
+    "q222_key_skew_profile",
+    "q223_embedding_dim_stats",
 ]
 
 

@@ -388,3 +388,54 @@ def test_q221_curve_monotone_and_q23_consistent(spark):
         .count()
     )
     assert rows[0.5]["n_docs_ge"] == docs_in_pairs
+
+
+def test_q222_skew_profile_invariants(spark):
+    """Ranks are dense from 1, shares are consistent (cum is a running
+    sum, hot_factor = share * k), and the top key really is the hottest."""
+    from aws_datalake_platform_spark.catalog import load_table
+
+    rows = sorted(
+        QUERY_REGISTRY["q222_key_skew_profile"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["rk"],
+    )
+    assert rows and [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r["n_rows"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    ev = load_table(spark, SF_SMOKE, "events")
+    per_key = ev.groupBy("user_id").count()
+    true_max = per_key.agg(F.max("count")).first()[0]
+    assert rows[0]["n_rows"] == true_max
+    k = per_key.count()
+    for r in rows:
+        assert r["cum_share"] >= r["share"] - 1e-9
+        assert abs(r["hot_factor"] - r["share"] * k) < k * 1e-6 + 1e-6
+
+
+def test_q223_dim_stats_bounds(spark):
+    """64 dims, every dim sees every vector, min <= mean <= max,
+    std >= 0, and dim 1's mean matches a direct quantized recount."""
+    from aws_datalake_platform_spark.catalog import load_table
+
+    rows = QUERY_REGISTRY["q223_embedding_dim_stats"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 64
+    n_vec = load_table(spark, SF_SMOKE, "embeddings").count()
+    for r in rows:
+        assert r["n"] == n_vec
+        assert r["min_v"] <= r["mean"] <= r["max_v"]
+        assert r["std"] >= 0.0
+    import math
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    s1 = (
+        emb.select(
+            F.floor(F.col("embedding")[0].cast("double") * 1_000_000 + 0.5)
+            .cast("long")
+            .alias("q6")
+        )
+        .agg(F.sum("q6"))
+        .first()[0]
+    )
+    want_mean = math.floor(s1 / n_vec + 0.5) / 1_000_000
+    got = {r["dim"]: r["mean"] for r in rows}[1]
+    assert got == want_mean
