@@ -1686,3 +1686,164 @@ def q223_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("mn").cast("double") + 0.5) / 1_000_000).alias("min_v"),
         (F.floor(F.col("mx").cast("double") + 0.5) / 1_000_000).alias("max_v"),
     )
+
+
+# ── q224: EWMA smoothing + deviation over each key's recent readings ────────
+
+_Q224_TAIL = 32  # readings per key fed to the smoother
+_Q224_ALPHA = 0.25  # smoothing weight (0.25 and 0.75 are exact binary)
+
+
+@register(
+    "q224_ewma_deviation",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id
+    ),
+    tl AS (
+      SELECT user_id,
+             CASE WHEN len(vs) > {_Q224_TAIL}
+                  THEN vs[len(vs)-{_Q224_TAIL - 1}:len(vs)] ELSE vs END AS v
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(len(v) AS BIGINT) AS n_used,
+           FLOOR(v[len(v)] * 1000000 + 0.5) / 1000000 AS last_value,
+           FLOOR(list_reduce(v, (acc, x) -> acc * 0.75 + x * 0.25)
+                 * 1000000 + 0.5) / 1000000 AS ewma,
+           FLOOR((v[len(v)] - list_reduce(v, (acc, x) -> acc * 0.75 + x * 0.25))
+                 * 1000000 + 0.5) / 1000000 AS deviation
+    FROM tl
+    """,
+    doc=f"Exponentially-weighted moving average per key over its last "
+    f"{_Q224_TAIL} readings (alpha={_Q224_ALPHA}, seeded with the "
+    f"oldest reading) plus the last reading's deviation from the "
+    f"smoothed level — the classic sensor/metric anomaly readout. An "
+    f"EWMA is inherently a SEQUENTIAL float fold, so both engines run "
+    f"the identical in-order fold (Spark F.aggregate over the "
+    f"(ts, event_id)-sorted tail ≡ DuckDB list_reduce) with exact "
+    f"binary constants 0.75/0.25 — the q47/q115 sequential-fold float "
+    f"contract applied to time series.",
+)
+def q224_ewma_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: a window row_number bounds each key to its newest 32
+    readings BEFORE the collect, so per-group state is a constant-size
+    array (never an unbounded collect_list); the window and the
+    group-by share the user_id partitioning, so AQE plans one exchange.
+    The fold itself is a per-row expression over a 32-element array —
+    map-side, JVM codegen, no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    wdesc = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    tail = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("__rn", F.row_number().over(wdesc))
+        .filter(F.col("__rn") <= _Q224_TAIL)
+    )
+    v = (
+        tail.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("svs")
+        )
+        .select(
+            "user_id",
+            F.transform("svs", lambda s: s["value"]).alias("v"),
+        )
+    )
+    fold = F.aggregate(
+        F.slice("v", 2, F.size("v") - 1),
+        F.element_at("v", 1),
+        lambda acc, x: acc * F.lit(0.75) + x * F.lit(0.25),
+    )
+    last = F.element_at("v", -1)
+    q6 = lambda x: F.floor(x * 1_000_000 + 0.5) / 1_000_000
+    return v.select(
+        "user_id",
+        F.size("v").cast("long").alias("n_used"),
+        q6(last).alias("last_value"),
+        q6(fold).alias("ewma"),
+        q6(last - fold).alias("deviation"),
+    )
+
+
+# ── q225: LSH dedup quality audit (precision/recall vs exact truth) ─────────
+
+
+def _q225_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    q24 = _REGISTRY["q24_minhash_lsh_dedup"].sql
+    q23 = _REGISTRY["q23_ngram_jaccard_dedup"].sql
+    return f"""
+    WITH cand AS ({q24}),
+    truth AS ({q23}),
+    hit AS (
+      SELECT c.doc_a FROM cand c
+      JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    ),
+    m AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit
+    )
+    SELECT n_true, n_cand, n_hit,
+           CASE WHEN n_cand = 0 THEN 1.0
+                ELSE FLOOR(n_hit::DOUBLE / n_cand * 1000000 + 0.5) / 1000000
+           END AS prec,
+           CASE WHEN n_true = 0 THEN 1.0
+                ELSE FLOOR(n_hit::DOUBLE / n_true * 1000000 + 0.5) / 1000000
+           END AS recall
+    FROM m
+    """
+
+
+@register(
+    "q225_lsh_dedup_audit",
+    _q225_sql(),
+    doc="Dedup index quality audit: precision and recall of the "
+    "MinHash+LSH near-dup pairs (q24, verified over 60-bit shingle "
+    "hash sets) against the exact shingle-Jaccard truth (q23) at the "
+    "same 0.5 threshold — the measure-don't-guess readout that says "
+    "whether the banded index's band/row config is safe to trust "
+    "before it replaces the exact path at scale. Both pair relations "
+    "are the registered queries' own plans, so the audit certifies "
+    "exactly what runs in production.",
+)
+def q225_lsh_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: reuses q23/q24's plans (banded LSH with capped buckets;
+    shared-shingle join — cap with max_df at real scale); the audit
+    adds one pair-keyed join and three single-row aggregates that
+    broadcast into a 1-row result."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    cand = (
+        _REGISTRY["q24_minhash_lsh_dedup"]
+        .fn(spark, sf_dir)
+        .select("doc_a", "doc_b")
+    )
+    truth = (
+        _REGISTRY["q23_ngram_jaccard_dedup"]
+        .fn(spark, sf_dir)
+        .select("doc_a", "doc_b")
+    )
+    hit = cand.join(truth, ["doc_a", "doc_b"])
+    m = (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    rate = lambda num, den: F.when(F.col(den) == 0, F.lit(1.0)).otherwise(
+        F.floor(F.col(num).cast("double") / F.col(den) * 1_000_000 + 0.5)
+        / 1_000_000
+    )
+    return m.select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        rate("n_hit", "n_cand").alias("prec"),
+        rate("n_hit", "n_true").alias("recall"),
+    )

@@ -129,6 +129,8 @@ HEADLINE = [
     "q221_dedup_threshold_curve",
     "q222_key_skew_profile",
     "q223_embedding_dim_stats",
+    "q224_ewma_deviation",
+    "q225_lsh_dedup_audit",
 ]
 
 

@@ -439,3 +439,52 @@ def test_q223_dim_stats_bounds(spark):
     want_mean = math.floor(s1 / n_vec + 0.5) / 1_000_000
     got = {r["dim"]: r["mean"] for r in rows}[1]
     assert got == want_mean
+
+
+def test_q224_ewma_matches_python_fold(spark):
+    """EWMA must equal the in-order Python fold over each key's last-32
+    readings; deviation = last - ewma (pre-quantization); convexity
+    keeps ewma inside [min, max] of the folded values."""
+    import math
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    rows = {r["user_id"]: r
+            for r in QUERY_REGISTRY["q224_ewma_deviation"].fn(spark, SF_SMOKE).collect()}
+    assert rows
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series = {}
+    for e in ev:
+        series.setdefault(e["user_id"], []).append((e["ts"], e["event_id"], e["value"]))
+    assert set(rows) == set(series)
+    for uid, evs in series.items():
+        vals = [v for _, _, v in sorted(evs)][-32:]
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = acc * 0.75 + x * 0.25
+        r = rows[uid]
+        assert r["n_used"] == len(vals)
+        assert r["ewma"] == math.floor(acc * 1e6 + 0.5) / 1e6
+        assert r["deviation"] == math.floor((vals[-1] - acc) * 1e6 + 0.5) / 1e6
+        assert min(vals) - 1e-9 <= r["ewma"] <= max(vals) + 1e-9
+
+
+def test_q225_audit_consistent_with_q23_q24(spark):
+    """The audit's three counts must equal direct counts of the two pair
+    relations and their intersection; rates follow from the counts."""
+    import math
+
+    [r] = QUERY_REGISTRY["q225_lsh_dedup_audit"].fn(spark, SF_SMOKE).collect()
+    q23 = QUERY_REGISTRY["q23_ngram_jaccard_dedup"].fn(spark, SF_SMOKE).select("doc_a", "doc_b")
+    q24 = QUERY_REGISTRY["q24_minhash_lsh_dedup"].fn(spark, SF_SMOKE).select("doc_a", "doc_b")
+    n_true, n_cand = q23.count(), q24.count()
+    n_hit = q24.join(q23, ["doc_a", "doc_b"]).count()
+    assert (r["n_true"], r["n_cand"], r["n_hit"]) == (n_true, n_cand, n_hit)
+    assert r["n_hit"] <= min(r["n_cand"], r["n_true"])
+    assert r["prec"] == (1.0 if not n_cand else math.floor(n_hit / n_cand * 1e6 + 0.5) / 1e6)
+    assert r["recall"] == (1.0 if not n_true else math.floor(n_hit / n_true * 1e6 + 0.5) / 1e6)
+    assert n_true > 0  # vacuity: the truth relation fires at test scale
