@@ -435,3 +435,33 @@ def test_q212_encoding_table_broadcast_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q224_single_exchange_with_group_limit(spark):
+    """The EWMA pipeline must plan ONE exchange (window and group-by
+    share the user_id partitioning) and push the per-key top-32 down as
+    a partial WindowGroupLimit BEFORE the shuffle, so per-group state
+    is constant-size on both sides of the exchange."""
+    plan = _plan(spark, "q224_ewma_deviation")
+    assert plan.count("Exchange") == 1
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("Exchange", 1)[1]  # map-side limit below
+
+
+def test_q222_top20_is_take_ordered(spark):
+    """The skew profiler's top-20 must plan as a TakeOrderedAndProject
+    over the per-key counts — never a global sort of the key relation;
+    the scalar totals must arrive via broadcast."""
+    plan = _plan(spark, "q222_key_skew_profile")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q221_curve_reuses_q23_join_then_tiny_rollup(spark):
+    """The threshold curve must contain NO cartesian product — the
+    10-row threshold spine joins the tiny histograms via broadcast
+    nested loop (the documented 10x10 shape), and the pair relation is
+    the q23 equi-join."""
+    plan = _plan(spark, "q221_dedup_threshold_curve")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # two >= spines
