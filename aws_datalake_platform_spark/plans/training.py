@@ -1847,3 +1847,102 @@ def q225_lsh_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate("n_hit", "n_cand").alias("prec"),
         rate("n_hit", "n_true").alias("recall"),
     )
+
+
+# ── q226: epoch composition plan (dedup keep-set + seeded mixture sample) ────
+
+
+@register(
+    "q226_epoch_mix_plan",
+    r"""
+    WITH keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents
+      GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')))
+    ),
+    cand AS (
+      SELECT d.doc_id, d.source,
+             len(list_filter(string_split_regex(d.text, '\s+'),
+                             t -> t <> '')) AS n_toks,
+             (CAST(substr(d.source, 4) AS INT) % 4 + 1) / 4.0 AS rate,
+             (CAST(('0x' || substr(md5('226|' || CAST(d.doc_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) + 1)
+               / 1152921504606846976.0 AS u
+      FROM documents d JOIN keep k ON k.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(SUM(CASE WHEN u < rate THEN n_toks ELSE 0 END) AS BIGINT)
+             AS tok_sampled,
+           rate AS target_rate,
+           FLOOR(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*) * 1000000 + 0.5) / 1000000 AS achieved_rate
+    FROM cand GROUP BY source, rate
+    """,
+    doc="Epoch composition plan — the final pre-training assembly "
+    "readout: exact-dedup the corpus (q22's keep-min-id rule), apply "
+    "each source's target mixture rate (derived deterministically from "
+    "the source index: 0.25/0.5/0.75/1.0 by idx %% 4, standing in for "
+    "the q193-learned weights) via a seeded md5 uniform per document "
+    "(reproducible across engines, partitionings, and reruns — no RNG "
+    "state), and report per source: surviving candidates, sampled "
+    "docs, sampled token budget, target vs achieved rate. This is the "
+    "plan a data team signs off before an epoch is materialized.",
+)
+def q226_epoch_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one fingerprint shuffle (q22), a semi-join back (both
+    sides hash-partitioned on doc_id), then a map-side-combinable
+    per-source aggregate over integer counters. The per-doc uniform is
+    a pure column expression — sampling 100 TB needs no driver
+    randomness and replays bit-for-bit for audit."""
+    from ..operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = exact_dedup(docs, "doc_id", "text")
+    rate = (F.substring("source", 4, 10).cast("int") % 4 + 1) / 4.0
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("226|"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(1 << 60))
+    n_toks = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    cand = kept.select(
+        "source",
+        rate.alias("rate"),
+        u.alias("u"),
+        n_toks.alias("n_toks"),
+    )
+    sampled = F.sum(F.when(F.col("u") < F.col("rate"), 1).otherwise(0))
+    return (
+        cand.groupBy("source", "rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            sampled.cast("long").alias("n_sampled"),
+            F.sum(
+                F.when(F.col("u") < F.col("rate"), F.col("n_toks")).otherwise(0)
+            ).alias("tok_sampled"),
+            (
+                F.floor(
+                    sampled.cast("double") / F.count(F.lit(1)) * 1_000_000 + 0.5
+                )
+                / 1_000_000
+            ).alias("achieved_rate"),
+        )
+        .select(
+            "source",
+            "n_candidates",
+            "n_sampled",
+            "tok_sampled",
+            F.col("rate").alias("target_rate"),
+            "achieved_rate",
+        )
+    )

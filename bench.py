@@ -131,6 +131,7 @@ HEADLINE = [
     "q223_embedding_dim_stats",
     "q224_ewma_deviation",
     "q225_lsh_dedup_audit",
+    "q226_epoch_mix_plan",
 ]
 
 

@@ -488,3 +488,29 @@ def test_q225_audit_consistent_with_q23_q24(spark):
     assert r["prec"] == (1.0 if not n_cand else math.floor(n_hit / n_cand * 1e6 + 0.5) / 1e6)
     assert r["recall"] == (1.0 if not n_true else math.floor(n_hit / n_true * 1e6 + 0.5) / 1e6)
     assert n_true > 0  # vacuity: the truth relation fires at test scale
+
+
+def test_q226_mix_plan_invariants(spark):
+    """Candidates must equal the exact-dedup keep count; sampling is a
+    subset; achieved rate tracks the target within a binomial band; all
+    four target rates appear across the 20 sources."""
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.operators.dedup import exact_dedup
+
+    rows = QUERY_REGISTRY["q226_epoch_mix_plan"].fn(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r["n_candidates"] for r in rows) == exact_dedup(
+        docs, "doc_id", "text"
+    ).count()
+    assert {r["target_rate"] for r in rows} == {0.25, 0.5, 0.75, 1.0}
+    for r in rows:
+        assert 0 <= r["n_sampled"] <= r["n_candidates"]
+        assert r["tok_sampled"] >= 0
+        if r["target_rate"] == 1.0:
+            assert r["n_sampled"] == r["n_candidates"]
+        # 4-sigma binomial band around the target rate
+        import math
+
+        n, p = r["n_candidates"], r["target_rate"]
+        sigma = math.sqrt(p * (1 - p) / n) if n else 0.0
+        assert abs(r["achieved_rate"] - p) <= 4 * sigma + 1e-9
