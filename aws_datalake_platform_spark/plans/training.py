@@ -1946,3 +1946,189 @@ def q226_epoch_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "achieved_rate",
         )
     )
+
+
+# ── q227: train/held-out split leakage detector ─────────────────────────────
+
+
+def _q227_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    q23 = _REGISTRY["q23_ngram_jaccard_dedup"].sql
+    return f"""
+    WITH pairs AS ({q23})
+    SELECT CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS doc_train,
+           CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_held,
+           jaccard
+    FROM pairs
+    WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)
+    """
+
+
+@register(
+    "q227_split_leakage",
+    _q227_sql(),
+    doc="Train/held-out split leakage detector: near-dup pairs (q23's "
+    "exact shingle-Jaccard relation at 0.5) that CROSS the doc_id %% 5 "
+    "split used by q208/q219 — each leaked pair is an eval document "
+    "whose near-copy sits in training, silently inflating held-out "
+    "metrics. The readout every LLM eval pipeline needs before "
+    "trusting a held-out score; fix is to move whole dup-clusters "
+    "(q68) into one side, never split them.",
+)
+def q227_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the pair relation is q23's (max_df-cappable shared-shingle
+    join); the split test and column swap are per-pair projections —
+    zero extra shuffles on top of the relation the dedup pass already
+    builds."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    pairs = _REGISTRY["q23_ngram_jaccard_dedup"].fn(spark, sf_dir)
+    a_held = F.col("doc_a") % 5 == 0
+    b_held = F.col("doc_b") % 5 == 0
+    return pairs.filter(a_held != b_held).select(
+        F.when(a_held, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_train"),
+        F.when(a_held, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_held"),
+        "jaccard",
+    )
+
+
+# ── q228: class-balanced downsampling (seeded negative sampling) ────────────
+
+
+@register(
+    "q228_class_balanced_sample",
+    """
+    WITH lab AS (
+      SELECT event_id, (event_type = 'purchase') AS pos,
+             (CAST(('0x' || substr(md5('228|' || CAST(event_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) + 1)
+               / 1152921504606846976.0 AS u
+      FROM events
+    ),
+    cnt AS (
+      SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+      FROM lab
+    )
+    SELECT n_pos, n_neg,
+           CAST(SUM(CASE WHEN NOT pos
+                          AND u < LEAST(1.0, n_pos::DOUBLE / n_neg)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_kept,
+           FLOOR(LEAST(1.0, n_pos::DOUBLE / n_neg) * 1000000 + 0.5) / 1000000
+             AS neg_rate,
+           FLOOR(SUM(CASE WHEN NOT pos
+                           AND u < LEAST(1.0, n_pos::DOUBLE / n_neg)
+                          THEN 1 ELSE 0 END)::DOUBLE
+                 / n_pos * 1000000 + 0.5) / 1000000 AS balance_achieved
+    FROM lab CROSS JOIN cnt
+    GROUP BY n_pos, n_neg
+    """,
+    doc="Class-balanced negative downsampling (the CTR/classification "
+    "prep step): count positives (purchase events) and negatives, keep "
+    "every positive, keep each negative with probability n_pos/n_neg "
+    "via a seeded per-row md5 uniform — deterministic, partition-"
+    "independent, replayable. Reports the planned rate and the "
+    "achieved negative:positive balance. Two passes over the label "
+    "relation; no RNG state, no driver sampling.",
+)
+def q228_class_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: pass 1 is a 1-row count aggregate (broadcast back); pass
+    2 is a map-side filter + 1-row aggregate. The uniform is a column
+    expression, so the sample is stable under repartitioning and
+    re-execution — the property that makes the epoch reproducible."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("228|"), F.col("event_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(1 << 60))
+    lab = ev.select(
+        (F.col("event_type") == "purchase").alias("pos"), u.alias("u")
+    )
+    cnt = lab.agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("long").alias("n_neg"),
+    )
+    rate = F.least(F.lit(1.0), F.col("n_pos").cast("double") / F.col("n_neg"))
+    kept = F.sum(
+        F.when((~F.col("pos")) & (F.col("u") < rate), 1).otherwise(0)
+    )
+    q6 = lambda x: F.floor(x * 1_000_000 + 0.5) / 1_000_000
+    return (
+        lab.crossJoin(F.broadcast(cnt))
+        .groupBy("n_pos", "n_neg")
+        .agg(
+            kept.cast("long").alias("n_neg_kept"),
+            q6(rate).alias("neg_rate"),
+            q6(kept.cast("double") / F.col("n_pos")).alias("balance_achieved"),
+        )
+    )
+
+
+# ── q229: customer monthly feature frame (lags + rolling mean) ──────────────
+
+
+@register(
+    "q229_customer_feature_frame",
+    """
+    WITH m AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS m_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT custkey, month, n_orders, m_cents,
+           LAG(m_cents) OVER w AS lag1_cents,
+           CAST(FLOOR(AVG(m_cents) OVER (PARTITION BY custkey ORDER BY month
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 0.5) AS BIGINT)
+             AS avg3_cents
+    FROM m
+    WINDOW w AS (PARTITION BY custkey ORDER BY month)
+    """,
+    doc="Tabular-ML feature frame assembly: per (customer, month) "
+    "revenue in EXACT integer cents (floor-half-up per order before "
+    "the sum, q157's decimal-money idiom), previous-month lag, and a "
+    "3-month rolling mean — the lag/rolling feature block a churn or "
+    "LTV model trains on, with leakage-safe windows (only PRECEDING "
+    "rows feed each feature). AVG over BIGINT cents is an exact "
+    "integer-sum / count division, floored half-up to whole cents on "
+    "both engines.",
+)
+def q229_customer_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle keyed o_custkey for the month aggregate; the
+    lag/rolling windows ride the same customer partitioning (running
+    frames, no whole-partition buffering). Month counts per customer
+    are bounded (~tens), so window state is tiny."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("custkey", "month")
+        .agg(
+            F.sum("cents").alias("m_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("custkey").orderBy("month")
+    w3 = w.rowsBetween(-2, 0)
+    return m.select(
+        "custkey",
+        "month",
+        "n_orders",
+        "m_cents",
+        F.lag("m_cents").over(w).alias("lag1_cents"),
+        F.floor(F.avg("m_cents").over(w3) + 0.5).cast("long").alias("avg3_cents"),
+    )

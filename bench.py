@@ -132,6 +132,9 @@ HEADLINE = [
     "q224_ewma_deviation",
     "q225_lsh_dedup_audit",
     "q226_epoch_mix_plan",
+    "q227_split_leakage",
+    "q228_class_balanced_sample",
+    "q229_customer_feature_frame",
 ]
 
 
