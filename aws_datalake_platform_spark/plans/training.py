@@ -19,6 +19,8 @@ Reference tie-in: the reference delegates all analytics to Athena
 
 from __future__ import annotations
 
+from math import floor as math_floor
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2131,4 +2133,648 @@ def q229_customer_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_cents",
         F.lag("m_cents").over(w).alias("lag1_cents"),
         F.floor(F.avg("m_cents").over(w3) + 0.5).cast("long").alias("avg3_cents"),
+    )
+
+
+# ── q230: Bradley-Terry preference strength (RLHF preference-data op) ───────
+
+_Q230_ITER = 20  # fixed MM iterations (Hunter 2004), unrolled in the oracle
+
+
+def _q230_sql() -> str:
+    # One MM iteration, as three MATERIALIZED CTEs over the tiny item
+    # relation.  MATERIALIZED is load-bearing: each step references its
+    # predecessor more than once, and non-materialized CTEs re-inline
+    # EXPONENTIALLY (q203/q207 precedent).  Every float accumulation is
+    # a strict in-order fold — list(x ORDER BY k) + list_sum — matching
+    # the Python solver's ascending-index loops exactly (the
+    # sequential-fold float contract, operators/similarity.py:309).
+    steps = []
+    for t in range(1, _Q230_ITER + 1):
+        steps.append(
+            f"""
+    d{t} AS MATERIALIZED (
+      SELECT m.i,
+             list_sum(list(m.n * 1.0 / (pi.p + pj.p) ORDER BY m.j)) AS den
+      FROM m
+      JOIN p{t - 1} pi ON pi.i = m.i
+      JOIN p{t - 1} pj ON pj.i = m.j
+      GROUP BY m.i
+    ),
+    r{t} AS MATERIALIZED (
+      SELECT w.i, w.wins / d{t}.den AS pr FROM wsum w JOIN d{t} ON d{t}.i = w.i
+    ),
+    p{t} AS MATERIALIZED (
+      SELECT i, pr / (SELECT list_sum(list(pr ORDER BY i)) FROM r{t}) AS p
+      FROM r{t}
+    )"""
+        )
+    return f"""
+    WITH cnt AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pw AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(SUM(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT) AS wab,
+             CAST(SUM(CASE WHEN b.c > a.c THEN 1 ELSE 0 END) AS BIGINT) AS wba
+      FROM cnt a JOIN cnt b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      WHERE a.c <> b.c
+      GROUP BY 1, 2
+    ),
+    items AS MATERIALIZED (
+      SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS i
+      FROM (SELECT DISTINCT ta AS event_type FROM pw
+            UNION SELECT DISTINCT tb FROM pw)
+    ),
+    m AS MATERIALIZED (
+      SELECT ia.i AS i, ib.i AS j, wab + wba AS n, wab AS w
+      FROM pw JOIN items ia ON ia.event_type = pw.ta
+              JOIN items ib ON ib.event_type = pw.tb
+      UNION ALL
+      SELECT ib.i, ia.i, wab + wba, wba
+      FROM pw JOIN items ia ON ia.event_type = pw.ta
+              JOIN items ib ON ib.event_type = pw.tb
+    ),
+    wsum AS MATERIALIZED (
+      SELECT i, CAST(SUM(w) AS BIGINT) AS wins, CAST(SUM(n) AS BIGINT) AS n_comparisons
+      FROM m GROUP BY i
+    ),
+    p0 AS MATERIALIZED (
+      SELECT i, 1.0 / (SELECT COUNT(*) FROM items) AS p FROM items
+    ),{",".join(steps)}
+    SELECT it.event_type, w.wins, w.n_comparisons,
+           FLOOR(p.p * 1000000 + 0.5) / 1000000 AS bt_strength,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY FLOOR(p.p * 1000000 + 0.5) DESC, it.event_type)
+             AS INTEGER) AS rank
+    FROM p{_Q230_ITER} p
+    JOIN items it ON it.i = p.i
+    JOIN wsum w ON w.i = p.i
+    """
+
+
+@register(
+    "q230_bt_preference",
+    _q230_sql(),
+    doc="Bradley-Terry preference-strength rating — the solver behind "
+    "RLHF preference-data audits and chat-arena leaderboards. Pairwise "
+    "comparisons are mined from behavior: for each user and each pair "
+    "of event types, the type with the higher per-user event count "
+    "wins (ties dropped). The BT strengths come from 20 fixed "
+    "minorization-maximization iterations (Hunter 2004), every float "
+    "accumulation a strict ascending-index fold on both engines; the "
+    "oracle unrolls the iterations as MATERIALIZED CTEs and ranks by "
+    "the ROUNDED strength so ulp-level ties cannot flip order.",
+)
+def q230_bt_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the distributed part is exactly the part that grows —
+    per-(user,type) counts (one shuffle, map-side combinable) and the
+    pairwise win aggregate (self-join co-partitioned on user_id, output
+    bounded by k^2 rows for k event types). The MM solver then runs on
+    the driver over that CONSTANT-size win matrix (k^2 <= ~10^4 floats
+    — the bounded-collect class of the k-means centroid step,
+    operators/similarity.py:343), with ascending-index loops so every
+    IEEE add happens in the same order as the oracle's list_sum folds."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    a, b = cnt.alias("a"), cnt.alias("b")
+    pw = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .filter(F.col("a.c") != F.col("b.c"))
+        .groupBy(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+        .agg(
+            F.sum(F.when(F.col("a.c") > F.col("b.c"), 1).otherwise(0))
+            .cast("long")
+            .alias("wab"),
+            F.sum(F.when(F.col("b.c") > F.col("a.c"), 1).otherwise(0))
+            .cast("long")
+            .alias("wba"),
+        )
+        .collect()  # bounded: k event types -> <= k*(k-1)/2 rows
+    )
+    assert len(pw) <= 10_000, "event-type universe unexpectedly large"
+    types = sorted({r["ta"] for r in pw} | {r["tb"] for r in pw})
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    # directed edge lists: edges[i] = [(j, n_ij)], ascending j
+    edges: dict[int, list[tuple[int, int]]] = {i: [] for i in range(k)}
+    wins = [0] * k
+    ncmp = [0] * k
+    for r in pw:
+        i, j, n = idx[r["ta"]], idx[r["tb"]], r["wab"] + r["wba"]
+        edges[i].append((j, n))
+        edges[j].append((i, n))
+        wins[i] += r["wab"]
+        wins[j] += r["wba"]
+        ncmp[i] += n
+        ncmp[j] += n
+    p = [1.0 / k] * k
+    for _ in range(_Q230_ITER):
+        raw = []
+        for i in range(k):
+            den = 0.0
+            for j, n in sorted(edges[i]):  # ascending j = oracle's ORDER BY j
+                den += n * 1.0 / (p[i] + p[j])
+            raw.append(wins[i] / den)
+        tot = 0.0
+        for v in raw:  # ascending i = oracle's ORDER BY i
+            tot += v
+        p = [v / tot for v in raw]
+    q6 = [math_floor(v * 1_000_000 + 0.5) / 1_000_000 for v in p]
+    order = sorted(range(k), key=lambda i: (-q6[i], types[i]))
+    rank = {i: r + 1 for r, i in enumerate(order)}
+    rows = [
+        (types[i], wins[i], ncmp[i], q6[i], rank[i]) for i in range(k)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_type STRING, wins LONG, n_comparisons LONG, "
+        "bt_strength DOUBLE, rank INT",
+    )
+
+
+# ── q231: quality-gate agreement (Cohen's kappa between two filters) ────────
+
+_Q231_LM_T = -3.402  # unigram-LM threshold (median-ish at every sf)
+
+
+def _q231_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    gopher = _REGISTRY["q192_gopher_quality_rules"].sql
+    lm = _REGISTRY["q92_unigram_logprob"].sql
+    return f"""
+    WITH g AS ({gopher}),
+    l AS ({lm}),
+    j AS (
+      SELECT g.passes AS a, l.avg_logprob >= {_Q231_LM_T} AS b
+      FROM g JOIN l ON g.doc_id = l.doc_id
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both_pass,
+             CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_only,
+             CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_lm_only,
+             CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_both_fail
+      FROM j
+    )
+    SELECT n_docs, n_both_pass, n_rule_only, n_lm_only, n_both_fail,
+           FLOOR((n_both_pass + n_both_fail) * 1.0 / n_docs * 1000000 + 0.5)
+             / 1000000 AS po,
+           FLOOR((((n_both_pass + n_rule_only) * 1.0 / n_docs)
+                  * ((n_both_pass + n_lm_only) * 1.0 / n_docs)
+                  + ((n_lm_only + n_both_fail) * 1.0 / n_docs)
+                  * ((n_rule_only + n_both_fail) * 1.0 / n_docs))
+                 * 1000000 + 0.5) / 1000000 AS pe,
+           FLOOR(((n_both_pass + n_both_fail) * 1.0 / n_docs
+                  - (((n_both_pass + n_rule_only) * 1.0 / n_docs)
+                     * ((n_both_pass + n_lm_only) * 1.0 / n_docs)
+                     + ((n_lm_only + n_both_fail) * 1.0 / n_docs)
+                     * ((n_rule_only + n_both_fail) * 1.0 / n_docs)))
+                 / (1 - (((n_both_pass + n_rule_only) * 1.0 / n_docs)
+                         * ((n_both_pass + n_lm_only) * 1.0 / n_docs)
+                         + ((n_lm_only + n_both_fail) * 1.0 / n_docs)
+                         * ((n_rule_only + n_both_fail) * 1.0 / n_docs)))
+                 * 1000000 + 0.5) / 1000000 AS kappa
+    FROM c
+    """
+
+
+@register(
+    "q231_quality_gate_agreement",
+    _q231_sql(),
+    doc="Inter-filter agreement audit: Cohen's kappa between the two "
+    "quality classifiers the engine already runs — the Gopher rule "
+    "gate (q192 passes) and the unigram-LM score filter (q92 "
+    "avg_logprob >= -3.402). The 2x2 confusion counts, observed "
+    "agreement po, chance agreement pe, and kappa — the calibration "
+    "readout that tells a curation team whether two filters are "
+    "redundant (high kappa) or complementary (low) BEFORE stacking "
+    "them. All floats derive from exact integer counts through "
+    "identical division/multiplication sequences on both engines.",
+)
+def q231_quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both input relations are per-doc map-side scores (q192 is
+    map-only; q92's vocab broadcasts); the equi-join on doc_id is one
+    co-partitioned shuffle and the confusion matrix is a single-row
+    fused aggregate (validation.py's one-pass idiom) — nothing here
+    grows faster than the corpus scan."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    g = _REGISTRY["q192_gopher_quality_rules"].fn(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("a")
+    )
+    l = _REGISTRY["q92_unigram_logprob"].fn(spark, sf_dir).select(
+        "doc_id", (F.col("avg_logprob") >= _Q231_LM_T).alias("b")
+    )
+    j = g.join(l, "doc_id")
+    c = j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both_pass"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rule_only"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lm_only"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both_fail"),
+    )
+    n = F.col("n_docs")
+    po = (F.col("n_both_pass") + F.col("n_both_fail")) * 1.0 / n
+    pa = (F.col("n_both_pass") + F.col("n_rule_only")) * 1.0 / n
+    pb = (F.col("n_both_pass") + F.col("n_lm_only")) * 1.0 / n
+    qa = (F.col("n_lm_only") + F.col("n_both_fail")) * 1.0 / n
+    qb = (F.col("n_rule_only") + F.col("n_both_fail")) * 1.0 / n
+    pe = pa * pb + qa * qb
+    return c.select(
+        "n_docs",
+        "n_both_pass",
+        "n_rule_only",
+        "n_lm_only",
+        "n_both_fail",
+        round_half_up(po, 6).alias("po"),
+        round_half_up(pe, 6).alias("pe"),
+        round_half_up((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+# ── q232: per-doc memorization score (duplicated-5-gram fraction) ───────────
+
+
+@register(
+    "q232_doc_memorization_score",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    gr AS (
+      SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-3)) AS i
+            FROM tok WHERE len(toks) >= 5)
+    ),
+    df AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS df FROM gr GROUP BY gram
+    )
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           FLOOR(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+                 * 1000000 + 0.5) / 1000000 AS memorization_score
+    FROM gr JOIN df USING (gram)
+    GROUP BY gr.doc_id
+    """,
+    doc="Per-document memorization-risk score: the fraction of a doc's "
+    "word 5-grams that also occur in at least one OTHER document — the "
+    "per-doc drilldown of q220's corpus-level duplicated-n-gram "
+    "inventory, and the score used to quarantine high-overlap documents "
+    "(boilerplate, licenses, templated pages) before training. Shares "
+    "q220's exact gram universe (lowercase alpha tokens, 5-gram "
+    "windows, docs with >= 5 tokens).",
+)
+def q232_doc_memorization_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same single gram-keyed shuffle as q220 for df (map-side
+    combinable count-distinct over doc_id); the per-doc re-aggregate
+    joins gram->df back broadcast-or-shuffle under AQE and re-keys by
+    doc_id. At 100 TB, hash grams to 64-bit keys for the exchange (the
+    q220 note) — the score needs only df>=2, never the gram text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+    grams = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 4),
+                    lambda i: F.array_join(F.slice("toks", i, F.lit(5)), " "),
+                )
+            ).alias("gram"),
+        )
+    )
+    df_rel = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("df"))
+    shared = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        grams.join(df_rel, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            shared.cast("long").alias("n_shared"),
+            round_half_up(shared * 1.0 / F.count(F.lit(1)), 6).alias(
+                "memorization_score"
+            ),
+        )
+    )
+
+
+# ── q233: curriculum difficulty buckets (easy->hard training stages) ────────
+
+_Q233_V = 500  # top-V corpus vocabulary = the "known" token set
+_Q233_STAGES = 10
+
+
+@register(
+    "q233_curriculum_buckets",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, t.tok
+      FROM documents,
+           UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+        ORDER BY c DESC, tok LIMIT {_Q233_V})
+    ),
+    per AS (
+      SELECT tok.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(FLOOR(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+                        / COUNT(*) * 1000000 + 0.5) AS BIGINT) AS oov_q6
+      FROM tok LEFT JOIN vocab v USING (tok)
+      GROUP BY tok.doc_id
+    ),
+    staged AS (
+      SELECT *, CAST(NTILE({_Q233_STAGES}) OVER (ORDER BY oov_q6, doc_id)
+                     AS INTEGER) AS stage
+      FROM per
+    )
+    SELECT stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           FLOOR(SUM(oov_q6)::DOUBLE / COUNT(*) / 1000000 * 1000000 + 0.5)
+             / 1000000 AS avg_oov_rate,
+           MIN(oov_q6) / 1000000.0 AS min_oov_rate,
+           MAX(oov_q6) / 1000000.0 AS max_oov_rate
+    FROM staged GROUP BY stage
+    """,
+    doc="Curriculum-learning stage assignment: per-doc difficulty = "
+    "out-of-vocabulary token rate against the top-500 corpus unigram "
+    "vocabulary (rare-word-heavy docs are harder), NTILE(10) over "
+    "(difficulty, doc_id) splits the corpus into 10 equal easy->hard "
+    "training stages, and the per-stage readout (docs, token budget, "
+    "OOV range) is what the data loader schedules epochs from. "
+    "Difficulty is quantized to integer 1e-6 BEFORE ranking so the "
+    "NTILE total order is bit-identical cross-engine.",
+)
+def q233_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: vocab is a TakeOrdered over the zipf-bounded token-count
+    relation and broadcasts into the corpus scan; per-doc stats are one
+    doc_id-keyed aggregate. The global NTILE is the one intentionally
+    serial step — a single ORDER BY over per-DOC rows (corpus/1000s of
+    tokens smaller than the corpus); at 100 TB replace with
+    percentile-bucketed assignment from an approx-quantile sketch of
+    oov_q6 (same output contract, no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(_Q233_V)
+        .select(F.col("tok").alias("vk"))
+    )
+    oov = F.sum(F.when(F.col("vk").isNull(), 1).otherwise(0))
+    per = (
+        tok.join(F.broadcast(vocab), tok["tok"] == F.col("vk"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.floor(oov * 1.0 / F.count(F.lit(1)) * 1_000_000 + 0.5)
+            .cast("long")
+            .alias("oov_q6"),
+        )
+    )
+    staged = per.withColumn(
+        "stage",
+        F.ntile(_Q233_STAGES).over(Window.orderBy("oov_q6", "doc_id")).cast("int"),
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        round_half_up(
+            F.sum("oov_q6").cast("double") / F.count(F.lit(1)) / 1_000_000, 6
+        ).alias("avg_oov_rate"),
+        (F.min("oov_q6") / 1_000_000.0).alias("min_oov_rate"),
+        (F.max("oov_q6") / 1_000_000.0).alias("max_oov_rate"),
+    )
+
+
+# ── q234: DoReMi-style domain reweighting step (excess-loss exp update) ─────
+
+_Q234_ETA = 1.0  # multiplicative-weights step size
+
+
+@register(
+    "q234_domain_reweight",
+    rf"""
+    WITH toks AS (
+      SELECT source, t.tok
+      FROM documents,
+           UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(tf) AS total FROM vocab),
+    per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(ROUND(-LN(v.tf / t.total) * 1000000) AS BIGINT))
+                  AS BIGINT) AS nll_u
+      FROM toks JOIN vocab v USING (tok) CROSS JOIN tot t
+      GROUP BY source
+    ),
+    base AS (
+      SELECT source, n_tokens,
+             nll_u / (n_tokens * 1000000.0) AS nll,
+             n_tokens * 1.0 / SUM(n_tokens) OVER () AS w0
+      FROM per
+    ),
+    exc AS (
+      SELECT *, nll - MIN(nll) OVER () AS excess FROM base
+    )
+    SELECT source, n_tokens,
+           FLOOR(nll * 1000000 + 0.5) / 1000000 AS nll,
+           FLOOR(excess * 1000000 + 0.5) / 1000000 AS excess_nll,
+           FLOOR(w0 * 1000000 + 0.5) / 1000000 AS w0,
+           FLOOR(w0 * EXP({_Q234_ETA} * excess)
+                 / SUM(w0 * EXP({_Q234_ETA} * excess)) OVER ()
+                 * 1000000 + 0.5) / 1000000 AS w1
+    FROM exc
+    """,
+    doc="DoReMi-style domain-mixture reweighting (arXiv:2305.10429, one "
+    "multiplicative-weights step): per-source mean token NLL under the "
+    "corpus unigram LM (q92's integer micro-nat sums, so the per-source "
+    "loss is order-free exact), excess loss over the best source, and "
+    "the exponentiated-gradient update w1 ∝ w0 * exp(eta*excess) from "
+    "the token-share baseline w0 — up-weighting domains the reference "
+    "model finds hard. The |sources|-row normalization windows follow "
+    "q193's proven small-relation pattern; exp parity per q159.",
+)
+def q234_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the corpus-sized work is q92's — one vocab aggregate
+    (broadcast back) and one source-keyed integer-sum aggregate. The
+    window normalizations run over |sources| aggregate rows (dozens),
+    never data rows. One exp per SOURCE, not per token."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("total"))
+    per = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.round(-F.log(F.col("tf") / F.col("total")) * 1e6).cast("long")
+            ).alias("nll_u"),
+        )
+    )
+    wall = Window.partitionBy()
+    base = per.select(
+        "source",
+        "n_tokens",
+        (F.col("nll_u") / (F.col("n_tokens") * 1_000_000.0)).alias("nll"),
+        (F.col("n_tokens") * 1.0 / F.sum("n_tokens").over(wall)).alias("w0"),
+    )
+    exc = base.withColumn("excess", F.col("nll") - F.min("nll").over(wall))
+    upd = F.col("w0") * F.exp(_Q234_ETA * F.col("excess"))
+    return exc.select(
+        "source",
+        "n_tokens",
+        round_half_up(F.col("nll"), 6).alias("nll"),
+        round_half_up(F.col("excess"), 6).alias("excess_nll"),
+        round_half_up(F.col("w0"), 6).alias("w0"),
+        round_half_up(upd / F.sum(upd).over(wall), 6).alias("w1"),
+    )
+
+
+# ── q235: nDCG@10 ranking-quality evaluation of the BM25 path ───────────────
+
+
+def _q235_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    bm25 = _REGISTRY["q197_bm25_scoring"].sql
+    return rf"""
+    WITH ranked AS ({bm25}),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    rel AS (
+      SELECT r.term, r.doc_id, r.rank, LEAST(tf.tf, 4) AS rel
+      FROM ranked r JOIN tf ON tf.term = r.term AND tf.doc_id = r.doc_id
+    ),
+    ideal AS (
+      SELECT term, doc_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY term ORDER BY rel DESC, doc_id)
+               AS irank
+      FROM rel
+    ),
+    g AS (
+      SELECT rel.term,
+             CAST(SUM(CAST(FLOOR(((1 << rel.rel) - 1) / log2(rel.rank + 1)
+                                 * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS dcg_u,
+             CAST(SUM(CASE WHEN rel.rel >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_highly_rel
+      FROM rel GROUP BY rel.term
+    ),
+    gi AS (
+      SELECT term,
+             CAST(SUM(CAST(FLOOR(((1 << rel) - 1) / log2(irank + 1)
+                                 * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS idcg_u
+      FROM ideal GROUP BY term
+    )
+    SELECT g.term,
+           g.dcg_u / 1000000.0 AS dcg,
+           gi.idcg_u / 1000000.0 AS idcg,
+           FLOOR(g.dcg_u * 1.0 / gi.idcg_u * 1000000 + 0.5) / 1000000 AS ndcg,
+           g.n_highly_rel
+    FROM g JOIN gi USING (term)
+    """
+
+
+@register(
+    "q235_ndcg_ranking_eval",
+    _q235_sql(),
+    doc="Retrieval-quality evaluation: nDCG@10 of the BM25 ranking "
+    "(q197) per query term, with graded pseudo-relevance rel = "
+    "min(tf, 4) — the offline eval every retrieval/RAG pipeline runs "
+    "before swapping rankers. DCG terms (2^rel-1)/log2(rank+1) are "
+    "floor-quantized to integer micro-units BEFORE the per-term sum "
+    "(q92's order-free idiom); the ideal ordering re-ranks the SAME "
+    "retrieved set by (rel DESC, doc_id) so nDCG isolates ordering "
+    "quality from recall.",
+)
+def q235_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the candidate relation is |terms| x 10 rows (the ranker's
+    own top-k), so everything after q197 — the tf join, both windowed
+    re-ranks, the per-term folds — runs on a constant-size relation
+    partitioned by term. Cost is q197's: only query-term postings ever
+    shuffle."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = _REGISTRY["q197_bm25_scoring"].fn(spark, sf_dir)
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rel = ranked.join(tf, ["term", "doc_id"]).select(
+        "term", "doc_id", "rank", F.least(F.col("tf"), F.lit(4)).alias("rel")
+    )
+    def gain(rank_col):
+        return F.floor(
+            ((F.expr("shiftleft(1, rel)") - 1)
+             / F.log2(rank_col + 1)) * 1_000_000 + 0.5
+        ).cast("long")
+
+    g = rel.groupBy("term").agg(
+        F.sum(gain(F.col("rank"))).alias("dcg_u"),
+        F.sum(F.when(F.col("rel") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_highly_rel"),
+    )
+    wi = Window.partitionBy("term").orderBy(F.desc("rel"), "doc_id")
+    ideal = rel.withColumn("irank", F.row_number().over(wi))
+    gi = ideal.groupBy("term").agg(F.sum(gain(F.col("irank"))).alias("idcg_u"))
+    return (
+        g.join(gi, "term")
+        .select(
+            "term",
+            (F.col("dcg_u") / 1_000_000.0).alias("dcg"),
+            (F.col("idcg_u") / 1_000_000.0).alias("idcg"),
+            round_half_up(F.col("dcg_u") * 1.0 / F.col("idcg_u"), 6).alias("ndcg"),
+            "n_highly_rel",
+        )
     )

@@ -135,6 +135,12 @@ HEADLINE = [
     "q227_split_leakage",
     "q228_class_balanced_sample",
     "q229_customer_feature_frame",
+    "q230_bt_preference",
+    "q231_quality_gate_agreement",
+    "q232_doc_memorization_score",
+    "q233_curriculum_buckets",
+    "q234_domain_reweight",
+    "q235_ndcg_ranking_eval",
 ]
 
 

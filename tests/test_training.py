@@ -569,3 +569,120 @@ def test_q229_feature_frame_windows(spark):
             tail = [x["m_cents"] for x in rs[max(0, i - 2): i + 1]]
             assert min(tail) <= r["avg3_cents"] <= max(tail)
             assert r["avg3_cents"] == math.floor(sum(tail) / len(tail) + 0.5)
+
+
+def test_q230_bt_strengths_valid(spark):
+    """Strengths form a normalized distribution; rank follows the
+    rounded strength with the event_type tie-break; every type with a
+    decisive comparison is rated."""
+    rows = QUERY_REGISTRY["q230_bt_preference"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["bt_strength"] for r in rows) - 1.0) < 1e-3
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    assert [r["rank"] for r in by_rank] == list(range(1, len(rows) + 1))
+    resorted = sorted(rows, key=lambda r: (-r["bt_strength"], r["event_type"]))
+    assert [r["event_type"] for r in resorted] == [
+        r["event_type"] for r in by_rank
+    ]
+    for r in rows:
+        assert 0 <= r["wins"] <= r["n_comparisons"]
+
+
+def test_q231_kappa_from_counts(spark):
+    """Kappa recomputed from the confusion counts in Python matches the
+    engine's value; counts partition the joined docs."""
+    [r] = (
+        QUERY_REGISTRY["q231_quality_gate_agreement"].fn(spark, SF_SMOKE).collect()
+    )
+    n = r["n_docs"]
+    assert (
+        r["n_both_pass"] + r["n_rule_only"] + r["n_lm_only"] + r["n_both_fail"]
+        == n
+    )
+    po = (r["n_both_pass"] + r["n_both_fail"]) / n
+    pa = (r["n_both_pass"] + r["n_rule_only"]) / n
+    pb = (r["n_both_pass"] + r["n_lm_only"]) / n
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    import math
+
+    assert r["po"] == math.floor(po * 1e6 + 0.5) / 1e6
+    assert abs(r["kappa"] - (po - pe) / (1 - pe)) < 1e-5
+    assert -1.0 <= r["kappa"] <= 1.0
+    # non-vacuous: both classifiers disagree somewhere and agree somewhere
+    assert r["n_both_pass"] > 0 and (r["n_rule_only"] + r["n_lm_only"]) > 0
+
+
+def test_q232_memorization_one_doc_brute(spark):
+    """One document's score matches a pure-Python recomputation over
+    the raw corpus text."""
+    import re
+    from collections import defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    rows = QUERY_REGISTRY["q232_doc_memorization_score"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_shared"] <= r["n_grams"]
+        assert 0.0 <= r["memorization_score"] <= 1.0
+    docs = {
+        d["doc_id"]: d["text"]
+        for d in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    gram_docs = defaultdict(set)
+    per_doc = defaultdict(list)
+    for did, text in docs.items():
+        toks = [t for t in re.split("[^a-z]+", (text or "").lower()) if t]
+        for i in range(len(toks) - 4):
+            g = " ".join(toks[i : i + 5])
+            gram_docs[g].add(did)
+            per_doc[did].append(g)
+    target = rows[0]
+    grams = per_doc[target["doc_id"]]
+    shared = sum(1 for g in grams if len(gram_docs[g]) >= 2)
+    assert target["n_grams"] == len(grams)
+    assert target["n_shared"] == shared
+
+
+def test_q233_stages_partition_ordered(spark):
+    """All 10 stages exist, sizes differ by at most one (NTILE), and
+    difficulty ranges are non-decreasing across stages."""
+    rows = sorted(
+        QUERY_REGISTRY["q233_curriculum_buckets"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage"] for r in rows] == list(range(1, 11))
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["min_oov_rate"] >= prev["max_oov_rate"] - 1e-12
+    for r in rows:
+        assert r["min_oov_rate"] <= r["avg_oov_rate"] <= r["max_oov_rate"]
+
+
+def test_q234_reweight_monotone(spark):
+    """Both weight vectors normalize; the zero-excess source is the
+    min-NLL source; the multiplicative update w1/w0 is strictly
+    increasing in excess loss."""
+    rows = QUERY_REGISTRY["q234_domain_reweight"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["w0"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["w1"] for r in rows) - 1.0) < 1e-3
+    zero = [r for r in rows if r["excess_nll"] == 0.0]
+    assert zero and min(rows, key=lambda r: r["nll"])["nll"] == zero[0]["nll"]
+    by_exc = sorted(rows, key=lambda r: r["excess_nll"])
+    ratios = [r["w1"] / r["w0"] for r in by_exc]
+    for a, b, ra, rb in zip(by_exc, by_exc[1:], ratios, ratios[1:]):
+        if b["excess_nll"] > a["excess_nll"]:
+            assert rb > ra
+
+
+def test_q235_ndcg_bounds(spark):
+    """nDCG lies in (0, 1], DCG never exceeds the ideal DCG, and the
+    per-term candidate set is the ranker's top-10."""
+    rows = QUERY_REGISTRY["q235_ndcg_ranking_eval"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["ndcg"] <= 1.0
+        assert r["dcg"] <= r["idcg"] + 1e-9
+        assert 0 <= r["n_highly_rel"] <= 10
