@@ -2778,3 +2778,121 @@ def q235_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_highly_rel",
         )
     )
+
+
+# ── q236: MinHash-LSH parameter planner (band/row sweep over the corpus) ────
+
+_Q236_SIG = 128  # signature budget: candidate (bands, rows) with b*r = 128
+_Q236_CFGS = [(128, 1), (64, 2), (32, 4), (16, 8), (8, 16), (4, 32), (2, 64), (1, 128)]
+
+
+def _q236_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    curve = _REGISTRY["q221_dedup_threshold_curve"].sql
+    cfgs = ", ".join(f"({b}, {r})" for b, r in _Q236_CFGS)
+    return f"""
+    WITH curve AS ({curve}),
+    buck AS (
+      SELECT thr,
+             n_pairs_ge - COALESCE(LEAD(n_pairs_ge) OVER (ORDER BY thr), 0)
+               AS n_b
+      FROM curve
+    ),
+    cfg AS (SELECT * FROM (VALUES {cfgs}) AS t(b, r)),
+    det AS (
+      SELECT cfg.b, cfg.r, buck.thr, buck.n_b,
+             1 - EXP(cfg.b * LN(1 - EXP(cfg.r * LN(buck.thr + 0.05)))) AS p
+      FROM cfg CROSS JOIN buck
+    ),
+    agg AS (
+      SELECT b, r,
+             SUM(CAST(FLOOR(n_b * p * 1000000 + 0.5) AS BIGINT)) AS det_u,
+             SUM(CASE WHEN thr >= 0.5
+                      THEN CAST(FLOOR(n_b * p * 1000000 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS det_hi_u,
+             SUM(CASE WHEN thr < 0.3
+                      THEN CAST(FLOOR(n_b * p * 1000000 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS det_lo_u,
+             CAST(SUM(CASE WHEN thr >= 0.5 THEN n_b ELSE 0 END) AS BIGINT) AS n_hi,
+             CAST(SUM(CASE WHEN thr < 0.3 THEN n_b ELSE 0 END) AS BIGINT) AS n_lo
+      FROM det GROUP BY b, r
+    )
+    SELECT b AS n_bands, r AS n_rows_per_band,
+           FLOOR(EXP(LN(1.0 / b) / r) * 1000000 + 0.5) / 1000000
+             AS approx_threshold,
+           FLOOR(det_u / 1000000.0 * 100 + 0.5) / 100 AS exp_detected_pairs,
+           FLOOR(det_hi_u * 1.0 / (n_hi * 1000000) * 1000000 + 0.5) / 1000000
+             AS recall_ge05,
+           FLOOR(det_lo_u * 1.0 / (n_lo * 1000000) * 1000000 + 0.5) / 1000000
+             AS fp_rate_lt03
+    FROM agg
+    """
+
+
+@register(
+    "q236_lsh_parameter_plan",
+    _q236_sql(),
+    doc="MinHash-LSH parameter planner: for every (bands, rows) split "
+    "of a 128-hash signature budget, the expected number of candidate "
+    "pairs the banding would surface from THIS corpus — the q221 "
+    "Jaccard histogram convolved with the banding S-curve "
+    "p(s)=1-(1-s^r)^b at each bucket midpoint — plus estimated recall "
+    "on true pairs (s>=0.5) and false-candidate rate on junk pairs "
+    "(s<0.3). The tuning table a team reads before setting q24's "
+    "bands/rows knobs: pick the row whose approx threshold (1/b)^(1/r) "
+    "brackets the dedup threshold with acceptable junk. Powers are "
+    "EXP/LN chains (q159/q92 parity class); per-bucket expectations "
+    "are floor-quantized to integer micro-pairs before the sum.",
+)
+def q236_lsh_parameter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the ONLY corpus-sized work is q221's shared-shingle pair
+    relation (built once, max_df-cappable); this planner then runs on a
+    10-row histogram x 8-row config spine — the entire parameter sweep
+    costs O(1) on top of a single dedup pass, versus re-running LSH 8
+    times to measure each configuration empirically."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    curve = _REGISTRY["q221_dedup_threshold_curve"].fn(spark, sf_dir)
+    buck = curve.select(
+        "thr",
+        (
+            F.col("n_pairs_ge")
+            - F.coalesce(
+                F.lead("n_pairs_ge").over(Window.orderBy("thr")), F.lit(0)
+            )
+        ).alias("n_b"),
+    )
+    cfg = spark.createDataFrame(_Q236_CFGS, "b INT, r INT")
+    p = 1 - F.exp(
+        F.col("b") * F.log(1 - F.exp(F.col("r") * F.log(F.col("thr") + 0.05)))
+    )
+    term = F.floor(F.col("n_b") * p * 1_000_000 + 0.5).cast("long")
+    det = F.broadcast(cfg).crossJoin(buck)
+    agg = det.groupBy("b", "r").agg(
+        F.sum(term).alias("det_u"),
+        F.sum(F.when(F.col("thr") >= 0.5, term).otherwise(0)).alias("det_hi_u"),
+        F.sum(F.when(F.col("thr") < 0.3, term).otherwise(0)).alias("det_lo_u"),
+        F.sum(F.when(F.col("thr") >= 0.5, F.col("n_b")).otherwise(0))
+        .cast("long")
+        .alias("n_hi"),
+        F.sum(F.when(F.col("thr") < 0.3, F.col("n_b")).otherwise(0))
+        .cast("long")
+        .alias("n_lo"),
+    )
+    return agg.select(
+        F.col("b").alias("n_bands"),
+        F.col("r").alias("n_rows_per_band"),
+        round_half_up(F.exp(F.log(1.0 / F.col("b")) / F.col("r")), 6).alias(
+            "approx_threshold"
+        ),
+        round_half_up(F.col("det_u") / 1_000_000.0, 2).alias(
+            "exp_detected_pairs"
+        ),
+        round_half_up(
+            F.col("det_hi_u") * 1.0 / (F.col("n_hi") * 1_000_000), 6
+        ).alias("recall_ge05"),
+        round_half_up(
+            F.col("det_lo_u") * 1.0 / (F.col("n_lo") * 1_000_000), 6
+        ).alias("fp_rate_lt03"),
+    )

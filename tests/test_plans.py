@@ -465,3 +465,43 @@ def test_q221_curve_reuses_q23_join_then_tiny_rollup(spark):
     plan = _plan(spark, "q221_dedup_threshold_curve")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 2  # two >= spines
+
+
+def test_q232_df_join_broadcasts_no_cartesian(spark):
+    """The memorization score must join gram->df back as a broadcast
+    hash join (the df relation is vocabulary-bounded) — never a
+    sort-merge of two corpus-sized gram relations, never a cartesian."""
+    plan = _plan(spark, "q232_doc_memorization_score")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q233_vocab_is_takeordered_and_broadcast(spark):
+    """Curriculum staging must build the top-V vocab as a TakeOrdered
+    (never a global sort of the token relation) and broadcast it into
+    the corpus scan."""
+    plan = _plan(spark, "q233_curriculum_buckets")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q234_scalar_rides_broadcast(spark):
+    """Domain reweighting must attach the vocab via broadcast hash join
+    and the scalar token total via broadcast nested loop — no cartesian
+    product, no corpus-side sort-merge."""
+    plan = _plan(spark, "q234_domain_reweight")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q235_rank_filter_pushes_group_limit(spark):
+    """The nDCG eval inherits q197's shape: the rank<=10 filter must
+    push a WindowGroupLimit below the per-term window so only top-k
+    candidates survive each exchange; no cartesian anywhere in the
+    composite."""
+    plan = _plan(spark, "q235_ndcg_ranking_eval")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

@@ -686,3 +686,36 @@ def test_q235_ndcg_bounds(spark):
         assert 0.0 < r["ndcg"] <= 1.0
         assert r["dcg"] <= r["idcg"] + 1e-9
         assert 0 <= r["n_highly_rel"] <= 10
+
+
+def test_q236_planner_matches_python_convolution(spark):
+    """The per-config expectation matches a pure-Python convolution of
+    q221's histogram with the banding S-curve; recall and junk rate are
+    both monotone in rows-per-band."""
+    import math
+
+    rows = QUERY_REGISTRY["q236_lsh_parameter_plan"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 8
+    curve = sorted(
+        QUERY_REGISTRY["q221_dedup_threshold_curve"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["thr"],
+    )
+    hist = []
+    for i, c in enumerate(curve):
+        nxt = curve[i + 1]["n_pairs_ge"] if i + 1 < len(curve) else 0
+        hist.append((c["thr"], c["n_pairs_ge"] - nxt))
+    by_r = sorted(rows, key=lambda r: r["n_rows_per_band"])
+    for row in rows:
+        b, r = row["n_bands"], row["n_rows_per_band"]
+        assert b * r == 128
+        det_u = 0
+        for thr, n in hist:
+            p = 1 - math.exp(b * math.log(1 - math.exp(r * math.log(thr + 0.05))))
+            det_u += math.floor(n * p * 1e6 + 0.5)
+        assert row["exp_detected_pairs"] == math.floor(det_u / 1e6 * 100 + 0.5) / 100
+        assert 0.0 <= row["recall_ge05"] <= 1.0
+        assert 0.0 <= row["fp_rate_lt03"] <= 1.0
+    for a, c in zip(by_r, by_r[1:]):  # more rows/band = stricter
+        assert c["recall_ge05"] <= a["recall_ge05"] + 1e-9
+        assert c["fp_rate_lt03"] <= a["fp_rate_lt03"] + 1e-9
+        assert c["approx_threshold"] >= a["approx_threshold"] - 1e-9
