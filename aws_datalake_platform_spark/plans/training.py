@@ -2896,3 +2896,226 @@ def q236_lsh_parameter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("det_lo_u") * 1.0 / (F.col("n_lo") * 1_000_000), 6
         ).alias("fp_rate_lt03"),
     )
+
+
+# ── q237: KMV sketch source-overlap (the sketch twin of q195) ────────────────
+
+_Q237_K = 256  # k-minimum-values sketch size
+_Q237_SALT = 64  # salt fan-out for the skew-safe two-phase top-k
+# (k-1) * 2^60, the KMV distinct estimator numerator; both factors are
+# exactly representable doubles so the product is one exact fp value
+_Q237_NUM = "255.0 * 1152921504606846976.0"
+
+
+def _q237_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    exact = _REGISTRY["q195_source_overlap_matrix"].sql
+    return rf"""
+    WITH exact AS ({exact}),
+    tok AS (
+      SELECT source, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source, unnest(
+        CASE WHEN len(toks) >= 5
+             THEN list_transform(range(1, len(toks)-3),
+                                 i -> array_to_string(toks[i:i+4], ' '))
+             ELSE []::VARCHAR[] END) AS s
+      FROM tok
+    ),
+    hs AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5('kmv|' || s), 1, 15)) AS BIGINT) AS h
+      FROM sh
+    ),
+    pre AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source, h % {_Q237_SALT}
+                                  ORDER BY h) AS r1
+        FROM hs) WHERE r1 <= {_Q237_K}
+    ),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM pre) WHERE rk <= {_Q237_K}
+    ),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM hs GROUP BY source),
+    srcs AS (SELECT DISTINCT source FROM sk),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    ph AS (
+      SELECT p.source_a, p.source_b, s.h,
+             MAX(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.source IN (p.source_a, p.source_b)
+      GROUP BY 1, 2, 3
+    ),
+    topu AS (
+      SELECT source_a, source_b, in_a, in_b,
+             ROW_NUMBER() OVER (PARTITION BY source_a, source_b
+                                ORDER BY h) AS r, h
+      FROM ph
+    ),
+    est AS (
+      SELECT source_a, source_b,
+             MAX(CASE WHEN r = {_Q237_K} THEN h END) AS uk,
+             SUM(CASE WHEN r <= {_Q237_K} THEN in_a * in_b ELSE 0 END) AS matches
+      FROM topu GROUP BY 1, 2
+    ),
+    est2 AS (
+      SELECT source_a, source_b, matches,
+             CAST(FLOOR({_Q237_NUM} / uk + 0.5) AS BIGINT) AS est_union
+      FROM est
+    )
+    SELECT e.source_a, e.source_b, e.est_union,
+           CAST(FLOOR(e.matches * e.est_union / {_Q237_K}.0 + 0.5) AS BIGINT)
+             AS est_inter,
+           FLOOR(e.matches / {_Q237_K}.0 * 1000000 + 0.5) / 1000000
+             AS jaccard_est,
+           CAST(za.n + zb.n - COALESCE(x.n_shared, 0) AS BIGINT) AS n_union,
+           CAST(COALESCE(x.n_shared, 0) AS BIGINT) AS n_shared,
+           COALESCE(x.jaccard, 0.0) AS jaccard_exact,
+           FLOOR(ABS(e.matches / {_Q237_K}.0 - COALESCE(x.jaccard, 0.0))
+                 * 1000000 + 0.5) / 1000000 AS abs_err
+    FROM est2 e
+    JOIN sz za ON za.source = e.source_a
+    JOIN sz zb ON zb.source = e.source_b
+    LEFT JOIN exact x
+      ON x.source_a = e.source_a AND x.source_b = e.source_b
+    ORDER BY e.source_a, e.source_b
+    """
+
+
+@register(
+    "q237_kmv_source_overlap",
+    _q237_sql(),
+    doc="KMV (k-minimum-values) sketch of each source's distinct 5-gram "
+    "shingle set, then pairwise union/intersection/Jaccard ESTIMATES "
+    "from merged sketches — the sketch twin of q195's exact overlap "
+    "matrix, joined against it so every row carries its own error "
+    "audit. Distinct-estimate (k-1)/u_k on the k-th minimum hash; "
+    "intersection via the match fraction in the merged top-k "
+    "(Beyer et al., SIGMOD'07). Hash-certifiable because the sketch "
+    "is pure md5 integer order statistics — no RNG, no float "
+    "accumulation; the only floats are two pinned single-op "
+    "divisions.",
+)
+def q237_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the corpus-sized work is ONE distinct over (source, shingle)
+    — the same relation q195 builds — after which KMV reduces each
+    source to k=256 hashes BEFORE any pairwise work: the pair stage is
+    |sources|^2 * 2k rows regardless of corpus size, where q195's exact
+    matrix pays a shared-shingle join over the full relation. The
+    per-source top-k is the skew-safe two-phase rank: rank within
+    (source, h % 64) salt cells first (64-way fan-out keeps the 20-key
+    source partition from serializing a 100 TB corpus through 20
+    window tasks), then rank the <= 64*256-row survivor set. At 100 TB
+    you drop the exact-audit join (q195) and keep only the sketch
+    path; sketches also persist/merge across ingest increments since
+    min-hashes are associative.
+
+    Reference tie-in: the reference delegates corpus analytics to
+    Athena (README.md:128-132); this extends the engine's sketch
+    family (q40/q84 HLL, q144 CountMin) with mergeable set-overlap
+    estimation."""
+    from ..operators.dedup import word_shingles
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(word_shingles("text", 5)).alias("s")
+    ).distinct()
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv|"), F.col("s"))), 1, 15), 16, 10
+    ).cast("long")
+    hs = sh.select("source", h.alias("h")).distinct()
+    w1 = Window.partitionBy("source", F.col("h") % _Q237_SALT).orderBy("h")
+    pre = (
+        hs.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _Q237_K)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy("source").orderBy("h")
+    sk = (
+        pre.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _Q237_K)
+        .drop("rk")
+    )
+    srcs = sk.select("source").distinct()
+    pairs = F.broadcast(
+        srcs.select(F.col("source").alias("source_a"))
+    ).join(
+        srcs.select(F.col("source").alias("source_b")),
+        F.col("source_a") < F.col("source_b"),
+    )
+    ska = sk.select(F.col("source").alias("source_a"), "h")
+    skb = sk.select(F.col("source").alias("source_b"), "h")
+    ph = (
+        pairs.join(ska, "source_a")
+        .select("source_a", "source_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(skb, "source_b")
+            .select("source_a", "source_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("source_a", "source_b").orderBy("h")
+    topu = ph.withColumn("r", F.row_number().over(wu)).filter(
+        F.col("r") <= _Q237_K
+    )
+    est = topu.groupBy("source_a", "source_b").agg(
+        F.max(F.when(F.col("r") == _Q237_K, F.col("h"))).alias("uk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("matches"),
+    )
+    est_union = F.floor(
+        F.lit(255.0) * F.lit(1152921504606846976.0) / F.col("uk") + F.lit(0.5)
+    ).cast("long")
+    est2 = est.select(
+        "source_a", "source_b", "matches", est_union.alias("est_union")
+    )
+    sz = hs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    za = sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    zb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    exact = (
+        _REGISTRY["q195_source_overlap_matrix"]
+        .fn(spark, sf_dir)
+        .select("source_a", "source_b", "n_shared", F.col("jaccard").alias("jx"))
+    )
+    return (
+        est2.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .join(exact, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "est_union",
+            F.floor(
+                F.col("matches") * F.col("est_union") / F.lit(float(_Q237_K))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("est_inter"),
+            round_half_up(F.col("matches") / F.lit(float(_Q237_K)), 6).alias(
+                "jaccard_est"
+            ),
+            (F.col("na") + F.col("nb") - F.coalesce(F.col("n_shared"), F.lit(0)))
+            .cast("long")
+            .alias("n_union"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            F.coalesce(F.col("jx"), F.lit(0.0)).alias("jaccard_exact"),
+            round_half_up(
+                F.abs(
+                    F.col("matches") / F.lit(float(_Q237_K))
+                    - F.coalesce(F.col("jx"), F.lit(0.0))
+                ),
+                6,
+            ).alias("abs_err"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -505,3 +505,13 @@ def test_q235_rank_filter_pushes_group_limit(spark):
     plan = _plan(spark, "q235_ndcg_ranking_eval")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q237_pair_stage_runs_on_sketches_not_corpus(spark):
+    """The KMV pair stage must operate on k-row sketches: the only
+    nested-loop joins are the tiny broadcast pair spine, and the
+    per-source top-k is the salted two-phase rank (two WindowGroupLimit
+    passes push the k cutoff below each exchange)."""
+    plan = _plan(spark, "q237_kmv_source_overlap")
+    assert "CartesianProduct" not in plan
+    assert plan.count("WindowGroupLimit") >= 3  # salt rank, final rank, union rank

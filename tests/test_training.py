@@ -719,3 +719,25 @@ def test_q236_planner_matches_python_convolution(spark):
         assert c["recall_ge05"] <= a["recall_ge05"] + 1e-9
         assert c["fp_rate_lt03"] <= a["fp_rate_lt03"] + 1e-9
         assert c["approx_threshold"] >= a["approx_threshold"] - 1e-9
+
+
+def test_q237_kmv_estimates_track_exact_overlap(spark):
+    """KMV estimates must track q195's exact matrix: per-pair Jaccard
+    error bounded by the k=256 sketch std-err band, union estimate
+    within 25% of the true distinct-union size, and the intersection
+    estimate consistent with rho * est_union."""
+    import math
+
+    rows = QUERY_REGISTRY["q237_kmv_source_overlap"].fn(spark, SF_SMOKE).collect()
+    n_src = (1 + math.isqrt(1 + 8 * len(rows))) // 2
+    assert len(rows) == n_src * (n_src - 1) // 2  # every pair, overlap or not
+    for r in rows:
+        assert r["abs_err"] <= 0.08  # ~5 sigma at k=256
+        assert r["n_union"] > 0
+        assert abs(r["est_union"] - r["n_union"]) / r["n_union"] <= 0.25
+        rho = r["jaccard_est"]
+        assert abs(r["est_inter"] - rho * r["est_union"]) <= r["est_union"] * 1e-5 + 1.0
+        if r["n_shared"] == 0:
+            assert r["jaccard_exact"] == 0.0
+    errs = [r["abs_err"] for r in rows]
+    assert sum(errs) / len(errs) <= 0.02  # mean error well inside 1 sigma
