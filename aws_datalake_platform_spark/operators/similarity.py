@@ -492,6 +492,39 @@ def ivf_assign(
     )
 
 
+def ivf_probe_order(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full centroid probe order per vector: ivf_assign generalized to
+    keep EVERY centroid with its probe rank (prank=1 is the nearest
+    list). Lets an n_probe sweep (q238) reuse one assignment pass —
+    filter prank <= p instead of re-assigning per configuration. Same
+    sequential-fold dots + stable argsort contract as ivf_assign, so
+    ranks match the SQL replay's ROW_NUMBER ... ORDER BY dot DESC, cid."""
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def order_all(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(_seq_norms(m)[:, None], 1e-12)
+        sims = _seq_dots(m, centroids)
+        top = np.argsort(-sims, axis=1, kind="stable")
+        return pd.Series(list(top.astype(np.int32)))
+
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.posexplode(order_all(F.col(vec_col))).alias("pos", "cluster"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "cluster",
+        (F.col("pos") + 1).cast("int").alias("prank"),
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

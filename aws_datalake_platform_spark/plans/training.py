@@ -3119,3 +3119,202 @@ def q237_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ── q238: IVF n_probe planner (recall/cost curve for the q47 index) ──────────
+
+_Q238_PROBES = [1, 2, 4, 8, 16]
+_Q238_NC = 16
+_Q238_K = 5
+_Q238_NQ = 10
+
+
+def _q238_sql() -> str:
+    from .extras import _kmeans_prefix_sql
+    from .llm_ops import _COS
+
+    prefix = _kmeans_prefix_sql(
+        n_centroids=_Q238_NC, sample_size=1024, n_iter=10, seed=42, dim=64
+    )
+    aff = (
+        "list_sum(list_transform(range(1,65), i -> e.env[i] * c.cv[i]))"
+    )
+    cos_final = _COS.format(a="q.embedding", b="n.embedding")
+    cos_exact = _COS.format(a="qe", b="c.embedding")
+    cfgs = ", ".join(f"({p})" for p in _Q238_PROBES)
+    return f"""
+    WITH {prefix},
+    qall AS MATERIALIZED (
+      SELECT e.vec_id AS query_id, e.embedding, c.cid AS cluster,
+             CAST(ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {aff} DESC, c.cid) AS INT) AS prank
+      FROM en e CROSS JOIN cents10 c
+      WHERE e.vec_id < {_Q238_NQ}),
+    cfg AS (SELECT * FROM (VALUES {cfgs}) AS t(p)),
+    cand AS MATERIALIZED (
+      SELECT q.query_id, q.prank, n.neighbor_id, ROUND({cos_final}, 6) AS sim
+      FROM qall q JOIN cb n USING (cluster)
+      WHERE n.neighbor_id <> q.query_id),
+    ranked AS (
+      SELECT f.p, c.query_id, c.neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY f.p, c.query_id
+               ORDER BY c.sim DESC, c.neighbor_id) AS rank
+      FROM cfg f JOIN cand c ON c.prank <= f.p),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ROUND({cos_exact}, 6) DESC, c.vec_id) AS rank
+        FROM (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+              WHERE vec_id < {_Q238_NQ}) q
+        JOIN embeddings c ON c.vec_id <> query_id) t
+      WHERE rank <= {_Q238_K}),
+    hits AS (
+      SELECT r.p, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM ranked r JOIN exact e
+        ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+      WHERE r.rank <= {_Q238_K}
+      GROUP BY r.p),
+    sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n FROM cb GROUP BY cluster),
+    cost AS (
+      SELECT f.p, CAST(SUM(sz.n) AS BIGINT) AS total
+      FROM cfg f JOIN qall q ON q.prank <= f.p
+      JOIN sz USING (cluster)
+      GROUP BY f.p),
+    ncorp AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM cb)
+    SELECT f.p AS n_probe,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           FLOOR(COALESCE(h.n_hits, 0) / {_Q238_NQ * _Q238_K}.0 * 1000000 + 0.5)
+             / 1000000 AS recall_at5,
+           FLOOR(c.total / {_Q238_NQ}.0 * 100 + 0.5) / 100 AS avg_candidates,
+           FLOOR(c.total / ({_Q238_NQ}.0 * n.nc) * 1000000 + 0.5) / 1000000
+             AS cost_fraction
+    FROM cfg f
+    LEFT JOIN hits h ON h.p = f.p
+    JOIN cost c ON c.p = f.p
+    CROSS JOIN ncorp n
+    ORDER BY n_probe
+    """
+
+
+@register(
+    "q238_ivf_nprobe_plan",
+    _q238_sql(),
+    doc="IVF n_probe tuning curve: for each probe budget, recall@5 of "
+    "the q47 index against the exact brute-force top-5 AND the scan "
+    "cost it pays (average probed-list size, as count and as corpus "
+    "fraction) — the recall/cost frontier a team reads before setting "
+    "q47's n_probe knob, the IVF twin of q236's LSH planner. The "
+    "quantizer trains ONCE (the q47 k-means replay); every config "
+    "reuses its assignments, so the sweep costs one index build plus "
+    "per-config candidate ranking, not five index builds. Recall "
+    "numbers are exact fractions of 50 and hash-certified end-to-end.",
+)
+def q238_ivf_nprobe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: corpus work is one quantizer train + one map-side
+    assignment pass (Arrow-batch matmul, no shuffle) + one exact
+    brute-force pass over the 10 audit probes (the price of ground
+    truth, same contract as q209). The probe-rank relation is
+    |queries| x n_centroids rows; the config sweep multiplies only
+    CANDIDATE rows (bounded by probes x corpus at p=K_max — the audit
+    setting; production sweeps cap max probe). Cluster sizes aggregate
+    map-side; the config spine broadcasts.
+
+    Reference tie-in: extends the Athena-role analytics surface
+    (reference README.md:128-132) with index-tuning introspection the
+    reference delegates to manual Athena queries."""
+    from ..operators.similarity import (
+        _centroid_matrix,
+        brute_force_topk,
+        dot,
+        ivf_assign,
+        ivf_probe_order,
+        norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < _Q238_NQ)
+    cents = _centroid_matrix(emb, "vec_id", "embedding", _Q238_NC)
+
+    qall = ivf_probe_order(probes, cents, "vec_id", "embedding").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        norm(F.col("embedding")).alias("__qn"),
+        "cluster",
+        "prank",
+    )
+    cb = ivf_assign(emb, cents, "vec_id", "embedding", n_probe=1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        norm(F.col("embedding")).alias("__cn"),
+        "cluster",
+    )
+    cand = (
+        qall.join(cb, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "prank",
+            "neighbor_id",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    cfg = spark.createDataFrame([(p,) for p in _Q238_PROBES], "p INT")
+    ranked = (
+        F.broadcast(cfg)
+        .join(cand, F.col("prank") <= F.col("p"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("p", "query_id").orderBy(
+                    F.col("sim").desc(), "neighbor_id"
+                )
+            ),
+        )
+    )
+    exact = brute_force_topk(probes, emb, k=_Q238_K).select(
+        F.col("query_id").alias("__eq"), F.col("neighbor_id").alias("__en")
+    )
+    hits = (
+        ranked.filter(F.col("rank") <= _Q238_K)
+        .join(
+            exact,
+            (F.col("query_id") == F.col("__eq"))
+            & (F.col("neighbor_id") == F.col("__en")),
+        )
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    sz = cb.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    cost = (
+        F.broadcast(cfg)
+        .join(qall.select("cluster", "prank"), F.col("prank") <= F.col("p"))
+        .join(sz, "cluster")
+        .groupBy("p")
+        .agg(F.sum("n").cast("long").alias("total"))
+    )
+    ncorp = cb.agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    denom = float(_Q238_NQ * _Q238_K)
+    return (
+        cfg.join(hits, "p", "left")
+        .join(cost, "p")
+        .crossJoin(F.broadcast(ncorp))
+        .select(
+            F.col("p").alias("n_probe"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            round_half_up(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(denom), 6
+            ).alias("recall_at5"),
+            round_half_up(F.col("total") / F.lit(float(_Q238_NQ)), 2).alias(
+                "avg_candidates"
+            ),
+            round_half_up(
+                F.col("total") / (F.lit(float(_Q238_NQ)) * F.col("nc")), 6
+            ).alias("cost_fraction"),
+        )
+        .orderBy("n_probe")
+    )

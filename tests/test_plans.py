@@ -515,3 +515,12 @@ def test_q237_pair_stage_runs_on_sketches_not_corpus(spark):
     plan = _plan(spark, "q237_kmv_source_overlap")
     assert "CartesianProduct" not in plan
     assert plan.count("WindowGroupLimit") >= 3  # salt rank, final rank, union rank
+
+
+def test_q238_sweep_reuses_one_assignment(spark):
+    """The n_probe sweep must rank candidates via the cluster equi-join
+    (broadcast hash) with the config spine broadcast — one corpus
+    assignment pass, no per-config cartesian re-scan."""
+    plan = _plan(spark, "q238_ivf_nprobe_plan")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -741,3 +741,22 @@ def test_q237_kmv_estimates_track_exact_overlap(spark):
             assert r["jaccard_exact"] == 0.0
     errs = [r["abs_err"] for r in rows]
     assert sum(errs) / len(errs) <= 0.02  # mean error well inside 1 sigma
+
+
+def test_q238_nprobe_curve_monotone_and_exact_at_full_probe(spark):
+    """Recall and cost must be non-decreasing in n_probe; probing all 16
+    lists IS brute force, so recall hits 1.0 and the scan fraction ~1
+    (probed lists cover the whole corpus)."""
+    rows = sorted(
+        QUERY_REGISTRY["q238_ivf_nprobe_plan"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["n_probe"],
+    )
+    assert [r["n_probe"] for r in rows] == [1, 2, 4, 8, 16]
+    for a, b in zip(rows, rows[1:]):
+        assert b["recall_at5"] >= a["recall_at5"] - 1e-9
+        assert b["avg_candidates"] >= a["avg_candidates"]
+        assert b["cost_fraction"] >= a["cost_fraction"]
+    full = rows[-1]
+    assert full["recall_at5"] == 1.0 and full["n_hits"] == 50
+    assert abs(full["cost_fraction"] - 1.0) < 1e-6
+    assert rows[0]["cost_fraction"] < 0.5  # p=1 must actually prune
