@@ -3318,3 +3318,316 @@ def q238_ivf_nprobe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_probe")
     )
+
+
+# ── q239: calibration curve + Brier score for the q173 quality model ────────
+
+
+def _q239_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    model = _REGISTRY["q173_quality_logreg"].sql
+    gate = _REGISTRY["q192_gopher_quality_rules"].sql
+    return f"""
+    WITH m AS ({model}),
+    g AS ({gate}),
+    j AS (
+      SELECT CAST(FLOOR(m.quality_score * 10000 + 0.5) AS BIGINT) AS score_u,
+             CASE WHEN g.passes THEN 1 ELSE 0 END AS label
+      FROM m JOIN g ON m.doc_id = g.doc_id
+    ),
+    b AS (
+      SELECT LEAST(CAST(FLOOR(score_u / 1000.0) AS INT), 9) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(score_u) AS BIGINT) AS sum_u,
+             CAST(SUM(label) AS BIGINT) AS n_pass,
+             CAST(SUM((score_u - label * 10000) * (score_u - label * 10000))
+                  AS BIGINT) AS sq_u
+      FROM j GROUP BY 1
+    )
+    SELECT bucket,
+           n_docs,
+           FLOOR(sum_u / (10000.0 * n_docs) * 1000000 + 0.5) / 1000000
+             AS avg_pred,
+           FLOOR(n_pass * 1.0 / n_docs * 1000000 + 0.5) / 1000000 AS obs_rate,
+           FLOOR(ABS(sum_u / (10000.0 * n_docs) - n_pass * 1.0 / n_docs)
+                 * 1000000 + 0.5) / 1000000 AS calib_gap,
+           FLOOR(sq_u / (100000000.0 * n_docs) * 1000000 + 0.5) / 1000000
+             AS brier
+    FROM b ORDER BY bucket
+    """
+
+
+@register(
+    "q239_calibration_brier",
+    _q239_sql(),
+    doc="Reliability diagram + per-bucket Brier score for the q173 "
+    "logistic quality model against the q192 Gopher rule gate as the "
+    "reference label: score-decile buckets with mean predicted "
+    "probability, observed pass rate, their gap, and the bucket Brier "
+    "— the calibration readout a team checks before trusting model "
+    "scores as sampling weights (q226/q234 consume them as such). All "
+    "statistics are exact integer sums of the 1e-4-quantized score; "
+    "the squared error is integer arithmetic, so the Brier needs no "
+    "float-accumulation contract.",
+)
+def q239_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both inputs are map-only scorers; the join is one shuffle
+    on doc_id (or zero with co-partitioned inputs) and the rollup is a
+    10-key partial aggregate — calibration costs one pass regardless of
+    corpus size."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    m = _REGISTRY["q173_quality_logreg"].fn(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("quality_score") * 10000 + 0.5).cast("long").alias("score_u"),
+    )
+    g = _REGISTRY["q192_gopher_quality_rules"].fn(spark, sf_dir).select(
+        "doc_id", F.when(F.col("passes"), 1).otherwise(0).alias("label")
+    )
+    j = m.join(g, "doc_id")
+    sq = (F.col("score_u") - F.col("label") * 10000) * (
+        F.col("score_u") - F.col("label") * 10000
+    )
+    b = j.groupBy(
+        F.least(
+            F.floor(F.col("score_u") / F.lit(1000.0)).cast("int"), F.lit(9)
+        ).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("score_u").cast("long").alias("sum_u"),
+        F.sum("label").cast("long").alias("n_pass"),
+        F.sum(sq).cast("long").alias("sq_u"),
+    )
+    return b.select(
+        "bucket",
+        "n_docs",
+        round_half_up(
+            F.col("sum_u") / (F.lit(10000.0) * F.col("n_docs")), 6
+        ).alias("avg_pred"),
+        round_half_up(F.col("n_pass") * 1.0 / F.col("n_docs"), 6).alias(
+            "obs_rate"
+        ),
+        round_half_up(
+            F.abs(
+                F.col("sum_u") / (F.lit(10000.0) * F.col("n_docs"))
+                - F.col("n_pass") * 1.0 / F.col("n_docs")
+            ),
+            6,
+        ).alias("calib_gap"),
+        round_half_up(
+            F.col("sq_u") / (F.lit(100000000.0) * F.col("n_docs")), 6
+        ).alias("brier"),
+    ).orderBy("bucket")
+
+
+# ── q240: ROC AUC of the quality model via the score histogram ───────────────
+
+
+def _q240_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    model = _REGISTRY["q173_quality_logreg"].sql
+    gate = _REGISTRY["q192_gopher_quality_rules"].sql
+    return f"""
+    WITH m AS ({model}),
+    g AS ({gate}),
+    j AS (
+      SELECT CAST(FLOOR(m.quality_score * 10000 + 0.5) AS BIGINT) AS score_u,
+             CASE WHEN g.passes THEN 1 ELSE 0 END AS label
+      FROM m JOIN g ON m.doc_id = g.doc_id
+    ),
+    h AS (
+      SELECT score_u, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(label) AS BIGINT) AS pos
+      FROM j GROUP BY score_u
+    ),
+    r AS (
+      SELECT pos, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY score_u
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM h
+    ),
+    s AS (
+      SELECT CAST(SUM(pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS s2,
+             CAST(SUM(pos) AS BIGINT) AS np,
+             CAST(SUM(cnt - pos) AS BIGINT) AS nn
+      FROM r
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           FLOOR((s2 / 2.0 - np * (np + 1) / 2.0) / (np * nn) * 1000000 + 0.5)
+             / 1000000 AS auc,
+           FLOOR((2.0 * ((s2 / 2.0 - np * (np + 1) / 2.0) / (np * nn)) - 1.0)
+                 * 1000000 + 0.5) / 1000000 AS gini
+    FROM s
+    """
+
+
+@register(
+    "q240_roc_auc",
+    _q240_sql(),
+    doc="ROC AUC (Mann-Whitney rank-sum with midrank tie handling) of "
+    "the q173 quality score against the q192 rule gate, plus the Gini "
+    "coefficient 2*AUC-1 — the threshold-free discrimination metric "
+    "that complements q239's calibration view. Computed from the SCORE "
+    "HISTOGRAM, not per-row ranks: tie groups contribute "
+    "pos*(2*cum_before+cnt+1) where doubling keeps midranks integer, "
+    "so the whole statistic is exact integer arithmetic until two "
+    "final pinned divisions.",
+)
+def q240_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the histogram GROUP BY is map-side combinable down to at
+    most 10001 distinct quantized scores, and the running-rank window
+    runs over THAT relation — never a corpus-wide global sort. This is
+    the only AUC shape that survives 100 TB: per-row rank() would
+    single-partition the corpus (q80's GK lesson applied to ranks)."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    m = _REGISTRY["q173_quality_logreg"].fn(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("quality_score") * 10000 + 0.5).cast("long").alias("score_u"),
+    )
+    g = _REGISTRY["q192_gopher_quality_rules"].fn(spark, sf_dir).select(
+        "doc_id", F.when(F.col("passes"), 1).otherwise(0).alias("label")
+    )
+    h = (
+        m.join(g, "doc_id")
+        .groupBy("score_u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("label").cast("long").alias("pos"),
+        )
+    )
+    w = Window.orderBy("score_u").rowsBetween(Window.unboundedPreceding, -1)
+    r = h.select(
+        "pos",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+    )
+    s = r.agg(
+        F.sum(
+            F.col("pos") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("s2"),
+        F.sum("pos").cast("long").alias("np"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("nn"),
+    )
+    auc_raw = (F.col("s2") / 2.0 - F.col("np") * (F.col("np") + 1) / 2.0) / (
+        F.col("np") * F.col("nn")
+    )
+    return s.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        round_half_up(auc_raw, 6).alias("auc"),
+        round_half_up(2.0 * auc_raw - 1.0, 6).alias("gini"),
+    )
+
+
+# ── q241: Markov transition entropy of the event stream ─────────────────────
+
+
+@register(
+    "q241_transition_entropy",
+    """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    trans AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    tot AS (
+      SELECT cur, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_next
+      FROM trans GROUP BY cur
+    ),
+    term AS (
+      SELECT t.cur, t.nxt, t.c, z.n, z.n_next,
+             CAST(FLOOR((0 - (t.c * 1.0 / z.n) * LN(t.c * 1.0 / z.n)
+                         / LN(2.0)) * 1000000 + 0.5) AS BIGINT) AS h_u,
+             ROW_NUMBER() OVER (PARTITION BY t.cur
+               ORDER BY t.c DESC, t.nxt) AS rk
+      FROM trans t JOIN tot z ON z.cur = t.cur
+    )
+    SELECT cur AS event_type,
+           MAX(n) AS n_transitions,
+           MAX(n_next) AS n_next_states,
+           MAX(CASE WHEN rk = 1 THEN nxt END) AS top_next,
+           FLOOR(MAX(CASE WHEN rk = 1 THEN c ELSE 0 END) * 1.0 / MAX(n)
+                 * 1000000 + 0.5) / 1000000 AS top_next_p,
+           FLOOR(SUM(h_u) / 1000000.0 * 1000000 + 0.5) / 1000000
+             AS entropy_bits,
+           FLOOR(SUM(h_u) / 1000000.0 / (LN(MAX(n_next)) / LN(2.0))
+                 * 1000000 + 0.5) / 1000000 AS norm_entropy
+    FROM term
+    GROUP BY cur ORDER BY cur
+    """,
+    doc="Markov next-event predictability: per current event type, the "
+    "conditional entropy of the next event in each user's stream (the "
+    "information-theoretic sibling of q123's PageRank over the same "
+    "transition relation), with the modal transition and its "
+    "probability. High entropy = random navigation; entropy near 0 = "
+    "deterministic funnels (q81's steps emerge here as low-entropy "
+    "states). Per-term plogp values are floor-quantized to integer "
+    "micro-bits BEFORE the per-state sum, so the entropy is order-free "
+    "exact integer math (the q213 idiom).",
+)
+def q241_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on user_id for the LEAD window (the
+    sessionization partitioning, reusable across all sequence queries),
+    then the transition relation is |event_types|^2 rows — every later
+    step is driver-trivial. The window orders by (ts, event_id) so
+    same-timestamp events are deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = trans.groupBy("cur").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_next"),
+    )
+    p = F.col("c") * 1.0 / F.col("n")
+    term = trans.join(F.broadcast(tot), "cur").select(
+        "cur",
+        "nxt",
+        "c",
+        "n",
+        "n_next",
+        F.floor((F.lit(0) - p * F.log(p) / F.log(F.lit(2.0))) * 1000000 + 0.5)
+        .cast("long")
+        .alias("h_u"),
+        F.row_number()
+        .over(Window.partitionBy("cur").orderBy(F.col("c").desc(), "nxt"))
+        .alias("rk"),
+    )
+    return (
+        term.groupBy(F.col("cur").alias("event_type"))
+        .agg(
+            F.max("n").alias("n_transitions"),
+            F.max("n_next").alias("n_next_states"),
+            F.max(F.when(F.col("rk") == 1, F.col("nxt"))).alias("top_next"),
+            round_half_up(
+                F.max(F.when(F.col("rk") == 1, F.col("c")).otherwise(0))
+                * 1.0
+                / F.max("n"),
+                6,
+            ).alias("top_next_p"),
+            round_half_up(F.sum("h_u") / 1000000.0, 6).alias("entropy_bits"),
+            round_half_up(
+                F.sum("h_u")
+                / 1000000.0
+                / (F.log(F.max("n_next").cast("double")) / F.log(F.lit(2.0))),
+                6,
+            ).alias("norm_entropy"),
+        )
+        .orderBy("event_type")
+    )

@@ -524,3 +524,22 @@ def test_q238_sweep_reuses_one_assignment(spark):
     plan = _plan(spark, "q238_ivf_nprobe_plan")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q240_auc_window_runs_on_histogram(spark):
+    """The rank window must consume the aggregated score histogram —
+    HashAggregate(score_u) appears BELOW the Window in the plan, so the
+    single-partition window is bounded by score resolution, never
+    corpus size."""
+    plan = _plan(spark, "q240_roc_auc")
+    assert "CartesianProduct" not in plan
+    w = plan.find("Window")
+    assert w > 0 and "HashAggregate" in plan[w:]
+
+
+def test_q241_transition_rollup_broadcasts_totals(spark):
+    """The per-state totals join must broadcast (|event_types| rows) and
+    the sequence window partitions by user."""
+    plan = _plan(spark, "q241_transition_entropy")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

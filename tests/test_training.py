@@ -760,3 +760,79 @@ def test_q238_nprobe_curve_monotone_and_exact_at_full_probe(spark):
     assert full["recall_at5"] == 1.0 and full["n_hits"] == 50
     assert abs(full["cost_fraction"] - 1.0) < 1e-6
     assert rows[0]["cost_fraction"] < 0.5  # p=1 must actually prune
+
+
+def test_q239_calibration_matches_python(spark):
+    """Bucket stats must equal a pure-Python recomputation from the two
+    component queries, and every probability column stays in [0,1]."""
+    rows = QUERY_REGISTRY["q239_calibration_brier"].fn(spark, SF_SMOKE).collect()
+    m = {
+        r["doc_id"]: int(r["quality_score"] * 10000 + 0.5)
+        for r in QUERY_REGISTRY["q173_quality_logreg"].fn(spark, SF_SMOKE).collect()
+    }
+    g = {
+        r["doc_id"]: int(bool(r["passes"]))
+        for r in QUERY_REGISTRY["q192_gopher_quality_rules"].fn(spark, SF_SMOKE).collect()
+    }
+    import math
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n, sum_u, n_pass, sq
+    for d, su in m.items():
+        if d not in g:
+            continue
+        b = min(su // 1000, 9)
+        a = agg[b]
+        a[0] += 1
+        a[1] += su
+        a[2] += g[d]
+        a[3] += (su - g[d] * 10000) ** 2
+    assert {r["bucket"] for r in rows} == set(agg)
+    for r in rows:
+        n, su, npass, sq = agg[r["bucket"]]
+        assert r["n_docs"] == n
+        assert r["avg_pred"] == math.floor(su / (10000.0 * n) * 1e6 + 0.5) / 1e6
+        assert r["obs_rate"] == math.floor(npass * 1.0 / n * 1e6 + 0.5) / 1e6
+        assert r["brier"] == math.floor(sq / (1e8 * n) * 1e6 + 0.5) / 1e6
+        assert 0.0 <= r["avg_pred"] <= 1.0 and 0.0 <= r["obs_rate"] <= 1.0
+        assert 0.0 <= r["brier"] <= 1.0
+
+
+def test_q240_auc_matches_sklearn_free_reference(spark):
+    """The histogram rank-sum AUC must equal the O(n^2) pairwise
+    definition (ties count half) computed in Python."""
+    [r] = QUERY_REGISTRY["q240_roc_auc"].fn(spark, SF_SMOKE).collect()
+    m = {
+        x["doc_id"]: int(x["quality_score"] * 10000 + 0.5)
+        for x in QUERY_REGISTRY["q173_quality_logreg"].fn(spark, SF_SMOKE).collect()
+    }
+    g = {
+        x["doc_id"]: bool(x["passes"])
+        for x in QUERY_REGISTRY["q192_gopher_quality_rules"].fn(spark, SF_SMOKE).collect()
+    }
+    pos = [m[d] for d in m if d in g and g[d]]
+    neg = [m[d] for d in m if d in g and not g[d]]
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    wins = sum((p > q) + 0.5 * (p == q) for p in pos for q in neg)
+    import math
+
+    expected = math.floor(wins / (len(pos) * len(neg)) * 1e6 + 0.5) / 1e6
+    assert abs(r["auc"] - expected) <= 2e-6
+    assert abs(r["gini"] - (2 * r["auc"] - 1)) <= 3e-6
+    assert 0.5 < r["auc"] <= 1.0  # the model must beat coin-flip on its own gate
+
+
+def test_q241_entropy_bounds_and_composition(spark):
+    """Per-state entropy is bounded by log2(n_next_states); the modal
+    probability and entropy move inversely; transition totals add up to
+    the number of non-terminal events."""
+    import math
+
+    rows = QUERY_REGISTRY["q241_transition_entropy"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        cap = math.log2(r["n_next_states"]) if r["n_next_states"] > 1 else 0.0
+        assert -1e-6 <= r["entropy_bits"] <= cap + 1e-4
+        if r["n_next_states"] > 1:
+            assert 0.0 <= r["norm_entropy"] <= 1.0 + 1e-6
+        assert 1.0 / r["n_next_states"] - 1e-6 <= r["top_next_p"] <= 1.0
