@@ -3631,3 +3631,365 @@ def q241_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ── q242: language-metadata confusion matrix (stored lang vs q27) ───────────
+
+
+def _q242_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    pred = _REGISTRY["q27_language_id"].sql
+    return f"""
+    WITH p AS ({pred}),
+    j AS (
+      SELECT d.lang, p.lang_pred
+      FROM documents d JOIN p ON p.doc_id = d.doc_id
+    ),
+    tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM j GROUP BY lang)
+    SELECT j.lang, j.lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR(COUNT(*) * 1.0 / MAX(t.n_lang) * 1000000 + 0.5) / 1000000
+             AS frac_of_lang,
+           j.lang = j.lang_pred AS is_match
+    FROM j JOIN tot t ON t.lang = j.lang
+    GROUP BY j.lang, j.lang_pred
+    ORDER BY j.lang, j.lang_pred
+    """
+
+
+@register(
+    "q242_lang_confusion",
+    _q242_sql(),
+    doc="Language-metadata audit: confusion matrix between the stored "
+    "lang column and the q27 stopword-vote predictor, with each cell's "
+    "share of its stored-language row — the readout that catches "
+    "mislabeled corpus slices before a lang-stratified mixture (q193/"
+    "q226) trusts the metadata. On this corpus it correctly exposes "
+    "that the synthetic text is English-ish regardless of the lang "
+    "tag — exactly the disagreement signal the audit exists to raise.",
+)
+def q242_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the predictor is map-only; one shuffle joins it to the
+    metadata (co-partitioned by doc_id at write time → zero) and the
+    matrix aggregate is |langs|^2 cells, map-side combinable."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    p = _REGISTRY["q27_language_id"].fn(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = d.join(p, "doc_id").select("lang", "lang_pred")
+    tot = j.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_lang"))
+    return (
+        j.join(F.broadcast(tot), "lang")
+        .groupBy("lang", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            round_half_up(F.count(F.lit(1)) * 1.0 / F.max("n_lang"), 6).alias(
+                "frac_of_lang"
+            ),
+        )
+        .select(
+            "lang",
+            "lang_pred",
+            "n_docs",
+            "frac_of_lang",
+            (F.col("lang") == F.col("lang_pred")).alias("is_match"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# ── q243: golden record per near-dup cluster (survivorship rules) ────────────
+
+
+def _q243_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    clusters = _REGISTRY["q68_dup_clusters"].sql
+    return f"""
+    WITH cl AS ({clusters}),
+    m AS (
+      SELECT c.cluster_id, d.doc_id, d.source, d.lang, d.n_chars
+      FROM cl c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    canon AS (
+      SELECT cluster_id, doc_id AS canonical_doc, source AS canonical_source
+      FROM (SELECT cluster_id, doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                     ORDER BY n_chars DESC, doc_id) AS rn
+            FROM m) t WHERE rn = 1
+    ),
+    langv AS (
+      SELECT cluster_id, lang AS majority_lang
+      FROM (SELECT cluster_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                     ORDER BY COUNT(*) DESC, lang) AS rn
+            FROM m GROUP BY cluster_id, lang) t WHERE rn = 1
+    ),
+    agg AS (
+      SELECT cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM m GROUP BY cluster_id
+    )
+    SELECT a.cluster_id, a.n_members, a.n_sources, a.total_chars,
+           c.canonical_doc, c.canonical_source, l.majority_lang
+    FROM agg a
+    JOIN canon c ON c.cluster_id = a.cluster_id
+    JOIN langv l ON l.cluster_id = a.cluster_id
+    ORDER BY a.cluster_id
+    """
+
+
+@register(
+    "q243_golden_record",
+    _q243_sql(),
+    doc="Golden-record survivorship over the q68 near-duplicate "
+    "clusters: per cluster the canonical document (longest text, then "
+    "smallest id — q177's keep-best rule applied at attribute level), "
+    "the majority-vote language (ties to the alphabetically first), "
+    "distinct-source spread, and total footprint — the entity-"
+    "resolution step after connected components that picks WHICH copy "
+    "a curated corpus keeps and reconciles its metadata.",
+)
+def q243_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: clusters come from q68 (banded LSH + per-round equi-join
+    CC — never all-pairs); this adds one attribute join on doc_id and
+    per-cluster windows over member lists (cluster-size-bounded, and
+    dup clusters are small by construction once exact dedup ran)."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    cl = _REGISTRY["q68_dup_clusters"].fn(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    m = cl.join(d, "doc_id")
+    canon = (
+        m.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.col("n_chars").desc(), "doc_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("source").alias("canonical_source"),
+        )
+    )
+    langv = (
+        m.groupBy("cluster_id", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.col("c").desc(), "lang"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("lang").alias("majority_lang"))
+    )
+    agg = m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return (
+        agg.join(canon, "cluster_id")
+        .join(langv, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_sources",
+            "total_chars",
+            "canonical_doc",
+            "canonical_source",
+            "majority_lang",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ── q244: tokenizer fertility rollup per language slice ─────────────────────
+
+
+def _q244_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    stats = _REGISTRY["q26_text_stats"].sql
+    return f"""
+    WITH s AS ({stats}),
+    j AS (
+      SELECT d.lang, s.n_tokens, s.n_bpe_tokens, d.n_chars
+      FROM s JOIN documents d ON d.doc_id = s.doc_id
+      WHERE s.n_tokens > 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_words,
+           CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           FLOOR(SUM(n_bpe_tokens) * 1.0 / SUM(n_tokens) * 1000000 + 0.5)
+             / 1000000 AS fertility,
+           FLOOR(SUM(n_chars) * 1.0 / SUM(n_bpe_tokens) * 1000000 + 0.5)
+             / 1000000 AS chars_per_token
+    FROM j GROUP BY lang ORDER BY lang
+    """
+
+
+@register(
+    "q244_fertility_rollup",
+    _q244_sql(),
+    doc="Tokenizer fertility per language slice: BPE-ish tokens per "
+    "whitespace word and characters per token, aggregated from q26's "
+    "per-document counts — the budget table that converts a corpus's "
+    "character footprint into training-token counts per language "
+    "(fertility differences across languages are a standard cost "
+    "driver in multilingual training). Pure integer sums; two pinned "
+    "final divisions.",
+)
+def q244_fertility_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: q26 is map-only column math; the rollup is a |langs|-key
+    partial aggregate. One doc_id join (zero with co-partitioning)."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    s = _REGISTRY["q26_text_stats"].fn(spark, sf_dir).select(
+        "doc_id", "n_tokens", "n_bpe_tokens"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    j = s.join(d, "doc_id").filter(F.col("n_tokens") > 0)
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+            round_half_up(
+                F.sum("n_bpe_tokens") * 1.0 / F.sum("n_tokens"), 6
+            ).alias("fertility"),
+            round_half_up(
+                F.sum("n_chars") * 1.0 / F.sum("n_bpe_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ── q245: chi-square independence of source × quality gate ───────────────────
+
+
+def _q245_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    gate = _REGISTRY["q192_gopher_quality_rules"].sql
+    return f"""
+    WITH g AS ({gate}),
+    j AS (
+      SELECT d.source, CASE WHEN g.passes THEN 1 ELSE 0 END AS pass
+      FROM g JOIN documents d ON d.doc_id = g.doc_id
+    ),
+    o AS (SELECT source, pass, CAST(COUNT(*) AS BIGINT) AS o FROM j GROUP BY 1, 2),
+    rs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS r FROM j GROUP BY 1),
+    cs AS (SELECT pass, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j),
+    grid AS (
+      SELECT rs.source, cs.pass, rs.r, cs.c, n.n,
+             COALESCE(o.o, 0) AS o,
+             rs.r * cs.c * 1.0 / n.n AS e
+      FROM rs CROSS JOIN cs CROSS JOIN n
+      LEFT JOIN o ON o.source = rs.source AND o.pass = cs.pass
+    ),
+    terms AS (
+      SELECT n, r, c,
+             CAST(FLOOR((o * 1.0 - e) * (o * 1.0 - e) / e * 1000000 + 0.5)
+                  AS BIGINT) AS t_u
+      FROM grid
+    )
+    SELECT MAX(n) AS n_docs,
+           CAST(((SELECT COUNT(*) FROM rs) - 1)
+                * ((SELECT COUNT(*) FROM cs) - 1) AS BIGINT) AS dof,
+           FLOOR(SUM(t_u) / 1000000.0 * 1000000 + 0.5) / 1000000 AS chi2,
+           FLOOR(SQRT(SUM(t_u) / 1000000.0 / MAX(n)) * 1000000 + 0.5) / 1000000
+             AS cramers_v
+    FROM terms
+    """
+
+
+@register(
+    "q245_source_quality_chi2",
+    _q245_sql(),
+    doc="Chi-square test of independence between source and the q192 "
+    "quality gate (full source x pass/fail grid with expected counts, "
+    "zero cells included), plus Cramer's V effect size — the data-QA "
+    "check that a quality filter is not silently gutting one corpus "
+    "slice. Per-cell (O-E)^2/E terms are floor-quantized to integer "
+    "micro-units before the order-free sum; sqrt over the quantized "
+    "value keeps IEEE parity (the established sqrt-over-pow rule).",
+)
+def q245_source_quality_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one pass builds the observed table (|sources| x 2 cells,
+    map-side combinable); margins and the grid are broadcast scalars.
+    The statistic never touches row-level data after the first
+    aggregate."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    g = _REGISTRY["q192_gopher_quality_rules"].fn(spark, sf_dir).select(
+        "doc_id", F.when(F.col("passes"), 1).otherwise(0).alias("pass")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = d.join(g, "doc_id").select("source", "pass")
+    o = j.groupBy("source", "pass").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rs = j.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    cs = j.groupBy("pass").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = j.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = (
+        rs.crossJoin(F.broadcast(cs))
+        .crossJoin(F.broadcast(n))
+        .join(o, ["source", "pass"], "left")
+        .select(
+            "source",
+            "pass",
+            "r",
+            "c",
+            "n",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (F.col("r") * F.col("c") * 1.0 / F.col("n")).alias("e"),
+        )
+    )
+    terms = grid.select(
+        "n",
+        F.floor(
+            (F.col("o") * 1.0 - F.col("e"))
+            * (F.col("o") * 1.0 - F.col("e"))
+            / F.col("e")
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("t_u"),
+    )
+    n_rs = rs.agg(F.count(F.lit(1)).alias("nr"))
+    n_cs = cs.agg(F.count(F.lit(1)).alias("nc"))
+    return (
+        terms.agg(
+            F.max("n").alias("n_docs"),
+            F.sum("t_u").alias("su"),
+        )
+        .crossJoin(F.broadcast(n_rs))
+        .crossJoin(F.broadcast(n_cs))
+        .select(
+            "n_docs",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+            round_half_up(F.col("su") / 1000000.0, 6).alias("chi2"),
+            round_half_up(
+                F.sqrt(F.col("su") / 1000000.0 / F.col("n_docs")), 6
+            ).alias("cramers_v"),
+        )
+    )

@@ -141,6 +141,16 @@ HEADLINE = [
     "q233_curriculum_buckets",
     "q234_domain_reweight",
     "q235_ndcg_ranking_eval",
+    "q236_lsh_parameter_plan",
+    "q237_kmv_source_overlap",
+    "q238_ivf_nprobe_plan",
+    "q239_calibration_brier",
+    "q240_roc_auc",
+    "q241_transition_entropy",
+    "q242_lang_confusion",
+    "q243_golden_record",
+    "q244_fertility_rollup",
+    "q245_source_quality_chi2",
 ]
 
 

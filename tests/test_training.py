@@ -836,3 +836,106 @@ def test_q241_entropy_bounds_and_composition(spark):
         if r["n_next_states"] > 1:
             assert 0.0 <= r["norm_entropy"] <= 1.0 + 1e-6
         assert 1.0 / r["n_next_states"] - 1e-6 <= r["top_next_p"] <= 1.0
+
+
+def test_q242_confusion_rows_partition_each_lang(spark):
+    """Cell fractions within each stored language must sum to ~1, cell
+    counts to the language total, and is_match only on the diagonal."""
+    rows = QUERY_REGISTRY["q242_lang_confusion"].fn(spark, SF_SMOKE).collect()
+    from collections import defaultdict
+
+    frac = defaultdict(float)
+    for r in rows:
+        frac[r["lang"]] += r["frac_of_lang"]
+        assert r["is_match"] == (r["lang"] == r["lang_pred"])
+        assert r["n_docs"] > 0
+    for lang, total in frac.items():
+        assert abs(total - 1.0) < 1e-4, (lang, total)
+
+
+def test_q243_golden_record_survivorship_rules(spark):
+    """The canonical doc must be the longest member (ties to smallest
+    id), the majority lang the modal one (ties alphabetical), and the
+    aggregates must match a Python recompute from q68 + documents."""
+    rows = {
+        r["cluster_id"]: r
+        for r in QUERY_REGISTRY["q243_golden_record"].fn(spark, SF_SMOKE).collect()
+    }
+    assert rows
+    cl = QUERY_REGISTRY["q68_dup_clusters"].fn(spark, SF_SMOKE).collect()
+    docs = {
+        d["doc_id"]: d
+        for d in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source", "lang", "n_chars")
+        .collect()
+    }
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for c in cl:
+        members[c["cluster_id"]].append(docs[c["doc_id"]])
+    assert set(rows) == set(members)
+    for cid, ms in members.items():
+        r = rows[cid]
+        best = min(ms, key=lambda d: (-d["n_chars"], d["doc_id"]))
+        assert r["canonical_doc"] == best["doc_id"]
+        assert r["canonical_source"] == best["source"]
+        langs = defaultdict(int)
+        for d in ms:
+            langs[d["lang"]] += 1
+        assert r["majority_lang"] == min(langs, key=lambda L: (-langs[L], L))
+        assert r["n_members"] == len(ms)
+        assert r["n_sources"] == len({d["source"] for d in ms})
+        assert r["total_chars"] == sum(d["n_chars"] for d in ms)
+
+
+def test_q244_fertility_sane_and_consistent(spark):
+    """Fertility (BPE tokens per word) must be >= 1 on this corpus and
+    the totals must add up across languages to the q26 totals."""
+    rows = QUERY_REGISTRY["q244_fertility_rollup"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["fertility"] >= 1.0
+        assert 1.0 <= r["chars_per_token"] <= 20.0
+    s = QUERY_REGISTRY["q26_text_stats"].fn(spark, SF_SMOKE).collect()
+    assert sum(r["total_words"] for r in rows) == sum(
+        x["n_tokens"] for x in s if x["n_tokens"] > 0
+    )
+
+
+def test_q245_chi2_matches_python(spark):
+    """The chi-square statistic must match a from-scratch Python
+    recompute (same quantization) and Cramer's V must be sqrt(chi2/n)
+    for the 2-column case."""
+    import math
+    from collections import defaultdict
+
+    [r] = QUERY_REGISTRY["q245_source_quality_chi2"].fn(spark, SF_SMOKE).collect()
+    g = {
+        x["doc_id"]: int(bool(x["passes"]))
+        for x in QUERY_REGISTRY["q192_gopher_quality_rules"].fn(spark, SF_SMOKE).collect()
+    }
+    src = {
+        d["doc_id"]: d["source"]
+        for d in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    o = defaultdict(int)
+    rs = defaultdict(int)
+    cs = defaultdict(int)
+    n = 0
+    for d, p in g.items():
+        o[(src[d], p)] += 1
+        rs[src[d]] += 1
+        cs[p] += 1
+        n += 1
+    su = 0
+    for s_ in rs:
+        for p in cs:
+            e = rs[s_] * cs[p] * 1.0 / n
+            su += math.floor((o[(s_, p)] * 1.0 - e) ** 2 / e * 1e6 + 0.5)
+    assert r["n_docs"] == n
+    assert r["dof"] == (len(rs) - 1) * (len(cs) - 1)
+    assert r["chi2"] == math.floor(su / 1e6 * 1e6 + 0.5) / 1e6
+    assert abs(r["cramers_v"] - math.sqrt(r["chi2"] / n)) < 2e-6
