@@ -2917,7 +2917,7 @@ def _q237_sql() -> str:
       SELECT source, string_split_regex(trim(text), '\s+') AS toks FROM documents
     ),
     sh AS (
-      SELECT DISTINCT source, unnest(
+      SELECT source, unnest(
         CASE WHEN len(toks) >= 5
              THEN list_transform(range(1, len(toks)-3),
                                  i -> array_to_string(toks[i:i+4], ' '))
@@ -3027,9 +3027,11 @@ def q237_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries import QUERY_REGISTRY as _REGISTRY
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "source", F.explode(word_shingles("text", 5)).alias("s")
-    ).distinct()
+    # hash BEFORE the (single) distinct: the set of md5 hashes of distinct
+    # shingles == the distinct set of hashes, and deduping on the 8-byte
+    # hash ships a ~6x narrower shuffle than deduping 50-char shingle
+    # strings first (10x stress measured 2.85x -> see README)
+    sh = docs.select("source", F.explode(word_shingles("text", 5)).alias("s"))
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit("kmv|"), F.col("s"))), 1, 15), 16, 10
     ).cast("long")
