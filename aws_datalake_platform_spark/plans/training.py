@@ -3995,3 +3995,154 @@ def q245_source_quality_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+# ── q246: KMV sketch merge invariance (the incremental-ingest contract) ─────
+
+_Q246_SKETCH_SQL = r"""
+      SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM (
+          SELECT source, h FROM (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source, h % 64
+                                      ORDER BY h) AS r1
+            FROM (
+              SELECT DISTINCT source,
+                     CAST(('0x' || substr(md5('kmv|' || s), 1, 15)) AS BIGINT) AS h
+              FROM (
+                SELECT source, unnest(
+                  CASE WHEN len(toks) >= 5
+                       THEN list_transform(range(1, len(toks)-3),
+                                           i -> array_to_string(toks[i:i+4], ' '))
+                       ELSE []::VARCHAR[] END) AS s
+                FROM (SELECT source, string_split_regex(trim(text), '\s+') AS toks
+                      FROM documents WHERE {pred})
+              )
+            )
+          ) WHERE r1 <= 256
+        )
+      ) WHERE rk <= 256
+"""
+
+
+def _q246_sql() -> str:
+    full = _Q246_SKETCH_SQL.replace("{pred}", "1=1")
+    a = _Q246_SKETCH_SQL.replace("{pred}", "doc_id % 2 = 0")
+    b = _Q246_SKETCH_SQL.replace("{pred}", "doc_id % 2 = 1")
+    return f"""
+    WITH skf AS ({full}),
+    ska AS ({a}),
+    skb AS ({b}),
+    merged AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM (SELECT source, h FROM ska UNION SELECT source, h FROM skb)
+      ) WHERE rk <= 256
+    ),
+    sf2 AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS k_full,
+             CAST(MAX(h) AS BIGINT) AS uk_full,
+             CAST(SUM(h % 1099511627776) AS BIGINT) AS sum_full
+      FROM skf GROUP BY source
+    ),
+    sm AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS k_merged,
+             CAST(MAX(h) AS BIGINT) AS uk_merged,
+             CAST(SUM(h % 1099511627776) AS BIGINT) AS sum_merged
+      FROM merged GROUP BY source
+    )
+    SELECT f.source, f.k_full, f.uk_full, m.uk_merged,
+           f.sum_full = m.sum_merged AND f.uk_full = m.uk_merged
+             AND f.k_full = m.k_merged AS sketch_equal
+    FROM sf2 f JOIN sm m ON m.source = f.source
+    ORDER BY f.source
+    """
+
+
+@register(
+    "q246_kmv_merge_invariance",
+    _q246_sql(),
+    doc="Mergeability proof for the q237 KMV sketches, certified as a "
+    "query: per source, the sketch built over the FULL corpus must "
+    "equal the k-minimum merge of sketches built over two disjoint "
+    "halves (even/odd doc ids) — the algebraic property that lets "
+    "ingest increments maintain overlap sketches without re-reading "
+    "the corpus (q191's incremental-dedup contract, applied to set "
+    "sketches). Equality is checked on count, k-th minimum, AND the "
+    "exact integer hash sum, so a single divergent member flips the "
+    "row.",
+)
+def q246_kmv_merge_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each half-sketch is the q237 pipeline (scan + one 8-byte
+    distinct + salted two-phase rank); the merge ranks 2k rows per
+    source. In production the halves are ingest increments and only
+    the NEW increment is scanned — this query exists to certify that
+    shortcut's correctness, not to run three full builds."""
+    from ..operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def sketch(pred):
+        sh = docs.filter(pred).select(
+            "source", F.explode(word_shingles("text", 5)).alias("s")
+        )
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit("kmv|"), F.col("s"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        hs = sh.select("source", h.alias("h")).distinct()
+        w1 = Window.partitionBy("source", F.col("h") % 64).orderBy("h")
+        pre = (
+            hs.withColumn("r1", F.row_number().over(w1))
+            .filter(F.col("r1") <= 256)
+            .drop("r1")
+        )
+        w2 = Window.partitionBy("source").orderBy("h")
+        return (
+            pre.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= 256)
+            .drop("rk")
+        )
+
+    skf = sketch(F.lit(True))
+    ska = sketch(F.col("doc_id") % 2 == 0)
+    skb = sketch(F.col("doc_id") % 2 == 1)
+    merged = (
+        ska.unionByName(skb)
+        .distinct()
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("source").orderBy("h")),
+        )
+        .filter(F.col("rk") <= 256)
+        .drop("rk")
+    )
+    sf2 = skf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("k_full"),
+        F.max("h").cast("long").alias("uk_full"),
+        F.sum(F.col("h") % F.lit(1099511627776)).cast("long").alias("sum_full"),
+    )
+    sm = merged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("k_merged"),
+        F.max("h").cast("long").alias("uk_merged"),
+        F.sum(F.col("h") % F.lit(1099511627776)).cast("long").alias("sum_merged"),
+    )
+    return (
+        sf2.join(sm, "source")
+        .select(
+            "source",
+            "k_full",
+            "uk_full",
+            "uk_merged",
+            (
+                (F.col("sum_full") == F.col("sum_merged"))
+                & (F.col("uk_full") == F.col("uk_merged"))
+                & (F.col("k_full") == F.col("k_merged"))
+            ).alias("sketch_equal"),
+        )
+        .orderBy("source")
+    )

@@ -151,6 +151,7 @@ HEADLINE = [
     "q243_golden_record",
     "q244_fertility_rollup",
     "q245_source_quality_chi2",
+    "q246_kmv_merge_invariance",
 ]
 
 

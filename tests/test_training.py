@@ -939,3 +939,15 @@ def test_q245_chi2_matches_python(spark):
     assert r["dof"] == (len(rs) - 1) * (len(cs) - 1)
     assert r["chi2"] == math.floor(su / 1e6 * 1e6 + 0.5) / 1e6
     assert abs(r["cramers_v"] - math.sqrt(r["chi2"] / n)) < 2e-6
+
+
+def test_q246_merge_invariance_holds_everywhere(spark):
+    """Every source's merged half-sketch must equal its full-corpus
+    sketch — the property that makes incremental sketch maintenance
+    sound. Also sanity: full sketches are k=256 (corpora here exceed k)."""
+    rows = QUERY_REGISTRY["q246_kmv_merge_invariance"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["sketch_equal"] is True
+        assert r["k_full"] == 256
+        assert r["uk_full"] == r["uk_merged"]
