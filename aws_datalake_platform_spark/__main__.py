@@ -162,6 +162,15 @@ def _build_parser() -> argparse.ArgumentParser:
         help="cluster count for the SemDeDup coarse quantizer",
     )
 
+    qr = sub.add_parser(
+        "quality-report",
+        help="one-shot corpus data-quality report: model calibration "
+        "(q239) + discrimination (q240), filter agreement (q231), "
+        "source x quality independence (q245), and the language-"
+        "metadata confusion audit (q242)",
+    )
+    qr.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+
     srch = sub.add_parser(
         "search",
         help="retrieval over a documents+embeddings snapshot: inverted-"
@@ -184,6 +193,56 @@ def _build_parser() -> argparse.ArgumentParser:
         help="stop at the BM25 shortlist (skip embedding re-score + MMR)",
     )
     return p
+
+
+def _quality_report(spark, sf_dir: str) -> int:
+    """Composite data-quality report over one corpus snapshot: the five
+    monitoring queries a curation team reads together before trusting
+    model scores as sampling weights. Each section is an already-
+    certified registry query — the CLI only sequences and formats."""
+    from .plans.queries import QUERY_REGISTRY
+
+    print(f"# Corpus quality report — {sf_dir}\n")
+
+    print("## Quality model discrimination (q240: ROC AUC vs rule gate)")
+    [auc] = QUERY_REGISTRY["q240_roc_auc"].fn(spark, sf_dir).collect()
+    print(
+        f"  AUC {auc['auc']:.4f}  Gini {auc['gini']:.4f}  "
+        f"(pos {auc['n_pos']}, neg {auc['n_neg']})\n"
+    )
+
+    print("## Calibration by score decile (q239)")
+    for r in QUERY_REGISTRY["q239_calibration_brier"].fn(spark, sf_dir).collect():
+        print(
+            f"  bucket {r['bucket']:>2}  n {r['n_docs']:>6}  "
+            f"pred {r['avg_pred']:.3f}  obs {r['obs_rate']:.3f}  "
+            f"gap {r['calib_gap']:.3f}  brier {r['brier']:.3f}"
+        )
+
+    print("\n## Filter agreement (q231: rule gate vs LM filter, Cohen's kappa)")
+    [k] = QUERY_REGISTRY["q231_quality_gate_agreement"].fn(spark, sf_dir).collect()
+    cols = ", ".join(f"{c}={k[c]}" for c in k.asDict() if c != "n_docs")
+    print(f"  n={k['n_docs']}  {cols}\n")
+
+    print("## Source x quality independence (q245: chi-square)")
+    [c2] = QUERY_REGISTRY["q245_source_quality_chi2"].fn(spark, sf_dir).collect()
+    print(
+        f"  chi2 {c2['chi2']:.2f}  dof {c2['dof']}  "
+        f"Cramer's V {c2['cramers_v']:.4f}\n"
+    )
+
+    print("## Language metadata audit (q242: stored lang vs predictor)")
+    mism = 0.0
+    for r in QUERY_REGISTRY["q242_lang_confusion"].fn(spark, sf_dir).collect():
+        flag = "" if r["is_match"] else "  <-- disagrees"
+        print(
+            f"  {r['lang']:>3} -> {r['lang_pred']:<4} n {r['n_docs']:>6}  "
+            f"{r['frac_of_lang']:.3f}{flag}"
+        )
+        if not r["is_match"]:
+            mism += r["n_docs"]
+    print(f"  (docs whose predicted language disagrees: {int(mism)})")
+    return 0
 
 
 def _smoke(spark, workdir: str | None) -> int:
@@ -437,6 +496,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("cli")
     if args.cmd == "smoke":
         return _smoke(spark, args.workdir)
+    if args.cmd == "quality-report":
+        return _quality_report(spark, args.sf_dir)
     if args.cmd == "search":
         return _search(
             spark, args.sf_dir, args.query, args.k, args.shortlist,

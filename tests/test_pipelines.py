@@ -1300,3 +1300,19 @@ def test_backfill_planner_and_cli(spark, tmp_path, capsys):
     rc = main(["backfill", lake3, "--partition-cols", "year,month,day",
                "--start", "2026-01-01", "--end", "2026-01-01"])
     assert rc == 0
+
+
+def test_cli_quality_report(spark, capsys):
+    """`quality-report` sequences the five certified monitoring queries
+    into one formatted report: AUC line, calibration buckets, kappa,
+    chi-square, and the language-confusion audit with disagreement
+    flags."""
+    from aws_datalake_platform_spark.__main__ import main
+
+    assert main(["quality-report", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "ROC AUC" in out and "AUC 0." in out
+    assert "Calibration by score decile" in out and "brier" in out
+    assert "kappa=" in out
+    assert "chi2" in out and "Cramer's V" in out
+    assert "Language metadata audit" in out and "disagrees" in out
