@@ -4146,3 +4146,220 @@ def q246_kmv_merge_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ── q247: distributed bootstrap CI (seeded Poisson resample weights) ─────────
+
+_Q247_B = 64  # bootstrap resamples
+# Poisson(1) CDF ladder, full-precision repr so both engines compare
+# against bit-identical double literals (the MMR float-literal rule)
+_Q247_CDF = [
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+    "0.9999897508033253",
+]
+
+
+def _q247_sql() -> str:
+    ladder = " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(_Q247_CDF)
+    )
+    return f"""
+    WITH spine AS (SELECT unnest(range({_Q247_B})) AS b),
+    u AS (
+      SELECT s.b, d.n_chars,
+             (CAST(('0x' || substr(md5('bs|' || CAST(s.b AS VARCHAR) || '|'
+                || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+               / 1152921504606846976.0 AS u
+      FROM documents d CROSS JOIN spine s
+    ),
+    w AS (
+      SELECT b, n_chars, CASE {ladder} ELSE 8 END AS w FROM u
+    ),
+    means AS (
+      SELECT b, CAST(SUM(w * n_chars) AS BIGINT) AS wx,
+             CAST(SUM(w) AS BIGINT) AS wn
+      FROM w GROUP BY b
+    ),
+    ranked AS (
+      SELECT wx * 1.0 / wn AS m,
+             ROW_NUMBER() OVER (ORDER BY wx * 1.0 / wn, b) AS rn
+      FROM means
+    ),
+    full_mean AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS sx
+      FROM documents
+    )
+    SELECT f.n AS n_rows,
+           CAST({_Q247_B} AS BIGINT) AS n_resamples,
+           FLOOR(f.sx * 1.0 / f.n * 1000000 + 0.5) / 1000000 AS mean_full,
+           FLOOR(MAX(CASE WHEN rn = 2 THEN m END) * 1000000 + 0.5) / 1000000
+             AS ci_lo,
+           FLOOR(MAX(CASE WHEN rn = {_Q247_B - 1} THEN m END) * 1000000 + 0.5)
+             / 1000000 AS ci_hi,
+           FLOOR((MAX(CASE WHEN rn = {_Q247_B - 1} THEN m END)
+                  - MAX(CASE WHEN rn = 2 THEN m END)) * 1000000 + 0.5)
+             / 1000000 AS ci_width
+    FROM ranked CROSS JOIN full_mean f
+    GROUP BY f.n, f.sx
+    """
+
+
+@register(
+    "q247_bootstrap_ci",
+    _q247_sql(),
+    doc="Distributed bootstrap: a ~95% CI for the corpus mean document "
+    "length from B=64 Poisson(1)-weighted resamples (the standard "
+    "streaming/distributed bootstrap approximation of multinomial "
+    "resampling), weights minted per (doc, replicate) from the seeded "
+    "md5 uniform through a full-precision Poisson CDF ladder — no RNG "
+    "state, fully replayable. Each resample mean is an exact integer "
+    "ratio (integer weights x integer lengths); the CI takes order "
+    "statistics 2 and 63 of the 64 means.",
+)
+def q247_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the replicate spine multiplies MAP work by B but the
+    shuffle carries only B groups of two integer partial sums —
+    bootstrap at 100 TB costs B map passes fused into one scan (the
+    crossJoin is a broadcast of 64 ints), not B shuffles. For very
+    large B or per-group CIs, the Bag-of-Little-Bootstraps split
+    (resample within hash-partitions, then average) bounds memory the
+    same way; B=64 needs no such refinement."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    spine = spark.range(_Q247_B).select(F.col("id").cast("int").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bs|"),
+                        F.col("b").cast("string"),
+                        F.lit("|"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(1152921504606846976.0)
+    w = F.lit(8)
+    for k in range(len(_Q247_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < F.lit(float(_Q247_CDF[k])), F.lit(k)).otherwise(w)
+    means = (
+        docs.crossJoin(F.broadcast(spine))
+        .select("b", "n_chars", u.alias("u"))
+        .select("b", "n_chars", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("n_chars")).cast("long").alias("wx"),
+            F.sum("w").cast("long").alias("wn"),
+        )
+    )
+    ranked = means.select(
+        (F.col("wx") * 1.0 / F.col("wn")).alias("m"),
+        F.row_number()
+        .over(Window.orderBy(F.col("wx") * 1.0 / F.col("wn"), F.col("b")))
+        .alias("rn"),
+    )
+    full = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("sx"),
+    )
+    lo = F.max(F.when(F.col("rn") == 2, F.col("m")))
+    hi = F.max(F.when(F.col("rn") == _Q247_B - 1, F.col("m")))
+    return (
+        ranked.crossJoin(F.broadcast(full))
+        .groupBy("n", "sx")
+        .agg(
+            round_half_up(F.max(F.col("sx") * 1.0 / F.col("n")), 6).alias(
+                "mean_full"
+            ),
+            round_half_up(lo, 6).alias("ci_lo"),
+            round_half_up(hi, 6).alias("ci_hi"),
+            round_half_up(hi - lo, 6).alias("ci_width"),
+        )
+        .select(
+            F.col("n").alias("n_rows"),
+            F.lit(_Q247_B).cast("long").alias("n_resamples"),
+            "mean_full",
+            "ci_lo",
+            "ci_hi",
+            "ci_width",
+        )
+    )
+
+
+# ── q248: jackknife source influence (leave-one-source-out mean shift) ──────
+
+
+@register(
+    "q248_jackknife_influence",
+    """
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS ns,
+             CAST(SUM(n_chars) AS BIGINT) AS ss
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(ns) AS BIGINT) AS n, CAST(SUM(ss) AS BIGINT) AS s
+      FROM per
+    )
+    SELECT p.source, p.ns AS n_docs,
+           FLOOR(p.ss * 1.0 / p.ns * 1000000 + 0.5) / 1000000 AS source_mean,
+           FLOOR((t.s - p.ss) * 1.0 / (t.n - p.ns) * 1000000 + 0.5) / 1000000
+             AS loo_mean,
+           FLOOR((t.s * 1.0 / t.n - (t.s - p.ss) * 1.0 / (t.n - p.ns))
+                 * 1000000 + 0.5) / 1000000 AS influence
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+    doc="Jackknife source influence: for every source, the corpus mean "
+    "document length WITHOUT that source and the shift its inclusion "
+    "causes — the leave-one-slice-out attribution that tells a "
+    "curation team which source is dragging a corpus statistic (the "
+    "aggregate-level sibling of q245's independence test). Exact "
+    "integer sums; all |sources| deletions come from ONE aggregation "
+    "pass via the algebraic identity (S - s_i)/(N - n_i).",
+)
+def q248_jackknife_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one |sources|-key partial aggregate over the corpus, then
+    arithmetic on a broadcast 1-row total — leave-one-out never rescans.
+    The same identity extends to variance (sum of squares) and any
+    other additive statistic."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum("n_chars").cast("long").alias("ss"),
+    )
+    tot = per.agg(
+        F.sum("ns").cast("long").alias("n"), F.sum("ss").cast("long").alias("s")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("ns").alias("n_docs"),
+            round_half_up(F.col("ss") * 1.0 / F.col("ns"), 6).alias(
+                "source_mean"
+            ),
+            round_half_up(
+                (F.col("s") - F.col("ss")) * 1.0 / (F.col("n") - F.col("ns")), 6
+            ).alias("loo_mean"),
+            round_half_up(
+                F.col("s") * 1.0 / F.col("n")
+                - (F.col("s") - F.col("ss")) * 1.0 / (F.col("n") - F.col("ns")),
+                6,
+            ).alias("influence"),
+        )
+        .orderBy("source")
+    )

@@ -152,6 +152,8 @@ HEADLINE = [
     "q244_fertility_rollup",
     "q245_source_quality_chi2",
     "q246_kmv_merge_invariance",
+    "q247_bootstrap_ci",
+    "q248_jackknife_influence",
 ]
 
 
