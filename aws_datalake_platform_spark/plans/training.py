@@ -4363,3 +4363,238 @@ def q248_jackknife_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ── q249: split-conformal prediction interval for a linear model ─────────────
+
+_Q249_ALPHA = 0.1  # 90% target coverage
+
+
+@register(
+    "q249_conformal_interval",
+    rf"""
+    WITH feat AS (
+      SELECT doc_id, doc_id % 4 AS fold,
+             CAST(n_chars AS DOUBLE) AS y,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS x
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    fit AS (
+      SELECT regr_slope(y, x) AS b, regr_intercept(y, x) AS a,
+             CAST(COUNT(*) AS BIGINT) AS n_train
+      FROM feat WHERE fold IN (0, 1)
+    ),
+    cal AS (
+      SELECT ABS(f.y - (t.a + t.b * f.x)) AS resid, f.doc_id
+      FROM feat f CROSS JOIN fit t WHERE f.fold = 2
+    ),
+    ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+    qhat AS (
+      SELECT resid AS q_hat FROM (
+        SELECT resid,
+               ROW_NUMBER() OVER (ORDER BY resid, doc_id) AS rn,
+               (SELECT n_cal FROM ncal) AS n_cal
+        FROM cal) t
+      WHERE rn = CAST(CEIL((n_cal + 1) * {1 - _Q249_ALPHA}) AS BIGINT)
+    ),
+    test AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN ABS(f.y - (t.a + t.b * f.x)) <= q.q_hat
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM feat f CROSS JOIN fit t CROSS JOIN qhat q
+      WHERE f.fold = 3
+    )
+    SELECT t.n_train, n.n_cal, s.n_test,
+           FLOOR(t.b * 1000000 + 0.5) / 1000000 AS slope,
+           FLOOR(t.a * 1000000 + 0.5) / 1000000 AS intercept,
+           FLOOR(q.q_hat * 1000000 + 0.5) / 1000000 AS q_hat,
+           FLOOR(s.n_covered * 1.0 / s.n_test * 1000000 + 0.5) / 1000000
+             AS coverage
+    FROM fit t CROSS JOIN ncal n CROSS JOIN qhat q CROSS JOIN test s
+    """,
+    doc="Split-conformal prediction interval: fit chars ~ words by OLS "
+    "on folds 0-1, take the ceil((n+1)*0.9)-th smallest absolute "
+    "residual on the calibration fold as the conformal radius q_hat "
+    "(an ORDER STATISTIC, not a percentile function — the exact "
+    "finite-sample rule), and report empirical coverage on the held-"
+    "out test fold. The distribution-free uncertainty wrapper any "
+    "model-based curation score (q173) can wear; regr_* parity is the "
+    "q110 class, and the residual ranking reuses identical doubles on "
+    "both engines.",
+)
+def q249_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: OLS is one partial-aggregable pass (regr_slope fuses);
+    the calibration rank is a single order statistic — at corpus scale
+    you'd GK-sketch it (q80's knob) or histogram it (q240's shape);
+    here n_cal is audit-sized so the exact window is the right call.
+    Coverage is one more map pass with two broadcast scalars."""
+    feat = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 4).alias("fold"),
+            F.col("n_chars").cast("double").alias("y"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("double")
+            .alias("x"),
+        )
+    )
+    fit = feat.filter(F.col("fold").isin(0, 1)).agg(
+        F.regr_slope("y", "x").alias("b"),
+        F.regr_intercept("y", "x").alias("a"),
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+    )
+    cal = (
+        feat.filter(F.col("fold") == 2)
+        .crossJoin(F.broadcast(fit))
+        .select(
+            F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))).alias(
+                "resid"
+            ),
+            "doc_id",
+        )
+    )
+    ncal = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    k = F.ceil((F.col("n_cal") + 1) * F.lit(1 - _Q249_ALPHA)).cast("long")
+    qhat = (
+        cal.withColumn(
+            "rn", F.row_number().over(Window.orderBy("resid", "doc_id"))
+        )
+        .crossJoin(F.broadcast(ncal))
+        .filter(F.col("rn") == k)
+        .select(F.col("resid").alias("q_hat"))
+    )
+    test = (
+        feat.filter(F.col("fold") == 3)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
+                    <= F.col("q_hat"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        fit.crossJoin(F.broadcast(ncal))
+        .crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(test))
+        .select(
+            "n_train",
+            "n_cal",
+            "n_test",
+            round_half_up(F.col("b"), 6).alias("slope"),
+            round_half_up(F.col("a"), 6).alias("intercept"),
+            round_half_up(F.col("q_hat"), 6).alias("q_hat"),
+            round_half_up(F.col("n_covered") * 1.0 / F.col("n_test"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+# ── q250: A/B experiment power / minimum-detectable-effect planner ───────────
+
+# full-precision z constants (alpha=0.05 two-sided, power=0.80)
+_Q250_ZA = "1.959963984540054"
+_Q250_ZB = "0.8416212335729143"
+
+
+def _q250_sql() -> str:
+    return f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS grp,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       > SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(converted) AS BIGINT) AS c,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM per_user
+    )
+    SELECT n0 AS n_arm_a, n1 AS n_arm_b,
+           FLOOR(c * 1.0 / n * 1000000 + 0.5) / 1000000 AS base_rate,
+           FLOOR(({_Q250_ZA} + {_Q250_ZB})
+                 * SQRT(2 * (c * 1.0 / n) * (1 - c * 1.0 / n)
+                        / LEAST(n0, n1)) * 1000000 + 0.5) / 1000000
+             AS mde_abs,
+           FLOOR(({_Q250_ZA} + {_Q250_ZB})
+                 * SQRT(2 * (c * 1.0 / n) * (1 - c * 1.0 / n)
+                        / LEAST(n0, n1)) / (c * 1.0 / n) * 1000000 + 0.5)
+             / 1000000 AS mde_rel,
+           CAST(CEIL(2 * (c * 1.0 / n) * (1 - c * 1.0 / n)
+                     * ({_Q250_ZA} + {_Q250_ZB}) * ({_Q250_ZA} + {_Q250_ZB})
+                     / ((c * 0.05 / n) * (c * 0.05 / n))) AS BIGINT)
+             AS n_per_arm_5pct_lift
+    FROM agg
+    """
+
+
+@register(
+    "q250_power_mde",
+    _q250_sql(),
+    doc="Experiment power planner over the q179 assignment: given the "
+    "observed base conversion rate and per-arm sizes, the minimum "
+    "detectable absolute and relative effect at alpha=0.05 / "
+    "power=0.80, and the per-arm sample size a 5% relative lift would "
+    "need — the query a team runs BEFORE q179's significance readout "
+    "to know whether a null result means anything. Closed-form "
+    "normal-approximation expressions over exact integer aggregates; "
+    "z constants are full-precision repr literals.",
+)
+def q250_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one partial-aggregable groupBy(user_id), then scalar math
+    on a 1-row relation — identical cost profile to q179 whose
+    assignment it shares."""
+    za_zb = float(_Q250_ZA) + float(_Q250_ZB)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id", (F.col("user_id") % 2).alias("grp")).agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum("converted").cast("long").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    p = F.col("c") * 1.0 / F.col("n")
+    mde = F.lit(za_zb) * F.sqrt(
+        2 * p * (1 - p) / F.least(F.col("n0"), F.col("n1"))
+    )
+    return agg.select(
+        F.col("n0").alias("n_arm_a"),
+        F.col("n1").alias("n_arm_b"),
+        round_half_up(p, 6).alias("base_rate"),
+        round_half_up(mde, 6).alias("mde_abs"),
+        round_half_up(mde / p, 6).alias("mde_rel"),
+        F.ceil(
+            2
+            * p
+            * (1 - p)
+            * F.lit(za_zb)
+            * F.lit(za_zb)
+            / ((F.col("c") * 0.05 / F.col("n")) * (F.col("c") * 0.05 / F.col("n")))
+        )
+        .cast("long")
+        .alias("n_per_arm_5pct_lift"),
+    )

@@ -154,6 +154,8 @@ HEADLINE = [
     "q246_kmv_merge_invariance",
     "q247_bootstrap_ci",
     "q248_jackknife_influence",
+    "q249_conformal_interval",
+    "q250_power_mde",
 ]
 
 

