@@ -2264,6 +2264,12 @@ def q230_bt_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = sorted({r["ta"] for r in pw} | {r["tb"] for r in pw})
     idx = {t: i for i, t in enumerate(types)}
     k = len(types)
+    if k == 0:  # empty lake: schema-stable empty result
+        return spark.createDataFrame(
+            [],
+            "event_type STRING, wins LONG, n_comparisons LONG, "
+            "bt_strength DOUBLE, rank INT",
+        )
     # directed edge lists: edges[i] = [(j, n_ij)], ascending j
     edges: dict[int, list[tuple[int, int]]] = {i: [] for i in range(k)}
     wins = [0] * k
