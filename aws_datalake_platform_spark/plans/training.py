@@ -4604,3 +4604,226 @@ def q250_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_per_arm_5pct_lift"),
     )
+
+
+# ── q251: Heaps'-law vocabulary growth fit ───────────────────────────────────
+
+
+@register(
+    "q251_heaps_law_fit",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    tok AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS term
+      FROM tk WHERE len(t) >= 3
+    ),
+    first_seen AS (
+      SELECT term, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM tok GROUP BY term
+    ),
+    doc_words AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw FROM tok GROUP BY doc_id
+    ),
+    bounds AS (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS lo, CAST(MAX(doc_id) AS BIGINT) AS hi
+      FROM documents
+    ),
+    spine AS (SELECT unnest(range(1, 11)) AS i),
+    cuts AS (
+      SELECT s.i,
+             CAST(b.lo + CAST(FLOOR((b.hi - b.lo) * s.i / 10.0) AS BIGINT)
+                  AS BIGINT) AS cutoff
+      FROM spine s CROSS JOIN bounds b
+    ),
+    pts AS (
+      SELECT c.i, c.cutoff,
+             (SELECT CAST(SUM(nw) AS BIGINT) FROM doc_words d
+              WHERE d.doc_id <= c.cutoff) AS n_words,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM first_seen f
+              WHERE f.first_doc <= c.cutoff) AS vocab
+      FROM cuts c
+    ),
+    fit AS (
+      SELECT regr_slope(LN(vocab), LN(n_words)) AS beta,
+             regr_intercept(LN(vocab), LN(n_words)) AS lnk
+      FROM pts WHERE n_words > 0 AND vocab > 0
+    )
+    SELECT p.i AS decile, p.cutoff, p.n_words, p.vocab,
+           FLOOR(f.beta * 1000000 + 0.5) / 1000000 AS heaps_beta,
+           FLOOR(EXP(f.lnk) * 1000000 + 0.5) / 1000000 AS heaps_k
+    FROM pts p CROSS JOIN fit f
+    ORDER BY p.i
+    """,
+    doc="Heaps'-law fit: cumulative word-TRIGRAM vocabulary at ten corpus-prefix "
+    "checkpoints (documents ordered by id, cutoffs at value deciles of "
+    "the id range — broadcast min/max scalars, no global sort), with "
+    "the log-log OLS exponent beta and coefficient K. V(n)=K*n^beta "
+    "predicts vocabulary (and so hash-vocab/embedding-table sizing) at "
+    "100x the corpus; sublinear beta is also the sanity check that a "
+    "corpus is natural-ish rather than ID-like (beta->1 means every "
+    "token is new: random strings, keys, or serial numbers).",
+)
+def q251_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: first-occurrence is ONE min-agg over the token relation
+    (map-side combinable); checkpoint counts are ten range predicates
+    over the term-level relation (a broadcast 10-row spine joined on
+    <=, never a per-prefix rescan of the corpus); the fit runs on 10
+    points. No windows anywhere."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = (
+        docs.select(
+            "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+        )
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2), "
+                    "i -> concat_ws(' ', slice(t, i, 3)))"
+                )
+            ).alias("term"),
+        )
+    )
+    first_seen = tok.groupBy("term").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    doc_words = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nw")
+    )
+    bounds = load_table(spark, sf_dir, "documents").agg(
+        F.min("doc_id").cast("long").alias("lo"),
+        F.max("doc_id").cast("long").alias("hi"),
+    )
+    spine = spark.range(1, 11).select(F.col("id").cast("int").alias("i"))
+    cuts = (
+        F.broadcast(spine)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "i",
+            (
+                F.col("lo")
+                + F.floor((F.col("hi") - F.col("lo")) * F.col("i") / 10.0).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("cutoff"),
+        )
+    )
+    nw = (
+        F.broadcast(cuts)
+        .join(doc_words, F.col("doc_id") <= F.col("cutoff"))
+        .groupBy("i", "cutoff")
+        .agg(F.sum("nw").cast("long").alias("n_words"))
+    )
+    vc = (
+        F.broadcast(cuts)
+        .join(first_seen, F.col("first_doc") <= F.col("cutoff"))
+        .groupBy("i", "cutoff")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    pts = nw.join(vc, ["i", "cutoff"])
+    fit = pts.filter((F.col("n_words") > 0) & (F.col("vocab") > 0)).agg(
+        F.regr_slope(F.log("vocab"), F.log("n_words")).alias("beta"),
+        F.regr_intercept(F.log("vocab"), F.log("n_words")).alias("lnk"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("i").alias("decile"),
+            "cutoff",
+            "n_words",
+            "vocab",
+            round_half_up(F.col("beta"), 6).alias("heaps_beta"),
+            round_half_up(F.exp(F.col("lnk")), 6).alias("heaps_k"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ── q252: Zipf rank-frequency fit over the top terms ─────────────────────────
+
+_Q252_TOP = 1000
+
+
+@register(
+    "q252_zipf_fit",
+    rf"""
+    WITH tk AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    tok AS (
+      SELECT unnest(list_transform(range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS term
+      FROM tk WHERE len(t) >= 3
+    ),
+    freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY term),
+    top AS (
+      SELECT term, f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rank
+      FROM freq ORDER BY f DESC, term LIMIT {_Q252_TOP}
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(f) AS BIGINT) AS total_occ,
+             regr_slope(LN(f), LN(rank)) AS slope,
+             regr_r2(LN(f), LN(rank)) AS r2
+      FROM top
+    )
+    SELECT n_terms, total_occ,
+           FLOOR(slope * 1000000 + 0.5) / 1000000 AS zipf_slope,
+           FLOOR(r2 * 1000000 + 0.5) / 1000000 AS r2
+    FROM fit
+    """,
+    doc="Zipf fit: log-log OLS slope of word-trigram frequency vs rank over the top-"
+    f"{_Q252_TOP} terms (natural text sits near -1; spammy or "
+    "template-heavy corpora flatten, ID-like corpora steepen toward "
+    "vertical) plus the fit R^2 as the 'is it even a power law' "
+    "check — with q251's Heaps exponent, the two-number corpus "
+    "naturalness fingerprint.",
+)
+def q252_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: term frequencies are one map-side-combinable aggregate;
+    the top-1000 cut is TakeOrdered (per-partition local top-k, no
+    global sort) and the fit runs on those 1000 rows."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    freq = (
+        docs.select(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+        )
+        .filter(F.size("t") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2), "
+                    "i -> concat_ws(' ', slice(t, i, 3)))"
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    top = (
+        freq.orderBy(F.col("f").desc(), "term")
+        .limit(_Q252_TOP)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("f").desc(), "term")),
+        )
+    )
+    return top.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("f").cast("long").alias("total_occ"),
+        round_half_up(F.regr_slope(F.log("f"), F.log("rank")), 6).alias(
+            "zipf_slope"
+        ),
+        round_half_up(F.regr_r2(F.log("f"), F.log("rank")), 6).alias("r2"),
+    )

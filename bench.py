@@ -156,6 +156,8 @@ HEADLINE = [
     "q248_jackknife_influence",
     "q249_conformal_interval",
     "q250_power_mde",
+    "q251_heaps_law_fit",
+    "q252_zipf_fit",
 ]
 
 

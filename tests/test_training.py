@@ -1047,3 +1047,31 @@ def test_q250_power_identities(spark):
     assert abs(r["mde_abs"] - expect) < 1e-4
     assert abs(r["mde_rel"] - r["mde_abs"] / p) < 1e-3
     assert (r["n_per_arm_5pct_lift"] > n_min) == (r["mde_rel"] > 0.05)
+
+
+def test_q251_heaps_growth_monotone_sublinear(spark):
+    """Checkpoint words/vocab must be non-decreasing in the prefix, the
+    fitted exponent must be sublinear (0 < beta < 1 for natural-ish
+    text), and V(n) = K*n^beta must reproduce the observed endpoints
+    within a loose band."""
+    rows = sorted(
+        QUERY_REGISTRY["q251_heaps_law_fit"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_words"] >= a["n_words"] and b["vocab"] >= a["vocab"]
+    beta, k = rows[0]["heaps_beta"], rows[0]["heaps_k"]
+    assert 0.0 < beta < 1.0
+    last = rows[-1]
+    pred = k * last["n_words"] ** beta
+    assert 0.5 * last["vocab"] <= pred <= 2.0 * last["vocab"]
+
+
+def test_q252_zipf_slope_negative_power_law(spark):
+    """Rank-frequency slope must be negative with a decent log-log fit
+    on this corpus."""
+    [r] = QUERY_REGISTRY["q252_zipf_fit"].fn(spark, SF_SMOKE).collect()
+    assert r["n_terms"] > 10
+    assert r["zipf_slope"] < -0.1
+    assert 0.3 <= r["r2"] <= 1.0
