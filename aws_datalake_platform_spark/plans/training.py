@@ -4827,3 +4827,337 @@ def q252_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         round_half_up(F.regr_r2(F.log("f"), F.log("rank")), 6).alias("r2"),
     )
+
+
+# ── q253: best-snippet extraction for search results ─────────────────────────
+
+_Q253_TERMS = ("table", "join", "query")
+_Q253_WIN = 10  # snippet window, tokens
+
+
+def _q253_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _Q253_TERMS)
+    w = _Q253_WIN
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    pos AS (
+      SELECT doc_id, unnest(t) AS term,
+             unnest(range(1, len(t) + 1)) AS p
+      FROM tok
+    ),
+    hits AS (SELECT doc_id, term, p FROM pos WHERE term IN ({terms})),
+    win AS (
+      SELECT a.doc_id, a.p AS snippet_start,
+             CAST(COUNT(*) AS BIGINT) AS n_matches,
+             CAST(COUNT(DISTINCT b.term) AS BIGINT) AS n_terms
+      FROM hits a JOIN hits b
+        ON b.doc_id = a.doc_id AND b.p >= a.p AND b.p < a.p + {w}
+      GROUP BY a.doc_id, a.p
+    ),
+    best AS (
+      SELECT doc_id, snippet_start, n_matches, n_terms FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY n_terms DESC, n_matches DESC, snippet_start) AS rn
+        FROM win) x WHERE rn = 1
+    )
+    SELECT b.doc_id, b.snippet_start, b.n_terms, b.n_matches,
+           array_to_string(t[b.snippet_start:b.snippet_start + {w - 1}], ' ')
+             AS snippet
+    FROM best b JOIN tok USING (doc_id)
+    ORDER BY b.n_terms DESC, b.n_matches DESC, b.doc_id
+    LIMIT 10
+    """
+
+
+@register(
+    "q253_search_snippets",
+    _q253_sql(),
+    doc=f"Search-result snippet extraction: for the query terms "
+    f"{_Q253_TERMS}, the densest {_Q253_WIN}-token window per document "
+    "(most distinct query terms, then most total matches, then "
+    "earliest — the keyword-in-context heuristic every search UI "
+    "needs on top of q197's BM25 ranking), with the actual snippet "
+    "text sliced from the token array; top-10 documents by snippet "
+    "quality. Completes the retrieval story: q196 postings -> q197 "
+    "scores -> q210 phrase match -> q253 display snippet.",
+)
+def q253_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the pair join runs on HIT positions only (query-term
+    postings, a tiny fraction of the corpus), equi-keyed on doc_id with
+    a bounded range predicate — never on all positions; the windows
+    rank per doc over per-doc hit counts. Snippet text joins back to
+    the token array by doc_id once, for the 10 winners only after the
+    global TakeOrdered."""
+    terms = list(_Q253_TERMS)
+    w = _Q253_WIN
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    pos = tok.select(
+        "doc_id", F.posexplode("t").alias("p0", "term")
+    ).select("doc_id", "term", (F.col("p0") + 1).alias("p"))
+    hits = pos.filter(F.col("term").isin(terms))
+    a = hits.select("doc_id", F.col("p").alias("ap"))
+    b = hits.select(
+        F.col("doc_id").alias("bdoc"), F.col("term").alias("bterm"),
+        F.col("p").alias("bp"),
+    )
+    win = (
+        a.join(
+            b,
+            (F.col("bdoc") == F.col("doc_id"))
+            & (F.col("bp") >= F.col("ap"))
+            & (F.col("bp") < F.col("ap") + w),
+        )
+        .groupBy("doc_id", F.col("ap").alias("snippet_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.countDistinct("bterm").cast("long").alias("n_terms"),
+        )
+    )
+    best = (
+        win.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("n_terms").desc(),
+                    F.col("n_matches").desc(),
+                    "snippet_start",
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(tok, "doc_id")
+        .select(
+            "doc_id",
+            "snippet_start",
+            "n_terms",
+            "n_matches",
+            F.concat_ws(
+                " ", F.expr(f"slice(t, snippet_start, {w})")
+            ).alias("snippet"),
+        )
+        .orderBy(F.col("n_terms").desc(), F.col("n_matches").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# ── q254: top order-3 event paths (sequence mining) ──────────────────────────
+
+
+@register(
+    "q254_top_event_paths",
+    """
+    WITH seq AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3,
+             LEAD(event_type, 3) OVER w AS e4
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN e4 = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_then_purchase,
+             CAST(SUM(CASE WHEN e4 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_next
+      FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM paths)
+    SELECT path, n,
+           FLOOR(n * 1.0 / t.t * 1000000 + 0.5) / 1000000 AS share,
+           FLOOR(n_then_purchase * 1.0 / NULLIF(n_with_next, 0) * 1000000 + 0.5)
+             / 1000000 AS p_next_purchase
+    FROM (SELECT * FROM paths ORDER BY n DESC, path LIMIT 15) p
+    CROSS JOIN tot t
+    ORDER BY n DESC, path
+    """,
+    doc="Sequence mining over user event streams: the 15 most frequent "
+    "3-step paths (sliding trigrams of consecutive events per user), "
+    "each with its corpus share and the probability the NEXT event is "
+    "a purchase — the path-to-conversion readout that generalizes "
+    "q81's fixed funnel to discovered funnels and q241's order-1 "
+    "transitions to order 3.",
+)
+def q254_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on user_id (shared with every sequence query),
+    two extra LEADs in the SAME window pass, then a path-keyed partial
+    aggregate whose cardinality is bounded by |event_types|^3, and a
+    TakeOrdered top-15."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.lead("event_type", 3).over(w).alias("e4"),
+    ).filter(F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("e4") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_then_purchase"),
+        F.sum(F.when(F.col("e4").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_next"),
+    )
+    tot = paths.agg(F.sum("n").cast("long").alias("t"))
+    top = paths.orderBy(F.col("n").desc(), "path").limit(15)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n",
+            round_half_up(F.col("n") * 1.0 / F.col("t"), 6).alias("share"),
+            round_half_up(
+                F.col("n_then_purchase")
+                * 1.0
+                / F.nullif(F.col("n_with_next"), F.lit(0)),
+                6,
+            ).alias("p_next_purchase"),
+        )
+        .orderBy(F.col("n").desc(), "path")
+    )
+
+
+# ── q255: seeded-sampler uniformity audit (the engine's own RNG QA) ──────────
+
+# full-precision repr literals: chi-square crit (dof=99, alpha=0.05)
+_Q255_CHI2_CRIT = "123.22522145336181"
+
+
+def _q255_sql() -> str:
+    return f"""
+    WITH u AS (
+      SELECT (CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) + 1) / 1152921504606846976.0 AS u
+      FROM documents
+    ),
+    b AS (
+      SELECT LEAST(CAST(FLOOR(u * 100) AS INT), 99) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM u GROUP BY 1
+    ),
+    spine AS (SELECT unnest(range(100)) AS bin),
+    grid AS (
+      SELECT s.bin, COALESCE(b.o, 0) AS o
+      FROM spine s LEFT JOIN b ON b.bin = s.bin
+    ),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM grid),
+    terms AS (
+      SELECT g.bin, g.o, n.n,
+             CAST(FLOOR((g.o * 1.0 - n.n / 100.0) * (g.o * 1.0 - n.n / 100.0)
+                        / (n.n / 100.0) * 1000000 + 0.5) AS BIGINT) AS t_u,
+             SUM(g.o) OVER (ORDER BY g.bin) AS cum
+      FROM grid g CROSS JOIN n
+    ),
+    d AS (
+      SELECT MAX(ABS(cum * 1.0 / n - (bin + 1) / 100.0)) AS dmax FROM terms
+    )
+    SELECT MAX(t.n) AS n_samples,
+           FLOOR(SUM(t_u) / 1000000.0 * 1000000 + 0.5) / 1000000
+             AS chi2_uniform,
+           SUM(t_u) / 1000000.0 <= {_Q255_CHI2_CRIT} AS uniform_at_95,
+           FLOOR(d.dmax * 1000000 + 0.5) / 1000000 AS d_max,
+           d.dmax <= SQRT(LN(40.0) / (2.0 * MAX(t.n))) AS dkw_at_95
+    FROM terms t CROSS JOIN d
+    GROUP BY d.dmax
+    """
+
+
+@register(
+    "q255_sampler_uniformity",
+    _q255_sql(),
+    doc="QA of the engine's own determinism primitive: the seeded "
+    "md5-uniform that drives q112's reservoir, q226/q228's sampling "
+    "and q247's bootstrap weights, tested for uniformity with a "
+    "100-bin chi-square (vs the dof=99 95% critical value) AND a "
+    "binned-ecdf Kolmogorov distance against the DKW 95% band — the "
+    "audit that justifies every 'seeded md5-uniform' claim elsewhere "
+    "in the registry. Bin counts are exact integers; both test "
+    "statistics quantize before comparison only in the OUTPUT, the "
+    "pass/fail flags compare the raw doubles both engines share.",
+)
+def q255_sampler_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one map pass bins the corpus (100-key partial aggregate);
+    everything after runs on a 100-row grid. The same query audits any
+    seed by changing one literal — a seed SWEEP is a 10-row spine away."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("7|"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(1152921504606846976.0)
+    b = (
+        docs.select(
+            F.least(F.floor(u * 100).cast("int"), F.lit(99)).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    spine = spark.range(100).select(F.col("id").cast("int").alias("bin"))
+    grid = F.broadcast(spine).join(b, "bin", "left").select(
+        "bin", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+    )
+    n = grid.agg(F.sum("o").cast("long").alias("n"))
+    e = F.col("n") / 100.0
+    terms = grid.crossJoin(F.broadcast(n)).select(
+        "bin",
+        "o",
+        "n",
+        F.floor(
+            (F.col("o") * 1.0 - e) * (F.col("o") * 1.0 - e) / e * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("t_u"),
+        F.sum("o")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    d = terms.agg(
+        F.max(
+            F.abs(F.col("cum") * 1.0 / F.col("n") - (F.col("bin") + 1) / 100.0)
+        ).alias("dmax")
+    )
+    return (
+        terms.crossJoin(F.broadcast(d))
+        .groupBy("dmax")
+        .agg(
+            F.max("n").alias("n_samples"),
+            round_half_up(F.sum("t_u") / 1000000.0, 6).alias("chi2_uniform"),
+            (F.sum("t_u") / 1000000.0 <= F.lit(float(_Q255_CHI2_CRIT))).alias(
+                "uniform_at_95"
+            ),
+            round_half_up(F.col("dmax"), 6).alias("d_max"),
+            (
+                F.col("dmax")
+                <= F.sqrt(F.log(F.lit(40.0)) / (F.lit(2.0) * F.max("n")))
+            ).alias("dkw_at_95"),
+        )
+        .select(
+            "n_samples", "chi2_uniform", "uniform_at_95", "d_max", "dkw_at_95"
+        )
+    )

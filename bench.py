@@ -158,6 +158,9 @@ HEADLINE = [
     "q250_power_mde",
     "q251_heaps_law_fit",
     "q252_zipf_fit",
+    "q253_search_snippets",
+    "q254_top_event_paths",
+    "q255_sampler_uniformity",
 ]
 
 

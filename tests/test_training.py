@@ -1075,3 +1075,45 @@ def test_q252_zipf_slope_negative_power_law(spark):
     assert r["n_terms"] > 10
     assert r["zipf_slope"] < -0.1
     assert 0.3 <= r["r2"] <= 1.0
+
+
+def test_q253_snippets_contain_query_terms(spark):
+    """Every returned snippet must contain at least n_terms distinct
+    query terms within the window; results are ordered by snippet
+    quality."""
+    rows = QUERY_REGISTRY["q253_search_snippets"].fn(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 10
+    terms = {"table", "join", "query"}
+    for r in rows:
+        toks = r["snippet"].split(" ")
+        assert len(toks) <= 10
+        present = {t for t in toks if t in terms}
+        assert len(present) == r["n_terms"]
+        assert sum(1 for t in toks if t in terms) == r["n_matches"]
+    keys = [(-r["n_terms"], -r["n_matches"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_q254_paths_share_and_conversion_bounds(spark):
+    """Top paths are ordered by count, shares are positive and sum
+    below 1 for a 15-row cut, and conversion probabilities live in
+    [0,1]."""
+    rows = QUERY_REGISTRY["q254_top_event_paths"].fn(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 15
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert sum(r["share"] for r in rows) <= 1.0 + 1e-6
+    for r in rows:
+        assert r["path"].count(">") == 2
+        assert r["p_next_purchase"] is None or 0.0 <= r["p_next_purchase"] <= 1.0
+
+
+def test_q255_sampler_passes_uniformity(spark):
+    """The seeded md5-uniform must pass both uniformity tests at the
+    audit SF — this is the justification for every seeded-sampling
+    query in the registry."""
+    [r] = QUERY_REGISTRY["q255_sampler_uniformity"].fn(spark, SF_SMOKE).collect()
+    assert r["n_samples"] > 0
+    assert r["uniform_at_95"] is True
+    assert r["dkw_at_95"] is True
+    assert 0.0 <= r["d_max"] < 0.1
