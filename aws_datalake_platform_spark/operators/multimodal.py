@@ -270,3 +270,60 @@ def audio_window_energy(media_df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "win_idx": wins, "sum_sq": sums, "zcr": zcrs})
 
     return media_df.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+AHASH_CELLS = 64  # 8x8 perceptual-hash grid
+
+
+def ahash64(media_df: DataFrame) -> DataFrame:
+    """64-bit average hash (aHash) over the binary payload: split the
+    byte stream into 64 equal-span cells, set bit j when cell j's mean
+    exceeds the global mean (compared by exact integer cross-
+    multiplication: sum_j * n > total * cnt_j — no float ever). Returns
+    the hash as two 32-bit halves (h1 bits 0-31, h2 bits 32-63, BIGINT-
+    safe) plus the eight 8-bit band values used for LSH-style candidate
+    bucketing. On real images the same grid math runs on decoded luma
+    (decode_media); on this container's stand-in payloads the bytes ARE
+    the content, which is what lets the DuckDB oracle replay the hash
+    from the text column (ascii(char) == byte for ASCII corpora).
+
+    Scale: one Arrow-batched map pass, no shuffle; Hamming near-dup over
+    these hashes is the q25 SimHash banding shape (see q256).
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) < AHASH_CELLS:
+                    continue
+                a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = a.size
+                total = int(a.sum())
+                bits = np.zeros(AHASH_CELLS, dtype=np.int64)
+                cum = np.concatenate(([0], np.cumsum(a)))
+                for j in range(AHASH_CELLS):
+                    lo = (n * j) // AHASH_CELLS
+                    hi = (n * (j + 1)) // AHASH_CELLS
+                    cnt = hi - lo
+                    if cnt > 0 and int(cum[hi] - cum[lo]) * n > total * cnt:
+                        bits[j] = 1
+                h1 = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+                h2 = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+                bands = [
+                    int((bits[b * 8 : b * 8 + 8] << np.arange(8, dtype=np.int64)).sum())
+                    for b in range(8)
+                ]
+                out.append((doc_id, h1, h2, bands))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "h1", "h2", "bands"]
+            ) if out else pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "h1": pd.Series(dtype="int64"),
+                 "h2": pd.Series(dtype="int64"),
+                 "bands": pd.Series(dtype="object")}
+            )
+
+    return media_df.select("doc_id", "payload").mapInPandas(
+        compute, schema="doc_id long, h1 long, h2 long, bands array<int>"
+    )

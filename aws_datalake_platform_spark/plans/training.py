@@ -5161,3 +5161,143 @@ def q255_sampler_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_samples", "chi2_uniform", "uniform_at_95", "d_max", "dkw_at_95"
         )
     )
+
+
+# ── q256: multimodal near-dup via 64-bit average hash (aHash) ────────────────
+
+_Q256_BAND_CAP = 200  # hot-band guard (q24/q25 discipline)
+
+
+def _q256_sql() -> str:
+    return rf"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, length(text) AS n,
+             list_transform(range(1, length(text) + 1),
+                            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))
+               AS codes
+      FROM documents WHERE length(text) >= 64
+    ),
+    tot AS MATERIALIZED (
+      SELECT doc_id, n, codes, list_sum(codes) AS total FROM tok
+    ),
+    spine AS (SELECT unnest(range(64)) AS j),
+    bit AS MATERIALIZED (
+      SELECT doc_id, j,
+             CASE WHEN ((n * (j + 1)) // 64) - ((n * j) // 64) > 0
+                   AND list_sum(codes[((n * j) // 64) + 1 : (n * (j + 1)) // 64])
+                       * n > total * (((n * (j + 1)) // 64) - ((n * j) // 64))
+                  THEN 1 ELSE 0 END AS b
+      FROM tot CROSS JOIN spine
+    ),
+    hashes AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN j < 32
+                           THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                  AS BIGINT) AS h1,
+             CAST(SUM(CASE WHEN j >= 32
+                           THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)
+                  AS BIGINT) AS h2
+      FROM bit GROUP BY doc_id
+    ),
+    band AS MATERIALIZED (
+      SELECT doc_id, j // 8 AS bidx,
+             CAST(SUM(b * (CAST(1 AS BIGINT) << (j % 8))) AS BIGINT) AS bval
+      FROM bit GROUP BY doc_id, j // 8
+    ),
+    okb AS (
+      SELECT bidx, bval FROM band GROUP BY bidx, bval
+      HAVING COUNT(*) <= {_Q256_BAND_CAP}
+    ),
+    bandc AS (
+      SELECT b.doc_id, b.bidx, b.bval
+      FROM band b JOIN okb o ON o.bidx = b.bidx AND o.bval = b.bval
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+      FROM bandc a JOIN bandc b
+        ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(ha.h1, hb.h1)) + bit_count(xor(ha.h2, hb.h2))
+                AS BIGINT) AS hamming,
+           c.n_shared_bands
+    FROM cand c
+    JOIN hashes ha ON ha.doc_id = c.doc_a
+    JOIN hashes hb ON hb.doc_id = c.doc_b
+    ORDER BY hamming, c.doc_a, c.doc_b
+    LIMIT 20
+    """
+
+
+@register(
+    "q256_media_ahash_near_dup",
+    _q256_sql(),
+    doc="Multimodal near-duplicate detection: 64-bit average hash "
+    "(aHash) over the binary payload — the perceptual-hash family's "
+    "simplest member, computed by the real Arrow-batched ahash64 "
+    "operator — then 8x8-bit banded LSH candidates (q25's SimHash "
+    "shape with a hot-band cap) and exact Hamming verification; top-20 "
+    "closest pairs. The DuckDB oracle replays the hash from the text "
+    "twin because the stand-in payload is its UTF-8 bytes; with Pillow "
+    "installed the identical grid math runs on decoded luma. Extends "
+    "the dedup story (exact -> shingle -> MinHash -> SimHash -> "
+    "semantic) to the binary/media column family.",
+)
+def q256_media_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: hashing is one map pass (no shuffle, integer-only); the
+    candidate join is banded and capped exactly like q24/q25 — never
+    all-pairs; Hamming verification touches candidate pairs only, via
+    two broadcast-joinable 16-byte-per-doc hash relations."""
+    from ..operators.multimodal import ahash64, attach_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 64
+    )
+    hs = ahash64(attach_binary_payload(docs))
+    band = hs.select(
+        "doc_id", F.posexplode("bands").alias("bidx", "bval")
+    ).select("doc_id", "bidx", F.col("bval").cast("long").alias("bval"))
+    okb = (
+        band.groupBy("bidx", "bval")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= _Q256_BAND_CAP)
+        .drop("c")
+    )
+    bandc = band.join(okb, ["bidx", "bval"])
+    a = bandc.select(F.col("doc_id").alias("doc_a"), "bidx", "bval")
+    b = bandc.select(F.col("doc_id").alias("doc_b"), "bidx", "bval")
+    cand = (
+        a.join(b, ["bidx", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+    ha = hs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h1").alias("h1a"),
+        F.col("h2").alias("h2a"),
+    )
+    hb = hs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h1").alias("h1b"),
+        F.col("h2").alias("h2b"),
+    )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.bit_count(F.col("h1a").bitwiseXOR(F.col("h1b")))
+                + F.bit_count(F.col("h2a").bitwiseXOR(F.col("h2b")))
+            )
+            .cast("long")
+            .alias("hamming"),
+            "n_shared_bands",
+        )
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(20)
+    )

@@ -161,6 +161,7 @@ HEADLINE = [
     "q253_search_snippets",
     "q254_top_event_paths",
     "q255_sampler_uniformity",
+    "q256_media_ahash_near_dup",
 ]
 
 

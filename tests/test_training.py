@@ -1117,3 +1117,53 @@ def test_q255_sampler_passes_uniformity(spark):
     assert r["uniform_at_95"] is True
     assert r["dkw_at_95"] is True
     assert 0.0 <= r["d_max"] < 0.1
+
+
+def test_ahash64_matches_python_grid_math(spark):
+    """The Arrow-batched aHash must equal a from-scratch Python
+    recompute of the 64-cell integer grid on raw payload bytes, and an
+    identical payload must hash identically (hamming 0)."""
+    from aws_datalake_platform_spark.operators.multimodal import (
+        ahash64,
+        attach_binary_payload,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("length(text) >= 64")
+        .limit(5)
+    )
+    rows = {r["doc_id"]: r for r in ahash64(attach_binary_payload(docs)).collect()}
+    for d in docs.collect():
+        payload = d["text"].encode()
+        n = len(payload)
+        total = sum(payload)
+        bits = []
+        for j in range(64):
+            lo, hi = n * j // 64, n * (j + 1) // 64
+            cnt = hi - lo
+            s = sum(payload[lo:hi])
+            bits.append(1 if cnt > 0 and s * n > total * cnt else 0)
+        h1 = sum(b << i for i, b in enumerate(bits[:32]))
+        h2 = sum(b << i for i, b in enumerate(bits[32:]))
+        bands = [
+            sum(bits[8 * k + i] << i for i in range(8)) for k in range(8)
+        ]
+        r = rows[d["doc_id"]]
+        assert (r["h1"], r["h2"]) == (h1, h2)
+        assert list(r["bands"]) == bands
+
+
+def test_q256_near_dup_pairs_ordered_and_bounded(spark):
+    """Candidate pairs come out closest-first; hamming and shared-band
+    counts live in their algebraic ranges; sharing b bands forces at
+    least 8*b agreeing bits (hamming <= 64 - 8*n_shared)."""
+    rows = QUERY_REGISTRY["q256_media_ahash_near_dup"].fn(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    hams = [r["hamming"] for r in rows]
+    assert hams == sorted(hams)
+    for r in rows:
+        assert 0 <= r["hamming"] <= 64
+        assert 1 <= r["n_shared_bands"] <= 8
+        assert r["hamming"] <= 64 - 8 * r["n_shared_bands"]
