@@ -5301,3 +5301,194 @@ def q256_media_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "doc_a", "doc_b")
         .limit(20)
     )
+
+
+# ── q257: reciprocal-rank fusion (the search CLI's hybrid, certified) ────────
+
+_Q257_RRF_K = 60
+_Q257_ANCHORS = 5
+
+
+def _q257_sql() -> str:
+    from .curation import _BM25_B, _BM25_K1, _BM25_TERMS
+    from .llm_ops import _COS
+
+    cos = _COS.format(a="ae.embedding", b="ce.embedding")
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+      WHERE term IN {tuple(_BM25_TERMS)!r}
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    su AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(floor(ln((stats.n_docs - df.df + 0.5)
+                   / (df.df + 0.5) + 1) * tf.tf * ({_BM25_K1} + 1)
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / stats.avgdl)) * 1000000 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS su
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, su,
+             CAST(ROW_NUMBER() OVER (ORDER BY su DESC, doc_id) AS INTEGER)
+               AS bm25_rank
+      FROM su
+    ),
+    anchors AS (
+      SELECT e.vec_id, e.embedding FROM lex l
+      JOIN embeddings e ON e.vec_id = l.doc_id
+      WHERE l.bm25_rank <= {_Q257_ANCHORS}
+    ),
+    sem_u AS (
+      SELECT l.doc_id,
+             CAST(SUM(CAST(FLOOR({cos} * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS semu
+      FROM lex l
+      JOIN embeddings ce ON ce.vec_id = l.doc_id
+      CROSS JOIN anchors ae
+      WHERE ae.vec_id <> l.doc_id
+      GROUP BY l.doc_id
+    ),
+    sem AS (
+      SELECT doc_id, semu,
+             CAST(ROW_NUMBER() OVER (ORDER BY semu DESC, doc_id) AS INTEGER)
+               AS sem_rank
+      FROM sem_u
+    )
+    SELECT l.doc_id,
+           FLOOR(l.su / 1000000.0 * 1000000 + 0.5) / 1000000 AS bm25,
+           l.bm25_rank, s.sem_rank,
+           FLOOR((1.0 / ({_Q257_RRF_K} + l.bm25_rank)
+                  + 1.0 / ({_Q257_RRF_K} + s.sem_rank)) * 1000000 + 0.5)
+             / 1000000 AS rrf
+    FROM lex l JOIN sem s ON s.doc_id = l.doc_id
+    ORDER BY (1.0 / ({_Q257_RRF_K} + l.bm25_rank)
+              + 1.0 / ({_Q257_RRF_K} + s.sem_rank)) DESC, l.doc_id
+    LIMIT 10
+    """
+
+
+@register(
+    "q257_rrf_hybrid_rank",
+    _q257_sql(),
+    doc="Reciprocal-rank fusion: the hybrid lexical+semantic ranking the "
+    "`search` CLI performs, certified as a query. Lexical = multi-term "
+    "BM25 (q197's formula, per-term scores integer-quantized before "
+    "the per-doc sum so the 3-term addition is order-free); semantic = "
+    "mean cosine to the top-5 BM25 docs' embeddings (pseudo-relevance "
+    "feedback, per-anchor cosines quantized before summing); fused by "
+    "RRF with k=60 — the standard no-tuning rank combiner. Top-10 by "
+    "fused score.",
+)
+def q257_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: BM25 shuffles only query-term postings (q197's shape);
+    the anchor set is 5 rows and BROADCASTS into a 5x-multiplier
+    map-side cosine pass over lexical candidates; both rank windows run
+    over the candidate set (docs containing a query term), not the
+    corpus."""
+    from ..operators.similarity import dot, norm
+    from .curation import _BM25_B, _BM25_K1, _BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
+    )
+    dl = tok.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        tok.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(list(_BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    score = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+        )
+        * F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    su = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(score * 1000000 + 0.5).cast("long").alias("term_u"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_u").cast("long").alias("su"))
+    )
+    lex = su.withColumn(
+        "bm25_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("su").desc(), "doc_id"))
+        .cast("int"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    anchors = (
+        lex.filter(F.col("bm25_rank") <= _Q257_ANCHORS)
+        .join(emb, F.col("vec_id") == F.col("doc_id"))
+        .select(
+            F.col("vec_id").alias("avid"), F.col("embedding").alias("aemb")
+        )
+    )
+    cand_emb = lex.select("doc_id").join(
+        emb, F.col("vec_id") == F.col("doc_id")
+    ).select("doc_id", F.col("embedding").alias("cemb"))
+    cosu = F.floor(
+        dot(F.col("aemb"), F.col("cemb"))
+        / (norm(F.col("aemb")) * norm(F.col("cemb")))
+        * 1000000
+        + 0.5
+    ).cast("long")
+    sem = (
+        cand_emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("avid") != F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.sum(cosu).cast("long").alias("semu"))
+        .withColumn(
+            "sem_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("semu").desc(), "doc_id"))
+            .cast("int"),
+        )
+    )
+    rrf_raw = 1.0 / (_Q257_RRF_K + F.col("bm25_rank")) + 1.0 / (
+        _Q257_RRF_K + F.col("sem_rank")
+    )
+    return (
+        lex.join(sem.select("doc_id", "sem_rank"), "doc_id")
+        .select(
+            "doc_id",
+            round_half_up(F.col("su") / 1000000.0, 6).alias("bm25"),
+            "bm25_rank",
+            "sem_rank",
+            round_half_up(rrf_raw, 6).alias("rrf"),
+            rrf_raw.alias("__o"),
+        )
+        .orderBy(F.col("__o").desc(), "doc_id")
+        .drop("__o")
+        .limit(10)
+    )

@@ -162,6 +162,7 @@ HEADLINE = [
     "q254_top_event_paths",
     "q255_sampler_uniformity",
     "q256_media_ahash_near_dup",
+    "q257_rrf_hybrid_rank",
 ]
 
 

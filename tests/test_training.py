@@ -1167,3 +1167,21 @@ def test_q256_near_dup_pairs_ordered_and_bounded(spark):
         assert 0 <= r["hamming"] <= 64
         assert 1 <= r["n_shared_bands"] <= 8
         assert r["hamming"] <= 64 - 8 * r["n_shared_bands"]
+
+
+def test_q257_rrf_identity_and_order(spark):
+    """Fused score must equal 1/(60+r_lex) + 1/(60+r_sem) and rows come
+    out fused-score-descending; both rank columns are positive and
+    distinct within the result."""
+    import math
+
+    rows = QUERY_REGISTRY["q257_rrf_hybrid_rank"].fn(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 10
+    vals = []
+    for r in rows:
+        expect = 1.0 / (60 + r["bm25_rank"]) + 1.0 / (60 + r["sem_rank"])
+        assert r["rrf"] == math.floor(expect * 1e6 + 0.5) / 1e6
+        assert r["bm25_rank"] >= 1 and r["sem_rank"] >= 1
+        vals.append(expect)
+    assert vals == sorted(vals, reverse=True)
+    assert len({r["bm25_rank"] for r in rows}) == len(rows)
