@@ -5492,3 +5492,247 @@ def q257_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__o")
         .limit(10)
     )
+
+
+# ── q258: contrastive negative sampling (dedup-aware, hash-prefiltered) ──────
+
+_Q258_ANCHORS = 20
+_Q258_K = 4
+_Q258_PREF = "0.05"  # hash-range prefilter: keep ~5% of candidates
+
+
+def _q258_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    pairs = _REGISTRY["q23_ngram_jaccard_dedup"].sql
+    return f"""
+    WITH nd AS ({pairs}),
+    anch AS (SELECT doc_id AS anchor_id FROM documents
+             WHERE doc_id < {_Q258_ANCHORS}),
+    cand AS (
+      SELECT a.anchor_id, d.doc_id AS neg_id,
+             (CAST(('0x' || substr(md5('neg|' || CAST(a.anchor_id AS VARCHAR)
+                || '|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+               / 1152921504606846976.0 AS u
+      FROM anch a CROSS JOIN documents d
+      WHERE d.doc_id <> a.anchor_id
+    ),
+    pre AS (SELECT * FROM cand WHERE u < {_Q258_PREF}),
+    safe AS (
+      SELECT p.* FROM pre p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM nd
+        WHERE (nd.doc_a = p.anchor_id AND nd.doc_b = p.neg_id)
+           OR (nd.doc_b = p.anchor_id AND nd.doc_a = p.neg_id))
+    )
+    SELECT anchor_id, neg_id,
+           CAST(rn AS INTEGER) AS neg_rank,
+           FLOOR(u * 1000000 + 0.5) / 1000000 AS sample_key
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+            ORDER BY u, neg_id) AS rn FROM safe) t
+    WHERE rn <= {_Q258_K}
+    ORDER BY anchor_id, neg_rank
+    """
+
+
+@register(
+    "q258_contrastive_negatives",
+    _q258_sql(),
+    doc=f"Contrastive-training negative sampling: for each of "
+    f"{_Q258_ANCHORS} anchor documents, {_Q258_K} seeded-uniform "
+    "negatives drawn from the corpus EXCLUDING the anchor's q23 "
+    "near-duplicates (sampling a paraphrase as a 'negative' poisons "
+    "a contrastive objective — the dedup relation doubles as the "
+    "false-negative filter). Candidates pass a 5% hash-range "
+    "prefilter BEFORE ranking, so the per-anchor sort touches ~N/20 "
+    "rows — the same top-k-after-prefilter shape KMV uses.",
+)
+def q258_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the anchor spine broadcasts; candidate minting is map-side
+    (md5 column math) and the prefilter drops 95% of rows before the
+    only shuffle (per-anchor rank). The near-dup exclusion is a
+    left-anti join against the ALREADY-COMPUTED dedup pair relation —
+    at production scale that relation is the stored q191 index, not a
+    recompute."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    anch = docs.filter(F.col("doc_id") < _Q258_ANCHORS).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("neg|"),
+                        F.col("anchor_id").cast("string"),
+                        F.lit("|"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(1152921504606846976.0)
+    cand = (
+        F.broadcast(anch)
+        .crossJoin(docs)
+        .filter(F.col("doc_id") != F.col("anchor_id"))
+        .select("anchor_id", F.col("doc_id").alias("neg_id"), u.alias("u"))
+    )
+    pre = cand.filter(F.col("u") < float(_Q258_PREF))
+    nd = _REGISTRY["q23_ngram_jaccard_dedup"].fn(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    excl = nd.unionByName(
+        nd.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("anchor_id"), F.col("doc_b").alias("neg_id"))
+    safe = pre.join(excl, ["anchor_id", "neg_id"], "left_anti")
+    return (
+        safe.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("anchor_id").orderBy("u", "neg_id")
+            ),
+        )
+        .filter(F.col("rn") <= _Q258_K)
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.col("rn").cast("int").alias("neg_rank"),
+            round_half_up(F.col("u"), 6).alias("sample_key"),
+        )
+        .orderBy("anchor_id", "neg_rank")
+    )
+
+
+# ── q259: TF-IDF sparse-cosine nearest pairs ─────────────────────────────────
+
+_Q259_MAX_DF_FRAC = 0.5  # stop-term guard: drop terms in > half the docs
+
+
+def _q259_sql() -> str:
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+      GROUP BY doc_id, term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(FLOOR(tf.tf * LN(n.n * 1.0 / df.df) * 1000 + 0.5)
+                  AS BIGINT) AS wu
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      WHERE df.df * 1.0 / n.n <= {_Q259_MAX_DF_FRAC}
+    ),
+    nrm AS (
+      SELECT doc_id, CAST(SUM(wu * wu) AS BIGINT) AS n2 FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(a.wu * b.wu) AS BIGINT) AS dp,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_terms
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b, d.n_shared_terms,
+           FLOOR(d.dp / (SQRT(na.n2) * SQRT(nb.n2)) * 1000000 + 0.5) / 1000000
+             AS cosine
+    FROM dots d
+    JOIN nrm na ON na.doc_id = d.doc_a
+    JOIN nrm nb ON nb.doc_id = d.doc_b
+    ORDER BY d.dp / (SQRT(na.n2) * SQRT(nb.n2)) DESC, d.doc_a, d.doc_b
+    LIMIT 20
+    """
+
+
+@register(
+    "q259_tfidf_cosine_pairs",
+    _q259_sql(),
+    doc="Weighted lexical similarity: top-20 document pairs by TF-IDF "
+    "sparse cosine, computed as a shared-term equi-join over quantized "
+    "integer weights (tf*ln(N/df) floored to 1e-3 units, so dot "
+    "products and squared norms are EXACT integer sums — the float "
+    "order problem never arises) with the q23-family max_df stop-term "
+    "guard bounding join fan-out. Complements q23 (set Jaccard) with "
+    "frequency-weighted similarity and q30 (dense cosine) with its "
+    "sparse lexical twin.",
+)
+def q259_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: ONE shuffle keyed on term; per-term fan-out is bounded by
+    the max_df guard exactly as in q23/q199 (a term in half the corpus
+    would otherwise contribute O(N^2) pairs); norms are a per-doc
+    partial aggregate; the final ranking is TakeOrdered over the pair
+    relation."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
+    )
+    tf = (
+        tok.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n = tok.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") * 1.0 / F.col("n") <= _Q259_MAX_DF_FRAC)
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df")) * 1000
+                + 0.5
+            )
+            .cast("long")
+            .alias("wu"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sum(F.col("wu") * F.col("wu")).cast("long").alias("n2")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("wu").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("wu").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dp"),
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    cos_raw = F.col("dp") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_terms",
+            round_half_up(cos_raw, 6).alias("cosine"),
+            cos_raw.alias("__o"),
+        )
+        .orderBy(F.col("__o").desc(), "doc_a", "doc_b")
+        .drop("__o")
+        .limit(20)
+    )

@@ -163,6 +163,8 @@ HEADLINE = [
     "q255_sampler_uniformity",
     "q256_media_ahash_near_dup",
     "q257_rrf_hybrid_rank",
+    "q258_contrastive_negatives",
+    "q259_tfidf_cosine_pairs",
 ]
 
 

@@ -1185,3 +1185,71 @@ def test_q257_rrf_identity_and_order(spark):
         vals.append(expect)
     assert vals == sorted(vals, reverse=True)
     assert len({r["bm25_rank"] for r in rows}) == len(rows)
+
+
+def test_q258_negatives_exclude_near_dups(spark):
+    """Every anchor gets at most K negatives, none of which appears in
+    the q23 near-dup relation with its anchor; sample keys fall under
+    the prefilter threshold and rank in key order."""
+    rows = QUERY_REGISTRY["q258_contrastive_negatives"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    nd = {
+        frozenset((r["doc_a"], r["doc_b"]))
+        for r in QUERY_REGISTRY["q23_ngram_jaccard_dedup"].fn(spark, SF_SMOKE).collect()
+    }
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        assert frozenset((r["anchor_id"], r["neg_id"])) not in nd
+        assert r["neg_id"] != r["anchor_id"]
+        assert r["sample_key"] < 0.05 + 1e-6
+        per[r["anchor_id"]].append((r["neg_rank"], r["sample_key"]))
+    for a, lst in per.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= 4
+        keys = [x[1] for x in lst]
+        assert keys == sorted(keys)
+
+
+def test_q259_cosine_matches_sklearn_free_recompute(spark):
+    """Top pair cosines must match a from-scratch Python TF-IDF cosine
+    (same quantization, same max_df guard) and be bounded by 1."""
+    import math
+    from collections import Counter, defaultdict
+
+    rows = QUERY_REGISTRY["q259_tfidf_cosine_pairs"].fn(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    toks = {
+        d["doc_id"]: d["text"].strip().lower().split()
+        for d in docs
+        if d["text"].strip()
+    }
+    N = len(toks)
+    dfc = Counter()
+    tfs = {}
+    for d, ts in toks.items():
+        c = Counter(ts)
+        tfs[d] = c
+        for t in c:
+            dfc[t] += 1
+    w = defaultdict(dict)
+    for d, c in tfs.items():
+        for t, tf in c.items():
+            if dfc[t] / N <= 0.5:
+                w[d][t] = math.floor(tf * math.log(N * 1.0 / dfc[t]) * 1000 + 0.5)
+    for r in rows[:5]:
+        wa, wb = w[r["doc_a"]], w[r["doc_b"]]
+        shared = set(wa) & set(wb)
+        assert len(shared) == r["n_shared_terms"]
+        dp = sum(wa[t] * wb[t] for t in shared)
+        na = math.sqrt(sum(v * v for v in wa.values()))
+        nb = math.sqrt(sum(v * v for v in wb.values()))
+        assert r["cosine"] == math.floor(dp / (na * nb) * 1e6 + 0.5) / 1e6
+        assert 0.0 < r["cosine"] <= 1.0
