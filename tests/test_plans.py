@@ -543,3 +543,29 @@ def test_q241_transition_rollup_broadcasts_totals(spark):
     plan = _plan(spark, "q241_transition_entropy")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q253_hit_join_no_cartesian(spark):
+    """Snippet windows must come from the doc_id-keyed hit-position
+    join (broadcast/shuffled hash, range predicate as a filter), with
+    per-doc WindowGroupLimit pushing the best-snippet cut below the
+    exchange."""
+    plan = _plan(spark, "q253_search_snippets")
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_q256_band_join_capped_no_cartesian(spark):
+    """The aHash candidate stage must be the banded equi-join (hash
+    joins only) — never an all-pairs product of the hash relation."""
+    plan = _plan(spark, "q256_media_ahash_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q259_term_join_no_cartesian(spark):
+    """TF-IDF cosine pairs must come from the shared-term equi-join;
+    the only nested-loop joins are 1-row scalar broadcasts (corpus
+    size N)."""
+    plan = _plan(spark, "q259_tfidf_cosine_pairs")
+    assert "CartesianProduct" not in plan
