@@ -5736,3 +5736,136 @@ def q259_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__o")
         .limit(20)
     )
+
+
+# ── q260: token-budget allocation plan (greedy fill by source quality) ──────
+
+_Q260_BUDGET_FRAC = "0.5"  # spend half the corpus' tokens
+_Q260_CAP_FRAC = "0.8"  # never take more than 80% of one source
+
+
+def _q260_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    model = _REGISTRY["q173_quality_logreg"].sql
+    return rf"""
+    WITH m AS ({model}),
+    per AS (
+      SELECT d.source,
+             CAST(SUM(m.n_words) AS BIGINT) AS tokens_available,
+             CAST(SUM(CAST(FLOOR(m.quality_score * 10000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS qsum,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM m JOIN documents d ON d.doc_id = m.doc_id
+      GROUP BY d.source
+    ),
+    tot AS (SELECT CAST(SUM(tokens_available) AS BIGINT) AS t FROM per),
+    ranked AS (
+      SELECT per.*, tot.t,
+             CAST(FLOOR(tokens_available * {_Q260_CAP_FRAC}) AS BIGINT)
+               AS cap_tokens,
+             CAST(FLOOR(tot.t * {_Q260_BUDGET_FRAC}) AS BIGINT) AS budget,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY qsum * 1.0 / (n_docs * 10000.0) DESC, source)
+               AS INTEGER) AS quality_rank
+      FROM per CROSS JOIN tot
+    ),
+    alloc AS (
+      SELECT *,
+             CAST(COALESCE(SUM(cap_tokens) OVER (ORDER BY quality_rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM ranked
+    )
+    SELECT source, quality_rank, n_docs, tokens_available,
+           FLOOR(qsum / (n_docs * 10000.0) * 1000000 + 0.5) / 1000000
+             AS mean_quality,
+           cap_tokens,
+           CAST(LEAST(cap_tokens, GREATEST(budget - cum_before, 0))
+                AS BIGINT) AS allocated_tokens,
+           LEAST(cap_tokens, GREATEST(budget - cum_before, 0)) = cap_tokens
+             AS fully_taken
+    FROM alloc
+    ORDER BY quality_rank
+    """
+
+
+@register(
+    "q260_token_budget_plan",
+    _q260_sql(),
+    doc="Token-budget allocation: spend a 50%-of-corpus token budget "
+    "greedily by source quality (q173 mean score), capped at 80% of "
+    "any one source — the concrete decision table the audit family "
+    "(q239 calibration, q240 AUC, q244 fertility, q248 influence) "
+    "exists to justify. The greedy fill is one running-sum window over "
+    "the |sources|-row relation: allocated = min(cap, max(budget - "
+    "cum_before, 0)). Every quantity is an exact integer except the "
+    "display-only mean quality.",
+)
+def q260_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per-source totals are one map-side-combinable aggregate
+    over the (map-only) scorer; the allocation window runs over
+    |sources| rows. Changing the budget or cap re-runs ONLY the tiny
+    window, not the corpus pass, if per-source totals are cached."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    budget_frac, cap_frac = float(_Q260_BUDGET_FRAC), float(_Q260_CAP_FRAC)
+    m = _REGISTRY["q173_quality_logreg"].fn(spark, sf_dir).select(
+        "doc_id",
+        "n_words",
+        F.floor(F.col("quality_score") * 10000 + 0.5).cast("long").alias("qu"),
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per = (
+        m.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("tokens_available"),
+            F.sum("qu").cast("long").alias("qsum"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
+    tot = per.agg(F.sum("tokens_available").cast("long").alias("t"))
+    ranked = per.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.floor(F.col("tokens_available") * cap_frac)
+        .cast("long")
+        .alias("cap_tokens"),
+        F.floor(F.col("t") * budget_frac).cast("long").alias("budget"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                (F.col("qsum") * 1.0 / (F.col("n_docs") * 10000.0)).desc(),
+                "source",
+            )
+        )
+        .cast("int")
+        .alias("quality_rank"),
+    )
+    alloc = ranked.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("cap_tokens").over(
+                Window.orderBy("quality_rank").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    take = F.least(
+        F.col("cap_tokens"),
+        F.greatest(F.col("budget") - F.col("cum_before"), F.lit(0)),
+    )
+    return alloc.select(
+        "source",
+        "quality_rank",
+        "n_docs",
+        "tokens_available",
+        round_half_up(
+            F.col("qsum") / (F.col("n_docs") * 10000.0), 6
+        ).alias("mean_quality"),
+        "cap_tokens",
+        take.cast("long").alias("allocated_tokens"),
+        (take == F.col("cap_tokens")).alias("fully_taken"),
+    ).orderBy("quality_rank")

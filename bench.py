@@ -165,6 +165,7 @@ HEADLINE = [
     "q257_rrf_hybrid_rank",
     "q258_contrastive_negatives",
     "q259_tfidf_cosine_pairs",
+    "q260_token_budget_plan",
 ]
 
 

@@ -1253,3 +1253,30 @@ def test_q259_cosine_matches_sklearn_free_recompute(spark):
         nb = math.sqrt(sum(v * v for v in wb.values()))
         assert r["cosine"] == math.floor(dp / (na * nb) * 1e6 + 0.5) / 1e6
         assert 0.0 < r["cosine"] <= 1.0
+
+
+def test_q260_budget_allocation_greedy_invariants(spark):
+    """Allocations must respect per-source caps, exhaust the budget
+    exactly (sum == floor(0.5*total) whenever caps allow), follow the
+    quality ranking greedily (a partially-filled source implies every
+    worse-ranked source got zero), and fully_taken must mean cap-level
+    funding."""
+    rows = sorted(
+        QUERY_REGISTRY["q260_token_budget_plan"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["quality_rank"],
+    )
+    assert rows
+    total = sum(r["tokens_available"] for r in rows)
+    budget = total // 2
+    got = sum(r["allocated_tokens"] for r in rows)
+    cap_sum = sum(r["cap_tokens"] for r in rows)
+    assert got == min(budget, cap_sum)
+    partial_seen = False
+    for r in rows:
+        assert 0 <= r["allocated_tokens"] <= r["cap_tokens"]
+        assert r["cap_tokens"] == int(r["tokens_available"] * 0.8)
+        assert r["fully_taken"] == (r["allocated_tokens"] == r["cap_tokens"])
+        if partial_seen:
+            assert r["allocated_tokens"] == 0
+        if 0 < r["allocated_tokens"] < r["cap_tokens"]:
+            partial_seen = True
