@@ -5869,3 +5869,211 @@ def q260_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         take.cast("long").alias("allocated_tokens"),
         (take == F.col("cap_tokens")).alias("fully_taken"),
     ).orderBy("quality_rank")
+
+
+# ── q261: RFM customer segmentation ──────────────────────────────────────────
+
+
+@register(
+    "q261_rfm_segmentation",
+    """
+    WITH ref AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS today FROM orders),
+    per AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       (SELECT today FROM ref)) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT *,
+             NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey) AS rq,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS fq,
+             NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS mq
+      FROM per
+    )
+    SELECT CAST(rq * 100 + fq * 10 + mq AS INTEGER) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           FLOOR(SUM(recency_days) * 1.0 / COUNT(*) * 100 + 0.5) / 100
+             AS avg_recency_days,
+           FLOOR(SUM(frequency) * 1.0 / COUNT(*) * 100 + 0.5) / 100
+             AS avg_orders,
+           FLOOR(SUM(monetary_cents) * 1.0 / (COUNT(*) * 100.0) * 100 + 0.5)
+             / 100 AS avg_monetary
+    FROM scored
+    GROUP BY rq * 100 + fq * 10 + mq
+    ORDER BY segment
+    """,
+    doc="RFM segmentation: recency / frequency / monetary quintiles per "
+    "customer (NTILE with deterministic custkey tie-breaks, exact "
+    "integer cents per the q157 money discipline), rolled up to "
+    "segment codes rq*100+fq*10+mq with per-segment averages — the "
+    "classic CRM cut of the Athena-role surface. Quintile 1 = most "
+    "recent / most frequent / highest spend, so segment 111 is the "
+    "best-customer cell.",
+)
+def q261_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per-customer aggregates are one partial-aggregable pass;
+    the three NTILEs run over the CUSTOMER relation (orders of
+    magnitude below fact scale; at extreme customer counts the q233
+    note applies — swap NTILE for pre-computed quantile boundaries).
+    The rollup is <=125 cells."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    ref = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("today"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("today"), F.col("last_order")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = per.select(
+        "*",
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .alias("rq"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("fq"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
+        .alias("mq"),
+    )
+    return (
+        scored.groupBy(
+            (F.col("rq") * 100 + F.col("fq") * 10 + F.col("mq"))
+            .cast("int")
+            .alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            round_half_up(
+                F.sum("recency_days") * 1.0 / F.count(F.lit(1)), 2
+            ).alias("avg_recency_days"),
+            round_half_up(
+                F.sum("frequency") * 1.0 / F.count(F.lit(1)), 2
+            ).alias("avg_orders"),
+            round_half_up(
+                F.sum("monetary_cents") * 1.0 / (F.count(F.lit(1)) * 100.0), 2
+            ).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ── q262: market-basket association (support / confidence / lift) ────────────
+
+_Q262_TOP = 15
+
+
+@register(
+    "q262_basket_lift",
+    f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM basket),
+    cnt AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM basket GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.part_a, p.part_b, p.c_ab, ca.c AS c_a, cb.c AS c_b, n.n,
+             p.c_ab * n.n * 1.0 / (ca.c * cb.c) AS lift_raw
+      FROM pairs p
+      JOIN cnt ca ON ca.l_partkey = p.part_a
+      JOIN cnt cb ON cb.l_partkey = p.part_b
+      CROSS JOIN n
+    )
+    SELECT part_a, part_b, c_ab AS n_cooccur,
+           FLOOR(c_ab * 1.0 / n * 1000000 + 0.5) / 1000000 AS support,
+           FLOOR(c_ab * 1.0 / c_a * 1000000 + 0.5) / 1000000 AS confidence_ab,
+           FLOOR(lift_raw * 100 + 0.5) / 100 AS lift
+    FROM scored
+    ORDER BY lift_raw DESC, part_a, part_b
+    LIMIT {_Q262_TOP}
+    """,
+    doc="Market-basket association rules over order line items: "
+    "pairwise co-occurrence support, confidence and lift "
+    "(c_ab*N/(c_a*c_b)), top-15 by lift — the classic affinity "
+    "analysis of the Athena-role catalog. The pair join is keyed on "
+    "the ORDER (baskets are small), so fan-out is items-per-order "
+    "choose 2, never parts^2.",
+)
+def q262_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: basket dedup is one distinct; the self-join is equi-keyed
+    on l_orderkey with per-key fan-out bounded by basket size (~7
+    items -> <=21 pairs per order); part counts broadcast. A degenerate
+    mega-basket would need a per-key cap (q24's discipline) — TPC-H
+    baskets are bounded by construction."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    basket = li.distinct()
+    n = basket.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    cnt = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = basket.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = basket.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    ca = cnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a"))
+    cb = cnt.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b"))
+    scored = (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "lift_raw",
+            F.col("c_ab") * F.col("n") * 1.0 / (F.col("c_a") * F.col("c_b")),
+        )
+    )
+    return (
+        scored.select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").alias("n_cooccur"),
+            round_half_up(F.col("c_ab") * 1.0 / F.col("n"), 6).alias("support"),
+            round_half_up(F.col("c_ab") * 1.0 / F.col("c_a"), 6).alias(
+                "confidence_ab"
+            ),
+            round_half_up(F.col("lift_raw"), 2).alias("lift"),
+            F.col("lift_raw").alias("__o"),
+        )
+        .orderBy(F.col("__o").desc(), "part_a", "part_b")
+        .drop("__o")
+        .limit(_Q262_TOP)
+    )

@@ -166,6 +166,8 @@ HEADLINE = [
     "q258_contrastive_negatives",
     "q259_tfidf_cosine_pairs",
     "q260_token_budget_plan",
+    "q261_rfm_segmentation",
+    "q262_basket_lift",
 ]
 
 

@@ -1280,3 +1280,66 @@ def test_q260_budget_allocation_greedy_invariants(spark):
             assert r["allocated_tokens"] == 0
         if 0 < r["allocated_tokens"] < r["cap_tokens"]:
             partial_seen = True
+
+
+def test_q261_rfm_segments_partition_customers(spark):
+    """Segment counts must sum to the customer universe; segment codes
+    decompose into valid quintiles; quintile-1 cells exist on every
+    axis (NTILE always fills bucket 1)."""
+    rows = QUERY_REGISTRY["q261_rfm_segmentation"].fn(spark, SF_SMOKE).collect()
+    n_cust = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    axes = {0: set(), 1: set(), 2: set()}
+    for r in rows:
+        s = r["segment"]
+        rq, fq, mq = s // 100, (s // 10) % 10, s % 10
+        for i, v in enumerate((rq, fq, mq)):
+            assert 1 <= v <= 5
+            axes[i].add(v)
+        assert r["avg_recency_days"] >= 0 and r["avg_orders"] >= 1
+    for i in axes:
+        assert 1 in axes[i]
+
+
+def test_q262_lift_matches_counts(spark):
+    """Lift/support/confidence must satisfy their definitions against a
+    Python recount of the basket relation for every returned pair."""
+    import math
+    from collections import Counter, defaultdict
+
+    rows = QUERY_REGISTRY["q262_basket_lift"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    orders = defaultdict(set)
+    for r in li:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    n = len(orders)
+    c = Counter()
+    cab = Counter()
+    for parts in orders.values():
+        for p in parts:
+            c[p] += 1
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                cab[(ps[i], ps[j])] += 1
+    for r in rows:
+        k = (r["part_a"], r["part_b"])
+        assert r["n_cooccur"] == cab[k]
+        assert r["support"] == math.floor(cab[k] / n * 1e6 + 0.5) / 1e6
+        assert r["confidence_ab"] == math.floor(
+            cab[k] / c[r["part_a"]] * 1e6 + 0.5
+        ) / 1e6
+        lift = cab[k] * n / (c[r["part_a"]] * c[r["part_b"]])
+        assert r["lift"] == math.floor(lift * 100 + 0.5) / 100
+        assert r["lift"] >= 1.0  # top-15 by lift must be positive associations
