@@ -6077,3 +6077,162 @@ def q262_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__o")
         .limit(_Q262_TOP)
     )
+
+
+# ── q263: cohort lifetime-value (LTV) curve ──────────────────────────────────
+
+
+@register(
+    "q263_cohort_ltv",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', MIN(CAST(o_orderdate AS DATE)))
+                  AS DATE) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT f.cohort, o.o_custkey,
+             date_diff('month', f.cohort,
+                       CAST(date_trunc('month', CAST(o.o_orderdate AS DATE))
+                            AS DATE)) AS age,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    ),
+    sz AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers FROM firsts
+      GROUP BY cohort
+    ),
+    by_age AS (
+      SELECT cohort, age, CAST(SUM(cents) AS BIGINT) AS cents
+      FROM rev WHERE age BETWEEN 0 AND 11 GROUP BY cohort, age
+    ),
+    cum AS (
+      SELECT cohort, age,
+             CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY age)
+                  AS BIGINT) AS cum_cents
+      FROM by_age
+    )
+    SELECT c.cohort, CAST(c.age AS INTEGER) AS age_months, s.n_customers,
+           FLOOR(c.cum_cents / (s.n_customers * 100.0) * 100 + 0.5) / 100
+             AS ltv_per_customer
+    FROM cum c JOIN sz s ON s.cohort = c.cohort
+    WHERE c.cohort IN (SELECT cohort FROM sz ORDER BY cohort LIMIT 6)
+    ORDER BY c.cohort, age_months
+    """,
+    doc="Cohort lifetime-value curve: customers grouped by first-order "
+    "month, cumulative revenue per customer through each of their "
+    "first 12 months (exact integer cents; the cumulative window runs "
+    "over the cohort x age grid, not order rows) — q82's retention "
+    "matrix with money attached, limited to the first 6 cohorts for a "
+    "stable report shape.",
+)
+def q263_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two partial-aggregable passes over orders (first-order per
+    customer, revenue per cohort-age cell); the running sum and the
+    cohort cut operate on the |cohorts| x 12 grid."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min(F.col("o_orderdate").cast("date")))
+        .cast("date")
+        .alias("cohort")
+    )
+    rev = o.join(firsts, "o_custkey").select(
+        "cohort",
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate").cast("date")),
+            F.col("cohort"),
+        )
+        .cast("int")
+        .alias("age"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    sz = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    by_age = (
+        rev.filter((F.col("age") >= 0) & (F.col("age") <= 11))
+        .groupBy("cohort", "age")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    cum = by_age.select(
+        "cohort",
+        "age",
+        F.sum("cents")
+        .over(
+            Window.partitionBy("cohort")
+            .orderBy("age")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("cum_cents"),
+    )
+    first6 = sz.orderBy("cohort").limit(6).select("cohort")
+    return (
+        cum.join(F.broadcast(first6), "cohort")
+        .join(F.broadcast(sz), "cohort")
+        .select(
+            "cohort",
+            F.col("age").cast("int").alias("age_months"),
+            "n_customers",
+            round_half_up(
+                F.col("cum_cents") / (F.col("n_customers") * 100.0), 2
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort", "age_months")
+    )
+
+
+# ── q264: discount elasticity per brand (promo-effect regression) ────────────
+
+
+@register(
+    "q264_discount_elasticity",
+    """
+    WITH j AS (
+      SELECT p.p_brand, l.l_discount, CAST(l.l_quantity AS DOUBLE) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           FLOOR(AVG(qty) * 10000 + 0.5) / 10000 AS avg_qty,
+           FLOOR(regr_slope(qty, l_discount) * 10000 + 0.5) / 10000
+             AS qty_per_discount_slope,
+           FLOOR(regr_r2(qty, l_discount) * 1000000 + 0.5) / 1000000 AS r2
+    FROM j
+    GROUP BY p_brand
+    HAVING COUNT(*) >= 20
+    ORDER BY p_brand
+    """,
+    doc="Promo-effect screening: per brand, the OLS slope of order "
+    "quantity on discount rate (positive slope = discounts move "
+    "volume) with fit R^2 and a minimum-evidence floor of 20 line "
+    "items — the grouped-regression readout (q110's regr_* family "
+    "applied per group) a pricing team scans before promo planning.",
+)
+def q264_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one broadcast join (part is the small dim) and one
+    partial-aggregable grouped regression — regr_* fuses into the
+    aggregate, so the whole query is a scan + 25-key rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_discount", "l_quantity"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(
+        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")
+    ).select("p_brand", "l_discount", F.col("l_quantity").cast("double").alias("qty"))
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            round_half_up(F.avg("qty"), 4).alias("avg_qty"),
+            round_half_up(F.regr_slope("qty", "l_discount"), 4).alias(
+                "qty_per_discount_slope"
+            ),
+            round_half_up(F.regr_r2("qty", "l_discount"), 6).alias("r2"),
+        )
+        .filter(F.col("n_lines") >= 20)
+        .orderBy("p_brand")
+    )

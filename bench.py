@@ -168,6 +168,8 @@ HEADLINE = [
     "q260_token_budget_plan",
     "q261_rfm_segmentation",
     "q262_basket_lift",
+    "q263_cohort_ltv",
+    "q264_discount_elasticity",
 ]
 
 

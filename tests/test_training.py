@@ -1343,3 +1343,57 @@ def test_q262_lift_matches_counts(spark):
         lift = cab[k] * n / (c[r["part_a"]] * c[r["part_b"]])
         assert r["lift"] == math.floor(lift * 100 + 0.5) / 100
         assert r["lift"] >= 1.0  # top-15 by lift must be positive associations
+
+
+def test_q263_ltv_monotone_within_cohort(spark):
+    """Cumulative LTV must be non-decreasing in age within each cohort,
+    ages stay within the first year, and at most 6 cohorts appear."""
+    rows = QUERY_REGISTRY["q263_cohort_ltv"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["age_months"] <= 11
+        per[r["cohort"]].append((r["age_months"], r["ltv_per_customer"]))
+    assert len(per) <= 6
+    for cohort, pts in per.items():
+        pts.sort()
+        vals = [v for _, v in pts]
+        assert vals == sorted(vals)
+        assert vals[0] > 0  # month 0 includes the first order itself
+
+
+def test_q264_elasticity_has_evidence_floor(spark):
+    """Every brand row carries >= 20 lines, R^2 in [0,1], and the slope
+    matches a numpy OLS recompute for the first few brands."""
+    import numpy as np
+
+    rows = QUERY_REGISTRY["q264_discount_elasticity"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_partkey", "l_discount", "l_quantity")
+        .collect()
+    )
+    parts = {
+        r["p_partkey"]: r["p_brand"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+        .select("p_partkey", "p_brand")
+        .collect()
+    }
+    from collections import defaultdict
+
+    xs = defaultdict(list)
+    ys = defaultdict(list)
+    for r in li:
+        b = parts[r["l_partkey"]]
+        xs[b].append(r["l_discount"])
+        ys[b].append(float(r["l_quantity"]))
+    for r in rows[:5]:
+        assert r["n_lines"] >= 20
+        assert 0.0 <= r["r2"] <= 1.0
+        x = np.array(xs[r["p_brand"]])
+        y = np.array(ys[r["p_brand"]])
+        slope = ((x - x.mean()) * (y - y.mean())).sum() / ((x - x.mean()) ** 2).sum()
+        assert abs(r["qty_per_discount_slope"] - slope) < 2e-3
