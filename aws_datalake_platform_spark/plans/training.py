@@ -6236,3 +6236,221 @@ def q264_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_lines") >= 20)
         .orderBy("p_brand")
     )
+
+
+# ── q265: column-profile drift detector (data-contract QA) ───────────────────
+
+_Q265_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_Q265_REL_T = "0.02"  # relative mean-drift alarm threshold
+
+
+def _q265_sql() -> str:
+    half = "l_orderkey % 2"
+    branches = "\n      UNION ALL\n".join(
+        f"""      SELECT {half} AS half, '{c}' AS col,
+             CASE WHEN {c} IS NULL THEN NULL
+                  ELSE CAST(FLOOR({c} * 10000 + 0.5) AS BIGINT) END AS vu
+      FROM lineitem"""
+        for c in _Q265_COLS
+    )
+    return f"""
+    WITH long AS (
+{branches}
+    ),
+    prof AS (
+      SELECT col, half,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(vu) AS BIGINT) AS n_present,
+             CAST(SUM(vu) AS BIGINT) AS su,
+             CAST(MIN(vu) AS BIGINT) AS mn,
+             CAST(MAX(vu) AS BIGINT) AS mx
+      FROM long GROUP BY col, half
+    ),
+    wide AS (
+      SELECT col,
+             MAX(CASE WHEN half = 0 THEN n_rows END) AS n_a,
+             MAX(CASE WHEN half = 1 THEN n_rows END) AS n_b,
+             MAX(CASE WHEN half = 0 THEN n_present END) AS p_a,
+             MAX(CASE WHEN half = 1 THEN n_present END) AS p_b,
+             MAX(CASE WHEN half = 0 THEN su END) AS s_a,
+             MAX(CASE WHEN half = 1 THEN su END) AS s_b,
+             MAX(CASE WHEN half = 0 THEN mn END) AS mn_a,
+             MAX(CASE WHEN half = 1 THEN mn END) AS mn_b,
+             MAX(CASE WHEN half = 0 THEN mx END) AS mx_a,
+             MAX(CASE WHEN half = 1 THEN mx END) AS mx_b
+      FROM prof GROUP BY col
+    )
+    SELECT col,
+           FLOOR((n_a - p_a) * 1.0 / n_a * 1000000 + 0.5) / 1000000
+             AS null_rate_a,
+           FLOOR((n_b - p_b) * 1.0 / n_b * 1000000 + 0.5) / 1000000
+             AS null_rate_b,
+           FLOOR(s_a * 1.0 / (p_a * 10000.0) * 1000000 + 0.5) / 1000000
+             AS mean_a,
+           FLOOR(s_b * 1.0 / (p_b * 10000.0) * 1000000 + 0.5) / 1000000
+             AS mean_b,
+           ABS(s_b * 1.0 / (p_b * 10000.0) - s_a * 1.0 / (p_a * 10000.0))
+             > {_Q265_REL_T} * ABS(s_a * 1.0 / (p_a * 10000.0)) AS mean_drift,
+           mn_a <> mn_b OR mx_a <> mx_b AS range_drift
+    FROM wide
+    ORDER BY col
+    """
+
+
+@register(
+    "q265_profile_drift",
+    _q265_sql(),
+    doc="Data-contract drift detector: split the fact table into hash "
+    "halves (the ingest-batch A/B stand-in) and compare per-column "
+    "profiles — null rates, means (values quantized to 1e-4 integer "
+    "units BEFORE summing, so the comparison is order-free exact), "
+    "and min/max range agreement — flagging columns whose mean moved "
+    "more than 2% relative. The column-level sibling of q169/q170's "
+    "distribution tests, shaped like the validation suite (F1-F4) "
+    "running continuously instead of at ingest.",
+)
+def q265_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the unpivot multiplies map work by |columns| but the
+    shuffle carries |columns| x 2 partial-aggregate groups; a real
+    deployment fuses this into one pass with grouping sets. Integer
+    sums bound: 1e-4-quantized values x rows must stay under 2^63 —
+    at petabyte row counts switch the quantum to 1e-2 or sum per
+    partition-group first (q213's idiom)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    half = (F.col("l_orderkey") % 2).alias("half")
+    pieces = None
+    for c in _Q265_COLS:
+        vu = F.when(
+            F.col(c).isNotNull(),
+            F.floor(F.col(c) * 10000 + 0.5).cast("long"),
+        )
+        p = li.select(half, F.lit(c).alias("col"), vu.alias("vu"))
+        pieces = p if pieces is None else pieces.unionByName(p)
+    prof = pieces.groupBy("col", "half").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("vu").cast("long").alias("n_present"),
+        F.sum("vu").cast("long").alias("su"),
+        F.min("vu").cast("long").alias("mn"),
+        F.max("vu").cast("long").alias("mx"),
+    )
+    def side(name, col):
+        return F.max(F.when(F.col("half") == (0 if name == "a" else 1), F.col(col))).alias(f"{col}_{name}")
+    wide = prof.groupBy("col").agg(
+        side("a", "n_rows"), side("b", "n_rows"),
+        side("a", "n_present"), side("b", "n_present"),
+        side("a", "su"), side("b", "su"),
+        side("a", "mn"), side("b", "mn"),
+        side("a", "mx"), side("b", "mx"),
+    )
+    mean_a = F.col("su_a") * 1.0 / (F.col("n_present_a") * 10000.0)
+    mean_b = F.col("su_b") * 1.0 / (F.col("n_present_b") * 10000.0)
+    rel_t = float(_Q265_REL_T)
+    return wide.select(
+        "col",
+        round_half_up(
+            (F.col("n_rows_a") - F.col("n_present_a")) * 1.0 / F.col("n_rows_a"), 6
+        ).alias("null_rate_a"),
+        round_half_up(
+            (F.col("n_rows_b") - F.col("n_present_b")) * 1.0 / F.col("n_rows_b"), 6
+        ).alias("null_rate_b"),
+        round_half_up(mean_a, 6).alias("mean_a"),
+        round_half_up(mean_b, 6).alias("mean_b"),
+        (F.abs(mean_b - mean_a) > rel_t * F.abs(mean_a)).alias("mean_drift"),
+        (
+            (F.col("mn_a") != F.col("mn_b")) | (F.col("mx_a") != F.col("mx_b"))
+        ).alias("range_drift"),
+    ).orderBy("col")
+
+
+# ── q266: funnel time-to-convert distribution (order statistics) ─────────────
+
+
+@register(
+    "q266_time_to_convert",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    delays AS (
+      SELECT user_id,
+             CAST(date_diff('second', t_signup, t_purchase) AS BIGINT)
+               AS delay_s
+      FROM firsts
+      WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+        AND t_purchase >= t_signup
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM delays),
+    ranked AS (
+      SELECT delay_s,
+             ROW_NUMBER() OVER (ORDER BY delay_s, user_id) AS rn,
+             (SELECT n FROM n) AS n
+      FROM delays
+    )
+    SELECT MAX(n) AS n_converted,
+           CAST(SUM(delay_s) AS BIGINT) // MAX(n) AS mean_delay_s,
+           MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT)
+                    THEN delay_s END) AS p50_delay_s,
+           MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT)
+                    THEN delay_s END) AS p90_delay_s,
+           MAX(delay_s) AS max_delay_s
+    FROM ranked
+    """,
+    doc="Funnel latency: per converting user the delay from first "
+    "signup to first purchase, summarized as mean and exact p50/p90 "
+    "ORDER STATISTICS (rank = ceil(q*n), user-id tie-break — the q249 "
+    "discipline, not a percentile function) — the time dimension "
+    "q81's step-count funnel lacks. Integer seconds throughout; the "
+    "mean is integer division of exact sums.",
+)
+def q266_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one user-keyed partial aggregate; the rank runs over
+    CONVERTED users only (a small fraction of the user universe). At
+    extreme converter counts the GK/histogram route (q80/q240) replaces
+    the exact rank — the audit-sized exact form is right here."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    delays = firsts.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_signup"))
+    ).select(
+        "user_id",
+        (
+            F.unix_timestamp("t_purchase") - F.unix_timestamp("t_signup")
+        )
+        .cast("long")
+        .alias("delay_s"),
+    )
+    n = delays.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = delays.withColumn(
+        "rn", F.row_number().over(Window.orderBy("delay_s", "user_id"))
+    ).crossJoin(F.broadcast(n))
+    return ranked.agg(
+        F.max("n").alias("n_converted"),
+        F.expr("sum(delay_s) div max(n)").cast("long").alias("mean_delay_s"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.5).cast("long"),
+                F.col("delay_s"),
+            )
+        ).alias("p50_delay_s"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.9).cast("long"),
+                F.col("delay_s"),
+            )
+        ).alias("p90_delay_s"),
+        F.max("delay_s").alias("max_delay_s"),
+    )

@@ -170,6 +170,8 @@ HEADLINE = [
     "q262_basket_lift",
     "q263_cohort_ltv",
     "q264_discount_elasticity",
+    "q265_profile_drift",
+    "q266_time_to_convert",
 ]
 
 

@@ -1397,3 +1397,59 @@ def test_q264_elasticity_has_evidence_floor(spark):
         y = np.array(ys[r["p_brand"]])
         slope = ((x - x.mean()) * (y - y.mean())).sum() / ((x - x.mean()) ** 2).sum()
         assert abs(r["qty_per_discount_slope"] - slope) < 2e-3
+
+
+def test_q265_drift_profile_matches_recount(spark):
+    """Null rates and means must match a DuckDB-free recount on the
+    parity halves; the synthetic halves of one table should mostly NOT
+    drift (same distribution)."""
+    import math
+
+    rows = {r["col"]: r for r in QUERY_REGISTRY["q265_profile_drift"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .collect()
+    )
+    s = {0: 0, 1: 0}
+    n = {0: 0, 1: 0}
+    for r in li:
+        h = r["l_orderkey"] % 2
+        n[h] += 1
+        s[h] += math.floor(r["l_quantity"] * 10000 + 0.5)
+    r = rows["l_quantity"]
+    assert r["null_rate_a"] == 0.0 and r["null_rate_b"] == 0.0
+    assert r["mean_a"] == math.floor(s[0] / (n[0] * 10000.0) * 1e6 + 0.5) / 1e6
+    assert r["mean_b"] == math.floor(s[1] / (n[1] * 10000.0) * 1e6 + 0.5) / 1e6
+    drifts = [x["mean_drift"] for x in rows.values()]
+    assert drifts.count(False) >= 3  # hash halves of one table barely drift
+
+
+def test_q266_delay_order_statistics(spark):
+    """The p50/p90 must be exact order statistics of the recomputed
+    delay list and the summary must be internally ordered."""
+    import math
+
+    [r] = QUERY_REGISTRY["q266_time_to_convert"].fn(spark, SF_SMOKE).collect()
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    sign, pur = {}, {}
+    for e in ev:
+        if e["event_type"] == "signup":
+            sign[e["user_id"]] = min(sign.get(e["user_id"], e["ts"]), e["ts"])
+        elif e["event_type"] == "purchase":
+            pur[e["user_id"]] = min(pur.get(e["user_id"], e["ts"]), e["ts"])
+    delays = sorted(
+        int((pur[u] - sign[u]).total_seconds())
+        for u in sign
+        if u in pur and pur[u] >= sign[u]
+    )
+    assert r["n_converted"] == len(delays)
+    assert r["p50_delay_s"] == delays[math.ceil(len(delays) * 0.5) - 1]
+    assert r["p90_delay_s"] == delays[math.ceil(len(delays) * 0.9) - 1]
+    assert r["mean_delay_s"] == sum(delays) // len(delays)
+    assert r["p50_delay_s"] <= r["p90_delay_s"] <= r["max_delay_s"]
