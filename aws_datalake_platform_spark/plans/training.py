@@ -6454,3 +6454,220 @@ def q266_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_delay_s"),
         F.max("delay_s").alias("max_delay_s"),
     )
+
+
+# ── q267: unseen-vocabulary estimate (Good-Turing missing mass + Chao1) ──────
+
+
+@register(
+    "q267_vocab_richness",
+    r"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+'))
+               AS term
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    tf AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS f
+      FROM tok GROUP BY source, term
+    ),
+    per AS (
+      SELECT source,
+             CAST(SUM(f) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM tf GROUP BY source
+    )
+    SELECT source, n_tokens, vocab, n1 AS singletons, n2 AS doubletons,
+           FLOOR(n1 * 1.0 / n_tokens * 1000000 + 0.5) / 1000000
+             AS missing_mass,
+           CAST(vocab + CASE WHEN n2 > 0
+                THEN CAST(FLOOR(n1 * n1 * 1.0 / (2 * n2) + 0.5) AS BIGINT)
+                ELSE CAST(FLOOR(n1 * (n1 - 1) / 2.0 + 0.5) AS BIGINT) END
+                AS BIGINT) AS chao1_vocab_est
+    FROM per ORDER BY source
+    """,
+    doc="Unseen-vocabulary estimation per source: Good-Turing missing "
+    "mass N1/N (the probability the NEXT token is one never seen — the "
+    "coverage number an OOV budget is set against, q219's forward-"
+    "looking sibling) and the Chao1 richness estimate "
+    "vocab + N1^2/(2*N2) of how many types the source truly has "
+    "(bias-corrected form when no doubletons exist). Pure integer "
+    "frequency-of-frequency counts off one term aggregate.",
+)
+def q267_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one term-keyed aggregate (map-side combinable) then a
+    |sources|-key rollup of frequency-of-frequencies — the same
+    relation every vocab query shares; nothing here grows faster than
+    the unique-term count."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tf = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+                "term"
+            ),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    per = tf.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    chao_extra = F.when(
+        F.col("n2") > 0,
+        F.floor(F.col("n1") * F.col("n1") * 1.0 / (2 * F.col("n2")) + 0.5).cast(
+            "long"
+        ),
+    ).otherwise(
+        F.floor(F.col("n1") * (F.col("n1") - 1) / 2.0 + 0.5).cast("long")
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.col("n1").alias("singletons"),
+        F.col("n2").alias("doubletons"),
+        round_half_up(F.col("n1") * 1.0 / F.col("n_tokens"), 6).alias(
+            "missing_mass"
+        ),
+        (F.col("vocab") + chao_extra).cast("long").alias("chao1_vocab_est"),
+    ).orderBy("source")
+
+
+# ── q268: sequential A/B monitoring (Pocock looks over event time) ───────────
+
+_Q268_LOOKS = 5
+_Q268_POCOCK = "2.413"  # Pocock boundary, K=5 looks, alpha=0.05 (two-sided)
+
+
+def _q268_sql() -> str:
+    return f"""
+    WITH bounds AS (
+      SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS lo,
+             CAST(epoch_us(MAX(ts)) AS BIGINT) AS hi
+      FROM events
+    ),
+    looks AS (
+      SELECT i, lo + ((hi - lo) * i) // {_Q268_LOOKS} AS cutoff_us
+      FROM (SELECT unnest(range(1, {_Q268_LOOKS + 1})) AS i) CROSS JOIN bounds
+    ),
+    per_user AS (
+      SELECT l.i, e.user_id, e.user_id % 2 AS grp,
+             CASE WHEN SUM(CASE WHEN e.event_type = 'purchase'
+                               THEN 1 ELSE 0 END)
+                       > SUM(CASE WHEN e.event_type = 'error'
+                                  THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS converted
+      FROM events e JOIN looks l ON CAST(epoch_us(e.ts) AS BIGINT) <= l.cutoff_us
+      GROUP BY l.i, e.user_id, e.user_id % 2
+    ),
+    agg AS (
+      SELECT i,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 0 THEN converted ELSE 0 END) AS BIGINT)
+               AS c0,
+             CAST(SUM(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS BIGINT)
+               AS c1
+      FROM per_user GROUP BY i
+    )
+    SELECT CAST(i AS INTEGER) AS look, n0 AS n_a, n1 AS n_b,
+           FLOOR(c0 * 1.0 / n0 * 1000000 + 0.5) / 1000000 AS rate_a,
+           FLOOR(c1 * 1.0 / n1 * 1000000 + 0.5) / 1000000 AS rate_b,
+           FLOOR((c1 * 1.0 / n1 - c0 * 1.0 / n0)
+                 / SQRT(((c0 + c1) * 1.0 / (n0 + n1))
+                        * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)) * 10000 + 0.5) / 10000 AS z,
+           ABS((c1 * 1.0 / n1 - c0 * 1.0 / n0)
+               / SQRT(((c0 + c1) * 1.0 / (n0 + n1))
+                      * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1))) > {_Q268_POCOCK}
+             AS crossed_boundary
+    FROM agg ORDER BY look
+    """
+
+
+@register(
+    "q268_sequential_ab_looks",
+    _q268_sql(),
+    doc="Group-sequential experiment monitoring: the q179 two-proportion "
+    "z-statistic evaluated at 5 interim looks (event-time range "
+    "quintile cutoffs — broadcast min/max scalars, the q251 idiom) "
+    "against the Pocock boundary 2.413 for K=5/alpha=0.05 — the "
+    "peeking-safe readout that replaces eyeballing q179 daily. Each "
+    "look recomputes per-user conversion FROM EVENTS VISIBLE AT THAT "
+    "TIME (a user can convert later — look-k status is not monotone "
+    "bookkeeping), so the query is one look-spine range join plus the "
+    "closed-form z per look.",
+)
+def q268_sequential_ab_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the range join multiplies the event scan by K looks but
+    the shuffle carries (look, user) partial aggregates; production
+    incrementalizes by processing events once per look window and
+    merging (the q76 rollup idiom). The boundary math is scalar."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    bounds = ev.agg(
+        F.unix_micros(F.min("ts")).cast("long").alias("lo"),
+        F.unix_micros(F.max("ts")).cast("long").alias("hi"),
+    )
+    looks = (
+        spark.range(1, _Q268_LOOKS + 1)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "i",
+            (
+                F.col("lo")
+                + F.expr(f"((hi - lo) * i) div {_Q268_LOOKS}")
+            )
+            .cast("long")
+            .alias("cutoff_us"),
+        )
+    )
+    per_user = (
+        ev.join(
+            F.broadcast(looks),
+            F.unix_micros(F.col("ts")).cast("long") <= F.col("cutoff_us"),
+        )
+        .groupBy("i", "user_id", (F.col("user_id") % 2).alias("grp"))
+        .agg(
+            (
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+                > F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            )
+            .cast("int")
+            .alias("converted")
+        )
+    )
+    agg = per_user.groupBy("i").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    p = (F.col("c0") + F.col("c1")) * 1.0 / (F.col("n0") + F.col("n1"))
+    z = (F.col("c1") * 1.0 / F.col("n1") - F.col("c0") * 1.0 / F.col("n0")) / F.sqrt(
+        p * (1 - p) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return agg.select(
+        F.col("i").cast("int").alias("look"),
+        F.col("n0").alias("n_a"),
+        F.col("n1").alias("n_b"),
+        round_half_up(F.col("c0") * 1.0 / F.col("n0"), 6).alias("rate_a"),
+        round_half_up(F.col("c1") * 1.0 / F.col("n1"), 6).alias("rate_b"),
+        round_half_up(z, 4).alias("z"),
+        (F.abs(z) > F.lit(float(_Q268_POCOCK))).alias("crossed_boundary"),
+    ).orderBy("look")

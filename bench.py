@@ -172,6 +172,8 @@ HEADLINE = [
     "q264_discount_elasticity",
     "q265_profile_drift",
     "q266_time_to_convert",
+    "q267_vocab_richness",
+    "q268_sequential_ab_looks",
 ]
 
 

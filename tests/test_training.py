@@ -1453,3 +1453,64 @@ def test_q266_delay_order_statistics(spark):
     assert r["p90_delay_s"] == delays[math.ceil(len(delays) * 0.9) - 1]
     assert r["mean_delay_s"] == sum(delays) // len(delays)
     assert r["p50_delay_s"] <= r["p90_delay_s"] <= r["max_delay_s"]
+
+
+def test_q267_richness_identities(spark):
+    """Chao1 must exceed the observed vocabulary, missing mass must
+    match singletons/tokens, and frequency-of-frequency counts must
+    match a Python recount for one source."""
+    import math
+    from collections import Counter
+
+    rows = QUERY_REGISTRY["q267_vocab_richness"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["chao1_vocab_est"] >= r["vocab"]
+        assert r["missing_mass"] == math.floor(
+            r["singletons"] / r["n_tokens"] * 1e6 + 0.5
+        ) / 1e6
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "text")
+        .filter("length(trim(text)) > 0")
+        .collect()
+    )
+    src = rows[0]["source"]
+    c = Counter()
+    for d in docs:
+        if d["source"] == src:
+            c.update(d["text"].strip().lower().split())
+    r = rows[0]
+    assert r["vocab"] == len(c)
+    assert r["n_tokens"] == sum(c.values())
+    assert r["singletons"] == sum(1 for v in c.values() if v == 1)
+    assert r["doubletons"] == sum(1 for v in c.values() if v == 2)
+
+
+def test_q268_looks_monotone_and_final_matches_q179_shape(spark):
+    """Cohort sizes must be non-decreasing across looks, the final look
+    must cover every user, z must satisfy the two-proportion formula,
+    and boundary flags must follow |z| > 2.413."""
+    import math
+
+    rows = sorted(
+        QUERY_REGISTRY["q268_sequential_ab_looks"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["look"],
+    )
+    assert [r["look"] for r in rows] == [1, 2, 3, 4, 5]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_a"] >= a["n_a"] and b["n_b"] >= a["n_b"]
+    total_users = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[-1]["n_a"] + rows[-1]["n_b"] == total_users
+    for r in rows:
+        p = (r["rate_a"] * r["n_a"] + r["rate_b"] * r["n_b"]) / (r["n_a"] + r["n_b"])
+        z = (r["rate_b"] - r["rate_a"]) / math.sqrt(
+            p * (1 - p) * (1 / r["n_a"] + 1 / r["n_b"])
+        )
+        assert abs(r["z"] - z) < 5e-3  # rates are rounded, so loose band
+        assert r["crossed_boundary"] == (abs(r["z"]) > 2.413) or abs(abs(r["z"]) - 2.413) < 1e-2
