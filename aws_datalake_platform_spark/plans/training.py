@@ -6671,3 +6671,176 @@ def q268_sequential_ab_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(z, 4).alias("z"),
         (F.abs(z) > F.lit(float(_Q268_POCOCK))).alias("crossed_boundary"),
     ).orderBy("look")
+
+
+# ── q269: hierarchical contribution report (share-of-parent rollup) ──────────
+
+
+@register(
+    "q269_hierarchy_contribution",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    ),
+    reg AS (SELECT region, CAST(SUM(cents) AS BIGINT) AS rc FROM rev GROUP BY region),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tc FROM rev)
+    SELECT rev.region, rev.nation,
+           FLOOR(rev.cents / 100.0 * 100 + 0.5) / 100 AS revenue,
+           FLOOR(rev.cents * 1.0 / reg.rc * 1000000 + 0.5) / 1000000
+             AS share_of_region,
+           FLOOR(rev.cents * 1.0 / tot.tc * 1000000 + 0.5) / 1000000
+             AS share_of_total,
+           CAST(ROW_NUMBER() OVER (PARTITION BY rev.region
+             ORDER BY rev.cents DESC, rev.nation) AS INTEGER)
+             AS rank_in_region
+    FROM rev JOIN reg ON reg.region = rev.region CROSS JOIN tot
+    ORDER BY rev.region, rank_in_region
+    """,
+    doc="Hierarchical contribution report: supplier revenue rolled up "
+    "region -> nation with each nation's share of its region, share of "
+    "the grand total, and within-region rank — the percent-of-parent "
+    "drill-down every BI layer asks of the Athena-role surface, in "
+    "exact integer cents (q157 discipline).",
+)
+def q269_hierarchy_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the dims broadcast; one fact-side partial aggregate keyed
+    on (region, nation) (~125 cells), then shares and ranks run on that
+    tiny relation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg0 = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    rev = (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(reg0), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    reg = rev.groupBy("region").agg(F.sum("cents").cast("long").alias("rc"))
+    tot = rev.agg(F.sum("cents").cast("long").alias("tc"))
+    return (
+        rev.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            round_half_up(F.col("cents") / 100.0, 2).alias("revenue"),
+            round_half_up(F.col("cents") * 1.0 / F.col("rc"), 6).alias(
+                "share_of_region"
+            ),
+            round_half_up(F.col("cents") * 1.0 / F.col("tc"), 6).alias(
+                "share_of_total"
+            ),
+            F.row_number()
+            .over(
+                Window.partitionBy("region").orderBy(
+                    F.col("cents").desc(), "nation"
+                )
+            )
+            .cast("int")
+            .alias("rank_in_region"),
+        )
+        .orderBy("region", "rank_in_region")
+    )
+
+
+# ── q270: Wilson lower-bound ranking (error-prone users) ─────────────────────
+
+_Q270_Z = "1.959963984540054"
+_Q270_TOP = 15
+
+
+def _q270_sql() -> str:
+    z = _Q270_Z
+    return f"""
+    WITH per AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY user_id
+      HAVING COUNT(*) >= 10
+    ),
+    sc AS (
+      SELECT user_id, n_events, n_errors,
+             n_errors * 1.0 / n_events AS p,
+             ((n_errors * 1.0 / n_events) + {z} * {z} / (2 * n_events)
+              - {z} * SQRT((n_errors * 1.0 / n_events)
+                           * (1 - n_errors * 1.0 / n_events) / n_events
+                           + {z} * {z} / (4.0 * n_events * n_events)))
+             / (1 + {z} * {z} / n_events) AS wlb
+      FROM per
+    )
+    SELECT user_id, n_events, n_errors,
+           FLOOR(p * 1000000 + 0.5) / 1000000 AS error_rate,
+           FLOOR(wlb * 1000000 + 0.5) / 1000000 AS wilson_lb
+    FROM sc
+    ORDER BY wlb DESC, user_id
+    LIMIT {_Q270_TOP}
+    """
+
+
+@register(
+    "q270_wilson_error_ranking",
+    _q270_sql(),
+    doc="Confidence-aware ranking: the 15 most error-prone users by the "
+    "WILSON LOWER BOUND of their error rate (z=1.96, minimum 10 "
+    "events) — the sort-by-lower-confidence-bound rule that stops a "
+    "2-for-2 user outranking a 40-for-50 one, i.e. the statistically "
+    "honest version of every naive rate leaderboard. One closed-form "
+    "expression chain over exact integer counts; the z constant is a "
+    "full-precision repr literal.",
+)
+def q270_wilson_error_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one user-keyed partial aggregate, one map-side formula,
+    one TakeOrdered — nothing grows beyond the user universe."""
+    z = float(_Q270_Z)
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+        )
+        .filter(F.col("n_events") >= 10)
+    )
+    p = F.col("n_errors") * 1.0 / F.col("n_events")
+    wlb = (
+        p
+        + F.lit(z) * F.lit(z) / (2 * F.col("n_events"))
+        - F.lit(z)
+        * F.sqrt(
+            p * (1 - p) / F.col("n_events")
+            + F.lit(z) * F.lit(z) / (4.0 * F.col("n_events") * F.col("n_events"))
+        )
+    ) / (1 + F.lit(z) * F.lit(z) / F.col("n_events"))
+    return (
+        per.select(
+            "user_id",
+            "n_events",
+            "n_errors",
+            round_half_up(p, 6).alias("error_rate"),
+            round_half_up(wlb, 6).alias("wilson_lb"),
+            wlb.alias("__o"),
+        )
+        .orderBy(F.col("__o").desc(), "user_id")
+        .drop("__o")
+        .limit(_Q270_TOP)
+    )

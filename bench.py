@@ -174,6 +174,8 @@ HEADLINE = [
     "q266_time_to_convert",
     "q267_vocab_richness",
     "q268_sequential_ab_looks",
+    "q269_hierarchy_contribution",
+    "q270_wilson_error_ranking",
 ]
 
 

@@ -1514,3 +1514,43 @@ def test_q268_looks_monotone_and_final_matches_q179_shape(spark):
         )
         assert abs(r["z"] - z) < 5e-3  # rates are rounded, so loose band
         assert r["crossed_boundary"] == (abs(r["z"]) > 2.413) or abs(abs(r["z"]) - 2.413) < 1e-2
+
+
+def test_q269_shares_partition_hierarchy(spark):
+    """Within each region, nation shares must sum to ~1 and ranks be
+    dense from 1; global shares must sum to ~1 across all rows."""
+    rows = QUERY_REGISTRY["q269_hierarchy_contribution"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    from collections import defaultdict
+
+    reg = defaultdict(list)
+    for r in rows:
+        reg[r["region"]].append(r)
+    assert abs(sum(r["share_of_total"] for r in rows) - 1.0) < 1e-3
+    for region, rs in reg.items():
+        assert abs(sum(x["share_of_region"] for x in rs) - 1.0) < 1e-3
+        ranks = sorted(x["rank_in_region"] for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+
+
+def test_q270_wilson_ranking_properties(spark):
+    """The Wilson LB must be below the raw rate, match a Python
+    recompute, and the ordering must differ from (or at least respect)
+    evidence: a user cannot rank above another with both lower rate
+    AND fewer events."""
+    import math
+
+    rows = QUERY_REGISTRY["q270_wilson_error_ranking"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    z = 1.959963984540054
+    for r in rows:
+        assert r["n_events"] >= 10
+        p = r["n_errors"] / r["n_events"]
+        n = r["n_events"]
+        wlb = (p + z * z / (2 * n) - z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))) / (
+            1 + z * z / n
+        )
+        assert abs(r["wilson_lb"] - wlb) < 2e-6
+        assert r["wilson_lb"] <= r["error_rate"] + 1e-9
+    lbs = [r["wilson_lb"] for r in rows]
+    assert lbs == sorted(lbs, reverse=True)
