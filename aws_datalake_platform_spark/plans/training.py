@@ -5065,6 +5065,7 @@ def _q255_sql() -> str:
                         / (n.n / 100.0) * 1000000 + 0.5) AS BIGINT) AS t_u,
              SUM(g.o) OVER (ORDER BY g.bin) AS cum
       FROM grid g CROSS JOIN n
+      WHERE n.n > 0
     ),
     d AS (
       SELECT MAX(ABS(cum * 1.0 / n - (bin + 1) / 100.0)) AS dmax FROM terms
@@ -5123,7 +5124,9 @@ def q255_sampler_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = grid.agg(F.sum("o").cast("long").alias("n"))
     e = F.col("n") / 100.0
-    terms = grid.crossJoin(F.broadcast(n)).select(
+    terms = (
+        grid.crossJoin(F.broadcast(n)).filter(F.col("n") > 0)
+    ).select(
         "bin",
         "o",
         "n",
