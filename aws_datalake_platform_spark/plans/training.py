@@ -6847,3 +6847,366 @@ def q270_wilson_error_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__o")
         .limit(_Q270_TOP)
     )
+
+
+# ── q271: co-purchase recommendations ("customers also bought") ──────────────
+
+_Q271_PER_PART = 3
+_Q271_MIN_CO = 2
+
+
+@register(
+    "q271_copurchase_recs",
+    f"""
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM basket),
+    cnt AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM basket GROUP BY 1
+    ),
+    co AS (
+      SELECT a.l_partkey AS part, b.l_partkey AS rec,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_Q271_MIN_CO}
+    ),
+    scored AS (
+      SELECT co.part, co.rec, co.c_ab,
+             co.c_ab * n.n * 1.0 / (ca.c * cb.c) AS lift_raw
+      FROM co
+      JOIN cnt ca ON ca.l_partkey = co.part
+      JOIN cnt cb ON cb.l_partkey = co.rec
+      CROSS JOIN n
+    )
+    SELECT part, rec, c_ab AS n_cooccur,
+           FLOOR(lift_raw * 100 + 0.5) / 100 AS lift,
+           CAST(rk AS INTEGER) AS rec_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY part
+            ORDER BY lift_raw DESC, rec) AS rk FROM scored) t
+    WHERE rk <= {_Q271_PER_PART}
+    ORDER BY part, rec_rank
+    """,
+    doc='Per-item recommendations ("customers also bought"): for every '
+    "part, the top-3 co-purchased parts by lift with a minimum of 2 "
+    "co-occurrences — q262's association rules turned into the "
+    "serving-shaped table a recommender reads, keyed for point "
+    "lookups. The directed pair relation keeps BOTH orientations so "
+    "every part gets its own shelf.",
+)
+def q271_copurchase_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same order-keyed pair join as q262 (fan-out bounded by
+    basket size); the per-part top-3 is a WindowGroupLimit-eligible
+    rank over the co-occurrence relation, which is itself bounded by
+    pairs actually purchased together — never parts^2."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    basket = li.distinct()
+    n = basket.agg(F.countDistinct("l_orderkey").cast("long").alias("n"))
+    cnt = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = basket.select("l_orderkey", F.col("l_partkey").alias("part"))
+    b = basket.select("l_orderkey", F.col("l_partkey").alias("rec"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part") != F.col("rec"))
+        .groupBy("part", "rec")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= _Q271_MIN_CO)
+    )
+    ca = cnt.select(F.col("l_partkey").alias("part"), F.col("c").alias("c_a"))
+    cb = cnt.select(F.col("l_partkey").alias("rec"), F.col("c").alias("c_b"))
+    scored = (
+        co.join(ca, "part")
+        .join(cb, "rec")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "lift_raw",
+            F.col("c_ab") * F.col("n") * 1.0 / (F.col("c_a") * F.col("c_b")),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("part").orderBy(
+                    F.col("lift_raw").desc(), "rec"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _Q271_PER_PART)
+        .select(
+            "part",
+            "rec",
+            F.col("c_ab").alias("n_cooccur"),
+            round_half_up(F.col("lift_raw"), 2).alias("lift"),
+            F.col("rk").cast("int").alias("rec_rank"),
+        )
+        .orderBy("part", "rec_rank")
+    )
+
+
+# ── q272: event-volume forecast (trend x day-of-week factor) ─────────────────
+
+_Q272_HORIZON = 7
+
+
+def _q272_sql() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT d, n,
+             CAST(date_diff('day', (SELECT MIN(d) FROM daily), d) AS BIGINT)
+               AS t,
+             CAST(dayofweek(d) AS INTEGER) % 7 AS dow
+      FROM daily
+    ),
+    fit AS (
+      SELECT regr_slope(n, t) AS b, regr_intercept(n, t) AS a,
+             AVG(n) AS mean_n, CAST(MAX(t) AS BIGINT) AS t_max,
+             MAX(d) AS d_max
+      FROM idx
+    ),
+    dowf AS (
+      SELECT dow, AVG(n) AS dow_mean FROM idx GROUP BY dow
+    ),
+    future AS (
+      SELECT h, f.d_max + CAST(h AS INTEGER) AS d,
+             f.t_max + h AS t,
+             CAST(dayofweek(f.d_max + CAST(h AS INTEGER)) AS INTEGER) % 7
+               AS dow,
+             f.a, f.b, f.mean_n
+      FROM (SELECT unnest(range(1, {_Q272_HORIZON + 1})) AS h) CROSS JOIN fit f
+    )
+    SELECT CAST(fu.h AS INTEGER) AS horizon_days, fu.d AS forecast_date,
+           CAST(FLOOR((fu.a + fu.b * fu.t) * (w.dow_mean / fu.mean_n) + 0.5)
+                AS BIGINT) AS forecast_events,
+           FLOOR((fu.a + fu.b * fu.t) * 100 + 0.5) / 100 AS trend_component,
+           FLOOR(w.dow_mean / fu.mean_n * 1000000 + 0.5) / 1000000
+             AS dow_factor
+    FROM future fu JOIN dowf w ON w.dow = fu.dow
+    ORDER BY horizon_days
+    """
+
+
+@register(
+    "q272_volume_forecast",
+    _q272_sql(),
+    doc="Capacity forecast: next-7-day event volume as OLS linear trend "
+    "over the day index times a day-of-week multiplicative factor "
+    "(dow mean over overall mean) — the two-component model that "
+    "covers most ops traffic, as pure SQL. The regr_* fit and the dow "
+    "factors come from the same single daily rollup; forecast dates "
+    "extend from the observed maximum.",
+)
+def q272_volume_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: ONE daily rollup of the event stream (map-side
+    combinable to |days| rows); fit, factors, and the 7-row future
+    spine all run on that tiny relation."""
+    ev = load_table(spark, sf_dir, "events").select(F.col("ts").cast("date").alias("d"))
+    daily = ev.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dmin = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(dmin)).select(
+        "d",
+        "n",
+        F.datediff("d", "d0").cast("long").alias("t"),
+        (F.dayofweek("d") % 7).cast("int").alias("dow"),
+    )
+    fit = idx.agg(
+        F.regr_slope(F.col("n").cast("double"), F.col("t").cast("double")).alias("b"),
+        F.regr_intercept(F.col("n").cast("double"), F.col("t").cast("double")).alias("a"),
+        F.avg("n").alias("mean_n"),
+        F.max("t").cast("long").alias("t_max"),
+        F.max("d").alias("d_max"),
+    )
+    dowf = idx.groupBy("dow").agg(F.avg("n").alias("dow_mean"))
+    future = (
+        spark.range(1, _Q272_HORIZON + 1)
+        .select(F.col("id").cast("int").alias("h"))
+        .crossJoin(F.broadcast(fit))
+        .select(
+            "h",
+            F.date_add(F.col("d_max"), F.col("h")).alias("d"),
+            (F.col("t_max") + F.col("h")).alias("t"),
+            (F.dayofweek(F.date_add(F.col("d_max"), F.col("h"))) % 7)
+            .cast("int")
+            .alias("dow"),
+            "a",
+            "b",
+            "mean_n",
+        )
+    )
+    trend = F.col("a") + F.col("b") * F.col("t")
+    return (
+        future.join(F.broadcast(dowf), "dow")
+        .select(
+            F.col("h").cast("int").alias("horizon_days"),
+            F.col("d").alias("forecast_date"),
+            F.floor(trend * (F.col("dow_mean") / F.col("mean_n")) + 0.5)
+            .cast("long")
+            .alias("forecast_events"),
+            round_half_up(trend, 2).alias("trend_component"),
+            round_half_up(F.col("dow_mean") / F.col("mean_n"), 6).alias(
+                "dow_factor"
+            ),
+        )
+        .orderBy("horizon_days")
+    )
+
+
+# ── q273: k-NN distance outlier scores over embeddings ───────────────────────
+
+_Q273_PROBES = 50
+_Q273_K = 5
+_Q273_TOP = 10
+
+
+def _q273_sql() -> str:
+    from .llm_ops import _COS
+
+    cos = _COS.format(a="q.qe", b="c.embedding")
+    return f"""
+    WITH q AS (SELECT vec_id AS probe_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {_Q273_PROBES}),
+    sims AS (
+      SELECT probe_id, c.vec_id AS neighbor_id, ROUND({cos}, 6) AS sim
+      FROM q JOIN embeddings c ON c.vec_id <> probe_id
+    ),
+    kth AS (
+      SELECT probe_id, sim AS kth_sim FROM (
+        SELECT probe_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims) t
+      WHERE rank = {_Q273_K}
+    )
+    SELECT probe_id,
+           FLOOR((1 - kth_sim) * 1000000 + 0.5) / 1000000 AS outlier_score,
+           kth_sim AS k5_cosine
+    FROM kth
+    ORDER BY kth_sim ASC, probe_id
+    LIMIT {_Q273_TOP}
+    """
+
+
+@register(
+    "q273_knn_outlier_scores",
+    _q273_sql(),
+    doc=f"Density-based outlier scoring: for {_Q273_PROBES} probe "
+    f"vectors, the cosine to the {_Q273_K}-th nearest neighbor "
+    "(k-distance) — vectors whose 5th neighbor is already far are in "
+    "sparse regions: mislabeled, off-distribution, or noise. Top-10 "
+    "outliers by score. The audit-sample form of the k-NN outlier "
+    "family (LOF's first ingredient), sharing q30's exact-cosine "
+    "machinery.",
+)
+def q273_knn_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: this is q30's probes-x-corpus exact pass (the ground-truth
+    price, amortized by sampling probes); a full-corpus outlier sweep
+    swaps the exact pass for the IVF/LSH candidate join (q47/q32) with
+    identical downstream ranking. The k-th-neighbor cut is
+    WindowGroupLimit-eligible."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < _Q273_PROBES)
+    topk = brute_force_topk(probes, emb, k=_Q273_K)
+    kth = topk.filter(F.col("rank") == _Q273_K).select(
+        F.col("query_id").alias("probe_id"), F.col("sim").alias("kth_sim")
+    )
+    return (
+        kth.select(
+            "probe_id",
+            round_half_up(1 - F.col("kth_sim"), 6).alias("outlier_score"),
+            F.col("kth_sim").alias("k5_cosine"),
+        )
+        .orderBy(F.asc("k5_cosine"), "probe_id")
+        .limit(_Q273_TOP)
+    )
+
+
+# ── q274: DAU / WAU / MAU and stickiness ─────────────────────────────────────
+
+
+@register(
+    "q274_dau_wau_mau",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d
+    ),
+    wau AS (
+      SELECT days.d, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+      FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+      GROUP BY days.d
+    ),
+    mau AS (
+      SELECT days.d, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS mau
+      FROM days JOIN du ON du.d BETWEEN days.d - 29 AND days.d
+      GROUP BY days.d
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau, mau.mau,
+           FLOOR(dau.dau * 1.0 / mau.mau * 1000000 + 0.5) / 1000000
+             AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d
+    ORDER BY day DESC
+    LIMIT 28
+    """,
+    doc="Product-analytics actives: DAU, rolling 7-day WAU and 30-day "
+    "MAU (exact distinct users over the trailing window via a day-"
+    "spine range join over the deduped (day,user) relation — count "
+    "distinct over a window frame is not expressible directly, the "
+    "spine join is the standard exact form), plus the DAU/MAU "
+    "stickiness ratio; most recent 28 days.",
+)
+def q274_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the (day,user) dedup is one distinct; the spine join
+    multiplies it by at most 30 (each activity row lands in <=30
+    trailing windows) and re-aggregates — bounded blow-up, no
+    corpus-wide window. At extreme user counts swap exact distinct for
+    the q84 HLL registers per day and merge the trailing window's
+    sketches (union is register-max)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    )
+    du = ev.distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+
+    def rolling(width, name):
+        s = days.select(F.col("d").alias("wd"))
+        return (
+            F.broadcast(s)
+            .join(
+                du,
+                (F.col("d") >= F.date_sub(F.col("wd"), width - 1))
+                & (F.col("d") <= F.col("wd")),
+            )
+            .groupBy("wd")
+            .agg(F.countDistinct("user_id").cast("long").alias(name))
+            .select(F.col("wd").alias("d"), name)
+        )
+
+    wau = rolling(7, "wau")
+    mau = rolling(30, "mau")
+    return (
+        dau.join(wau, "d")
+        .join(mau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            round_half_up(F.col("dau") * 1.0 / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy(F.desc("day"))
+        .limit(28)
+    )

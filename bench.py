@@ -176,6 +176,10 @@ HEADLINE = [
     "q268_sequential_ab_looks",
     "q269_hierarchy_contribution",
     "q270_wilson_error_ranking",
+    "q271_copurchase_recs",
+    "q272_volume_forecast",
+    "q273_knn_outlier_scores",
+    "q274_dau_wau_mau",
 ]
 
 

@@ -1554,3 +1554,79 @@ def test_q270_wilson_ranking_properties(spark):
         assert r["wilson_lb"] <= r["error_rate"] + 1e-9
     lbs = [r["wilson_lb"] for r in rows]
     assert lbs == sorted(lbs, reverse=True)
+
+
+def test_q271_recs_ranked_by_lift_per_part(spark):
+    """Each part's shelf has <= 3 recs in strict lift order (ties to
+    smaller part id) with the minimum co-occurrence floor respected."""
+    rows = QUERY_REGISTRY["q271_copurchase_recs"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        assert r["n_cooccur"] >= 2
+        assert r["part"] != r["rec"]
+        per[r["part"]].append((r["rec_rank"], r["lift"]))
+    for part, lst in per.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= 3
+        lifts = [x[1] for x in lst]
+        assert lifts == sorted(lifts, reverse=True)
+
+
+def test_q272_forecast_consistency(spark):
+    """Forecast = trend x dow_factor (rounded), horizons are 1..7 with
+    consecutive dates, and the trend component moves linearly."""
+    import math
+
+    rows = sorted(
+        QUERY_REGISTRY["q272_volume_forecast"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["horizon_days"],
+    )
+    assert [r["horizon_days"] for r in rows] == list(range(1, 8))
+    for a, b in zip(rows, rows[1:]):
+        assert (b["forecast_date"] - a["forecast_date"]).days == 1
+    deltas = [
+        round(b["trend_component"] - a["trend_component"], 2)
+        for a, b in zip(rows, rows[1:])
+    ]
+    assert max(deltas) - min(deltas) <= 0.02  # linear trend, equal steps
+    for r in rows:
+        approx = r["trend_component"] * r["dow_factor"]
+        assert abs(r["forecast_events"] - approx) <= max(1.0, 0.01 * approx)
+        assert r["forecast_events"] >= 0
+
+
+def test_q273_outliers_are_lowest_density_probes(spark):
+    """Outlier score must be 1 - k5 cosine, ordered ascending by the
+    k-th neighbor similarity, and scores within [0, 2]."""
+    rows = QUERY_REGISTRY["q273_knn_outlier_scores"].fn(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 10
+    sims = [r["k5_cosine"] for r in rows]
+    assert sims == sorted(sims)
+    for r in rows:
+        assert abs(r["outlier_score"] - (1 - r["k5_cosine"])) < 2e-6
+        assert 0.0 <= r["outlier_score"] <= 2.0
+
+
+def test_q274_active_user_containment(spark):
+    """DAU <= WAU <= MAU per day (window containment), stickiness in
+    (0,1], and WAU must match a Python recount for the latest day."""
+    rows = QUERY_REGISTRY["q274_dau_wau_mau"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["dau"] <= r["wau"] <= r["mau"]
+        assert 0 < r["stickiness"] <= 1.0
+    latest = max(rows, key=lambda r: r["day"])
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .selectExpr("cast(ts as date) d", "user_id")
+        .collect()
+    )
+    import datetime
+
+    lo = latest["day"] - datetime.timedelta(days=6)
+    wau = {e["user_id"] for e in ev if lo <= e["d"] <= latest["day"]}
+    assert latest["wau"] == len(wau)
