@@ -7210,3 +7210,244 @@ def q274_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("day"))
         .limit(28)
     )
+
+
+# ── q275: ABC (Pareto) revenue classification of parts ───────────────────────
+
+
+@register(
+    "q275_abc_classification",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tc FROM rev),
+    ranked AS (
+      SELECT l_partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum,
+             tot.tc
+      FROM rev CROSS JOIN tot
+    ),
+    classed AS (
+      SELECT *,
+             CASE WHEN cum * 1.0 / tc <= 0.8 THEN 'A'
+                  WHEN cum * 1.0 / tc <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           FLOOR(SUM(cents) * 1.0 / MAX(tc) * 1000000 + 0.5) / 1000000
+             AS revenue_share,
+           FLOOR(MIN(cents) / 100.0 * 100 + 0.5) / 100 AS min_part_revenue,
+           FLOOR(MAX(cents) / 100.0 * 100 + 0.5) / 100 AS max_part_revenue
+    FROM classed GROUP BY abc ORDER BY abc
+    """,
+    doc="ABC / Pareto classification: parts ranked by revenue, running "
+    "cumulative share cut at 80% (A) and 95% (B) — the inventory-"
+    "management classic that tells a team which 20% of items carry the "
+    "business. Exact integer cents; the only window runs over the "
+    "PART-level rollup, not fact rows.",
+)
+def q275_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: fact scan collapses to one part-keyed partial aggregate;
+    the cumulative window orders the part relation (dimension-sized —
+    at extreme part counts the q240 histogram shape substitutes)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).cast("long").alias("cents"))
+    tot = rev.agg(F.sum("cents").cast("long").alias("tc"))
+    ranked = rev.crossJoin(F.broadcast(tot)).withColumn(
+        "cum",
+        F.sum("cents").over(
+            Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    classed = ranked.withColumn(
+        "abc",
+        F.when(F.col("cum") * 1.0 / F.col("tc") <= 0.8, "A")
+        .when(F.col("cum") * 1.0 / F.col("tc") <= 0.95, "B")
+        .otherwise("C"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            round_half_up(F.sum("cents") * 1.0 / F.max("tc"), 6).alias(
+                "revenue_share"
+            ),
+            round_half_up(F.min("cents") / 100.0, 2).alias("min_part_revenue"),
+            round_half_up(F.max("cents") / 100.0, 2).alias("max_part_revenue"),
+        )
+        .orderBy("abc")
+    )
+
+
+# ── q276: fulfillment-interval order statistics per priority ─────────────────
+
+
+@register(
+    "q276_fulfillment_intervals",
+    """
+    WITH lag AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    ),
+    n AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS n FROM lag GROUP BY 1),
+    ranked AS (
+      SELECT g.priority, g.days, n.n,
+             ROW_NUMBER() OVER (PARTITION BY g.priority
+               ORDER BY g.days) AS rn
+      FROM lag g JOIN n ON n.priority = g.priority
+    )
+    SELECT priority, MAX(n) AS n_lines,
+           CAST(SUM(days) AS BIGINT) // MAX(n) AS mean_days,
+           MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT)
+                    THEN days END) AS p50_days,
+           MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT)
+                    THEN days END) AS p90_days,
+           MAX(days) AS max_days
+    FROM ranked GROUP BY priority ORDER BY priority
+    """,
+    doc="Fulfillment SLA per order priority: order-to-ship interval "
+    "with exact p50/p90 ORDER STATISTICS per priority group (the q266 "
+    "rank-at-ceil(q*n) rule applied per group; rank ties share the "
+    "same day value, so the selected statistic is order-free) and "
+    "integer-division means — whether priority classes actually ship faster, answered "
+    "with percentiles instead of means alone.",
+)
+def q276_fulfillment_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one fact-dim join (orders broadcasts at dim scale or
+    co-partitions on orderkey), one grouped rank per priority — five
+    partitions, each shuffled once. The GK sketch replaces the exact
+    rank at extreme line counts (q80's knob)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("long")
+            .alias("days"),
+        )
+    )
+    n = lag.groupBy("priority").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = lag.join(F.broadcast(n), "priority").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("priority").orderBy("days")
+        ),
+    )
+    return (
+        ranked.groupBy("priority")
+        .agg(
+            F.max("n").alias("n_lines"),
+            F.expr("sum(days) div max(n)").cast("long").alias("mean_days"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * 0.5).cast("long"),
+                    F.col("days"),
+                )
+            ).alias("p50_days"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * 0.9).cast("long"),
+                    F.col("days"),
+                )
+            ).alias("p90_days"),
+            F.max("days").alias("max_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ── q277: dedup-detector agreement audit (MinHash vs SimHash) ────────────────
+
+
+def _q277_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    mh = _REGISTRY["q24_minhash_lsh_dedup"].sql
+    sh = _REGISTRY["q25_simhash_dedup"].sql
+    return f"""
+    WITH mh AS ({mh}),
+    sh AS ({sh}),
+    mp AS (SELECT DISTINCT doc_a, doc_b FROM mh),
+    sp AS (SELECT DISTINCT doc_a, doc_b FROM sh),
+    b AS (
+      SELECT COALESCE(mp.doc_a, sp.doc_a) AS doc_a,
+             COALESCE(mp.doc_b, sp.doc_b) AS doc_b,
+             CASE WHEN mp.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_mh,
+             CASE WHEN sp.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_sh
+      FROM mp FULL OUTER JOIN sp
+        ON sp.doc_a = mp.doc_a AND sp.doc_b = mp.doc_b
+    )
+    SELECT CAST(SUM(in_mh) AS BIGINT) AS n_minhash_pairs,
+           CAST(SUM(in_sh) AS BIGINT) AS n_simhash_pairs,
+           CAST(SUM(in_mh * in_sh) AS BIGINT) AS n_both,
+           FLOOR(SUM(in_mh * in_sh) * 1.0 / COUNT(*) * 1000000 + 0.5)
+             / 1000000 AS pair_jaccard
+    FROM b
+    """
+
+
+@register(
+    "q277_detector_agreement",
+    _q277_sql(),
+    doc="Dedup-detector agreement audit: the pair sets surfaced by "
+    "MinHash-LSH (q24) and SimHash (q25) compared as sets — sizes, "
+    "intersection, and the Jaccard of the PAIR sets themselves. Low "
+    "agreement between two detectors tuned for the same threshold is "
+    "the canary that one of them is mis-calibrated for the corpus "
+    "(the cross-detector sibling of q225's per-detector "
+    "precision/recall audit).",
+)
+def q277_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both inputs are the already-bucketed detectors; the audit
+    is a full-outer join of two pair relations (each far smaller than
+    the corpus) and one scalar rollup."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    mp = (
+        _REGISTRY["q24_minhash_lsh_dedup"].fn(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("in_mh", F.lit(1))
+    )
+    sp = (
+        _REGISTRY["q25_simhash_dedup"].fn(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("in_sh", F.lit(1))
+    )
+    b = mp.join(sp, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce(F.col("in_mh"), F.lit(0)).alias("in_mh"),
+        F.coalesce(F.col("in_sh"), F.lit(0)).alias("in_sh"),
+    )
+    return b.agg(
+        F.sum("in_mh").cast("long").alias("n_minhash_pairs"),
+        F.sum("in_sh").cast("long").alias("n_simhash_pairs"),
+        F.sum(F.col("in_mh") * F.col("in_sh")).cast("long").alias("n_both"),
+        round_half_up(
+            F.sum(F.col("in_mh") * F.col("in_sh")) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("pair_jaccard"),
+    )

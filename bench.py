@@ -180,6 +180,9 @@ HEADLINE = [
     "q272_volume_forecast",
     "q273_knn_outlier_scores",
     "q274_dau_wau_mau",
+    "q275_abc_classification",
+    "q276_fulfillment_intervals",
+    "q277_detector_agreement",
 ]
 
 

@@ -1630,3 +1630,78 @@ def test_q274_active_user_containment(spark):
     lo = latest["day"] - datetime.timedelta(days=6)
     wau = {e["user_id"] for e in ev if lo <= e["d"] <= latest["day"]}
     assert latest["wau"] == len(wau)
+
+
+def test_q275_abc_pareto_structure(spark):
+    """Classes partition the part universe; shares sum to 1 with A >=
+    B >= C share-per-part density (A parts are individually bigger);
+    class boundaries respect the 80/95 cuts."""
+    rows = {r["abc"]: r for r in QUERY_REGISTRY["q275_abc_classification"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    total_share = sum(r["revenue_share"] for r in rows.values())
+    assert abs(total_share - 1.0) < 1e-3
+    if "B" in rows:
+        assert rows["A"]["min_part_revenue"] >= rows["B"]["max_part_revenue"] - 0.01
+    n_parts = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_parts"] for r in rows.values()) == n_parts
+
+
+def test_q276_priority_percentiles_ordered(spark):
+    """Per-priority percentiles must be internally ordered and match a
+    Python recount for one priority class."""
+    import math
+
+    rows = QUERY_REGISTRY["q276_fulfillment_intervals"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["p50_days"] <= r["p90_days"] <= r["max_days"]
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    )
+    od = {
+        o["o_orderkey"]: (o["o_orderdate"], o["o_orderpriority"])
+        for o in spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .collect()
+    }
+    pr = rows[0]["priority"]
+    days = sorted(
+        (l["l_shipdate"].date() - od[l["l_orderkey"]][0].date()).days
+        for l in li
+        if od[l["l_orderkey"]][1] == pr
+        and l["l_shipdate"] >= od[l["l_orderkey"]][0]
+    )
+    r = rows[0]
+    assert r["n_lines"] == len(days)
+    assert r["p50_days"] == days[math.ceil(len(days) * 0.5) - 1]
+    assert r["p90_days"] == days[math.ceil(len(days) * 0.9) - 1]
+    assert r["mean_days"] == sum(days) // len(days)
+
+
+def test_q277_agreement_set_algebra(spark):
+    """Intersection can exceed neither side; pair Jaccard must equal
+    |both| / |union| recomputed from the two detectors."""
+    import math
+
+    [r] = QUERY_REGISTRY["q277_detector_agreement"].fn(spark, SF_SMOKE).collect()
+    mh = {
+        (x["doc_a"], x["doc_b"])
+        for x in QUERY_REGISTRY["q24_minhash_lsh_dedup"].fn(spark, SF_SMOKE).collect()
+    }
+    sh = {
+        (x["doc_a"], x["doc_b"])
+        for x in QUERY_REGISTRY["q25_simhash_dedup"].fn(spark, SF_SMOKE).collect()
+    }
+    assert r["n_minhash_pairs"] == len(mh)
+    assert r["n_simhash_pairs"] == len(sh)
+    assert r["n_both"] == len(mh & sh)
+    assert r["pair_jaccard"] == math.floor(
+        len(mh & sh) / len(mh | sh) * 1e6 + 0.5
+    ) / 1e6
