@@ -7451,3 +7451,184 @@ def q277_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("in_mh") * F.col("in_sh")) * 1.0 / F.count(F.lit(1)), 6
         ).alias("pair_jaccard"),
     )
+
+
+# ── q278: embedding drift in cluster units (share shift + JS divergence) ─────
+
+
+def _q278_sql() -> str:
+    from .extras import _kmeans_prefix_sql
+
+    prefix = _kmeans_prefix_sql(
+        n_centroids=12, sample_size=1024, n_iter=10, seed=42, dim=64
+    )
+    return f"""
+    WITH {prefix},
+    halves AS (
+      SELECT cluster, neighbor_id % 2 AS half FROM cb
+    ),
+    cnts AS (
+      SELECT cluster, half, CAST(COUNT(*) AS BIGINT) AS c
+      FROM halves GROUP BY cluster, half
+    ),
+    tot AS (
+      SELECT half, CAST(SUM(c) AS BIGINT) AS t FROM cnts GROUP BY half
+    ),
+    spine AS (SELECT DISTINCT cluster FROM cnts),
+    m AS (
+      SELECT s.cluster,
+             COALESCE(a.c, 0) * 1.0 / ta.t AS p,
+             COALESCE(b.c, 0) * 1.0 / tb.t AS q
+      FROM spine s
+      LEFT JOIN cnts a ON a.cluster = s.cluster AND a.half = 0
+      LEFT JOIN cnts b ON b.cluster = s.cluster AND b.half = 1
+      CROSS JOIN (SELECT t FROM tot WHERE half = 0) ta
+      CROSS JOIN (SELECT t FROM tot WHERE half = 1) tb
+    )
+    SELECT CAST(cluster AS INTEGER) AS cluster,
+           FLOOR(p * 1000000 + 0.5) / 1000000 AS share_a,
+           FLOOR(q * 1000000 + 0.5) / 1000000 AS share_b,
+           FLOOR(ABS(p - q) * 1000000 + 0.5) / 1000000 AS abs_shift,
+           FLOOR((0.5 * (CASE WHEN p > 0
+                    THEN p * log2(p / ((p + q) / 2)) ELSE 0 END)
+                  + 0.5 * (CASE WHEN q > 0
+                    THEN q * log2(q / ((p + q) / 2)) ELSE 0 END))
+                 * 1000000 + 0.5) / 1000000 AS js_term
+    FROM m ORDER BY cluster
+    """
+
+
+@register(
+    "q278_cluster_share_drift",
+    _q278_sql(),
+    doc="Embedding-distribution drift in INTERPRETABLE units: assign the "
+    "corpus to the q203 k-means clusters, split into even/odd halves, "
+    "and compare per-cluster population shares — absolute shift plus "
+    "per-cluster Jensen-Shannon contributions (q198's JS idiom over "
+    "clusters instead of vocabulary). Where q213 says 'dimension 17 "
+    "moved', this says 'cluster 4 doubled' — the form a human debugs.",
+)
+def q278_cluster_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one quantizer train + one map-side assignment (q47's
+    machinery); everything after is a |clusters| x 2 rollup. The same
+    query monitors ingest increments against a FROZEN quantizer —
+    centroids ride the closure, so no retrain per check."""
+    from ..operators.similarity import _centroid_matrix, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _centroid_matrix(emb, "vec_id", "embedding", 12)
+    cb = ivf_assign(emb, cents, "vec_id", "embedding", n_probe=1).select(
+        "cluster", (F.col("vec_id") % 2).alias("half")
+    )
+    cnts = cb.groupBy("cluster", "half").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnts.groupBy("half").agg(F.sum("c").cast("long").alias("t"))
+    spine = cnts.select("cluster").distinct()
+    a = cnts.filter(F.col("half") == 0).select("cluster", F.col("c").alias("ca"))
+    b = cnts.filter(F.col("half") == 1).select("cluster", F.col("c").alias("cb"))
+    ta = tot.filter(F.col("half") == 0).select(F.col("t").alias("ta"))
+    tb = tot.filter(F.col("half") == 1).select(F.col("t").alias("tb"))
+    m = (
+        spine.join(a, "cluster", "left")
+        .join(b, "cluster", "left")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "cluster",
+            (F.coalesce(F.col("ca"), F.lit(0)) * 1.0 / F.col("ta")).alias("p"),
+            (F.coalesce(F.col("cb"), F.lit(0)) * 1.0 / F.col("tb")).alias("q"),
+        )
+    )
+    js = 0.5 * F.when(
+        F.col("p") > 0,
+        F.col("p") * F.log2(F.col("p") / ((F.col("p") + F.col("q")) / 2)),
+    ).otherwise(0.0) + 0.5 * F.when(
+        F.col("q") > 0,
+        F.col("q") * F.log2(F.col("q") / ((F.col("p") + F.col("q")) / 2)),
+    ).otherwise(0.0)
+    return m.select(
+        F.col("cluster").cast("int").alias("cluster"),
+        round_half_up(F.col("p"), 6).alias("share_a"),
+        round_half_up(F.col("q"), 6).alias("share_b"),
+        round_half_up(F.abs(F.col("p") - F.col("q")), 6).alias("abs_shift"),
+        round_half_up(js, 6).alias("js_term"),
+    ).orderBy("cluster")
+
+
+# ── q279: supplier concentration (Herfindahl index per nation) ───────────────
+
+
+@register(
+    "q279_supplier_hhi",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation, s.s_suppkey,
+             CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name, s.s_suppkey
+    ),
+    tot AS (
+      SELECT nation, CAST(SUM(cents) AS BIGINT) AS tc,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM rev GROUP BY nation
+    ),
+    terms AS (
+      SELECT r.nation, t.n_suppliers,
+             CAST(FLOOR((r.cents * 1.0 / t.tc) * (r.cents * 1.0 / t.tc)
+                        * 1000000000 + 0.5) AS BIGINT) AS h_u
+      FROM rev r JOIN tot t ON t.nation = r.nation
+    )
+    SELECT nation, MAX(n_suppliers) AS n_suppliers,
+           FLOOR(SUM(h_u) / 1000000000.0 * 1000000 + 0.5) / 1000000 AS hhi,
+           FLOOR(1.0 / MAX(n_suppliers) * 1000000 + 0.5) / 1000000
+             AS hhi_floor
+    FROM terms GROUP BY nation ORDER BY nation
+    """,
+    doc="Supply-concentration risk: the Herfindahl-Hirschman index of "
+    "supplier revenue shares within each nation (per-supplier share "
+    "squared, quantized to integer nano-units BEFORE the order-free "
+    "sum), alongside the theoretical floor 1/n — HHI near the floor "
+    "means healthy diversification, near 1 means one supplier owns "
+    "the nation's supply (the concentration sibling of q180's Gini).",
+)
+def q279_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one fact rollup to (nation, supplier) cells, one
+    nation-level rollup — the squared-share terms never touch fact
+    rows. Dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    rev = (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("cents").cast("long").alias("tc"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    share = F.col("cents") * 1.0 / F.col("tc")
+    terms = rev.join(F.broadcast(tot), "nation").select(
+        "nation",
+        "n_suppliers",
+        F.floor(share * share * 1000000000 + 0.5).cast("long").alias("h_u"),
+    )
+    return (
+        terms.groupBy("nation")
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            round_half_up(F.sum("h_u") / 1000000000.0, 6).alias("hhi"),
+            round_half_up(1.0 / F.max("n_suppliers"), 6).alias("hhi_floor"),
+        )
+        .orderBy("nation")
+    )

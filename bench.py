@@ -183,6 +183,8 @@ HEADLINE = [
     "q275_abc_classification",
     "q276_fulfillment_intervals",
     "q277_detector_agreement",
+    "q278_cluster_share_drift",
+    "q279_supplier_hhi",
 ]
 
 

@@ -1705,3 +1705,55 @@ def test_q277_agreement_set_algebra(spark):
     assert r["pair_jaccard"] == math.floor(
         len(mh & sh) / len(mh | sh) * 1e6 + 0.5
     ) / 1e6
+
+
+def test_q278_shares_partition_and_js_nonneg(spark):
+    """Each half's shares must sum to ~1 over clusters, JS terms are
+    non-negative, and abs_shift equals |share_a - share_b|."""
+    rows = QUERY_REGISTRY["q278_cluster_share_drift"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    assert abs(sum(r["share_a"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["share_b"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r["js_term"] >= 0.0
+        assert abs(r["abs_shift"] - abs(r["share_a"] - r["share_b"])) < 3e-6
+    assert sum(r["js_term"] for r in rows) < 0.5  # random halves: low drift
+
+
+def test_q279_hhi_bounds_and_recompute(spark):
+    """HHI must lie in [1/n, 1], and match a Python recompute of
+    squared revenue shares for every nation."""
+    import math
+    from collections import defaultdict
+
+    rows = QUERY_REGISTRY["q279_supplier_hhi"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+        .collect()
+    )
+    sup = {
+        s["s_suppkey"]: s["s_nationkey"]
+        for s in spark.read.parquet(f"{SF_SMOKE}/supplier.parquet").collect()
+    }
+    nat = {
+        n["n_nationkey"]: n["n_name"]
+        for n in spark.read.parquet(f"{SF_SMOKE}/nation.parquet").collect()
+    }
+    cells = defaultdict(int)
+    for l in li:
+        nation = nat[sup[l["l_suppkey"]]]
+        cells[(nation, l["l_suppkey"])] += math.floor(
+            l["l_extendedprice"] * (1 - l["l_discount"]) * 100 + 0.5
+        )
+    per_nation = defaultdict(list)
+    for (nation, _), c in cells.items():
+        per_nation[nation].append(c)
+    for r in rows:
+        vals = per_nation[r["nation"]]
+        tc = sum(vals)
+        hu = sum(math.floor((v / tc) ** 2 * 1e9 + 0.5) for v in vals)
+        assert r["n_suppliers"] == len(vals)
+        assert r["hhi"] == math.floor(hu / 1e9 * 1e6 + 0.5) / 1e6
+        assert r["hhi_floor"] - 1e-6 <= r["hhi"] <= 1.0
