@@ -7632,3 +7632,98 @@ def q279_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ── q280: corpus-funnel dashboard (the curation pipeline, certified) ─────────
+
+
+def _q280_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    dedup = _REGISTRY["q22_dedup_exact"].sql
+    model = _REGISTRY["q173_quality_logreg"].sql
+    contam = _REGISTRY["q72_contamination_check"].sql
+    return f"""
+    WITH dd AS ({dedup}),
+    m AS ({model}),
+    ct AS ({contam}),
+    keeps AS (SELECT keep_id AS doc_id FROM dd),
+    passes AS (SELECT doc_id FROM m WHERE quality_pass),
+    dirty AS (SELECT DISTINCT doc_id FROM ct),
+    docs AS (SELECT doc_id FROM documents),
+    flags AS (
+      SELECT d.doc_id,
+             CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept,
+             CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END AS passed,
+             CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated
+      FROM docs d
+      LEFT JOIN keeps k ON k.doc_id = d.doc_id
+      LEFT JOIN passes p ON p.doc_id = d.doc_id
+      LEFT JOIN dirty x ON x.doc_id = d.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_after_exact_dedup,
+           CAST(SUM(kept * passed) AS BIGINT) AS n_after_quality,
+           CAST(SUM(kept * passed * (1 - contaminated)) AS BIGINT) AS n_final,
+           FLOOR((1 - SUM(kept * passed * (1 - contaminated)) * 1.0
+                  / COUNT(*)) * 1000000 + 0.5) / 1000000 AS drop_fraction
+    FROM flags
+    """
+
+
+@register(
+    "q280_corpus_funnel",
+    _q280_sql(),
+    doc="The curation funnel as ONE certified row: corpus size, "
+    "survivors of exact dedup (q22 canonical keeps), of the q173 "
+    "quality gate, and of q72 benchmark decontamination, with the "
+    "total drop fraction — the hash-checked twin of the funnel counts "
+    "`pipelines/corpus.py:curate_corpus` reports, so the pipeline's "
+    "bookkeeping is itself under the oracle gate.",
+)
+def q280_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: three already-audited map/join stages feeding three
+    semi-join flags on doc_id (co-partitioned: zero extra shuffles on a
+    bucketed lake) and one global fold."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keeps = (
+        _REGISTRY["q22_dedup_exact"].fn(spark, sf_dir)
+        .select(F.col("keep_id").alias("doc_id"))
+        .withColumn("kept", F.lit(1))
+    )
+    passes = (
+        _REGISTRY["q173_quality_logreg"].fn(spark, sf_dir)
+        .filter(F.col("quality_pass"))
+        .select("doc_id")
+        .withColumn("passed", F.lit(1))
+    )
+    dirty = (
+        _REGISTRY["q72_contamination_check"].fn(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    flags = (
+        docs.join(keeps, "doc_id", "left")
+        .join(passes, "doc_id", "left")
+        .join(dirty, "doc_id", "left")
+        .select(
+            F.coalesce(F.col("kept"), F.lit(0)).alias("kept"),
+            F.coalesce(F.col("passed"), F.lit(0)).alias("passed"),
+            F.coalesce(F.col("contaminated"), F.lit(0)).alias("contaminated"),
+        )
+    )
+    final = F.col("kept") * F.col("passed") * (1 - F.col("contaminated"))
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_after_exact_dedup"),
+        F.sum(F.col("kept") * F.col("passed"))
+        .cast("long")
+        .alias("n_after_quality"),
+        F.sum(final).cast("long").alias("n_final"),
+        round_half_up(
+            1 - F.sum(final) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("drop_fraction"),
+    )

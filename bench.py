@@ -185,6 +185,7 @@ HEADLINE = [
     "q277_detector_agreement",
     "q278_cluster_share_drift",
     "q279_supplier_hhi",
+    "q280_corpus_funnel",
 ]
 
 

@@ -1757,3 +1757,27 @@ def test_q279_hhi_bounds_and_recompute(spark):
         assert r["n_suppliers"] == len(vals)
         assert r["hhi"] == math.floor(hu / 1e9 * 1e6 + 0.5) / 1e6
         assert r["hhi_floor"] - 1e-6 <= r["hhi"] <= 1.0
+
+
+def test_q280_funnel_monotone_and_matches_components(spark):
+    """Funnel stages must be monotone non-increasing and each count
+    must match its component query recomputed directly."""
+    [r] = QUERY_REGISTRY["q280_corpus_funnel"].fn(spark, SF_SMOKE).collect()
+    assert r["n_docs"] >= r["n_after_exact_dedup"] >= r["n_after_quality"] >= r["n_final"]
+    keeps = {
+        x["keep_id"]
+        for x in QUERY_REGISTRY["q22_dedup_exact"].fn(spark, SF_SMOKE).collect()
+    }
+    passes = {
+        x["doc_id"]
+        for x in QUERY_REGISTRY["q173_quality_logreg"].fn(spark, SF_SMOKE).collect()
+        if x["quality_pass"]
+    }
+    dirty = {
+        x["doc_id"]
+        for x in QUERY_REGISTRY["q72_contamination_check"].fn(spark, SF_SMOKE).collect()
+    }
+    assert r["n_after_exact_dedup"] == len(keeps)
+    assert r["n_after_quality"] == len(keeps & passes)
+    assert r["n_final"] == len((keeps & passes) - dirty)
+    assert 0.0 <= r["drop_fraction"] <= 1.0
