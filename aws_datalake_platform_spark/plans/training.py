@@ -7727,3 +7727,318 @@ def q280_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.sum(final) * 1.0 / F.count(F.lit(1)), 6
         ).alias("drop_fraction"),
     )
+
+
+# ── q281: stratified-sample audit (achieved vs target mix, binomial z) ───────
+
+
+def _q281_sql() -> str:
+    from .advanced import _MIX
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    sample = _REGISTRY["q88_stratified_sample"].sql
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(_MIX.items())
+    )
+    return f"""
+    WITH s AS ({sample}),
+    pop AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pop FROM documents
+      GROUP BY lang
+    ),
+    got AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_got FROM s GROUP BY lang),
+    j AS (
+      SELECT p.lang, p.n_pop, COALESCE(g.n_got, 0) AS n_got,
+             CASE p.lang {cases} ELSE 0.0 END AS target_rate
+      FROM pop p LEFT JOIN got g ON g.lang = p.lang
+    )
+    SELECT lang, n_pop, n_got,
+           FLOOR(target_rate * 1000000 + 0.5) / 1000000 AS target_rate,
+           FLOOR(n_got * 1.0 / n_pop * 1000000 + 0.5) / 1000000
+             AS achieved_rate,
+           FLOOR(CASE WHEN target_rate IN (0.0, 1.0)
+                      THEN 0.0
+                      ELSE (n_got * 1.0 / n_pop - target_rate)
+                           / SQRT(target_rate * (1 - target_rate) / n_pop)
+                      END * 10000 + 0.5) / 10000 AS binomial_z,
+           CASE WHEN target_rate IN (0.0, 1.0)
+                THEN n_got = CAST(FLOOR(target_rate * n_pop + 0.5) AS BIGINT)
+                ELSE ABS((n_got * 1.0 / n_pop - target_rate)
+                     / SQRT(target_rate * (1 - target_rate) / n_pop)) <= 4.0
+                END AS within_4_sigma
+    FROM j ORDER BY lang
+    """
+
+
+@register(
+    "q281_sample_mix_audit",
+    _q281_sql(),
+    doc="Sampling QA closing the loop on q88: per stratum, the achieved "
+    "sampling rate against the declared mix with a binomial z-score "
+    "and a 4-sigma acceptance flag (deterministic-hash sampling is "
+    "binomial in the doc population, so a violated band means the "
+    "sampler or the spec is broken, not bad luck); degenerate strata "
+    "(keep-all / drop-all) must match exactly. The audit every "
+    "mixture-sampled training run should log next to its config.",
+)
+def q281_sample_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two |strata|-key rollups (one over the corpus, one over
+    the sample) and scalar math — the audit costs two partial
+    aggregates regardless of corpus size."""
+    from .advanced import _MIX
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    pop = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pop"))
+    )
+    got = (
+        _REGISTRY["q88_stratified_sample"].fn(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_got"))
+    )
+    target = F.lit(0.0)
+    for lang, rate in sorted(_MIX.items()):
+        target = F.when(F.col("lang") == lang, F.lit(float(rate))).otherwise(
+            target
+        )
+    j = (
+        pop.join(got, "lang", "left")
+        .select(
+            "lang",
+            "n_pop",
+            F.coalesce(F.col("n_got"), F.lit(0)).alias("n_got"),
+            target.alias("target_rate"),
+        )
+    )
+    degen = F.col("target_rate").isin(0.0, 1.0)
+    z = (F.col("n_got") * 1.0 / F.col("n_pop") - F.col("target_rate")) / F.sqrt(
+        F.col("target_rate") * (1 - F.col("target_rate")) / F.col("n_pop")
+    )
+    return j.select(
+        "lang",
+        "n_pop",
+        "n_got",
+        round_half_up(F.col("target_rate"), 6).alias("target_rate"),
+        round_half_up(F.col("n_got") * 1.0 / F.col("n_pop"), 6).alias(
+            "achieved_rate"
+        ),
+        round_half_up(F.when(degen, F.lit(0.0)).otherwise(z), 4).alias(
+            "binomial_z"
+        ),
+        F.when(
+            degen,
+            F.col("n_got")
+            == F.floor(F.col("target_rate") * F.col("n_pop") + 0.5).cast("long"),
+        )
+        .otherwise(F.abs(z) <= 4.0)
+        .alias("within_4_sigma"),
+    ).orderBy("lang")
+
+
+# ── q282: bootstrap confidence interval on the ROC AUC ───────────────────────
+
+_Q282_B = 64
+
+
+def _q282_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    model = _REGISTRY["q173_quality_logreg"].sql
+    gate = _REGISTRY["q192_gopher_quality_rules"].sql
+    ladder = " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(_Q247_CDF)
+    )
+    return f"""
+    WITH m AS ({model}),
+    g AS ({gate}),
+    j AS MATERIALIZED (
+      SELECT m.doc_id,
+             CAST(FLOOR(m.quality_score * 10000 + 0.5) AS BIGINT) AS score_u,
+             CASE WHEN g.passes THEN 1 ELSE 0 END AS label
+      FROM m JOIN g ON m.doc_id = g.doc_id
+    ),
+    point AS (
+      SELECT CAST(SUM(pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS s2,
+             CAST(SUM(pos) AS BIGINT) AS np, CAST(SUM(cnt - pos) AS BIGINT) AS nn
+      FROM (
+        SELECT pos, cnt,
+               COALESCE(SUM(cnt) OVER (ORDER BY score_u
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+        FROM (SELECT score_u, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(SUM(label) AS BIGINT) AS pos
+              FROM j GROUP BY score_u))
+    ),
+    w AS (
+      SELECT b, score_u, label, CASE {ladder} ELSE 8 END AS wt
+      FROM (
+        SELECT s.b, j.score_u, j.label,
+               (CAST(('0x' || substr(md5('ab|' || CAST(s.b AS VARCHAR) || '|'
+                  || CAST(j.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                 / 1152921504606846976.0 AS u
+        FROM j CROSS JOIN (SELECT unnest(range({_Q282_B})) AS b) s)
+    ),
+    hist AS (
+      SELECT b, score_u, CAST(SUM(wt) AS BIGINT) AS cnt,
+             CAST(SUM(wt * label) AS BIGINT) AS pos
+      FROM w GROUP BY b, score_u
+    ),
+    r AS (
+      SELECT b, pos, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY b ORDER BY score_u
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM hist
+    ),
+    reps AS (
+      SELECT b,
+             (SUM(pos * (2 * cum_before + cnt + 1)) / 2.0
+              - SUM(pos) * (SUM(pos) + 1) / 2.0)
+             / (SUM(pos) * SUM(cnt - pos)) AS auc_b
+      FROM r GROUP BY b
+    ),
+    ranked AS (
+      SELECT auc_b, ROW_NUMBER() OVER (ORDER BY auc_b, b) AS rn FROM reps
+    )
+    SELECT p.np + p.nn AS n_docs,
+           CAST({_Q282_B} AS BIGINT) AS n_resamples,
+           FLOOR((p.s2 / 2.0 - p.np * (p.np + 1) / 2.0) / (p.np * p.nn)
+                 * 1000000 + 0.5) / 1000000 AS auc,
+           FLOOR(MAX(CASE WHEN rn = 2 THEN auc_b END) * 1000000 + 0.5)
+             / 1000000 AS ci_lo,
+           FLOOR(MAX(CASE WHEN rn = {_Q282_B - 1} THEN auc_b END) * 1000000
+                 + 0.5) / 1000000 AS ci_hi
+    FROM ranked CROSS JOIN point p
+    GROUP BY p.s2, p.np, p.nn
+    """
+
+
+@register(
+    "q282_auc_bootstrap_ci",
+    _q282_sql(),
+    doc="Uncertainty on a model metric: a ~95% bootstrap CI for q240's "
+    "ROC AUC from B=64 seeded-Poisson replicates — each replicate "
+    "reweights the SCORE HISTOGRAM (integer Poisson weights fold into "
+    "the midrank rank-sum exactly as counts do), so the whole "
+    "resampling study is 64 histogram windows, never 64 corpus "
+    "passes. The number that belongs next to any AUC before a "
+    "model-gate decision (q247's machinery applied to a metric "
+    "instead of a mean).",
+)
+def q282_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: ONE corpus join builds (score_u, label); the replicate
+    spine multiplies map work by B into a (B x distinct-scores)
+    histogram — bounded by score resolution; every window runs on that
+    relation. CI order statistics over 64 rows."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    m = _REGISTRY["q173_quality_logreg"].fn(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("quality_score") * 10000 + 0.5).cast("long").alias("score_u"),
+    )
+    g = _REGISTRY["q192_gopher_quality_rules"].fn(spark, sf_dir).select(
+        "doc_id", F.when(F.col("passes"), 1).otherwise(0).alias("label")
+    )
+    j = m.join(g, "doc_id")
+    # point estimate (q240's shape)
+    h0 = j.groupBy("score_u").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    w0 = Window.orderBy("score_u").rowsBetween(Window.unboundedPreceding, -1)
+    point = (
+        h0.select(
+            "pos",
+            "cnt",
+            F.coalesce(F.sum("cnt").over(w0), F.lit(0)).alias("cum_before"),
+        )
+        .agg(
+            F.sum(F.col("pos") * (2 * F.col("cum_before") + F.col("cnt") + 1))
+            .cast("long")
+            .alias("s2"),
+            F.sum("pos").cast("long").alias("np"),
+            F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("nn"),
+        )
+    )
+    spine = spark.range(_Q282_B).select(F.col("id").cast("int").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ab|"),
+                        F.col("b").cast("string"),
+                        F.lit("|"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(1152921504606846976.0)
+    wt = F.lit(8)
+    for k in range(len(_Q247_CDF) - 1, -1, -1):
+        wt = F.when(F.col("u") < F.lit(float(_Q247_CDF[k])), F.lit(k)).otherwise(wt)
+    hist = (
+        j.crossJoin(F.broadcast(spine))
+        .select("b", "score_u", "label", u.alias("u"))
+        .select("b", "score_u", "label", wt.alias("wt"))
+        .groupBy("b", "score_u")
+        .agg(
+            F.sum("wt").cast("long").alias("cnt"),
+            F.sum(F.col("wt") * F.col("label")).cast("long").alias("pos"),
+        )
+    )
+    wb = (
+        Window.partitionBy("b")
+        .orderBy("score_u")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = hist.select(
+        "b",
+        "pos",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("cum_before"),
+    )
+    reps = r.groupBy("b").agg(
+        (
+            (
+                F.sum(F.col("pos") * (2 * F.col("cum_before") + F.col("cnt") + 1))
+                / 2.0
+                - F.sum("pos") * (F.sum("pos") + 1) / 2.0
+            )
+            / (F.sum("pos") * F.sum(F.col("cnt") - F.col("pos")))
+        ).alias("auc_b")
+    )
+    ranked = reps.select(
+        "auc_b",
+        F.row_number().over(Window.orderBy("auc_b", "b")).alias("rn"),
+    )
+    auc_point = (F.col("s2") / 2.0 - F.col("np") * (F.col("np") + 1) / 2.0) / (
+        F.col("np") * F.col("nn")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(point))
+        .groupBy("s2", "np", "nn")
+        .agg(
+            round_half_up(
+                F.max(F.when(F.col("rn") == 2, F.col("auc_b"))), 6
+            ).alias("ci_lo"),
+            round_half_up(
+                F.max(F.when(F.col("rn") == _Q282_B - 1, F.col("auc_b"))), 6
+            ).alias("ci_hi"),
+        )
+        .select(
+            (F.col("np") + F.col("nn")).cast("long").alias("n_docs"),
+            F.lit(_Q282_B).cast("long").alias("n_resamples"),
+            round_half_up(auc_point, 6).alias("auc"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )

@@ -186,6 +186,8 @@ HEADLINE = [
     "q278_cluster_share_drift",
     "q279_supplier_hhi",
     "q280_corpus_funnel",
+    "q281_sample_mix_audit",
+    "q282_auc_bootstrap_ci",
 ]
 
 

@@ -1781,3 +1781,29 @@ def test_q280_funnel_monotone_and_matches_components(spark):
     assert r["n_after_quality"] == len(keeps & passes)
     assert r["n_final"] == len((keeps & passes) - dirty)
     assert 0.0 <= r["drop_fraction"] <= 1.0
+
+
+def test_q281_mix_audit_within_band(spark):
+    """Achieved rates must sit inside the 4-sigma binomial band for
+    every stratum, and degenerate strata (keep-all / drop-all) must be
+    exact."""
+    rows = QUERY_REGISTRY["q281_sample_mix_audit"].fn(spark, SF_SMOKE).collect()
+    assert {r["lang"] for r in rows} >= {"en", "es", "fr", "de", "zh"}
+    for r in rows:
+        assert r["within_4_sigma"] is True
+        if r["target_rate"] == 1.0:
+            assert r["n_got"] == r["n_pop"]
+        if r["target_rate"] == 0.0:
+            assert r["n_got"] == 0
+
+
+def test_q282_auc_ci_brackets_point(spark):
+    """The bootstrap CI must bracket the point AUC, match q240's point
+    estimate exactly, and have positive width (replicates genuinely
+    vary)."""
+    [r] = QUERY_REGISTRY["q282_auc_bootstrap_ci"].fn(spark, SF_SMOKE).collect()
+    [p] = QUERY_REGISTRY["q240_roc_auc"].fn(spark, SF_SMOKE).collect()
+    assert r["auc"] == p["auc"]
+    assert r["ci_lo"] <= r["auc"] <= r["ci_hi"]
+    assert r["ci_hi"] > r["ci_lo"]
+    assert r["n_resamples"] == 64
