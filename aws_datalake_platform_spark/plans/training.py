@@ -8042,3 +8042,236 @@ def q282_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# ── q283: volume-anomaly days (residuals against the q272 model) ─────────────
+
+
+@register(
+    "q283_volume_anomalies",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT d, n,
+             CAST(date_diff('day', (SELECT MIN(d) FROM daily), d) AS BIGINT)
+               AS t,
+             CAST(dayofweek(d) AS INTEGER) % 7 AS dow
+      FROM daily
+    ),
+    fit AS (
+      SELECT regr_slope(n, t) AS b, regr_intercept(n, t) AS a, AVG(n) AS mean_n
+      FROM idx
+    ),
+    dowf AS (SELECT dow, AVG(n) AS dow_mean FROM idx GROUP BY dow),
+    resid AS (
+      SELECT i.d, i.n,
+             CAST(FLOOR((i.n - (f.a + f.b * i.t) * (w.dow_mean / f.mean_n))
+                        * 100 + 0.5) AS BIGINT) AS r_u
+      FROM idx i JOIN dowf w ON w.dow = i.dow CROSS JOIN fit f
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(r_u) AS BIGINT) AS s1,
+             CAST(SUM(r_u * r_u) AS BIGINT) AS s2
+      FROM resid
+    )
+    SELECT r.d AS day, r.n AS n_events,
+           FLOOR(r.r_u / 100.0 * 100 + 0.5) / 100 AS residual,
+           FLOOR(ABS(r.r_u - s.s1 * 1.0 / s.nd)
+                 / SQRT((s.s2 * 1.0 / s.nd)
+                        - (s.s1 * 1.0 / s.nd) * (s.s1 * 1.0 / s.nd))
+                 * 10000 + 0.5) / 10000 AS abs_z
+    FROM resid r CROSS JOIN stats s
+    ORDER BY ABS(r.r_u - s.s1 * 1.0 / s.nd)
+             / SQRT((s.s2 * 1.0 / s.nd)
+                    - (s.s1 * 1.0 / s.nd) * (s.s1 * 1.0 / s.nd)) DESC, r.d
+    LIMIT 10
+    """,
+    doc="Anomalous traffic days: in-sample residuals of daily event "
+    "volume against q272's trend x day-of-week model, standardized by "
+    "the residual moment statistics (residuals quantized to integer "
+    "centi-events BEFORE the moment sums, so mean and variance are "
+    "order-free exact), top-10 days by |z| — which days broke the "
+    "capacity model: incidents, launches, or holidays.",
+)
+def q283_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one daily rollup; fit, factors, residuals, and moments all
+    live on the |days| relation. Shares every intermediate with q272 —
+    a combined report would compute them once."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d")
+    )
+    daily = ev.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dmin = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(dmin)).select(
+        "d",
+        "n",
+        F.datediff("d", "d0").cast("long").alias("t"),
+        (F.dayofweek("d") % 7).cast("int").alias("dow"),
+    )
+    fit = idx.agg(
+        F.regr_slope(F.col("n").cast("double"), F.col("t").cast("double")).alias("b"),
+        F.regr_intercept(F.col("n").cast("double"), F.col("t").cast("double")).alias("a"),
+        F.avg("n").alias("mean_n"),
+    )
+    dowf = idx.groupBy("dow").agg(F.avg("n").alias("dow_mean"))
+    fitted = (F.col("a") + F.col("b") * F.col("t")) * (
+        F.col("dow_mean") / F.col("mean_n")
+    )
+    resid = (
+        idx.join(F.broadcast(dowf), "dow")
+        .crossJoin(F.broadcast(fit))
+        .select(
+            "d",
+            "n",
+            F.floor((F.col("n") - fitted) * 100 + 0.5).cast("long").alias("r_u"),
+        )
+    )
+    stats = resid.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("r_u").cast("long").alias("s1"),
+        F.sum(F.col("r_u") * F.col("r_u")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1") * 1.0 / F.col("nd")
+    var = (F.col("s2") * 1.0 / F.col("nd")) - mean * mean
+    z = F.abs(F.col("r_u") - mean) / F.sqrt(var)
+    return (
+        resid.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("d").alias("day"),
+            F.col("n").alias("n_events"),
+            round_half_up(F.col("r_u") / 100.0, 2).alias("residual"),
+            round_half_up(z, 4).alias("abs_z"),
+            z.alias("__o"),
+        )
+        .orderBy(F.col("__o").desc(), "day")
+        .drop("__o")
+        .limit(10)
+    )
+
+
+# ── q284: growth accounting (new / retained / resurrected / churned) ─────────
+
+
+@register(
+    "q284_growth_accounting",
+    """
+    WITH wu AS (
+      SELECT DISTINCT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS w,
+             user_id
+      FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(w) AS first_w FROM wu GROUP BY user_id),
+    lagged AS (
+      SELECT wu.w, wu.user_id, f.first_w,
+             LAG(wu.w) OVER (PARTITION BY wu.user_id ORDER BY wu.w) AS prev_w
+      FROM wu JOIN firsts f ON f.user_id = wu.user_id
+    ),
+    flags AS (
+      SELECT w, user_id,
+             CASE WHEN w = first_w THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN prev_w = w - 7 THEN 1 ELSE 0 END AS is_retained,
+             CASE WHEN w <> first_w AND (prev_w IS NULL OR prev_w < w - 7)
+                  THEN 1 ELSE 0 END AS is_resurrected
+      FROM lagged
+    ),
+    active AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS active,
+             CAST(SUM(is_new) AS BIGINT) AS new_users,
+             CAST(SUM(is_retained) AS BIGINT) AS retained,
+             CAST(SUM(is_resurrected) AS BIGINT) AS resurrected
+      FROM flags GROUP BY w
+    ),
+    churn AS (
+      SELECT w + 7 AS w, CAST(COUNT(*) AS BIGINT) AS churned
+      FROM (
+        SELECT w, user_id,
+               LEAD(w) OVER (PARTITION BY user_id ORDER BY w) AS next_w
+        FROM wu) t
+      WHERE next_w IS NULL OR next_w > w + 7
+      GROUP BY w + 7
+    )
+    SELECT a.w AS week, a.active, a.new_users, a.retained, a.resurrected,
+           CAST(COALESCE(c.churned, 0) AS BIGINT) AS churned_from_prev,
+           FLOOR(a.retained * 1.0 / NULLIF(a.active, 0) * 1000000 + 0.5)
+             / 1000000 AS retained_share
+    FROM active a LEFT JOIN churn c ON c.w = a.w
+    ORDER BY week
+    """,
+    doc="Growth accounting: weekly actives decomposed into NEW (first "
+    "week ever), RETAINED (also active the prior week), and "
+    "RESURRECTED (returned after a gap), plus users CHURNED out of "
+    "the previous week — the new+retained+resurrected = active "
+    "identity every growth team reconciles. One (week,user) dedup, "
+    "one per-user lag/lead pass.",
+)
+def q284_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the (week,user) distinct is the only corpus-sized step;
+    lag/lead shuffle once on user_id (the shared sequence
+    partitioning) and the rollup is |weeks| rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("w"),
+        "user_id",
+    )
+    wu = ev.distinct()
+    firsts = wu.groupBy("user_id").agg(F.min("w").alias("first_w"))
+    lw = Window.partitionBy("user_id").orderBy("w")
+    lagged = wu.join(firsts, "user_id").select(
+        "w",
+        "user_id",
+        "first_w",
+        F.lag("w").over(lw).alias("prev_w"),
+        F.lead("w").over(lw).alias("next_w"),
+    )
+    flags = lagged.select(
+        "w",
+        F.when(F.col("w") == F.col("first_w"), 1).otherwise(0).alias("is_new"),
+        F.when(F.col("prev_w") == F.date_sub(F.col("w"), 7), 1)
+        .otherwise(0)
+        .alias("is_retained"),
+        F.when(
+            (F.col("w") != F.col("first_w"))
+            & (
+                F.col("prev_w").isNull()
+                | (F.col("prev_w") < F.date_sub(F.col("w"), 7))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_resurrected"),
+    )
+    active = flags.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("active"),
+        F.sum("is_new").cast("long").alias("new_users"),
+        F.sum("is_retained").cast("long").alias("retained"),
+        F.sum("is_resurrected").cast("long").alias("resurrected"),
+    )
+    churn = (
+        lagged.filter(
+            F.col("next_w").isNull()
+            | (F.col("next_w") > F.date_add(F.col("w"), 7))
+        )
+        .groupBy(F.date_add(F.col("w"), 7).alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("churned"))
+    )
+    return (
+        active.join(churn, "w", "left")
+        .select(
+            F.col("w").alias("week"),
+            "active",
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce(F.col("churned"), F.lit(0))
+            .cast("long")
+            .alias("churned_from_prev"),
+            round_half_up(
+                F.col("retained") * 1.0 / F.nullif(F.col("active"), F.lit(0)),
+                6,
+            ).alias("retained_share"),
+        )
+        .orderBy("week")
+    )

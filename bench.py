@@ -188,6 +188,8 @@ HEADLINE = [
     "q280_corpus_funnel",
     "q281_sample_mix_audit",
     "q282_auc_bootstrap_ci",
+    "q283_volume_anomalies",
+    "q284_growth_accounting",
 ]
 
 

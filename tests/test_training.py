@@ -1807,3 +1807,31 @@ def test_q282_auc_ci_brackets_point(spark):
     assert r["ci_lo"] <= r["auc"] <= r["ci_hi"]
     assert r["ci_hi"] > r["ci_lo"]
     assert r["n_resamples"] == 64
+
+
+def test_q283_anomalies_ranked_and_standardized(spark):
+    """Rows come out |z|-descending, and the mean |z| of the TOP list
+    must exceed 1 (they are the extremes of the residual distribution)."""
+    rows = QUERY_REGISTRY["q283_volume_anomalies"].fn(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 10
+    zs = [r["abs_z"] for r in rows]
+    assert zs == sorted(zs, reverse=True)
+    assert zs[0] >= 1.0
+    for r in rows:
+        assert r["n_events"] > 0 and r["abs_z"] >= 0
+
+
+def test_q284_growth_identity(spark):
+    """new + retained + resurrected must equal active for every week,
+    week 1 is all-new, and churned(w) = active(w-1) - retained(w)."""
+    rows = sorted(
+        QUERY_REGISTRY["q284_growth_accounting"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["week"],
+    )
+    assert rows
+    for r in rows:
+        assert r["new_users"] + r["retained"] + r["resurrected"] == r["active"]
+    assert rows[0]["new_users"] == rows[0]["active"]
+    for a, b in zip(rows, rows[1:]):
+        if (b["week"] - a["week"]).days == 7:
+            assert b["churned_from_prev"] == a["active"] - b["retained"]
