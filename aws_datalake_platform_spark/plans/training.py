@@ -8275,3 +8275,159 @@ def q284_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ── q285: expected calibration error (the q239 summary scalar) ───────────────
+
+
+def _q285_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    cal = _REGISTRY["q239_calibration_brier"].sql
+    return f"""
+    WITH c AS ({cal}),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM c)
+    SELECT t.n AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           FLOOR(SUM(c.n_docs * c.calib_gap) / t.n * 1000000 + 0.5) / 1000000
+             AS ece,
+           FLOOR(MAX(c.calib_gap) * 1000000 + 0.5) / 1000000 AS mce,
+           FLOOR(SUM(c.n_docs * c.brier) / t.n * 1000000 + 0.5) / 1000000
+             AS brier
+    FROM c CROSS JOIN t
+    GROUP BY t.n
+    """
+
+
+@register(
+    "q285_expected_calibration_error",
+    _q285_sql(),
+    doc="Expected Calibration Error: the doc-weighted mean of q239's "
+    "per-decile |predicted - observed| gaps, plus the Maximum "
+    "Calibration Error and the pooled Brier score — the three scalars "
+    "a model gate thresholds on (q239 shows WHERE miscalibration "
+    "lives; this is the number that goes in the SLO). Weighted sums "
+    "run over the 10-row bucket relation with already-quantized "
+    "inputs.",
+)
+def q285_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: composes the q239 bucket relation (10 rows after its one
+    corpus pass) — the summary costs nothing beyond its input."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    c = _REGISTRY["q239_calibration_brier"].fn(spark, sf_dir)
+    t = c.agg(F.sum("n_docs").cast("long").alias("n"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            round_half_up(
+                F.sum(F.col("n_docs") * F.col("calib_gap")) / F.col("n"), 6
+            ).alias("ece"),
+            round_half_up(F.max("calib_gap"), 6).alias("mce"),
+            round_half_up(
+                F.sum(F.col("n_docs") * F.col("brier")) / F.col("n"), 6
+            ).alias("brier"),
+        )
+        .select(
+            F.col("n").alias("n_docs"), "n_buckets", "ece", "mce", "brier"
+        )
+    )
+
+
+# ── q286: context-length planner (truncation loss vs slot count sweep) ───────
+
+_Q286_LENGTHS = [64, 128, 256, 512, 1024]
+
+
+def _q286_sql() -> str:
+    lens = ", ".join(f"({L})" for L in _Q286_LENGTHS)
+    return rf"""
+    WITH dt AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    cfg AS (SELECT * FROM (VALUES {lens}) AS t(ctx)),
+    per AS (
+      SELECT c.ctx,
+             CAST(SUM(dt.n_tok) AS BIGINT) AS total_tokens,
+             CAST(SUM(LEAST(dt.n_tok, c.ctx)) AS BIGINT) AS kept_tokens,
+             CAST(SUM(CASE WHEN dt.n_tok > c.ctx THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_truncated,
+             CAST(SUM((dt.n_tok + c.ctx - 1) // c.ctx) AS BIGINT)
+               AS n_chunks,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM cfg c CROSS JOIN dt
+      GROUP BY c.ctx
+    )
+    SELECT CAST(ctx AS INTEGER) AS context_len, n_docs, n_truncated,
+           FLOOR((total_tokens - kept_tokens) * 1.0 / total_tokens
+                 * 1000000 + 0.5) / 1000000 AS truncation_loss,
+           n_chunks,
+           FLOOR(total_tokens * 1.0 / (n_chunks * ctx) * 1000000 + 0.5)
+             / 1000000 AS chunk_utilization
+    FROM per ORDER BY context_len
+    """
+
+
+@register(
+    "q286_context_length_plan",
+    _q286_sql(),
+    doc="Context-length planner: for each candidate window size, what "
+    "one-doc-per-sequence TRUNCATION would discard (docs cut, token "
+    "loss fraction) versus what CHUNKING costs (chunk count and mean "
+    "utilization of ceil(n/L) windows) — the two baseline strategies "
+    "bracketing q114's sequence packing; read next to q206's length "
+    "buckets before fixing the training context. A 5-row config spine "
+    "against one token-count pass.",
+)
+def q286_context_length_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: ONE map pass computes per-doc token counts; the config
+    sweep multiplies only the tiny per-(cfg) aggregate, never re-scans
+    text. All integer arithmetic until the two display divisions."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    dt = docs.select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tok")
+    )
+    cfg = spark.createDataFrame([(L,) for L in _Q286_LENGTHS], "ctx INT")
+    per = (
+        dt.crossJoin(F.broadcast(cfg))
+        .groupBy("ctx")
+        .agg(
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(F.least(F.col("n_tok"), F.col("ctx")))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.sum(F.when(F.col("n_tok") > F.col("ctx"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_truncated"),
+            F.sum(
+                F.expr("(n_tok + ctx - 1) div ctx")
+            )
+            .cast("long")
+            .alias("n_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
+    return per.select(
+        F.col("ctx").cast("int").alias("context_len"),
+        "n_docs",
+        "n_truncated",
+        round_half_up(
+            (F.col("total_tokens") - F.col("kept_tokens"))
+            * 1.0
+            / F.col("total_tokens"),
+            6,
+        ).alias("truncation_loss"),
+        "n_chunks",
+        round_half_up(
+            F.col("total_tokens") * 1.0 / (F.col("n_chunks") * F.col("ctx")), 6
+        ).alias("chunk_utilization"),
+    ).orderBy("context_len")

@@ -190,6 +190,8 @@ HEADLINE = [
     "q282_auc_bootstrap_ci",
     "q283_volume_anomalies",
     "q284_growth_accounting",
+    "q285_expected_calibration_error",
+    "q286_context_length_plan",
 ]
 
 

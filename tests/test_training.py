@@ -1835,3 +1835,49 @@ def test_q284_growth_identity(spark):
     for a, b in zip(rows, rows[1:]):
         if (b["week"] - a["week"]).days == 7:
             assert b["churned_from_prev"] == a["active"] - b["retained"]
+
+
+def test_q285_ece_matches_bucket_recompute(spark):
+    """ECE must equal the doc-weighted mean of q239's gaps and MCE its
+    max; both bounded by [0,1]."""
+    import math
+
+    [r] = QUERY_REGISTRY["q285_expected_calibration_error"].fn(spark, SF_SMOKE).collect()
+    buckets = QUERY_REGISTRY["q239_calibration_brier"].fn(spark, SF_SMOKE).collect()
+    n = sum(b["n_docs"] for b in buckets)
+    ece = sum(b["n_docs"] * b["calib_gap"] for b in buckets) / n
+    assert r["n_docs"] == n and r["n_buckets"] == len(buckets)
+    assert abs(r["ece"] - ece) < 2e-6
+    assert r["mce"] == max(b["calib_gap"] for b in buckets)
+    assert 0.0 <= r["ece"] <= r["mce"] <= 1.0
+
+
+def test_q286_context_sweep_monotone(spark):
+    """Longer contexts must monotonically reduce truncation loss and
+    chunk count while utilization falls; identities hold against a
+    Python recount at one length."""
+    import math
+
+    rows = sorted(
+        QUERY_REGISTRY["q286_context_length_plan"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["context_len"],
+    )
+    assert [r["context_len"] for r in rows] == [64, 128, 256, 512, 1024]
+    for a, b in zip(rows, rows[1:]):
+        assert b["truncation_loss"] <= a["truncation_loss"] + 1e-9
+        assert b["n_chunks"] <= a["n_chunks"]
+        assert b["n_truncated"] <= a["n_truncated"]
+        assert b["chunk_utilization"] <= a["chunk_utilization"] + 1e-6
+    toks = [
+        len(d["text"].strip().split())
+        for d in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("text")
+        .collect()
+        if d["text"].strip()
+    ]
+    L = 256
+    r = next(x for x in rows if x["context_len"] == L)
+    assert r["n_truncated"] == sum(1 for t in toks if t > L)
+    assert r["n_chunks"] == sum((t + L - 1) // L for t in toks)
+    total, kept = sum(toks), sum(min(t, L) for t in toks)
+    assert r["truncation_loss"] == math.floor((total - kept) / total * 1e6 + 0.5) / 1e6
