@@ -8431,3 +8431,201 @@ def q286_context_length_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tokens") * 1.0 / (F.col("n_chunks") * F.col("ctx")), 6
         ).alias("chunk_utilization"),
     ).orderBy("context_len")
+
+
+# ── q287: PMI term associations (query expansion table) ──────────────────────
+
+_Q287_SEEDS = ("table", "join", "query")
+_Q287_TOP = 5
+_Q287_MIN_CO = 3
+
+
+def _q287_sql() -> str:
+    seeds = ", ".join(f"'{t}'" for t in _Q287_SEEDS)
+    return rf"""
+    WITH dterm AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)),
+               '\s+')) AS term
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM dterm),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dterm GROUP BY term),
+    seeds AS (SELECT doc_id, term AS seed FROM dterm WHERE term IN ({seeds})),
+    co AS (
+      SELECT s.seed, d.term, CAST(COUNT(*) AS BIGINT) AS c_co
+      FROM seeds s JOIN dterm d ON d.doc_id = s.doc_id
+      WHERE d.term <> s.seed AND d.term NOT IN ({seeds})
+      GROUP BY s.seed, d.term
+      HAVING COUNT(*) >= {_Q287_MIN_CO}
+    ),
+    scored AS (
+      SELECT co.seed, co.term, co.c_co,
+             LN(co.c_co * n.n * 1.0 / (ds.df * dt.df)) AS pmi_raw
+      FROM co
+      JOIN df ds ON ds.term = co.seed
+      JOIN df dt ON dt.term = co.term
+      CROSS JOIN n
+    )
+    SELECT seed, term, c_co AS n_docs_together,
+           FLOOR(pmi_raw * 10000 + 0.5) / 10000 AS pmi,
+           CAST(rk AS INTEGER) AS assoc_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY seed
+            ORDER BY pmi_raw DESC, term) AS rk FROM scored) t
+    WHERE rk <= {_Q287_TOP}
+    ORDER BY seed, assoc_rank
+    """
+
+
+@register(
+    "q287_pmi_associations",
+    _q287_sql(),
+    doc=f"Query-expansion table: for each seed term {_Q287_SEEDS}, the "
+    f"top-{_Q287_TOP} associated terms by document-level PMI "
+    "ln(c_co*N/(df_s*df_t)) with a minimum co-occurrence floor — the "
+    "statistically grounded synonyms the `search` CLI can OR into its "
+    "BM25 shortlist stage. Doc-level distinct terms keep the counts "
+    "binary-occurrence (PMI over documents, not token windows).",
+)
+def q287_pmi_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the co-occurrence join is keyed on doc_id and one side is
+    SEED postings only (tiny); document frequencies are one term
+    aggregate; per-seed ranks run over the co-occurrence relation."""
+    seeds = list(_Q287_SEEDS)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    dterm = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    ).distinct()
+    n = dterm.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    df = dterm.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    sd = dterm.filter(F.col("term").isin(seeds)).select(
+        "doc_id", F.col("term").alias("seed")
+    )
+    co = (
+        sd.join(dterm, "doc_id")
+        .filter((F.col("term") != F.col("seed")) & ~F.col("term").isin(seeds))
+        .groupBy("seed", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_co"))
+        .filter(F.col("c_co") >= _Q287_MIN_CO)
+    )
+    ds = df.select(F.col("term").alias("seed"), F.col("df").alias("df_s"))
+    dt = df.select("term", F.col("df").alias("df_t"))
+    scored = (
+        co.join(F.broadcast(ds), "seed")
+        .join(dt, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "pmi_raw",
+            F.log(
+                F.col("c_co") * F.col("n") * 1.0
+                / (F.col("df_s") * F.col("df_t"))
+            ),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("seed").orderBy(
+                    F.col("pmi_raw").desc(), "term"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _Q287_TOP)
+        .select(
+            "seed",
+            "term",
+            F.col("c_co").alias("n_docs_together"),
+            round_half_up(F.col("pmi_raw"), 4).alias("pmi"),
+            F.col("rk").cast("int").alias("assoc_rank"),
+        )
+        .orderBy("seed", "assoc_rank")
+    )
+
+
+# ── q288: duplication-rate trend over ingest order ───────────────────────────
+
+
+def _q288_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    dedup = _REGISTRY["q22_dedup_exact"].sql
+    return f"""
+    WITH dd AS ({dedup}),
+    keeps AS (SELECT keep_id AS doc_id FROM dd),
+    bounds AS (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS lo, CAST(MAX(doc_id) AS BIGINT)
+               AS hi
+      FROM documents
+    ),
+    flagged AS (
+      SELECT d.doc_id,
+             LEAST(CAST(FLOOR((d.doc_id - b.lo) * 10.0
+                   / GREATEST(b.hi - b.lo + 1, 1)) AS INT), 9) AS decile,
+             CASE WHEN k.doc_id IS NOT NULL THEN 0 ELSE 1 END AS is_dup
+      FROM documents d CROSS JOIN bounds b
+      LEFT JOIN keeps k ON k.doc_id = d.doc_id
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_duplicates,
+           FLOOR(SUM(is_dup) * 1.0 / COUNT(*) * 1000000 + 0.5) / 1000000
+             AS dup_rate
+    FROM flagged GROUP BY decile ORDER BY decile
+    """
+
+
+@register(
+    "q288_dup_rate_trend",
+    _q288_sql(),
+    doc="Duplication trend over ingest order: the share of non-canonical "
+    "documents (q22's exact-dup losers) per doc-id decile of the "
+    "corpus — a RISING curve means later ingest batches increasingly "
+    "re-deliver known content (crawler loops, feed replays) and the "
+    "incremental dedup index (q191) is earning its keep; flat/noisy "
+    "means duplication is endemic, not temporal.",
+)
+def q288_dup_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the q22 keep set is one fingerprint aggregate; bucketing
+    is pure arithmetic off broadcast min/max scalars (q251's idiom);
+    the rollup is 10 cells."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keeps = (
+        _REGISTRY["q22_dedup_exact"].fn(spark, sf_dir)
+        .select(F.col("keep_id").alias("doc_id"))
+        .withColumn("kept", F.lit(1))
+    )
+    bounds = docs.agg(
+        F.min("doc_id").cast("long").alias("lo"),
+        F.max("doc_id").cast("long").alias("hi"),
+    )
+    flagged = (
+        docs.crossJoin(F.broadcast(bounds))
+        .join(keeps, "doc_id", "left")
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("doc_id") - F.col("lo"))
+                    * 10.0
+                    / F.greatest(F.col("hi") - F.col("lo") + 1, F.lit(1))
+                ).cast("int"),
+                F.lit(9),
+            ).alias("decile"),
+            F.when(F.col("kept").isNotNull(), 0).otherwise(1).alias("is_dup"),
+        )
+    )
+    return (
+        flagged.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_duplicates"),
+            round_half_up(F.sum("is_dup") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("decile")
+    )

@@ -192,6 +192,8 @@ HEADLINE = [
     "q284_growth_accounting",
     "q285_expected_calibration_error",
     "q286_context_length_plan",
+    "q287_pmi_associations",
+    "q288_dup_rate_trend",
 ]
 
 

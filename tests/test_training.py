@@ -1881,3 +1881,53 @@ def test_q286_context_sweep_monotone(spark):
     assert r["n_chunks"] == sum((t + L - 1) // L for t in toks)
     total, kept = sum(toks), sum(min(t, L) for t in toks)
     assert r["truncation_loss"] == math.floor((total - kept) / total * 1e6 + 0.5) / 1e6
+
+
+def test_q287_pmi_matches_python(spark):
+    """PMI values must match a Python recompute of document-level
+    co-occurrence for every returned association; shelves are ranked
+    PMI-descending."""
+    import math
+    from collections import defaultdict
+
+    rows = QUERY_REGISTRY["q287_pmi_associations"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    terms = {
+        d["doc_id"]: set(d["text"].strip().lower().split())
+        for d in docs
+        if d["text"].strip()
+    }
+    N = len(terms)
+    df = defaultdict(int)
+    for ts in terms.values():
+        for t in ts:
+            df[t] += 1
+    for r in rows:
+        c_co = sum(1 for ts in terms.values() if r["seed"] in ts and r["term"] in ts)
+        assert r["n_docs_together"] == c_co >= 3
+        pmi = math.log(c_co * N / (df[r["seed"]] * df[r["term"]]))
+        assert r["pmi"] == math.floor(pmi * 1e4 + 0.5) / 1e4
+    per = defaultdict(list)
+    for r in rows:
+        per[r["seed"]].append((r["assoc_rank"], r["pmi"]))
+    for seed, lst in per.items():
+        lst.sort()
+        pmis = [x[1] for x in lst]
+        assert pmis == sorted(pmis, reverse=True)
+
+
+def test_q288_dup_rate_partitions_corpus(spark):
+    """Decile doc counts must sum to the corpus and total duplicates to
+    n_docs - n_keeps; rates live in [0,1]."""
+    rows = QUERY_REGISTRY["q288_dup_rate_trend"].fn(spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    n_keeps = QUERY_REGISTRY["q22_dedup_exact"].fn(spark, SF_SMOKE).count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_duplicates"] for r in rows) == n_docs - n_keeps
+    for r in rows:
+        assert 0.0 <= r["dup_rate"] <= 1.0
