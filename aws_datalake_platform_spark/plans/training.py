@@ -8629,3 +8629,216 @@ def q288_dup_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ── q289: vocabulary-novelty curve over ingest order ─────────────────────────
+
+
+@register(
+    "q289_novelty_curve",
+    r"""
+    WITH bounds AS (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS lo, CAST(MAX(doc_id) AS BIGINT)
+               AS hi
+      FROM documents
+    ),
+    tok AS (
+      SELECT d.doc_id,
+             LEAST(CAST(FLOOR((d.doc_id - b.lo) * 10.0
+                   / GREATEST(b.hi - b.lo + 1, 1)) AS INT), 9) AS decile,
+             unnest(list_transform(range(1,
+               len(string_split_regex(trim(lower(d.text)), '\s+')) - 1),
+               i -> array_to_string(string_split_regex(trim(lower(d.text)),
+                 '\s+')[i:i+2], ' '))) AS term
+      FROM documents d CROSS JOIN bounds b
+      WHERE len(trim(d.text)) > 0
+        AND len(string_split_regex(trim(lower(d.text)), '\s+')) >= 3
+    ),
+    per AS (
+      SELECT term, decile, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY term, decile
+    ),
+    firsts AS (
+      SELECT term, MIN(decile) AS first_decile FROM per GROUP BY term
+    )
+    SELECT p.decile,
+           CAST(SUM(p.c) AS BIGINT) AS n_gram_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+           CAST(SUM(CASE WHEN f.first_decile = p.decile THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new_grams,
+           FLOOR(SUM(CASE WHEN f.first_decile = p.decile THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*) * 1000000 + 0.5) / 1000000 AS novelty_rate
+    FROM per p JOIN firsts f ON f.term = p.term
+    GROUP BY p.decile ORDER BY p.decile
+    """,
+    doc="Vocabulary-novelty curve: per ingest decile, the share of its "
+    "distinct word-trigrams appearing there FIRST — q288's complement "
+    "(that one asks 'are docs repeats?', this asks 'is the LANGUAGE "
+    "still new?'). A collapsing novelty rate is the data-driven signal "
+    "that additional ingest buys tokens but not information — the "
+    "curve behind Heaps'-law (q251) read as a per-batch decision "
+    "metric.",
+)
+def q289_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one gram aggregate keyed (term, decile) — map-side
+    combinable — and a min-agg for first occurrence; the rollup is 10
+    cells. Nothing rescans text per decile."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    bounds = docs.agg(
+        F.min("doc_id").cast("long").alias("lo"),
+        F.max("doc_id").cast("long").alias("hi"),
+    )
+    tok = (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("doc_id") - F.col("lo"))
+                    * 10.0
+                    / F.greatest(F.col("hi") - F.col("lo") + 1, F.lit(1))
+                ).cast("int"),
+                F.lit(9),
+            ).alias("decile"),
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"),
+        )
+        .filter(F.size("t") >= 3)
+        .select(
+            "decile",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2), "
+                    "i -> concat_ws(' ', slice(t, i, 3)))"
+                )
+            ).alias("term"),
+        )
+    )
+    per = tok.groupBy("term", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    firsts = per.groupBy("term").agg(F.min("decile").alias("first_decile"))
+    return (
+        per.join(firsts, "term")
+        .groupBy("decile")
+        .agg(
+            F.sum("c").cast("long").alias("n_gram_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+            F.sum(
+                F.when(F.col("first_decile") == F.col("decile"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_new_grams"),
+            round_half_up(
+                F.sum(
+                    F.when(
+                        F.col("first_decile") == F.col("decile"), 1
+                    ).otherwise(0)
+                )
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ── q290: Horvitz-Thompson estimator audit over the stratified sample ────────
+
+
+def _q290_sql() -> str:
+    from .advanced import _MIX
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    sample = _REGISTRY["q88_stratified_sample"].sql
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(_MIX.items())
+    )
+    return f"""
+    WITH s AS ({sample}),
+    sw AS (
+      SELECT s.doc_id, d.n_chars,
+             1.0 / (CASE s.lang {cases} ELSE 1.0 END) AS w
+      FROM s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    est AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             CAST(SUM(CAST(FLOOR(w * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS wsum_u,
+             CAST(SUM(CAST(FLOOR(w * 1000000 + 0.5) AS BIGINT) * n_chars)
+                  AS BIGINT) AS wx_u
+      FROM sw
+    ),
+    truth AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pop,
+             CAST(SUM(n_chars) AS BIGINT) AS sx
+      FROM documents WHERE lang <> 'zh'
+    )
+    SELECT e.n_sampled, t.n_pop,
+           FLOOR(e.wsum_u / 1000000.0 * 100 + 0.5) / 100 AS ht_n_est,
+           FLOOR(e.wx_u * 1.0 / e.wsum_u * 1000000 + 0.5) / 1000000
+             AS ht_mean_chars,
+           FLOOR(t.sx * 1.0 / t.n_pop * 1000000 + 0.5) / 1000000
+             AS true_mean_chars,
+           FLOOR(ABS(e.wx_u * 1.0 / e.wsum_u - t.sx * 1.0 / t.n_pop)
+                 / (t.sx * 1.0 / t.n_pop) * 1000000 + 0.5) / 1000000
+             AS rel_err
+    FROM est e CROSS JOIN truth t
+    """
+
+
+@register(
+    "q290_horvitz_thompson",
+    _q290_sql(),
+    doc="Horvitz-Thompson estimation audit: reconstruct the SAMPLED-OUT "
+    "population's size and mean document length from q88's stratified "
+    "sample using inverse inclusion probabilities (weights quantized "
+    "to integer micro-units before the sums, so both estimators are "
+    "order-free exact), compared against the true values over the "
+    "sampleable strata — the proof that the engine's deterministic "
+    "mixture samples remain STATISTICALLY usable, not just "
+    "reproducible. (zh has inclusion probability 0 and is excluded "
+    "from the estimand, as HT requires.)",
+)
+def q290_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one pass over the sample with constant-per-stratum
+    weights, one truth aggregate over the population — both map-side
+    combinable folds."""
+    from .advanced import _MIX
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    s = _REGISTRY["q88_stratified_sample"].fn(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    w = F.lit(1.0)
+    for lang, rate in sorted(_MIX.items()):
+        w = F.when(F.col("s_lang") == lang, F.lit(1.0 / float(rate))).otherwise(w)
+    sw = (
+        s.select("doc_id", F.col("lang").alias("s_lang"))
+        .join(d.select("doc_id", "n_chars"), "doc_id")
+        .select(F.floor(w * 1000000 + 0.5).cast("long").alias("wu"), "n_chars")
+    )
+    est = sw.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("wu").cast("long").alias("wsum_u"),
+        F.sum(F.col("wu") * F.col("n_chars")).cast("long").alias("wx_u"),
+    )
+    truth = d.filter(F.col("lang") != "zh").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        F.sum("n_chars").cast("long").alias("sx"),
+    )
+    ht_mean = F.col("wx_u") * 1.0 / F.col("wsum_u")
+    true_mean = F.col("sx") * 1.0 / F.col("n_pop")
+    return (
+        est.crossJoin(F.broadcast(truth))
+        .select(
+            "n_sampled",
+            "n_pop",
+            round_half_up(F.col("wsum_u") / 1000000.0, 2).alias("ht_n_est"),
+            round_half_up(ht_mean, 6).alias("ht_mean_chars"),
+            round_half_up(true_mean, 6).alias("true_mean_chars"),
+            round_half_up(F.abs(ht_mean - true_mean) / true_mean, 6).alias(
+                "rel_err"
+            ),
+        )
+    )

@@ -194,6 +194,8 @@ HEADLINE = [
     "q286_context_length_plan",
     "q287_pmi_associations",
     "q288_dup_rate_trend",
+    "q289_novelty_curve",
+    "q290_horvitz_thompson",
 ]
 
 

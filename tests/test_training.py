@@ -1931,3 +1931,43 @@ def test_q288_dup_rate_partitions_corpus(spark):
     assert sum(r["n_duplicates"] for r in rows) == n_docs - n_keeps
     for r in rows:
         assert 0.0 <= r["dup_rate"] <= 1.0
+
+
+def test_q289_novelty_decreasing_first_decile_full(spark):
+    """Decile 0 is 100% novel by definition; later deciles must have
+    novelty strictly below 1; new-gram counts must sum to the distinct
+    trigram universe."""
+    rows = sorted(
+        QUERY_REGISTRY["q289_novelty_curve"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert rows[0]["decile"] == 0 and rows[0]["novelty_rate"] == 1.0
+    for r in rows[1:]:
+        assert r["novelty_rate"] < 1.0
+        assert 0 <= r["n_new_grams"] <= r["n_distinct_grams"]
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("text")
+        .collect()
+    )
+    grams = set()
+    for d in docs:
+        t = d["text"].strip().lower().split()
+        for i in range(len(t) - 2):
+            grams.add(" ".join(t[i : i + 3]))
+    assert sum(r["n_new_grams"] for r in rows) == len(grams)
+
+
+def test_q290_ht_estimates_recover_truth(spark):
+    """The HT population-size estimate must land near the true
+    sampleable population and the mean within a loose relative band
+    (the identity is exact in expectation; this fixed sample is one
+    draw)."""
+    [r] = QUERY_REGISTRY["q290_horvitz_thompson"].fn(spark, SF_SMOKE).collect()
+    assert r["n_sampled"] < r["n_pop"]
+    assert abs(r["ht_n_est"] - r["n_pop"]) / r["n_pop"] < 0.2
+    assert r["rel_err"] < 0.1
+    assert abs(
+        r["rel_err"]
+        - abs(r["ht_mean_chars"] - r["true_mean_chars"]) / r["true_mean_chars"]
+    ) < 1e-4
