@@ -8842,3 +8842,197 @@ def q290_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ── q291: cumulative gain chart for the quality model ────────────────────────
+
+
+def _q291_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    model = _REGISTRY["q173_quality_logreg"].sql
+    gate = _REGISTRY["q192_gopher_quality_rules"].sql
+    return f"""
+    WITH m AS ({model}),
+    g AS ({gate}),
+    j AS (
+      SELECT CAST(FLOOR(m.quality_score * 10000 + 0.5) AS BIGINT) AS score_u,
+             CASE WHEN g.passes THEN 1 ELSE 0 END AS label
+      FROM m JOIN g ON m.doc_id = g.doc_id
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS np
+      FROM j
+    ),
+    ranked AS (
+      SELECT label,
+             NTILE(10) OVER (ORDER BY score_u DESC, label DESC) AS tile
+      FROM j
+    ),
+    per AS (
+      SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(label) AS BIGINT) AS n_pos
+      FROM ranked GROUP BY tile
+    ),
+    cum AS (
+      SELECT tile, n_docs, n_pos,
+             CAST(SUM(n_docs) OVER (ORDER BY tile) AS BIGINT) AS cum_docs,
+             CAST(SUM(n_pos) OVER (ORDER BY tile) AS BIGINT) AS cum_pos
+      FROM per
+    )
+    SELECT CAST(c.tile AS INTEGER) AS score_decile, c.n_docs, c.n_pos,
+           FLOOR(c.cum_pos * 1.0 / t.np * 1000000 + 0.5) / 1000000
+             AS cum_capture,
+           FLOOR((c.cum_pos * 1.0 / t.np) / (c.cum_docs * 1.0 / t.n)
+                 * 10000 + 0.5) / 10000 AS lift
+    FROM cum c CROSS JOIN tot t
+    ORDER BY score_decile
+    """
+
+
+@register(
+    "q291_gain_chart",
+    _q291_sql(),
+    doc="Cumulative gain/lift chart: documents ranked by the q173 score "
+    "into deciles (ties broken toward positives deterministically), "
+    "with the cumulative share of q192 passes captured and the lift "
+    "over random skimming — the 'read only the top 30%' planning view "
+    "that q240's AUC summarizes into one number. Decile 1 lift near "
+    "1/base-rate means the model front-loads almost pure passes.",
+)
+def q291_gain_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the NTILE orders the (score, label) relation — at corpus
+    scale swap for score-histogram quantile boundaries (q240's shape);
+    the chart itself is a 10-row cumulative window."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    m = _REGISTRY["q173_quality_logreg"].fn(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("quality_score") * 10000 + 0.5).cast("long").alias("score_u"),
+    )
+    g = _REGISTRY["q192_gopher_quality_rules"].fn(spark, sf_dir).select(
+        "doc_id", F.when(F.col("passes"), 1).otherwise(0).alias("label")
+    )
+    j = m.join(g, "doc_id").select("score_u", "label")
+    tot = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("np"),
+    )
+    ranked = j.select(
+        "label",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score_u").desc(), F.col("label").desc()))
+        .alias("tile"),
+    )
+    per = ranked.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("label").cast("long").alias("n_pos"),
+    )
+    wc = Window.orderBy("tile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "tile",
+        "n_docs",
+        "n_pos",
+        F.sum("n_docs").over(wc).cast("long").alias("cum_docs"),
+        F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("tile").cast("int").alias("score_decile"),
+            "n_docs",
+            "n_pos",
+            round_half_up(F.col("cum_pos") * 1.0 / F.col("np"), 6).alias(
+                "cum_capture"
+            ),
+            round_half_up(
+                (F.col("cum_pos") * 1.0 / F.col("np"))
+                / (F.col("cum_docs") * 1.0 / F.col("n")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("score_decile")
+    )
+
+
+# ── q292: Bloom-filter sizing planner for the q97 join prefilter ─────────────
+
+_Q292_BITS_PER_KEY = [4, 8, 12, 16, 20]
+_Q292_LN2 = "0.6931471805599453"
+
+
+def _q292_sql() -> str:
+    cfgs = ", ".join(f"({b})" for b in _Q292_BITS_PER_KEY)
+    ln2 = _Q292_LN2
+    return f"""
+    WITH keys AS (
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_keys FROM orders
+    ),
+    probes AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM lineitem),
+    cfg AS (SELECT * FROM (VALUES {cfgs}) AS t(bpk))
+    SELECT cfg.bpk AS bits_per_key,
+           k.n_keys,
+           CAST(FLOOR(cfg.bpk * {ln2} + 0.5) AS BIGINT) AS n_hashes,
+           CAST(FLOOR(cfg.bpk * k.n_keys / 8.0 + 0.5) AS BIGINT)
+             AS filter_bytes,
+           FLOOR(EXP(CAST(FLOOR(cfg.bpk * {ln2} + 0.5) AS BIGINT)
+                 * LN(1 - EXP(0 - (CAST(FLOOR(cfg.bpk * {ln2} + 0.5)
+                   AS BIGINT) * 1.0 / cfg.bpk))))
+                 * 1000000 + 0.5) / 1000000 AS fpp,
+           CAST(FLOOR(EXP(CAST(FLOOR(cfg.bpk * {ln2} + 0.5) AS BIGINT)
+                 * LN(1 - EXP(0 - (CAST(FLOOR(cfg.bpk * {ln2} + 0.5)
+                   AS BIGINT) * 1.0 / cfg.bpk)))) * p.n_probes + 0.5)
+                 AS BIGINT) AS expected_false_probes
+    FROM cfg CROSS JOIN keys k CROSS JOIN probes p
+    ORDER BY bits_per_key
+    """
+
+
+@register(
+    "q292_bloom_sizing_plan",
+    _q292_sql(),
+    doc="Bloom-filter sizing table for the q97 join prefilter: for each "
+    "bits-per-key budget, the optimal hash count round(b*ln2), the "
+    "filter's byte size at the MEASURED key cardinality, the "
+    "false-positive probability (1-e^(-k/b))^k, and the expected "
+    "number of fact rows that would falsely survive the prefilter at "
+    "the measured probe count — the memory-vs-shuffle-savings "
+    "trade-off read before sizing spark.sql bloom hints or a manual "
+    "q97-style prefilter. EXP/LN chains with the ln2 constant as a "
+    "full-precision repr literal (the q236 planner pattern).",
+)
+def q292_bloom_sizing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two count aggregates (build-side distinct keys, probe-side
+    rows) and a 5-row config spine — the planner costs two scans once,
+    then re-runs free on cached counts."""
+    ln2 = float(_Q292_LN2)
+    keys = load_table(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_keys")
+    )
+    probes = load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes")
+    )
+    cfg = spark.createDataFrame(
+        [(b,) for b in _Q292_BITS_PER_KEY], "bpk INT"
+    )
+    k = F.floor(F.col("bpk") * F.lit(ln2) + 0.5).cast("long")
+    fpp_raw = F.exp(
+        k * F.log(1 - F.exp(F.lit(0) - (k * 1.0 / F.col("bpk"))))
+    )
+    return (
+        cfg.crossJoin(F.broadcast(keys))
+        .crossJoin(F.broadcast(probes))
+        .select(
+            F.col("bpk").alias("bits_per_key"),
+            "n_keys",
+            k.alias("n_hashes"),
+            F.floor(F.col("bpk") * F.col("n_keys") / 8.0 + 0.5)
+            .cast("long")
+            .alias("filter_bytes"),
+            round_half_up(fpp_raw, 6).alias("fpp"),
+            F.floor(fpp_raw * F.col("n_probes") + 0.5)
+            .cast("long")
+            .alias("expected_false_probes"),
+        )
+        .orderBy("bits_per_key")
+    )

@@ -196,6 +196,8 @@ HEADLINE = [
     "q288_dup_rate_trend",
     "q289_novelty_curve",
     "q290_horvitz_thompson",
+    "q291_gain_chart",
+    "q292_bloom_sizing_plan",
 ]
 
 

@@ -1971,3 +1971,47 @@ def test_q290_ht_estimates_recover_truth(spark):
         r["rel_err"]
         - abs(r["ht_mean_chars"] - r["true_mean_chars"]) / r["true_mean_chars"]
     ) < 1e-4
+
+
+def test_q291_gain_monotone_and_ends_at_one(spark):
+    """Cumulative capture must be non-decreasing and reach 1.0 at the
+    last decile; lift must be non-increasing and end at 1.0; decile 1
+    must beat random (lift > 1)."""
+    rows = sorted(
+        QUERY_REGISTRY["q291_gain_chart"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["score_decile"],
+    )
+    assert [r["score_decile"] for r in rows] == list(range(1, 11))
+    caps = [r["cum_capture"] for r in rows]
+    assert caps == sorted(caps)
+    assert abs(caps[-1] - 1.0) < 1e-6
+    lifts = [r["lift"] for r in rows]
+    # lift is ~decreasing but NOT guaranteed monotone between adjacent
+    # deciles (a later decile can be locally denser); the guarantees are
+    # the endpoints: top decile beats random, full coverage is exactly 1
+    assert abs(lifts[-1] - 1.0) < 1e-3
+    assert lifts[0] > 1.0
+    assert max(lifts) <= 1.0 / (sum(r["n_pos"] for r in rows) / sum(r["n_docs"] for r in rows)) + 1e-6
+
+
+def test_q292_bloom_plan_matches_closed_form(spark):
+    """FPP must match the closed form with optimal k at each budget,
+    decrease with budget, and byte sizes scale linearly in keys."""
+    import math
+
+    rows = sorted(
+        QUERY_REGISTRY["q292_bloom_sizing_plan"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["bits_per_key"],
+    )
+    assert [r["bits_per_key"] for r in rows] == [4, 8, 12, 16, 20]
+    prev = 1.0
+    for r in rows:
+        k = math.floor(r["bits_per_key"] * 0.6931471805599453 + 0.5)
+        assert r["n_hashes"] == k
+        fpp = math.exp(k * math.log(1 - math.exp(-(k / r["bits_per_key"]))))
+        assert r["fpp"] == math.floor(fpp * 1e6 + 0.5) / 1e6
+        assert r["fpp"] <= prev
+        prev = r["fpp"]
+        assert r["filter_bytes"] == math.floor(
+            r["bits_per_key"] * r["n_keys"] / 8.0 + 0.5
+        )
