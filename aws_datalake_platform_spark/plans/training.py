@@ -9036,3 +9036,180 @@ def q292_bloom_sizing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bits_per_key")
     )
+
+
+# ── q293: mixture diversity (entropy / effective source count) ───────────────
+
+
+@register(
+    "q293_mixture_diversity",
+    """
+    WITH per AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sz FROM documents
+      GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS t FROM per),
+    terms AS (
+      SELECT p.source, p.sz, t.t,
+             CAST(FLOOR((0 - (p.sz * 1.0 / t.t) * LN(p.sz * 1.0 / t.t)
+                         / LN(2.0)) * 1000000 + 0.5) AS BIGINT) AS h_u
+      FROM per p CROSS JOIN tot t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           FLOOR(SUM(h_u) / 1000000.0 * 1000000 + 0.5) / 1000000
+             AS share_entropy_bits,
+           FLOOR(EXP(SUM(h_u) / 1000000.0 * LN(2.0)) * 10000 + 0.5) / 10000
+             AS effective_sources,
+           FLOOR(EXP(SUM(h_u) / 1000000.0 * LN(2.0)) / COUNT(*) * 1000000
+                 + 0.5) / 1000000 AS uniformity
+    FROM terms
+    """,
+    doc="Mixture diversity index: Shannon entropy of per-source "
+    "character shares and its exponential — the EFFECTIVE number of "
+    "sources (perplexity of the mixture) — plus uniformity "
+    "effective/actual. The one-glance number for 'is this corpus "
+    "really 20 sources or 3 big ones wearing 20 names'; plogp terms "
+    "integer-quantized before the sum (q241's idiom). Belongs on the "
+    "q200 dataset card.",
+)
+def q293_mixture_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one |sources|-key rollup and scalar math."""
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("sz"))
+    )
+    tot = per.agg(F.sum("sz").cast("long").alias("t"))
+    p = F.col("sz") * 1.0 / F.col("t")
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            (F.lit(0) - p * F.log(p) / F.log(F.lit(2.0))) * 1000000 + 0.5
+        )
+        .cast("long")
+        .alias("h_u")
+    )
+    h = F.sum("h_u") / 1000000.0
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        round_half_up(h, 6).alias("share_entropy_bits"),
+        round_half_up(F.exp(h * F.log(F.lit(2.0))), 4).alias(
+            "effective_sources"
+        ),
+        round_half_up(
+            F.exp(h * F.log(F.lit(2.0))) / F.count(F.lit(1)), 6
+        ).alias("uniformity"),
+    )
+
+
+# ── q294: sampling-temperature sweep (mixture flattening planner) ────────────
+
+_Q294_TEMPS = ["0.3", "0.5", "0.7", "1.0"]
+
+
+def _q294_sql() -> str:
+    temps = ", ".join(f"({t})" for t in _Q294_TEMPS)
+    return f"""
+    WITH per AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sz FROM documents
+      GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS t FROM per),
+    cfg AS (SELECT * FROM (VALUES {temps}) AS x(temp)),
+    pw AS (
+      SELECT c.temp, p.source,
+             CAST(FLOOR(EXP(c.temp * LN(p.sz * 1.0 / t.t)) * 1000000000 + 0.5)
+                  AS BIGINT) AS pu
+      FROM per p CROSS JOIN tot t CROSS JOIN cfg c
+    ),
+    norm AS (
+      SELECT temp, CAST(SUM(pu) AS BIGINT) AS z FROM pw GROUP BY temp
+    ),
+    w AS (
+      SELECT pw.temp, pw.source, pw.pu * 1.0 / n.z AS w
+      FROM pw JOIN norm n ON n.temp = pw.temp
+    ),
+    terms AS (
+      SELECT temp, w,
+             CAST(FLOOR((0 - w * LN(w) / LN(2.0)) * 1000000 + 0.5) AS BIGINT)
+               AS h_u
+      FROM w
+    )
+    SELECT CAST(temp AS DOUBLE) AS temperature,
+           FLOOR(MAX(w) * 1000000 + 0.5) / 1000000 AS max_weight,
+           FLOOR(MIN(w) * 1000000 + 0.5) / 1000000 AS min_weight,
+           FLOOR(EXP(SUM(h_u) / 1000000.0 * LN(2.0)) * 10000 + 0.5) / 10000
+             AS effective_sources
+    FROM terms GROUP BY temp
+    ORDER BY temperature
+    """
+
+
+@register(
+    "q294_temperature_sweep",
+    _q294_sql(),
+    doc="Sampling-temperature planner: per candidate T, the "
+    "share^T-normalized mixture's heaviest and lightest source weights "
+    "and its effective source count — the table a team reads before "
+    "fixing the q193 temperature (T->0 flattens toward uniform, T=1 "
+    "reproduces natural shares; the standard multilingual/multi-source "
+    "rebalancing knob). Powers are EXP/LN chains; weights quantize to "
+    "integer nano-units before normalization so Z is order-free.",
+)
+def q294_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one |sources|-key rollup; the sweep multiplies a 20-row
+    relation by |temps|. Reuses q293's entropy idiom per configuration."""
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("sz"))
+    )
+    tot = per.agg(F.sum("sz").cast("long").alias("t"))
+    cfg = spark.createDataFrame(
+        [(float(t),) for t in _Q294_TEMPS], "temp DOUBLE"
+    )
+    pw = (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(cfg))
+        .select(
+            "temp",
+            "source",
+            F.floor(
+                F.exp(F.col("temp") * F.log(F.col("sz") * 1.0 / F.col("t")))
+                * 1000000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("pu"),
+        )
+    )
+    norm = pw.groupBy("temp").agg(F.sum("pu").cast("long").alias("z"))
+    w = pw.join(norm, "temp").select(
+        "temp", (F.col("pu") * 1.0 / F.col("z")).alias("w")
+    )
+    terms = w.select(
+        "temp",
+        "w",
+        F.floor(
+            (F.lit(0) - F.col("w") * F.log("w") / F.log(F.lit(2.0))) * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("h_u"),
+    )
+    return (
+        terms.groupBy("temp")
+        .agg(
+            round_half_up(F.max("w"), 6).alias("max_weight"),
+            round_half_up(F.min("w"), 6).alias("min_weight"),
+            round_half_up(
+                F.exp(F.sum("h_u") / 1000000.0 * F.log(F.lit(2.0))), 4
+            ).alias("effective_sources"),
+        )
+        .select(
+            F.col("temp").cast("double").alias("temperature"),
+            "max_weight",
+            "min_weight",
+            "effective_sources",
+        )
+        .orderBy("temperature")
+    )

@@ -198,6 +198,8 @@ HEADLINE = [
     "q290_horvitz_thompson",
     "q291_gain_chart",
     "q292_bloom_sizing_plan",
+    "q293_mixture_diversity",
+    "q294_temperature_sweep",
 ]
 
 

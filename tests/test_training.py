@@ -2015,3 +2015,33 @@ def test_q292_bloom_plan_matches_closed_form(spark):
         assert r["filter_bytes"] == math.floor(
             r["bits_per_key"] * r["n_keys"] / 8.0 + 0.5
         )
+
+
+def test_q293_diversity_bounds(spark):
+    """Effective sources must lie in [1, n_sources]; uniformity in
+    (0,1]; entropy bounded by log2(n)."""
+    import math
+
+    [r] = QUERY_REGISTRY["q293_mixture_diversity"].fn(spark, SF_SMOKE).collect()
+    n = r["n_sources"]
+    assert 1.0 <= r["effective_sources"] <= n + 1e-6
+    assert 0.0 < r["uniformity"] <= 1.0 + 1e-6
+    assert 0.0 <= r["share_entropy_bits"] <= math.log2(n) + 1e-4
+
+
+def test_q294_temperature_flattens_mixture(spark):
+    """Lower temperature must flatten the mixture: effective sources
+    non-increasing in T, max weight non-decreasing in T, min weight
+    non-increasing in T; T=1 reproduces natural shares."""
+    rows = sorted(
+        QUERY_REGISTRY["q294_temperature_sweep"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["temperature"],
+    )
+    assert [r["temperature"] for r in rows] == [0.3, 0.5, 0.7, 1.0]
+    for a, b in zip(rows, rows[1:]):
+        assert b["effective_sources"] <= a["effective_sources"] + 1e-6
+        assert b["max_weight"] >= a["max_weight"] - 1e-9
+        assert b["min_weight"] <= a["min_weight"] + 1e-9
+    nat = rows[-1]
+    [div] = QUERY_REGISTRY["q293_mixture_diversity"].fn(spark, SF_SMOKE).collect()
+    assert abs(nat["effective_sources"] - div["effective_sources"]) < 0.01
