@@ -9213,3 +9213,170 @@ def q294_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("temperature")
     )
+
+
+# ── q295: MRR / success@k for the BM25 ranker ────────────────────────────────
+
+
+def _q295_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    bm25 = _REGISTRY["q197_bm25_scoring"].sql
+    return f"""
+    WITH r AS ({bm25}),
+    lab AS (
+      SELECT term, doc_id, rank,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel
+      FROM r
+    ),
+    per AS (
+      SELECT term,
+             MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+             CAST(SUM(CASE WHEN rel = 1 AND rank <= 5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS rel_at5
+      FROM lab GROUP BY term
+    )
+    SELECT term,
+           CAST(COALESCE(first_rel, 0) AS INTEGER) AS first_relevant_rank,
+           FLOOR(COALESCE(1.0 / first_rel, 0.0) * 1000000 + 0.5) / 1000000
+             AS reciprocal_rank,
+           first_rel IS NOT NULL AND first_rel <= 5 AS success_at5,
+           rel_at5 AS n_relevant_at5
+    FROM per ORDER BY term
+    """
+
+
+@register(
+    "q295_mrr_success_at_k",
+    _q295_sql(),
+    doc="Per-query MRR ingredients and success@5 for the q197 BM25 "
+    "ranker under the same deterministic pseudo-relevance labeling the "
+    "nDCG eval uses (doc_id % 3 = 0 => relevant): first relevant rank, "
+    "its reciprocal, the binary success flag, and relevant-in-top-5 "
+    "counts — the two retrieval metrics (one graded: q235; two "
+    "binary: here) every ranker change is judged on. Averaging "
+    "reciprocal_rank over terms gives MRR.",
+)
+def q295_mrr_success_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: consumes q197's per-term top-10 (already postings-
+    bounded); the metric rollup is |terms| rows."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    r = _REGISTRY["q197_bm25_scoring"].fn(spark, sf_dir)
+    lab = r.select(
+        "term",
+        "rank",
+        F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0).alias("rel"),
+    )
+    per = lab.groupBy("term").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
+        F.sum(F.when((F.col("rel") == 1) & (F.col("rank") <= 5), 1).otherwise(0))
+        .cast("long")
+        .alias("rel_at5"),
+    )
+    return per.select(
+        "term",
+        F.coalesce(F.col("first_rel"), F.lit(0)).cast("int").alias(
+            "first_relevant_rank"
+        ),
+        round_half_up(
+            F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6
+        ).alias("reciprocal_rank"),
+        (F.col("first_rel").isNotNull() & (F.col("first_rel") <= 5)).alias(
+            "success_at5"
+        ),
+        F.col("rel_at5").alias("n_relevant_at5"),
+    ).orderBy("term")
+
+
+# ── q296: duplicate-quality interaction (point-biserial correlation) ─────────
+
+
+def _q296_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    pairs = _REGISTRY["q23_ngram_jaccard_dedup"].sql
+    model = _REGISTRY["q173_quality_logreg"].sql
+    return f"""
+    WITH nd AS ({pairs}),
+    m AS ({model}),
+    losers AS (SELECT DISTINCT doc_b AS doc_id FROM nd),
+    j AS (
+      SELECT CAST(FLOOR(m.quality_score * 10000 + 0.5) AS BIGINT) AS su,
+             CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+      FROM m LEFT JOIN losers k ON k.doc_id = m.doc_id
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(is_dup) AS BIGINT) AS n1,
+             CAST(SUM(su) AS BIGINT) AS sx,
+             CAST(SUM(su * su) AS BIGINT) AS sxx,
+             CAST(SUM(is_dup * su) AS BIGINT) AS sx1
+      FROM j
+    )
+    SELECT n AS n_docs, n1 AS n_duplicates,
+           FLOOR(sx1 * 1.0 / NULLIF(n1, 0) / 10000.0 * 1000000 + 0.5)
+             / 1000000 AS mean_quality_dups,
+           FLOOR((sx - sx1) * 1.0 / (n - n1) / 10000.0 * 1000000 + 0.5)
+             / 1000000 AS mean_quality_uniques,
+           FLOOR((n * sx1 - n1 * sx) * 1.0
+                 / SQRT((n * sxx - sx * sx) * 1.0 * (n * n1 - n1 * n1))
+                 * 1000000 + 0.5) / 1000000 AS point_biserial_r
+    FROM s
+    """
+
+
+@register(
+    "q296_dup_quality_correlation",
+    _q296_sql(),
+    doc="Does duplication correlate with quality? Point-biserial "
+    "correlation between the near-dup flag (q23 pair losers) and the q173 "
+    "quality score, computed entirely from five exact integer sums "
+    "(the Pearson identity with a binary variable) plus group means — "
+    "negative r says dups skew low-quality (dedup doubles as a "
+    "quality filter), r near 0 says the two filters are independent "
+    "and both earn their pass.",
+)
+def q296_dup_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one anti-flag join on doc_id and one 5-sum fold — the
+    whole statistic is a map-side-combinable aggregate."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    losers = (
+        _REGISTRY["q23_ngram_jaccard_dedup"].fn(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("loser", F.lit(1))
+    )
+    m = _REGISTRY["q173_quality_logreg"].fn(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("quality_score") * 10000 + 0.5).cast("long").alias("su"),
+    )
+    j = m.join(losers, "doc_id", "left").select(
+        "su", F.when(F.col("loser").isNotNull(), 1).otherwise(0).alias("is_dup")
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("is_dup").cast("long").alias("n1"),
+        F.sum("su").cast("long").alias("sx"),
+        F.sum(F.col("su") * F.col("su")).cast("long").alias("sxx"),
+        F.sum(F.col("is_dup") * F.col("su")).cast("long").alias("sx1"),
+    )
+    r = (F.col("n") * F.col("sx1") - F.col("n1") * F.col("sx")) * 1.0 / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * 1.0
+        * (F.col("n") * F.col("n1") - F.col("n1") * F.col("n1"))
+    )
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.col("n1").alias("n_duplicates"),
+        round_half_up(
+            F.col("sx1") * 1.0 / F.nullif(F.col("n1"), F.lit(0)) / 10000.0, 6
+        ).alias("mean_quality_dups"),
+        round_half_up(
+            (F.col("sx") - F.col("sx1")) * 1.0 / (F.col("n") - F.col("n1"))
+            / 10000.0,
+            6,
+        ).alias("mean_quality_uniques"),
+        round_half_up(r, 6).alias("point_biserial_r"),
+    )

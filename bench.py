@@ -200,6 +200,8 @@ HEADLINE = [
     "q292_bloom_sizing_plan",
     "q293_mixture_diversity",
     "q294_temperature_sweep",
+    "q295_mrr_success_at_k",
+    "q296_dup_quality_correlation",
 ]
 
 

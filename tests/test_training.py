@@ -2045,3 +2045,48 @@ def test_q294_temperature_flattens_mixture(spark):
     nat = rows[-1]
     [div] = QUERY_REGISTRY["q293_mixture_diversity"].fn(spark, SF_SMOKE).collect()
     assert abs(nat["effective_sources"] - div["effective_sources"]) < 0.01
+
+
+def test_q295_mrr_identities(spark):
+    """Reciprocal rank must be 1/first_relevant_rank (0 when no
+    relevant doc ranks), success implies first rank <= 5, and counts
+    match a recount from q197 + the labeling rule."""
+    import math
+    from collections import defaultdict
+
+    rows = QUERY_REGISTRY["q295_mrr_success_at_k"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    ranked = QUERY_REGISTRY["q197_bm25_scoring"].fn(spark, SF_SMOKE).collect()
+    per = defaultdict(list)
+    for x in ranked:
+        per[x["term"]].append((x["rank"], x["doc_id"] % 3 == 0))
+    for r in rows:
+        lst = sorted(per[r["term"]])
+        firsts = [rk for rk, rel in lst if rel]
+        if firsts:
+            assert r["first_relevant_rank"] == firsts[0]
+            assert r["reciprocal_rank"] == math.floor(1.0 / firsts[0] * 1e6 + 0.5) / 1e6
+        else:
+            assert r["first_relevant_rank"] == 0 and r["reciprocal_rank"] == 0.0
+        assert r["success_at5"] == bool(firsts and firsts[0] <= 5)
+        assert r["n_relevant_at5"] == sum(1 for rk, rel in lst if rel and rk <= 5)
+
+
+def test_q296_point_biserial_matches_numpy(spark):
+    """The correlation must equal numpy's Pearson r between the binary
+    near-dup flag and the quantized score."""
+    import numpy as np
+
+    [r] = QUERY_REGISTRY["q296_dup_quality_correlation"].fn(spark, SF_SMOKE).collect()
+    losers = {
+        x["doc_b"]
+        for x in QUERY_REGISTRY["q23_ngram_jaccard_dedup"].fn(spark, SF_SMOKE).collect()
+    }
+    m = QUERY_REGISTRY["q173_quality_logreg"].fn(spark, SF_SMOKE).collect()
+    xs = np.array([int(x["quality_score"] * 10000 + 0.5) for x in m], dtype=float)
+    ys = np.array([1.0 if x["doc_id"] in losers else 0.0 for x in m])
+    assert r["n_duplicates"] == int(ys.sum())
+    expect = np.corrcoef(xs, ys)[0, 1]
+    # note orientation: r is corr(is_dup, score)
+    assert abs(r["point_biserial_r"] - expect) < 2e-6
+    assert -1.0 <= r["point_biserial_r"] <= 1.0
