@@ -9380,3 +9380,370 @@ def q296_dup_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_quality_uniques"),
         round_half_up(r, 6).alias("point_biserial_r"),
     )
+
+
+# ── q297: Tukey-fence outliers per event type ────────────────────────────────
+
+
+@register(
+    "q297_tukey_fences",
+    """
+    WITH v AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+    ranked AS (
+      SELECT v.event_type, v.value, n.n,
+             ROW_NUMBER() OVER (PARTITION BY v.event_type
+               ORDER BY v.value) AS rn
+      FROM v JOIN n ON n.event_type = v.event_type
+    ),
+    q AS (
+      SELECT event_type, MAX(n) AS n,
+             MAX(CASE WHEN rn = CAST(CEIL(n * 0.25) AS BIGINT)
+                      THEN value END) AS q1,
+             MAX(CASE WHEN rn = CAST(CEIL(n * 0.75) AS BIGINT)
+                      THEN value END) AS q3
+      FROM ranked GROUP BY event_type
+    ),
+    fences AS (
+      SELECT event_type, n, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi
+      FROM q
+    )
+    SELECT f.event_type, f.n AS n_values,
+           FLOOR(f.q1 * 10000 + 0.5) / 10000 AS q1,
+           FLOOR(f.q3 * 10000 + 0.5) / 10000 AS q3,
+           FLOOR(f.lo * 10000 + 0.5) / 10000 AS fence_lo,
+           FLOOR(f.hi * 10000 + 0.5) / 10000 AS fence_hi,
+           CAST(SUM(CASE WHEN v.value < f.lo OR v.value > f.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM fences f JOIN v ON v.event_type = f.event_type
+    GROUP BY f.event_type, f.n, f.q1, f.q3, f.lo, f.hi
+    ORDER BY f.event_type
+    """,
+    doc="Tukey-fence outlier screen: per event type, exact Q1/Q3 order "
+    "statistics (rank = ceil(q*n); rank ties share the value, so the "
+    "statistic is order-free), the 1.5-IQR fences, and the count of "
+    "values outside them — the box-plot EDA readout that needs no "
+    "distributional assumption, complementing the z-based (q224) and "
+    "MAD-based (q132) screens.",
+)
+def q297_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per-type grouped rank (five partitions, one shuffle) plus
+    one fence-count re-scan with broadcast fences; GK quantiles replace
+    the exact ranks at extreme row counts (q80's knob)."""
+    v = load_table(spark, sf_dir, "events").select("event_type", "value").filter(
+        F.col("value").isNotNull()
+    )
+    n = v.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = v.join(F.broadcast(n), "event_type").withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("value"))
+    )
+    q = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.25).cast("long"), F.col("value"))
+        ).alias("q1"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.75).cast("long"), F.col("value"))
+        ).alias("q3"),
+    )
+    fences = q.select(
+        "event_type",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        v.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "n", "q1", "q3", "lo", "hi")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo"))
+                    | (F.col("value") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_values"),
+            round_half_up(F.col("q1"), 4).alias("q1"),
+            round_half_up(F.col("q3"), 4).alias("q3"),
+            round_half_up(F.col("lo"), 4).alias("fence_lo"),
+            round_half_up(F.col("hi"), 4).alias("fence_hi"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ── q298: cross-table freshness audit ────────────────────────────────────────
+
+
+@register(
+    "q298_freshness_audit",
+    """
+    WITH per AS (
+      SELECT 'events' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MAX(ts) AS DATE) AS newest FROM events
+      UNION ALL
+      SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+             CAST(MAX(o_orderdate) AS DATE) FROM orders
+      UNION ALL
+      SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+             CAST(MAX(l_shipdate) AS DATE) FROM lineitem
+    ),
+    ref AS (SELECT MAX(newest) AS now FROM per)
+    SELECT p.table_name, p.n_rows, p.newest,
+           CAST(date_diff('day', p.newest, r.now) AS BIGINT) AS age_days,
+           date_diff('day', p.newest, r.now) > 30 AS is_stale
+    FROM per p CROSS JOIN ref r
+    ORDER BY p.table_name
+    """,
+    doc="Cross-table freshness audit: newest timestamp per time-bearing "
+    "table against the lake-wide newest as the reference clock, with a "
+    "30-day staleness flag — the runbook's 'is raw/ current?' check "
+    "(docs/runbook.md freshness step) as one query over the catalog "
+    "instead of three manual ones.",
+)
+def q298_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one max/count aggregate per table (metadata-cheap; parquet
+    footers could answer max() without a scan) unioned into a 3-row
+    relation."""
+    ev = load_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.max(F.col("ts").cast("date")).alias("newest"),
+    ).select(F.lit("events").alias("table_name"), "n_rows", "newest")
+    o = load_table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.max(F.col("o_orderdate").cast("date")).alias("newest"),
+    ).select(F.lit("orders").alias("table_name"), "n_rows", "newest")
+    li = load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.max(F.col("l_shipdate").cast("date")).alias("newest"),
+    ).select(F.lit("lineitem").alias("table_name"), "n_rows", "newest")
+    per = ev.unionByName(o).unionByName(li)
+    ref = per.agg(F.max("newest").alias("now"))
+    return (
+        per.crossJoin(F.broadcast(ref))
+        .select(
+            "table_name",
+            "n_rows",
+            "newest",
+            F.datediff("now", "newest").cast("long").alias("age_days"),
+            (F.datediff("now", "newest") > 30).alias("is_stale"),
+        )
+        .orderBy("table_name")
+    )
+
+
+# ── q299: Spearman rank agreement between the two quality scorers ────────────
+
+
+def _q299_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    model = _REGISTRY["q173_quality_logreg"].sql
+    lm = _REGISTRY["q92_unigram_logprob"].sql
+    return f"""
+    WITH m AS ({model}),
+    l AS ({lm}),
+    j AS MATERIALIZED (
+      SELECT m.doc_id,
+             CAST(FLOOR(m.quality_score * 10000 + 0.5) AS BIGINT) AS s1,
+             CAST(FLOOR(l.avg_logprob * 10000 + 0.5) AS BIGINT) AS s2
+      FROM m JOIN l ON l.doc_id = m.doc_id
+    ),
+    h1 AS (
+      SELECT s1, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(2 * COALESCE(SUM(COUNT(*)) OVER (ORDER BY s1
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + COUNT(*) + 1 AS BIGINT) AS r2x
+      FROM j GROUP BY s1
+    ),
+    h2 AS (
+      SELECT s2, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(2 * COALESCE(SUM(COUNT(*)) OVER (ORDER BY s2
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + COUNT(*) + 1 AS BIGINT) AS r2x
+      FROM j GROUP BY s2
+    ),
+    rr AS (
+      SELECT h1.r2x AS x, h2.r2x AS y
+      FROM j JOIN h1 ON h1.s1 = j.s1 JOIN h2 ON h2.s2 = j.s2
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM rr
+    )
+    SELECT n AS n_docs,
+           FLOOR((n * sxy - sx * sy) * 1.0
+                 / SQRT((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+                 * 1000000 + 0.5) / 1000000 AS spearman_rho
+    FROM s
+    """
+
+
+@register(
+    "q299_scorer_rank_agreement",
+    _q299_sql(),
+    doc="Spearman rank correlation between the engine's two quality "
+    "scorers (q173 logistic features vs q92 unigram-LM logprob), "
+    "computed from HISTOGRAM MIDRANKS (doubled to stay integer, the "
+    "q240 tie rule) broadcast back onto docs — so the rank transform "
+    "never globally sorts the corpus — then the exact-integer Pearson "
+    "identity. The monotone-agreement complement to q231's "
+    "threshold-level kappa: high rho + low kappa means the scorers "
+    "agree on ORDER but the thresholds are mis-aligned.",
+)
+def q299_scorer_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two score histograms (bounded by score resolution), two
+    broadcast joins to attach midranks, one 6-sum fold. No corpus-wide
+    rank window anywhere."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    m = _REGISTRY["q173_quality_logreg"].fn(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("quality_score") * 10000 + 0.5).cast("long").alias("s1"),
+    )
+    l = _REGISTRY["q92_unigram_logprob"].fn(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("avg_logprob") * 10000 + 0.5).cast("long").alias("s2"),
+    )
+    j = m.join(l, "doc_id").select("s1", "s2")
+
+    def midranks(col):
+        h = j.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return h.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            )
+            .cast("long")
+            .alias(f"r_{col}"),
+        )
+    rr = (
+        j.join(F.broadcast(midranks("s1")), "s1")
+        .join(F.broadcast(midranks("s2")), "s2")
+        .select(F.col("r_s1").alias("x"), F.col("r_s2").alias("y"))
+    )
+    s = rr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * 1.0
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").alias("n_docs"), round_half_up(rho, 6).alias("spearman_rho")
+    )
+
+
+# ── q300: corpus health scorecard (the one-row executive summary) ────────────
+
+
+def _q300_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    pairs = _REGISTRY["q23_ngram_jaccard_dedup"].sql
+    model = _REGISTRY["q173_quality_logreg"].sql
+    div = _REGISTRY["q293_mixture_diversity"].sql
+    return f"""
+    WITH nd AS ({pairs}),
+    m AS ({model}),
+    dv AS ({div}),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+    ),
+    dup AS (SELECT CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_dup FROM nd),
+    q AS (
+      SELECT CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass,
+             CAST(COUNT(*) AS BIGINT) AS n_scored
+      FROM m
+    )
+    SELECT b.n_docs, b.total_chars,
+           FLOOR(d.n_dup * 1.0 / b.n_docs * 1000000 + 0.5) / 1000000
+             AS near_dup_rate,
+           FLOOR(q.n_pass * 1.0 / q.n_scored * 1000000 + 0.5) / 1000000
+             AS quality_pass_rate,
+           v.effective_sources,
+           FLOOR(b.total_chars * 1.0 / b.n_docs * 100 + 0.5) / 100
+             AS mean_chars
+    FROM base b CROSS JOIN dup d CROSS JOIN q CROSS JOIN dv v
+    """
+
+
+@register(
+    "q300_corpus_scorecard",
+    _q300_sql(),
+    doc="The corpus health scorecard: size, near-duplicate rate (q23 "
+    "losers), quality pass rate (q173), effective source count (q293) "
+    "and mean document length in ONE certified row — the executive "
+    "summary line a q200 dataset card leads with, every number "
+    "backed by an already-audited component query.",
+)
+def q300_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each component is its audited query; the scorecard adds
+    four scalar folds and broadcast cross joins."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    base = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    dup = (
+        _REGISTRY["q23_ngram_jaccard_dedup"].fn(spark, sf_dir)
+        .agg(F.countDistinct("doc_b").cast("long").alias("n_dup"))
+    )
+    q = _REGISTRY["q173_quality_logreg"].fn(spark, sf_dir).agg(
+        F.sum(F.when(F.col("quality_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+    )
+    dv = _REGISTRY["q293_mixture_diversity"].fn(spark, sf_dir).select(
+        "effective_sources"
+    )
+    return (
+        base.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(dv))
+        .select(
+            "n_docs",
+            "total_chars",
+            round_half_up(F.col("n_dup") * 1.0 / F.col("n_docs"), 6).alias(
+                "near_dup_rate"
+            ),
+            round_half_up(F.col("n_pass") * 1.0 / F.col("n_scored"), 6).alias(
+                "quality_pass_rate"
+            ),
+            "effective_sources",
+            round_half_up(
+                F.col("total_chars") * 1.0 / F.col("n_docs"), 2
+            ).alias("mean_chars"),
+        )
+    )

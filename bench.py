@@ -202,6 +202,10 @@ HEADLINE = [
     "q294_temperature_sweep",
     "q295_mrr_success_at_k",
     "q296_dup_quality_correlation",
+    "q297_tukey_fences",
+    "q298_freshness_audit",
+    "q299_scorer_rank_agreement",
+    "q300_corpus_scorecard",
 ]
 
 

@@ -2090,3 +2090,101 @@ def test_q296_point_biserial_matches_numpy(spark):
     # note orientation: r is corr(is_dup, score)
     assert abs(r["point_biserial_r"] - expect) < 2e-6
     assert -1.0 <= r["point_biserial_r"] <= 1.0
+
+
+def test_q297_fences_contain_iqr(spark):
+    """Q1 <= Q3, fences bracket the quartiles, and the outlier count
+    matches a Python recount for one event type."""
+    rows = QUERY_REGISTRY["q297_tukey_fences"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["q1"] <= r["q3"]
+        assert r["fence_lo"] <= r["q1"] and r["fence_hi"] >= r["q3"]
+        assert 0 <= r["n_outliers"] < r["n_values"]
+    import math
+
+    et = rows[0]["event_type"]
+    vals = sorted(
+        v["value"]
+        for v in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+        if v["event_type"] == et and v["value"] is not None
+    )
+    n = len(vals)
+    q1 = vals[math.ceil(n * 0.25) - 1]
+    q3 = vals[math.ceil(n * 0.75) - 1]
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    assert rows[0]["n_outliers"] == sum(1 for v in vals if v < lo or v > hi)
+
+
+def test_q298_freshness_reference_is_newest(spark):
+    """Exactly one table has age 0 (the reference clock); ages are
+    non-negative; row counts match the tables."""
+    rows = QUERY_REGISTRY["q298_freshness_audit"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 3
+    assert sum(1 for r in rows if r["age_days"] == 0) >= 1
+    for r in rows:
+        assert r["age_days"] >= 0
+        assert r["is_stale"] == (r["age_days"] > 30)
+    ev = next(r for r in rows if r["table_name"] == "events")
+    assert ev["n_rows"] == spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+
+
+def test_q299_spearman_matches_scipy_free(spark):
+    """The histogram-midrank Spearman must equal a Python midrank
+    Pearson recompute."""
+    import numpy as np
+
+    [r] = QUERY_REGISTRY["q299_scorer_rank_agreement"].fn(spark, SF_SMOKE).collect()
+    m = {
+        x["doc_id"]: int(x["quality_score"] * 10000 + 0.5)
+        for x in QUERY_REGISTRY["q173_quality_logreg"].fn(spark, SF_SMOKE).collect()
+    }
+    l = {
+        x["doc_id"]: int(round(x["avg_logprob"] * 10000 + (0.5 if x["avg_logprob"] >= 0 else -0.5)))
+        for x in QUERY_REGISTRY["q92_unigram_logprob"].fn(spark, SF_SMOKE).collect()
+    }
+    import math
+
+    l = {
+        x["doc_id"]: math.floor(x["avg_logprob"] * 10000 + 0.5)
+        for x in QUERY_REGISTRY["q92_unigram_logprob"].fn(spark, SF_SMOKE).collect()
+    }
+    ids = sorted(set(m) & set(l))
+    s1 = np.array([m[d] for d in ids], dtype=float)
+    s2 = np.array([l[d] for d in ids], dtype=float)
+
+    def midrank(a):
+        order = a.argsort(kind="stable")
+        ranks = np.empty(len(a))
+        import collections
+
+        cnt = collections.Counter(a)
+        cum = {}
+        tot = 0
+        for v in sorted(cnt):
+            cum[v] = tot
+            tot += cnt[v]
+        return np.array([2 * cum[v] + cnt[v] + 1 for v in a], dtype=float)
+
+    rho = np.corrcoef(midrank(s1), midrank(s2))[0, 1]
+    assert abs(r["spearman_rho"] - rho) < 2e-6
+    assert r["n_docs"] == len(ids)
+
+
+def test_q300_scorecard_components_match(spark):
+    """Every scorecard number must match its component query."""
+    [r] = QUERY_REGISTRY["q300_corpus_scorecard"].fn(spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert r["n_docs"] == n_docs
+    losers = {
+        x["doc_b"]
+        for x in QUERY_REGISTRY["q23_ngram_jaccard_dedup"].fn(spark, SF_SMOKE).collect()
+    }
+    import math
+
+    assert r["near_dup_rate"] == math.floor(len(losers) / n_docs * 1e6 + 0.5) / 1e6
+    [dv] = QUERY_REGISTRY["q293_mixture_diversity"].fn(spark, SF_SMOKE).collect()
+    assert r["effective_sources"] == dv["effective_sources"]
+    assert 0.0 < r["quality_pass_rate"] < 1.0
