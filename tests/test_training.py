@@ -2141,10 +2141,6 @@ def test_q299_spearman_matches_scipy_free(spark):
         x["doc_id"]: int(x["quality_score"] * 10000 + 0.5)
         for x in QUERY_REGISTRY["q173_quality_logreg"].fn(spark, SF_SMOKE).collect()
     }
-    l = {
-        x["doc_id"]: int(round(x["avg_logprob"] * 10000 + (0.5 if x["avg_logprob"] >= 0 else -0.5)))
-        for x in QUERY_REGISTRY["q92_unigram_logprob"].fn(spark, SF_SMOKE).collect()
-    }
     import math
 
     l = {
@@ -2156,8 +2152,6 @@ def test_q299_spearman_matches_scipy_free(spark):
     s2 = np.array([l[d] for d in ids], dtype=float)
 
     def midrank(a):
-        order = a.argsort(kind="stable")
-        ranks = np.empty(len(a))
         import collections
 
         cnt = collections.Counter(a)
