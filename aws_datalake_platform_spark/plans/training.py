@@ -9747,3 +9747,205 @@ def q300_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_chars"),
         )
     )
+
+
+# ── q301: distinctive vocabulary per source (log-odds, Dirichlet prior) ──────
+
+_Q301_ALPHA = "0.01"  # per-word Dirichlet pseudo-count
+_Q301_TOP = 3
+
+
+def _q301_sql() -> str:
+    a = _Q301_ALPHA
+    return rf"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+'))
+               AS term
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    cnt AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS y
+      FROM tok GROUP BY source, term
+    ),
+    vocab AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM cnt),
+    totals AS (SELECT source, CAST(SUM(y) AS BIGINT) AS n FROM cnt GROUP BY source),
+    grand AS (
+      SELECT term, CAST(SUM(y) AS BIGINT) AS yt FROM cnt GROUP BY term
+    ),
+    alln AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM totals),
+    z AS (
+      SELECT c.source, c.term, c.y,
+             (LN((c.y + {a}) / (t.n + {a} * v.v - c.y - {a}))
+              - LN((g.yt - c.y + {a})
+                   / (an.nt - t.n + {a} * v.v - (g.yt - c.y) - {a})))
+             / SQRT(1.0 / (c.y + {a}) + 1.0 / (g.yt - c.y + {a})) AS zscore
+      FROM cnt c
+      JOIN totals t ON t.source = c.source
+      JOIN grand g ON g.term = c.term
+      CROSS JOIN vocab v CROSS JOIN alln an
+    )
+    SELECT source, term, y AS n_occurrences,
+           FLOOR(zscore * 10000 + 0.5) / 10000 AS log_odds_z,
+           CAST(rk AS INTEGER) AS distinct_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY zscore DESC, term) AS rk FROM z) t
+    WHERE rk <= {_Q301_TOP}
+    ORDER BY source, distinct_rank
+    """
+
+
+@register(
+    "q301_fightin_words",
+    _q301_sql(),
+    doc="Distinctive vocabulary per source via the Monroe et al. "
+    "'Fightin' Words' log-odds ratio with an informative Dirichlet "
+    "prior: each (source, term) scored against the REST of the corpus "
+    "with variance-standardized log-odds, top-3 per source — the "
+    "corpus-comparison readout that beats raw TF-IDF for 'what makes "
+    "this slice different' because the prior shrinks rare-word noise. "
+    "Counts are exact integers feeding EXP/LN chains (q159 parity "
+    "class).",
+)
+def q301_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one (source, term) aggregate (map-side combinable), a
+    term-marginal join keyed on term (vocabulary-bounded), and tiny
+    broadcast scalars; the per-source rank runs over the count
+    relation."""
+    a = float(_Q301_ALPHA)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    cnt = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+                "term"
+            ),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    vocab = cnt.agg(F.countDistinct("term").cast("long").alias("v"))
+    totals = cnt.groupBy("source").agg(F.sum("y").cast("long").alias("n"))
+    grand = cnt.groupBy("term").agg(F.sum("y").cast("long").alias("yt"))
+    alln = totals.agg(F.sum("n").cast("long").alias("nt"))
+    num1 = (F.col("y") + a) / (
+        F.col("n") + a * F.col("v") - F.col("y") - F.lit(a)
+    )
+    num2 = (F.col("yt") - F.col("y") + a) / (
+        F.col("nt")
+        - F.col("n")
+        + a * F.col("v")
+        - (F.col("yt") - F.col("y"))
+        - F.lit(a)
+    )
+    zscore = (F.log(num1) - F.log(num2)) / F.sqrt(
+        1.0 / (F.col("y") + a) + 1.0 / (F.col("yt") - F.col("y") + a)
+    )
+    z = (
+        cnt.join(F.broadcast(totals), "source")
+        .join(grand, "term")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(alln))
+        .withColumn("zscore", zscore)
+    )
+    return (
+        z.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("zscore").desc(), "term"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _Q301_TOP)
+        .select(
+            "source",
+            "term",
+            F.col("y").alias("n_occurrences"),
+            round_half_up(F.col("zscore"), 4).alias("log_odds_z"),
+            F.col("rk").cast("int").alias("distinct_rank"),
+        )
+        .orderBy("source", "distinct_rank")
+    )
+
+
+# ── q302: Lorenz curve of customer revenue concentration ─────────────────────
+
+
+@register(
+    "q302_lorenz_curve",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS tc FROM rev),
+    ranked AS (
+      SELECT cents,
+             NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM rev
+    ),
+    per AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM ranked GROUP BY decile
+    )
+    SELECT CAST(p.decile AS INTEGER) AS decile, p.n_customers,
+           FLOOR(SUM(p.n_customers) OVER (ORDER BY p.decile) * 1.0 / n.n
+                 * 1000000 + 0.5) / 1000000 AS cum_customer_share,
+           FLOOR(SUM(p.cents) OVER (ORDER BY p.decile) * 1.0 / n.tc
+                 * 1000000 + 0.5) / 1000000 AS cum_revenue_share
+    FROM per p CROSS JOIN n
+    ORDER BY decile
+    """,
+    doc="Lorenz curve of customer revenue: customers ranked poorest-"
+    "first into deciles, cumulative customer share vs cumulative "
+    "revenue share — the curve whose area doubles into q180's Gini, "
+    "kept as points because 'the top decile holds X% of revenue' is "
+    "what the business actually asks. Exact integer cents; windows "
+    "run over customer-level then 10-row relations.",
+)
+def q302_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one customer rollup; the NTILE orders the customer
+    relation (dimension-scale; histogram boundaries at extreme counts
+    — q240's note); the curve is a 10-row cumulative window."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    n = rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("tc"),
+    )
+    ranked = rev.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("decile"),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(n))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            round_half_up(
+                F.sum("n_customers").over(wc) * 1.0 / F.col("n"), 6
+            ).alias("cum_customer_share"),
+            round_half_up(
+                F.sum("cents").over(wc) * 1.0 / F.col("tc"), 6
+            ).alias("cum_revenue_share"),
+        )
+        .orderBy("decile")
+    )

@@ -206,6 +206,8 @@ HEADLINE = [
     "q298_freshness_audit",
     "q299_scorer_rank_agreement",
     "q300_corpus_scorecard",
+    "q301_fightin_words",
+    "q302_lorenz_curve",
 ]
 
 

@@ -2182,3 +2182,68 @@ def test_q300_scorecard_components_match(spark):
     [dv] = QUERY_REGISTRY["q293_mixture_diversity"].fn(spark, SF_SMOKE).collect()
     assert r["effective_sources"] == dv["effective_sources"]
     assert 0.0 < r["quality_pass_rate"] < 1.0
+
+
+def test_q301_distinctive_terms_positive_z(spark):
+    """Top distinctive terms must carry positive z (over-represented in
+    their source), shelves are ranked descending, and the z formula
+    matches a Python recompute for one row."""
+    import math
+    from collections import Counter, defaultdict
+
+    rows = QUERY_REGISTRY["q301_fightin_words"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    per = defaultdict(list)
+    for r in rows:
+        per[r["source"]].append((r["distinct_rank"], r["log_odds_z"]))
+        assert r["log_odds_z"] > 0
+    for src, lst in per.items():
+        lst.sort()
+        zs = [x[1] for x in lst]
+        assert zs == sorted(zs, reverse=True)
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "text")
+        .filter("length(trim(text)) > 0")
+        .collect()
+    )
+    cnt = defaultdict(Counter)
+    for d in docs:
+        cnt[d["source"]].update(d["text"].strip().lower().split())
+    grand = Counter()
+    tot = {}
+    for s, c in cnt.items():
+        grand.update(c)
+        tot[s] = sum(c.values())
+    V = len(grand)
+    NT = sum(tot.values())
+    a = 0.01
+    r = rows[0]
+    y = cnt[r["source"]][r["term"]]
+    n = tot[r["source"]]
+    yt = grand[r["term"]]
+    num1 = (y + a) / (n + a * V - y - a)
+    num2 = (yt - y + a) / (NT - n + a * V - (yt - y) - a)
+    z = (math.log(num1) - math.log(num2)) / math.sqrt(
+        1.0 / (y + a) + 1.0 / (yt - y + a)
+    )
+    assert r["n_occurrences"] == y
+    assert r["log_odds_z"] == math.floor(z * 1e4 + 0.5) / 1e4
+
+
+def test_q302_lorenz_convexity(spark):
+    """The Lorenz curve must be convex (revenue share grows slower than
+    customer share on the left), end at (1,1), and stay below the
+    diagonal everywhere except the end."""
+    rows = sorted(
+        QUERY_REGISTRY["q302_lorenz_curve"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert abs(rows[-1]["cum_customer_share"] - 1.0) < 1e-6
+    assert abs(rows[-1]["cum_revenue_share"] - 1.0) < 1e-6
+    prev = 0.0
+    for r in rows[:-1]:
+        assert r["cum_revenue_share"] <= r["cum_customer_share"] + 1e-6
+        assert r["cum_revenue_share"] >= prev
+        prev = r["cum_revenue_share"]
