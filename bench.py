@@ -12,6 +12,7 @@ that pays JVM/codegen first-run costs.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -283,17 +284,61 @@ def main() -> None:
             timings[name] = round(min(elapsed, timings.get(name, elapsed)), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Round-over-round comparison: geometric mean of per-query ratios vs the
+    # previously committed bench_full.json (shared queries only). Loaded
+    # BEFORE we overwrite the file below.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    geomean_vs_prev = None
+    try:
+        with open(full_path) as fh:
+            prev_full = json.load(fh)
+        # only compare same-scale runs — a dev run at sf0.001 must not
+        # pollute the round-over-round ratio
+        prev = prev_full.get("queries", {}) if prev_full.get("sf") == sf_val else {}
+        logs = [
+            math.log(timings[q] / prev[q])
+            for q in timings
+            if q in prev and prev[q] > 0 and timings[q] > 0
+        ]
+        if logs:
+            geomean_vs_prev = round(math.exp(sum(logs) / len(logs)), 4)
+    except (OSError, ValueError, KeyError):
+        pass
+
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "passes": passes,
+        "timing": "per-query min across warm passes (cache cleared "
+        "before each timed query; warmup pass excluded)",
+        "sf": sf_val,
+        "geomean_vs_prev": geomean_vs_prev,
+    }
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    # The driver keeps only the last ~2000 chars of stdout; the full
+    # 150+-query dict overflows that, so the ONE stdout line is a compact
+    # summary (top-10 slowest as the "queries" sample) and the complete
+    # per-query/per-pass detail lives in bench_full.json (committed).
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
+                "value": full["value"],
                 "unit": "sec",
-                "queries": timings,
-                "passes": passes,
-                "timing": "per-query min across warm passes (cache cleared "
-                "before each timed query; warmup pass excluded)",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "geomean_vs_prev": geomean_vs_prev,
+                "queries": slowest,
+                "queries_truncated": True,
+                "full": "bench_full.json",
             }
         )
     )
