@@ -74,6 +74,25 @@ def _build_parser() -> argparse.ArgumentParser:
     bf.add_argument("--all", action="store_true",
                     help="print present partitions too (default: only gaps)")
 
+    mat = sub.add_parser(
+        "materialize",
+        help="compute the dedup relations once (MinHash/SimHash/n-gram "
+        "pairs + cluster labels) and commit each via the snapshot store",
+    )
+    mat.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    mat.add_argument("--index", required=True, help="index root directory")
+
+    aud = sub.add_parser(
+        "audit",
+        help="run the dedup audit queries (q214/q243/q277/q300 twins) "
+        "from a materialized index — no detector re-runs",
+    )
+    aud.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    aud.add_argument("--index", required=True)
+    aud.add_argument("--version", type=int, default=None,
+                     help="time-travel: audit an older index version")
+    aud.add_argument("--limit", type=int, default=20)
+
     snap = sub.add_parser(
         "snapshots", help="snapshot store: history / time-travel / rollback / expire"
     )
@@ -202,14 +221,28 @@ def _quality_report(spark, sf_dir: str) -> int:
     certified registry query — the CLI only sequences and formats."""
     from .plans.queries import QUERY_REGISTRY
 
+    def _one(name: str):
+        # Single-row summary queries return zero rows — or one all-NULL
+        # row (global aggregate over an empty relation) — on an empty or
+        # truncated lake; degrade to a per-section message instead of
+        # dying on an unpack/format error (ADVICE r6).
+        rows = QUERY_REGISTRY[name].fn(spark, sf_dir).collect()
+        # any NULL field breaks the section's format strings, and on a
+        # real lake these summary rows are fully populated
+        if not rows or any(v is None for v in rows[0].asDict().values()):
+            print("  (no data — section skipped)\n")
+            return None
+        return rows[0]
+
     print(f"# Corpus quality report — {sf_dir}\n")
 
     print("## Quality model discrimination (q240: ROC AUC vs rule gate)")
-    [auc] = QUERY_REGISTRY["q240_roc_auc"].fn(spark, sf_dir).collect()
-    print(
-        f"  AUC {auc['auc']:.4f}  Gini {auc['gini']:.4f}  "
-        f"(pos {auc['n_pos']}, neg {auc['n_neg']})\n"
-    )
+    auc = _one("q240_roc_auc")
+    if auc is not None:
+        print(
+            f"  AUC {auc['auc']:.4f}  Gini {auc['gini']:.4f}  "
+            f"(pos {auc['n_pos']}, neg {auc['n_neg']})\n"
+        )
 
     print("## Calibration by score decile (q239)")
     for r in QUERY_REGISTRY["q239_calibration_brier"].fn(spark, sf_dir).collect():
@@ -220,16 +253,18 @@ def _quality_report(spark, sf_dir: str) -> int:
         )
 
     print("\n## Filter agreement (q231: rule gate vs LM filter, Cohen's kappa)")
-    [k] = QUERY_REGISTRY["q231_quality_gate_agreement"].fn(spark, sf_dir).collect()
-    cols = ", ".join(f"{c}={k[c]}" for c in k.asDict() if c != "n_docs")
-    print(f"  n={k['n_docs']}  {cols}\n")
+    k = _one("q231_quality_gate_agreement")
+    if k is not None:
+        cols = ", ".join(f"{c}={k[c]}" for c in k.asDict() if c != "n_docs")
+        print(f"  n={k['n_docs']}  {cols}\n")
 
     print("## Source x quality independence (q245: chi-square)")
-    [c2] = QUERY_REGISTRY["q245_source_quality_chi2"].fn(spark, sf_dir).collect()
-    print(
-        f"  chi2 {c2['chi2']:.2f}  dof {c2['dof']}  "
-        f"Cramer's V {c2['cramers_v']:.4f}\n"
-    )
+    c2 = _one("q245_source_quality_chi2")
+    if c2 is not None:
+        print(
+            f"  chi2 {c2['chi2']:.2f}  dof {c2['dof']}  "
+            f"Cramer's V {c2['cramers_v']:.4f}\n"
+        )
 
     print("## Language metadata audit (q242: stored lang vs predictor)")
     mism = 0.0
@@ -644,6 +679,24 @@ def main(argv: list[str] | None = None) -> int:
         else:
             for m in zone_maps(args.path, [args.column]):
                 print(m)
+        return 0
+
+    if args.cmd == "materialize":
+        from .pipelines.audit_index import materialize_dedup_index
+
+        report = materialize_dedup_index(spark, args.sf_dir, args.index)
+        for table, info in report.items():
+            print(f"{table}: version {info['version']}  rows {info['n_rows']}")
+        return 0
+
+    if args.cmd == "audit":
+        from .pipelines.audit_index import FROM_INDEX_AUDITS
+
+        for name, fn in FROM_INDEX_AUDITS.items():
+            print(f"## {name} (from index)")
+            fn(spark, args.sf_dir, args.index, args.version).show(
+                args.limit, truncate=False
+            )
         return 0
 
     if args.cmd == "snapshots":

@@ -69,6 +69,17 @@ def curate_corpus(
     from ..operators.quality import contamination_pairs
     from ..operators.sampling import stratified_sample
 
+    # The semantic stage needs BOTH an embeddings frame and a threshold;
+    # passing exactly one used to silently skip the stage with no signal
+    # (n_pre_semantic stays None, same as "stage off") — fail loud
+    # instead (ADVICE r6).
+    if (embeddings is None) != (semantic_threshold is None):
+        missing = "embeddings" if embeddings is None else "semantic_threshold"
+        raise ValueError(
+            "semantic dedup needs both `embeddings` and `semantic_threshold`; "
+            f"`{missing}` was not provided, so the stage would silently no-op"
+        )
+
     n_raw = docs.count()
 
     # 1. exact dedup (hash-groupBy, one shuffle on the fingerprint)

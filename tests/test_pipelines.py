@@ -1228,6 +1228,15 @@ def test_corpus_pipeline_semantic_stage_learned_centroids(spark):
     assert r0["n_before_semantic"] is None
     assert r0["n_final"] == n_total
 
+    # half-configured stage fails loud instead of silently no-opping
+    # (ADVICE r6): threshold without embeddings, and vice versa
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="embeddings"):
+        curate_corpus(spark, docs, semantic_threshold=0.97)
+    with _pytest.raises(ValueError, match="semantic_threshold"):
+        curate_corpus(spark, docs, embeddings=emb)
+
 
 def test_cli_search_end_to_end(spark, capsys):
     """`search` composes the retrieval story on a stored snapshot:
@@ -1316,3 +1325,19 @@ def test_cli_quality_report(spark, capsys):
     assert "kappa=" in out
     assert "chi2" in out and "Cramer's V" in out
     assert "Language metadata audit" in out and "disagrees" in out
+
+
+def test_cli_quality_report_empty_lake(spark, capsys, tmp_path):
+    """An empty lake degrades to per-section 'no data' messages instead
+    of dying on a single-row unpack (ADVICE r6): the single-row summary
+    queries (AUC, kappa, chi-square) return zero rows when documents is
+    empty."""
+    from aws_datalake_platform_spark.__main__ import main
+
+    empty = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(0)
+    empty.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    assert main(["quality-report", "--sf-dir", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "no data" in out
+    assert "Corpus quality report" in out
