@@ -1,0 +1,156 @@
+"""Materialized dedup-audit layer.
+
+The dedup audit family (q214 cluster histogram, q243 golden record,
+q277 detector agreement, q300 corpus scorecard) consumes three expensive
+relations — MinHash-LSH pairs (q24), SimHash pairs (q25), n-gram Jaccard
+pairs (q23) — plus the connected-components cluster labels derived from
+the MinHash pairs (q68). Re-running the detectors for every audit is the
+exploratory mode; a production platform computes each relation ONCE per
+corpus snapshot, persists it, and re-aggregates the stored relation.
+
+``materialize_dedup_index`` runs each detector once and commits its
+output through the snapshot store (operators/snapshots.py — versioned,
+time-travelable, same manifest machinery as every other table). The
+cluster relation is derived FROM the stored pair relation, so the LSH
+pass runs exactly once even though two relations depend on it.
+
+The ``*_from_index`` twins produce bit-identical results to their fresh
+counterparts (pinned by tests/test_audit_index.py) while reading only
+the materialized relations + column-pruned document metadata — at 100 TB
+the audits drop from corpus-sized LSH re-runs to re-aggregations of
+relations bounded by the duplicate mass.
+
+Mirrors the reference's pattern of persisting derived tables for the
+serving layer (reference: glue_jobs/transform.py writes curated parquet
+once; Athena queries re-read it) applied to dedup relations.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.snapshots import read_snapshot, write_snapshot
+
+# index tables: name -> the registry query whose output is materialized
+INDEX_SOURCES = {
+    "minhash_pairs": "q24_minhash_lsh_dedup",
+    "simhash_pairs": "q25_simhash_dedup",
+    "ngram_pairs": "q23_ngram_jaccard_dedup",
+}
+DERIVED_TABLES = ("dup_clusters",)  # from stored minhash_pairs, not the corpus
+
+
+def _table_path(index_dir: str, name: str) -> str:
+    return os.path.join(index_dir, name)
+
+
+def materialize_dedup_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> dict[str, dict[str, int]]:
+    """Compute the dedup relations once and commit each as a snapshot.
+
+    Returns {table: {"version": v, "n_rows": n}}. Re-running appends a
+    new version per table (overwrite-mode snapshot: latest wins, old
+    versions stay time-travelable / rollback-able).
+    """
+    from ..operators.dedup import connected_components
+    from ..plans.queries import QUERY_REGISTRY
+
+    report: dict[str, dict[str, int]] = {}
+    for table, query in INDEX_SOURCES.items():
+        df = QUERY_REGISTRY[query].fn(spark, sf_dir)
+        path = _table_path(index_dir, table)
+        version = write_snapshot(df, path)
+        n = read_snapshot(spark, path).count()
+        report[table] = {"version": version, "n_rows": n}
+
+    # clusters derive from the STORED pair relation: the LSH pass above
+    # ran once; connected components is per-round equi-join + min-agg
+    # over the (tiny) pair relation only.
+    from pyspark.sql import Window
+
+    pairs = read_snapshot(spark, _table_path(index_dir, "minhash_pairs"))
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    clusters = comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    )
+    path = _table_path(index_dir, "dup_clusters")
+    version = write_snapshot(clusters, path)
+    report["dup_clusters"] = {
+        "version": version,
+        "n_rows": read_snapshot(spark, path).count(),
+    }
+    return report
+
+
+# ── from-index audit twins (bit-identical to the fresh queries) ──────────────
+
+
+def dup_cluster_histogram_from_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, version: int | None = None
+) -> DataFrame:
+    """q214 over the stored cluster relation: the histogram and the
+    singleton anti-join re-aggregate (doc_id, cluster_id) — no LSH."""
+    from ..catalog import load_table
+    from ..plans.training import _dup_cluster_histogram
+
+    clusters = read_snapshot(
+        spark, _table_path(index_dir, "dup_clusters"), version
+    ).select("doc_id", "cluster_id")
+    return _dup_cluster_histogram(load_table(spark, sf_dir, "documents"), clusters)
+
+
+def golden_record_from_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, version: int | None = None
+) -> DataFrame:
+    """q243 over the stored cluster relation joined to column-pruned
+    document attributes."""
+    from ..catalog import load_table
+    from ..plans.training import _golden_record
+
+    cl = read_snapshot(
+        spark, _table_path(index_dir, "dup_clusters"), version
+    ).select("doc_id", "cluster_id")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return _golden_record(cl, d)
+
+
+def detector_agreement_from_index(
+    spark: SparkSession, index_dir: str, version: int | None = None
+) -> DataFrame:
+    """q277 over the stored pair relations — neither detector re-runs."""
+    from ..plans.training import _detector_agreement
+
+    return _detector_agreement(
+        read_snapshot(spark, _table_path(index_dir, "minhash_pairs"), version),
+        read_snapshot(spark, _table_path(index_dir, "simhash_pairs"), version),
+    )
+
+
+def corpus_scorecard_from_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, version: int | None = None
+) -> DataFrame:
+    """q300 with the n-gram dup-pair relation read from the index; the
+    cheap map-only components (quality score, mixture diversity) still
+    compute fresh — they are not dedup relations."""
+    from ..plans.training import _corpus_scorecard
+
+    pairs = read_snapshot(spark, _table_path(index_dir, "ngram_pairs"), version)
+    return _corpus_scorecard(spark, sf_dir, pairs)
+
+
+FROM_INDEX_AUDITS = {
+    "q214_dup_cluster_histogram": dup_cluster_histogram_from_index,
+    "q243_golden_record": golden_record_from_index,
+    "q277_detector_agreement": lambda spark, sf_dir, index_dir, version=None: (
+        detector_agreement_from_index(spark, index_dir, version)
+    ),
+    "q300_corpus_scorecard": corpus_scorecard_from_index,
+}

@@ -1009,6 +1009,28 @@ def _q214_sql() -> str:
     """
 
 
+def _dup_cluster_histogram(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Shared aggregation for q214 and its from-index twin: histogram of
+    cluster sizes over a (doc_id, cluster_id) label relation, plus the
+    singleton row from an anti-join on docs. The label relation is tiny
+    (dup members only); the only corpus-sized input is the column-pruned
+    doc_id anti-join."""
+    csz = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    hist = csz.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"), F.sum("sz").alias("n_docs")
+    )
+    singles = (
+        docs.join(clusters.select("doc_id"), "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n").alias("n_clusters"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+    return hist.unionByName(singles)
+
+
 @register(
     "q214_dup_cluster_histogram",
     _q214_sql(),
@@ -1024,7 +1046,9 @@ def q214_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: everything corpus-sized is the already-audited q24/q68
     machinery (banded LSH, capped buckets, per-round equi-join CC); the
     histogram itself aggregates the tiny cluster-label relation, and
-    the singleton count is one anti-join. No new scale surface."""
+    the singleton count is one anti-join. No new scale surface.
+    The from-index twin (pipelines/audit_index.py) re-aggregates the
+    MATERIALIZED cluster relation instead of recomputing the LSH."""
     from ..operators.dedup import connected_components, minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1032,22 +1056,10 @@ def q214_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5
     )
     comp = connected_components(pairs, "doc_a", "doc_b")
-    csz = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
-    hist = csz.groupBy(F.col("sz").alias("cluster_size")).agg(
-        F.count(F.lit(1)).alias("n_clusters"), F.sum("sz").alias("n_docs")
+    clusters = comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
-    singles = (
-        docs.join(
-            comp.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.lit(1).cast("long").alias("cluster_size"),
-            F.col("n").alias("n_clusters"),
-            F.col("n").alias("n_docs"),
-        )
-    )
-    return hist.unionByName(singles)
+    return _dup_cluster_histogram(docs, clusters)
 
 
 # ── q215: differential-privacy-style noisy counts (seeded Laplace) ──────────
@@ -3750,30 +3762,12 @@ def _q243_sql() -> str:
     """
 
 
-@register(
-    "q243_golden_record",
-    _q243_sql(),
-    doc="Golden-record survivorship over the q68 near-duplicate "
-    "clusters: per cluster the canonical document (longest text, then "
-    "smallest id — q177's keep-best rule applied at attribute level), "
-    "the majority-vote language (ties to the alphabetically first), "
-    "distinct-source spread, and total footprint — the entity-"
-    "resolution step after connected components that picks WHICH copy "
-    "a curated corpus keeps and reconciles its metadata.",
-)
-def q243_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: clusters come from q68 (banded LSH + per-round equi-join
-    CC — never all-pairs); this adds one attribute join on doc_id and
-    per-cluster windows over member lists (cluster-size-bounded, and
-    dup clusters are small by construction once exact dedup ran)."""
-    from .queries import QUERY_REGISTRY as _REGISTRY
-
-    cl = _REGISTRY["q68_dup_clusters"].fn(spark, sf_dir).select(
-        "doc_id", "cluster_id"
-    )
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "lang", "n_chars"
-    )
+def _golden_record(cl: DataFrame, d: DataFrame) -> DataFrame:
+    """Shared aggregation for q243 and its from-index twin: survivorship
+    rules over a (doc_id, cluster_id) label relation joined to document
+    attributes — canonical pick (longest text wins), majority language,
+    per-cluster rollups. All windows partition by cluster_id, so work is
+    bounded by the dup-member relation, never the corpus."""
     m = cl.join(d, "doc_id")
     canon = (
         m.withColumn(
@@ -3824,6 +3818,35 @@ def q243_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "q243_golden_record",
+    _q243_sql(),
+    doc="Golden-record survivorship over the q68 near-duplicate "
+    "clusters: per cluster the canonical document (longest text, then "
+    "smallest id — q177's keep-best rule applied at attribute level), "
+    "the majority-vote language (ties to the alphabetically first), "
+    "distinct-source spread, and total footprint — the entity-"
+    "resolution step after connected components that picks WHICH copy "
+    "a curated corpus keeps and reconciles its metadata.",
+)
+def q243_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: clusters come from q68 (banded LSH + per-round equi-join
+    CC — never all-pairs); this adds one attribute join on doc_id and
+    per-cluster windows over member lists (cluster-size-bounded, and
+    dup clusters are small by construction once exact dedup ran).
+    The from-index twin (pipelines/audit_index.py) reads the
+    MATERIALIZED cluster relation instead of recomputing the LSH."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    cl = _REGISTRY["q68_dup_clusters"].fn(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return _golden_record(cl, d)
 
 
 # ── q244: tokenizer fertility rollup per language slice ─────────────────────
@@ -7410,6 +7433,26 @@ def _q277_sql() -> str:
     """
 
 
+def _detector_agreement(mh_pairs: DataFrame, sh_pairs: DataFrame) -> DataFrame:
+    """Shared aggregation for q277 and its from-index twin: full-outer
+    join of two (doc_a, doc_b) pair relations + one scalar rollup. Both
+    inputs are detector outputs, far smaller than the corpus."""
+    mp = mh_pairs.select("doc_a", "doc_b").distinct().withColumn("in_mh", F.lit(1))
+    sp = sh_pairs.select("doc_a", "doc_b").distinct().withColumn("in_sh", F.lit(1))
+    b = mp.join(sp, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce(F.col("in_mh"), F.lit(0)).alias("in_mh"),
+        F.coalesce(F.col("in_sh"), F.lit(0)).alias("in_sh"),
+    )
+    return b.agg(
+        F.sum("in_mh").cast("long").alias("n_minhash_pairs"),
+        F.sum("in_sh").cast("long").alias("n_simhash_pairs"),
+        F.sum(F.col("in_mh") * F.col("in_sh")).cast("long").alias("n_both"),
+        round_half_up(
+            F.sum(F.col("in_mh") * F.col("in_sh")) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("pair_jaccard"),
+    )
+
+
 @register(
     "q277_detector_agreement",
     _q277_sql(),
@@ -7424,32 +7467,14 @@ def _q277_sql() -> str:
 def q277_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: both inputs are the already-bucketed detectors; the audit
     is a full-outer join of two pair relations (each far smaller than
-    the corpus) and one scalar rollup."""
+    the corpus) and one scalar rollup. The from-index twin
+    (pipelines/audit_index.py) reads MATERIALIZED pair relations
+    instead of re-running both detectors."""
     from .queries import QUERY_REGISTRY as _REGISTRY
 
-    mp = (
-        _REGISTRY["q24_minhash_lsh_dedup"].fn(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .distinct()
-        .withColumn("in_mh", F.lit(1))
-    )
-    sp = (
-        _REGISTRY["q25_simhash_dedup"].fn(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .distinct()
-        .withColumn("in_sh", F.lit(1))
-    )
-    b = mp.join(sp, ["doc_a", "doc_b"], "full_outer").select(
-        F.coalesce(F.col("in_mh"), F.lit(0)).alias("in_mh"),
-        F.coalesce(F.col("in_sh"), F.lit(0)).alias("in_sh"),
-    )
-    return b.agg(
-        F.sum("in_mh").cast("long").alias("n_minhash_pairs"),
-        F.sum("in_sh").cast("long").alias("n_simhash_pairs"),
-        F.sum(F.col("in_mh") * F.col("in_sh")).cast("long").alias("n_both"),
-        round_half_up(
-            F.sum(F.col("in_mh") * F.col("in_sh")) * 1.0 / F.count(F.lit(1)), 6
-        ).alias("pair_jaccard"),
+    return _detector_agreement(
+        _REGISTRY["q24_minhash_lsh_dedup"].fn(spark, sf_dir),
+        _REGISTRY["q25_simhash_dedup"].fn(spark, sf_dir),
     )
 
 
@@ -9697,28 +9722,19 @@ def _q300_sql() -> str:
     """
 
 
-@register(
-    "q300_corpus_scorecard",
-    _q300_sql(),
-    doc="The corpus health scorecard: size, near-duplicate rate (q23 "
-    "losers), quality pass rate (q173), effective source count (q293) "
-    "and mean document length in ONE certified row — the executive "
-    "summary line a q200 dataset card leads with, every number "
-    "backed by an already-audited component query.",
-)
-def q300_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: each component is its audited query; the scorecard adds
-    four scalar folds and broadcast cross joins."""
+def _corpus_scorecard(
+    spark: SparkSession, sf_dir: str, ngram_pairs: DataFrame
+) -> DataFrame:
+    """Shared aggregation for q300 and its from-index twin: the
+    corpus-level scorecard given the n-gram Jaccard dup-pair relation
+    (fresh from q23, or read from the materialized dedup index)."""
     from .queries import QUERY_REGISTRY as _REGISTRY
 
     base = load_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
-    dup = (
-        _REGISTRY["q23_ngram_jaccard_dedup"].fn(spark, sf_dir)
-        .agg(F.countDistinct("doc_b").cast("long").alias("n_dup"))
-    )
+    dup = ngram_pairs.agg(F.countDistinct("doc_b").cast("long").alias("n_dup"))
     q = _REGISTRY["q173_quality_logreg"].fn(spark, sf_dir).agg(
         F.sum(F.when(F.col("quality_pass"), 1).otherwise(0))
         .cast("long")
@@ -9746,6 +9762,27 @@ def q300_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("total_chars") * 1.0 / F.col("n_docs"), 2
             ).alias("mean_chars"),
         )
+    )
+
+
+@register(
+    "q300_corpus_scorecard",
+    _q300_sql(),
+    doc="The corpus health scorecard: size, near-duplicate rate (q23 "
+    "losers), quality pass rate (q173), effective source count (q293) "
+    "and mean document length in ONE certified row — the executive "
+    "summary line a q200 dataset card leads with, every number "
+    "backed by an already-audited component query.",
+)
+def q300_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each component is its audited query; the scorecard adds
+    four scalar folds and broadcast cross joins. The from-index twin
+    (pipelines/audit_index.py) reads the MATERIALIZED n-gram dup-pair
+    relation instead of re-running the q23 shingle join."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    return _corpus_scorecard(
+        spark, sf_dir, _REGISTRY["q23_ngram_jaccard_dedup"].fn(spark, sf_dir)
     )
 
 
