@@ -181,6 +181,40 @@ def _build_parser() -> argparse.ArgumentParser:
         help="cluster count for the SemDeDup coarse quantizer",
     )
 
+    inc = sub.add_parser(
+        "curate-incremental",
+        help="curate ONE day's batch against the stored day-0..N-1 "
+        "index (dedup + optional semantic state); appends survivors' "
+        "index rows — prior corpus text is never re-read",
+    )
+    inc.add_argument("--state", required=True, help="state root directory")
+    inc.add_argument(
+        "--input",
+        help="documents-shaped parquet for the batch (doc_id, text, ...)",
+    )
+    inc.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    inc.add_argument(
+        "--day", type=int, metavar="K",
+        help="simulation mode: batch = documents with doc_id %% N == K",
+    )
+    inc.add_argument(
+        "--of", type=int, default=10, metavar="N",
+        help="simulation mode: number of day slices (default 10)",
+    )
+    inc.add_argument(
+        "--near-dup", type=float, default=0.5, metavar="J",
+        help="MinHash-LSH Jaccard threshold (within-batch AND vs corpus)",
+    )
+    inc.add_argument(
+        "--semantic", type=float, metavar="T",
+        help="also run the semantic pass at cosine >= T (embeddings "
+        "joined on vec_id == doc_id; centroids train on day 0)",
+    )
+    inc.add_argument(
+        "--semantic-centroids", type=int, default=64, metavar="K",
+        help="cluster count for the day-0 coarse quantizer",
+    )
+
     qr = sub.add_parser(
         "quality-report",
         help="one-shot corpus data-quality report: model calibration "
@@ -679,6 +713,44 @@ def main(argv: list[str] | None = None) -> int:
         else:
             for m in zone_maps(args.path, [args.column]):
                 print(m)
+        return 0
+
+    if args.cmd == "curate-incremental":
+        from pyspark.sql import functions as F
+
+        from .catalog import load_table
+        from .pipelines.incremental import curate_incremental
+
+        if args.input:
+            batch = spark.read.parquet(args.input)
+        elif args.day is not None:
+            batch = load_table(spark, args.sf_dir, "documents").filter(
+                F.col("doc_id") % args.of == args.day
+            )
+        else:
+            print("need --input PATH or --day K (simulation slice)",
+                  file=sys.stderr)
+            return 2
+        emb = None
+        if args.semantic is not None:
+            emb = load_table(spark, args.sf_dir, "embeddings").select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            )
+        rep = curate_incremental(
+            spark, batch, args.state,
+            batch_embeddings=emb,
+            semantic_threshold=args.semantic,
+            near_dup_threshold=args.near_dup,
+            n_centroids=args.semantic_centroids,
+        )
+        for key in (
+            "n_batch", "bootstrap", "n_after_batch_exact",
+            "n_after_batch_near", "n_corpus_exact_dup", "n_corpus_near_dup",
+            "n_after_corpus_dedup", "n_semantic_dup", "n_final",
+            "dedup_index_version", "semantic_index_version",
+        ):
+            if key in rep:
+                print(f"{key}: {rep[key]}")
         return 0
 
     if args.cmd == "materialize":
