@@ -9986,3 +9986,93 @@ def q302_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ── q303: basket-size cap planner (hot-basket skew hardening) ───────────────
+
+_Q303_CAPS = (2, 4, 8, 16, 32, 64)
+
+
+def _q303_sql() -> str:
+    caps = ", ".join(str(c) for c in _Q303_CAPS)
+    return f"""
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sz AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM basket GROUP BY 1
+    ),
+    hist AS (SELECT sz, CAST(COUNT(*) AS BIGINT) AS n FROM sz GROUP BY 1),
+    caps AS (SELECT unnest([{caps}]) AS cap),
+    tot AS (
+      SELECT CAST(SUM(n * sz * (sz - 1)) AS BIGINT) AS pairs_total
+      FROM hist
+    )
+    SELECT CAST(cap AS INTEGER) AS cap,
+           CAST(COALESCE(SUM(CASE WHEN sz > cap THEN n END), 0) AS BIGINT)
+             AS n_baskets_dropped,
+           CAST(COALESCE(SUM(CASE WHEN sz > cap THEN n * sz * (sz - 1) END),
+                         0) AS BIGINT) AS n_pairs_dropped,
+           t.pairs_total,
+           FLOOR(COALESCE(SUM(CASE WHEN sz > cap THEN n * sz * (sz - 1) END),
+                          0) * 1.0 / t.pairs_total * 1000000 + 0.5) / 1000000
+             AS pair_drop_frac
+    FROM caps CROSS JOIN hist CROSS JOIN tot t
+    GROUP BY cap, t.pairs_total
+    ORDER BY cap
+    """
+
+
+@register(
+    "q303_basket_cap_plan",
+    _q303_sql(),
+    doc="Basket-size cap planner for the co-occurrence family "
+    "(q262/q271): for each candidate max-basket-size cap, how many "
+    "baskets the cap would drop and how many directed pairs "
+    "(sz·(sz−1) each) that removes from the pair join — the "
+    "q236/q292-style parameter sweep that prices the hot-basket skew "
+    "remedy from ONE basket-size histogram, before any pair join "
+    "runs. operators/baskets.py:capped_baskets enforces the chosen "
+    "cap with the same dropped-pairs accounting (no silent caps).",
+)
+def q303_basket_cap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one map-side-combinable size aggregate over the basket
+    relation, then every sweep row computes on the (tiny) size
+    HISTOGRAM crossed with the candidate-cap spine — the pair join
+    itself never runs. The q240-histogram / q236-sweep shape."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sizes = (
+        li.distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    hist = sizes.groupBy("sz").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    caps = spark.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in _Q303_CAPS])).alias("cap")
+    )
+    # every cap group sees ALL histogram rows (cross join), so the grand
+    # pairs_total folds inside the SAME aggregate — one lineitem scan,
+    # no duplicated histogram subtree (pinned in tests/test_baskets.py)
+    all_pairs = F.col("n") * F.col("sz") * (F.col("sz") - 1)
+    dropped = F.when(F.col("sz") > F.col("cap"), all_pairs).otherwise(0)
+    return (
+        caps.crossJoin(F.broadcast(hist))
+        .groupBy("cap")
+        .agg(
+            F.sum(F.when(F.col("sz") > F.col("cap"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_baskets_dropped"),
+            F.sum(dropped).cast("long").alias("n_pairs_dropped"),
+            F.sum(all_pairs).cast("long").alias("pairs_total"),
+            round_half_up(
+                F.sum(dropped) * 1.0 / F.sum(all_pairs), 6
+            ).alias("pair_drop_frac"),
+        )
+        .select(
+            F.col("cap").cast("int").alias("cap"),
+            "n_baskets_dropped",
+            "n_pairs_dropped",
+            "pairs_total",
+            "pair_drop_frac",
+        )
+        .orderBy("cap")
+    )

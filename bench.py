@@ -209,6 +209,8 @@ HEADLINE = [
     "q300_corpus_scorecard",
     "q301_fightin_words",
     "q302_lorenz_curve",
+    # round-7 additions
+    "q303_basket_cap_plan",
 ]
 
 
