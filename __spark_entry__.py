@@ -70,6 +70,9 @@ def _driver_checked() -> set[str]:
 # Changed after r5: q201's oracle centroid pick mirrored to
 # ORDER BY vec_id LIMIT K (ADVICE r5 — was WHERE vec_id < K).
 _CHANGED_AFTER_ROUND = {
+    # r7: feature relations localCheckpoint'ed instead of persist+count
+    # (execution-strategy only — identical results; re-verify anyway)
+    "q191_incremental_dedup": 7,
     "q230_bt_preference": 6,  # r6: empty-lake guard (k==0 early return)
     "q237_kmv_source_overlap": 6,  # r6: hash-before-distinct rewrite
     "q201_semdedup": 5,

@@ -793,20 +793,25 @@ def incremental_dedup_verdicts(
     candidate per new doc, not a million); verification touches only
     candidate pairs. Corpus text is never read.
     """
-    # Persist + eagerly materialize BOTH feature relations: three branches
-    # read each (exact join / bucket explode / verify side), and cold-cache
-    # races across AQE-materialized exchanges re-run the Arrow feature UDF
-    # once per branch (the minhash_lsh_pairs lesson — profiled there as a
-    # doubled UDF stage; here the corpus pass ran 3x before this). In
-    # production the index arrives FROM STORAGE, so its persist is a no-op
-    # cache of a parquet scan; for a freshly built index it is the
-    # difference between one corpus pass and three.
-    new_idx = build_dedup_index(new_docs, id_col, text_col, k, num_hashes, bands).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    new_idx.count()
-    corpus = index.persist(StorageLevel.MEMORY_AND_DISK)
-    corpus.count()
+    # Eagerly CHECKPOINT both feature relations (not merely persist):
+    # three branches read each (exact join / bucket explode / verify
+    # side), and cold-cache races across AQE-materialized exchanges
+    # re-run the Arrow feature UDF once per branch (the
+    # minhash_lsh_pairs lesson). persist+count was the first fix, but a
+    # cache entry under the nondeterministic Arrow-UDF lineage is not
+    # reliably substituted into DERIVED plans: with a complex input
+    # lineage (the incremental pipeline's staged batch at sf0.1) the
+    # verdict action re-executed the whole input chain per branch —
+    # 111 s vs 1.8 s with the lineage truncated. localCheckpoint is the
+    # semdedup precedent (operators/similarity.py) and bounds every
+    # branch to the materialized feature relations. In production the
+    # index arrives FROM STORAGE, so its checkpoint is one batch-sized
+    # copy; for a freshly built index it is the difference between one
+    # corpus pass and three-plus.
+    new_idx = build_dedup_index(
+        new_docs, id_col, text_col, k, num_hashes, bands
+    ).localCheckpoint(eager=True)
+    corpus = index.localCheckpoint(eager=True)
 
     exact = (
         new_idx.select("__id", "__fp")

@@ -111,7 +111,15 @@ def curate_incremental(
     surv = exact_dedup(batch_docs, "doc_id", "text")
     report["n_after_batch_exact"] = surv.count()
 
-    # 2. within-batch near-dup (same machinery as curate_corpus 1b)
+    # 2. within-batch near-dup (same machinery as curate_corpus 1b).
+    # CHECKPOINT the stage result: the LSH pair mining + CC anti-join is
+    # the batch's most expensive subtree, and without lineage truncation
+    # every later action (verdict collect, final count, the TWO Arrow
+    # feature passes in stages 3 and 5) re-executes it. persist+count is
+    # NOT enough — the cache entry under the nondeterministic Arrow-UDF
+    # lineage is not reliably substituted into derived plans (profiled
+    # at sf0.1: day-1 verdicts 111 s persisted vs 1.8 s checkpointed;
+    # see incremental_dedup_verdicts' docstring note).
     pairs = minhash_lsh_pairs(
         surv, "doc_id", "text",
         k=_K, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=near_dup_threshold,
@@ -120,7 +128,7 @@ def curate_incremental(
     losers = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("doc_id")
     )
-    surv = surv.join(losers, "doc_id", "left_anti")
+    surv = surv.join(losers, "doc_id", "left_anti").localCheckpoint(eager=True)
     report["n_after_batch_near"] = surv.count()
 
     # 3. cross-corpus verdicts against the STORED index (day 1+): exact
@@ -144,7 +152,9 @@ def curate_incremental(
         report["n_corpus_exact_dup"] = int(by_kind.get("exact_dup", 0))
         report["n_corpus_near_dup"] = int(by_kind.get("near_dup", 0))
         keep = verdicts.filter(F.col("verdict") == "unique").select("doc_id")
-        surv = surv.join(keep, "doc_id", "left_semi")
+        surv = surv.join(keep, "doc_id", "left_semi").localCheckpoint(
+            eager=True
+        )
     else:
         report["n_corpus_exact_dup"] = 0
         report["n_corpus_near_dup"] = 0
@@ -159,6 +169,7 @@ def curate_incremental(
             semantic_threshold, n_centroids, bootstrap,
         )
         report["n_semantic_dup"] = n_sem
+        surv = surv.localCheckpoint(eager=True)
     report["n_final"] = surv.count()
 
     # 5. append the survivors' index rows to state (one batch-sized
