@@ -10076,3 +10076,791 @@ def q303_basket_cap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cap")
     )
+
+
+# ── q304: Kaplan-Meier repurchase survival curve ─────────────────────────────
+
+
+def _q304_sql() -> str:
+    return """
+    WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+    seq AS (
+      SELECT o_custkey, o_orderdate,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS nxt
+      FROM orders
+    ),
+    subj AS (
+      SELECT CAST(FLOOR(date_diff('day', o_orderdate,
+               COALESCE(nxt, m.mxd)) / 7) AS BIGINT) AS t_weeks,
+             CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM seq CROSS JOIN mx m
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM subj),
+    grid AS (
+      SELECT t_weeks,
+             CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM subj GROUP BY t_weeks
+    ),
+    risk AS (
+      SELECT t_weeks, d, c,
+             CAST(n.total - COALESCE(SUM(d + c) OVER (ORDER BY t_weeks
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_at_risk
+      FROM grid CROSS JOIN n
+    ),
+    km AS (
+      SELECT t_weeks, d, c, n_at_risk,
+             SUM(CASE WHEN d > 0 THEN CAST(ROUND(LN(GREATEST(
+                   1 - d * 1.0 / n_at_risk, 1e-12)) * 1000000) AS BIGINT)
+                 ELSE 0 END)
+               OVER (ORDER BY t_weeks) AS lsum
+      FROM risk
+    )
+    SELECT CAST(t_weeks AS INTEGER) AS t_weeks,
+           n_at_risk,
+           d AS n_events,
+           c AS n_censored,
+           FLOOR(EXP(lsum / 1000000.0) * 1000000 + 0.5) / 1000000 AS survival
+    FROM km
+    ORDER BY t_weeks
+    """
+
+
+@register(
+    "q304_kaplan_meier",
+    _q304_sql(),
+    doc="Kaplan-Meier survival curve of time-to-repurchase: every order "
+    "is a subject whose time is the gap (weeks) to the customer's next "
+    "order, right-censored at the lake's newest order date when no next "
+    "order exists. Product-limit estimator replayed exactly in SQL via "
+    "the q232 idiom — per-time ln(1-d/n) quantized to a 1e-6 integer, "
+    "EXACT integer cumulative sum, one exp at the end — so the curve "
+    "is hash-checked, not rows-only. The churn-analysis classic.",
+)
+def q304_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one LEAD window per customer (re-shards on o_custkey),
+    then every KM window runs over the (tiny) distinct-gap GRID — the
+    q240-histogram shape; nothing corpus-sized is windowed or sorted
+    globally."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    subj = (
+        o.withColumn("nxt", F.lead("o_orderdate").over(w))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(
+                F.datediff(F.coalesce("nxt", "mxd"), F.col("o_orderdate")) / 7
+            ).alias("t_weeks"),
+            F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    n = subj.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    grid = subj.groupBy("t_weeks").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c"),
+    )
+    wt = Window.orderBy("t_weeks")
+    risk = (
+        grid.crossJoin(F.broadcast(n))
+        .withColumn(
+            "n_at_risk",
+            F.col("total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(
+                    wt.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    term = F.when(
+        F.col("d") > 0,
+        F.round(
+            F.log(
+                F.greatest(
+                    1 - F.col("d") * 1.0 / F.col("n_at_risk"), F.lit(1e-12)
+                )
+            )
+            * 1_000_000
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    km = risk.withColumn("lsum", F.sum(term).over(wt))
+    return km.select(
+        F.col("t_weeks").cast("int").alias("t_weeks"),
+        "n_at_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        round_half_up(F.exp(F.col("lsum") / 1_000_000.0), 6).alias("survival"),
+    ).orderBy("t_weeks")
+
+
+# ── q305: CUSUM changepoint scan over daily event volume ────────────────────
+
+
+def _q305_sql() -> str:
+    return """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS s
+      FROM daily
+    ),
+    cusum AS (
+      SELECT d, n,
+             CAST(SUM(n * t.k - t.s) OVER (ORDER BY d) AS BIGINT) AS num,
+             t.k AS k
+      FROM daily CROSS JOIN tot t
+    ),
+    peaked AS (
+      SELECT d, n, num, k, MAX(ABS(num)) OVER () AS mx FROM cusum
+    ),
+    flagged AS (
+      SELECT d, n, num, k,
+             MIN(CASE WHEN ABS(num) = mx THEN d END) OVER () AS first_peak
+      FROM peaked
+    )
+    SELECT d, n AS daily_n,
+           FLOOR(num * 1.0 / k * 100 + 0.5) / 100 AS cusum,
+           CASE WHEN d = first_peak THEN TRUE ELSE FALSE END
+             AS is_changepoint
+    FROM flagged
+    ORDER BY d
+    """
+
+
+@register(
+    "q305_cusum_changepoint",
+    _q305_sql(),
+    doc="CUSUM changepoint scan over daily event volume: cumulative sum "
+    "of (count - grand mean) per day, peak |CUSUM| day flagged as the "
+    "level-shift candidate (earliest day on ties). The whole statistic "
+    "runs in EXACT INTEGER arithmetic — CUSUM·k = Σ(n·k − s) with k "
+    "days and total s — so the argmax is bit-deterministic in both "
+    "engines; only the reported cusum column divides at the end. The "
+    "volume-monitoring sibling of q283's per-day z-score anomalies "
+    "(which flag outlier DAYS; CUSUM localizes a persistent SHIFT).",
+)
+def q305_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one map-side-combinable daily count; every window runs
+    over the (tiny) day spine. The q240-histogram discipline — nothing
+    corpus-sized is windowed."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("s"),
+    )
+    wd = Window.orderBy("d")
+    cus = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "num",
+            F.sum(F.col("n") * F.col("k") - F.col("s")).over(wd).cast("long"),
+        )
+    )
+    wall = Window.partitionBy()
+    flagged = cus.withColumn(
+        "mx", F.max(F.abs(F.col("num"))).over(wall)
+    ).withColumn(
+        "first_peak",
+        F.min(
+            F.when(F.abs(F.col("num")) == F.col("mx"), F.col("d"))
+        ).over(wall),
+    )
+    return flagged.select(
+        "d",
+        F.col("n").alias("daily_n"),
+        round_half_up(F.col("num") * 1.0 / F.col("k"), 2).alias("cusum"),
+        (F.col("d") == F.col("first_peak")).alias("is_changepoint"),
+    ).orderBy("d")
+
+
+# ── q306: Mann-Whitney U test between the two largest sources ───────────────
+
+
+def _q306_sql() -> str:
+    return """
+    WITH top2 AS (
+      SELECT source,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, source) AS gk
+      FROM documents GROUP BY source
+      QUALIFY gk <= 2
+    ),
+    vals AS (
+      SELECT t.gk, d.n_chars AS v
+      FROM documents d JOIN top2 t USING (source)
+    ),
+    hist AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN gk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN gk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM vals GROUP BY v
+    ),
+    mid AS (
+      SELECT v, c1, c2, c1 + c2 AS t,
+             CAST(2 * COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c1 + c2) + 1 AS BIGINT) AS midrank2
+      FROM hist
+    ),
+    agg AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(c1 * midrank2) AS BIGINT) AS r1x2,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+      FROM mid
+    ),
+    names AS (
+      SELECT MIN(CASE WHEN gk = 1 THEN source END) AS source_a,
+             MIN(CASE WHEN gk = 2 THEN source END) AS source_b
+      FROM top2
+    )
+    SELECT n.source_a, n.source_b, a.n1 AS n_a, a.n2 AS n_b,
+           CAST((a.r1x2 - a.n1 * (a.n1 + 1)) / 2 AS BIGINT) AS u_stat,
+           FLOOR(a.n1 * a.n2 / 2.0 * 100 + 0.5) / 100 AS u_mean,
+           FLOOR(((a.r1x2 - a.n1 * (a.n1 + 1)) / 2.0 - a.n1 * a.n2 / 2.0)
+                 / SQRT(a.n1 * 1.0 * a.n2 / 12.0
+                        * ((a.n1 + a.n2 + 1)
+                           - a.tie3 * 1.0 / ((a.n1 + a.n2)
+                                             * (a.n1 + a.n2 - 1))))
+                 * 10000 + 0.5) / 10000 AS z,
+           FLOOR((1 - 2.0 * ((a.r1x2 - a.n1 * (a.n1 + 1)) / 2.0)
+                      / (a.n1 * a.n2)) * 1000000 + 0.5) / 1000000
+             AS rank_biserial
+    FROM agg a CROSS JOIN names n
+    """
+
+
+@register(
+    "q306_mann_whitney",
+    _q306_sql(),
+    doc="Mann-Whitney U test of document length between the two largest "
+    "sources: tie-corrected normal approximation and the rank-biserial "
+    "effect size. Midranks come from the VALUE HISTOGRAM in doubled "
+    "integer units (midrank·2 = 2·cum_before + count + 1), so the rank "
+    "sum, the U statistic and the tie term Σ(t³−t) are all EXACT "
+    "integers in both engines — only z and the effect size divide at "
+    "the end. The two-sample nonparametric sibling of q299's Spearman "
+    "(same histogram-midrank machinery, different question: are two "
+    "sources' length distributions stochastically ordered?).",
+)
+def q306_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one source-keyed count to pick the groups, one value
+    histogram (map-side combinable), then every window runs over the
+    DISTINCT-value spine — corpus rows are never ranked directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    top2 = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .withColumn(
+            "gk",
+            F.row_number().over(Window.orderBy(F.desc("nd"), "source")),
+        )
+        .filter(F.col("gk") <= 2)
+        .select("source", "gk")
+    )
+    vals = docs.join(F.broadcast(top2), "source").select(
+        "gk", F.col("n_chars").alias("v")
+    )
+    hist = vals.groupBy("v").agg(
+        F.sum(F.when(F.col("gk") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("gk") == 2, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    wv = Window.orderBy("v")
+    mid = hist.select(
+        "v",
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("t"),
+        (
+            2
+            * F.coalesce(
+                F.sum(F.col("c1") + F.col("c2")).over(
+                    wv.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            + (F.col("c1") + F.col("c2"))
+            + 1
+        )
+        .cast("long")
+        .alias("midrank2"),
+    )
+    agg = mid.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * F.col("midrank2")).cast("long").alias("r1x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    names = top2.groupBy().agg(
+        F.min(F.when(F.col("gk") == 1, F.col("source"))).alias("source_a"),
+        F.min(F.when(F.col("gk") == 2, F.col("source"))).alias("source_b"),
+    )
+    u = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)) / 2.0
+    nn = F.col("n1") + F.col("n2")
+    sigma = F.sqrt(
+        F.col("n1") * 1.0 * F.col("n2") / 12.0
+        * ((nn + 1) - F.col("tie3") * 1.0 / (nn * (nn - 1)))
+    )
+    return agg.crossJoin(F.broadcast(names)).select(
+        "source_a",
+        "source_b",
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        u.cast("long").alias("u_stat"),
+        round_half_up(F.col("n1") * F.col("n2") / 2.0, 2).alias("u_mean"),
+        round_half_up(
+            (u - F.col("n1") * F.col("n2") / 2.0) / sigma, 4
+        ).alias("z"),
+        round_half_up(
+            1 - 2.0 * u / (F.col("n1") * F.col("n2")), 6
+        ).alias("rank_biserial"),
+    )
+
+
+# ── q307: discount dispersion per part (pricing-consistency audit) ──────────
+
+_Q307_TOP = 10
+
+
+def _q307_sql() -> str:
+    return f"""
+    WITH c AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_sales,
+             CAST(COUNT(DISTINCT cents) AS BIGINT) AS n_discount_levels,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS ss
+      FROM c GROUP BY l_partkey
+    ),
+    scored AS (
+      SELECT l_partkey, n_sales, n_discount_levels,
+             s, n_sales * ss - s * s AS var_num,
+             ROW_NUMBER() OVER (
+               ORDER BY (n_sales * ss - s * s) * 1.0
+                          / (n_sales * n_sales) DESC, l_partkey) AS rk
+      FROM agg
+    )
+    SELECT l_partkey, n_sales, n_discount_levels,
+           FLOOR(s * 1.0 / n_sales / 100 * 10000 + 0.5) / 10000
+             AS mean_discount,
+           FLOOR(var_num * 1.0 / (n_sales * n_sales) / 10000 * 100000000
+                 + 0.5) / 100000000 AS var_discount,
+           CAST(rk AS INTEGER) AS dispersion_rank
+    FROM scored
+    WHERE rk <= {_Q307_TOP}
+    ORDER BY dispersion_rank
+    """
+
+
+@register(
+    "q307_discount_dispersion",
+    _q307_sql(),
+    doc="Pricing-consistency audit: the top-10 parts whose line-item "
+    "discounts vary most (population variance), with level counts and "
+    "means. Discounts are quantized to EXACT integer cents, so the "
+    "variance numerator n·Σc²−(Σc)² is exact integer arithmetic in "
+    "both engines and the dispersion ranking is bit-deterministic — "
+    "division happens only in the two reported columns. The audit "
+    "that catches a channel applying ad-hoc discounts to one SKU.",
+)
+def q307_discount_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one part-keyed partial aggregate over lineitem (map-side
+    combinable sums); the rank window runs over the PART aggregate,
+    WindowGroupLimit-eligible via the rk filter."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.round(F.col("l_discount") * 100).cast("long").alias("cents")
+    )
+    agg = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sales"),
+        F.countDistinct("cents").cast("long").alias("n_discount_levels"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+    )
+    var_num = F.col("n_sales") * F.col("ss") - F.col("s") * F.col("s")
+    scored = agg.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(
+                (var_num * 1.0 / (F.col("n_sales") * F.col("n_sales"))).desc(),
+                "l_partkey",
+            )
+        ),
+    )
+    return (
+        scored.filter(F.col("rk") <= _Q307_TOP)
+        .select(
+            "l_partkey",
+            "n_sales",
+            "n_discount_levels",
+            round_half_up(F.col("s") * 1.0 / F.col("n_sales") / 100, 4).alias(
+                "mean_discount"
+            ),
+            round_half_up(
+                var_num * 1.0 / (F.col("n_sales") * F.col("n_sales")) / 10000,
+                8,
+            ).alias("var_discount"),
+            F.col("rk").cast("int").alias("dispersion_rank"),
+        )
+        .orderBy("dispersion_rank")
+    )
+
+
+# ── q308: matryoshka prefix-dimension fidelity audit ─────────────────────────
+
+_Q308_DIMS = (8, 16, 32, 64)
+_Q308_PAIRS = 256  # deterministic (2i, 2i+1) pairs from the smallest ids
+
+
+def _q308_cos(a: str, b: str, d: int) -> str:
+    """Prefix-d cosine with the same left-to-right fold the Spark side's
+    F.slice + sequential-fold cosine() performs."""
+    rng = f"range(1,{d + 1})"
+    return (
+        f"list_sum(list_transform({rng}, i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) "
+        f"/ (sqrt(list_sum(list_transform({rng}, i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE))) "
+        f"* sqrt(list_sum(list_transform({rng}, i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))"
+    )
+
+
+def _q308_sql() -> str:
+    rows = []
+    for d in _Q308_DIMS:
+        cos_p = _q308_cos("a.embedding", "b.embedding", d)
+        rows.append(f"""
+    SELECT {d} AS prefix_dim,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR(SUM(CAST(ROUND(ABS(({cos_p}) - cf.cos_full) * 1000000)
+                     AS BIGINT)) * 1.0 / COUNT(*) / 1000000 * 1000000 + 0.5)
+             / 1000000 AS mean_abs_err,
+           FLOOR(SUM(CASE WHEN (({cos_p}) >= 0) = (cf.cos_full >= 0)
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*) * 1000000
+                 + 0.5) / 1000000 AS sign_agreement
+    FROM pairs p
+    JOIN embeddings a ON a.vec_id = p.ia
+    JOIN embeddings b ON b.vec_id = p.ib
+    JOIN cosf cf ON cf.ia = p.ia""")
+    cos_full = _q308_cos("a.embedding", "b.embedding", 64)
+    union = "\n    UNION ALL\n".join(rows)
+    return f"""
+    WITH ids AS (
+      SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {2 * _Q308_PAIRS}
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM ids a JOIN ids b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 2 = 0
+    ),
+    cosf AS (
+      SELECT p.ia, ({cos_full}) AS cos_full
+      FROM pairs p
+      JOIN embeddings a ON a.vec_id = p.ia
+      JOIN embeddings b ON b.vec_id = p.ib
+    )
+    {union}
+    ORDER BY prefix_dim
+    """
+
+
+@register(
+    "q308_matryoshka_audit",
+    _q308_sql(),
+    doc="Matryoshka / truncated-embedding fidelity audit: cosine at "
+    "prefix dimensions 8/16/32/64 vs the full 64-dim cosine over a "
+    "deterministic set of 256 (even, even+1) id pairs — mean absolute "
+    "cosine error and sign agreement per prefix. The measurement that "
+    "decides how far an ANN index can truncate stored vectors before "
+    "re-ranking must recover the damage (the q115 PQ and q47 IVF "
+    "trade-off, priced per dimension). Cosines use the same "
+    "sequential-fold arithmetic as every other hash-checked "
+    "embedding query.",
+)
+def q308_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the pair set is a bounded deterministic sample (id-join,
+    no shuffle of the corpus); per pair the work is 4 prefix dots —
+    map-side column math after one broadcastable self-join."""
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ids = emb.orderBy("vec_id").limit(2 * _Q308_PAIRS).select("vec_id")
+    pairs = (
+        ids.alias("x")
+        .join(
+            ids.alias("y"),
+            F.col("y.vec_id") == F.col("x.vec_id") + 1,
+        )
+        .filter(F.col("x.vec_id") % 2 == 0)
+        .select(F.col("x.vec_id").alias("ia"), F.col("y.vec_id").alias("ib"))
+    )
+    j = (
+        pairs.join(
+            emb.select(
+                F.col("vec_id").alias("ia"), F.col("embedding").alias("ea")
+            ),
+            "ia",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("ib"), F.col("embedding").alias("eb")
+            ),
+            "ib",
+        )
+        .withColumn("cos_full", cosine(F.col("ea"), F.col("eb")))
+    )
+    outs = []
+    for d in _Q308_DIMS:
+        cp = cosine(F.slice("ea", 1, d), F.slice("eb", 1, d))
+        outs.append(
+            j.agg(
+                F.lit(d).cast("int").alias("prefix_dim"),
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                round_half_up(
+                    F.sum(
+                        F.round(F.abs(cp - F.col("cos_full")) * 1_000_000)
+                        .cast("long")
+                    )
+                    * 1.0
+                    / F.count(F.lit(1))
+                    / 1_000_000,
+                    6,
+                ).alias("mean_abs_err"),
+                round_half_up(
+                    F.sum(
+                        F.when(
+                            (cp >= 0) == (F.col("cos_full") >= 0), 1
+                        ).otherwise(0)
+                    )
+                    * 1.0
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("sign_agreement"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("prefix_dim")
+
+
+# ── q309: burstiness (Fano factor) of hourly event volume per type ──────────
+
+
+def _q309_sql() -> str:
+    return """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(n * n) AS BIGINT) AS ss
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type,
+           k AS n_hours,
+           s AS n_events,
+           FLOOR(s * 1.0 / k * 10000 + 0.5) / 10000 AS mean_per_hour,
+           FLOOR((k * ss - s * s) * 1.0 / (k * s) * 10000 + 0.5) / 10000
+             AS fano,
+           CASE WHEN (k * ss - s * s) * 1.0 / (k * s) > 1.5
+                THEN TRUE ELSE FALSE END AS is_bursty
+    FROM agg
+    ORDER BY event_type
+    """
+
+
+@register(
+    "q309_burstiness_fano",
+    _q309_sql(),
+    doc="Burstiness audit per event type: the Fano factor "
+    "(variance-to-mean ratio) of HOURLY arrival counts — 1 for a "
+    "Poisson process, >1 for bursty arrivals (a crawler loop, a retry "
+    "storm), <1 for throttled/regular traffic. The variance numerator "
+    "k·Σn²−S² and the denominator k·S are EXACT integers in both "
+    "engines, so the bursty flag is bit-deterministic; division "
+    "happens only in the reported ratio columns. Complements q283's "
+    "per-day outliers and q305's CUSUM shift with a dispersion-shape "
+    "readout.",
+)
+def q309_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one (type, hour) map-side-combinable count, then a
+    per-type fold over the hourly HISTOGRAM — the corpus is scanned
+    once, nothing is windowed."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agg = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+    )
+    var_num = F.col("k") * F.col("ss") - F.col("s") * F.col("s")
+    return agg.select(
+        "event_type",
+        F.col("k").alias("n_hours"),
+        F.col("s").alias("n_events"),
+        round_half_up(F.col("s") * 1.0 / F.col("k"), 4).alias("mean_per_hour"),
+        round_half_up(var_num * 1.0 / (F.col("k") * F.col("s")), 4).alias(
+            "fano"
+        ),
+        (var_num * 1.0 / (F.col("k") * F.col("s")) > 1.5).alias("is_bursty"),
+    ).orderBy("event_type")
+
+
+# ── q310: Wilcoxon signed-rank test of per-user value shift ──────────────────
+
+
+def _q310_sql() -> str:
+    return """
+    WITH span AS (
+      SELECT (MIN(epoch_ms(ts)) + MAX(epoch_ms(ts))) // 2 AS mid
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN epoch_ms(ts) <= s.mid
+                  THEN CAST(ROUND(value * 10000) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS v1,
+             CAST(SUM(CASE WHEN epoch_ms(ts) > s.mid
+                  THEN CAST(ROUND(value * 10000) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS v2
+      FROM events CROSS JOIN span s
+      GROUP BY user_id
+    ),
+    diffs AS (
+      SELECT user_id, v2 - v1 AS d, ABS(v2 - v1) AS ad
+      FROM per_user WHERE v2 - v1 <> 0
+    ),
+    hist AS (
+      SELECT ad, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tpos
+      FROM diffs GROUP BY ad
+    ),
+    mid2 AS (
+      SELECT ad, t, tpos,
+             CAST(2 * COALESCE(SUM(t) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS BIGINT) AS midrank2
+      FROM hist
+    ),
+    s AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(tpos * midrank2) AS BIGINT) AS wplus2,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+      FROM mid2
+    ),
+    z AS (
+      SELECT n, wplus2, tie3,
+             (wplus2 / 2.0 - n * (n + 1) / 4.0)
+               / SQRT(n * (n + 1.0) * (2 * n + 1) / 24.0 - tie3 / 48.0)
+               AS zval
+      FROM s
+    )
+    SELECT n AS n_shifted_users,
+           FLOOR(wplus2 / 2.0 * 10 + 0.5) / 10 AS w_plus,
+           FLOOR(n * (n + 1) / 4.0 * 10 + 0.5) / 10 AS w_mean,
+           FLOOR(zval * 10000 + 0.5) / 10000 AS z,
+           CASE WHEN zval > 1.959964 THEN 'increased'
+                WHEN zval < -1.959964 THEN 'decreased'
+                ELSE 'no_shift' END AS verdict
+    FROM z
+    """
+
+
+@register(
+    "q310_wilcoxon_value_shift",
+    _q310_sql(),
+    doc="Wilcoxon signed-rank test of per-user engagement value between "
+    "the first and second half of the observation window (exact epoch-"
+    "millisecond midpoint): paired per-user value sums quantized to "
+    "1e-4 integers, zero-differences dropped per the classic test, "
+    "|difference| midranks from the HISTOGRAM in doubled-integer units, "
+    "tie-corrected normal approximation. W+ and the tie term are exact "
+    "integers in both engines; only z divides. The paired counterpart "
+    "of q306's two-independent-sample Mann-Whitney.",
+)
+def q310_wilcoxon_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one user-keyed partial aggregate over events, then every
+    window runs over the |difference| HISTOGRAM (bounded by distinct
+    shift magnitudes) — users are never globally ranked row-by-row."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    span = ev.agg(
+        (
+            (F.min(F.unix_millis("ts")) + F.max(F.unix_millis("ts"))) / 2
+        ).cast("long").alias("mid")
+    )
+    q = F.round(F.col("value") * 10_000).cast("long")
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.unix_millis("ts") <= F.col("mid"), q).otherwise(0))
+            .cast("long")
+            .alias("v1"),
+            F.sum(F.when(F.unix_millis("ts") > F.col("mid"), q).otherwise(0))
+            .cast("long")
+            .alias("v2"),
+        )
+    )
+    diffs = per_user.select(
+        (F.col("v2") - F.col("v1")).alias("d"),
+        F.abs(F.col("v2") - F.col("v1")).alias("ad"),
+    ).filter(F.col("d") != 0)
+    hist = diffs.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias("tpos"),
+    )
+    wv = Window.orderBy("ad")
+    mid2 = hist.withColumn(
+        "midrank2",
+        (
+            2
+            * F.coalesce(
+                F.sum("t").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            + F.col("t")
+            + 1
+        ).cast("long"),
+    )
+    s = mid2.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("tpos") * F.col("midrank2")).cast("long").alias("wplus2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    n = F.col("n")
+    zval = (F.col("wplus2") / 2.0 - n * (n + 1) / 4.0) / F.sqrt(
+        n * (n + 1.0) * (2 * n + 1) / 24.0 - F.col("tie3") / 48.0
+    )
+    return s.select(
+        n.alias("n_shifted_users"),
+        round_half_up(F.col("wplus2") / 2.0, 1).alias("w_plus"),
+        round_half_up(n * (n + 1) / 4.0, 1).alias("w_mean"),
+        round_half_up(zval, 4).alias("z"),
+        F.when(zval > 1.959964, "increased")
+        .when(zval < -1.959964, "decreased")
+        .otherwise("no_shift")
+        .alias("verdict"),
+    )

@@ -211,6 +211,13 @@ HEADLINE = [
     "q302_lorenz_curve",
     # round-7 additions
     "q303_basket_cap_plan",
+    "q304_kaplan_meier",
+    "q305_cusum_changepoint",
+    "q306_mann_whitney",
+    "q307_discount_dispersion",
+    "q308_matryoshka_audit",
+    "q309_burstiness_fano",
+    "q310_wilcoxon_value_shift",
 ]
 
 

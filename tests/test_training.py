@@ -2247,3 +2247,205 @@ def test_q302_lorenz_convexity(spark):
         assert r["cum_revenue_share"] <= r["cum_customer_share"] + 1e-6
         assert r["cum_revenue_share"] >= prev
         prev = r["cum_revenue_share"]
+
+
+def test_q304_kaplan_meier_invariants(spark):
+    """KM curve sanity: every order is a subject (events + censored sum
+    to the order count), the risk set shrinks as time advances, the
+    survival estimate is non-increasing in [0, 1], and the first row's
+    survival equals its own factor 1 - d/n exactly."""
+    from aws_datalake_platform_spark.catalog import load_table
+
+    rows = sorted(
+        QUERY_REGISTRY["q304_kaplan_meier"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["t_weeks"],
+    )
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r["n_events"] + r["n_censored"] for r in rows) == n_orders
+    assert rows[0]["n_at_risk"] == n_orders
+    prev_s, prev_risk = 1.0 + 1e-9, n_orders + 1
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev_s + 1e-6
+        assert r["n_at_risk"] < prev_risk
+        prev_s, prev_risk = r["survival"], r["n_at_risk"]
+    r0 = rows[0]
+    expect = 1 - r0["n_events"] / r0["n_at_risk"]
+    assert abs(r0["survival"] - expect) < 2e-6
+
+
+def test_q305_cusum_integer_exactness(spark):
+    """CUSUM·k must be an exact integer telescoping to zero at the last
+    day (Σ(n·k − s) over all days = s·k − s·k), the flagged changepoint
+    is the earliest day attaining max |CUSUM|, and exactly one row is
+    flagged."""
+    rows = sorted(
+        QUERY_REGISTRY["q305_cusum_changepoint"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["d"],
+    )
+    assert abs(rows[-1]["cusum"]) < 0.005  # telescopes to 0 (rounded)
+    flagged = [r for r in rows if r["is_changepoint"]]
+    assert len(flagged) == 1
+    peak = max(abs(r["cusum"]) for r in rows)
+    assert abs(abs(flagged[0]["cusum"]) - peak) < 0.02
+    firsts = [r for r in rows if abs(abs(r["cusum"]) - peak) < 0.005]
+    assert flagged[0]["d"] == min(r["d"] for r in firsts)
+
+
+def test_q306_mann_whitney_against_scipy_formula(spark):
+    """Recompute U, z and the effect size in numpy from the raw values
+    (midranks via scipy-style average ranking) and compare."""
+    import numpy as np
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    [row] = QUERY_REGISTRY["q306_mann_whitney"].fn(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "n_chars")
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    top2 = sorted(counts, key=lambda s: (-counts[s], s))[:2]
+    assert row["source_a"] == top2[0] and row["source_b"] == top2[1]
+    xs = np.array(
+        [r["n_chars"] for r in docs.filter(F.col("source") == top2[0]).collect()]
+    )
+    ys = np.array(
+        [r["n_chars"] for r in docs.filter(F.col("source") == top2[1]).collect()]
+    )
+    allv = np.concatenate([xs, ys])
+    order = np.argsort(allv, kind="stable")
+    ranks = np.empty(len(allv))
+    sv = allv[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    r1 = ranks[: len(xs)].sum()
+    n1, n2 = len(xs), len(ys)
+    u = r1 - n1 * (n1 + 1) / 2
+    assert row["n_a"] == n1 and row["n_b"] == n2
+    assert row["u_stat"] == int(u)
+    _, t_counts = np.unique(allv, return_counts=True)
+    tie3 = float((t_counts**3 - t_counts).sum())
+    nn = n1 + n2
+    sigma = np.sqrt(n1 * n2 / 12.0 * ((nn + 1) - tie3 / (nn * (nn - 1))))
+    assert abs(row["z"] - (u - n1 * n2 / 2.0) / sigma) < 2e-4
+    assert abs(row["rank_biserial"] - (1 - 2 * u / (n1 * n2))) < 2e-6
+
+
+def test_q307_discount_dispersion_recompute(spark):
+    """Recompute the winner part's variance from raw lineitems in exact
+    integer cents and confirm the ranking column is dense 1..10."""
+    from aws_datalake_platform_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERY_REGISTRY["q307_discount_dispersion"].fn(spark, SF_SMOKE).collect()
+    assert [r["dispersion_rank"] for r in rows] == list(range(1, 11))
+    top = rows[0]
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .filter(F.col("l_partkey") == top["l_partkey"])
+        .select(F.round(F.col("l_discount") * 100).cast("long").alias("c"))
+        .collect()
+    )
+    cents = [r["c"] for r in li]
+    n, s, ss = len(cents), sum(cents), sum(c * c for c in cents)
+    assert top["n_sales"] == n
+    assert top["n_discount_levels"] == len(set(cents))
+    assert abs(top["var_discount"] - (n * ss - s * s) / (n * n) / 10_000) < 1e-8
+    # every later rank has variance <= the winner's
+    for r in rows[1:]:
+        assert r["var_discount"] <= top["var_discount"] + 1e-8
+
+
+def test_q308_matryoshka_monotone_fidelity(spark):
+    """Longer prefixes must be at least as faithful: mean |cosine error|
+    non-increasing in prefix_dim, zero error at the full dimension, and
+    sign agreement 1.0 at dim 64."""
+    rows = sorted(
+        QUERY_REGISTRY["q308_matryoshka_audit"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["prefix_dim"],
+    )
+    assert [r["prefix_dim"] for r in rows] == [8, 16, 32, 64]
+    assert all(r["n_pairs"] == rows[0]["n_pairs"] > 0 for r in rows)
+    errs = [r["mean_abs_err"] for r in rows]
+    assert errs[-1] == 0.0 and rows[-1]["sign_agreement"] == 1.0
+    assert all(a >= b - 1e-6 for a, b in zip(errs, errs[1:]))
+
+
+def test_q309_fano_recompute(spark):
+    """Recompute one event type's Fano factor from raw hourly counts in
+    exact integers."""
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERY_REGISTRY["q309_burstiness_fano"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 5  # five event types in the testdata
+    pick = rows[0]
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == pick["event_type"])
+        .select(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .collect()
+    )
+    counts = Counter(r["h"] for r in ev)
+    k, s = len(counts), sum(counts.values())
+    ss = sum(c * c for c in counts.values())
+    assert pick["n_hours"] == k and pick["n_events"] == s
+    fano = (k * ss - s * s) / (k * s)
+    assert abs(pick["fano"] - fano) < 1e-4
+    assert pick["is_bursty"] == (fano > 1.5)
+
+
+def test_q310_wilcoxon_against_numpy(spark):
+    """Recompute W+, the tie-corrected z and the verdict from raw events
+    in numpy (pairs = per-user half-window value sums at the exact
+    epoch-millisecond midpoint)."""
+    import numpy as np
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    [row] = QUERY_REGISTRY["q310_wilcoxon_value_shift"].fn(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", F.unix_millis("ts").alias("ms"),
+        F.round(F.col("value") * 10_000).cast("long").alias("q"),
+    ).collect()
+    lo = min(r["ms"] for r in ev)
+    hi = max(r["ms"] for r in ev)
+    mid = (lo + hi) // 2
+    per: dict[int, list[int]] = {}
+    for r in ev:
+        v = per.setdefault(r["user_id"], [0, 0])
+        v[0 if r["ms"] <= mid else 1] += r["q"]
+    d = np.array([v2 - v1 for v1, v2 in per.values()])
+    d = d[d != 0]
+    ad = np.abs(d)
+    order = np.argsort(ad, kind="stable")
+    ranks = np.empty(len(ad))
+    sv = ad[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    n = len(d)
+    wplus = ranks[d > 0].sum()
+    _, t_counts = np.unique(ad, return_counts=True)
+    tie3 = float((t_counts**3 - t_counts).sum())
+    z = (wplus - n * (n + 1) / 4.0) / np.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0
+    )
+    assert row["n_shifted_users"] == n
+    assert abs(row["w_plus"] - wplus) < 0.11
+    assert abs(row["z"] - z) < 2e-4
+    expect = "increased" if z > 1.959964 else "decreased" if z < -1.959964 else "no_shift"
+    assert row["verdict"] == expect
