@@ -10864,3 +10864,456 @@ def q310_wilcoxon_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no_shift")
         .alias("verdict"),
     )
+
+
+# ── q311: Hill tail-index estimator for the term-frequency distribution ─────
+
+_Q311_K = 100
+
+
+def _q311_sql() -> str:
+    k = _Q311_K
+    return rf"""
+    WITH tk AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    tok AS (
+      SELECT unnest(list_transform(range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS term
+      FROM tk WHERE len(t) >= 3
+    ),
+    freq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY term
+    ),
+    ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rn FROM freq
+    ),
+    cut AS (
+      SELECT MAX(CASE WHEN rn = {k} + 1 THEN f END) AS fk1 FROM ranked
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN rn <= {k}
+               THEN CAST(ROUND(LN(f * 1.0 / c.fk1) * 1000000) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS lsum,
+             MAX(c.fk1) AS fk1
+      FROM ranked CROSS JOIN cut c
+    )
+    SELECT {k} AS k_top,
+           fk1 AS freq_cutoff,
+           FLOOR({k} * 1000000.0 / lsum * 10000 + 0.5) / 10000 AS hill_alpha,
+           FLOOR((1 + lsum / ({k} * 1000000.0)) * 10000 + 0.5) / 10000
+             AS implied_zipf_s
+    FROM s
+    """
+
+
+@register(
+    "q311_hill_tail_index",
+    _q311_sql(),
+    doc="Hill estimator of the TRIGRAM-frequency tail index over the "
+    "top-100 order statistics: alpha = k / SUM ln(f_i/f_(k+1)), with "
+    "the ln terms quantized to 1e-6 integers so the sum is exact in "
+    "both engines (the q232 idiom). The maximum-likelihood complement "
+    "of q252's OLS Zipf fit — Hill reads ONLY the tail, so the two "
+    "disagreeing is the diagnostic that the head and tail follow "
+    "different power laws (common in crawled corpora).",
+)
+def q311_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one token scan into a term-frequency aggregate (map-side
+    combinable, |vocab|-bounded); the rank window runs over the vocab
+    relation and everything after the k+1 cut is scalar."""
+    k = _Q311_K
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2), "
+                    "i -> concat_ws(' ', slice(t, i, 3)))"
+                )
+            ).alias("term")
+        )
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    ranked = freq.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("f"), "term"))
+    )
+    cut = ranked.agg(
+        F.max(F.when(F.col("rn") == k + 1, F.col("f"))).alias("fk1")
+    )
+    s = ranked.crossJoin(F.broadcast(cut)).agg(
+        F.sum(
+            F.when(
+                F.col("rn") <= k,
+                F.round(F.log(F.col("f") * 1.0 / F.col("fk1")) * 1_000_000)
+                .cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("lsum"),
+        F.max("fk1").alias("fk1"),
+    )
+    return s.select(
+        F.lit(k).cast("int").alias("k_top"),
+        F.col("fk1").alias("freq_cutoff"),
+        round_half_up(k * 1_000_000.0 / F.col("lsum"), 4).alias("hill_alpha"),
+        round_half_up(1 + F.col("lsum") / (k * 1_000_000.0), 4).alias(
+            "implied_zipf_s"
+        ),
+    )
+
+
+# ── q312: A/B sample-ratio-mismatch (SRM) check on a hash split ─────────────
+
+_Q312_SEED = "srm42"
+_Q312_CRIT = "3.841458820694124"  # chi-square 0.95 critical value, 1 dof
+
+
+def _q312_sql() -> str:
+    return f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    assign AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(concat('{_Q312_SEED}',
+               CAST(user_id AS VARCHAR))), 1, 13)) AS BIGINT) % 2 AS arm
+      FROM users
+    ),
+    counts AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM assign
+    )
+    SELECT n_a, n_b,
+           CAST(n_a + n_b AS BIGINT) AS n_total,
+           FLOOR((n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b) * 10000
+                 + 0.5) / 10000 AS chi2,
+           CASE WHEN (n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b)
+                     > {_Q312_CRIT} THEN TRUE ELSE FALSE END AS srm_detected
+    FROM counts
+    """
+
+
+@register(
+    "q312_srm_check",
+    _q312_sql(),
+    doc="Sample-ratio-mismatch check for a 50/50 hash-split experiment: "
+    "users assigned by seeded md5 parity (the deterministic split q88/"
+    "q227 use), observed arm counts tested against the expected even "
+    "split with a 1-dof chi-square. SRM is the first gate of any A/B "
+    "readout — a biased assignment invalidates q250's power math and "
+    "q268's sequential looks before any metric is computed. The "
+    "chi-square numerator (n_a-n_b)^2 is exact integer arithmetic.",
+)
+def q312_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one distinct on the user key and one map-side parity
+    aggregate — no joins, no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.select("user_id").distinct().select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(_Q312_SEED), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm")
+    )
+    counts = assign.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    diff2 = (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    chi2 = diff2 * 1.0 / (F.col("n_a") + F.col("n_b"))
+    return counts.select(
+        "n_a",
+        "n_b",
+        (F.col("n_a") + F.col("n_b")).cast("long").alias("n_total"),
+        round_half_up(chi2, 4).alias("chi2"),
+        (chi2 > float(_Q312_CRIT)).alias("srm_detected"),
+    )
+
+
+# ── q313: Benford first-digit audit of order totals ──────────────────────────
+
+# log10(1 + 1/d) at full double precision (repr), d = 1..9
+_Q313_P = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829993",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+
+def _q313_sql() -> str:
+    # ::DOUBLE — DuckDB parses a bare 16-digit literal as DECIMAL(18),
+    # which overflows when the chi2 expression multiplies it up
+    cases = " ".join(
+        f"WHEN {d} THEN {p}::DOUBLE" for d, p in _Q313_P.items()
+    )
+    return f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+               AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM digits),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM digits GROUP BY digit
+    ),
+    spine AS (SELECT unnest(range(1, 10)) AS digit)
+    SELECT CAST(s.digit AS INTEGER) AS digit,
+           CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+           FLOOR(CASE s.digit {cases} END * 1000000 + 0.5) / 1000000
+             AS expected_frac,
+           FLOOR(COALESCE(o.n_obs, 0) * 1.0 / n.n * 1000000 + 0.5)
+             / 1000000 AS observed_frac,
+           FLOOR(POW(COALESCE(o.n_obs, 0) - n.n * CASE s.digit {cases} END, 2)
+                 / (n.n * CASE s.digit {cases} END) * 10000 + 0.5) / 10000
+             AS chi2_component
+    FROM spine s LEFT JOIN obs o ON o.digit = s.digit CROSS JOIN n
+    ORDER BY digit
+    """
+
+
+@register(
+    "q313_benford_audit",
+    _q313_sql(),
+    doc="Benford first-digit audit of order totals: observed leading-"
+    "digit distribution vs log10(1+1/d), with per-digit chi-square "
+    "components — the forensic-accounting screen for fabricated or "
+    "systematically rounded monetary data. Expected probabilities are "
+    "full-precision double literals shared by both engines (the "
+    "Poisson-ladder idiom); TPC-H totals are sums of uniform prices, "
+    "so this corpus SHOULD deviate — the per-digit components show "
+    "exactly where.",
+)
+def q313_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one map-side digit projection + a 9-group aggregate; the
+    spine join is a 9-row broadcast."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    n = digits.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    obs = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    p = F.create_map(
+        *[x for d, prob in _Q313_P.items() for x in (F.lit(d), F.lit(float(prob)))]
+    )[F.col("digit")]
+    j = (
+        spine.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            p.alias("p"),
+            F.col("n"),
+        )
+    )
+    return j.select(
+        "digit",
+        "n_obs",
+        round_half_up(F.col("p"), 6).alias("expected_frac"),
+        round_half_up(F.col("n_obs") * 1.0 / F.col("n"), 6).alias(
+            "observed_frac"
+        ),
+        round_half_up(
+            F.pow(F.col("n_obs") - F.col("n") * F.col("p"), 2)
+            / (F.col("n") * F.col("p")),
+            4,
+        ).alias("chi2_component"),
+    ).orderBy("digit")
+
+
+# ── q314: autocorrelation of daily event volume (lags 1..7) ──────────────────
+
+_Q314_MAX_LAG = 7
+
+
+def _q314_sql() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, {_Q314_MAX_LAG} + 1)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.n AS x, b.n AS y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + l.lag * INTERVAL 1 DAY
+    ),
+    s AS (
+      SELECT lag,
+             CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INTEGER) AS lag,
+           np AS n_pairs,
+           FLOOR((np * sxy - sx * sy) * 1.0
+                 / (SQRT(np * sxx - sx * sx) * SQRT(np * syy - sy * sy))
+                 * 1000000 + 0.5) / 1000000 AS acf
+    FROM s
+    ORDER BY lag
+    """
+
+
+@register(
+    "q314_volume_autocorrelation",
+    _q314_sql(),
+    doc="Autocorrelation of daily event volume at lags 1-7: Pearson "
+    "correlation of (day t, day t+k) count pairs, all five moment "
+    "sums EXACT integers (the q296 Pearson-identity discipline), "
+    "division only in the final ratio. Lag-7 is the weekly-"
+    "seasonality detector that justifies q272's day-of-week factor; "
+    "lag-1 is the trend-persistence readout q305's CUSUM assumes.",
+)
+def q314_volume_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one daily count aggregate; the lag join runs on the
+    (tiny) day spine crossed with a 7-row lag spine — corpus rows are
+    touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    lags = spark.range(1, _Q314_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("n").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("n").alias("y"))
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("db") == F.date_add(F.col("da"), F.col("lag")))
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = s["np"] * s["sxy"] - s["sx"] * s["sy"]
+    den = F.sqrt(s["np"] * s["sxx"] - s["sx"] * s["sx"]) * F.sqrt(
+        s["np"] * s["syy"] - s["sy"] * s["sy"]
+    )
+    return s.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("np").alias("n_pairs"),
+        round_half_up(num * 1.0 / den, 6).alias("acf"),
+    ).orderBy("lag")
+
+
+# ── q315: MinHash signature-budget planner over measured pairs ───────────────
+
+_Q315_HASHES = (8, 16, 32, 64, 128)
+
+
+def _q315_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    hashes = ", ".join(str(h) for h in _Q315_HASHES)
+    q24 = _REGISTRY["q24_minhash_lsh_dedup"].sql
+    return f"""
+    WITH pairs AS ({q24}),
+    hs AS (SELECT unnest([{hashes}]) AS num_hashes)
+    SELECT CAST(h.num_hashes AS INTEGER) AS num_hashes,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR(AVG(SQRT(p.jaccard * (1 - p.jaccard) / h.num_hashes))
+                 * 1000000 + 0.5) / 1000000 AS mean_estimator_std,
+           FLOOR(AVG(1 - POW(1 - POW(p.jaccard, 4), h.num_hashes / 4.0))
+                 * 1000000 + 0.5) / 1000000 AS mean_detect_prob
+    FROM pairs p CROSS JOIN hs h
+    GROUP BY h.num_hashes
+    ORDER BY num_hashes
+    """
+
+
+@register(
+    "q315_minhash_budget_plan",
+    _q315_sql(),
+    doc="MinHash signature-budget planner priced on MEASURED pairs: for "
+    "each candidate signature size (8-128 hashes), the mean Jaccard-"
+    "estimator standard error sqrt(J(1-J)/h) and the mean banded-LSH "
+    "detection probability 1-(1-J^4)^(h/4) over q24's verified "
+    "near-dup pairs (bands of 4 rows, the production shape). The "
+    "q236/q238/q292-family sweep that answers 'how many hashes does "
+    "THIS corpus need' from ONE detector run — no re-hashing per "
+    "configuration.",
+)
+def q315_minhash_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one q24 run (already bucketed/capped) + a 5-row broadcast
+    sweep over its pair relation; per-row work is closed-form algebra."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    pairs = _REGISTRY["q24_minhash_lsh_dedup"].fn(spark, sf_dir)
+    hs = spark.createDataFrame(
+        [(h,) for h in _Q315_HASHES], "num_hashes int"
+    )
+    j = pairs.crossJoin(F.broadcast(hs))
+    return (
+        j.groupBy("num_hashes")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            round_half_up(
+                F.avg(
+                    F.sqrt(
+                        F.col("jaccard")
+                        * (1 - F.col("jaccard"))
+                        / F.col("num_hashes")
+                    )
+                ),
+                6,
+            ).alias("mean_estimator_std"),
+            round_half_up(
+                F.avg(
+                    1
+                    - F.pow(
+                        1 - F.pow(F.col("jaccard"), 4),
+                        F.col("num_hashes") / 4.0,
+                    )
+                ),
+                6,
+            ).alias("mean_detect_prob"),
+        )
+        .select(
+            F.col("num_hashes").cast("int").alias("num_hashes"),
+            "n_pairs",
+            "mean_estimator_std",
+            "mean_detect_prob",
+        )
+        .orderBy("num_hashes")
+    )

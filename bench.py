@@ -218,6 +218,11 @@ HEADLINE = [
     "q308_matryoshka_audit",
     "q309_burstiness_fano",
     "q310_wilcoxon_value_shift",
+    "q311_hill_tail_index",
+    "q312_srm_check",
+    "q313_benford_audit",
+    "q314_volume_autocorrelation",
+    "q315_minhash_budget_plan",
 ]
 
 

@@ -2449,3 +2449,126 @@ def test_q310_wilcoxon_against_numpy(spark):
     assert abs(row["z"] - z) < 2e-4
     expect = "increased" if z > 1.959964 else "decreased" if z < -1.959964 else "no_shift"
     assert row["verdict"] == expect
+
+
+def test_q311_hill_against_numpy(spark):
+    """Recompute the Hill estimator from the raw term-frequency order
+    statistics in numpy."""
+    import numpy as np
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    [row] = QUERY_REGISTRY["q311_hill_tail_index"].fn(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tok = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2), "
+                    "i -> concat_ws(' ', slice(t, i, 3)))"
+                )
+            ).alias("term")
+        )
+    )
+    freqs = sorted(
+        (
+            r["f"]
+            for r in tok.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    k = row["k_top"]
+    fk1 = freqs[k]  # (k+1)-th largest
+    lsum = float(np.log(np.array(freqs[:k]) / fk1).sum())
+    assert row["freq_cutoff"] == fk1
+    assert abs(row["hill_alpha"] - k / lsum) < 2e-3
+    assert abs(row["implied_zipf_s"] - (1 + lsum / k)) < 2e-4
+
+
+def test_q312_srm_counts_and_flag(spark):
+    """The split must cover every distinct user exactly once, and the
+    chi-square must equal (n_a - n_b)^2 / n."""
+    from aws_datalake_platform_spark.catalog import load_table
+
+    [row] = QUERY_REGISTRY["q312_srm_check"].fn(spark, SF_SMOKE).collect()
+    n_users = (
+        load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    )
+    assert row["n_total"] == n_users == row["n_a"] + row["n_b"]
+    chi2 = (row["n_a"] - row["n_b"]) ** 2 / n_users
+    assert abs(row["chi2"] - chi2) < 1e-4
+    assert row["srm_detected"] == (chi2 > 3.841458820694124)
+
+
+def test_q313_benford_components(spark):
+    """Nine digit rows; observed fractions sum to 1; each chi-square
+    component recomputes from its own row's counts."""
+    import math
+
+    rows = sorted(
+        QUERY_REGISTRY["q313_benford_audit"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["digit"],
+    )
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert abs(sum(r["observed_frac"] for r in rows) - 1.0) < 1e-4
+    n = sum(r["n_obs"] for r in rows)
+    for r in rows:
+        p = math.log10(1 + 1 / r["digit"])
+        assert abs(r["expected_frac"] - p) < 1e-6
+        expect = (r["n_obs"] - n * p) ** 2 / (n * p)
+        assert abs(r["chi2_component"] - expect) < 2e-3
+
+
+def test_q314_acf_against_numpy(spark):
+    """Recompute every lag's Pearson ACF from the raw daily counts."""
+    import numpy as np
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        QUERY_REGISTRY["q314_volume_autocorrelation"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["lag"],
+    )
+    daily = {
+        r["d"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    import datetime
+
+    for r in rows:
+        lag = r["lag"]
+        xs, ys = [], []
+        for d, n in daily.items():
+            d2 = d + datetime.timedelta(days=lag)
+            if d2 in daily:
+                xs.append(n)
+                ys.append(daily[d2])
+        assert r["n_pairs"] == len(xs)
+        acf = float(np.corrcoef(xs, ys)[0, 1])
+        assert abs(r["acf"] - acf) < 2e-6
+
+
+def test_q315_budget_plan_monotonicity(spark):
+    """More hashes: estimator std shrinks like 1/sqrt(h) exactly, and
+    banded detection probability never decreases."""
+    rows = sorted(
+        QUERY_REGISTRY["q315_minhash_budget_plan"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["num_hashes"],
+    )
+    assert [r["num_hashes"] for r in rows] == [8, 16, 32, 64, 128]
+    assert all(r["n_pairs"] == rows[0]["n_pairs"] > 0 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert b["mean_estimator_std"] < a["mean_estimator_std"]
+        assert b["mean_detect_prob"] >= a["mean_detect_prob"] - 1e-9
+        # exact 1/sqrt(2) scaling of the std between adjacent budgets
+        assert abs(b["mean_estimator_std"] * 2**0.5 - a["mean_estimator_std"]) < 1e-4
