@@ -11317,3 +11317,314 @@ def q315_minhash_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("num_hashes")
     )
+
+
+# ── q316: A/A difference-in-differences readout (experiment calibration) ─────
+
+_Q316_SEED = "aa42"
+
+
+def _q316_sql() -> str:
+    return f"""
+    WITH span AS (
+      SELECT (MIN(epoch_ms(ts)) + MAX(epoch_ms(ts))) // 2 AS mid FROM events
+    ),
+    cells AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(concat('{_Q316_SEED}',
+               CAST(user_id AS VARCHAR))), 1, 13)) AS BIGINT) % 2 AS arm,
+             CAST(SUM(CASE WHEN epoch_ms(ts) <= s.mid
+               THEN CAST(ROUND(value * 10000) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS v1,
+             CAST(SUM(CASE WHEN epoch_ms(ts) > s.mid
+               THEN CAST(ROUND(value * 10000) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS v2
+      FROM events CROSS JOIN span s
+      GROUP BY user_id
+    ),
+    g AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v2 - v1) AS BIGINT) AS sd,
+             CAST(SUM((v2 - v1) * (v2 - v1)) AS BIGINT) AS sdd
+      FROM cells GROUP BY arm
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n_c,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n_t,
+             MAX(CASE WHEN arm = 0 THEN sd END) AS sd_c,
+             MAX(CASE WHEN arm = 1 THEN sd END) AS sd_t,
+             MAX(CASE WHEN arm = 0 THEN sdd END) AS sdd_c,
+             MAX(CASE WHEN arm = 1 THEN sdd END) AS sdd_t
+      FROM g
+    )
+    SELECT n_t AS n_treat, n_c AS n_control,
+           FLOOR(sd_t * 1.0 / n_t / 10000 * 10000 + 0.5) / 10000
+             AS mean_shift_treat,
+           FLOOR(sd_c * 1.0 / n_c / 10000 * 10000 + 0.5) / 10000
+             AS mean_shift_control,
+           FLOOR((sd_t * 1.0 / n_t - sd_c * 1.0 / n_c) / 10000 * 10000
+                 + 0.5) / 10000 AS did,
+           FLOOR((sd_t * 1.0 / n_t - sd_c * 1.0 / n_c)
+                 / SQRT((n_t * sdd_t - sd_t * sd_t) * 1.0
+                          / (n_t * n_t * (n_t - 1))
+                        + (n_c * sdd_c - sd_c * sd_c) * 1.0
+                          / (n_c * n_c * (n_c - 1)))
+                 * 10000 + 0.5) / 10000 AS did_z,
+           CASE WHEN ABS((sd_t * 1.0 / n_t - sd_c * 1.0 / n_c)
+                 / SQRT((n_t * sdd_t - sd_t * sd_t) * 1.0
+                          / (n_t * n_t * (n_t - 1))
+                        + (n_c * sdd_c - sd_c * sd_c) * 1.0
+                          / (n_c * n_c * (n_c - 1)))) > 1.959964
+                THEN TRUE ELSE FALSE END AS false_positive
+    FROM w
+    """
+
+
+@register(
+    "q316_aa_test_readout",
+    _q316_sql(),
+    doc="A/A test calibration readout: users split by seeded md5 parity "
+    "(no real treatment), the metric is each user's value shift "
+    "between the exact epoch-millisecond window halves (q310's "
+    "pairing), and the difference-in-differences between arms is "
+    "tested with a Welch z. Because the split is random, a "
+    "significant DiD here is by construction a FALSE POSITIVE — the "
+    "standing calibration check an experimentation platform runs "
+    "before trusting q250's power math on real A/B readouts. All "
+    "sums exact integers; division only at the end.",
+)
+def q316_aa_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one user-keyed partial aggregate over events, then a
+    2-group rollup — no windows, no joins beyond the broadcast span."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    span = ev.agg(
+        ((F.min(F.unix_millis("ts")) + F.max(F.unix_millis("ts"))) / 2)
+        .cast("long")
+        .alias("mid")
+    )
+    q = F.round(F.col("value") * 10_000).cast("long")
+    cells = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.unix_millis("ts") <= F.col("mid"), q).otherwise(0))
+            .cast("long")
+            .alias("v1"),
+            F.sum(F.when(F.unix_millis("ts") > F.col("mid"), q).otherwise(0))
+            .cast("long")
+            .alias("v2"),
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(_Q316_SEED),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("arm"),
+            (F.col("v2") - F.col("v1")).alias("d"),
+        )
+    )
+    g = cells.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("arm") == 0, F.col("sd"))).alias("sd_c"),
+        F.max(F.when(F.col("arm") == 1, F.col("sd"))).alias("sd_t"),
+        F.max(F.when(F.col("arm") == 0, F.col("sdd"))).alias("sdd_c"),
+        F.max(F.when(F.col("arm") == 1, F.col("sdd"))).alias("sdd_t"),
+    )
+    mt = F.col("sd_t") * 1.0 / F.col("n_t")
+    mc = F.col("sd_c") * 1.0 / F.col("n_c")
+    se = F.sqrt(
+        (F.col("n_t") * F.col("sdd_t") - F.col("sd_t") * F.col("sd_t"))
+        * 1.0
+        / (F.col("n_t") * F.col("n_t") * (F.col("n_t") - 1))
+        + (F.col("n_c") * F.col("sdd_c") - F.col("sd_c") * F.col("sd_c"))
+        * 1.0
+        / (F.col("n_c") * F.col("n_c") * (F.col("n_c") - 1))
+    )
+    return w.select(
+        F.col("n_t").alias("n_treat"),
+        F.col("n_c").alias("n_control"),
+        round_half_up(mt / 10_000, 4).alias("mean_shift_treat"),
+        round_half_up(mc / 10_000, 4).alias("mean_shift_control"),
+        round_half_up((mt - mc) / 10_000, 4).alias("did"),
+        round_half_up((mt - mc) / se, 4).alias("did_z"),
+        (F.abs((mt - mc) / se) > 1.959964).alias("false_positive"),
+    )
+
+
+# ── q317: weekly-seasonality strength of daily volume (one-way eta²) ────────
+
+
+def _q317_sql() -> str:
+    return """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, dayofweek(CAST(ts AS DATE)) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    per_dow AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS kg,
+             CAST(SUM(n) AS BIGINT) AS sg
+      FROM daily GROUP BY dow
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(n * n) AS BIGINT) AS ss
+      FROM daily
+    ),
+    parts AS (
+      -- sg^2 // kg: EXACT integer floor division per group, so the
+      -- between-groups sum is order-free in both engines (a float
+      -- sum of sg^2/kg terms would be addition-order dependent); the
+      -- < 1-per-group floor bias is shared by both sides identically
+      SELECT t.k, t.s, t.ss,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(p.sg * p.sg // p.kg) AS BIGINT) AS between_raw
+      FROM per_dow p CROSS JOIN tot t
+      GROUP BY t.k, t.s, t.ss
+    )
+    SELECT k AS n_days,
+           CAST(n_groups AS INTEGER) AS n_dow_groups,
+           FLOOR((between_raw - s * s * 1.0 / k)
+                 / (ss - s * s * 1.0 / k) * 1000000 + 0.5) / 1000000
+             AS eta2_dow,
+           FLOOR(((between_raw - s * s * 1.0 / k) / (n_groups - 1))
+                 / ((ss - between_raw) / (k - n_groups)) * 10000 + 0.5)
+             / 10000 AS f_stat
+    FROM parts
+    """
+
+
+@register(
+    "q317_seasonality_strength",
+    _q317_sql(),
+    doc="Weekly-seasonality strength of daily event volume: one-way "
+    "eta-squared (share of daily-count variance explained by "
+    "day-of-week) and the corresponding F statistic. All sums of "
+    "squares reduce to exact integer aggregates (S, Sum n^2, per-DOW "
+    "group sums); the only non-exact terms are the final rational "
+    "divisions. The quantitative justification for q272's day-of-week "
+    "forecast factor — eta^2 near 0 says the factor is noise.",
+)
+def q317_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one daily count, one 7-group rollup; everything after the
+    first aggregate is constant-size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("kg"),
+        F.sum("n").cast("long").alias("sg"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+    )
+    parts = per_dow.crossJoin(F.broadcast(tot)).groupBy("k", "s", "ss").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.expr("sg * sg div kg")).cast("long").alias("between_raw"),
+    )
+    cm = F.col("s") * F.col("s") * 1.0 / F.col("k")
+    ssb = F.col("between_raw") - cm
+    sst = F.col("ss") - cm
+    ssw = F.col("ss") - F.col("between_raw")
+    return parts.select(
+        F.col("k").alias("n_days"),
+        F.col("n_groups").cast("int").alias("n_dow_groups"),
+        round_half_up(ssb / sst, 6).alias("eta2_dow"),
+        round_half_up(
+            (ssb / (F.col("n_groups") - 1)) / (ssw / (F.col("k") - F.col("n_groups"))),
+            4,
+        ).alias("f_stat"),
+    )
+
+
+# ── q318: recommendation coverage curve (serving-readiness of q271) ──────────
+
+
+def _q318_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    q271 = _REGISTRY["q271_copurchase_recs"].sql
+    return f"""
+    WITH recs AS ({q271}),
+    per_part AS (
+      SELECT part, CAST(COUNT(*) AS BIGINT) AS n_recs FROM recs GROUP BY part
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM part),
+    ks AS (SELECT unnest(range(1, 4)) AS k)
+    SELECT CAST(ks.k AS INTEGER) AS k,
+           CAST(COALESCE(SUM(CASE WHEN p.n_recs >= ks.k THEN 1 END), 0)
+                AS BIGINT) AS n_parts_covered,
+           FLOOR(COALESCE(SUM(CASE WHEN p.n_recs >= ks.k THEN 1 END), 0)
+                 * 1.0 / n.n_parts * 1000000 + 0.5) / 1000000
+             AS coverage_frac
+    FROM ks CROSS JOIN np n LEFT JOIN per_part p ON TRUE
+    GROUP BY ks.k, n.n_parts
+    ORDER BY k
+    """
+
+
+@register(
+    "q318_rec_coverage",
+    _q318_sql(),
+    doc="Recommendation coverage curve: for k = 1..3, the share of the "
+    "part catalog that has at least k co-purchase recommendations in "
+    "q271's serving table — the cold-start readiness metric a "
+    "recommender dashboard leads with (coverage at k=1 is 'how many "
+    "shelves are non-empty'). One re-aggregation of the q271 "
+    "relation against the catalog count.",
+)
+def q318_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: q271 is the bounded serving relation (<= 3 rows per
+    part); this adds one count per part and a 3-row broadcast sweep."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    recs = _REGISTRY["q271_copurchase_recs"].fn(spark, sf_dir)
+    per_part = recs.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_recs")
+    )
+    n_parts = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    ks = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
+    j = F.broadcast(ks).crossJoin(F.broadcast(n_parts)).crossJoin(per_part)
+    return (
+        j.groupBy("k", "n_parts")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("n_recs") >= F.col("k"), 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_parts_covered"),
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_parts_covered",
+            round_half_up(
+                F.col("n_parts_covered") * 1.0 / F.col("n_parts"), 6
+            ).alias("coverage_frac"),
+        )
+        .orderBy("k")
+    )

@@ -223,6 +223,9 @@ HEADLINE = [
     "q313_benford_audit",
     "q314_volume_autocorrelation",
     "q315_minhash_budget_plan",
+    "q316_aa_test_readout",
+    "q317_seasonality_strength",
+    "q318_rec_coverage",
 ]
 
 

@@ -2572,3 +2572,98 @@ def test_q315_budget_plan_monotonicity(spark):
         assert b["mean_detect_prob"] >= a["mean_detect_prob"] - 1e-9
         # exact 1/sqrt(2) scaling of the std between adjacent budgets
         assert abs(b["mean_estimator_std"] * 2**0.5 - a["mean_estimator_std"]) < 1e-4
+
+
+def test_q316_aa_readout_recompute(spark):
+    """Recompute the A/A DiD and Welch z from raw events in Python
+    (same md5 parity split and millisecond midpoint)."""
+    import hashlib
+    import math
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    [row] = QUERY_REGISTRY["q316_aa_test_readout"].fn(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", F.unix_millis("ts").alias("ms"),
+        F.round(F.col("value") * 10_000).cast("long").alias("q"),
+    ).collect()
+    mid = (min(r["ms"] for r in ev) + max(r["ms"] for r in ev)) // 2
+    per: dict[int, list[int]] = {}
+    for r in ev:
+        v = per.setdefault(r["user_id"], [0, 0])
+        v[0 if r["ms"] <= mid else 1] += r["q"]
+    arms: dict[int, list[int]] = {0: [], 1: []}
+    for uid, (v1, v2) in per.items():
+        h = hashlib.md5(f"aa42{uid}".encode()).hexdigest()[:13]
+        arms[int(h, 16) % 2].append(v2 - v1)
+    n_c, n_t = len(arms[0]), len(arms[1])
+    assert row["n_control"] == n_c and row["n_treat"] == n_t
+    mc = sum(arms[0]) / n_c
+    mt = sum(arms[1]) / n_t
+    var_c = (n_c * sum(d * d for d in arms[0]) - sum(arms[0]) ** 2) / (
+        n_c * n_c * (n_c - 1)
+    )
+    var_t = (n_t * sum(d * d for d in arms[1]) - sum(arms[1]) ** 2) / (
+        n_t * n_t * (n_t - 1)
+    )
+    z = (mt - mc) / math.sqrt(var_t + var_c)
+    assert abs(row["did"] - (mt - mc) / 10_000) < 1e-3
+    assert abs(row["did_z"] - z) < 2e-4
+    assert row["false_positive"] == (abs(z) > 1.959964)
+
+
+def test_q317_eta2_bounds_and_recompute(spark):
+    """eta^2 in [0, 1]; recompute both statistics from raw daily counts
+    with the same floor-divided between term."""
+    from collections import defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    [row] = QUERY_REGISTRY["q317_seasonality_strength"].fn(spark, SF_SMOKE).collect()
+    daily = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("d"),
+            F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    k = len(daily)
+    s = sum(r["n"] for r in daily)
+    ss = sum(r["n"] * r["n"] for r in daily)
+    groups = defaultdict(list)
+    for r in daily:
+        groups[r["dow"]].append(r["n"])
+    between = sum(sum(g) ** 2 // len(g) for g in groups.values())
+    cm = s * s / k
+    eta2 = (between - cm) / (ss - cm)
+    f = ((between - cm) / (len(groups) - 1)) / ((ss - between) / (k - len(groups)))
+    assert row["n_days"] == k and row["n_dow_groups"] == len(groups)
+    assert 0.0 <= row["eta2_dow"] <= 1.0
+    assert abs(row["eta2_dow"] - eta2) < 2e-6
+    assert abs(row["f_stat"] - f) < 2e-3
+
+
+def test_q318_coverage_monotone_and_recount(spark):
+    """Coverage is non-increasing in k, bounded by 1, and k=3 equals
+    the share of parts with a full 3-rec shelf."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    rows = sorted(
+        QUERY_REGISTRY["q318_rec_coverage"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [1, 2, 3]
+    n_parts = load_table(spark, SF_SMOKE, "part").count()
+    recs = QUERY_REGISTRY["q271_copurchase_recs"].fn(spark, SF_SMOKE)
+    per = recs.groupBy("part").agg(F.count(F.lit(1)).alias("c")).collect()
+    for k, row in zip((1, 2, 3), rows):
+        covered = sum(1 for r in per if r["c"] >= k)
+        assert row["n_parts_covered"] == covered
+        assert abs(row["coverage_frac"] - covered / n_parts) < 1e-6
+    assert rows[0]["n_parts_covered"] >= rows[1]["n_parts_covered"] >= rows[2]["n_parts_covered"]
