@@ -260,3 +260,65 @@ def _semantic_pass(
         dropped.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti"
     )
     return surv, assigned, n_sem
+
+
+def curate_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema: str = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ),
+    near_dup_threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Structured-Streaming front end for the incremental pipeline: a
+    file stream over ``input_dir`` (one parquet drop per ingest batch,
+    e.g. a day's crawl) drives :func:`curate_incremental` through
+    ``foreachBatch``, so each micro-batch is deduplicated within itself
+    AND against the stored corpus state before its survivors' index
+    rows are appended.
+
+    maxFilesPerTrigger=1 makes each dropped file its own micro-batch —
+    the streaming equivalent of the daily-batch CLI, with the file
+    stream providing ordering, discovery and (via the checkpoint)
+    exactly-once batch tracking. foreachBatch is at-least-once on
+    replay; the dedup itself makes the replay IDEMPOTENT: a replayed
+    batch's docs are all exact_dup against the state the first attempt
+    appended, so nothing is double-counted downstream (same argument as
+    stream_upsert_to_lake's MERGE, reference: streaming/ingest.py).
+
+    Returns the list of per-batch reports (curated frames dropped —
+    only counts and versions survive the batch boundary).
+    """
+    reports: list[dict[str, Any]] = []
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        r = curate_incremental(
+            spark,
+            batch_df,
+            state_dir,
+            near_dup_threshold=near_dup_threshold,
+        )
+        r.pop("curated", None)
+        r["batch_id"] = batch_id
+        reports.append(r)
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    writer = sdf.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+        return reports
+    return query, reports

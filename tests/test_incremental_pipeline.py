@@ -214,3 +214,56 @@ def test_cli_curate_incremental(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "bootstrap: False" in out and "dedup_index_version: 2" in out
+
+
+def test_curate_stream_drives_incremental_state(spark, tmp_path):
+    """Streaming front end: three parquet drops become three
+    micro-batches (maxFilesPerTrigger=1); each is curated against the
+    state its predecessors built — the day-2 planted copy of a day-0
+    doc is caught as a corpus duplicate, and the state ends at
+    version 3."""
+    from aws_datalake_platform_spark.operators.snapshots import list_snapshots
+    from aws_datalake_platform_spark.pipelines.incremental import curate_stream
+
+    inp = tmp_path / "drops"
+    state = str(tmp_path / "stream_state")
+    ckpt = str(tmp_path / "ckpt")
+    inp.mkdir()
+
+    def drop_day(day: int, extra=()):
+        # the file source watches FILES under input_dir (it does not
+        # recurse into per-batch subdirectories) — stage the write,
+        # then move the single part file in as bN.parquet
+        import glob as _glob
+        import shutil as _shutil
+
+        rows = list(_day_rows(day))[: N_ORIG] + list(extra)
+        staging = str(tmp_path / f"staging_{day}")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(staging)
+        [part] = _glob.glob(f"{staging}/part-*.parquet")
+        _shutil.move(part, str(inp / f"b{day}.parquet"))
+
+    # day files dropped up front; availableNow drains them in order
+    drop_day(0)
+    drop_day(1)
+    copy_of_day0 = (99_999, _text(0, 3), "en", "dup", len(_text(0, 3)))
+    drop_day(2, extra=[copy_of_day0])
+
+    reports = curate_stream(spark, str(inp), state, ckpt)
+    assert [r["batch_id"] for r in reports] == [0, 1, 2]
+    assert reports[0]["bootstrap"] is True
+    assert reports[1]["bootstrap"] is False
+    # day 2 catches the planted cross-batch copy against stored state
+    assert reports[2]["n_corpus_exact_dup"] == 1
+    assert reports[2]["n_final"] == N_ORIG
+    assert [r["dedup_index_version"] for r in reports] == [1, 2, 3]
+    assert len(list_snapshots(f"{state}/dedup_index")) == 3
+
+    # replay idempotence: a fresh checkpoint re-processes every file,
+    # and the dedup itself makes the replay harmless — every doc is an
+    # exact_dup of what the first run appended, nothing survives
+    reports2 = curate_stream(spark, str(inp), state, str(tmp_path / "ckpt2"))
+    assert all(r["n_final"] == 0 for r in reports2)
+    assert all(
+        r["n_corpus_exact_dup"] == r["n_after_batch_near"] for r in reports2
+    )
