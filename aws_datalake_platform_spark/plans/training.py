@@ -11628,3 +11628,305 @@ def q318_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ── q319: stop-shingle (max_df) planner for exact n-gram dedup ───────────────
+
+_Q319_CAPS = (4, 16, 64, 256, 1024)
+
+
+def _q319_sql() -> str:
+    caps = ", ".join(str(c) for c in _Q319_CAPS)
+    return rf"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM tk WHERE len(t) >= 3
+    ),
+    dfh AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s
+    ),
+    hist AS (SELECT df, CAST(COUNT(*) AS BIGINT) AS n FROM dfh GROUP BY df),
+    caps AS (SELECT unnest([{caps}]) AS cap)
+    SELECT CAST(cap AS INTEGER) AS max_df,
+           CAST(COALESCE(SUM(CASE WHEN df > cap THEN n END), 0) AS BIGINT)
+             AS n_stop_shingles,
+           CAST(COALESCE(SUM(CASE WHEN df <= cap THEN n * df * (df - 1) END),
+                0) AS BIGINT) AS kept_pair_work,
+           CAST(SUM(n * df * (df - 1)) AS BIGINT) AS total_pair_work,
+           FLOOR(COALESCE(SUM(CASE WHEN df > cap THEN n * df * (df - 1) END),
+                 0) * 1.0 / SUM(n * df * (df - 1)) * 1000000 + 0.5)
+             / 1000000 AS work_pruned_frac
+    FROM caps CROSS JOIN hist
+    GROUP BY cap
+    ORDER BY max_df
+    """
+
+
+@register(
+    "q319_stop_shingle_plan",
+    _q319_sql(),
+    doc="Stop-shingle (max_df) planner for the exact n-gram dedup path: "
+    "for each candidate document-frequency cap, how many shingles the "
+    "guard removes and how much shared-shingle JOIN WORK (Σ df·(df−1) "
+    "over kept shingles — the self-join's exact fan-out) survives, "
+    "priced from ONE df histogram. q23/q199/q221 all lean on the "
+    "max_df knob; this is the sweep that picks its value before the "
+    "pair join runs — the q303 cap-planner shape applied to the "
+    "dedup family's hottest guard.",
+)
+def q319_stop_shingle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shingle scan into a distinct (doc, shingle) relation,
+    one df aggregate, then the sweep runs on the df HISTOGRAM crossed
+    with a 5-row cap spine — the pair join itself never runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+        )
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2), "
+                    "i -> concat_ws(' ', slice(t, i, 3)))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    dfh = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    hist = dfh.groupBy("df").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    caps = spark.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in _Q319_CAPS])).alias("cap")
+    )
+    work = F.col("n") * F.col("df") * (F.col("df") - 1)
+    hot = F.when(F.col("df") > F.col("cap"), work)
+    return (
+        caps.crossJoin(F.broadcast(hist))
+        .groupBy("cap")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("df") > F.col("cap"), F.col("n"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_stop_shingles"),
+            F.coalesce(
+                F.sum(F.when(F.col("df") <= F.col("cap"), work)), F.lit(0)
+            )
+            .cast("long")
+            .alias("kept_pair_work"),
+            F.sum(work).cast("long").alias("total_pair_work"),
+            round_half_up(
+                F.coalesce(F.sum(hot), F.lit(0)) * 1.0 / F.sum(work), 6
+            ).alias("work_pruned_frac"),
+        )
+        .select(
+            F.col("cap").cast("int").alias("max_df"),
+            "n_stop_shingles",
+            "kept_pair_work",
+            "total_pair_work",
+            "work_pruned_frac",
+        )
+        .orderBy("max_df")
+    )
+
+
+# ── q320: winsorization impact on order-value statistics ─────────────────────
+
+
+def _q320_sql() -> str:
+    return """
+    WITH cents AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cents),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c, o_orderkey) AS rn,
+             (SELECT n FROM n) AS n
+      FROM cents
+    ),
+    cut AS (
+      SELECT MAX(CASE WHEN rn = CAST(CEIL(n * 0.99) AS BIGINT) THEN c END)
+        AS p99c
+      FROM ranked
+    ),
+    agg AS (
+      SELECT MAX(r.n) AS n,
+             CAST(SUM(c) AS BIGINT) AS s_raw,
+             CAST(SUM(LEAST(c, t.p99c)) AS BIGINT) AS s_wins,
+             CAST(MAX(c) AS BIGINT) AS max_raw,
+             CAST(SUM(CASE WHEN c > t.p99c THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamped,
+             MAX(t.p99c) AS p99c
+      FROM ranked r CROSS JOIN cut t
+    )
+    SELECT n AS n_orders,
+           FLOOR(p99c * 1.0 / 100 * 100 + 0.5) / 100 AS p99_value,
+           n_clamped,
+           FLOOR(s_raw * 1.0 / n / 100 * 10000 + 0.5) / 10000 AS mean_raw,
+           FLOOR(s_wins * 1.0 / n / 100 * 10000 + 0.5) / 10000
+             AS mean_winsorized,
+           FLOOR((s_raw - s_wins) * 1.0 / s_raw * 1000000 + 0.5) / 1000000
+             AS mass_clamped_frac
+    FROM agg
+    """
+
+
+@register(
+    "q320_winsorize_impact",
+    _q320_sql(),
+    doc="Winsorization impact audit: order values clamped at the EXACT "
+    "p99 order statistic (rank = ceil(0.99·n), orderkey tie-break — "
+    "the q249/q266 discipline, no percentile function), reporting the "
+    "clamp point, how many orders it touches, and how much of the "
+    "revenue mass the tail carried — the robustness check run before "
+    "trusting a mean-based KPI. All sums in exact integer cents.",
+)
+def q320_winsorize_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one rank window over the value column (at audit scale;
+    the GK/histogram route replaces it at extreme n, q80's note) and
+    one scalar rollup."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    n = o.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = o.crossJoin(F.broadcast(n)).withColumn(
+        "rn", F.row_number().over(Window.orderBy("c", "o_orderkey"))
+    )
+    cut = ranked.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.99).cast("long"),
+                F.col("c"),
+            )
+        ).alias("p99c")
+    )
+    agg = ranked.crossJoin(F.broadcast(cut)).agg(
+        F.max("n").alias("n"),
+        F.sum("c").cast("long").alias("s_raw"),
+        F.sum(F.least(F.col("c"), F.col("p99c"))).cast("long").alias("s_wins"),
+        F.max("c").cast("long").alias("max_raw"),
+        F.sum(F.when(F.col("c") > F.col("p99c"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clamped"),
+        F.max("p99c").alias("p99c"),
+    )
+    return agg.select(
+        F.col("n").alias("n_orders"),
+        round_half_up(F.col("p99c") * 1.0 / 100, 2).alias("p99_value"),
+        "n_clamped",
+        round_half_up(F.col("s_raw") * 1.0 / F.col("n") / 100, 4).alias(
+            "mean_raw"
+        ),
+        round_half_up(F.col("s_wins") * 1.0 / F.col("n") / 100, 4).alias(
+            "mean_winsorized"
+        ),
+        round_half_up(
+            (F.col("s_raw") - F.col("s_wins")) * 1.0 / F.col("s_raw"), 6
+        ).alias("mass_clamped_frac"),
+    )
+
+
+# ── q321: hash-partition balance planner ─────────────────────────────────────
+
+_Q321_NS = (8, 32, 128)
+_Q321_SEED = "part42"
+
+
+def _q321_sql() -> str:
+    ns = ", ".join(str(n) for n in _Q321_NS)
+    return f"""
+    WITH keyed AS (
+      SELECT CAST(('0x' || substr(md5(concat('{_Q321_SEED}',
+               CAST(l_orderkey AS VARCHAR))), 1, 13)) AS BIGINT) AS h
+      FROM lineitem
+    ),
+    ns AS (SELECT unnest([{ns}]) AS n_buckets),
+    per AS (
+      SELECT n.n_buckets, k.h % n.n_buckets AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS rows_in
+      FROM keyed k CROSS JOIN ns n
+      GROUP BY 1, 2
+    )
+    SELECT CAST(n_buckets AS INTEGER) AS n_buckets,
+           CAST(MAX(rows_in) AS BIGINT) AS max_bucket_rows,
+           CAST(SUM(rows_in) AS BIGINT) AS total_rows,
+           FLOOR(MAX(rows_in) * 1.0
+                 / (SUM(rows_in) * 1.0 / n_buckets) * 10000 + 0.5) / 10000
+             AS skew_factor
+    FROM per
+    GROUP BY n_buckets
+    ORDER BY n_buckets
+    """
+
+
+@register(
+    "q321_partition_balance_plan",
+    _q321_sql(),
+    doc="Hash-partition balance planner: lineitem keyed by a seeded "
+    "md5 hash of l_orderkey (a replayable stand-in for the engine "
+    "partitioner) bucketed at 8/32/128 reducers — max bucket size vs "
+    "the ideal even share (skew_factor 1.0 = perfectly balanced). "
+    "The straggler-task forecast for sizing "
+    "spark.sql.shuffle.partitions on a NEW key before running the "
+    "shuffle; complements q222's per-key skew profile (which finds "
+    "hot KEYS, while this prices hot REDUCERS after hashing).",
+)
+def q321_partition_balance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one map-side hash projection, one (n_buckets, bucket)
+    count (map-side combinable, <= Σ n_buckets groups), one 3-group
+    rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(_Q321_SEED), F.col("l_orderkey").cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    ns = spark.createDataFrame([(n,) for n in _Q321_NS], "n_buckets int")
+    per = (
+        li.crossJoin(F.broadcast(ns))
+        .groupBy("n_buckets", (F.col("h") % F.col("n_buckets")).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_in"))
+    )
+    return (
+        per.groupBy("n_buckets")
+        .agg(
+            F.max("rows_in").cast("long").alias("max_bucket_rows"),
+            F.sum("rows_in").cast("long").alias("total_rows"),
+            round_half_up(
+                F.max("rows_in")
+                * 1.0
+                / (F.sum("rows_in") * 1.0 / F.col("n_buckets")),
+                4,
+            ).alias("skew_factor"),
+        )
+        .select(
+            F.col("n_buckets").cast("int").alias("n_buckets"),
+            "max_bucket_rows",
+            "total_rows",
+            "skew_factor",
+        )
+        .orderBy("n_buckets")
+    )

@@ -226,6 +226,9 @@ HEADLINE = [
     "q316_aa_test_readout",
     "q317_seasonality_strength",
     "q318_rec_coverage",
+    "q319_stop_shingle_plan",
+    "q320_winsorize_impact",
+    "q321_partition_balance_plan",
 ]
 
 

@@ -2667,3 +2667,104 @@ def test_q318_coverage_monotone_and_recount(spark):
         assert row["n_parts_covered"] == covered
         assert abs(row["coverage_frac"] - covered / n_parts) < 1e-6
     assert rows[0]["n_parts_covered"] >= rows[1]["n_parts_covered"] >= rows[2]["n_parts_covered"]
+
+
+def test_q319_stop_shingle_plan_recompute(spark):
+    """Recompute one cap's counters from the raw shingle df histogram
+    and pin monotonicity (a larger cap prunes no more work)."""
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        QUERY_REGISTRY["q319_stop_shingle_plan"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["max_df"],
+    )
+    assert [r["max_df"] for r in rows] == [4, 16, 64, 256, 1024]
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sh = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2), "
+                    "i -> concat_ws(' ', slice(t, i, 3)))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+        .collect()
+    )
+    dfs = Counter(r["s"] for r in sh)
+    total = sum(d * (d - 1) for d in dfs.values())
+    for row in rows:
+        cap = row["max_df"]
+        stop = sum(1 for d in dfs.values() if d > cap)
+        kept = sum(d * (d - 1) for d in dfs.values() if d <= cap)
+        assert row["n_stop_shingles"] == stop
+        assert row["kept_pair_work"] == kept
+        assert row["total_pair_work"] == total
+    for a, b in zip(rows, rows[1:]):
+        assert b["kept_pair_work"] >= a["kept_pair_work"]
+        assert b["work_pruned_frac"] <= a["work_pruned_frac"] + 1e-9
+
+
+def test_q320_winsorize_recompute(spark):
+    """Recompute the p99 cut and both means in exact integer cents."""
+    import math
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    [row] = QUERY_REGISTRY["q320_winsorize_impact"].fn(spark, SF_SMOKE).collect()
+    vals = sorted(
+        round(r["o_totalprice"] * 100)
+        for r in load_table(spark, SF_SMOKE, "orders").collect()
+    )
+    n = len(vals)
+    p99 = vals[math.ceil(0.99 * n) - 1]
+    assert row["n_orders"] == n
+    assert abs(row["p99_value"] - p99 / 100) < 0.01
+    assert row["n_clamped"] == sum(1 for v in vals if v > p99)
+    s_raw = sum(vals)
+    s_win = sum(min(v, p99) for v in vals)
+    assert abs(row["mean_raw"] - s_raw / n / 100) < 1e-3
+    assert abs(row["mean_winsorized"] - s_win / n / 100) < 1e-3
+    assert row["mean_winsorized"] <= row["mean_raw"]
+    assert abs(row["mass_clamped_frac"] - (s_raw - s_win) / s_raw) < 1e-6
+
+
+def test_q321_partition_balance_recompute(spark):
+    """Recompute the 8-bucket distribution with hashlib and pin the
+    skew-factor identity max/(total/n)."""
+    import hashlib
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    rows = sorted(
+        QUERY_REGISTRY["q321_partition_balance_plan"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["n_buckets"],
+    )
+    assert [r["n_buckets"] for r in rows] == [8, 32, 128]
+    keys = [
+        r["l_orderkey"]
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey")
+        .collect()
+    ]
+    from collections import Counter
+
+    buckets = Counter(
+        int(hashlib.md5(f"part42{k}".encode()).hexdigest()[:13], 16) % 8
+        for k in keys
+    )
+    row8 = rows[0]
+    assert row8["total_rows"] == len(keys)
+    assert row8["max_bucket_rows"] == max(buckets.values())
+    expect = max(buckets.values()) / (len(keys) / 8)
+    assert abs(row8["skew_factor"] - expect) < 1e-3
+    # every plan row: skew >= 1 by construction
+    assert all(r["skew_factor"] >= 1.0 for r in rows)
