@@ -11930,3 +11930,121 @@ def q321_partition_balance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_buckets")
     )
+
+
+# ── q322: curation filter-cascade order planner (reject-first greedy) ───────
+
+_Q322_RULES = (
+    "rule_word_count",
+    "rule_mean_word_len",
+    "rule_symbol_ratio",
+    "rule_alpha_words",
+    "rule_stopwords",
+)
+
+
+def _q322_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    q192 = _REGISTRY["q192_gopher_quality_rules"].sql
+    unpivot = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, '{r}' AS rule, {r} AS ok FROM g" for r in _Q322_RULES
+    )
+    return f"""
+    WITH g AS ({q192}),
+    flags AS (
+{unpivot}
+    ),
+    rates AS (
+      SELECT rule,
+             CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_reject
+      FROM flags GROUP BY rule
+    ),
+    ord AS (
+      SELECT rule, n_reject,
+             ROW_NUMBER() OVER (ORDER BY n_reject DESC, rule) AS eval_order
+      FROM rates
+    ),
+    firstrej AS (
+      SELECT f.doc_id, MIN(o.eval_order) AS fr
+      FROM flags f JOIN ord o ON o.rule = f.rule
+      WHERE NOT f.ok GROUP BY f.doc_id
+    ),
+    frh AS (SELECT fr, CAST(COUNT(*) AS BIGINT) AS c FROM firstrej GROUP BY fr),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM g),
+    cum AS (
+      SELECT o.eval_order, o.rule, o.n_reject,
+             CAST(COALESCE(SUM(h.c), 0) AS BIGINT) AS rejected_before
+      FROM ord o LEFT JOIN frh h ON h.fr < o.eval_order
+      GROUP BY o.eval_order, o.rule, o.n_reject
+    )
+    SELECT rule,
+           CAST(eval_order AS INTEGER) AS eval_order,
+           n_reject AS n_reject_solo,
+           FLOOR(n_reject * 1.0 / n.n_docs * 1000000 + 0.5) / 1000000
+             AS reject_frac,
+           CAST(n.n_docs - rejected_before AS BIGINT) AS docs_evaluated
+    FROM cum CROSS JOIN n
+    ORDER BY eval_order
+    """
+
+
+@register(
+    "q322_filter_order_plan",
+    _q322_sql(),
+    doc="Curation filter-cascade order planner: rank q192's five Gopher "
+    "rules by solo rejection rate (greedy reject-most-first, the "
+    "optimal order under unit per-rule cost) and price the cascade — "
+    "docs_evaluated at each stage is the corpus minus everything an "
+    "earlier rule already rejected (first-rejecting-rule attribution, "
+    "exact integer counts). The plan that decides WHICH filter runs "
+    "first in a 100 TB curation pass, where a cheap early reject is "
+    "the difference between scanning the corpus five times and ~once.",
+)
+def q322_filter_order_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one q192 pass (map-only), an unpivot to (doc, rule, ok),
+    two small aggregates and a 5x5 spine join — no corpus-sized
+    windows or joins beyond the flag relation."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    g = _REGISTRY["q192_gopher_quality_rules"].fn(spark, sf_dir)
+    stack = ", ".join(f"'{r}', {r}" for r in _Q322_RULES)
+    flags = g.select(
+        "doc_id",
+        F.expr(f"stack({len(_Q322_RULES)}, {stack}) as (rule, ok)"),
+    )
+    rates = flags.groupBy("rule").agg(
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("long").alias("n_reject")
+    )
+    ordr = rates.withColumn(
+        "eval_order",
+        F.row_number().over(Window.orderBy(F.desc("n_reject"), "rule")),
+    )
+    firstrej = (
+        flags.filter(~F.col("ok"))
+        .join(F.broadcast(ordr.select("rule", "eval_order")), "rule")
+        .groupBy("doc_id")
+        .agg(F.min("eval_order").alias("fr"))
+    )
+    frh = firstrej.groupBy("fr").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = g.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    cum = (
+        ordr.join(F.broadcast(frh), F.col("fr") < F.col("eval_order"), "left")
+        .groupBy("eval_order", "rule", "n_reject")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("rejected_before"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .select(
+            "rule",
+            F.col("eval_order").cast("int").alias("eval_order"),
+            F.col("n_reject").alias("n_reject_solo"),
+            round_half_up(F.col("n_reject") * 1.0 / F.col("n_docs"), 6).alias(
+                "reject_frac"
+            ),
+            (F.col("n_docs") - F.col("rejected_before"))
+            .cast("long")
+            .alias("docs_evaluated"),
+        )
+        .orderBy("eval_order")
+    )

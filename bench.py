@@ -229,6 +229,7 @@ HEADLINE = [
     "q319_stop_shingle_plan",
     "q320_winsorize_impact",
     "q321_partition_balance_plan",
+    "q322_filter_order_plan",
 ]
 
 

@@ -2768,3 +2768,32 @@ def test_q321_partition_balance_recompute(spark):
     assert abs(row8["skew_factor"] - expect) < 1e-3
     # every plan row: skew >= 1 by construction
     assert all(r["skew_factor"] >= 1.0 for r in rows)
+
+
+def test_q322_filter_order_plan_invariants(spark):
+    """Greedy order sorts by solo rejection rate; docs_evaluated is
+    non-increasing, starts at the corpus size, and each stage's
+    attrition matches the first-rejecting-rule attribution recomputed
+    from q192's flags."""
+    rows = sorted(
+        QUERY_REGISTRY["q322_filter_order_plan"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["eval_order"],
+    )
+    assert [r["eval_order"] for r in rows] == [1, 2, 3, 4, 5]
+    rejects = [r["n_reject_solo"] for r in rows]
+    assert rejects == sorted(rejects, reverse=True)
+
+    flags = QUERY_REGISTRY["q192_gopher_quality_rules"].fn(spark, SF_SMOKE).collect()
+    n_docs = len(flags)
+    assert rows[0]["docs_evaluated"] == n_docs
+    order = [r["rule"] for r in rows]
+    evaluated = [0] * 5
+    for doc in flags:
+        for k, rule in enumerate(order):
+            evaluated[k] += 1
+            if not doc[rule]:
+                break
+    for k, r in enumerate(rows):
+        assert r["docs_evaluated"] == evaluated[k], r["rule"]
+    des = [r["docs_evaluated"] for r in rows]
+    assert des == sorted(des, reverse=True)
