@@ -14,9 +14,18 @@ The serving-surface ergonomics of the reference's Athena console
     python -m aws_datalake_platform_spark compact /lake/events \
         --partition-cols date --target-bytes 134217728
 
+    python -m aws_datalake_platform_spark materialize --index /lake/dedup_idx
+    python -m aws_datalake_platform_spark audit --index /lake/dedup_idx
+    python -m aws_datalake_platform_spark curate-incremental \
+        --state /lake/curation_state --day 3 --of 10
+
 `run --output <dir>` writes the full result as parquet instead of
 showing it (the driver-free path to materialize any operator's output).
-`expire` is a dry-run listing unless --apply is passed.
+`expire` is a dry-run listing unless --apply is passed. `materialize`
+computes the dedup detector relations once and snapshots them;
+`audit` re-aggregates the stored relations (q214/q243/q277/q300 twins,
+time-travelable with --version). `curate-incremental` processes one
+ingest batch against the stored day-0..N-1 index.
 """
 
 from __future__ import annotations
