@@ -1,0 +1,606 @@
+"""Round-7 additions: corpus-growth estimation, stronger privacy
+audits, retrieval/eval completions, keyword extraction, Kneser-Ney LM
+scoring, sorted-neighborhood linkage, a Johnson-Lindenstrauss
+projection audit, an optimizer cardinality-estimate audit, and exact
+Shapley channel attribution.
+
+Reference tie-in: the reference delegates all analytics to Athena
+(README.md:128-132); these extend the engine's LLM-pipeline and
+analytics surface the same way q203-q322 did (SURVEY.md north-star
+ops). Every query is DuckDB-oracle hash-checkable: float accumulation
+is either an exact integer ratio, a fixed IEEE expression tree, or a
+sequential left fold (the q47/q115 graduation discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.core import round_half_up
+from .queries import register
+
+# ── q323: Chao1 / Good-Turing vocabulary-richness estimation ────────────────
+
+
+@register(
+    "q323_chao1_vocab_estimate",
+    r"""
+    WITH tok AS (
+      SELECT lang,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                t -> t <> '')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY lang, w
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_obs,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           FLOOR((COUNT(*)
+                  + CASE WHEN SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) > 0
+                         THEN SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                              / (2 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END))
+                         ELSE SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+                              / 2.0 END) * 10000 + 0.5) / 10000 AS chao1_est,
+           FLOOR(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / SUM(c)
+                 * 1000000 + 0.5) / 1000000 AS unseen_mass
+    FROM tf GROUP BY lang ORDER BY lang
+    """,
+    doc="Vocabulary-richness estimation per language: Chao1 lower bound "
+    "on TOTAL vocabulary (observed + f1^2/(2*f2), the bias-corrected "
+    "f1*(f1-1)/2 form when no doubletons exist) and the Good-Turing "
+    "unseen probability mass f1/N — 'how much vocabulary has this "
+    "corpus slice NOT seen yet', the collect-more-data signal that "
+    "complements q251's Heaps-law growth fit (which extrapolates the "
+    "curve; Chao1 bounds its asymptote) and q289's empirical novelty "
+    "curve. Estimators are exact integer ratios of singleton/doubleton "
+    "counts, floor-half-up pinned.",
+)
+def q323_chao1_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one token explode, one (lang, word) count that is map-side
+    combinable and vocabulary-bounded (zipf, ≪ corpus), then a
+    |langs|-row rollup over frequency-of-frequencies. No windows, no
+    joins — the estimator only ever sees the term-frequency relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+            ).alias("w"),
+        )
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    f1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+    f2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long")
+    vobs = F.count(F.lit(1)).cast("long")
+    chao1 = vobs + F.when(
+        f2 > 0, f1 * f1 * 1.0 / (2 * f2)
+    ).otherwise(f1 * (f1 - 1) / 2.0)
+    return (
+        tf.groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            vobs.alias("vocab_obs"),
+            f1.alias("f1"),
+            f2.alias("f2"),
+            round_half_up(chao1, 4).alias("chao1_est"),
+            round_half_up(f1 * 1.0 / F.sum("c"), 6).alias("unseen_mass"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ── q324: entropy / recursive (c,l)-diversity privacy audit ─────────────────
+
+_Q324_L = 3  # diversity target
+_Q324_C = 2.0  # recursive (c,l) dominance constant
+
+
+@register(
+    "q324_entropy_l_diversity",
+    f"""
+    WITH cls AS (
+      SELECT c_mktsegment, CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+             c_nationkey, CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    clsw AS (
+      SELECT c_mktsegment, bal_bucket, c,
+             SUM(c) OVER (PARTITION BY c_mktsegment, bal_bucket) AS cs,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment, bal_bucket
+                                ORDER BY c DESC, c_nationkey) AS rk
+      FROM cls
+    ),
+    per AS (
+      SELECT c_mktsegment, bal_bucket,
+             CAST(SUM(c) AS BIGINT) AS class_size,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_count,
+             CAST(SUM(CAST(FLOOR(-LN(c * 1.0 / cs) * c * 1000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS hq6_w,
+             CAST(SUM(CASE WHEN rk >= {_Q324_L} THEN c ELSE 0 END)
+                  AS BIGINT) AS tail_lminus1
+      FROM clsw GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, bal_bucket, class_size, n_distinct, top_count,
+           FLOOR(EXP(hq6_w / (1000000.0 * class_size)) * 10000 + 0.5)
+             / 10000 AS entropy_l,
+           EXP(hq6_w / (1000000.0 * class_size)) >= {_Q324_L} AS entropy_l_ok,
+           top_count < {_Q324_C} * tail_lminus1 AS recursive_cl_ok
+    FROM per ORDER BY c_mktsegment, bal_bucket
+    """,
+    doc="Entropy and recursive (c,l)-diversity audit (Machanavajjhala et "
+    "al., the criteria q194's distinct-count flag is too weak for): per "
+    "quasi-identifier class, entropy l-diversity exp(H(sensitive)) and "
+    "the recursive (2,3) test top_count < c * (sum of counts from the "
+    "l-th most frequent down). A class where one nation holds 90% of "
+    "rows passes distinct-l but fails both of these. Per-value -ln(p)*c "
+    "terms are floor-half-up micro-quantized then integer-summed, so "
+    "the entropy aggregate is order-free.",
+)
+def q324_entropy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the (class, sensitive-value) relation is bounded by
+    |classes| x |values| (segments x buckets x 25 nations), far below
+    table size after one map-side-combinable count; every window runs
+    over that relation, never customer rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    cls = (
+        cust.select(
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_bucket"),
+            "c_nationkey",
+        )
+        .groupBy("c_mktsegment", "bal_bucket", "c_nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wcls = Window.partitionBy("c_mktsegment", "bal_bucket")
+    clsw = cls.select(
+        "c_mktsegment",
+        "bal_bucket",
+        "c",
+        F.sum("c").over(wcls).alias("cs"),
+        F.row_number()
+        .over(wcls.orderBy(F.desc("c"), "c_nationkey"))
+        .alias("rk"),
+    )
+    hq6 = F.floor(
+        -F.log(F.col("c") * 1.0 / F.col("cs")) * F.col("c") * 1_000_000 + 0.5
+    ).cast("long")
+    per = clsw.groupBy("c_mktsegment", "bal_bucket").agg(
+        F.sum("c").cast("long").alias("class_size"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_count"),
+        F.sum(hq6).cast("long").alias("hq6_w"),
+        F.sum(F.when(F.col("rk") >= _Q324_L, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("tail_lminus1"),
+    )
+    ent = F.exp(F.col("hq6_w") / (1_000_000.0 * F.col("class_size")))
+    return per.select(
+        "c_mktsegment",
+        "bal_bucket",
+        "class_size",
+        "n_distinct",
+        "top_count",
+        round_half_up(ent, 4).alias("entropy_l"),
+        (ent >= _Q324_L).alias("entropy_l_ok"),
+        (F.col("top_count") < _Q324_C * F.col("tail_lminus1")).alias(
+            "recursive_cl_ok"
+        ),
+    ).orderBy("c_mktsegment", "bal_bucket")
+
+
+# ── q325: average precision / PR curve of the quality model ─────────────────
+
+
+def _q325_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    model = _REGISTRY["q173_quality_logreg"].sql
+    gate = _REGISTRY["q192_gopher_quality_rules"].sql
+    return f"""
+    WITH m AS ({model}),
+    g AS ({gate}),
+    j AS (
+      SELECT CAST(FLOOR(m.quality_score * 10000 + 0.5) AS BIGINT) AS score_u,
+             CASE WHEN g.passes THEN 1 ELSE 0 END AS label
+      FROM m JOIN g ON m.doc_id = g.doc_id
+    ),
+    h AS (
+      SELECT score_u, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(label) AS BIGINT) AS pos
+      FROM j GROUP BY score_u
+    ),
+    r AS (
+      SELECT pos, cnt,
+             SUM(cnt) OVER (ORDER BY score_u DESC) AS cum_cnt,
+             SUM(pos) OVER (ORDER BY score_u DESC) AS cum_pos
+      FROM h
+    ),
+    tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS np,
+                   CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+    terms AS (
+      SELECT t.np, t.n,
+             CAST(FLOOR(r.pos * 1.0 / t.np * (r.cum_pos * 1.0 / r.cum_cnt)
+                        * 1000000000 + 0.5) AS BIGINT) AS term_q9
+      FROM r CROSS JOIN tot t
+    )
+    SELECT np AS n_pos, CAST(n - np AS BIGINT) AS n_neg,
+           FLOOR(np * 1.0 / n * 1000000 + 0.5) / 1000000 AS base_rate,
+           FLOOR(SUM(term_q9) / 1000.0 + 0.5) / 1000000 AS average_precision
+    FROM terms GROUP BY np, n
+    """
+
+
+@register(
+    "q325_average_precision",
+    _q325_sql(),
+    doc="Average precision of the q173 quality score against the q192 "
+    "rule gate: the step-function PR-curve area at score-histogram "
+    "granularity — sum over tie buckets (descending score) of "
+    "delta-recall x precision-at-bucket-end. Completes the eval family "
+    "(q240 ROC AUC, q239 Brier, q291 gain): AP is the metric that "
+    "ignores the true-negative flood, which is what matters when the "
+    "positive class (keep-worthy docs) is rare at corpus scale. Each "
+    "bucket term is a fixed IEEE expression over exact integer ratios, "
+    "floor-half-up quantized to 1e-9 BEFORE the cross-bucket sum so the "
+    "aggregate is an order-free integer sum; tie buckets are atomic so "
+    "no per-row ordering is ever needed.",
+)
+def q325_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical shape to q240 — the histogram GROUP BY is
+    map-side combinable down to <= 10001 quantized scores and the
+    running window runs over THAT relation, never a corpus-wide sort."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    m = _REGISTRY["q173_quality_logreg"].fn(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("quality_score") * 10000 + 0.5).cast("long").alias("score_u"),
+    )
+    g = _REGISTRY["q192_gopher_quality_rules"].fn(spark, sf_dir).select(
+        "doc_id", F.when(F.col("passes"), 1).otherwise(0).alias("label")
+    )
+    h = (
+        m.join(g, "doc_id")
+        .groupBy("score_u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("label").cast("long").alias("pos"),
+        )
+    )
+    wdesc = Window.orderBy(F.desc("score_u")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = h.select(
+        "pos",
+        "cnt",
+        F.sum("cnt").over(wdesc).alias("cum_cnt"),
+        F.sum("pos").over(wdesc).alias("cum_pos"),
+    )
+    tot = h.agg(
+        F.sum("pos").cast("long").alias("np"), F.sum("cnt").cast("long").alias("n")
+    )
+    term_q9 = F.floor(
+        F.col("pos") * 1.0 / F.col("np")
+        * (F.col("cum_pos") * 1.0 / F.col("cum_cnt"))
+        * 1_000_000_000
+        + 0.5
+    ).cast("long")
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .groupBy("np", "n")
+        .agg(F.sum(term_q9).cast("long").alias("sum_q9"))
+        .select(
+            F.col("np").alias("n_pos"),
+            (F.col("n") - F.col("np")).cast("long").alias("n_neg"),
+            round_half_up(F.col("np") * 1.0 / F.col("n"), 6).alias("base_rate"),
+            (F.floor(F.col("sum_q9") / 1000.0 + 0.5) / 1_000_000).alias(
+                "average_precision"
+            ),
+        )
+    )
+
+
+# ── q326: RAKE keyword extraction ────────────────────────────────────────────
+
+_Q326_STOPS = ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+_Q326_MAX_PHRASE = 4
+_Q326_TOPK = 15
+
+
+def _q326_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in _Q326_STOPS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS w,
+             unnest(range(1, len(list_filter(string_split_regex(lower(text),
+                    '[^a-z]+'), x -> x <> '')) + 1)) AS pos
+      FROM documents
+    ),
+    grp AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END AS st,
+             SUM(CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM tok
+    ),
+    ph AS (
+      SELECT doc_id, g, list(w ORDER BY pos) AS words
+      FROM grp WHERE st = 0 GROUP BY doc_id, g
+      HAVING COUNT(*) BETWEEN 1 AND {_Q326_MAX_PHRASE}
+    ),
+    pw AS (
+      SELECT doc_id, g, len(words) AS plen,
+             array_to_string(words, ' ') AS phrase, unnest(words) AS w
+      FROM ph
+    ),
+    wq AS (
+      SELECT w,
+             CAST(FLOOR((CAST(SUM(plen - 1) AS BIGINT) + COUNT(*)) * 1.0
+                        / COUNT(*) * 1000000 + 0.5) AS BIGINT) AS q6
+      FROM pw GROUP BY w
+    ),
+    inst AS (
+      SELECT p.doc_id, p.g, p.phrase, CAST(p.plen AS INTEGER) AS n_words,
+             CAST(SUM(wq.q6) AS BIGINT) AS score_q6
+      FROM pw p JOIN wq ON wq.w = p.w
+      GROUP BY p.doc_id, p.g, p.phrase, p.plen
+    ),
+    agg AS (
+      SELECT phrase, MAX(n_words) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             MAX(score_q6) AS score_q6
+      FROM inst GROUP BY phrase
+    )
+    SELECT phrase, n_words, n_occurrences,
+           score_q6 / 1000000.0 AS rake_score
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score_q6 DESC, phrase) AS rk
+          FROM agg)
+    WHERE rk <= {_Q326_TOPK}
+    ORDER BY rake_score DESC, phrase
+    """
+
+
+@register(
+    "q326_rake_keywords",
+    _q326_sql(),
+    doc="RAKE keyword extraction (Rose et al. 2010): candidate phrases "
+    "are maximal stopword-free token runs (capped at 4 words for "
+    "bounded fan-out), word score = (degree + freq) / freq where "
+    "degree(w) sums (phrase_len - 1) over phrase instances containing "
+    "w, phrase score = sum of its word scores; top-15 phrases. The "
+    "corpus-level keyword surfacing step a curation pipeline runs for "
+    "topic labeling — complements q69's TF-IDF single terms with "
+    "multi-word phrases. Word scores are floor-half-up micro-quantized "
+    "so phrase sums are order-free integer math.",
+)
+def q326_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: token posexplode is a local fan-out; the islands window
+    partitions BY DOC (never a global sort); word stats are
+    vocabulary-bounded and broadcast back onto phrase instances; the
+    final top-15 window runs over DISTINCT phrases (phrase-vocabulary
+    bounded, WindowGroupLimit prunes per partition before the single
+    merge)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+        ).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    st = F.when(F.col("w").isin(*_Q326_STOPS), 1).otherwise(0)
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    grp = tok.select(
+        "doc_id", "pos", "w", st.alias("st"), F.sum(st).over(wdoc).alias("g")
+    )
+    ph = (
+        grp.filter(F.col("st") == 0)
+        .groupBy("doc_id", "g")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ).alias("words")
+        )
+        .filter(F.size("words").between(1, _Q326_MAX_PHRASE))
+    )
+    pw = ph.select(
+        "doc_id",
+        "g",
+        F.size("words").alias("plen"),
+        F.concat_ws(" ", F.col("words")).alias("phrase"),
+        F.explode("words").alias("w"),
+    )
+    wq = pw.groupBy("w").agg(
+        F.floor(
+            (F.sum(F.col("plen") - 1).cast("long") + F.count(F.lit(1))) * 1.0
+            / F.count(F.lit(1))
+            * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("q6")
+    )
+    inst = (
+        pw.join(F.broadcast(wq), "w")
+        .groupBy("doc_id", "g", "phrase", "plen")
+        .agg(F.sum("q6").cast("long").alias("score_q6"))
+    )
+    agg = inst.groupBy("phrase").agg(
+        F.max("plen").cast("int").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("score_q6").alias("score_q6"),
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("score_q6"), "phrase"))
+    return (
+        agg.withColumn("rk", rk)
+        .filter(F.col("rk") <= _Q326_TOPK)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            (F.col("score_q6") / 1_000_000.0).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+    )
+
+
+# ── q327: Kneser-Ney smoothed bigram held-out scoring ────────────────────────
+
+_Q327_D = 0.75  # absolute discount
+
+
+@register(
+    "q327_kneser_ney_bigram",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM tok WHERE len(toks) >= 2
+    ),
+    train AS (SELECT w1, w2 FROM big WHERE doc_id % 5 <> 0),
+    tb AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM train GROUP BY w1, w2
+    ),
+    s1 AS (
+      SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS nf
+      FROM tb GROUP BY w1
+    ),
+    cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM tb GROUP BY w2
+    ),
+    consts AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tb) AS n_types,
+             (SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) FROM (
+                SELECT unnest(toks) AS tk FROM tok WHERE doc_id % 5 <> 0)) AS v
+    ),
+    held AS (SELECT doc_id, w1, w2 FROM big WHERE doc_id % 5 = 0),
+    scored AS (
+      SELECT h.doc_id,
+             CAST(FLOOR(LN(
+               CASE WHEN COALESCE(s.c1, 0) > 0
+                 THEN GREATEST(COALESCE(t.cb, 0) - CAST({_Q327_D} AS DOUBLE),
+                               CAST(0.0 AS DOUBLE)) / s.c1
+                      + CAST({_Q327_D} AS DOUBLE) * s.nf / s.c1
+                        * ((COALESCE(c.nb, 0) + 1) * 1.0 / (k.n_types + k.v))
+                 ELSE (COALESCE(c.nb, 0) + 1) * 1.0 / (k.n_types + k.v)
+               END) * 1000000 + 0.5) AS BIGINT) AS q6
+      FROM held h
+      LEFT JOIN tb t ON t.w1 = h.w1 AND t.w2 = h.w2
+      LEFT JOIN s1 s ON s.w1 = h.w1
+      LEFT JOIN cont c ON c.w2 = h.w2
+      CROSS JOIN consts k
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           FLOOR(SUM(q6)::DOUBLE / (COUNT(*) * 1000000.0) * 10000 + 0.5)
+             / 10000 AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen "
+    "& Goodman 1999 eq. 4.25) of held-out docs (doc_id %% 5 = 0) against "
+    "a model trained on the rest: P(w2|w1) = max(c(w1,w2)-D,0)/c(w1) + "
+    "D*N1+(w1,.)/c(w1) * Pcont(w2), with the continuation distribution "
+    "Pcont(w2) = (N1+(.,w2)+1)/(n_bigram_types+V) add-one smoothed so "
+    "unseen words stay scoreable, and pure-Pcont backoff for unseen "
+    "history. The industry-standard upgrade of q208's add-one bigram "
+    "model — KN scores re-occurring CONTEXTS, not raw frequency, which "
+    "is exactly what separates boilerplate from fluent text. Per-bigram "
+    "log-probs are fixed IEEE expression trees over integer counts, "
+    "micro-quantized before the per-doc integer sum.",
+)
+def q327_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical shape to q208 — all model relations are
+    vocabulary-bounded (zipf) and broadcast; the held-out scan joins
+    map-side and re-aggregates per doc on integers. At a vocabulary too
+    large to broadcast the joins degrade to shuffle hash joins on the
+    bigram key; nothing else changes."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "").alias(
+            "toks"
+        ),
+    )
+    n = F.size("toks")
+    big = (
+        tok.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, n - 1).alias("w1"),
+                    F.slice("toks", 2, n - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    tb = (
+        big.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    s1 = tb.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("nf"),
+    )
+    cont = tb.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    consts = tb.agg(F.count(F.lit(1)).cast("long").alias("n_types")).crossJoin(
+        tok.filter(F.col("doc_id") % 5 != 0)
+        .select(F.explode("toks").alias("tk"))
+        .agg(F.countDistinct("tk").cast("long").alias("v"))
+    )
+    held = big.filter(F.col("doc_id") % 5 == 0)
+    pcont = (F.coalesce(F.col("nb"), F.lit(0)) + 1) * 1.0 / (
+        F.col("n_types") + F.col("v")
+    )
+    p_seen = (
+        F.greatest(F.coalesce(F.col("cb"), F.lit(0)) - F.lit(_Q327_D), F.lit(0.0))
+        / F.col("c1")
+        + F.lit(_Q327_D) * F.col("nf") / F.col("c1") * pcont
+    )
+    q6 = F.floor(
+        F.log(
+            F.when(F.coalesce(F.col("c1"), F.lit(0)) > 0, p_seen).otherwise(pcont)
+        )
+        * 1_000_000
+        + 0.5
+    ).cast("long")
+    return (
+        held.join(F.broadcast(tb), ["w1", "w2"], "left")
+        .join(F.broadcast(s1), "w1", "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .crossJoin(F.broadcast(consts))
+        .select("doc_id", q6.alias("q6"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (
+                F.floor(
+                    F.sum("q6").cast("double")
+                    / (F.count(F.lit(1)) * 1_000_000.0)
+                    * 10_000
+                    + 0.5
+                )
+                / 10_000
+            ).alias("avg_logprob"),
+        )
+    )

@@ -230,6 +230,12 @@ HEADLINE = [
     "q320_winsorize_impact",
     "q321_partition_balance_plan",
     "q322_filter_order_plan",
+    # round-7 second-half additions
+    "q323_chao1_vocab_estimate",
+    "q324_entropy_l_diversity",
+    "q325_average_precision",
+    "q326_rake_keywords",
+    "q327_kneser_ney_bigram",
 ]
 
 

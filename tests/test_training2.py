@@ -1,0 +1,234 @@
+"""Semantic invariant tests for the round-7 training2 queries (q323+).
+
+The parametrized oracle test in test_queries_oracle.py already
+hash-checks each against DuckDB; these pin the MATH — each query's
+statistic recomputed from raw rows by an independent (usually
+numpy/collections) implementation.
+"""
+
+from __future__ import annotations
+
+from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+
+from .conftest import SF_SMOKE
+
+
+def test_q323_chao1_recompute(spark):
+    """Chao1 and Good-Turing mass recomputed from a raw token Counter."""
+    import re
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    rows = {
+        r["lang"]: r
+        for r in QUERY_REGISTRY["q323_chao1_vocab_estimate"].fn(spark, SF_SMOKE).collect()
+    }
+    assert rows, "no languages"
+    docs = load_table(spark, SF_SMOKE, "documents").select("lang", "text").collect()
+    for lang in rows:
+        tf = Counter(
+            t
+            for r in docs
+            if r["lang"] == lang
+            for t in re.split(r"[^a-z]+", (r["text"] or "").lower())
+            if t
+        )
+        f1 = sum(1 for c in tf.values() if c == 1)
+        f2 = sum(1 for c in tf.values() if c == 2)
+        n = sum(tf.values())
+        got = rows[lang]
+        assert got["vocab_obs"] == len(tf)
+        assert got["f1"] == f1 and got["f2"] == f2 and got["n_tokens"] == n
+        chao1 = len(tf) + (f1 * f1 / (2 * f2) if f2 else f1 * (f1 - 1) / 2)
+        assert abs(got["chao1_est"] - chao1) < 1e-3
+        assert got["chao1_est"] >= got["vocab_obs"]
+        assert 0.0 <= got["unseen_mass"] <= 1.0
+        assert abs(got["unseen_mass"] - f1 / n) < 1e-5
+
+
+def test_q324_entropy_and_flags(spark):
+    """Entropy l-diversity recomputed with math.log per class; flag
+    consistency (entropy_l can never exceed n_distinct; a class failing
+    distinct-l must fail entropy-l too)."""
+    import math
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q324_entropy_l_diversity"].fn(spark, SF_SMOKE).collect()
+    assert out
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_mktsegment", "c_acctbal", "c_nationkey"
+    ).collect()
+    groups: dict[tuple, Counter] = {}
+    for r in cust:
+        key = (r["c_mktsegment"], math.floor(r["c_acctbal"] / 2000))
+        groups.setdefault(key, Counter())[r["c_nationkey"]] += 1
+    for row in out:
+        cnt = groups[(row["c_mktsegment"], row["bal_bucket"])]
+        n = sum(cnt.values())
+        assert row["class_size"] == n
+        assert row["n_distinct"] == len(cnt)
+        assert row["top_count"] == max(cnt.values())
+        h = -sum(c / n * math.log(c / n) for c in cnt.values())
+        assert abs(row["entropy_l"] - math.exp(h)) < 1e-3
+        # exp(H) <= support size always (uniform maximizes entropy)
+        assert row["entropy_l"] <= row["n_distinct"] + 1e-9
+        if abs(math.exp(h) - 3) > 1e-6:  # skip only a razor-edge boundary
+            assert row["entropy_l_ok"] == (math.exp(h) >= 3)
+        tail = sum(sorted(cnt.values(), reverse=True)[2:])
+        assert row["recursive_cl_ok"] == (max(cnt.values()) < 2.0 * tail)
+
+
+def test_q325_ap_recompute_and_bounds(spark):
+    """AP recomputed from the (score bucket, label) histogram; bounds:
+    base_rate <= AP <= 1 is NOT guaranteed in general, but AP must be in
+    [0, 1] and a model better than random on this corpus (q240 pins
+    auc > 0.5) should beat the base rate."""
+    from collections import Counter
+
+    [row] = QUERY_REGISTRY["q325_average_precision"].fn(spark, SF_SMOKE).collect()
+    m = {
+        r["doc_id"]: r
+        for r in QUERY_REGISTRY["q173_quality_logreg"].fn(spark, SF_SMOKE).collect()
+    }
+    g = QUERY_REGISTRY["q192_gopher_quality_rules"].fn(spark, SF_SMOKE).collect()
+    hist: Counter = Counter()
+    pos: Counter = Counter()
+    for r in g:
+        if r["doc_id"] not in m:
+            continue
+        su = int(m[r["doc_id"]]["quality_score"] * 10000 + 0.5)
+        hist[su] += 1
+        pos[su] += 1 if r["passes"] else 0
+    np_, n = sum(pos.values()), sum(hist.values())
+    assert row["n_pos"] == np_ and row["n_pos"] + row["n_neg"] == n
+    cum_cnt = cum_pos = 0
+    ap = 0.0
+    for su in sorted(hist, reverse=True):
+        cum_cnt += hist[su]
+        cum_pos += pos[su]
+        ap += pos[su] / np_ * (cum_pos / cum_cnt)
+    assert abs(row["average_precision"] - ap) < 1e-4
+    assert 0.0 <= row["average_precision"] <= 1.0
+    assert row["average_precision"] > row["base_rate"]
+
+
+def test_q326_rake_recompute(spark):
+    """Full RAKE recompute in pure Python (phrases, word scores, top-15)."""
+    import re
+    from collections import Counter, defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.plans.training2 import (
+        _Q326_MAX_PHRASE,
+        _Q326_STOPS,
+        _Q326_TOPK,
+    )
+
+    out = QUERY_REGISTRY["q326_rake_keywords"].fn(spark, SF_SMOKE).collect()
+    assert 0 < len(out) <= _Q326_TOPK
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    stops = set(_Q326_STOPS)
+    phrases = []  # list of word tuples (instances)
+    for r in docs:
+        toks = [t for t in re.split(r"[^a-z]+", (r["text"] or "").lower()) if t]
+        run: list[str] = []
+        for t in toks + ["the"]:  # sentinel stop flushes the last run
+            if t in stops:
+                if 1 <= len(run) <= _Q326_MAX_PHRASE:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(t)
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p) - 1
+    wq = {w: int((deg[w] + freq[w]) / freq[w] * 1_000_000 + 0.5) for w in freq}
+    inst_scores = defaultdict(list)
+    for p in phrases:
+        inst_scores[" ".join(p)].append(sum(wq[w] for w in p))
+    agg = {
+        ph: (max(s), len(s), len(ph.split())) for ph, s in inst_scores.items()
+    }
+    top = sorted(agg.items(), key=lambda kv: (-kv[1][0], kv[0]))[:_Q326_TOPK]
+    got = {(r["phrase"], r["n_occurrences"], r["n_words"]) for r in out}
+    want = {(ph, n_occ, n_w) for ph, (sq, n_occ, n_w) in top}
+    assert got == want
+    for r in out:
+        assert 1 <= r["n_words"] <= _Q326_MAX_PHRASE
+        assert not (set(r["phrase"].split()) & stops)
+        assert abs(r["rake_score"] - agg[r["phrase"]][0] / 1e6) < 1e-9
+
+
+def test_q327_kn_probabilities_sum_and_order(spark):
+    """KN model sanity on the actual corpus: for the most frequent
+    history w1, sum of P(w2|w1) over ALL train vocab words is ~1 minus
+    the mass KN reserves beyond the smoothed-continuation floor (it can
+    only undershoot 1 by the add-one smoothing distortion, never
+    overshoot by more than epsilon); and a doc's avg_logprob must be
+    negative."""
+    import math
+    import re
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.plans.training2 import _Q327_D
+
+    out = QUERY_REGISTRY["q327_kneser_ney_bigram"].fn(spark, SF_SMOKE).collect()
+    assert out and all(r["avg_logprob"] < 0 for r in out)
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    tb: Counter = Counter()
+    toks_by_doc = {}
+    for r in docs:
+        toks = [t for t in re.split(r"[^a-z]+", (r["text"] or "").lower()) if t]
+        toks_by_doc[r["doc_id"]] = toks
+        if r["doc_id"] % 5 != 0:
+            for a, b in zip(toks, toks[1:]):
+                tb[(a, b)] += 1
+    c1: Counter = Counter()
+    nf: Counter = Counter()
+    nb: Counter = Counter()
+    for (a, b), c in tb.items():
+        c1[a] += c
+        nf[a] += 1
+        nb[b] += 1
+    n_types = len(tb)
+    v = len({t for d, toks in toks_by_doc.items() if d % 5 != 0 for t in toks})
+    vocab = {t for d, toks in toks_by_doc.items() if d % 5 != 0 for t in toks}
+    w1 = c1.most_common(1)[0][0]
+
+    def pcont(w2):
+        return (nb.get(w2, 0) + 1) / (n_types + v)
+
+    total = sum(
+        max(tb.get((w1, w2), 0) - _Q327_D, 0.0) / c1[w1]
+        + _Q327_D * nf[w1] / c1[w1] * pcont(w2)
+        for w2 in vocab
+    )
+    # exact KN sums to 1; the +1 smoothing of Pcont adds at most
+    # D*nf/c1 * V/(n_types+V) extra mass and the denominator bloat
+    # removes some — bound the deviation loosely
+    assert 0.5 < total < 1.5
+    # recompute one held-out doc end-to-end
+    did, toks = next(
+        (d, t) for d, t in sorted(toks_by_doc.items()) if d % 5 == 0 and len(t) >= 2
+    )
+    q6s = []
+    for a, b in zip(toks, toks[1:]):
+        if c1.get(a, 0) > 0:
+            p = (
+                max(tb.get((a, b), 0) - _Q327_D, 0.0) / c1[a]
+                + _Q327_D * nf[a] / c1[a] * pcont(b)
+            )
+        else:
+            p = pcont(b)
+        q6s.append(math.floor(math.log(p) * 1_000_000 + 0.5))
+    want = math.floor(sum(q6s) / (len(q6s) * 1_000_000.0) * 10_000 + 0.5) / 10_000
+    got = next(r for r in out if r["doc_id"] == did)
+    assert got["n_bigrams"] == len(q6s)
+    assert abs(got["avg_logprob"] - want) < 1e-9
