@@ -604,3 +604,343 @@ def q327_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# ── q328: sorted-neighborhood entity linkage ─────────────────────────────────
+
+_Q328_WINDOW = 4  # neighbors compared per row
+_Q328_MAXDIST = 6
+
+
+def _q328_sql() -> str:
+    leads = "\n".join(
+        f"             LEAD(name, {i}) OVER o AS n{i}, LEAD(typ, {i}) OVER o AS t{i},"
+        for i in range(1, _Q328_WINDOW + 1)
+    ).rstrip(",")
+    pairs = "\n      UNION ALL\n".join(
+        f"      SELECT name, typ, n{i} AS nb, t{i} AS tb FROM ws WHERE n{i} IS NOT NULL"
+        for i in range(1, _Q328_WINDOW + 1)
+    )
+    return f"""
+    WITH u AS (
+      SELECT c_name AS name, 'C' AS typ,
+             CAST(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT) AS k
+      FROM customer
+      UNION ALL
+      SELECT s_name, 'S',
+             CAST(regexp_replace(s_name, '[^0-9]', '', 'g') AS BIGINT)
+      FROM supplier
+    ),
+    ws AS (
+      SELECT name, typ,
+{leads}
+      FROM u WINDOW o AS (ORDER BY k, typ, name)
+    ),
+    pairs AS (
+{pairs}
+    )
+    SELECT CASE WHEN typ = 'C' THEN name ELSE nb END AS customer_name,
+           CASE WHEN typ = 'C' THEN nb ELSE name END AS supplier_name,
+           CAST(levenshtein(name, nb) AS INTEGER) AS dist
+    FROM pairs
+    WHERE typ <> tb AND levenshtein(name, nb) <= {_Q328_MAXDIST}
+    """
+
+
+@register(
+    "q328_sorted_neighborhood",
+    _q328_sql(),
+    doc="Sorted-neighborhood entity linkage (Hernandez & Stolfo 1995): "
+    "union the customer and supplier catalogs, sort once on a cheap "
+    "blocking key (the numeric id in the entity name), compare each "
+    "row only against its next 4 neighbors via LEAD, keep cross-type "
+    "pairs within Levenshtein 6. The complementary blocking strategy "
+    "to q83's equi-key blocks: a sliding window over ONE global sort "
+    "has no hot-block blowup when a key value is overloaded — at "
+    "scale the sort is a range-partitioned exchange and the window is "
+    "embarrassingly parallel (with a w-row partition-boundary overlap "
+    "pass).",
+)
+def q328_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: entity catalogs, not corpus rows; the global window is
+    bounded by |entities|. LEAD(i) for i=1..4 replaces the rn-range
+    self-join — one sort, zero joins, output fan-out exactly w per row."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("C").alias("typ")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("S").alias("typ")
+    )
+    u = cust.unionByName(supp).withColumn(
+        "k", F.regexp_replace("name", "[^0-9]", "").cast("long")
+    )
+    o = Window.orderBy("k", "typ", "name")
+    cols = ["name", "typ"]
+    for i in range(1, _Q328_WINDOW + 1):
+        u = u.withColumn(f"n{i}", F.lead("name", i).over(o)).withColumn(
+            f"t{i}", F.lead("typ", i).over(o)
+        )
+    pairs = None
+    for i in range(1, _Q328_WINDOW + 1):
+        p = u.filter(F.col(f"n{i}").isNotNull()).select(
+            *cols, F.col(f"n{i}").alias("nb"), F.col(f"t{i}").alias("tb")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.filter(
+            (F.col("typ") != F.col("tb"))
+            & (F.levenshtein("name", "nb") <= _Q328_MAXDIST)
+        )
+        .select(
+            F.when(F.col("typ") == "C", F.col("name"))
+            .otherwise(F.col("nb"))
+            .alias("customer_name"),
+            F.when(F.col("typ") == "C", F.col("nb"))
+            .otherwise(F.col("name"))
+            .alias("supplier_name"),
+            F.levenshtein("name", "nb").cast("int").alias("dist"),
+        )
+    )
+
+
+# ── q329: Johnson-Lindenstrauss projection distortion audit ─────────────────
+
+_Q329_KS = (4, 8, 16, 32)
+_Q329_DIM = 64
+_Q329_MAXK = 32
+# Knuth multiplicative hash of the flat (j, i) index -> one well-mixed
+# middle bit decides the +-1 sign; identical integer expression both engines
+_Q329_MULT = 2654435761
+
+
+def _q329_sign_sql(j: str, i: str) -> str:
+    return (
+        f"(1 - 2 * (CAST(FLOOR(((({j} * {_Q329_DIM} + {i} + 1) * {_Q329_MULT}) "
+        f"% 4294967296) / 65536.0) AS BIGINT) % 2))"
+    )
+
+
+def _q329_sql() -> str:
+    ks = ", ".join(str(k) for k in _Q329_KS)
+    sign = _q329_sign_sql("j", "i")
+    return f"""
+    WITH p AS (
+      SELECT a.vec_id AS pair_id,
+             list_transform(range(1, {_Q329_DIM} + 1),
+               i -> a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE) AS d
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    ),
+    o AS (
+      SELECT pair_id, d,
+             list_sum(list_transform(d, x -> x * x)) AS orig
+      FROM p
+    ),
+    pr AS (
+      SELECT pair_id, orig,
+             list_transform(range(0, {_Q329_MAXK}), j ->
+               list_sum(list_transform(range(0, {_Q329_DIM}), i ->
+                 {sign} * d[i + 1]))) AS proj
+      FROM o WHERE orig > 0
+    ),
+    rat AS (
+      SELECT k,
+             CAST(FLOOR((list_sum(list_transform(proj[1:k], x -> x * x)) / k)
+                        / orig * 1000000 + 0.5) AS BIGINT) AS rq6
+      FROM pr, (SELECT unnest([{ks}]) AS k)
+    )
+    SELECT CAST(k AS INTEGER) AS proj_dim,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR(SUM(rq6) * 1.0 / COUNT(*) + 0.5) / 1000000 AS mean_ratio,
+           MIN(rq6) / 1000000.0 AS min_ratio,
+           MAX(rq6) / 1000000.0 AS max_ratio
+    FROM rat GROUP BY k ORDER BY proj_dim
+    """
+
+
+@register(
+    "q329_jl_projection_audit",
+    _q329_sql(),
+    doc="Johnson-Lindenstrauss projection distortion audit: project the "
+    "difference vector of each consecutive embedding pair through a "
+    "deterministic +-1 sign matrix (Achlioptas 2003 database-friendly "
+    "JL; sign = one well-mixed bit of a Knuth multiplicative hash of "
+    "the (row, dim) index) at k = 4/8/16/32 target dims, and report "
+    "the distribution of ||proj||^2/k over ||orig||^2 — the ratio "
+    "whose concentration around 1.0 decides how few dimensions ANN "
+    "candidate generation can run in before exact re-rank. The "
+    "planner for choosing an embedding-truncation dim with MEASURED "
+    "distortion, complementing q308's matryoshka fidelity (which "
+    "audits prefix dims of the trained embedding; this audits a "
+    "random projection that needs no retraining). All folds are "
+    "sequential index-order sums; per-pair ratios are micro-quantized "
+    "before the per-k integer aggregate.",
+)
+def q329_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the pair relation is linear in corpus size (consecutive-id
+    self-join is an equi-join); projections are 32x64 fused multiply-
+    adds per row of JVM whole-stage-codegen HOF math — no shuffle until
+    the 4-group final aggregate, no UDF, no driver state."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("pair_id"), F.col("embedding").alias("ea"))
+    b = emb.select((F.col("vec_id") - 1).alias("pair_id"), F.col("embedding").alias("eb"))
+    d = F.zip_with("ea", "eb", lambda x, y: x.cast("double") - y.cast("double"))
+    p = a.join(b, "pair_id").select("pair_id", d.alias("d"))
+    sumsq = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    o = p.select("pair_id", "d", sumsq(F.col("d")).alias("orig"))
+
+    def sign(j, i):
+        idx = (j * _Q329_DIM + i + 1) * F.lit(_Q329_MULT)
+        bit = (
+            F.floor((idx % F.lit(4294967296)) / 65536.0).cast("long") % 2
+        )
+        return F.lit(1) - 2 * bit
+
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(_Q329_MAXK - 1)),
+        lambda j: F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_Q329_DIM - 1)),
+                lambda i: sign(j, i) * F.element_at(F.col("d"), i + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    pr = o.filter(F.col("orig") > 0).select("pair_id", "orig", proj.alias("proj"))
+    ks = pr.sparkSession.createDataFrame([(k,) for k in _Q329_KS], "k int")
+    rq6 = F.floor(
+        (sumsq(F.slice("proj", 1, F.col("k"))) / F.col("k")) / F.col("orig")
+        * 1_000_000
+        + 0.5
+    ).cast("long")
+    return (
+        pr.crossJoin(F.broadcast(ks))
+        .select(F.col("k"), rq6.alias("rq6"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (F.floor(F.sum("rq6") * 1.0 / F.count(F.lit(1)) + 0.5) / 1_000_000).alias(
+                "mean_ratio"
+            ),
+            (F.min("rq6") / 1_000_000.0).alias("min_ratio"),
+            (F.max("rq6") / 1_000_000.0).alias("max_ratio"),
+        )
+        .select(
+            F.col("k").cast("int").alias("proj_dim"),
+            "n_pairs",
+            "mean_ratio",
+            "min_ratio",
+            "max_ratio",
+        )
+        .orderBy("proj_dim")
+    )
+
+
+# ── q330: optimizer join-cardinality estimate audit ──────────────────────────
+
+_Q330_EDGES = (
+    ("orders_x_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_x_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_x_part", "lineitem", "l_partkey", "part", "p_partkey"),
+)
+
+
+def _q330_sql() -> str:
+    parts = []
+    for name, lt, lk, rt, rk in _Q330_EDGES:
+        parts.append(f"""
+      SELECT '{name}' AS join_edge, l.n_rows AS n_left, r.n_rows AS n_right,
+             l.ndv AS ndv_left, r.ndv AS ndv_right,
+             CAST(FLOOR(l.n_rows * 1.0 * r.n_rows
+                        / GREATEST(l.ndv, r.ndv)) AS BIGINT) AS est_rows,
+             x.exact_rows
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT {lk}) AS BIGINT) AS ndv FROM {lt}) l,
+           (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT {rk}) AS BIGINT) AS ndv FROM {rt}) r,
+           (SELECT CAST(COALESCE(SUM(hl.c * hr.c), 0) AS BIGINT) AS exact_rows
+            FROM (SELECT {lk} AS k, COUNT(*) AS c FROM {lt} GROUP BY 1) hl
+            JOIN (SELECT {rk} AS k, COUNT(*) AS c FROM {rt} GROUP BY 1) hr
+              ON hl.k = hr.k) x""")
+    union = "\n      UNION ALL\n".join(parts)
+    return f"""
+    WITH edges AS (
+{union}
+    )
+    SELECT join_edge, n_left, n_right, ndv_left, ndv_right, est_rows,
+           exact_rows,
+           FLOOR(est_rows * 1.0 / exact_rows * 10000 + 0.5) / 10000
+             AS err_ratio,
+           CAST(ROW_NUMBER() OVER (ORDER BY est_rows, join_edge)
+                AS INTEGER) AS rank_by_est
+    FROM edges ORDER BY rank_by_est
+    """
+
+
+@register(
+    "q330_join_size_estimate",
+    _q330_sql(),
+    doc="Cost-based-optimizer cardinality audit over the three TPC-H FK "
+    "join edges: the System R estimate |R||S|/max(ndv_R, ndv_S) "
+    "(Selinger 1979) vs the EXACT join size computed from per-key "
+    "count histograms (sum of count products — never materializing "
+    "the join), the estimate/actual error ratio, and the cheapest-"
+    "first join ordering the estimates imply. The readout that "
+    "decides whether table stats are fresh enough to trust the join "
+    "reorder; an err_ratio far from 1.0 on a production edge means "
+    "ANALYZE before trusting AQE.",
+)
+def q330_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per-edge work is two count-distinct aggregates plus a
+    histogram equi-join whose BOTH sides are key-cardinality bounded;
+    the exact size is an integer sum — the join output itself is never
+    produced. Three edges union to 3 rows."""
+    edges = None
+    for name, lt, lk, rt, rk in _Q330_EDGES:
+        lta, rta = load_table(spark, sf_dir, lt), load_table(spark, sf_dir, rt)
+        lstats = lta.agg(
+            F.count(F.lit(1)).cast("long").alias("n_left"),
+            F.countDistinct(lk).cast("long").alias("ndv_left"),
+        )
+        rstats = rta.agg(
+            F.count(F.lit(1)).cast("long").alias("n_right"),
+            F.countDistinct(rk).cast("long").alias("ndv_right"),
+        )
+        hl = lta.groupBy(F.col(lk).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+        hr = rta.groupBy(F.col(rk).alias("k")).agg(F.count(F.lit(1)).alias("c2"))
+        exact = hl.join(hr, "k").agg(
+            F.coalesce(F.sum(F.col("c") * F.col("c2")), F.lit(0))
+            .cast("long")
+            .alias("exact_rows")
+        )
+        e = (
+            lstats.crossJoin(rstats)
+            .crossJoin(exact)
+            .select(
+                F.lit(name).alias("join_edge"),
+                "n_left",
+                "n_right",
+                "ndv_left",
+                "ndv_right",
+                F.floor(
+                    F.col("n_left") * 1.0 * F.col("n_right")
+                    / F.greatest("ndv_left", "ndv_right")
+                )
+                .cast("long")
+                .alias("est_rows"),
+                "exact_rows",
+            )
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    return edges.select(
+        "*",
+        round_half_up(F.col("est_rows") * 1.0 / F.col("exact_rows"), 4).alias(
+            "err_ratio"
+        ),
+        F.row_number()
+        .over(Window.orderBy("est_rows", "join_edge"))
+        .cast("int")
+        .alias("rank_by_est"),
+    ).orderBy("rank_by_est")

@@ -236,6 +236,9 @@ HEADLINE = [
     "q325_average_precision",
     "q326_rake_keywords",
     "q327_kneser_ney_bigram",
+    "q328_sorted_neighborhood",
+    "q329_jl_projection_audit",
+    "q330_join_size_estimate",
 ]
 
 

@@ -232,3 +232,139 @@ def test_q327_kn_probabilities_sum_and_order(spark):
     got = next(r for r in out if r["doc_id"] == did)
     assert got["n_bigrams"] == len(q6s)
     assert abs(got["avg_logprob"] - want) < 1e-9
+
+
+def test_q328_sorted_neighborhood_recompute(spark):
+    """Recompute the sorted-neighborhood pass in pure Python with a
+    textbook DP Levenshtein."""
+    import re
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.plans.training2 import (
+        _Q328_MAXDIST,
+        _Q328_WINDOW,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    out = QUERY_REGISTRY["q328_sorted_neighborhood"].fn(spark, SF_SMOKE).collect()
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_name").collect()
+    supp = load_table(spark, SF_SMOKE, "supplier").select("s_name").collect()
+    ents = [(r["c_name"], "C") for r in cust] + [(r["s_name"], "S") for r in supp]
+    ents.sort(key=lambda e: (int(re.sub(r"[^0-9]", "", e[0])), e[1], e[0]))
+    want = set()
+    for i, (name, typ) in enumerate(ents):
+        for di in range(1, _Q328_WINDOW + 1):
+            if i + di >= len(ents):
+                break
+            nb, tb = ents[i + di]
+            if typ != tb and lev(name, nb) <= _Q328_MAXDIST:
+                c, s = (name, nb) if typ == "C" else (nb, name)
+                want.add((c, s, lev(name, nb)))
+    got = {(r["customer_name"], r["supplier_name"], r["dist"]) for r in out}
+    assert got == want and len(got) > 0
+    # window bound: a matched pair's ids can differ by at most the window
+    # reach (digit edits are cheap, so nearby ids DO match — by design)
+    for c, s, _d in got:
+        assert (
+            abs(int(re.sub(r"[^0-9]", "", c)) - int(re.sub(r"[^0-9]", "", s)))
+            <= _Q328_WINDOW
+        )
+    # the planted truth: every same-id cross-type pair reachable in the
+    # window is found (dist("Customer#x","Supplier#x") = 5 <= 6)
+    cust_ids = {int(re.sub(r"[^0-9]", "", r["c_name"])) for r in cust}
+    supp_ids = {int(re.sub(r"[^0-9]", "", r["s_name"])) for r in supp}
+    same = {(c, s) for c, s, _ in got if int(re.sub(r"[^0-9]", "", c)) == int(re.sub(r"[^0-9]", "", s))}
+    assert len(same) == len(cust_ids & supp_ids)
+
+
+def test_q329_jl_numpy_recompute_and_concentration(spark):
+    """Recompute the k=32 projection ratio for every pair in numpy with
+    the same hash-sign matrix; JL concentration: mean ratio near 1,
+    tighter at larger k."""
+    import numpy as np
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.plans.training2 import (
+        _Q329_DIM,
+        _Q329_KS,
+        _Q329_MAXK,
+        _Q329_MULT,
+    )
+
+    out = {r["proj_dim"]: r for r in QUERY_REGISTRY["q329_jl_projection_audit"].fn(spark, SF_SMOKE).collect()}
+    assert set(out) == set(_Q329_KS)
+    n_pairs = {r["n_pairs"] for r in out.values()}
+    assert len(n_pairs) == 1  # same pair set at every k
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    signs = np.empty((_Q329_MAXK, _Q329_DIM))
+    for j in range(_Q329_MAXK):
+        for i in range(_Q329_DIM):
+            idx = (j * _Q329_DIM + i + 1) * _Q329_MULT
+            signs[j, i] = 1 - 2 * (((idx % 4294967296) // 65536) % 2)
+    ratios = {k: [] for k in _Q329_KS}
+    for vid in sorted(by_id):
+        if vid + 1 not in by_id:
+            continue
+        d = by_id[vid] - by_id[vid + 1]
+        orig = float(np.dot(d, d))
+        if orig <= 0:
+            continue
+        proj = signs @ d
+        for k in _Q329_KS:
+            ratios[k].append(
+                int(float(np.dot(proj[:k], proj[:k])) / k / orig * 1e6 + 0.5) / 1e6
+            )
+    for k in _Q329_KS:
+        got = out[k]
+        assert got["n_pairs"] == len(ratios[k])
+        assert abs(got["mean_ratio"] - sum(ratios[k]) / len(ratios[k])) < 1e-3
+        assert abs(got["max_ratio"] - max(ratios[k])) < 1e-4
+    # unbiasedness + concentration: the k=32 mean is close to 1 and the
+    # spread shrinks as k grows
+    assert 0.8 < out[32]["mean_ratio"] < 1.2
+    spread = {k: out[k]["max_ratio"] - out[k]["min_ratio"] for k in _Q329_KS}
+    assert spread[32] < spread[4]
+
+
+def test_q330_exact_join_sizes(spark):
+    """exact_rows must equal the true materialized join size; est follows
+    the System R formula; rank orders by est."""
+    import math
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = {r["join_edge"]: r for r in QUERY_REGISTRY["q330_join_size_estimate"].fn(spark, SF_SMOKE).collect()}
+    edges = {
+        "orders_x_customer": ("orders", "o_custkey", "customer", "c_custkey"),
+        "lineitem_x_orders": ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        "lineitem_x_part": ("lineitem", "l_partkey", "part", "p_partkey"),
+    }
+    assert set(out) == set(edges)
+    for name, (lt, lk, rt, rk) in edges.items():
+        lta = load_table(spark, SF_SMOKE, lt)
+        rta = load_table(spark, SF_SMOKE, rt)
+        true_size = lta.join(rta, lta[lk] == rta[rk]).count()
+        row = out[name]
+        assert row["exact_rows"] == true_size
+        est = math.floor(
+            row["n_left"] * 1.0 * row["n_right"]
+            / max(row["ndv_left"], row["ndv_right"])
+        )
+        assert row["est_rows"] == est
+    ranked = sorted(out.values(), key=lambda r: (r["est_rows"], r["join_edge"]))
+    assert [r["rank_by_est"] for r in ranked] == [1, 2, 3]
