@@ -944,3 +944,184 @@ def q330_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rank_by_est"),
     ).orderBy("rank_by_est")
+
+
+# ── q331: exact Shapley-value channel attribution ────────────────────────────
+
+# alphabetical channel -> bit position; purchase is the conversion event
+_Q331_CHANNELS = ("click", "error", "signup", "view")
+# |S|! * (n-|S|-1)! for n=4, indexed by |S| — Shapley weights scaled by 4!=24
+_Q331_W24 = (6, 2, 2, 6)
+
+
+def _q331_sql() -> str:
+    chan_rows = ", ".join(
+        f"('{c}', {b})" for b, c in enumerate(_Q331_CHANNELS)
+    )
+    w24 = " ".join(
+        f"WHEN {k} THEN {w}" for k, w in enumerate(_Q331_W24[:-1])
+    )
+    return f"""
+    WITH conv AS (
+      SELECT user_id, MIN(ts) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    bits AS (SELECT * FROM (VALUES {chan_rows}) AS t(channel, bit)),
+    touched AS (
+      SELECT DISTINCT e.user_id, b.bit
+      FROM events e
+      JOIN conv c ON c.user_id = e.user_id AND e.ts < c.first_purchase
+      JOIN bits b ON b.channel = e.event_type
+    ),
+    umask AS (
+      SELECT c.user_id,
+             COALESCE((SELECT SUM(1 << t.bit) FROM touched t
+                       WHERE t.user_id = c.user_id), 0) AS mask
+      FROM conv c
+    ),
+    mcnt AS (
+      SELECT CAST(mask AS BIGINT) AS mask, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM umask GROUP BY mask
+    ),
+    subsets AS (SELECT unnest(range(0, 16)) AS s),
+    v AS (
+      SELECT s.s, CAST(COALESCE(SUM(m.cnt), 0) AS BIGINT) AS v
+      FROM subsets s LEFT JOIN mcnt m ON (m.mask | s.s) = s.s
+      GROUP BY s.s
+    ),
+    phi AS (
+      SELECT b.channel,
+             CAST(SUM((CASE ((s.s & 1) + ((s.s >> 1) & 1)
+                             + ((s.s >> 2) & 1) + ((s.s >> 3) & 1))
+                       {w24} ELSE {_Q331_W24[-1]} END)
+                      * (vi.v - vs.v)) AS BIGINT) AS phi24,
+             CAST(MAX(CASE WHEN s.s = 0 THEN vi.v END) AS BIGINT) AS solo_v
+      FROM bits b
+      JOIN subsets s ON (s.s & (1 << b.bit)) = 0
+      JOIN v vs ON vs.s = s.s
+      JOIN v vi ON vi.s = (s.s | (1 << b.bit))
+      GROUP BY b.channel
+    ),
+    base AS (
+      SELECT (SELECT v FROM v WHERE s = 0) AS v0,
+             (SELECT v FROM v WHERE s = 15) AS vfull
+    )
+    SELECT p.channel,
+           FLOOR(p.phi24 / 24.0 * 1000000 + 0.5) / 1000000
+             AS shapley_conversions,
+           CAST(p.solo_v - b.v0 AS BIGINT) AS solo_marginal,
+           CASE WHEN b.vfull - b.v0 > 0
+                THEN FLOOR(p.phi24 / 24.0 / (b.vfull - b.v0) * 1000000 + 0.5)
+                     / 1000000 END AS shapley_share,
+           b.v0 AS baseline_conversions,
+           b.vfull AS attributable_conversions
+    FROM phi p CROSS JOIN base b
+    ORDER BY p.channel
+    """
+
+
+@register(
+    "q331_shapley_attribution",
+    _q331_sql(),
+    doc="Exact Shapley-value multi-touch attribution (Shapley 1953 via "
+    "the coalition framing of Zhao et al. 2018) over the four "
+    "pre-purchase channels: v(S) = converted users whose pre-first-"
+    "purchase touchpoint set is a subset of S, phi(channel) = the "
+    "exact 16-coalition Shapley sum — the game-theoretic upgrade of "
+    "q216's last-touch rule, which over-credits whatever fires "
+    "closest to checkout. Shapley weights are |S|!(n-|S|-1)! kept as "
+    "INTEGER 24ths end-to-end (one division at output), so "
+    "efficiency (sum of phi = v(full) - v(empty)) holds exactly.",
+)
+def q331_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: corpus-size work is one purchase-min aggregate and one
+    user-keyed join+distinct — both single user_id shuffles. Everything
+    downstream (mask histogram, 16-subset lattice, the 4x8 Shapley sum)
+    runs over <= 16-row broadcast relations. No per-user state leaves
+    the executors."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    bits = spark.createDataFrame(
+        [(c, b) for b, c in enumerate(_Q331_CHANNELS)], "channel string, bit int"
+    )
+    touched = (
+        ev.join(conv, "user_id")
+        .filter(F.col("ts") < F.col("first_purchase"))
+        .join(F.broadcast(bits), F.col("event_type") == F.col("channel"))
+        .select("user_id", "bit")
+        .distinct()
+    )
+    umask = conv.join(
+        touched.groupBy("user_id").agg(
+            F.sum(F.expr("shiftleft(1, bit)")).alias("m")
+        ),
+        "user_id",
+        "left",
+    ).select(F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("mask"))
+    mcnt = umask.groupBy("mask").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    subsets = spark.createDataFrame([(s,) for s in range(16)], "s long")
+    v = (
+        subsets.join(
+            mcnt, F.col("mask").bitwiseOR(F.col("s")) == F.col("s"), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("v"))
+    )
+    popcnt = sum(
+        F.shiftright(F.col("s"), i).bitwiseAND(F.lit(1)) for i in range(4)
+    )
+    w24 = F.when(popcnt == 0, _Q331_W24[0])
+    for k in range(1, 3):
+        w24 = w24.when(popcnt == k, _Q331_W24[k])
+    w24 = w24.otherwise(_Q331_W24[3])
+    vs = v.select(F.col("s").alias("s_vs"), F.col("v").alias("v_s"))
+    vi = v.select(F.col("s").alias("s_vi"), F.col("v").alias("v_si"))
+    phi = (
+        F.broadcast(bits)
+        .join(subsets, F.col("s").bitwiseAND(F.expr("shiftleft(1, bit)")) == 0)
+        .join(F.broadcast(vs), F.col("s_vs") == F.col("s"))
+        .join(
+            F.broadcast(vi),
+            F.col("s_vi")
+            == F.col("s").bitwiseOR(F.expr("shiftleft(1, bit)")),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum(w24 * (F.col("v_si") - F.col("v_s"))).cast("long").alias("phi24"),
+            F.max(F.when(F.col("s") == 0, F.col("v_si")))
+            .cast("long")
+            .alias("solo_v"),
+        )
+    )
+    base = (
+        v.agg(
+            F.max(F.when(F.col("s") == 0, F.col("v"))).cast("long").alias("v0"),
+            F.max(F.when(F.col("s") == 15, F.col("v"))).cast("long").alias("vfull"),
+        )
+    )
+    return (
+        phi.crossJoin(F.broadcast(base))
+        .select(
+            "channel",
+            (F.floor(F.col("phi24") / 24.0 * 1_000_000 + 0.5) / 1_000_000).alias(
+                "shapley_conversions"
+            ),
+            (F.col("solo_v") - F.col("v0")).cast("long").alias("solo_marginal"),
+            F.when(
+                F.col("vfull") - F.col("v0") > 0,
+                F.floor(
+                    F.col("phi24") / 24.0 / (F.col("vfull") - F.col("v0"))
+                    * 1_000_000
+                    + 0.5
+                )
+                / 1_000_000,
+            ).alias("shapley_share"),
+            F.col("v0").alias("baseline_conversions"),
+            F.col("vfull").alias("attributable_conversions"),
+        )
+        .orderBy("channel")
+    )

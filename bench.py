@@ -239,6 +239,7 @@ HEADLINE = [
     "q328_sorted_neighborhood",
     "q329_jl_projection_audit",
     "q330_join_size_estimate",
+    "q331_shapley_attribution",
 ]
 
 

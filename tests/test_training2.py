@@ -368,3 +368,57 @@ def test_q330_exact_join_sizes(spark):
         assert row["est_rows"] == est
     ranked = sorted(out.values(), key=lambda r: (r["est_rows"], r["join_edge"]))
     assert [r["rank_by_est"] for r in ranked] == [1, 2, 3]
+
+
+def test_q331_shapley_recompute_and_efficiency(spark):
+    """Recompute v(S) and the exact Shapley sum over all 16 coalitions in
+    pure Python; the efficiency axiom (sum phi = v(full) - v(empty))
+    must hold exactly."""
+    from itertools import combinations
+    from math import factorial
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.plans.training2 import _Q331_CHANNELS
+
+    out = {r["channel"]: r for r in QUERY_REGISTRY["q331_shapley_attribution"].fn(spark, SF_SMOKE).collect()}
+    assert set(out) == set(_Q331_CHANNELS)
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    first_p = {}
+    for r in ev:
+        if r["event_type"] == "purchase":
+            u = r["user_id"]
+            if u not in first_p or r["ts"] < first_p[u]:
+                first_p[u] = r["ts"]
+    touched = {u: set() for u in first_p}
+    for r in ev:
+        u = r["user_id"]
+        if u in first_p and r["ts"] < first_p[u] and r["event_type"] in _Q331_CHANNELS:
+            touched[u].add(r["event_type"])
+
+    def v(S: frozenset) -> int:
+        return sum(1 for t in touched.values() if t <= S)
+
+    n = len(_Q331_CHANNELS)
+    allc = set(_Q331_CHANNELS)
+    phi = {}
+    for c in _Q331_CHANNELS:
+        rest = sorted(allc - {c})
+        total = 0.0
+        for k in range(n):
+            for S in combinations(rest, k):
+                w = factorial(k) * factorial(n - k - 1) / factorial(n)
+                total += w * (v(frozenset(S) | {c}) - v(frozenset(S)))
+        phi[c] = total
+    v0, vfull = v(frozenset()), v(allc)
+    for c in _Q331_CHANNELS:
+        row = out[c]
+        assert abs(row["shapley_conversions"] - phi[c]) < 1e-4
+        assert row["baseline_conversions"] == v0
+        assert row["attributable_conversions"] == vfull
+        assert row["solo_marginal"] == v(frozenset({c})) - v0
+    # efficiency axiom, exact in 24ths on the engine side
+    assert abs(sum(phi.values()) - (vfull - v0)) < 1e-9
+    got_sum = sum(r["shapley_conversions"] for r in out.values())
+    assert abs(got_sum - (vfull - v0)) < 1e-3
