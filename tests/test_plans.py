@@ -575,3 +575,74 @@ def test_q259_term_join_no_cartesian(spark):
     size N)."""
     plan = _plan(spark, "q259_tfidf_cosine_pairs")
     assert "CartesianProduct" not in plan
+
+
+def test_q326_rake_topk_pushes_limit(spark):
+    """RAKE's top-15 must push the rank cutoff below the single-
+    partition window — the empty-partition rank becomes a
+    TakeOrderedAndProject(limit=15), so each partition forwards at most
+    15 candidate phrases to the merge; the word-score join must be a
+    broadcast hash join (vocabulary-bounded), and nothing may go
+    cartesian."""
+    plan = _plan(spark, "q326_rake_keywords")
+    assert "TakeOrderedAndProject(limit=15" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q327_kn_model_relations_broadcast(spark):
+    """Every KN model relation (bigram counts, history stats,
+    continuation counts, the scalar consts) must ride broadcast onto the
+    held-out scan — no corpus-side sort-merge join, no cartesian."""
+    plan = _plan(spark, "q327_kneser_ney_bigram")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" in plan  # the consts scalar
+
+
+def test_q328_single_sort_no_join(spark):
+    """Sorted-neighborhood must be join-free: one sort feeding the LEAD
+    windows, pairs from unions of lead columns — no join operator of any
+    kind in the plan."""
+    plan = _plan(spark, "q328_sorted_neighborhood")
+    for op in ("Join", "CartesianProduct"):
+        assert op not in plan, op
+
+
+def test_q329_projection_is_mapside_until_final_agg(spark):
+    """The JL audit's pair relation must form via an equi (hash) join on
+    the shifted vec_id — never a nested-loop — and the k spine must ride
+    broadcast; projections are pure column math so the plan has no
+    window at all."""
+    plan = _plan(spark, "q329_jl_projection_audit")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q330_exact_size_never_materializes_join(spark):
+    """The cardinality audit must compute exact sizes from per-key
+    histograms: every join in the plan is histogram-vs-histogram or a
+    scalar broadcast — the plan must contain NO join whose both sides
+    are unaggregated table scans (all hash joins sit above
+    HashAggregate children)."""
+    plan = _plan(spark, "q330_join_size_estimate")
+    assert "CartesianProduct" not in plan
+    # the fused-count stats rows ride broadcast nested loop; histogram
+    # joins are hash joins over aggregated children
+    for frag in plan.split("BroadcastHashJoin")[1:]:
+        head = frag[:600]
+        assert "HashAggregate" in head or "Scan parquet" not in head
+
+
+def test_q331_shapley_lattice_is_broadcast_sized(spark):
+    """Corpus-size work stops at the user-keyed joins (those may
+    legitimately sort-merge — both sides scale with users): the subset
+    lattice, channel spine and v-relation joins must all ride broadcast
+    (hash joins plus the <=16-row nested-loop spines), and nothing may
+    go cartesian."""
+    plan = _plan(spark, "q331_shapley_attribution")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # bits spine + v lookups
+    assert "BroadcastNestedLoopJoin" in plan  # mask|s == s lattice join
