@@ -1125,3 +1125,408 @@ def q331_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ── q332: BM25 parameter tuning planner ─────────────────────────────────────
+
+_Q332_TERMS = ("join", "hash", "window", "spark", "stream")  # q197's query set
+_Q332_GRID = tuple(
+    (k1, b) for k1 in (0.8, 1.2, 1.6) for b in (0.25, 0.5, 0.75)
+)
+_Q332_DEFAULT = (1.2, 0.75)  # q197's production cell
+_Q332_TOPK = 10
+
+
+def _q332_sql() -> str:
+    grid = ", ".join(
+        f"(CAST({k1} AS DOUBLE), CAST({b} AS DOUBLE))" for k1, b in _Q332_GRID
+    )
+    dk1, db = _Q332_DEFAULT
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+      WHERE term IN {tuple(_Q332_TERMS)!r}
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    grid AS (SELECT * FROM (VALUES {grid}) AS g(k1, b)),
+    scored AS (
+      SELECT g.k1, g.b, tf.term, tf.doc_id,
+             CAST(floor(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * (g.k1 + 1)
+                   / (tf.tf + g.k1 * (1 - g.b
+                      + g.b * dl.dl / stats.avgdl)) * 1000000 + 0.5)
+               AS BIGINT) AS score_u
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      CROSS JOIN grid g
+    ),
+    topk AS (
+      SELECT k1, b, term, doc_id, score_u FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k1, b, term
+                                     ORDER BY score_u DESC, doc_id) AS rk
+        FROM scored) t
+      WHERE rk <= {_Q332_TOPK}
+    ),
+    dflt AS (
+      SELECT term, doc_id FROM topk WHERE k1 = {dk1} AND b = {db}
+    ),
+    ov AS (
+      SELECT t.k1, t.b, CAST(COUNT(d.doc_id) AS BIGINT) AS n_shared
+      FROM topk t LEFT JOIN dflt d
+        ON d.term = t.term AND d.doc_id = t.doc_id
+      GROUP BY t.k1, t.b
+    ),
+    m AS (
+      SELECT k1, b, CAST(COUNT(*) AS BIGINT) AS n_results,
+             CAST(SUM(score_u) AS BIGINT) AS sum_u
+      FROM topk GROUP BY k1, b
+    )
+    SELECT m.k1, m.b, m.n_results,
+           FLOOR(m.sum_u * 1.0 / m.n_results / 1000000 * 10000 + 0.5) / 10000
+             AS mean_topk_score,
+           FLOOR(ov.n_shared * 1.0 / m.n_results * 10000 + 0.5) / 10000
+             AS overlap_with_default,
+           m.k1 = {dk1} AND m.b = {db} AS is_default
+    FROM m JOIN ov ON ov.k1 = m.k1 AND ov.b = m.b
+    ORDER BY m.k1, m.b
+    """
+
+
+@register(
+    "q332_bm25_tuning_plan",
+    _q332_sql(),
+    doc="BM25 (k1, b) tuning planner: ONE pass builds the tf/df/length "
+    "sufficient statistics (exactly q197's relations), then the 3x3 "
+    "parameter grid re-scores from those statistics alone — per cell, "
+    "the mean micro-quantized top-10 score and the result-set overlap "
+    "against the production cell (k1=1.2, b=0.75). The knob-pricing "
+    "discipline of q236/q238/q292 applied to retrieval: how sensitive "
+    "are the SERPs to length normalization before anyone re-runs the "
+    "corpus scan 9 times. Scores are floor-half-up micro-ints, so "
+    "ranking, overlap counting and the mean are exact integer math.",
+)
+def q332_bm25_tuning_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per-cell work never touches the corpus — the 9-cell grid
+    rides a broadcast spine over the term-filtered posting relation
+    (|terms| x df rows), per-(cell, term) top-10 is WindowGroupLimit-
+    eligible, and the mean + overlap come from ONE aggregate over
+    topk left-joined to the broadcast default cell (90 x 50 rows).
+    The physical plan re-derives the postings lineage a constant
+    number of times (the default-cell branch) — independent of grid
+    size; at 100 TB you'd localCheckpoint the 90-row topk relation
+    and even that constant goes away."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks")
+    )
+    dl = tok.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_Q332_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    grid = spark.createDataFrame(list(_Q332_GRID), "k1 double, b double")
+    score_u = F.floor(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+        )
+        * F.col("tf")
+        * (F.col("k1") + 1)
+        / (
+            F.col("tf")
+            + F.col("k1")
+            * (1 - F.col("b") + F.col("b") * F.col("dl") / F.col("avgdl"))
+        )
+        * 1_000_000
+        + 0.5
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(df_rel), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(grid))
+        .select("k1", "b", "term", "doc_id", score_u.alias("score_u"))
+    )
+    w = Window.partitionBy("k1", "b", "term").orderBy(
+        F.desc("score_u"), "doc_id"
+    )
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _Q332_TOPK)
+        .drop("rk")
+    )
+    dk1, db = _Q332_DEFAULT
+    dflt = topk.filter((F.col("k1") == dk1) & (F.col("b") == db)).select(
+        F.col("term").alias("d_term"), F.col("doc_id").alias("d_doc")
+    )
+    m = (
+        topk.join(
+            F.broadcast(dflt),
+            (F.col("d_term") == F.col("term")) & (F.col("d_doc") == F.col("doc_id")),
+            "left",
+        )
+        .groupBy("k1", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_results"),
+            F.sum("score_u").cast("long").alias("sum_u"),
+            F.count("d_doc").cast("long").alias("n_shared"),
+        )
+    )
+    return (
+        m.select(
+            "k1",
+            "b",
+            "n_results",
+            (
+                F.floor(
+                    F.col("sum_u") * 1.0 / F.col("n_results") / 1_000_000 * 10_000
+                    + 0.5
+                )
+                / 10_000
+            ).alias("mean_topk_score"),
+            round_half_up(F.col("n_shared") * 1.0 / F.col("n_results"), 4).alias(
+                "overlap_with_default"
+            ),
+            ((F.col("k1") == dk1) & (F.col("b") == db)).alias("is_default"),
+        )
+        .orderBy("k1", "b")
+    )
+
+
+# ── q333: Welch's unequal-variance t-test ────────────────────────────────────
+
+_Q333_A, _Q333_B = "1-URGENT", "5-LOW"
+
+
+@register(
+    "q333_welch_t_test",
+    f"""
+    WITH pu AS (
+      SELECT o_orderpriority AS grp,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderpriority IN ('{_Q333_A}', '{_Q333_B}')
+    ),
+    s AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS su,
+             CAST(SUM(cents::HUGEINT * cents::HUGEINT) AS DOUBLE) AS ssq
+      FROM pu GROUP BY grp
+    ),
+    d AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             (a.su / 100.0) / a.n AS m_a, (b.su / 100.0) / b.n AS m_b,
+             (a.ssq / 10000.0 - ((a.su / 100.0) * (a.su / 100.0)) / a.n)
+               / (a.n - 1) AS v_a,
+             (b.ssq / 10000.0 - ((b.su / 100.0) * (b.su / 100.0)) / b.n)
+               / (b.n - 1) AS v_b
+      FROM (SELECT * FROM s WHERE grp = '{_Q333_A}') a,
+           (SELECT * FROM s WHERE grp = '{_Q333_B}') b
+    )
+    SELECT n_a, n_b,
+           FLOOR(m_a * 100 + 0.5) / 100 AS mean_a,
+           FLOOR(m_b * 100 + 0.5) / 100 AS mean_b,
+           SIGN(m_a - m_b) * (FLOOR(ABS(m_a - m_b) * 100 + 0.5) / 100)
+             AS mean_diff,
+           FLOOR((m_a - m_b) / SQRT(v_a / n_a + v_b / n_b) * 10000 + 0.5)
+             / 10000 AS t_stat,
+           FLOOR((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b)
+                 / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                    + (v_b / n_b) * (v_b / n_b) / (n_b - 1)) * 100 + 0.5)
+             / 100 AS df_welch,
+           ABS((m_a - m_b) / SQRT(v_a / n_a + v_b / n_b)) > 1.96
+             AS significant_5pct
+    FROM d
+    """,
+    doc="Welch's unequal-variance t-test (Welch 1947) on order value "
+    "between URGENT and LOW priority classes, with the Welch-"
+    "Satterthwaite effective degrees of freedom — the parametric "
+    "counterpart of q306's Mann-Whitney U (which tests stochastic "
+    "ordering; this tests the MEAN under unequal variances, the "
+    "default posture for revenue metrics). Sufficient statistics are "
+    "EXACT integers: prices quantized to cents, the square sums "
+    "accumulated in 128-bit (HUGEINT / DECIMAL(38,0)) before ONE cast "
+    "to double, so both engines derive t and df from bit-identical "
+    "moments.",
+)
+def q333_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one filtered scan into a 2-group integer aggregate
+    (map-side combinable); everything after is a 2-row cross of
+    scalars. The one statistic whose naive form (per-row float
+    variance) would be order-dependent is exact by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    s = (
+        orders.filter(F.col("o_orderpriority").isin(_Q333_A, _Q333_B))
+        .select(F.col("o_orderpriority").alias("grp"), cents.alias("cents"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("su"),
+            F.sum(
+                F.col("cents").cast("decimal(38,0)")
+                * F.col("cents").cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("ssq"),
+        )
+    )
+    a = s.filter(F.col("grp") == _Q333_A).select(
+        F.col("n").alias("n_a"), F.col("su").alias("su_a"), F.col("ssq").alias("ssq_a")
+    )
+    b = s.filter(F.col("grp") == _Q333_B).select(
+        F.col("n").alias("n_b"), F.col("su").alias("su_b"), F.col("ssq").alias("ssq_b")
+    )
+    d = a.crossJoin(F.broadcast(b))
+    m_a = (F.col("su_a") / 100.0) / F.col("n_a")
+    m_b = (F.col("su_b") / 100.0) / F.col("n_b")
+    v_a = (
+        F.col("ssq_a") / 10000.0 - ((F.col("su_a") / 100.0) * (F.col("su_a") / 100.0)) / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    v_b = (
+        F.col("ssq_b") / 10000.0 - ((F.col("su_b") / 100.0) * (F.col("su_b") / 100.0)) / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    se2 = v_a / F.col("n_a") + v_b / F.col("n_b")
+    t = (m_a - m_b) / F.sqrt(se2)
+    dfw = (
+        se2
+        * se2
+        / (
+            (v_a / F.col("n_a")) * (v_a / F.col("n_a")) / (F.col("n_a") - 1)
+            + (v_b / F.col("n_b")) * (v_b / F.col("n_b")) / (F.col("n_b") - 1)
+        )
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        (F.floor(m_a * 100 + 0.5) / 100).alias("mean_a"),
+        (F.floor(m_b * 100 + 0.5) / 100).alias("mean_b"),
+        (
+            F.signum(m_a - m_b) * (F.floor(F.abs(m_a - m_b) * 100 + 0.5) / 100)
+        ).alias("mean_diff"),
+        (F.floor(t * 10000 + 0.5) / 10000).alias("t_stat"),
+        (F.floor(dfw * 100 + 0.5) / 100).alias("df_welch"),
+        (F.abs(t) > 1.96).alias("significant_5pct"),
+    )
+
+
+# ── q334: mutual-nearest-neighbor pair mining ────────────────────────────────
+
+_Q334_MOD = 50  # hash-sample stride: vec_id % 50 == 0 -> side A, == 1 -> side B
+
+
+def _q334_sql() -> str:
+    from .llm_ops import _COS
+
+    cos = _COS.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH sims AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(FLOOR(({cos}) * 1000000 + 0.5) AS BIGINT) AS sim_u
+      FROM (SELECT * FROM embeddings WHERE vec_id % {_Q334_MOD} = 0) a,
+           (SELECT * FROM embeddings WHERE vec_id % {_Q334_MOD} = 1) b
+    ),
+    best_a AS (
+      SELECT va, vb, sim_u FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY va
+                                     ORDER BY sim_u DESC, vb) AS rk
+        FROM sims) t WHERE rk = 1
+    ),
+    best_b AS (
+      SELECT va, vb FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vb
+                                     ORDER BY sim_u DESC, va) AS rk
+        FROM sims) t WHERE rk = 1
+    )
+    SELECT a.va AS vec_a, a.vb AS vec_b,
+           a.sim_u / 1000000.0 AS cos_sim
+    FROM best_a a JOIN best_b b ON b.va = a.va AND b.vb = a.vb
+    ORDER BY vec_a
+    """
+
+
+@register(
+    "q334_mutual_nn_pairs",
+    _q334_sql(),
+    doc="Mutual-nearest-neighbor pair mining between two corpus slices "
+    "(the MNN criterion of Haghverdi 2018 / parallel-corpus alignment): "
+    "a pair survives only if each side is the other's top-1 neighbor — "
+    "the reciprocal-match primitive that kills the asymmetric hubness "
+    "failures a one-directional top-1 (q30) cannot, used for cross-"
+    "source alignment and anchor mining. Runs on bounded hash samples "
+    "(vec_id stride {mod}) as the audit shape; the production path "
+    "replaces the exact pair matrix with q32/q59's LSH buckets and "
+    "keeps the SAME mutual-rank join. Similarities are sequential-fold "
+    "cosines micro-quantized BEFORE ranking, so top-1 ties break "
+    "identically cross-engine.".format(mod=_Q334_MOD),
+)
+def q334_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: |A| x |B| = (N/50)^2 pairs of pure codegen fold math with
+    norms precomputed per side (the brute_force_topk discipline); both
+    rank windows partition by a sample-bounded key. At full corpus
+    width, swap the exact pair stage for the LSH candidate relation —
+    the mutual join is unchanged."""
+    from ..operators.similarity import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % _Q334_MOD == 0).select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.filter(F.col("vec_id") % _Q334_MOD == 1).select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    sims = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .select(
+            "va",
+            "vb",
+            F.floor(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+                * 1_000_000
+                + 0.5
+            )
+            .cast("long")
+            .alias("sim_u"),
+        )
+    )
+    wa = Window.partitionBy("va").orderBy(F.desc("sim_u"), "vb")
+    wb = Window.partitionBy("vb").orderBy(F.desc("sim_u"), "va")
+    best_a = sims.withColumn("rk", F.row_number().over(wa)).filter(
+        F.col("rk") == 1
+    ).drop("rk")
+    best_b = (
+        sims.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(F.col("va").alias("b_va"), F.col("vb").alias("b_vb"))
+    )
+    return (
+        best_a.join(
+            best_b,
+            (F.col("b_va") == F.col("va")) & (F.col("b_vb") == F.col("vb")),
+        )
+        .select(
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            (F.col("sim_u") / 1_000_000.0).alias("cos_sim"),
+        )
+        .orderBy("vec_a")
+    )

@@ -240,6 +240,9 @@ HEADLINE = [
     "q329_jl_projection_audit",
     "q330_join_size_estimate",
     "q331_shapley_attribution",
+    "q332_bm25_tuning_plan",
+    "q333_welch_t_test",
+    "q334_mutual_nn_pairs",
 ]
 
 

@@ -646,3 +646,35 @@ def test_q331_shapley_lattice_is_broadcast_sized(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # bits spine + v lookups
     assert "BroadcastNestedLoopJoin" in plan  # mask|s == s lattice join
+
+
+def test_q332_grid_rides_broadcast_topk_pushes_limit(spark):
+    """The 9-cell grid must ride broadcast over the term-filtered
+    posting relation (never a per-cell corpus re-scan: scan count is a
+    small constant independent of grid size) and the per-(cell, term)
+    top-10 must push WindowGroupLimit below the exchange."""
+    plan = _plan(spark, "q332_bm25_tuning_plan")
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    # 9 grid cells, constant lineage copies: scans must stay well under
+    # one-per-cell
+    assert plan.count("FileScan parquet") < 18
+
+
+def test_q333_single_scan_scalar_cross(spark):
+    """Welch reduces to a 2-group integer aggregate; the only join is
+    the broadcast cross of two scalar rows."""
+    plan = _plan(spark, "q333_welch_t_test")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_q334_mutual_rank_windows_push_limit(spark):
+    """Both top-1 rank windows must push WindowGroupLimit; the exact
+    pair stage is the documented broadcast nested loop over the two
+    bounded samples (never an unfiltered cartesian)."""
+    plan = _plan(spark, "q334_mutual_nn_pairs")
+    assert "CartesianProduct" not in plan
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "BroadcastNestedLoopJoin" in plan

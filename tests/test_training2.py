@@ -422,3 +422,131 @@ def test_q331_shapley_recompute_and_efficiency(spark):
     assert abs(sum(phi.values()) - (vfull - v0)) < 1e-9
     got_sum = sum(r["shapley_conversions"] for r in out.values())
     assert abs(got_sum - (vfull - v0)) < 1e-3
+
+
+def test_q332_bm25_grid_recompute(spark):
+    """Recompute one non-default grid cell (and the default) in pure
+    Python from raw docs; the default cell must overlap itself fully."""
+    import math
+    import re
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.plans.training2 import (
+        _Q332_DEFAULT,
+        _Q332_TERMS,
+        _Q332_TOPK,
+    )
+
+    out = {(round(r["k1"], 2), round(r["b"], 2)): r for r in QUERY_REGISTRY["q332_bm25_tuning_plan"].fn(spark, SF_SMOKE).collect()}
+    assert len(out) == 9
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    dl = {}
+    tf = {}
+    for r in docs:
+        toks = re.split(r"\s+", (r["text"] or "").strip().lower())
+        dl[r["doc_id"]] = len(toks)
+        c = Counter(t for t in toks if t in _Q332_TERMS)
+        if c:
+            tf[r["doc_id"]] = c
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    df = Counter(t for c in tf.values() for t in c)
+
+    def topk(k1, b):
+        per_term = {}
+        for t in _Q332_TERMS:
+            scored = []
+            for d, c in tf.items():
+                if t not in c:
+                    continue
+                s = int(
+                    math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1)
+                    * c[t] * (k1 + 1)
+                    / (c[t] + k1 * (1 - b + b * dl[d] / avgdl))
+                    * 1_000_000 + 0.5
+                )
+                scored.append((-s, d))
+            per_term[t] = {(d, -negs) for negs, d in sorted(scored)[:_Q332_TOPK]}
+        return per_term
+
+    dflt = topk(*_Q332_DEFAULT)
+    for cell in [(0.8, 0.25), _Q332_DEFAULT]:
+        got = out[cell]
+        mine = topk(*cell)
+        n_res = sum(len(v) for v in mine.values())
+        assert got["n_results"] == n_res
+        total_u = sum(s for v in mine.values() for _d, s in v)
+        mean = math.floor(total_u / n_res / 1_000_000 * 10_000 + 0.5) / 10_000
+        assert abs(got["mean_topk_score"] - mean) < 1e-9
+        shared = sum(
+            len({d for d, _ in mine[t]} & {d for d, _ in dflt[t]})
+            for t in _Q332_TERMS
+        )
+        assert abs(got["overlap_with_default"] - round(shared / n_res, 4)) < 1e-9
+    assert out[_Q332_DEFAULT]["is_default"]
+    assert out[_Q332_DEFAULT]["overlap_with_default"] == 1.0
+
+
+def test_q333_welch_against_reference_formula(spark):
+    """Recompute Welch's t and the Satterthwaite df from raw order rows
+    with Python floats (sample variance via the two-pass formula)."""
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.plans.training2 import _Q333_A, _Q333_B
+
+    [row] = QUERY_REGISTRY["q333_welch_t_test"].fn(spark, SF_SMOKE).collect()
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    ga = [round(r["o_totalprice"] * 100) / 100 for r in orders if r["o_orderpriority"] == _Q333_A]
+    gb = [round(r["o_totalprice"] * 100) / 100 for r in orders if r["o_orderpriority"] == _Q333_B]
+    assert row["n_a"] == len(ga) and row["n_b"] == len(gb)
+    ma, mb = sum(ga) / len(ga), sum(gb) / len(gb)
+    va = sum((x - ma) ** 2 for x in ga) / (len(ga) - 1)
+    vb = sum((x - mb) ** 2 for x in gb) / (len(gb) - 1)
+    se2 = va / len(ga) + vb / len(gb)
+    t = (ma - mb) / se2 ** 0.5
+    dfw = se2 * se2 / (
+        (va / len(ga)) ** 2 / (len(ga) - 1) + (vb / len(gb)) ** 2 / (len(gb) - 1)
+    )
+    assert abs(row["mean_a"] - ma) < 0.02 and abs(row["mean_b"] - mb) < 0.02
+    assert abs(row["t_stat"] - t) < 1e-2  # two-pass vs moments: tiny float gap
+    assert abs(row["df_welch"] - dfw) < 0.5
+    assert row["significant_5pct"] == (abs(t) > 1.96)
+    # df bounds: min(n-1) <= df <= n_a + n_b - 2
+    assert min(len(ga), len(gb)) - 1 <= row["df_welch"] <= len(ga) + len(gb) - 2
+
+
+def test_q334_mutual_property_and_recompute(spark):
+    """numpy recompute of the full MNN set; mutual pairs are one-to-one
+    and always include the globally best (a, b) pair."""
+    import numpy as np
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.plans.training2 import _Q334_MOD
+
+    out = QUERY_REGISTRY["q334_mutual_nn_pairs"].fn(spark, SF_SMOKE).collect()
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect()
+    A = {r["vec_id"]: np.array(r["embedding"], np.float64) for r in emb if r["vec_id"] % _Q334_MOD == 0}
+    B = {r["vec_id"]: np.array(r["embedding"], np.float64) for r in emb if r["vec_id"] % _Q334_MOD == 1}
+    sim = {}
+    for va, xa in A.items():
+        na = float(np.sqrt(np.dot(xa, xa)))
+        for vb, xb in B.items():
+            nb = float(np.sqrt(np.dot(xb, xb)))
+            sim[(va, vb)] = int(float(np.dot(xa, xb)) / (na * nb) * 1e6 + 0.5)
+    best_a = {va: min(((-sim[(va, vb)], vb) for vb in B))[1] for va in A}
+    best_b = {vb: min(((-sim[(va, vb)], va) for va in A))[1] for vb in B}
+    want = {
+        (va, vb, sim[(va, vb)] / 1e6)
+        for va, vb in best_a.items()
+        if best_b[vb] == va
+    }
+    got = {(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in out}
+    assert got == want and len(got) >= 1
+    # one-to-one: no vec appears twice on either side
+    assert len({a for a, _b, _s in got}) == len(got)
+    assert len({b for _a, b, _s in got}) == len(got)
+    # the global argmax pair is always mutual
+    gbest = max(sim.items(), key=lambda kv: (kv[1], -kv[0][0], -kv[0][1]))[0]
+    assert any((a, b) == gbest for a, b, _ in got)
