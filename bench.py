@@ -323,10 +323,16 @@ def main() -> None:
     # Round-over-round comparison: geometric mean of per-query ratios vs the
     # previously committed bench_full.json (shared queries only). Loaded
     # BEFORE we overwrite the file below.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    # bench_full.json is the COMMITTED canonical artifact (sf0.1, the
+    # driver's scale). A dev run at any other SF must not clobber it
+    # (an sf0.001 smoke once overwrote the committed sf0.1 file and
+    # silently broke the round-over-round geomean) — those write to
+    # bench_full_dev.json instead.
+    here = os.path.dirname(os.path.abspath(__file__))
+    canonical_path = os.path.join(here, "bench_full.json")
     geomean_vs_prev = None
     try:
-        with open(full_path) as fh:
+        with open(canonical_path) as fh:
             prev_full = json.load(fh)
         # only compare same-scale runs — a dev run at sf0.001 must not
         # pollute the round-over-round ratio
@@ -352,7 +358,12 @@ def main() -> None:
         "sf": sf_val,
         "geomean_vs_prev": geomean_vs_prev,
     }
-    with open(full_path, "w") as fh:
+    out_path = (
+        canonical_path
+        if sf_val == 0.1
+        else os.path.join(here, "bench_full_dev.json")
+    )
+    with open(out_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
@@ -372,7 +383,7 @@ def main() -> None:
                 "geomean_vs_prev": geomean_vs_prev,
                 "queries": slowest,
                 "queries_truncated": True,
-                "full": "bench_full.json",
+                "full": os.path.basename(out_path),
             }
         )
     )
