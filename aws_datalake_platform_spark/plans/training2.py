@@ -1530,3 +1530,365 @@ def q334_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a")
     )
+
+
+# ── q335: McNemar's test between the two quality detectors ──────────────────
+
+
+def _q335_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+    from .training import _Q231_LM_T
+
+    g = _REGISTRY["q192_gopher_quality_rules"].sql
+    l = _REGISTRY["q92_unigram_logprob"].sql
+    return f"""
+    WITH g AS ({g}),
+    l AS ({l}),
+    j AS (
+      SELECT CASE WHEN g.passes THEN 1 ELSE 0 END AS a,
+             CASE WHEN l.avg_logprob >= {_Q231_LM_T} THEN 1 ELSE 0 END AS b
+      FROM g JOIN l ON l.doc_id = g.doc_id
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rule_only,
+             CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_lm_only
+      FROM j
+    )
+    SELECT n_docs, n_rule_only, n_lm_only,
+           CASE WHEN n_rule_only + n_lm_only > 0 THEN
+             FLOOR(GREATEST(ABS(n_rule_only - n_lm_only) - 1, 0)
+                   * GREATEST(ABS(n_rule_only - n_lm_only) - 1, 0) * 1.0
+                   / (n_rule_only + n_lm_only) * 10000 + 0.5) / 10000
+           END AS mcnemar_chi2,
+           CASE WHEN n_rule_only + n_lm_only > 0 THEN
+             GREATEST(ABS(n_rule_only - n_lm_only) - 1, 0)
+             * GREATEST(ABS(n_rule_only - n_lm_only) - 1, 0) * 1.0
+             / (n_rule_only + n_lm_only) > 3.841459 END AS marginals_differ_5pct
+    FROM c
+    """
+
+
+@register(
+    "q335_mcnemar_detectors",
+    _q335_sql(),
+    doc="McNemar's test (continuity-corrected, discordant-pair chi^2 "
+    "with 1 df) between the engine's two quality detectors — the q192 "
+    "Gopher rule gate and the q92 unigram-LM filter at the q231 "
+    "threshold. Cohen's kappa (q231) measures AGREEMENT; McNemar tests "
+    "whether the two filters reject at systematically different RATES "
+    "(marginal homogeneity) — the question that decides which one is "
+    "the stricter gate before stacking them. Exact integer discordant "
+    "counts; one pinned division.",
+)
+def q335_mcnemar_detectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same shape as q231 — two map-side score relations, one
+    doc_id equi-join, one fused single-row aggregate."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+    from .training import _Q231_LM_T
+
+    g = _REGISTRY["q192_gopher_quality_rules"].fn(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("a")
+    )
+    l = _REGISTRY["q92_unigram_logprob"].fn(spark, sf_dir).select(
+        "doc_id", (F.col("avg_logprob") >= _Q231_LM_T).alias("b")
+    )
+    c = (
+        g.join(l, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_rule_only"),
+            F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lm_only"),
+        )
+    )
+    disc = F.col("n_rule_only") + F.col("n_lm_only")
+    cc = F.greatest(
+        F.abs(F.col("n_rule_only") - F.col("n_lm_only")) - 1, F.lit(0)
+    )
+    chi2 = cc * cc * 1.0 / disc
+    return c.select(
+        "n_docs",
+        "n_rule_only",
+        "n_lm_only",
+        F.when(disc > 0, F.floor(chi2 * 10000 + 0.5) / 10000).alias(
+            "mcnemar_chi2"
+        ),
+        F.when(disc > 0, chi2 > 3.841459).alias("marginals_differ_5pct"),
+    )
+
+
+# ── q336: inverse-propensity-weighted exposure effect ────────────────────────
+
+_Q336_BUCKETS = 5
+
+
+@register(
+    "q336_ipw_effect",
+    f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS y
+      FROM events
+    ),
+    u AS (
+      SELECT user_id, n_events, y,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS t
+      FROM r WHERE rn = 1
+    ),
+    ub AS (
+      SELECT t, y,
+             NTILE({_Q336_BUCKETS}) OVER (ORDER BY n_events, user_id) AS bkt
+      FROM u
+    ),
+    b AS (
+      SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS nt,
+             CAST(SUM(t * y) AS BIGINT) AS nty,
+             CAST(SUM((1 - t) * y) AS BIGINT) AS ncy
+      FROM ub GROUP BY bkt
+    ),
+    kept AS (SELECT * FROM b WHERE nt > 0 AND n - nt > 0),
+    terms AS (
+      SELECT n, nt, nty, ncy,
+             CAST(FLOOR(n * (nty * 1.0 / nt - ncy * 1.0 / (n - nt))
+                        * 1000000 + 0.5) AS BIGINT) AS term_q6
+      FROM kept
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS INTEGER) AS n_buckets_kept,
+           FLOOR(SUM(nt) * 1.0 / SUM(n) * 1000000 + 0.5) / 1000000
+             AS treated_share,
+           FLOOR((SUM(nty) * 1.0 / SUM(nt)
+                  - SUM(ncy) * 1.0 / (SUM(n) - SUM(nt))) * 1000000 + 0.5)
+             / 1000000 AS naive_diff,
+           FLOOR(SUM(term_q6) * 1.0 / SUM(n) + 0.5) / 1000000 AS ipw_ate
+    FROM terms
+    """,
+    doc="Inverse-propensity-weighted exposure effect (Horvitz-Thompson "
+    "ATE with bucketed propensities, the observational-causal step "
+    "beyond q316's randomized DiD): treatment = the user's FIRST event "
+    "is a signup (acquisition channel — 'has any signup' saturates to "
+    "1 for heavy users and leaves no control arm), outcome = user "
+    "purchased, propensity e(x) = treated share within activity "
+    "quintiles. Within a bucket the IPW sum collapses to "
+    "n(x) * (conv_T(x) - conv_C(x)) — exact integer ratios, micro-"
+    "quantized before the cross-bucket integer sum. Buckets missing an "
+    "arm are trimmed (reported via n_buckets_kept), the standard "
+    "positivity guard. Contrast with naive_diff shows the confounding "
+    "the stratification removes.",
+)
+def q336_ipw_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one user-keyed window pass (single shuffle — rn, count
+    and outcome share the same partitioning), a user-bounded NTILE
+    (at 100 TB: approx-quantile bucket edges broadcast as a range
+    predicate, q161's machinery — the oracle keeps NTILE for exact
+    bucket parity), then 5-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    r = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wu.orderBy("ts", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("n_events"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(wu)
+        .alias("y"),
+    )
+    u = r.filter(F.col("rn") == 1).select(
+        "user_id",
+        "n_events",
+        "y",
+        F.when(F.col("event_type") == "signup", 1).otherwise(0).alias("t"),
+    )
+    ub = u.select(
+        "t",
+        "y",
+        F.ntile(_Q336_BUCKETS).over(Window.orderBy("n_events", "user_id")).alias("bkt"),
+    )
+    b = ub.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("nt"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("nty"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("ncy"),
+    )
+    kept = b.filter((F.col("nt") > 0) & (F.col("n") - F.col("nt") > 0))
+    term_q6 = F.floor(
+        F.col("n")
+        * (F.col("nty") * 1.0 / F.col("nt") - F.col("ncy") * 1.0 / (F.col("n") - F.col("nt")))
+        * 1_000_000
+        + 0.5
+    ).cast("long")
+    t = kept.select("n", "nt", "nty", "ncy", term_q6.alias("term_q6"))
+    return t.agg(
+        F.sum("n").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("int").alias("n_buckets_kept"),
+        round_half_up(F.sum("nt") * 1.0 / F.sum("n"), 6).alias("treated_share"),
+        round_half_up(
+            F.sum("nty") * 1.0 / F.sum("nt")
+            - F.sum("ncy") * 1.0 / (F.sum("n") - F.sum("nt")),
+            6,
+        ).alias("naive_diff"),
+        (F.floor(F.sum("term_q6") * 1.0 / F.sum("n") + 0.5) / 1_000_000).alias(
+            "ipw_ate"
+        ),
+    )
+
+
+# ── q337: z-order vs insert-order file-skipping estimate ────────────────────
+
+_Q337_CHUNKS = 256
+# predicate box, valid (non-empty) at every SF: partkey and suppkey both
+# start at 1 in TPC-H-shaped data
+_Q337_PK = (20, 60)
+_Q337_SK = (2, 5)
+
+
+def _q337_zexpr_sql(bits: int = 16) -> str:
+    # same fully-parenthesized interleave as q79's oracle (see
+    # plans/curation.py _zorder_oracle_sql for the precedence note)
+    terms = []
+    for i in range(bits):
+        terms.append(f"((((l_partkey & 65535) >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((((l_suppkey & 65535) >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+def _q337_sql() -> str:
+    plo, phi = _Q337_PK
+    slo, shi = _Q337_SK
+    branches = []
+    for name, order in (
+        ("insert", "l_orderkey, l_linenumber"),
+        ("zorder", "z, l_orderkey, l_linenumber"),
+    ):
+        branches.append(f"""
+      SELECT '{name}' AS ordering, bkt,
+             MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+             MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+      FROM (SELECT l_partkey, l_suppkey,
+                   NTILE({_Q337_CHUNKS}) OVER (ORDER BY {order}) AS bkt
+            FROM src)
+      GROUP BY bkt""")
+    union = "\n      UNION ALL\n".join(branches)
+    return f"""
+    WITH src AS (
+      SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+             ({_q337_zexpr_sql()}) AS z
+      FROM lineitem
+    ),
+    zones AS (
+{union}
+    ),
+    hits AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rows_matched FROM src
+      WHERE l_partkey BETWEEN {plo} AND {phi}
+        AND l_suppkey BETWEEN {slo} AND {shi}
+    )
+    SELECT z.ordering,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN z.min_pk <= {phi} AND z.max_pk >= {plo}
+                          AND z.min_sk <= {shi} AND z.max_sk >= {slo}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS chunks_scanned,
+           FLOOR((1 - SUM(CASE WHEN z.min_pk <= {phi} AND z.max_pk >= {plo}
+                               AND z.min_sk <= {shi} AND z.max_sk >= {slo}
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 10000 + 0.5)
+             / 10000 AS skip_frac,
+           h.rows_matched
+    FROM zones z CROSS JOIN hits h
+    GROUP BY z.ordering, h.rows_matched
+    ORDER BY z.ordering
+    """
+
+
+@register(
+    "q337_zorder_skip_estimate",
+    _q337_sql(),
+    doc="Z-order file-skipping estimate: lay lineitem out as 256 equal "
+    "chunks under (a) insert order and (b) Morton order on (l_partkey, "
+    "l_suppkey) — q79's interleave — build each chunk's zone map "
+    "(min/max of both columns), and count the chunks a 2-D box "
+    "predicate must scan under each layout. The MEASURED version of "
+    "cluster_by_zorder's pitch: skip_frac(insert) is ~0 because every "
+    "chunk spans the full key range, skip_frac(zorder) is the "
+    "multi-dimensional locality win — the number that justifies paying "
+    "an OPTIMIZE ZORDER rewrite before ad-hoc box queries.",
+)
+def q337_zorder_skip_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the two NTILE layouts are the one-time layout step (a
+    range-partitioned sort at 100 TB, exactly what cluster_by_zorder
+    runs); zone maps are 256-row relations; the estimate itself never
+    rescans data. The oracle keeps NTILE so chunk assignment is exact
+    on both engines."""
+    from ..operators.maintenance import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        "l_partkey",
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key("l_partkey", "l_suppkey").alias("z"),
+    )
+    plo, phi = _Q337_PK
+    slo, shi = _Q337_SK
+    zones = None
+    for name, order in (
+        ("insert", [F.col("l_orderkey"), F.col("l_linenumber")]),
+        ("zorder", [F.col("z"), F.col("l_orderkey"), F.col("l_linenumber")]),
+    ):
+        zb = (
+            src.select(
+                "l_partkey",
+                "l_suppkey",
+                F.ntile(_Q337_CHUNKS).over(Window.orderBy(*order)).alias("bkt"),
+            )
+            .groupBy("bkt")
+            .agg(
+                F.min("l_partkey").alias("min_pk"),
+                F.max("l_partkey").alias("max_pk"),
+                F.min("l_suppkey").alias("min_sk"),
+                F.max("l_suppkey").alias("max_sk"),
+            )
+            .select(F.lit(name).alias("ordering"), "min_pk", "max_pk", "min_sk", "max_sk")
+        )
+        zones = zb if zones is None else zones.unionByName(zb)
+    hits = src.filter(
+        F.col("l_partkey").between(plo, phi) & F.col("l_suppkey").between(slo, shi)
+    ).agg(F.count(F.lit(1)).cast("long").alias("rows_matched"))
+    scanned = F.sum(
+        F.when(
+            (F.col("min_pk") <= phi)
+            & (F.col("max_pk") >= plo)
+            & (F.col("min_sk") <= shi)
+            & (F.col("max_sk") >= slo),
+            1,
+        ).otherwise(0)
+    ).cast("long")
+    return (
+        zones.crossJoin(F.broadcast(hits))
+        .groupBy("ordering", "rows_matched")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            scanned.alias("chunks_scanned"),
+        )
+        .select(
+            "ordering",
+            "n_chunks",
+            "chunks_scanned",
+            round_half_up(
+                1 - F.col("chunks_scanned") * 1.0 / F.col("n_chunks"), 4
+            ).alias("skip_frac"),
+            "rows_matched",
+        )
+        .orderBy("ordering")
+    )

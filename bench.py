@@ -243,6 +243,9 @@ HEADLINE = [
     "q332_bm25_tuning_plan",
     "q333_welch_t_test",
     "q334_mutual_nn_pairs",
+    "q335_mcnemar_detectors",
+    "q336_ipw_effect",
+    "q337_zorder_skip_estimate",
 ]
 
 

@@ -678,3 +678,23 @@ def test_q334_mutual_rank_windows_push_limit(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("WindowGroupLimit") >= 2
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q336_user_windows_share_one_exchange(spark):
+    """The rn / count / outcome windows all key on user_id with
+    compatible ordering — the plan must contain exactly ONE user-keyed
+    hash exchange (the q142 discipline), plus the bounded single-
+    partition NTILE."""
+    plan = _plan(spark, "q336_ipw_effect")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q337_zone_estimate_joins_only_the_scalar(spark):
+    """The skipping estimate must never join data relations: the only
+    join in the plan is the broadcast of the single-row matched-count
+    scalar onto the 2x256-row zone relation."""
+    plan = _plan(spark, "q337_zorder_skip_estimate")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1

@@ -550,3 +550,136 @@ def test_q334_mutual_property_and_recompute(spark):
     # the global argmax pair is always mutual
     gbest = max(sim.items(), key=lambda kv: (kv[1], -kv[0][0], -kv[0][1]))[0]
     assert any((a, b) == gbest for a, b, _ in got)
+
+
+def test_q335_mcnemar_recompute(spark):
+    """Discordant counts and the continuity-corrected chi^2 recomputed
+    from the two detector outputs."""
+    from aws_datalake_platform_spark.plans.training import _Q231_LM_T
+
+    [row] = QUERY_REGISTRY["q335_mcnemar_detectors"].fn(spark, SF_SMOKE).collect()
+    g = {r["doc_id"]: r["passes"] for r in QUERY_REGISTRY["q192_gopher_quality_rules"].fn(spark, SF_SMOKE).collect()}
+    l = {r["doc_id"]: r["avg_logprob"] >= _Q231_LM_T for r in QUERY_REGISTRY["q92_unigram_logprob"].fn(spark, SF_SMOKE).collect()}
+    shared = set(g) & set(l)
+    b = sum(1 for d in shared if g[d] and not l[d])
+    c = sum(1 for d in shared if not g[d] and l[d])
+    assert row["n_docs"] == len(shared)
+    assert row["n_rule_only"] == b and row["n_lm_only"] == c
+    if b + c:
+        chi2 = max(abs(b - c) - 1, 0) ** 2 / (b + c)
+        assert abs(row["mcnemar_chi2"] - chi2) < 1e-3
+        assert row["marginals_differ_5pct"] == (chi2 > 3.841459)
+
+
+def test_q336_ipw_recompute(spark):
+    """Bucket assignment, trimming, and both estimators recomputed in
+    pure Python (NTILE semantics included)."""
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.plans.training2 import _Q336_BUCKETS
+
+    [row] = QUERY_REGISTRY["q336_ipw_effect"].fn(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    users = {}  # user -> [n_events, t, y]; t from the FIRST event's type
+    first = {}
+    for r in ev:
+        u = users.setdefault(r["user_id"], [0, 0, 0])
+        u[0] += 1
+        key = (r["ts"], r["event_id"])
+        if r["user_id"] not in first or key < first[r["user_id"]][0]:
+            first[r["user_id"]] = (key, r["event_type"])
+        if r["event_type"] == "purchase":
+            u[2] = 1
+    for uid, (_k, et) in first.items():
+        users[uid][1] = 1 if et == "signup" else 0
+    rows = sorted(users.items(), key=lambda kv: (kv[1][0], kv[0]))
+    n = len(rows)
+    q, rem = divmod(n, _Q336_BUCKETS)
+    buckets, start = [], 0
+    for i in range(_Q336_BUCKETS):
+        size = q + (1 if i < rem else 0)
+        buckets.append(rows[start : start + size])
+        start += size
+    kept = []
+    for bk in buckets:
+        nb = len(bk)
+        nt = sum(v[1] for _u, v in bk)
+        nty = sum(v[1] * v[2] for _u, v in bk)
+        ncy = sum((1 - v[1]) * v[2] for _u, v in bk)
+        if nt > 0 and nb - nt > 0:
+            kept.append((nb, nt, nty, ncy))
+    N = sum(k[0] for k in kept)
+    assert row["n_users"] == N and row["n_buckets_kept"] == len(kept)
+    naive = sum(k[2] for k in kept) / sum(k[1] for k in kept) - sum(
+        k[3] for k in kept
+    ) / (N - sum(k[1] for k in kept))
+    assert abs(row["naive_diff"] - naive) < 1e-5
+    # floor-half-up, valid for either sign via math.floor
+    import math
+
+    terms = sum(
+        math.floor(nb * (nty / nt - ncy / (nb - nt)) * 1_000_000 + 0.5)
+        for nb, nt, nty, ncy in kept
+    )
+    ate = math.floor(terms / N + 0.5) / 1_000_000
+    assert abs(row["ipw_ate"] - ate) < 1e-9
+
+
+def test_q337_zorder_skips_more_and_zone_maps_are_true(spark):
+    """The z-ordered layout must skip strictly more chunks than insert
+    order; chunk counts and the matched-row count recomputed in Python."""
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.plans.training2 import (
+        _Q337_CHUNKS,
+        _Q337_PK,
+        _Q337_SK,
+    )
+
+    out = {r["ordering"]: r for r in QUERY_REGISTRY["q337_zorder_skip_estimate"].fn(spark, SF_SMOKE).collect()}
+    assert set(out) == {"insert", "zorder"}
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
+    ).collect()
+    plo, phi = _Q337_PK
+    slo, shi = _Q337_SK
+    matched = sum(1 for r in li if plo <= r["l_partkey"] <= phi and slo <= r["l_suppkey"] <= shi)
+    assert matched > 0, "degenerate predicate box"
+    for o in ("insert", "zorder"):
+        assert out[o]["rows_matched"] == matched
+        assert out[o]["n_chunks"] == min(_Q337_CHUNKS, len(li))
+        assert 0 <= out[o]["chunks_scanned"] <= out[o]["n_chunks"]
+
+    def zkey(pk, sk):
+        z = 0
+        for i in range(16):
+            z |= ((pk >> i) & 1) << (2 * i + 1)
+            z |= ((sk >> i) & 1) << (2 * i)
+        return z
+
+    # recompute the zorder zone maps with python NTILE
+    rows = sorted(
+        li,
+        key=lambda r: (zkey(r["l_partkey"] & 65535, r["l_suppkey"] & 65535), r["l_orderkey"], r["l_linenumber"]),
+    )
+    n = len(rows)
+    nb = min(_Q337_CHUNKS, n)
+    q, rem = divmod(n, _Q337_CHUNKS)
+    scanned = 0
+    start = 0
+    for i in range(nb):
+        size = q + (1 if i < rem else 0)
+        chunk = rows[start : start + size]
+        start += size
+        if not chunk:
+            continue
+        if (
+            min(r["l_partkey"] for r in chunk) <= phi
+            and max(r["l_partkey"] for r in chunk) >= plo
+            and min(r["l_suppkey"] for r in chunk) <= shi
+            and max(r["l_suppkey"] for r in chunk) >= slo
+        ):
+            scanned += 1
+    assert out["zorder"]["chunks_scanned"] == scanned
+    # the headline claim: z-order skips strictly more than insert order
+    assert out["zorder"]["skip_frac"] > out["insert"]["skip_frac"]
