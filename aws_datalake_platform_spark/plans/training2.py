@@ -1892,3 +1892,1133 @@ def q337_zorder_skip_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ordering")
     )
+
+
+# ── q338: CUPED variance-reduced A/B readout ─────────────────────────────────
+
+# experiment window split: the events table spans 2024-01-01..01-30, so
+# the first half is the pre-period covariate window
+_Q338_CUTOFF = "2024-01-16 00:00:00"
+
+
+@register(
+    "q338_cuped_readout",
+    f"""
+    WITH pu AS (
+      SELECT user_id % 2 AS arm,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                            AND ts < TIMESTAMP '{_Q338_CUTOFF}'
+                           THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                            AND ts >= TIMESTAMP '{_Q338_CUTOFF}'
+                           THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x::HUGEINT * x::HUGEINT) AS DOUBLE) AS sxx,
+             CAST(SUM(y::HUGEINT * y::HUGEINT) AS DOUBLE) AS syy,
+             CAST(SUM(x::HUGEINT * y::HUGEINT) AS DOUBLE) AS sxy
+      FROM pu
+    ),
+    a AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x) AS BIGINT) AS sxa, CAST(SUM(y) AS BIGINT) AS sya
+      FROM pu GROUP BY arm
+    )
+    SELECT a.arm, a.n_users,
+           FLOOR(a.sya / 100.0 / a.n_users * 10000 + 0.5) / 10000
+             AS mean_post,
+           FLOOR((a.sya / 100.0 / a.n_users
+                  - ((g.n * g.sxy - g.sx * 1.0 * g.sy)
+                     / (g.n * g.sxx - g.sx * 1.0 * g.sx))
+                    * (a.sxa / 100.0 / a.n_users - g.sx / 100.0 / g.n))
+                 * 10000 + 0.5) / 10000 AS mean_post_cuped,
+           FLOOR(((g.n * g.sxy - g.sx * 1.0 * g.sy)
+                  / (g.n * g.sxx - g.sx * 1.0 * g.sx)) * 1000000 + 0.5)
+             / 1000000 AS theta,
+           FLOOR(((g.n * g.sxy - g.sx * 1.0 * g.sy)
+                  * (g.n * g.sxy - g.sx * 1.0 * g.sy)
+                  / ((g.n * g.sxx - g.sx * 1.0 * g.sx)
+                     * (g.n * g.syy - g.sy * 1.0 * g.sy)))
+                 * 1000000 + 0.5) / 1000000 AS var_reduction
+    FROM a CROSS JOIN g
+    ORDER BY a.arm
+    """,
+    doc="CUPED variance-reduced experiment readout (Deng, Xu, Kohavi & "
+    "Walker, WSDM 2013): per-user pre-period purchase revenue is the "
+    "covariate X, post-period revenue the metric Y, arms by user_id "
+    "parity; theta = cov(X,Y)/var(X) fitted on ALL users, adjusted "
+    "mean_a = mean(Y_a) - theta*(mean(X_a) - mean(X)). var_reduction "
+    "is the squared X-Y correlation — the fraction of metric variance "
+    "the covariate removes, i.e. how much less traffic the same power "
+    "needs. Complements q179 (z-test), q316 (A/A DiD), q312 (SRM): "
+    "this is the estimator production experimentation platforms "
+    "actually ship. Moments are exact integer (cents) sums; theta and "
+    "the adjustment are one fixed IEEE expression tree over those "
+    "scalars.",
+)
+def q338_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one map-side-combinable per-user integer aggregate (the
+    only corpus-width pass), then a 2-row per-arm rollup crossed with
+    one broadcast scalar row. No windows, no per-row floats — CUPED at
+    100 TB costs exactly one groupBy(user_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    cutoff = F.lit(_Q338_CUTOFF).cast("timestamp")
+    is_p = F.col("event_type") == "purchase"
+    pu = ev.groupBy((F.col("user_id") % 2).alias("arm"), "user_id").agg(
+        F.sum(F.when(is_p & (F.col("ts") < cutoff), cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(is_p & (F.col("ts") >= cutoff), cents).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    g = pu.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
+        F.sum(dec("y") * dec("y")).cast("double").alias("syy"),
+        F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+    )
+    a = pu.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sxa"),
+        F.sum("y").cast("long").alias("sya"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * 1.0 * F.col("sy")
+    theta = cov / varx
+    mean_post = F.col("sya") / 100.0 / F.col("n_users")
+    mean_x_arm = F.col("sxa") / 100.0 / F.col("n_users")
+    mean_x_all = F.col("sx") / 100.0 / F.col("n")
+    return (
+        a.crossJoin(F.broadcast(g))
+        .select(
+            "arm",
+            "n_users",
+            round_half_up(mean_post, 4).alias("mean_post"),
+            round_half_up(
+                mean_post - theta * (mean_x_arm - mean_x_all), 4
+            ).alias("mean_post_cuped"),
+            round_half_up(theta, 6).alias("theta"),
+            round_half_up(cov * cov / (varx * vary), 6).alias("var_reduction"),
+        )
+        .orderBy("arm")
+    )
+
+
+# ── q339: Theil-Sen robust trend estimate of daily volume ────────────────────
+
+
+@register(
+    "q339_theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    slopes AS (
+      SELECT a.d AS da, b.d AS db,
+             (b.c - a.c) * 1.0 / (b.d - a.d) AS slope
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    ranked AS (
+      SELECT slope,
+             ROW_NUMBER() OVER (ORDER BY slope, da, db) AS rn,
+             COUNT(*) OVER () AS np
+      FROM slopes
+    ),
+    med AS (
+      SELECT np, AVG(slope) AS ts_slope
+      FROM ranked
+      WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+      GROUP BY np
+    ),
+    ols AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(d * d) AS BIGINT) AS sdd,
+             CAST(SUM(d * c) AS BIGINT) AS sdc
+      FROM daily
+    )
+    SELECT o.n AS n_days, CAST(m.np AS BIGINT) AS n_pairs,
+           FLOOR(m.ts_slope * 1000000 + 0.5) / 1000000 AS theil_sen_slope,
+           FLOOR((o.n * o.sdc - o.sd * 1.0 * o.sc)
+                 / (o.n * o.sdd - o.sd * 1.0 * o.sd) * 1000000 + 0.5)
+             / 1000000 AS ols_slope
+    FROM med m CROSS JOIN ols o
+    """,
+    doc="Theil-Sen robust trend of daily event volume: the median of "
+    "all pairwise day-to-day slopes (Theil 1950, Sen 1968 — 29.3% "
+    "breakdown point) next to the OLS slope, so one anomalous day "
+    "(q283's target) cannot swing the reported growth rate. The "
+    "robust complement to q272's forecast and q314's autocorrelation. "
+    "Slopes are integer-count ratios; the median is the exact "
+    "order-statistic pair (deterministic (slope,da,db) tie-break), "
+    "OLS a fixed expression over integer sums.",
+)
+def q339_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the corpus-width pass is one per-day count (map-side
+    combinable); the pairwise self-join runs on the DAYS relation
+    (t days -> t(t-1)/2 pairs, ~66k pairs even for a 365-day year),
+    broadcast. The median sorts that bounded relation, never corpus
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    slopes = (
+        a.join(F.broadcast(b), F.col("db") > F.col("da"))
+        .select(
+            "da",
+            "db",
+            ((F.col("cb") - F.col("ca")) * 1.0 / (F.col("db") - F.col("da"))).alias(
+                "slope"
+            ),
+        )
+    )
+    w = Window.orderBy("slope", "da", "db")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("np") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("np") + 2) / 2))
+        )
+        .groupBy("np")
+        .agg(F.avg("slope").alias("ts_slope"))
+    )
+    ols = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+        F.sum(F.col("d") * F.col("c")).cast("long").alias("sdc"),
+    )
+    ols_slope = (F.col("n") * F.col("sdc") - F.col("sd") * 1.0 * F.col("sc")) / (
+        F.col("n") * F.col("sdd") - F.col("sd") * 1.0 * F.col("sd")
+    )
+    return med.crossJoin(F.broadcast(ols)).select(
+        F.col("n").alias("n_days"),
+        F.col("np").cast("long").alias("n_pairs"),
+        round_half_up(F.col("ts_slope"), 6).alias("theil_sen_slope"),
+        round_half_up(ols_slope, 6).alias("ols_slope"),
+    )
+
+
+# ── q340: Simple Good-Turing frequency smoothing ─────────────────────────────
+
+_Q340_TOPR = 10
+
+
+@register(
+    "q340_good_turing_smoothing",
+    f"""
+    WITH tok AS (
+      SELECT lang,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                t -> t <> '')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY lang, w
+    ),
+    coc AS (
+      SELECT lang, c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+      FROM tf GROUP BY lang, c
+    ),
+    nb AS (
+      SELECT lang, r, n_r,
+             COALESCE(LAG(r) OVER (PARTITION BY lang ORDER BY r), 0) AS qr,
+             LEAD(r) OVER (PARTITION BY lang ORDER BY r) AS tr
+      FROM coc
+    ),
+    z AS (
+      SELECT lang, r, n_r,
+             n_r / (0.5 * (COALESCE(tr, 2 * r - qr) - qr)) AS zr
+      FROM nb
+    ),
+    qz AS (
+      SELECT lang, r, n_r, zr,
+             CAST(FLOOR(LN(r * 1.0) * 1000000 + 0.5) AS BIGINT) AS xi,
+             CAST(FLOOR(LN(zr) * 1000000 + 0.5) AS BIGINT) AS yi
+      FROM z
+    ),
+    fit AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(yi) AS BIGINT) AS sy,
+             CAST(SUM(xi * xi) AS BIGINT) AS sxx,
+             CAST(SUM(xi * yi) AS BIGINT) AS sxy
+      FROM qz GROUP BY lang
+    ),
+    ranked AS (
+      SELECT lang, r, n_r, zr,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY r) AS rn
+      FROM qz
+    )
+    SELECT a.lang, a.r, a.n_r,
+           FLOOR(a.zr * 10000 + 0.5) / 10000 AS z_r,
+           FLOOR((f.n * f.sxy - f.sx * 1.0 * f.sy)
+                 / (f.n * f.sxx - f.sx * 1.0 * f.sx) * 1000000 + 0.5)
+             / 1000000 AS b_slope,
+           FLOOR((a.r + 1)
+                 * EXP(((f.n * f.sxy - f.sx * 1.0 * f.sy)
+                        / (f.n * f.sxx - f.sx * 1.0 * f.sx))
+                       * LN((a.r + 1) * 1.0 / a.r))
+                 * 10000 + 0.5) / 10000 AS r_star_sgt
+    FROM ranked a JOIN fit f ON f.lang = a.lang
+    WHERE a.rn <= {_Q340_TOPR}
+    ORDER BY a.lang, a.r
+    """,
+    doc="Simple Good-Turing smoothing (Good 1953; Gale & Sampson 1995) "
+    "per language: count-of-counts N_r are rank-smoothed into "
+    "Z_r = N_r / (0.5(t - q)) over the NONZERO neighbor gaps (so sparse "
+    "count histograms — exactly what this corpus has — stay usable, "
+    "where naive (r+1)N_(r+1)/N_r is 0 almost everywhere), then the "
+    "log-log regression log Z_r = a + b log r gives the smoothed "
+    "adjusted count r* = (r+1)(1+1/r)^b, reported for the 10 smallest "
+    "r per language. The estimator q323's unseen_mass is the r=0 case "
+    "of, and the principled version of q327's constant discount D. "
+    "The per-row (ln r, ln Z_r) pairs are micro-quantized to integers "
+    "BEFORE the regression sums (scale cancels in the slope), so the "
+    "fit is order-independent; r* is one EXP/LN expression tree over "
+    "those integer sums.",
+)
+def q340_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one token explode into a vocabulary-bounded (lang, word)
+    count; everything downstream (neighbor windows, regression, output)
+    runs on the count-of-counts relation, whose size is bounded by the
+    number of DISTINCT frequencies — O(sqrt(tokens)) per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+            ).alias("w"),
+        )
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    coc = tf.groupBy("lang", F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    w = Window.partitionBy("lang").orderBy("r")
+    nb = coc.select(
+        "lang",
+        "r",
+        "n_r",
+        F.coalesce(F.lag("r").over(w), F.lit(0)).alias("qr"),
+        F.lead("r").over(w).alias("tr"),
+    )
+    z = nb.select(
+        "lang",
+        "r",
+        "n_r",
+        (
+            F.col("n_r")
+            / (
+                0.5
+                * (F.coalesce(F.col("tr"), 2 * F.col("r") - F.col("qr")) - F.col("qr"))
+            )
+        ).alias("zr"),
+    )
+    qz = z.select(
+        "lang",
+        "r",
+        "n_r",
+        "zr",
+        F.floor(F.log(F.col("r") * 1.0) * 1_000_000 + 0.5).cast("long").alias("xi"),
+        F.floor(F.log("zr") * 1_000_000 + 0.5).cast("long").alias("yi"),
+    )
+    fit = qz.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xi").cast("long").alias("sx"),
+        F.sum("yi").cast("long").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("long").alias("sxx"),
+        F.sum(F.col("xi") * F.col("yi")).cast("long").alias("sxy"),
+    )
+    ranked = qz.select(
+        "lang", "r", "n_r", "zr", F.row_number().over(w).alias("rn")
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx")
+    )
+    return (
+        ranked.filter(F.col("rn") <= _Q340_TOPR)
+        .join(F.broadcast(fit), "lang")
+        .select(
+            "lang",
+            "r",
+            "n_r",
+            round_half_up(F.col("zr"), 4).alias("z_r"),
+            round_half_up(b, 6).alias("b_slope"),
+            round_half_up(
+                (F.col("r") + 1)
+                * F.exp(b * F.log((F.col("r") + 1) * 1.0 / F.col("r"))),
+                4,
+            ).alias("r_star_sgt"),
+        )
+        .orderBy("lang", "r")
+    )
+
+
+# ── q341: Dunning log-likelihood-ratio collocations ──────────────────────────
+
+_Q341_MIN_COUNT = 5
+_Q341_TOPK = 15
+
+
+def _q341_term_sql(k: str, r: str, c: str, n: str) -> str:
+    # one G² cell: k * ln(k*N / (r*c)), 0 when the cell is empty —
+    # identical parenthesization on the Spark side
+    return (
+        f"CASE WHEN {k} > 0 THEN {k} * LN({k} * 1.0 * {n} / ({r} * 1.0 * {c})) "
+        f"ELSE 0.0 END"
+    )
+
+
+@register(
+    "q341_llr_collocations",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    big AS (
+      SELECT unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM tok WHERE len(toks) >= 2
+    ),
+    tb AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS k11
+      FROM big GROUP BY w1, w2
+    ),
+    s1 AS (SELECT w1, CAST(SUM(k11) AS BIGINT) AS r1 FROM tb GROUP BY w1),
+    s2 AS (SELECT w2, CAST(SUM(k11) AS BIGINT) AS c1 FROM tb GROUP BY w2),
+    nn AS (SELECT CAST(SUM(k11) AS BIGINT) AS n FROM tb),
+    cells AS (
+      SELECT t.w1, t.w2, t.k11, s1.r1, s2.c1, nn.n,
+             s1.r1 - t.k11 AS k12, s2.c1 - t.k11 AS k21,
+             nn.n - s1.r1 - s2.c1 + t.k11 AS k22
+      FROM tb t JOIN s1 USING (w1) JOIN s2 USING (w2) CROSS JOIN nn
+      WHERE t.k11 >= {_Q341_MIN_COUNT}
+    )
+    SELECT w1, w2, k11, r1 AS c_w1, c1 AS c_w2,
+           FLOOR(2.0 * ({_q341_term_sql('k11', 'r1', 'c1', 'n')}
+                        + {_q341_term_sql('k12', 'r1', '(n - c1)', 'n')}
+                        + {_q341_term_sql('k21', '(n - r1)', 'c1', 'n')}
+                        + {_q341_term_sql('k22', '(n - r1)', '(n - c1)', 'n')})
+                 * 10000 + 0.5) / 10000 AS g2
+    FROM cells
+    ORDER BY g2 DESC, w1, w2
+    LIMIT {_Q341_TOPK}
+    """,
+    doc="Dunning log-likelihood-ratio collocation extraction (Dunning "
+    "1993): for every bigram with support >= 5, the G² statistic of "
+    "its 2x2 contingency table (bigram vs word marginals), top-15. "
+    "The statistically-grounded upgrade of q287's PMI (which "
+    "over-ranks rare pairs) and q98's regex collocations — G² is "
+    "exactly the ranking LM tokenizer-vocabulary and stop-phrase "
+    "decisions should use at corpus scale. Each G² is a fixed IEEE "
+    "expression over integer counts; no float ever crosses an "
+    "aggregation boundary.",
+)
+def q341_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: bigram counting is map-side combinable and vocabulary²-
+    bounded (in practice zipf-bounded far below that); the marginal
+    relations are re-aggregations of the bigram relation itself
+    (broadcast), so the corpus text is read exactly once. Top-k via
+    sort on the surviving >=min_count cells only."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "").alias(
+            "toks"
+        )
+    )
+    n = F.size("toks")
+    big = (
+        tok.filter(n >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, n - 1).alias("w1"),
+                    F.slice("toks", 2, n - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    tb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("k11"))
+    s1 = tb.groupBy("w1").agg(F.sum("k11").cast("long").alias("r1"))
+    s2 = tb.groupBy("w2").agg(F.sum("k11").cast("long").alias("c1"))
+    nn = tb.agg(F.sum("k11").cast("long").alias("n"))
+
+    def term(k, r, c):
+        return F.when(
+            k > 0, k * F.log(k * 1.0 * F.col("n") / (r * 1.0 * c))
+        ).otherwise(0.0)
+
+    cells = (
+        tb.filter(F.col("k11") >= _Q341_MIN_COUNT)
+        .join(F.broadcast(s1), "w1")
+        .join(F.broadcast(s2), "w2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w1",
+            "w2",
+            "k11",
+            "r1",
+            "c1",
+            "n",
+            (F.col("r1") - F.col("k11")).alias("k12"),
+            (F.col("c1") - F.col("k11")).alias("k21"),
+            (F.col("n") - F.col("r1") - F.col("c1") + F.col("k11")).alias("k22"),
+        )
+    )
+    g2 = 2.0 * (
+        term(F.col("k11"), F.col("r1"), F.col("c1"))
+        + term(F.col("k12"), F.col("r1"), F.col("n") - F.col("c1"))
+        + term(F.col("k21"), F.col("n") - F.col("r1"), F.col("c1"))
+        + term(F.col("k22"), F.col("n") - F.col("r1"), F.col("n") - F.col("c1"))
+    )
+    return (
+        cells.select(
+            "w1",
+            "w2",
+            "k11",
+            F.col("r1").alias("c_w1"),
+            F.col("c1").alias("c_w2"),
+            round_half_up(g2, 4).alias("g2"),
+        )
+        .orderBy(F.desc("g2"), "w1", "w2")
+        .limit(_Q341_TOPK)
+    )
+
+
+# ── q342: James-Stein / empirical-Bayes shrunk segment means ─────────────────
+
+# per-cell float terms are milli-quantized to integers BEFORE the
+# per-segment sum (the q327 discipline) so no float crosses an
+# aggregation boundary — cell terms are fixed expression trees, the
+# segment rollup is an exact integer sum
+_Q342_Q = 1000
+
+
+@register(
+    "q342_shrunk_cell_means",
+    f"""
+    WITH cells AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS su,
+             CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)::HUGEINT
+                      * CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)::HUGEINT)
+                  AS DOUBLE) AS ssq
+      FROM customer GROUP BY 1, 2
+    ),
+    gm AS (
+      SELECT seg, SUM(su) * 1.0 / SUM(n_g) AS gm_c FROM cells GROUP BY seg
+    ),
+    seg AS (
+      SELECT c.seg, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(c.n_g) AS BIGINT) AS n_tot,
+             CAST(SUM(c.su) AS BIGINT) AS su_tot,
+             CAST(SUM(CAST(FLOOR((c.ssq - c.su * 1.0 * c.su / c.n_g)
+                                 * {_Q342_Q} + 0.5) AS BIGINT))
+                  AS BIGINT) AS wq,
+             CAST(SUM(CAST(FLOOR(c.n_g * (c.su * 1.0 / c.n_g - g.gm_c)
+                                       * (c.su * 1.0 / c.n_g - g.gm_c)
+                                 * {_Q342_Q} + 0.5) AS BIGINT))
+                  AS BIGINT) AS bq,
+             CAST(SUM(c.n_g * c.n_g) AS BIGINT) AS sum_n2
+      FROM cells c JOIN gm g ON g.seg = c.seg
+      GROUP BY c.seg
+    )
+    SELECT c.seg, c.nat, c.n_g,
+           FLOOR(c.su * 1.0 / c.n_g / 100.0 * 10000 + 0.5) / 10000 AS raw_mean,
+           FLOOR(CASE WHEN GREATEST((s.bq / {_Q342_Q}.0
+                                     - (s.k - 1) * (s.wq / {_Q342_Q}.0
+                                                    / (s.n_tot - s.k)))
+                                    / (s.n_tot - s.sum_n2 * 1.0 / s.n_tot),
+                                    0.0) = 0.0
+                 THEN 0.0
+                 ELSE GREATEST((s.bq / {_Q342_Q}.0
+                                - (s.k - 1) * (s.wq / {_Q342_Q}.0
+                                               / (s.n_tot - s.k)))
+                               / (s.n_tot - s.sum_n2 * 1.0 / s.n_tot), 0.0)
+                      / (GREATEST((s.bq / {_Q342_Q}.0
+                                   - (s.k - 1) * (s.wq / {_Q342_Q}.0
+                                                  / (s.n_tot - s.k)))
+                                  / (s.n_tot - s.sum_n2 * 1.0 / s.n_tot), 0.0)
+                         + s.wq / {_Q342_Q}.0 / (s.n_tot - s.k) / c.n_g)
+                 END * 10000 + 0.5) / 10000 AS shrink_w,
+           FLOOR((s.su_tot * 1.0 / s.n_tot
+                  + CASE WHEN GREATEST((s.bq / {_Q342_Q}.0
+                                        - (s.k - 1) * (s.wq / {_Q342_Q}.0
+                                                       / (s.n_tot - s.k)))
+                                       / (s.n_tot - s.sum_n2 * 1.0 / s.n_tot),
+                                       0.0) = 0.0
+                    THEN 0.0
+                    ELSE GREATEST((s.bq / {_Q342_Q}.0
+                                   - (s.k - 1) * (s.wq / {_Q342_Q}.0
+                                                  / (s.n_tot - s.k)))
+                                  / (s.n_tot - s.sum_n2 * 1.0 / s.n_tot), 0.0)
+                         / (GREATEST((s.bq / {_Q342_Q}.0
+                                      - (s.k - 1) * (s.wq / {_Q342_Q}.0
+                                                     / (s.n_tot - s.k)))
+                                     / (s.n_tot - s.sum_n2 * 1.0 / s.n_tot),
+                                     0.0)
+                            + s.wq / {_Q342_Q}.0 / (s.n_tot - s.k) / c.n_g)
+                    END
+                    * (c.su * 1.0 / c.n_g - s.su_tot * 1.0 / s.n_tot))
+                 / 100.0 * 10000 + 0.5) / 10000 AS shrunk_mean
+    FROM cells c JOIN seg s ON s.seg = c.seg
+    ORDER BY c.seg, c.nat
+    """,
+    doc="Empirical-Bayes (James-Stein / normal-normal MoM) shrinkage of "
+    "per-(segment, nation) mean account balance toward the segment "
+    "mean: tau² from the method-of-moments one-way random-effects "
+    "decomposition (clamped at 0), per-cell weight "
+    "w_g = tau²/(tau² + s²/n_g), shrunk = grand + w_g(raw - grand). "
+    "The winner's-curse fix for every small-cell leaderboard the "
+    "engine emits (q270 ranks by Wilson bounds — binomial; this is "
+    "the continuous-metric counterpart): thin cells collapse to the "
+    "segment mean, fat cells keep their data. Cell moments are exact "
+    "integer (cents) sums; the two float sums of squares are "
+    "milli-quantized per CELL before an exact integer rollup, so the "
+    "segment statistics are order-independent.",
+)
+def q342_shrunk_cell_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one groupBy(seg, nation) integer aggregate over customer
+    (map-side combinable), a |segments|-row rollup of the bounded cell
+    relation (two passes over cells only, for the exact between-cell
+    term), one broadcast join back. Nothing after the first aggregate
+    touches customer rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")
+    cells = cust.groupBy(
+        F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(cents).cast("long").alias("su"),
+        F.sum(dec(cents) * dec(cents)).cast("double").alias("ssq"),
+    )
+    gm = cells.groupBy("seg").agg(
+        (F.sum("su") * 1.0 / F.sum("n_g")).alias("gm_c")
+    )
+    dev = F.col("su") * 1.0 / F.col("n_g") - F.col("gm_c")
+    seg = (
+        cells.join(F.broadcast(gm), "seg")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("n_g").cast("long").alias("n_tot"),
+            F.sum("su").cast("long").alias("su_tot"),
+            F.sum(
+                F.floor(
+                    (F.col("ssq") - F.col("su") * 1.0 * F.col("su") / F.col("n_g"))
+                    * _Q342_Q
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("wq"),
+            F.sum(
+                F.floor(F.col("n_g") * dev * dev * _Q342_Q + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("bq"),
+            F.sum(F.col("n_g") * F.col("n_g")).cast("long").alias("sum_n2"),
+        )
+    )
+    s2w = F.col("wq") / float(_Q342_Q) / (F.col("n_tot") - F.col("k"))
+    tau2 = F.greatest(
+        (
+            F.col("bq") / float(_Q342_Q)
+            - (F.col("k") - 1)
+            * (F.col("wq") / float(_Q342_Q) / (F.col("n_tot") - F.col("k")))
+        )
+        / (F.col("n_tot") - F.col("sum_n2") * 1.0 / F.col("n_tot")),
+        F.lit(0.0),
+    )
+    w_g = F.when(tau2 == 0.0, 0.0).otherwise(tau2 / (tau2 + s2w / F.col("n_g")))
+    grand_mean_c = F.col("su_tot") * 1.0 / F.col("n_tot")
+    raw_mean_c = F.col("su") * 1.0 / F.col("n_g")
+    return (
+        cells.join(F.broadcast(seg), "seg")
+        .select(
+            "seg",
+            "nat",
+            "n_g",
+            round_half_up(raw_mean_c / 100.0, 4).alias("raw_mean"),
+            round_half_up(w_g, 4).alias("shrink_w"),
+            round_half_up(
+                (grand_mean_c + w_g * (raw_mean_c - grand_mean_c)) / 100.0, 4
+            ).alias("shrunk_mean"),
+        )
+        .orderBy("seg", "nat")
+    )
+
+
+# ── q343: Simpson's-paradox detector ─────────────────────────────────────────
+
+# treatment: deep discount; outcome: high-quantity line; strata: ship month
+_Q343_DISC = 0.05
+_Q343_QTY = 26
+
+
+@register(
+    "q343_simpson_paradox",
+    f"""
+    WITH base AS (
+      SELECT CAST(month(l_shipdate) AS INTEGER) AS stratum,
+             CASE WHEN l_discount >= {_Q343_DISC} THEN 1 ELSE 0 END AS t,
+             CASE WHEN l_quantity >= {_Q343_QTY} THEN 1 ELSE 0 END AS o
+      FROM lineitem
+    ),
+    s AS (
+      SELECT stratum,
+             CAST(SUM(t) AS BIGINT) AS n_t,
+             CAST(SUM(t * o) AS BIGINT) AS o_t,
+             CAST(SUM(1 - t) AS BIGINT) AS n_c,
+             CAST(SUM((1 - t) * o) AS BIGINT) AS o_c
+      FROM base GROUP BY stratum
+    ),
+    g AS (
+      SELECT CAST(SUM(n_t) AS BIGINT) AS gn_t, CAST(SUM(o_t) AS BIGINT) AS go_t,
+             CAST(SUM(n_c) AS BIGINT) AS gn_c, CAST(SUM(o_c) AS BIGINT) AS go_c
+      FROM s
+    )
+    SELECT s.stratum,
+           s.n_t + s.n_c AS n_rows,
+           FLOOR((s.o_t * 1.0 / s.n_t - s.o_c * 1.0 / s.n_c) * 1000000 + 0.5)
+             / 1000000 AS diff_stratum,
+           FLOOR((g.go_t * 1.0 / g.gn_t - g.go_c * 1.0 / g.gn_c)
+                 * 1000000 + 0.5) / 1000000 AS diff_aggregate,
+           CASE WHEN (s.o_t * 1.0 / s.n_t - s.o_c * 1.0 / s.n_c)
+                     * (g.go_t * 1.0 / g.gn_t - g.go_c * 1.0 / g.gn_c) < 0
+                THEN 0 ELSE 1 END AS sign_agrees
+    FROM s CROSS JOIN g
+    ORDER BY s.stratum
+    """,
+    doc="Simpson's-paradox detector: the association between deep "
+    "discounting and high-quantity lines, measured as a risk "
+    "difference, computed both AGGREGATE and WITHIN each ship-month "
+    "stratum — a stratum whose sign disagrees with the aggregate "
+    "(sign_agrees = 0) is the paradox signature, meaning the pooled "
+    "number every dashboard shows is confounded by mix shift. The "
+    "audit that decides whether q179/q333's pooled tests may be read "
+    "at face value or must be stratified like q336. Pure integer "
+    "2x2 counts per stratum; risk differences are fixed trees.",
+)
+def q343_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one map-side-combinable groupBy(month) over lineitem with
+    conditional integer sums, one 12-row rollup crossed back broadcast.
+    The detector never rescans rows to compare strata."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = F.when(F.col("l_discount") >= _Q343_DISC, 1).otherwise(0)
+    o = F.when(F.col("l_quantity") >= _Q343_QTY, 1).otherwise(0)
+    s = (
+        li.select(
+            F.month("l_shipdate").cast("int").alias("stratum"),
+            t.alias("t"),
+            o.alias("o"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.sum("t").cast("long").alias("n_t"),
+            F.sum(F.col("t") * F.col("o")).cast("long").alias("o_t"),
+            F.sum(1 - F.col("t")).cast("long").alias("n_c"),
+            F.sum((1 - F.col("t")) * F.col("o")).cast("long").alias("o_c"),
+        )
+    )
+    g = s.agg(
+        F.sum("n_t").cast("long").alias("gn_t"),
+        F.sum("o_t").cast("long").alias("go_t"),
+        F.sum("n_c").cast("long").alias("gn_c"),
+        F.sum("o_c").cast("long").alias("go_c"),
+    )
+    ds = F.col("o_t") * 1.0 / F.col("n_t") - F.col("o_c") * 1.0 / F.col("n_c")
+    da = F.col("go_t") * 1.0 / F.col("gn_t") - F.col("go_c") * 1.0 / F.col("gn_c")
+    return (
+        s.crossJoin(F.broadcast(g))
+        .select(
+            "stratum",
+            (F.col("n_t") + F.col("n_c")).alias("n_rows"),
+            round_half_up(ds, 6).alias("diff_stratum"),
+            round_half_up(da, 6).alias("diff_aggregate"),
+            F.when(ds * da < 0, 0).otherwise(1).alias("sign_agrees"),
+        )
+        .orderBy("stratum")
+    )
+
+
+# ── q344: Kendall tau-b concordance between two rankings ─────────────────────
+
+
+@register(
+    "q344_kendall_tau",
+    """
+    WITH m AS (
+      SELECT c.c_nationkey AS nat,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev,
+             CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_cust
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    ),
+    p AS (
+      SELECT a.rev AS xa, a.n_cust AS ya, b.rev AS xb, b.n_cust AS yb
+      FROM m a JOIN m b ON b.nat > a.nat
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN (xa - xb) * (ya - yb) > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conc,
+             CAST(SUM(CASE WHEN (xa - xb) * (ya - yb) < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS disc,
+             CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+             CAST(SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT) AS ty
+      FROM p
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_items,
+           n0 AS n_pairs, conc AS concordant, disc AS discordant,
+           tx AS tied_x, ty AS tied_y,
+           FLOOR((conc - disc) * 1.0
+                 / SQRT((n0 - tx) * 1.0 * (n0 - ty)) * 1000000 + 0.5)
+             / 1000000 AS tau_b
+    FROM c
+    """,
+    doc="Kendall tau-b rank concordance between two per-nation metrics "
+    "— total order revenue vs customer count — the tie-corrected "
+    "concordant-minus-discordant statistic. Complements q299 "
+    "(Spearman, moment-based on midranks) and q181 (RBO, top-weighted "
+    "set overlap): tau-b is the robust pairwise-inversion view, the "
+    "right check for 'does ordering segments by cheap metric X "
+    "reproduce ordering by expensive metric Y'. Every comparison is "
+    "an exact integer sign test on a bounded pair relation.",
+)
+def q344_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one join-aggregate builds the per-nation metric relation
+    (bounded by the entity taxonomy, ~10²); the pairwise self-join runs
+    on that bounded relation only, broadcast. Corpus rows are touched
+    exactly once."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    m = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nat"))
+        .agg(
+            F.sum(cents).cast("long").alias("rev"),
+            F.countDistinct("c_custkey").cast("long").alias("n_cust"),
+        )
+    )
+    a = m.select(
+        F.col("nat").alias("na"), F.col("rev").alias("xa"), F.col("n_cust").alias("ya")
+    )
+    b = m.select(
+        F.col("nat").alias("nb"), F.col("rev").alias("xb"), F.col("n_cust").alias("yb")
+    )
+    p = a.join(F.broadcast(b), F.col("nb") > F.col("na"))
+    sgn = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    c = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("long").alias("conc"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("long").alias("disc"),
+        F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0))
+        .cast("long")
+        .alias("tx"),
+        F.sum(F.when(F.col("ya") == F.col("yb"), 1).otherwise(0))
+        .cast("long")
+        .alias("ty"),
+    )
+    n_items = m.agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    tau_b = (F.col("conc") - F.col("disc")) * 1.0 / F.sqrt(
+        (F.col("n0") - F.col("tx")) * 1.0 * (F.col("n0") - F.col("ty"))
+    )
+    return c.crossJoin(F.broadcast(n_items)).select(
+        "n_items",
+        F.col("n0").alias("n_pairs"),
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.col("tx").alias("tied_x"),
+        F.col("ty").alias("tied_y"),
+        round_half_up(tau_b, 6).alias("tau_b"),
+    )
+
+
+# ── q345: functional-dependency discovery audit ──────────────────────────────
+
+# candidate FDs to profile: (table, lhs, rhs) — a mix of holding and
+# violated dependencies across the lake
+_Q345_CANDIDATES = [
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("documents", "source", "lang"),
+]
+
+
+def _q345_branch_sql(table: str, lhs: str, rhs: str) -> str:
+    return f"""
+      SELECT '{table}.{lhs}->{rhs}' AS fd,
+             CAST(COUNT(*) AS BIGINT) AS lhs_groups,
+             CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_groups,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(SUM(n - mx) AS BIGINT) AS repair_rows,
+             CASE WHEN SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0
+                  THEN 1 ELSE 0 END AS holds,
+             FLOOR(SUM(n - mx) * 1.0 / SUM(n) * 1000000 + 0.5) / 1000000
+               AS g3_error
+      FROM (
+        SELECT {lhs} AS l, CAST(COUNT(*) AS BIGINT) AS n_rhs,
+               CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(MAX(cnt) AS BIGINT) AS mx
+        FROM (SELECT {lhs}, {rhs}, COUNT(*) AS cnt
+              FROM {table} GROUP BY {lhs}, {rhs})
+        GROUP BY {lhs}
+      )"""
+
+
+@register(
+    "q345_fd_discovery_audit",
+    "\n      UNION ALL\n".join(
+        _q345_branch_sql(t, l, r) for t, l, r in _Q345_CANDIDATES
+    )
+    + "\n    ORDER BY fd",
+    doc="Functional-dependency discovery audit over candidate column "
+    "pairs: for each X->Y, the number of X groups, how many see more "
+    "than one Y, and the exact g3 error (Kivinen & Mannila 1995 — the "
+    "minimum fraction of rows to delete for the FD to hold, via the "
+    "per-group modal Y). The schema-inference primitive data catalogs "
+    "run at onboarding: holds=1 marks join keys and denormalization-"
+    "safe columns, small g3 marks dirty-but-intended dependencies "
+    "(q243's golden-record repair target), large g3 marks genuine "
+    "many-to-many. Pure integer counts end to end.",
+)
+def q345_fd_discovery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per candidate one (lhs, rhs) count (map-side combinable)
+    re-aggregated per lhs — both shuffles on the lhs key, no row ever
+    leaves its group. Candidates union bounded summary rows. The modal
+    count uses MAX over the (lhs, rhs) relation, never a sort."""
+    out = None
+    for table, lhs, rhs in _Q345_CANDIDATES:
+        tbl = load_table(spark, sf_dir, table)
+        pair = tbl.groupBy(F.col(lhs).alias("l"), F.col(rhs).alias("r")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        per_lhs = pair.groupBy("l").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rhs"),
+            F.sum("cnt").cast("long").alias("n"),
+            F.max("cnt").cast("long").alias("mx"),
+        )
+        branch = per_lhs.agg(
+            F.count(F.lit(1)).cast("long").alias("lhs_groups"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("violating_groups"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.sum(F.col("n") - F.col("mx")).cast("long").alias("repair_rows"),
+        ).select(
+            F.lit(f"{table}.{lhs}->{rhs}").alias("fd"),
+            "lhs_groups",
+            "violating_groups",
+            "n_rows",
+            "repair_rows",
+            F.when(F.col("violating_groups") == 0, 1).otherwise(0).alias("holds"),
+            round_half_up(
+                F.col("repair_rows") * 1.0 / F.col("n_rows"), 6
+            ).alias("g3_error"),
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out.orderBy("fd")
+
+
+# ── q346: Cochran-Armitage trend test ────────────────────────────────────────
+
+
+@register(
+    "q346_cochran_armitage_trend",
+    """
+    WITH lv AS (
+      SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS s,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT s) AS BIGINT) AS n_levels,
+             CAST(SUM(s) AS BIGINT) AS sns,
+             CAST(SUM(y * s) AS BIGINT) AS srs,
+             CAST(SUM(s * s) AS BIGINT) AS snss
+      FROM lv
+    )
+    SELECT n AS n_rows, r AS n_events, n_levels,
+           FLOOR((srs - r * 1.0 * sns / n) * 1000000 + 0.5) / 1000000
+             AS trend_t,
+           FLOOR((srs - r * 1.0 * sns / n)
+                 / SQRT((r * 1.0 / n) * (1 - r * 1.0 / n)
+                        * (snss - sns * 1.0 * sns / n))
+                 * 1000000 + 0.5) / 1000000 AS z_stat
+    FROM agg
+    """,
+    doc="Cochran-Armitage trend test (Cochran 1954; Armitage 1955): is "
+    "the return rate MONOTONICALLY associated with the ordered discount "
+    "level (scores = discount cents, 0..10)? T = sum s_i(r_i - n_i R/N) "
+    "collapses to per-row integer sums; z = T / sqrt(p(1-p)(sum n s^2 "
+    "- (sum n s)^2/N)), the large-sample form. The DOSE-RESPONSE "
+    "upgrade of q179's two-proportion z-test and the ordered "
+    "complement of q245's unordered chi^2 — a trend across all 11 "
+    "levels is evidence an effect is real that pairwise tests dilute. "
+    "Five integer sums, one scalar tree.",
+)
+def q346_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: a single map-side-combinable aggregate over lineitem —
+    no grouping, no shuffle beyond the final 1-row combine. The
+    statistic never materializes per-level rows at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    agg = li.select(s.alias("s"), y.alias("y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("r"),
+        F.countDistinct("s").cast("long").alias("n_levels"),
+        F.sum("s").cast("long").alias("sns"),
+        F.sum(F.col("y") * F.col("s")).cast("long").alias("srs"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("snss"),
+    )
+    t = F.col("srs") - F.col("r") * 1.0 * F.col("sns") / F.col("n")
+    p = F.col("r") * 1.0 / F.col("n")
+    z = t / F.sqrt(
+        p * (1 - p) * (F.col("snss") - F.col("sns") * 1.0 * F.col("sns") / F.col("n"))
+    )
+    return agg.select(
+        F.col("n").alias("n_rows"),
+        F.col("r").alias("n_events"),
+        "n_levels",
+        round_half_up(t, 6).alias("trend_t"),
+        round_half_up(z, 6).alias("z_stat"),
+    )
+
+
+# ── q347: quantile treatment effects (decile QTE) ────────────────────────────
+
+
+@register(
+    "q347_quantile_treatment_effect",
+    """
+    WITH u AS (
+      SELECT user_id % 2 AS arm,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    q AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             quantile_disc(y, 0.1) AS d1, quantile_disc(y, 0.2) AS d2,
+             quantile_disc(y, 0.3) AS d3, quantile_disc(y, 0.4) AS d4,
+             quantile_disc(y, 0.5) AS d5, quantile_disc(y, 0.6) AS d6,
+             quantile_disc(y, 0.7) AS d7, quantile_disc(y, 0.8) AS d8,
+             quantile_disc(y, 0.9) AS d9
+      FROM u GROUP BY arm
+    ),
+    unp AS (
+      SELECT arm, n_users,
+             CAST(substr(dname, 2, 1) AS INTEGER) AS decile, q_cents
+      FROM q UNPIVOT (q_cents FOR dname IN (d1, d2, d3, d4, d5, d6, d7, d8, d9))
+    )
+    SELECT a.decile,
+           a.n_users AS n_treated, b.n_users AS n_control,
+           a.q_cents AS q_treated_cents, b.q_cents AS q_control_cents,
+           a.q_cents - b.q_cents AS qte_cents
+    FROM (SELECT * FROM unp WHERE arm = 1) a
+    JOIN (SELECT * FROM unp WHERE arm = 0) b ON b.decile = a.decile
+    ORDER BY a.decile
+    """,
+    doc="Quantile treatment effects: per-user purchase revenue deciles "
+    "(PERCENTILE_DISC — actual population values, q130 semantics) in "
+    "each arm (user-parity assignment), differenced per decile. The "
+    "distributional readout q338's CUPED mean cannot give: a treatment "
+    "that moves the median but not the p90 (or only the whales) has a "
+    "signature here and is invisible in the mean. Everything is exact "
+    "integer cents — no interpolation, no floats anywhere.",
+)
+def q347_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one per-user integer aggregate, then exact per-arm order
+    statistics (2 groups; at 100 TB swap percentile_disc for
+    approx_percentile with documented rank error — q80's path), then a
+    9-row decile join. No corpus-width sort: the quantile runs inside
+    the 2-group aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    u = ev.groupBy((F.col("user_id") % 2).alias("arm"), "user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .cast("long")
+        .alias("y")
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_users")] + [
+        F.expr(f"percentile_disc(0.{d}) WITHIN GROUP (ORDER BY y)").alias(f"d{d}")
+        for d in range(1, 10)
+    ]
+    q = u.groupBy("arm").agg(*aggs)
+    unp = q.unpivot(
+        ["arm", "n_users"],
+        [f"d{d}" for d in range(1, 10)],
+        "decile_name",
+        "q_cents",
+    ).select(
+        "arm",
+        "n_users",
+        F.substring("decile_name", 2, 1).cast("int").alias("decile"),
+        # Spark's percentile_disc returns DOUBLE even over integer input;
+        # the values are exact integer cents, so the cast is lossless
+        F.col("q_cents").cast("long").alias("q_cents"),
+    )
+    a = unp.filter(F.col("arm") == 1).select(
+        "decile",
+        F.col("n_users").alias("n_treated"),
+        F.col("q_cents").alias("q_treated_cents"),
+    )
+    b = unp.filter(F.col("arm") == 0).select(
+        "decile",
+        F.col("n_users").alias("n_control"),
+        F.col("q_cents").alias("q_control_cents"),
+    )
+    return (
+        a.join(b, "decile")
+        .select(
+            "decile",
+            "n_treated",
+            "n_control",
+            "q_treated_cents",
+            "q_control_cents",
+            (F.col("q_treated_cents") - F.col("q_control_cents")).alias("qte_cents"),
+        )
+        .orderBy("decile")
+    )
