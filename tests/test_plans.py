@@ -698,3 +698,90 @@ def test_q337_zone_estimate_joins_only_the_scalar(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_q338_cuped_scalar_rides_broadcast(spark):
+    """CUPED's global moment row must attach to the 2-row arm rollup via
+    broadcast nested loop — never a cartesian, never a sort-merge; the
+    only corpus-width pass is the per-user aggregate."""
+    plan = _plan(spark, "q338_cuped_readout")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q339_pair_join_runs_on_days_broadcast(spark):
+    """The Theil-Sen pair stage must be a broadcast nested loop over the
+    bounded DAYS relation (non-equi db > da), plus the broadcast OLS
+    scalar — no cartesian, no corpus-sized join input."""
+    plan = _plan(spark, "q339_theil_sen_trend")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # pair spine + ols scalar
+
+
+def test_q340_sgt_fit_joins_broadcast(spark):
+    """The SGT output join (ranked count-of-counts x per-lang fit) must
+    be a broadcast hash join on lang; no cartesian anywhere."""
+    plan = _plan(spark, "q340_good_turing_smoothing")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q341_marginals_broadcast_topk_takeordered(spark):
+    """LLR collocations must attach the word marginals as broadcast
+    hash joins (vocabulary-bounded re-aggregations of the bigram
+    relation), the grand total as a broadcast nested loop, and the
+    top-15 as TakeOrdered — never a global sort or cartesian."""
+    plan = _plan(spark, "q341_llr_collocations")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q342_shrinkage_joins_cells_broadcast(spark):
+    """Both shrinkage joins (cells x segment grand means, cells x
+    segment fit) must broadcast the bounded segment relations; customer
+    rows are aggregated exactly once."""
+    plan = _plan(spark, "q342_shrunk_cell_means")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q343_strata_cross_global_is_broadcast(spark):
+    """The aggregate-vs-stratum comparison must broadcast the 1-row
+    global onto the 12-row strata relation."""
+    plan = _plan(spark, "q343_simpson_paradox")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_q344_pair_stage_on_bounded_metric_relation(spark):
+    """Kendall pairs must form on the bounded per-nation metric relation
+    via broadcast nested loop (non-equi nb > na); the n_items scalar
+    also rides broadcast. No cartesian."""
+    plan = _plan(spark, "q344_kendall_tau")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+
+
+def test_q345_fd_audit_is_join_free(spark):
+    """The FD audit is pure re-aggregation: per candidate one
+    (lhs, rhs) count re-aggregated per lhs — the plan must contain no
+    join operator of any kind."""
+    plan = _plan(spark, "q345_fd_discovery_audit")
+    for op in ("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert op not in plan
+
+
+def test_q347_qte_joins_decile_spines(spark):
+    """QTE joins two 9-row decile spines — broadcast hash join, no
+    cartesian; the quantiles run inside the 2-group aggregate (no
+    corpus-wide Window/sort in the plan)."""
+    plan = _plan(spark, "q347_quantile_treatment_effect")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
