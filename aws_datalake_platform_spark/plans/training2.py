@@ -3022,3 +3022,468 @@ def q347_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("decile")
     )
+
+
+# ── q348: additive seasonal decomposition of daily volume ────────────────────
+
+
+@register(
+    "q348_seasonal_decompose",
+    """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT d, v,
+             CAST(SUM(v) OVER w AS BIGINT) AS s7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS c7
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT d, v, d % 7 AS wd, s7 / 7.0 AS trend,
+             CAST(FLOOR((v - s7 / 7.0) * 1000000 + 0.5) AS BIGINT) AS detq
+      FROM tr WHERE c7 = 7
+    ),
+    seas AS (
+      SELECT wd, CAST(SUM(detq) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM det GROUP BY wd
+    )
+    SELECT det.d AS day_idx, det.wd AS weekday, det.v AS volume,
+           FLOOR(det.trend * 10000 + 0.5) / 10000 AS trend,
+           FLOOR(seas.sq * 1.0 / seas.cnt / 1000000 * 10000 + 0.5) / 10000
+             AS seasonal,
+           FLOOR((det.detq / 1000000.0 - seas.sq * 1.0 / seas.cnt / 1000000)
+                 * 10000 + 0.5) / 10000 AS remainder
+    FROM det JOIN seas ON seas.wd = det.wd
+    ORDER BY det.d
+    """,
+    doc="Classical additive seasonal decomposition of daily event "
+    "volume: trend = centered 7-day moving average (full windows "
+    "only), seasonal = per-weekday mean of the detrended series, "
+    "remainder = what neither explains — the series triage that says "
+    "whether q283's anomalies / q305's changepoints should run on raw "
+    "or deseasonalized volume, and the day-level view behind q317's "
+    "single seasonality-strength number. Weekday is day_idx %% 7 "
+    "(engine-independent, no locale). Detrended values are "
+    "micro-quantized per DAY before the per-weekday integer sum, so "
+    "the seasonal means are order-independent.",
+)
+def q348_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one per-day count over the event log; every window and
+    join after that runs on the DAYS relation (365 rows/year — the
+    single-partition window is bounded by the calendar, and the
+    weekday join broadcasts 7 rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "v",
+        F.sum("v").over(w).cast("long").alias("s7"),
+        F.count(F.lit(1)).over(w).cast("long").alias("c7"),
+    )
+    det = tr.filter(F.col("c7") == 7).select(
+        "d",
+        "v",
+        (F.col("d") % 7).alias("wd"),
+        (F.col("s7") / 7.0).alias("trend"),
+        F.floor((F.col("v") - F.col("s7") / 7.0) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("detq"),
+    )
+    seas = det.groupBy("wd").agg(
+        F.sum("detq").cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    seasonal = F.col("sq") * 1.0 / F.col("cnt") / 1_000_000
+    return (
+        det.join(F.broadcast(seas), "wd")
+        .select(
+            F.col("d").alias("day_idx"),
+            F.col("wd").alias("weekday"),
+            F.col("v").alias("volume"),
+            round_half_up(F.col("trend"), 4).alias("trend"),
+            round_half_up(seasonal, 4).alias("seasonal"),
+            round_half_up(F.col("detq") / 1_000_000.0 - seasonal, 4).alias(
+                "remainder"
+            ),
+        )
+        .orderBy("day_idx")
+    )
+
+
+# ── q349: clustering-agreement scorecard (ARI + B-cubed) ─────────────────────
+
+
+def _q349_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    clusters = _REGISTRY["q68_dup_clusters"].sql
+    return f"""
+    WITH cl AS ({clusters}),
+    pred AS (
+      SELECT d.doc_id,
+             COALESCE(c.cluster_id, d.doc_id) AS lp
+      FROM documents d LEFT JOIN cl c ON c.doc_id = d.doc_id
+    ),
+    truth AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+               ' +', ' ', 'g')))) AS lt
+      FROM documents
+    ),
+    cont AS (
+      SELECT p.lp, t.lt, CAST(COUNT(*) AS BIGINT) AS nij
+      FROM pred p JOIN truth t ON t.doc_id = p.doc_id
+      GROUP BY p.lp, t.lt
+    ),
+    pa AS (SELECT lp, CAST(SUM(nij) AS BIGINT) AS a FROM cont GROUP BY lp),
+    pb AS (SELECT lt, CAST(SUM(nij) AS BIGINT) AS b FROM cont GROUP BY lt),
+    terms AS (
+      SELECT c.nij, pa.a, pb.b,
+             CAST(FLOOR(c.nij * 1.0 * c.nij / pa.a * 1000000 + 0.5)
+                  AS BIGINT) AS pq,
+             CAST(FLOOR(c.nij * 1.0 * c.nij / pb.b * 1000000 + 0.5)
+                  AS BIGINT) AS rq
+      FROM cont c JOIN pa ON pa.lp = c.lp JOIN pb ON pb.lt = c.lt
+    ),
+    s AS (
+      SELECT CAST(SUM(nij) AS BIGINT) AS n,
+             CAST(SUM(nij * (nij - 1) / 2) AS BIGINT) AS sij,
+             CAST(SUM(pq) AS BIGINT) AS spq,
+             CAST(SUM(rq) AS BIGINT) AS srq
+      FROM terms
+    ),
+    sa AS (SELECT CAST(SUM(a * (a - 1) / 2) AS BIGINT) AS s_a,
+                  CAST(COUNT(*) AS BIGINT) AS k_pred FROM pa),
+    sb AS (SELECT CAST(SUM(b * (b - 1) / 2) AS BIGINT) AS s_b,
+                  CAST(COUNT(*) AS BIGINT) AS k_true FROM pb)
+    SELECT s.n AS n_docs, sa.k_pred, sb.k_true,
+           FLOOR((s.sij - sa.s_a * 1.0 * sb.s_b / (s.n * (s.n - 1) / 2))
+                 / ((sa.s_a + sb.s_b) / 2.0
+                    - sa.s_a * 1.0 * sb.s_b / (s.n * (s.n - 1) / 2))
+                 * 1000000 + 0.5) / 1000000 AS ari,
+           FLOOR(s.spq * 1.0 / 1000000 / s.n * 1000000 + 0.5) / 1000000
+             AS b3_precision,
+           FLOOR(s.srq * 1.0 / 1000000 / s.n * 1000000 + 0.5) / 1000000
+             AS b3_recall,
+           FLOOR(2.0 * (s.spq * 1.0 / 1000000 / s.n)
+                     * (s.srq * 1.0 / 1000000 / s.n)
+                 / (s.spq * 1.0 / 1000000 / s.n
+                    + s.srq * 1.0 / 1000000 / s.n) * 1000000 + 0.5)
+             / 1000000 AS b3_f1
+    FROM s CROSS JOIN sa CROSS JOIN sb
+    """
+
+
+@register(
+    "q349_cluster_agreement",
+    _q349_sql(),
+    doc="Clustering-agreement scorecard between the LSH near-dup "
+    "clustering (q68, singletons labeled by own doc_id) and the "
+    "exact-duplicate partition (q22's normalized-text groups, "
+    "min-doc_id labels): Adjusted Rand Index (Hubert & Arabie 1985, "
+    "pair-counting with chance correction) plus B-cubed precision/"
+    "recall/F1 (Bagga & Baldwin 1998 — the per-DOC view entity-"
+    "resolution evaluation standardized on). Together they answer "
+    "'how much of the near-dup structure is exact duplication, and "
+    "is LSH splitting (recall<1) or over-merging (precision<1) the "
+    "exact groups'. All pair counts are integers; the per-cell "
+    "B-cubed terms are micro-quantized before the integer rollup. "
+    "Complements q277 (pair-level detector agreement) and q225 "
+    "(threshold audit) at the CLUSTER level.",
+)
+def q349_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: inherits q68's bucketed LSH + CC cost (the audit-family
+    pattern — the materialized audit index drops re-runs to
+    re-aggregation); the agreement math itself is one contingency
+    groupBy bounded by |clusters| and two broadcast marginal joins.
+    Exact-group labels come from one window over the fingerprint
+    hash — label values don't matter, only the partition they induce."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents")
+    cl = _REGISTRY["q68_dup_clusters"].fn(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    pred = docs.select("doc_id").join(cl, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("lp")
+    )
+    fp = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " +", " "
+            )
+        )
+    )
+    truth = docs.select(
+        "doc_id", F.min("doc_id").over(Window.partitionBy(fp)).alias("lt")
+    )
+    cont = (
+        pred.join(truth, "doc_id")
+        .groupBy("lp", "lt")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    )
+    pa = cont.groupBy("lp").agg(F.sum("nij").cast("long").alias("a"))
+    pb = cont.groupBy("lt").agg(F.sum("nij").cast("long").alias("b"))
+    terms = (
+        cont.join(F.broadcast(pa), "lp")
+        .join(F.broadcast(pb), "lt")
+        .select(
+            "nij",
+            "a",
+            "b",
+            F.floor(
+                F.col("nij") * 1.0 * F.col("nij") / F.col("a") * 1_000_000 + 0.5
+            )
+            .cast("long")
+            .alias("pq"),
+            F.floor(
+                F.col("nij") * 1.0 * F.col("nij") / F.col("b") * 1_000_000 + 0.5
+            )
+            .cast("long")
+            .alias("rq"),
+        )
+    )
+    s = terms.agg(
+        F.sum("nij").cast("long").alias("n"),
+        F.sum(F.col("nij") * (F.col("nij") - 1) / 2).cast("long").alias("sij"),
+        F.sum("pq").cast("long").alias("spq"),
+        F.sum("rq").cast("long").alias("srq"),
+    )
+    sa = pa.agg(
+        F.sum(F.col("a") * (F.col("a") - 1) / 2).cast("long").alias("s_a"),
+        F.count(F.lit(1)).cast("long").alias("k_pred"),
+    )
+    sb = pb.agg(
+        F.sum(F.col("b") * (F.col("b") - 1) / 2).cast("long").alias("s_b"),
+        F.count(F.lit(1)).cast("long").alias("k_true"),
+    )
+    exp = F.col("s_a") * 1.0 * F.col("s_b") / (F.col("n") * (F.col("n") - 1) / 2)
+    ari = (F.col("sij") - exp) / ((F.col("s_a") + F.col("s_b")) / 2.0 - exp)
+    p3 = F.col("spq") * 1.0 / 1_000_000 / F.col("n")
+    r3 = F.col("srq") * 1.0 / 1_000_000 / F.col("n")
+    return (
+        s.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .select(
+            F.col("n").alias("n_docs"),
+            "k_pred",
+            "k_true",
+            round_half_up(ari, 6).alias("ari"),
+            round_half_up(p3, 6).alias("b3_precision"),
+            round_half_up(r3, 6).alias("b3_recall"),
+            round_half_up(2.0 * p3 * r3 / (p3 + r3), 6).alias("b3_f1"),
+        )
+    )
+
+
+# ── q350: Markov removal-effect channel attribution ──────────────────────────
+
+# fixed event-type taxonomy (TESTDATA.md); purchase is the absorber
+_Q350_CHANNELS = ["click", "error", "signup", "view"]
+_Q350_ITERS = 12
+_Q350_SCALE = 1_000_000_000_000  # probabilities as integer picos
+
+
+def _q350_scenario_sql(tag: str, removed: str | None) -> str:
+    """Chained CTEs for one scenario: edges with `removed` redirected to
+    NULL, then K exact fixed-point iterations over integer micro-probs
+    (integer // division — no float ever enters the recurrence)."""
+    if removed is None:
+        edges = f"edges_{tag} AS (SELECT frm, dst, cnt FROM edges)"
+    else:
+        edges = f"""edges_{tag} AS (
+      SELECT frm, CASE WHEN dst = '{removed}' THEN 'NULL' ELSE dst END AS dst,
+             cnt
+      FROM edges WHERE frm <> '{removed}')"""
+    parts = [
+        edges,
+        f"""it_{tag}_0 AS (
+      SELECT DISTINCT frm AS v, CAST(0 AS BIGINT) AS pq FROM edges_{tag})""",
+    ]
+    for k in range(1, _Q350_ITERS + 1):
+        parts.append(f"""it_{tag}_{k} AS (
+      SELECT e.frm AS v,
+             CAST(SUM(e.cnt * (CASE WHEN e.dst = 'CONV' THEN {_Q350_SCALE}
+                                    WHEN e.dst = 'NULL' THEN 0
+                                    ELSE COALESCE(p.pq, 0) END))
+                  // MAX(t.t) AS BIGINT) AS pq
+      FROM edges_{tag} e
+      JOIN tot t ON t.frm = e.frm
+      LEFT JOIN it_{tag}_{k - 1} p ON p.v = e.dst
+      GROUP BY e.frm)""")
+    return ",\n    ".join(parts)
+
+
+def _q350_sql() -> str:
+    scen = [_q350_scenario_sql("base", None)] + [
+        _q350_scenario_sql(c, c) for c in _Q350_CHANNELS
+    ]
+    scen_sql = ",\n    ".join(scen)
+    effect_rows = "\n      UNION ALL\n      ".join(
+        f"""SELECT '{c}' AS channel,
+             (SELECT pq FROM it_base_{_Q350_ITERS} WHERE v = 'S') AS basep,
+             (SELECT pq FROM it_{c}_{_Q350_ITERS} WHERE v = 'S') AS remp"""
+        for c in _Q350_CHANNELS
+    )
+    return f"""
+    WITH r1 AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_ev
+      FROM events
+    ),
+    r2 AS (
+      SELECT user_id, event_type, rn, n_ev,
+             MIN(CASE WHEN event_type = 'purchase' THEN rn END)
+               OVER (PARTITION BY user_id) AS mp
+      FROM r1
+    ),
+    kept AS (
+      SELECT * FROM r2 WHERE mp IS NULL OR rn <= mp
+    ),
+    tr AS (
+      SELECT COALESCE(LAG(CASE WHEN event_type = 'purchase' THEN 'CONV'
+                               ELSE event_type END)
+                        OVER (PARTITION BY user_id ORDER BY rn), 'S') AS frm,
+             CASE WHEN event_type = 'purchase' THEN 'CONV'
+                  ELSE event_type END AS dst
+      FROM kept
+      UNION ALL
+      SELECT event_type AS frm, 'NULL' AS dst
+      FROM kept WHERE mp IS NULL AND rn = n_ev
+    ),
+    edges AS (
+      SELECT frm, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM tr GROUP BY 1, 2
+    ),
+    tot AS (SELECT frm, CAST(SUM(cnt) AS BIGINT) AS t FROM edges GROUP BY frm),
+    {scen_sql},
+    eff AS (
+      {effect_rows}
+    )
+    SELECT channel,
+           FLOOR(basep * 1.0 / {_Q350_SCALE} * 1000000 + 0.5) / 1000000
+             AS base_conv_p,
+           FLOOR(remp * 1.0 / {_Q350_SCALE} * 1000000 + 0.5) / 1000000
+             AS removed_conv_p,
+           FLOOR((basep - remp) * 1.0 / basep * 1000000 + 0.5) / 1000000
+             AS removal_effect,
+           FLOOR((basep - remp) * 1.0
+                 / SUM(basep - remp) OVER () * 1000000 + 0.5) / 1000000
+             AS attribution
+    FROM eff
+    ORDER BY channel
+    """
+
+
+@register(
+    "q350_markov_attribution",
+    _q350_sql(),
+    doc="Markov removal-effect channel attribution (Anderl et al. 2016 "
+    "— the third classic next to q216's rule-based touch attribution "
+    "and q331's exact Shapley): first-order journey chain per user "
+    "(START -> events -> CONV at first purchase, NULL if none), "
+    "conversion probability from START via K=12 value-iteration "
+    "steps, and each channel's removal effect = relative drop when "
+    "its state is redirected to NULL. The recurrence runs in EXACT "
+    "fixed-point arithmetic — probabilities are integer picos, each "
+    "step an integer dot product with floor division — so unlike a "
+    "float power iteration (q123's documented flakiness class) every "
+    "iteration is bit-identical on both engines by construction.",
+)
+def q350_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: journey extraction + transition counting is the only
+    corpus-width work (two user-keyed windows sharing one exchange,
+    then a map-side-combinable edge count). The chain itself is
+    taxonomy-bounded (<= 7 states, <= 30 edges), so the value
+    iteration runs on a driver-side copy of the edge relation — the
+    documented bounded-collect pattern (q331) — in exact Python
+    integer arithmetic identical to the oracle's BIGINT // recurrence.
+    Final ratios are Spark column expressions mirroring the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    r1 = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wu).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_ev"),
+    )
+    r2 = r1.withColumn(
+        "mp",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("rn"))).over(wp),
+    )
+    kept = r2.filter(F.col("mp").isNull() | (F.col("rn") <= F.col("mp")))
+    dst = F.when(F.col("event_type") == "purchase", "CONV").otherwise(
+        F.col("event_type")
+    )
+    wk = Window.partitionBy("user_id").orderBy("rn")
+    tr = kept.select(
+        F.coalesce(F.lag(dst).over(wk), F.lit("S")).alias("frm"), dst.alias("dst")
+    ).unionAll(
+        kept.filter(F.col("mp").isNull() & (F.col("rn") == F.col("n_ev"))).select(
+            F.col("event_type").alias("frm"), F.lit("NULL").alias("dst")
+        )
+    )
+    edges = (
+        tr.groupBy("frm", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()  # taxonomy-bounded: <= (channels+2)^2 rows
+    )
+    e = [(row["frm"], row["dst"], row["cnt"]) for row in edges]
+    tot: dict[str, int] = {}
+    for frm, _, cnt in e:
+        tot[frm] = tot.get(frm, 0) + cnt
+
+    def absorb(removed: str | None) -> int:
+        es = [
+            (frm, "NULL" if dst == removed else dst, cnt)
+            for frm, dst, cnt in e
+            if frm != removed
+        ]
+        states = sorted({frm for frm, _, _ in es})
+        pq = {v: 0 for v in states}
+        for _ in range(_Q350_ITERS):
+            nxt = {}
+            for v in states:
+                num = 0
+                for frm, d, cnt in es:
+                    if frm != v:
+                        continue
+                    num += cnt * (
+                        _Q350_SCALE if d == "CONV" else 0 if d == "NULL" else pq.get(d, 0)
+                    )
+                nxt[v] = num // tot[v]
+            pq = nxt
+        return pq.get("S", 0)
+
+    basep = absorb(None)
+    rows = [(c, basep, absorb(c)) for c in _Q350_CHANNELS]
+    eff = spark.createDataFrame(rows, "channel string, basep long, remp long")
+    wall = Window.partitionBy()
+    d = F.col("basep") - F.col("remp")
+    return (
+        eff.select(
+            "channel",
+            round_half_up(F.col("basep") * 1.0 / _Q350_SCALE, 6).alias(
+                "base_conv_p"
+            ),
+            round_half_up(F.col("remp") * 1.0 / _Q350_SCALE, 6).alias(
+                "removed_conv_p"
+            ),
+            round_half_up(d * 1.0 / F.col("basep"), 6).alias("removal_effect"),
+            round_half_up(d * 1.0 / F.sum(d).over(wall), 6).alias("attribution"),
+        )
+        .orderBy("channel")
+    )

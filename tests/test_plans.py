@@ -785,3 +785,53 @@ def test_q347_qte_joins_decile_spines(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q348_decompose_windows_on_days_relation(spark):
+    """The decomposition's single-partition window and weekday join run
+    on the DAYS relation: the weekday means attach via broadcast hash
+    join, never sort-merge, never cartesian."""
+    plan = _plan(spark, "q348_seasonal_decompose")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q349_marginals_ride_broadcast(spark):
+    """The agreement scorecard's marginal joins (contingency x pa x pb)
+    and the final scalar crosses must be broadcast; no cartesian
+    anywhere in the composite plan."""
+    plan = _plan(spark, "q349_cluster_agreement")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar crosses
+
+
+def test_q350_journey_windows_share_one_exchange(spark):
+    """Journey extraction must reuse ONE user-keyed hash exchange for
+    the rn / count / first-purchase windows (the q142/q336 discipline);
+    the chain itself is collected, so no join beyond the edge count
+    appears upstream of the bounded result."""
+    from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+    from .conftest import SF_SMOKE
+
+    df = QUERY_REGISTRY["q350_markov_attribution"].fn(spark, SF_SMOKE)
+    # the returned frame is the bounded 4-row attribution relation; the
+    # heavy lineage already ran. Pin the EDGE-extraction plan instead:
+    from aws_datalake_platform_spark.catalog import load_table
+    from pyspark.sql import Window, functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    r1 = ev.select(
+        "user_id", "event_type",
+        F.row_number().over(wu).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_ev"),
+    ).withColumn(
+        "mp",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("rn"))).over(wp),
+    )
+    plan = r1._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert df.count() == 4
