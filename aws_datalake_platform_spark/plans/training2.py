@@ -3232,6 +3232,10 @@ def q349_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.join(truth, "doc_id")
         .groupBy("lp", "lt")
         .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+        # |clusters|-bounded; materialize so the three downstream
+        # aggregation branches (s, sa, sb) don't each re-run the q68
+        # LSH+CC subtree (the q123 plan-reuse discipline, VERDICT r2)
+        .localCheckpoint(eager=True)
     )
     pa = cont.groupBy("lp").agg(F.sum("nij").cast("long").alias("a"))
     pb = cont.groupBy("lt").agg(F.sum("nij").cast("long").alias("b"))
@@ -3486,4 +3490,277 @@ def q350_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(d * 1.0 / F.sum(d).over(wall), 6).alias("attribution"),
         )
         .orderBy("channel")
+    )
+
+
+# ── q351: Holt linear smoothing in exact fixed-point arithmetic ──────────────
+
+_Q351_SCALE = 1_000_000  # level/trend as integer micros
+
+
+@register(
+    "q351_holt_linear",
+    f"""
+    WITH RECURSIVE d0 AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    daily AS (SELECT d, v, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM d0),
+    hw AS (
+      SELECT CAST(1 AS BIGINT) AS rn,
+             d1.v * {_Q351_SCALE} AS l,
+             (d2.v - d1.v) * {_Q351_SCALE} AS b
+      FROM daily d1 JOIN daily d2 ON d1.rn = 1 AND d2.rn = 2
+      UNION ALL
+      SELECT d.rn,
+             (d.v * {_Q351_SCALE} + h.l + h.b) // 2 AS l,
+             (((d.v * {_Q351_SCALE} + h.l + h.b) // 2) - h.l + h.b) // 2 AS b
+      FROM hw h JOIN daily d ON d.rn = h.rn + 1
+    )
+    SELECT d.rn AS day_seq, d.d AS day_idx, d.v AS volume,
+           FLOOR(h.l / {_Q351_SCALE}.0 * 10000 + 0.5) / 10000 AS level,
+           FLOOR(h.b / {_Q351_SCALE}.0 * 10000 + 0.5) / 10000 AS trend,
+           FLOOR((hp.l + hp.b) / {_Q351_SCALE}.0 * 10000 + 0.5) / 10000
+             AS fitted,
+           FLOOR((d.v - (hp.l + hp.b) / {_Q351_SCALE}.0) * 10000 + 0.5) / 10000
+             AS residual
+    FROM daily d
+    JOIN hw h ON h.rn = d.rn
+    JOIN hw hp ON hp.rn = d.rn - 1
+    ORDER BY d.rn
+    """,
+    doc="Holt linear (double exponential) smoothing of daily volume "
+    "with alpha = beta = 1/2: level/trend states, one-step-ahead "
+    "fitted values and residuals; the h-step forecast is last level + "
+    "h x last trend. The genuinely-sequential recurrence runs in "
+    "EXACT fixed-point arithmetic (integer micro-units, truncating "
+    "integer division — the q350 discipline), so the oracle's "
+    "recursive CTE and the engine are bit-identical at every step; "
+    "a float recurrence here would be the q123 flakiness class. "
+    "Complements q272 (regression forecast), q339 (robust trend), "
+    "q348 (decomposition): this is the adaptive-forecast member of "
+    "the family.",
+)
+def q351_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one per-day count over the event log; the recurrence is
+    calendar-bounded (365 rows/year) and runs on a driver-side copy of
+    the daily relation (bounded-collect pattern, q350) in exact Python
+    integer arithmetic with truncating division matching BIGINT //.
+    Output ratios are Spark column expressions mirroring the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .orderBy("d")
+        .collect()
+    )
+    days = [(row["d"], row["v"]) for row in daily]
+    if len(days) < 2:
+        return spark.createDataFrame(
+            [],
+            "day_seq long, day_idx long, volume long, level double, "
+            "trend double, fitted double, residual double",
+        )
+
+    def tdiv2(a: int) -> int:  # truncate toward zero, matching BIGINT // 2
+        return -((-a) // 2) if a < 0 else a // 2
+
+    l = days[0][1] * _Q351_SCALE
+    b = (days[1][1] - days[0][1]) * _Q351_SCALE
+    rows = []
+    for rn in range(2, len(days) + 1):
+        d, v = days[rn - 1]
+        lp, bp = l, b
+        l = tdiv2(v * _Q351_SCALE + lp + bp)
+        b = tdiv2(l - lp + bp)
+        rows.append((rn, d, v, l, b, lp, bp))
+    df = spark.createDataFrame(
+        rows, "rn long, d long, v long, l long, b long, lp long, bp long"
+    )
+    sc = float(_Q351_SCALE)
+    return df.select(
+        F.col("rn").alias("day_seq"),
+        F.col("d").alias("day_idx"),
+        F.col("v").alias("volume"),
+        round_half_up(F.col("l") / sc, 4).alias("level"),
+        round_half_up(F.col("b") / sc, 4).alias("trend"),
+        round_half_up((F.col("lp") + F.col("bp")) / sc, 4).alias("fitted"),
+        round_half_up(
+            F.col("v") - (F.col("lp") + F.col("bp")) / sc, 4
+        ).alias("residual"),
+    ).orderBy("day_seq")
+
+
+# ── q352: isotonic calibration via exact minimax (PAVA solution) ─────────────
+
+# fixed fluency-score bins: bucket = floor((score_u + OFFSET) / WIDTH),
+# score_u = 1e-4-quantized q92 avg_logprob (negative); fixed edges are
+# scale-stable — empty bins simply don't appear
+_Q352_OFF = 40_000
+_Q352_W = 200
+
+
+def _q352_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    model = _REGISTRY["q92_unigram_logprob"].sql
+    gate = _REGISTRY["q192_gopher_quality_rules"].sql
+    return f"""
+    WITH m AS ({model}),
+    g AS ({gate}),
+    j AS (
+      SELECT CAST(FLOOR(m.avg_logprob * 10000 + 0.5) AS BIGINT) AS score_u,
+             CASE WHEN g.passes THEN 1 ELSE 0 END AS label
+      FROM m JOIN g ON m.doc_id = g.doc_id
+    ),
+    b AS (
+      SELECT CAST(FLOOR((score_u + {_Q352_OFF}) / {_Q352_W}.0) AS INT)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(score_u) AS BIGINT) AS sum_u,
+             CAST(SUM(label) AS BIGINT) AS n_pass
+      FROM j GROUP BY 1
+    ),
+    pre AS (
+      SELECT bucket, n_docs, sum_u, n_pass,
+             CAST(SUM(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cn,
+             CAST(SUM(n_pass) OVER (ORDER BY bucket) AS BIGINT) AS cy
+      FROM b
+    ),
+    pairs AS (
+      SELECT lo.bucket AS j, hi.bucket AS k,
+             (hi.cy - (lo.cy - lo.n_pass)) * 1.0
+               / (hi.cn - (lo.cn - lo.n_docs)) AS avg_jk
+      FROM pre lo JOIN pre hi ON hi.bucket >= lo.bucket
+    ),
+    inner_min AS (
+      SELECT p.j, i.bucket AS i, MIN(p.avg_jk) AS mn
+      FROM pairs p JOIN b i ON i.bucket BETWEEN p.j AND p.k
+      GROUP BY p.j, i.bucket
+    ),
+    iso AS (
+      SELECT i, MAX(mn) AS f FROM inner_min WHERE j <= i GROUP BY i
+    )
+    SELECT b.bucket, b.n_docs,
+           FLOOR(b.sum_u / (10000.0 * b.n_docs) * 1000000 + 0.5) / 1000000
+             AS avg_score,
+           FLOOR(b.n_pass * 1.0 / b.n_docs * 1000000 + 0.5) / 1000000
+             AS obs_rate,
+           FLOOR(iso.f * 1000000 + 0.5) / 1000000 AS iso_rate,
+           CASE WHEN FLOOR(iso.f * 1000000 + 0.5)
+                     <> FLOOR(b.n_pass * 1.0 / b.n_docs * 1000000 + 0.5)
+                THEN 1 ELSE 0 END AS pooled
+    FROM b JOIN iso ON iso.i = b.bucket
+    ORDER BY b.bucket
+    """
+
+
+@register(
+    "q352_isotonic_calibration",
+    _q352_sql(),
+    doc="Isotonic calibration of the q92 unigram-fluency score against "
+    "the q192 Gopher gate labels: the nondecreasing fit PAVA would "
+    "produce, computed EXACTLY via the minimax characterization "
+    "f_i = max_(j<=i) min_(k>=i) mean(y over buckets j..k) (Ayer et "
+    "al. 1955) — block means are integer prefix-sum ratios, and "
+    "MIN/MAX over identical doubles is order-independent, so the "
+    "sequential pooling algorithm is replaced by a closed form both "
+    "engines agree on bit-for-bit. The fluency/gate relationship is "
+    "genuinely non-monotone (boilerplate scores fluent but fails the "
+    "gate), so pooled=1 marks real PAVA merges. This FIXES the "
+    "miscalibration q239/q285 only measure: iso_rate is the monotone "
+    "pass-probability to use when a raw score becomes a sampling "
+    "weight (q226/q234).",
+)
+def q352_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both scorers are map-only; the rollup is a fixed-bin
+    aggregate, and the minimax runs entirely on the bucket relation
+    (B^2 pairs, B ~ 20) — at ANY corpus size the calibration fit costs
+    one pass plus bounded-relation algebra."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    m = _REGISTRY["q92_unigram_logprob"].fn(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("avg_logprob") * 10000 + 0.5).cast("long").alias("score_u"),
+    )
+    g = _REGISTRY["q192_gopher_quality_rules"].fn(spark, sf_dir).select(
+        "doc_id", F.when(F.col("passes"), 1).otherwise(0).alias("label")
+    )
+    b = (
+        m.join(g, "doc_id")
+        .groupBy(
+            F.floor((F.col("score_u") + _Q352_OFF) / float(_Q352_W))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("score_u").cast("long").alias("sum_u"),
+            F.sum("label").cast("long").alias("n_pass"),
+        )
+        # bucket-bounded relation; materialize so the pair/minimax
+        # branches don't re-run the two corpus scorers (q349 discipline)
+        .localCheckpoint(eager=True)
+    )
+    wc = Window.orderBy("bucket")
+    pre = b.select(
+        "bucket",
+        "n_docs",
+        "n_pass",
+        F.sum("n_docs").over(wc).cast("long").alias("cn"),
+        F.sum("n_pass").over(wc).cast("long").alias("cy"),
+    )
+    lo = pre.select(
+        F.col("bucket").alias("j"),
+        (F.col("cy") - F.col("n_pass")).alias("cy0"),
+        (F.col("cn") - F.col("n_docs")).alias("cn0"),
+    )
+    hi = pre.select(
+        F.col("bucket").alias("k"), F.col("cy").alias("cyk"), F.col("cn").alias("cnk")
+    )
+    pairs = lo.join(F.broadcast(hi), F.col("k") >= F.col("j")).select(
+        "j",
+        "k",
+        ((F.col("cyk") - F.col("cy0")) * 1.0 / (F.col("cnk") - F.col("cn0"))).alias(
+            "avg_jk"
+        ),
+    )
+    spine = b.select(F.col("bucket").alias("i"))
+    inner_min = (
+        pairs.join(
+            F.broadcast(spine),
+            (F.col("i") >= F.col("j")) & (F.col("i") <= F.col("k")),
+        )
+        .groupBy("j", "i")
+        .agg(F.min("avg_jk").alias("mn"))
+    )
+    iso = (
+        inner_min.filter(F.col("j") <= F.col("i"))
+        .groupBy("i")
+        .agg(F.max("mn").alias("f"))
+    )
+    obs_u = F.floor(F.col("n_pass") * 1.0 / F.col("n_docs") * 1_000_000 + 0.5)
+    iso_u = F.floor(F.col("f") * 1_000_000 + 0.5)
+    return (
+        b.join(F.broadcast(iso), b["bucket"] == iso["i"])
+        .select(
+            "bucket",
+            "n_docs",
+            round_half_up(F.col("sum_u") / (10000.0 * F.col("n_docs")), 6).alias(
+                "avg_score"
+            ),
+            round_half_up(F.col("n_pass") * 1.0 / F.col("n_docs"), 6).alias(
+                "obs_rate"
+            ),
+            (iso_u / 1_000_000).alias("iso_rate"),
+            F.when(iso_u != obs_u, 1).otherwise(0).alias("pooled"),
+        )
+        .orderBy("bucket")
     )

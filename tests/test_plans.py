@@ -835,3 +835,25 @@ def test_q350_journey_windows_share_one_exchange(spark):
     plan = r1._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert df.count() == 4
+
+
+def test_q352_minimax_runs_on_bucket_relation(spark):
+    """The isotonic minimax must run on the checkpointed bucket
+    relation: pair/spine joins are broadcast nested loops (range
+    conditions over ~20 rows), the iso join back is broadcast hash or
+    nested-loop — and NO scan of documents appears above the
+    checkpoint (the scorers run exactly once, materialized)."""
+    plan = _plan(spark, "q352_isotonic_calibration")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan  # checkpoint
+    assert "parquet" not in plan.lower()  # corpus never rescanned
+
+
+def test_q351_holt_output_is_bounded_relation(spark):
+    """Holt smoothing returns the calendar-bounded relation computed
+    from the driver-side exact recurrence — the output plan must be a
+    local/RDD scan over projected expressions, never a corpus scan."""
+    plan = _plan(spark, "q351_holt_linear")
+    assert "parquet" not in plan.lower()
+    assert "Join" not in plan
