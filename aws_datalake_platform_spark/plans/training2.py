@@ -3764,3 +3764,376 @@ def q352_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ── q353: log-rank test between repurchase cohorts ───────────────────────────
+
+
+@register(
+    "q353_logrank_test",
+    """
+    WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+    seq AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS nxt
+      FROM orders
+    ),
+    subj AS (
+      SELECT CAST(FLOOR(date_diff('day', o_orderdate,
+               COALESCE(nxt, m.mxd)) / 7) AS BIGINT) AS t_weeks,
+             CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS grp
+      FROM seq CROSS JOIN mx m
+    ),
+    tot AS (
+      SELECT CAST(SUM(grp) AS BIGINT) AS tn1,
+             CAST(SUM(1 - grp) AS BIGINT) AS tn0
+      FROM subj
+    ),
+    grid AS (
+      SELECT t_weeks,
+             CAST(SUM(ev * grp) AS BIGINT) AS d1,
+             CAST(SUM(ev * (1 - grp)) AS BIGINT) AS d0,
+             CAST(SUM((1 - ev) * grp) AS BIGINT) AS c1,
+             CAST(SUM((1 - ev) * (1 - grp)) AS BIGINT) AS c0
+      FROM subj GROUP BY t_weeks
+    ),
+    risk AS (
+      SELECT t_weeks, d1, d0,
+             CAST(t.tn1 - COALESCE(SUM(d1 + c1) OVER (ORDER BY t_weeks
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n1,
+             CAST(t.tn0 - COALESCE(SUM(d0 + c0) OVER (ORDER BY t_weeks
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n0
+      FROM grid CROSS JOIN tot t
+    ),
+    terms AS (
+      SELECT d1, d0, n1, n0, d1 + d0 AS d, n1 + n0 AS n,
+             CAST(FLOOR((d1 - (d1 + d0) * 1.0 * n1 / (n1 + n0)) * 1000000
+                        + 0.5) AS BIGINT) AS oe_q,
+             CAST(FLOOR((d1 + d0) * 1.0 * n1 / (n1 + n0) * 1000000 + 0.5)
+                  AS BIGINT) AS e1_q,
+             CAST(FLOOR((d1 + d0) * 1.0 * n0 / (n1 + n0) * 1000000 + 0.5)
+                  AS BIGINT) AS e0_q,
+             CASE WHEN n1 + n0 > 1 THEN
+               CAST(FLOOR((d1 + d0) * 1.0 * n1 / (n1 + n0) * n0 / (n1 + n0)
+                          * (n1 + n0 - d1 - d0) / (n1 + n0 - 1) * 1000000
+                          + 0.5) AS BIGINT)
+             ELSE 0 END AS v_q
+      FROM risk WHERE d1 + d0 > 0
+    )
+    SELECT t.tn1 AS n_urgent, t.tn0 AS n_other,
+           CAST(SUM(d1) AS BIGINT) AS events_urgent,
+           CAST(SUM(d0) AS BIGINT) AS events_other,
+           FLOOR(SUM(oe_q) / 1000000.0 * 10000 + 0.5) / 10000 AS observed_minus_expected,
+           FLOOR(SUM(v_q) / 1000000.0 * 10000 + 0.5) / 10000 AS variance,
+           FLOOR((SUM(oe_q) / 1000000.0) / SQRT(SUM(v_q) / 1000000.0)
+                 * 1000000 + 0.5) / 1000000 AS z_stat,
+           FLOOR((SUM(d1) * 1.0 / (SUM(e1_q) / 1000000.0))
+                 / (SUM(d0) * 1.0 / (SUM(e0_q) / 1000000.0))
+                 * 1000000 + 0.5) / 1000000 AS hazard_ratio
+    FROM terms CROSS JOIN tot t
+    GROUP BY t.tn1, t.tn0
+    """,
+    doc="Log-rank test (Mantel 1966) between repurchase cohorts: do "
+    "customers whose order was URGENT/HIGH priority reorder FASTER "
+    "than the rest? Same subjects/censoring as q304's Kaplan-Meier "
+    "(gap to next order, right-censored at the lake edge); at each "
+    "distinct event time the observed-minus-expected group-1 deaths "
+    "and the hypergeometric variance accumulate — per-time terms are "
+    "micro-quantized to integers before the sum (the q304 ln-idiom), "
+    "so the whole test statistic is hash-exact. Also reports the "
+    "O/E hazard-ratio estimate. THE standard two-sample comparison "
+    "for censored durations — q333's Welch t is wrong for this data "
+    "shape because censored gaps aren't observations.",
+)
+def q353_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one LEAD window per customer, then everything runs on the
+    distinct-gap GRID (q304's shape) — the single-partition windows
+    are bounded by distinct survival times, never subjects."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    subj = (
+        o.withColumn("nxt", F.lead("o_orderdate").over(w))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(
+                F.datediff(F.coalesce("nxt", "mxd"), F.col("o_orderdate")) / 7
+            ).alias("t_weeks"),
+            F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("ev"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0).alias("grp"),
+        )
+    )
+    tot = subj.agg(
+        F.sum("grp").cast("long").alias("tn1"),
+        F.sum(1 - F.col("grp")).cast("long").alias("tn0"),
+    )
+    grid = subj.groupBy("t_weeks").agg(
+        F.sum(F.col("ev") * F.col("grp")).cast("long").alias("d1"),
+        F.sum(F.col("ev") * (1 - F.col("grp"))).cast("long").alias("d0"),
+        F.sum((1 - F.col("ev")) * F.col("grp")).cast("long").alias("c1"),
+        F.sum((1 - F.col("ev")) * (1 - F.col("grp"))).cast("long").alias("c0"),
+    )
+    wt = Window.orderBy("t_weeks").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grid.crossJoin(F.broadcast(tot)).select(
+        "t_weeks",
+        "d1",
+        "d0",
+        (
+            F.col("tn1")
+            - F.coalesce(F.sum(F.col("d1") + F.col("c1")).over(wt), F.lit(0))
+        )
+        .cast("long")
+        .alias("n1"),
+        (
+            F.col("tn0")
+            - F.coalesce(F.sum(F.col("d0") + F.col("c0")).over(wt), F.lit(0))
+        )
+        .cast("long")
+        .alias("n0"),
+    )
+    d = F.col("d1") + F.col("d0")
+    n = F.col("n1") + F.col("n0")
+    e1 = d * 1.0 * F.col("n1") / n
+    terms = risk.filter(d > 0).select(
+        "d1",
+        "d0",
+        F.floor((F.col("d1") - e1) * 1_000_000 + 0.5).cast("long").alias("oe_q"),
+        F.floor(e1 * 1_000_000 + 0.5).cast("long").alias("e1_q"),
+        F.floor(d * 1.0 * F.col("n0") / n * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("e0_q"),
+        F.when(
+            n > 1,
+            F.floor(
+                d * 1.0 * F.col("n1") / n * F.col("n0") / n * (n - d) / (n - 1)
+                * 1_000_000
+                + 0.5
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("v_q"),
+    )
+    s = terms.agg(
+        F.sum("d1").cast("long").alias("sd1"),
+        F.sum("d0").cast("long").alias("sd0"),
+        F.sum("oe_q").cast("long").alias("soe"),
+        F.sum("e1_q").cast("long").alias("se1"),
+        F.sum("e0_q").cast("long").alias("se0"),
+        F.sum("v_q").cast("long").alias("sv"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("tn1").alias("n_urgent"),
+        F.col("tn0").alias("n_other"),
+        F.col("sd1").alias("events_urgent"),
+        F.col("sd0").alias("events_other"),
+        round_half_up(F.col("soe") / 1_000_000.0, 4).alias(
+            "observed_minus_expected"
+        ),
+        round_half_up(F.col("sv") / 1_000_000.0, 4).alias("variance"),
+        round_half_up(
+            (F.col("soe") / 1_000_000.0) / F.sqrt(F.col("sv") / 1_000_000.0), 6
+        ).alias("z_stat"),
+        round_half_up(
+            (F.col("sd1") * 1.0 / (F.col("se1") / 1_000_000.0))
+            / (F.col("sd0") * 1.0 / (F.col("se0") / 1_000_000.0)),
+            6,
+        ).alias("hazard_ratio"),
+    )
+
+
+# ── q354: capture-recapture estimate of the true duplicate population ────────
+
+
+def _q354_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    a = _REGISTRY["q24_minhash_lsh_dedup"].sql
+    b = _REGISTRY["q25_simhash_dedup"].sql
+    return f"""
+    WITH a AS ({a}),
+    b AS ({b}),
+    m AS (
+      SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n1,
+             CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n2,
+             CAST((SELECT COUNT(*) FROM a JOIN b
+                   ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b) AS BIGINT) AS mm
+    )
+    SELECT n1 AS minhash_pairs, n2 AS simhash_pairs, mm AS both_pairs,
+           n1 + n2 - mm AS union_pairs,
+           FLOOR(((n1 + 1) * 1.0 * (n2 + 1) / (mm + 1) - 1) * 100 + 0.5) / 100
+             AS chapman_estimate,
+           FLOOR((((n1 + 1) * 1.0 * (n2 + 1) / (mm + 1) - 1)
+                  - (n1 + n2 - mm)) * 100 + 0.5) / 100 AS undetected_estimate,
+           FLOOR(SQRT((n1 + 1) * 1.0 * (n2 + 1) * (n1 - mm) * (n2 - mm)
+                      / ((mm + 1) * 1.0 * (mm + 1) * (mm + 2))) * 100 + 0.5)
+             / 100 AS std_error
+    FROM m
+    """
+
+
+@register(
+    "q354_dup_capture_recapture",
+    _q354_sql(),
+    doc="Capture-recapture estimate of the TRUE duplicate-pair "
+    "population: MinHash (q24) and SimHash (q25) are two independent "
+    "'capture' samples of the unknown set of real near-dup pairs; "
+    "Chapman's bias-corrected Lincoln-Petersen estimator "
+    "(n1+1)(n2+1)/(m+1) - 1 with its standard error turns their "
+    "overlap into an estimate of how many duplicate pairs BOTH "
+    "detectors miss — the coverage number q277's agreement audit "
+    "cannot give (agreement says how they relate to each other, this "
+    "says how they relate to the unobserved truth). Pure integer "
+    "counts into one closed-form tree.",
+)
+def q354_dup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: inherits the two detector runs (audit family — the
+    materialized audit index serves both pair relations without
+    re-detection); the estimator itself is three counts and one
+    scalar expression. Independence caveat documented: both detectors
+    key on lexical overlap, so the estimate is a LOWER bound on missed
+    pairs (positively correlated captures inflate m)."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    a = _REGISTRY["q24_minhash_lsh_dedup"].fn(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    b = _REGISTRY["q25_simhash_dedup"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    n1c = a.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2c = b.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    mmc = a.join(b, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("mm")
+    )
+    m = n1c.crossJoin(F.broadcast(n2c)).crossJoin(F.broadcast(mmc))
+    n1, n2, mm = F.col("n1"), F.col("n2"), F.col("mm")
+    chapman = (n1 + 1) * 1.0 * (n2 + 1) / (mm + 1) - 1
+    return m.select(
+        n1.alias("minhash_pairs"),
+        n2.alias("simhash_pairs"),
+        mm.alias("both_pairs"),
+        (n1 + n2 - mm).alias("union_pairs"),
+        round_half_up(chapman, 2).alias("chapman_estimate"),
+        (
+            F.floor((chapman - (n1 + n2 - mm)) * 100 + 0.5) / 100
+        ).alias("undetected_estimate"),
+        round_half_up(
+            F.sqrt(
+                (n1 + 1)
+                * 1.0
+                * (n2 + 1)
+                * (n1 - mm)
+                * (n2 - mm)
+                / ((mm + 1) * 1.0 * (mm + 1) * (mm + 2))
+            ),
+            2,
+        ).alias("std_error"),
+    )
+
+
+# ── q355: Laspeyres / Paasche / Fisher price indices ─────────────────────────
+
+
+@register(
+    "q355_price_index",
+    """
+    WITH pm AS (
+      SELECT l_partkey,
+             CAST(month(l_shipdate) AS INTEGER) AS mth,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sp,
+             CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sq
+      FROM lineitem GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT l_partkey, sp AS sp0, sq AS sq0 FROM pm WHERE mth = 1
+    ),
+    terms AS (
+      SELECT m.mth,
+             CAST(FLOOR(m.sp * 1.0 / m.sq * b.sq0 * 1000 + 0.5) AS BIGINT)
+               AS l_num,
+             CAST(FLOOR(b.sp0 * 1.0 / b.sq0 * b.sq0 * 1000 + 0.5) AS BIGINT)
+               AS l_den,
+             CAST(FLOOR(m.sp * 1.0 / m.sq * m.sq * 1000 + 0.5) AS BIGINT)
+               AS p_num,
+             CAST(FLOOR(b.sp0 * 1.0 / b.sq0 * m.sq * 1000 + 0.5) AS BIGINT)
+               AS p_den
+      FROM pm m JOIN base b ON b.l_partkey = m.l_partkey
+      WHERE m.mth > 1
+    )
+    SELECT mth AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_common_parts,
+           FLOOR(SUM(l_num) * 1.0 / SUM(l_den) * 1000000 + 0.5) / 1000000
+             AS laspeyres,
+           FLOOR(SUM(p_num) * 1.0 / SUM(p_den) * 1000000 + 0.5) / 1000000
+             AS paasche,
+           FLOOR(SQRT((SUM(l_num) * 1.0 / SUM(l_den))
+                      * (SUM(p_num) * 1.0 / SUM(p_den))) * 1000000 + 0.5)
+             / 1000000 AS fisher
+    FROM terms GROUP BY mth ORDER BY mth
+    """,
+    doc="Laspeyres, Paasche and Fisher price indices of the part "
+    "catalog by ship month against the January base period: unit "
+    "prices are per-(part, month) revenue/quantity ratios, Laspeyres "
+    "weights by base-period quantities (what January's basket costs "
+    "now), Paasche by current quantities, Fisher their geometric mean "
+    "(the superlative index national statistics agencies publish). "
+    "The price-deflation counterpart of q154's raw month-over-month "
+    "revenue: it separates price movement from volume/mix movement. "
+    "Per-part value terms are milli-quantized before the per-month "
+    "integer sums; only common parts (sold in both periods) enter, "
+    "reported as n_common_parts (the standard matched-sample "
+    "convention).",
+)
+def q355_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one (part, month) integer aggregate over lineitem
+    (map-side combinable), an equi-join on partkey against the base
+    month's slice of the SAME relation (shuffle bounded by the part
+    catalog, or broadcast when the base slice is small), one per-month
+    rollup. No windows, no corpus re-reads."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        "l_partkey", F.month("l_shipdate").cast("int").alias("mth")
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("sp"),
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+        .cast("long")
+        .alias("sq"),
+    )
+    base = pm.filter(F.col("mth") == 1).select(
+        "l_partkey", F.col("sp").alias("sp0"), F.col("sq").alias("sq0")
+    )
+    p_cur = F.col("sp") * 1.0 / F.col("sq")
+    p_base = F.col("sp0") * 1.0 / F.col("sq0")
+    terms = (
+        pm.filter(F.col("mth") > 1)
+        .join(base, "l_partkey")
+        .select(
+            "mth",
+            F.floor(p_cur * F.col("sq0") * 1000 + 0.5).cast("long").alias("l_num"),
+            F.floor(p_base * F.col("sq0") * 1000 + 0.5).cast("long").alias("l_den"),
+            F.floor(p_cur * F.col("sq") * 1000 + 0.5).cast("long").alias("p_num"),
+            F.floor(p_base * F.col("sq") * 1000 + 0.5).cast("long").alias("p_den"),
+        )
+    )
+    lasp = F.sum("l_num") * 1.0 / F.sum("l_den")
+    paas = F.sum("p_num") * 1.0 / F.sum("p_den")
+    return (
+        terms.groupBy(F.col("mth").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common_parts"),
+            round_half_up(lasp, 6).alias("laspeyres"),
+            round_half_up(paas, 6).alias("paasche"),
+            round_half_up(F.sqrt(lasp * paas), 6).alias("fisher"),
+        )
+        .orderBy("month")
+    )

@@ -857,3 +857,30 @@ def test_q351_holt_output_is_bounded_relation(spark):
     plan = _plan(spark, "q351_holt_linear")
     assert "parquet" not in plan.lower()
     assert "Join" not in plan
+
+
+def test_q353_logrank_windows_on_grid(spark):
+    """The log-rank at-risk windows must run on the distinct-gap grid
+    (scalar totals ride broadcast nested loops); no cartesian and no
+    corpus-sized sort-merge anywhere."""
+    plan = _plan(spark, "q353_logrank_test")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_q354_capture_scalars_broadcast(spark):
+    """Chapman's estimator must cross three 1-row counts via broadcast
+    nested loops; the pair intersection is an equi-join, never a
+    cartesian."""
+    plan = _plan(spark, "q354_dup_capture_recapture")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+
+
+def test_q355_index_join_no_cartesian(spark):
+    """The base-month join must be an equi-join on partkey over the
+    (part, month) relation — no cartesian; the rollup re-aggregates
+    quantized integer terms."""
+    plan = _plan(spark, "q355_price_index")
+    assert "CartesianProduct" not in plan
