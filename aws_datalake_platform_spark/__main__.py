@@ -93,7 +93,7 @@ def _build_parser() -> argparse.ArgumentParser:
 
     aud = sub.add_parser(
         "audit",
-        help="run the dedup audit queries (q214/q243/q277/q300 twins) "
+        help="run the dedup audit queries (q214/q243/q277/q300/q349/q354 twins) "
         "from a materialized index — no detector re-runs",
     )
     aud.add_argument("--sf-dir", default=DEFAULT_SF_DIR)

@@ -146,6 +146,38 @@ def corpus_scorecard_from_index(
     return _corpus_scorecard(spark, sf_dir, pairs)
 
 
+def cluster_agreement_from_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, version: int | None = None
+) -> DataFrame:
+    """q349 (ARI + B-cubed vs the exact-dup partition) over the stored
+    cluster relation — the LSH+CC pass never re-runs; only the cheap
+    fingerprint window over column-pruned documents computes fresh."""
+    from ..catalog import load_table
+    from ..plans.training2 import _cluster_agreement
+
+    cl = read_snapshot(
+        spark, _table_path(index_dir, "dup_clusters"), version
+    ).select("doc_id", "cluster_id")
+    return _cluster_agreement(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), cl
+    )
+
+
+def dup_capture_recapture_from_index(
+    spark: SparkSession, index_dir: str, version: int | None = None
+) -> DataFrame:
+    """q354 (Chapman coverage estimate) over the stored pair relations —
+    neither detector re-runs."""
+    from ..plans.training2 import _capture_recapture
+
+    return _capture_recapture(
+        read_snapshot(spark, _table_path(index_dir, "minhash_pairs"), version)
+        .select("doc_a", "doc_b"),
+        read_snapshot(spark, _table_path(index_dir, "simhash_pairs"), version)
+        .select("doc_a", "doc_b"),
+    )
+
+
 FROM_INDEX_AUDITS = {
     "q214_dup_cluster_histogram": dup_cluster_histogram_from_index,
     "q243_golden_record": golden_record_from_index,
@@ -153,4 +185,8 @@ FROM_INDEX_AUDITS = {
         detector_agreement_from_index(spark, index_dir, version)
     ),
     "q300_corpus_scorecard": corpus_scorecard_from_index,
+    "q349_cluster_agreement": cluster_agreement_from_index,
+    "q354_dup_capture_recapture": lambda spark, sf_dir, index_dir, version=None: (
+        dup_capture_recapture_from_index(spark, index_dir, version)
+    ),
 }

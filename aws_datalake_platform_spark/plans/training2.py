@@ -3204,17 +3204,24 @@ def _q349_sql() -> str:
 )
 def q349_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: inherits q68's bucketed LSH + CC cost (the audit-family
-    pattern — the materialized audit index drops re-runs to
-    re-aggregation); the agreement math itself is one contingency
-    groupBy bounded by |clusters| and two broadcast marginal joins.
-    Exact-group labels come from one window over the fingerprint
-    hash — label values don't matter, only the partition they induce."""
+    pattern — cluster_agreement_from_index in pipelines/audit_index.py
+    reads the MATERIALIZED cluster relation instead); the agreement
+    math itself is one contingency groupBy bounded by |clusters| and
+    two broadcast marginal joins. Exact-group labels come from one
+    window over the fingerprint hash — label values don't matter, only
+    the partition they induce."""
     from .queries import QUERY_REGISTRY as _REGISTRY
 
     docs = load_table(spark, sf_dir, "documents")
     cl = _REGISTRY["q68_dup_clusters"].fn(spark, sf_dir).select(
         "doc_id", "cluster_id"
     )
+    return _cluster_agreement(docs, cl)
+
+
+def _cluster_agreement(docs: DataFrame, cl: DataFrame) -> DataFrame:
+    """ARI + B-cubed between a (doc_id, cluster_id) relation (singletons
+    absent) and the exact-duplicate partition of ``docs``."""
     pred = docs.select("doc_id").join(cl, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("lp")
     )
@@ -4007,6 +4014,11 @@ def q354_dup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     b = _REGISTRY["q25_simhash_dedup"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    return _capture_recapture(a, b)
+
+
+def _capture_recapture(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Chapman estimator over two (doc_a, doc_b) capture samples."""
     n1c = a.agg(F.count(F.lit(1)).cast("long").alias("n1"))
     n2c = b.agg(F.count(F.lit(1)).cast("long").alias("n2"))
     mmc = a.join(b, ["doc_a", "doc_b"]).agg(

@@ -13,8 +13,10 @@ from __future__ import annotations
 import pytest
 
 from aws_datalake_platform_spark.pipelines.audit_index import (
+    cluster_agreement_from_index,
     corpus_scorecard_from_index,
     detector_agreement_from_index,
+    dup_capture_recapture_from_index,
     dup_cluster_histogram_from_index,
     golden_record_from_index,
     materialize_dedup_index,
@@ -87,6 +89,20 @@ def test_corpus_scorecard_from_index_equals_q300(spark, index_dir):
     assert _rows(twin) == _rows(fresh)
 
 
+def test_cluster_agreement_from_index_equals_q349(spark, index_dir):
+    fresh = QUERY_REGISTRY["q349_cluster_agreement"].fn(spark, SF)
+    twin = cluster_agreement_from_index(spark, SF, index_dir)
+    assert twin.columns == fresh.columns
+    assert _rows(twin) == _rows(fresh)
+
+
+def test_dup_capture_recapture_from_index_equals_q354(spark, index_dir):
+    fresh = QUERY_REGISTRY["q354_dup_capture_recapture"].fn(spark, SF)
+    twin = dup_capture_recapture_from_index(spark, index_dir)
+    assert twin.columns == fresh.columns
+    assert _rows(twin) == _rows(fresh)
+
+
 def test_rematerialize_versions_and_time_travel(spark, index_dir):
     """Re-materializing commits version 2 per table; the audits accept
     an explicit version (time-travel over the index history)."""
@@ -113,5 +129,7 @@ def test_cli_materialize_and_audit(spark, tmp_path, capsys):
         "q243_golden_record",
         "q277_detector_agreement",
         "q300_corpus_scorecard",
+        "q349_cluster_agreement",
+        "q354_dup_capture_recapture",
     ):
         assert f"## {name} (from index)" in out
