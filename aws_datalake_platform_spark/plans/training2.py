@@ -4149,3 +4149,393 @@ def q355_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ── q356: Kruskal-Wallis H test across order priorities ──────────────────────
+
+
+@register(
+    "q356_kruskal_wallis",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS grp,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    h AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY cents
+    ),
+    mr AS (
+      SELECT cents, c,
+             2 * COALESCE(SUM(c) OVER (ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS r2
+      FROM h
+    ),
+    gc AS (
+      SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS cg
+      FROM v GROUP BY grp, cents
+    ),
+    g AS (
+      SELECT gc.grp, CAST(SUM(gc.cg) AS BIGINT) AS n_g,
+             CAST(SUM(gc.cg * mr.r2) AS BIGINT) AS s2_g
+      FROM gc JOIN mr ON mr.cents = gc.cents
+      GROUP BY gc.grp
+    ),
+    terms AS (
+      SELECT grp, n_g, s2_g,
+             CAST(FLOOR(CAST(s2_g AS HUGEINT) * s2_g / (4.0 * n_g) * 100 + 0.5)
+                  AS BIGINT) AS tq
+      FROM g
+    ),
+    tie AS (
+      SELECT CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE) AS t3
+      FROM h
+    ),
+    s AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(tq) AS BIGINT) AS stq
+      FROM terms
+    )
+    SELECT s.n AS n_rows, s.k AS n_groups,
+           FLOOR((12.0 / (s.n * 1.0 * (s.n + 1)) * (s.stq / 100.0)
+                  - 3.0 * (s.n + 1)) * 1000000 + 0.5) / 1000000 AS h_stat,
+           FLOOR((1 - tie.t3 / (s.n * 1.0 * s.n * s.n - s.n))
+                 * 1000000 + 0.5) / 1000000 AS tie_correction,
+           FLOOR((12.0 / (s.n * 1.0 * (s.n + 1)) * (s.stq / 100.0)
+                  - 3.0 * (s.n + 1))
+                 / (1 - tie.t3 / (s.n * 1.0 * s.n * s.n - s.n))
+                 * 1000000 + 0.5) / 1000000 AS h_corrected
+    FROM s CROSS JOIN tie
+    """,
+    doc="Kruskal-Wallis H test (Kruskal & Wallis 1952): do the five "
+    "order priorities differ in order-value DISTRIBUTION? The K-group "
+    "generalization of q306's Mann-Whitney, built on the same "
+    "histogram-midrank machinery (doubled integer midranks, so rank "
+    "sums are exact BIGINTs; the squared rank-sum terms go through "
+    "HUGEINT/decimal before centi-quantization) with the standard tie "
+    "correction 1 - sum(t^3 - t)/(N^3 - N). No corpus-wide rank sort "
+    "anywhere — the rank transform lives on the value histogram.",
+)
+def q356_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one value histogram + one (group, value) count (both
+    map-side combinable), midranks via a window over the histogram
+    (bounded by value resolution), one broadcast join. The O(N log N)
+    global sort a textbook implementation does never happens."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    h = v.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    mr = h.select(
+        "cents",
+        "c",
+        (2 * F.coalesce(F.sum("c").over(wc), F.lit(0)) + F.col("c") + 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    gc = v.groupBy("grp", "cents").agg(F.count(F.lit(1)).cast("long").alias("cg"))
+    g = (
+        gc.join(F.broadcast(mr), "cents")
+        .groupBy("grp")
+        .agg(
+            F.sum("cg").cast("long").alias("n_g"),
+            F.sum(F.col("cg") * F.col("r2")).cast("long").alias("s2_g"),
+        )
+    )
+    terms = g.select(
+        "grp",
+        "n_g",
+        "s2_g",
+        F.floor(
+            F.col("s2_g").cast("decimal(38,0)") * F.col("s2_g")
+            / (4.0 * F.col("n_g"))
+            * 100
+            + 0.5
+        )
+        .cast("long")
+        .alias("tq"),
+    )
+    tie = h.agg(
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c") - F.col("c")
+        )
+        .cast("double")
+        .alias("t3")
+    )
+    s = terms.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("tq").cast("long").alias("stq"),
+    )
+    hstat = 12.0 / (F.col("n") * 1.0 * (F.col("n") + 1)) * (
+        F.col("stq") / 100.0
+    ) - 3.0 * (F.col("n") + 1)
+    corr = 1 - F.col("t3") / (
+        F.col("n") * 1.0 * F.col("n") * F.col("n") - F.col("n")
+    )
+    return s.crossJoin(F.broadcast(tie)).select(
+        F.col("n").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        round_half_up(hstat, 6).alias("h_stat"),
+        round_half_up(corr, 6).alias("tie_correction"),
+        round_half_up(hstat / corr, 6).alias("h_corrected"),
+    )
+
+
+# ── q357: negative-binomial overdispersion fit per event type ────────────────
+
+
+@register(
+    "q357_negbin_overdispersion",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM u),
+    pc AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS active_users,
+             CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(c * c) AS BIGINT) AS scc
+      FROM pc GROUP BY event_type
+    )
+    SELECT s.event_type,
+           n.n_users,
+           s.active_users,
+           FLOOR(s.sc * 1.0 / n.n_users * 1000000 + 0.5) / 1000000 AS mean_c,
+           FLOOR((s.scc - s.sc * 1.0 * s.sc / n.n_users) / n.n_users
+                 * 1000000 + 0.5) / 1000000 AS var_c,
+           FLOOR(((s.scc - s.sc * 1.0 * s.sc / n.n_users) / n.n_users)
+                 / (s.sc * 1.0 / n.n_users) * 1000000 + 0.5) / 1000000
+             AS dispersion_index,
+           CASE WHEN (s.scc - s.sc * 1.0 * s.sc / n.n_users) / n.n_users
+                     > s.sc * 1.0 / n.n_users
+             THEN FLOOR((s.sc * 1.0 / n.n_users) * (s.sc * 1.0 / n.n_users)
+                        / ((s.scc - s.sc * 1.0 * s.sc / n.n_users) / n.n_users
+                           - s.sc * 1.0 / n.n_users) * 1000000 + 0.5) / 1000000
+             ELSE NULL END AS nb_r,
+           CASE WHEN (s.scc - s.sc * 1.0 * s.sc / n.n_users) / n.n_users
+                     > s.sc * 1.0 / n.n_users
+             THEN FLOOR((s.sc * 1.0 / n.n_users)
+                        / ((s.scc - s.sc * 1.0 * s.sc / n.n_users) / n.n_users)
+                        * 1000000 + 0.5) / 1000000
+             ELSE NULL END AS nb_p,
+           FLOOR((n.n_users - s.active_users) * 1.0 / n.n_users
+                 * 1000000 + 0.5) / 1000000 AS zero_frac
+    FROM s CROSS JOIN n
+    ORDER BY s.event_type
+    """,
+    doc="Negative-binomial overdispersion fit (method of moments) of "
+    "per-user event counts by type, ZEROS INCLUDED via the user "
+    "universe: population mean/variance, the dispersion index "
+    "(var/mean — 1 is Poisson, >1 overdispersed), the MoM NB "
+    "parameters r = m^2/(v-m) and p = m/v when overdispersed, and the "
+    "zero fraction. The distributional model q309's Fano factor only "
+    "summarizes: nb_r feeds capacity planning and per-user rate-limit "
+    "thresholds, and a Poisson assumption (the default in most "
+    "alerting) is provably wrong when dispersion >> 1. Integer sums "
+    "into fixed trees.",
+)
+def q357_negbin_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one (type, user) count (map-side combinable), one
+    |types|-row rollup, one broadcast scalar for the user universe —
+    zeros enter through arithmetic (N - active), never through a
+    generated user x type spine."""
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    s = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.sum("c").cast("long").alias("sc"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+        )
+    )
+    m = F.col("sc") * 1.0 / F.col("n_users")
+    var = (F.col("scc") - F.col("sc") * 1.0 * F.col("sc") / F.col("n_users")) / F.col(
+        "n_users"
+    )
+    over = var > m
+    return (
+        s.crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "n_users",
+            "active_users",
+            round_half_up(m, 6).alias("mean_c"),
+            round_half_up(var, 6).alias("var_c"),
+            round_half_up(var / m, 6).alias("dispersion_index"),
+            F.when(over, round_half_up(m * m / (var - m), 6)).alias("nb_r"),
+            F.when(over, round_half_up(m / var, 6)).alias("nb_p"),
+            round_half_up(
+                (F.col("n_users") - F.col("active_users")) * 1.0 / F.col("n_users"),
+                6,
+            ).alias("zero_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ── q358: two-state burst detection (exact integer Viterbi) ──────────────────
+
+_Q358_S = 1.15  # burst-state rate multiplier (Kleinberg's s)
+_Q358_G = 1_000_000  # 0->1 transition cost, micro-nats
+
+
+def _q358_sql() -> str:
+    g = _Q358_G
+    return f"""
+    WITH RECURSIVE d0 AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    daily AS (SELECT d, v, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM d0),
+    lam AS (
+      SELECT CAST(FLOOR(SUM(v) * 1.0 / COUNT(*) * 1000000 + 0.5) AS BIGINT)
+               AS l0q,
+             CAST(FLOOR(SUM(v) * 1.0 / COUNT(*) * {_Q358_S} * 1000000 + 0.5)
+               AS BIGINT) AS l1q,
+             CAST(FLOOR(LN(SUM(v) * 1.0 / COUNT(*)) * 1000000 + 0.5)
+               AS BIGINT) AS lnl0q,
+             CAST(FLOOR(LN(SUM(v) * 1.0 / COUNT(*) * {_Q358_S}) * 1000000
+                        + 0.5) AS BIGINT) AS lnl1q
+      FROM d0
+    ),
+    fw AS (
+      SELECT d.rn,
+             -(d.v * m.lnl0q - m.l0q) AS s0,
+             -(d.v * m.lnl1q - m.l1q) + {g} AS s1,
+             0 AS b0, 0 AS b1
+      FROM daily d CROSS JOIN lam m WHERE d.rn = 1
+      UNION ALL
+      SELECT d.rn,
+             CASE WHEN f.s0 <= f.s1 THEN f.s0 ELSE f.s1 END
+               + (-(d.v * m.lnl0q - m.l0q)) AS s0,
+             CASE WHEN f.s1 <= f.s0 + {g} THEN f.s1 ELSE f.s0 + {g} END
+               + (-(d.v * m.lnl1q - m.l1q)) AS s1,
+             CASE WHEN f.s0 <= f.s1 THEN 0 ELSE 1 END AS b0,
+             CASE WHEN f.s1 <= f.s0 + {g} THEN 1 ELSE 0 END AS b1
+      FROM fw f JOIN daily d ON d.rn = f.rn + 1 CROSS JOIN lam m
+    ),
+    n AS (SELECT MAX(rn) AS t FROM daily),
+    bt AS (
+      SELECT f.rn, CASE WHEN f.s0 <= f.s1 THEN 0 ELSE 1 END AS st
+      FROM fw f JOIN n ON f.rn = n.t
+      UNION ALL
+      SELECT b.rn - 1,
+             CASE WHEN b.st = 0 THEN f.b0 ELSE f.b1 END AS st
+      FROM bt b JOIN fw f ON f.rn = b.rn AND b.rn > 1
+    )
+    SELECT d.rn AS day_seq, d.d AS day_idx, d.v AS volume,
+           CAST(b.st AS INTEGER) AS burst_state,
+           FLOOR(m.l0q / 1000000.0 * 100 + 0.5) / 100 AS base_rate,
+           FLOOR(m.l1q / 1000000.0 * 100 + 0.5) / 100 AS burst_rate
+    FROM daily d
+    JOIN bt b ON b.rn = d.rn
+    CROSS JOIN lam m
+    ORDER BY d.rn
+    """
+
+
+@register(
+    "q358_burst_viterbi",
+    _q358_sql(),
+    doc="Two-state burst detection over daily volume (Kleinberg 2002, "
+    "discretized): state 0 emits at the global mean rate, state 1 at "
+    "s=1.15x, entering a burst costs gamma; the optimal state sequence "
+    "is the EXACT Viterbi path — forward min-plus DP carrying integer "
+    "micro-nat costs (Poisson log-likelihoods with the quantized "
+    "ln-rate pulled out of a 1-row relation, so each day's cost is "
+    "v*lnl_q - l_q, pure BIGINT) plus per-step argmin choice bits, "
+    "then a BACKWARD recursion replaying the bits. Both passes are "
+    "recursive CTEs in the oracle and an identical integer loop on "
+    "the calendar-bounded driver copy — no float ever enters the DP, "
+    "so the path is bit-exact (ties break toward staying, pinned in "
+    "both engines). The optimal-path upgrade of q283's threshold "
+    "anomalies and q305's single CUSUM changepoint.",
+)
+def q358_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one per-day count over the event log; the DP runs on the
+    driver's calendar-bounded copy (q350/q351 pattern). The quantized
+    rates come from a SPARK aggregate (JVM ln, the engine pairing every
+    green LN query already exercises), not Python's libm."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    lam_row = d0.agg(
+        F.floor(F.sum("v") * 1.0 / F.count(F.lit(1)) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("l0q"),
+        F.floor(F.sum("v") * 1.0 / F.count(F.lit(1)) * _Q358_S * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("l1q"),
+        F.floor(
+            F.log(F.sum("v") * 1.0 / F.count(F.lit(1))) * 1_000_000 + 0.5
+        )
+        .cast("long")
+        .alias("lnl0q"),
+        F.floor(
+            F.log(F.sum("v") * 1.0 / F.count(F.lit(1)) * _Q358_S) * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("lnl1q"),
+    ).collect()[0]
+    l0q, l1q = lam_row["l0q"], lam_row["l1q"]
+    lnl0q, lnl1q = lam_row["lnl0q"], lam_row["lnl1q"]
+    days = [(r["d"], r["v"]) for r in d0.orderBy("d").collect()]
+    if not days:
+        return spark.createDataFrame(
+            [],
+            "day_seq long, day_idx long, volume long, burst_state int, "
+            "base_rate double, burst_rate double",
+        )
+    g = _Q358_G
+    fw = []  # (s0, s1, b0, b1)
+    for i, (_, v) in enumerate(days):
+        c0 = -(v * lnl0q - l0q)
+        c1 = -(v * lnl1q - l1q)
+        if i == 0:
+            fw.append((c0, c1 + g, 0, 0))
+        else:
+            s0p, s1p = fw[-1][0], fw[-1][1]
+            b0 = 0 if s0p <= s1p else 1
+            b1 = 1 if s1p <= s0p + g else 0
+            fw.append(
+                (
+                    (s0p if b0 == 0 else s1p) + c0,
+                    (s1p if b1 == 1 else s0p + g) + c1,
+                    b0,
+                    b1,
+                )
+            )
+    states = [0] * len(days)
+    states[-1] = 0 if fw[-1][0] <= fw[-1][1] else 1
+    for i in range(len(days) - 1, 0, -1):
+        states[i - 1] = fw[i][2] if states[i] == 0 else fw[i][3]
+    rows = [
+        (i + 1, d, v, states[i]) for i, (d, v) in enumerate(days)
+    ]
+    df = spark.createDataFrame(rows, "day_seq long, day_idx long, volume long, burst_state int")
+    return df.select(
+        "day_seq",
+        "day_idx",
+        "volume",
+        "burst_state",
+        round_half_up(F.lit(l0q) / 1_000_000.0, 2).alias("base_rate"),
+        round_half_up(F.lit(l1q) / 1_000_000.0, 2).alias("burst_rate"),
+    ).orderBy("day_seq")

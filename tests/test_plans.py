@@ -884,3 +884,33 @@ def test_q355_index_join_no_cartesian(spark):
     quantized integer terms."""
     plan = _plan(spark, "q355_price_index")
     assert "CartesianProduct" not in plan
+
+
+def test_q356_rank_transform_on_histogram(spark):
+    """Kruskal-Wallis must attach midranks from the value HISTOGRAM via
+    broadcast (never a corpus-wide rank window): one broadcast hash
+    join, no cartesian, and the single-partition window consumes an
+    aggregated relation (HashAggregate below Window)."""
+    plan = _plan(spark, "q356_kruskal_wallis")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    w = plan.find("Window")
+    assert w > 0 and "HashAggregate" in plan[w:]
+
+
+def test_q357_universe_scalar_broadcast(spark):
+    """The NB fit joins one 1-row user-universe scalar via broadcast
+    nested loop; zeros enter arithmetically — the plan must contain no
+    generated spine join and no cartesian."""
+    plan = _plan(spark, "q357_negbin_overdispersion")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_q358_viterbi_output_is_bounded_relation(spark):
+    """The Viterbi DP runs on the driver's calendar-bounded copy — the
+    returned plan is a local relation projection, never a corpus scan
+    or join (q351 discipline)."""
+    plan = _plan(spark, "q358_burst_viterbi")
+    assert "parquet" not in plan.lower()
+    assert "Join" not in plan
