@@ -4539,3 +4539,438 @@ def q358_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.lit(l0q) / 1_000_000.0, 2).alias("base_rate"),
         round_half_up(F.lit(l1q) / 1_000_000.0, 2).alias("burst_rate"),
     ).orderBy("day_seq")
+
+
+# ── q359: sequential-pattern mining (subsequence support) ────────────────────
+
+_Q359_TOPK = 20
+
+
+@register(
+    "q359_sequential_patterns",
+    f"""
+    WITH e2 AS (
+      SELECT user_id, event_type AS ty,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    a AS (
+      SELECT user_id, ty AS t_a, CAST(MIN(rn) AS BIGINT) AS r1
+      FROM e2 GROUP BY user_id, ty
+    ),
+    b AS (
+      SELECT a.user_id, a.t_a, e.ty AS t_b, CAST(MIN(e.rn) AS BIGINT) AS r2
+      FROM a JOIN e2 e ON e.user_id = a.user_id AND e.rn > a.r1
+      GROUP BY a.user_id, a.t_a, e.ty
+    ),
+    c AS (
+      SELECT b.user_id, b.t_a, b.t_b, e.ty AS t_c,
+             CAST(MIN(e.rn) AS BIGINT) AS r3
+      FROM b JOIN e2 e ON e.user_id = b.user_id AND e.rn > b.r2
+      GROUP BY b.user_id, b.t_a, b.t_b, e.ty
+    ),
+    pres AS (
+      SELECT x.user_id, x.t_a, y.t_a AS t_b
+      FROM a x JOIN a y ON y.user_id = x.user_id
+    ),
+    sup2 AS (
+      SELECT t_a || '>' || t_b AS pattern, 2 AS length,
+             CAST(COUNT(*) AS BIGINT) AS support,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM pres p
+              WHERE p.t_a = b.t_a AND p.t_b = b.t_b) AS n_copresent
+      FROM b GROUP BY t_a, t_b
+    ),
+    sup3 AS (
+      SELECT t_a || '>' || t_b || '>' || t_c AS pattern, 3 AS length,
+             CAST(COUNT(*) AS BIGINT) AS support,
+             CAST(NULL AS BIGINT) AS n_copresent
+      FROM c GROUP BY t_a, t_b, t_c
+    ),
+    allp AS (SELECT * FROM sup2 UNION ALL SELECT * FROM sup3)
+    SELECT pattern, length, support, n_copresent,
+           CASE WHEN n_copresent IS NOT NULL
+                THEN FLOOR(support * 1.0 / n_copresent * 1000000 + 0.5)
+                     / 1000000 END AS order_share
+    FROM allp
+    ORDER BY support DESC, pattern
+    LIMIT {_Q359_TOPK}
+    """,
+    doc="Sequential-pattern mining over per-user event journeys: "
+    "support of every length-2 and length-3 SUBSEQUENCE pattern "
+    "(greedy-earliest matching — a user supports a>b>c iff events "
+    "occur in that order, gaps allowed), the non-consecutive "
+    "generalization of q254's contiguous paths. order_share divides a "
+    "2-pattern's support by the users having both types at all: 0.5 "
+    "means order is coin-flip, near 1 means a genuinely precedes b — "
+    "the funnel-ordering evidence q81 assumes rather than tests. "
+    "Greedy-earliest is exact for subsequence existence, and every "
+    "statistic is an integer count.",
+)
+def q359_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the pattern lattice is taxonomy-bounded (|types|^2 +
+    |types|^3 candidates). The b/c expansion joins events to per-user
+    anchors — fan-out bounded by |types| x events, shuffled on
+    user_id, with map-side min-combines; no per-user collect, no
+    quadratic event self-join (the greedy-earliest trick replaces
+    exists-subsequence with two grouped mins)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e2 = ev.select(
+        "user_id", F.col("event_type").alias("ty"), F.row_number().over(w).alias("rn")
+    )
+    a = e2.groupBy("user_id", F.col("ty").alias("t_a")).agg(
+        F.min("rn").cast("long").alias("r1")
+    )
+    b = (
+        a.join(e2, "user_id")
+        .filter(F.col("rn") > F.col("r1"))
+        .groupBy("user_id", "t_a", F.col("ty").alias("t_b"))
+        .agg(F.min("rn").cast("long").alias("r2"))
+    )
+    c = (
+        b.join(e2, "user_id")
+        .filter(F.col("rn") > F.col("r2"))
+        .groupBy("user_id", "t_a", "t_b", F.col("ty").alias("t_c"))
+        .agg(F.min("rn").cast("long").alias("r3"))
+    )
+    pres = (
+        a.select("user_id", "t_a")
+        .join(
+            a.select("user_id", F.col("t_a").alias("t_b")),
+            "user_id",
+        )
+        .groupBy("t_a", "t_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_copresent"))
+    )
+    sup2 = (
+        b.groupBy("t_a", "t_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .join(F.broadcast(pres), ["t_a", "t_b"])
+        .select(
+            F.concat_ws(">", "t_a", "t_b").alias("pattern"),
+            F.lit(2).alias("length"),
+            "support",
+            "n_copresent",
+        )
+    )
+    sup3 = c.groupBy("t_a", "t_b", "t_c").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    ).select(
+        F.concat_ws(">", "t_a", "t_b", "t_c").alias("pattern"),
+        F.lit(3).alias("length"),
+        "support",
+        F.lit(None).cast("long").alias("n_copresent"),
+    )
+    allp = sup2.unionByName(sup3)
+    return (
+        allp.select(
+            "pattern",
+            "length",
+            "support",
+            "n_copresent",
+            F.when(
+                F.col("n_copresent").isNotNull(),
+                round_half_up(
+                    F.col("support") * 1.0 / F.col("n_copresent"), 6
+                ),
+            ).alias("order_share"),
+        )
+        .orderBy(F.desc("support"), "pattern")
+        .limit(_Q359_TOPK)
+    )
+
+
+# ── q360: post-stratification design effect ──────────────────────────────────
+
+_Q360_STRATA = 10
+# outcome: user's purchase revenue exceeds this many cents — a fixed
+# threshold near the median per-user revenue, so p stays off the 0/1
+# saturation boundary at every SF (a plain "ever purchased" flag
+# saturates to p=1 and zeroes the SRS variance)
+_Q360_REV = 60_000
+
+
+@register(
+    "q360_poststrat_design_effect",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                               ELSE 0 END) >= {_Q360_REV}
+                  THEN 1 ELSE 0 END AS y
+      FROM events GROUP BY user_id
+    ),
+    ub AS (
+      SELECT y, NTILE({_Q360_STRATA}) OVER (ORDER BY n_events, user_id) AS h
+      FROM u
+    ),
+    s AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(y) AS BIGINT) AS y_h
+      FROM ub GROUP BY h
+    ),
+    n AS (SELECT CAST(SUM(n_h) AS BIGINT) AS n,
+                 CAST(SUM(y_h) AS BIGINT) AS y FROM s),
+    terms AS (
+      SELECT s.h, s.n_h, s.y_h,
+             CAST(FLOOR((s.n_h * 1.0 / n.n) * (s.n_h * 1.0 / n.n)
+                        * (y_h * 1.0 / n_h) * (1 - y_h * 1.0 / n_h) / n_h
+                        * 1000000000000 + 0.5) AS BIGINT) AS vq
+      FROM s CROSS JOIN n
+    )
+    SELECT n.n AS n_users,
+           CAST(COUNT(*) AS INTEGER) AS n_strata,
+           FLOOR(n.y * 1.0 / n.n * 1000000 + 0.5) / 1000000 AS p_hat,
+           FLOOR((n.y * 1.0 / n.n) * (1 - n.y * 1.0 / n.n) / n.n
+                 * 1000000000 + 0.5) / 1000000000 AS var_srs,
+           FLOOR(SUM(vq) / 1000.0 + 0.5) / 1000000000 AS var_post,
+           CASE WHEN n.y > 0 AND n.y < n.n THEN
+             FLOOR((SUM(vq) / 1000000000000.0)
+                   / ((n.y * 1.0 / n.n) * (1 - n.y * 1.0 / n.n) / n.n)
+                   * 1000000 + 0.5) / 1000000 END AS design_effect,
+           CASE WHEN n.y > 0 AND n.y < n.n THEN
+             FLOOR(n.n / ((SUM(vq) / 1000000000000.0)
+                   / ((n.y * 1.0 / n.n) * (1 - n.y * 1.0 / n.n) / n.n))
+                   * 100 + 0.5) / 100 END AS effective_n
+    FROM terms CROSS JOIN n
+    GROUP BY n.n, n.y
+    """,
+    doc="Post-stratification design effect for the high-revenue-user "
+    "share estimate: stratify users into activity deciles (the q336 "
+    "propensity strata), compare the simple-random-sampling variance "
+    "p(1-p)/N against the post-stratified variance "
+    "sum W_h^2 p_h(1-p_h)/n_h (Cochran 1977 ch. 5A). design_effect < 1 "
+    "quantifies the precision the strata buy (activity explains "
+    "outcome variance); effective_n is what the same data is 'worth' "
+    "under SRS — the number that says whether stratifying q338's CUPED "
+    "or q179's z-test is worth the pipeline complexity. Degenerate "
+    "all-0/all-1 outcomes yield NULL ratios instead of a divide "
+    "error. Per-stratum variance terms are pico-quantized before the "
+    "exact integer rollup.",
+)
+def q360_poststrat_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one per-user aggregate, one NTILE over users (at true
+    scale the decile edges come from approx quantiles instead — q80's
+    path), one 10-row rollup. The variance algebra never touches
+    user rows again."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+            )
+            >= _Q360_REV,
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    ub = u.select(
+        "y",
+        F.ntile(_Q360_STRATA).over(Window.orderBy("n_events", "user_id")).alias("h"),
+    )
+    s = ub.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("y").cast("long").alias("y_h"),
+    )
+    n = s.agg(
+        F.sum("n_h").cast("long").alias("n"), F.sum("y_h").cast("long").alias("y")
+    )
+    w_h = F.col("n_h") * 1.0 / F.col("n")
+    p_h = F.col("y_h") * 1.0 / F.col("n_h")
+    terms = s.crossJoin(F.broadcast(n)).select(
+        "h",
+        "n_h",
+        "y_h",
+        F.floor(
+            w_h * w_h * p_h * (1 - p_h) / F.col("n_h") * 1_000_000_000_000 + 0.5
+        )
+        .cast("long")
+        .alias("vq"),
+    )
+    p = F.col("y") * 1.0 / F.col("n")
+    var_srs = p * (1 - p) / F.col("n")
+    var_post = F.sum("vq") / 1_000_000_000_000.0
+    nondeg = (F.col("y") > 0) & (F.col("y") < F.col("n"))
+    return (
+        terms.crossJoin(F.broadcast(n))
+        .groupBy("n", "y")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_strata"),
+            round_half_up(p, 6).alias("p_hat"),
+            round_half_up(var_srs, 9).alias("var_srs"),
+            (F.floor(F.sum("vq") / 1000.0 + 0.5) / 1_000_000_000).alias("var_post"),
+            F.when(nondeg, round_half_up(var_post / var_srs, 6)).alias(
+                "design_effect"
+            ),
+            F.when(
+                nondeg, round_half_up(F.col("n") / (var_post / var_srs), 2)
+            ).alias("effective_n"),
+        )
+        .select(
+            F.col("n").alias("n_users"),
+            "n_strata",
+            "p_hat",
+            "var_srs",
+            "var_post",
+            "design_effect",
+            "effective_n",
+        )
+    )
+
+
+# ── q361: effect-size panel (Cohen's d, Hedges' g, Cliff's delta, AUC) ───────
+
+_Q361_A = "1-URGENT"
+_Q361_B = "5-LOW"
+
+
+@register(
+    "q361_effect_sizes",
+    f"""
+    WITH v AS (
+      SELECT CASE WHEN o_orderpriority = '{_Q361_A}' THEN 1 ELSE 0 END AS grp,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderpriority IN ('{_Q361_A}', '{_Q361_B}')
+    ),
+    s AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS su,
+             CAST(SUM(cents::HUGEINT * cents::HUGEINT) AS DOUBLE) AS ssq
+      FROM v GROUP BY grp
+    ),
+    h AS (
+      SELECT cents,
+             CAST(SUM(grp) AS BIGINT) AS ca,
+             CAST(SUM(1 - grp) AS BIGINT) AS cb
+      FROM v GROUP BY cents
+    ),
+    pr AS (
+      SELECT cents, ca, cb,
+             CAST(COALESCE(SUM(cb) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb_below,
+             CAST(COALESCE(SUM(ca) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS ca_below
+      FROM h
+    ),
+    pc AS (
+      SELECT CAST(SUM(ca * cb_below) AS BIGINT) AS gt_pairs,
+             CAST(SUM(cb * ca_below) AS BIGINT) AS lt_pairs,
+             CAST(SUM(ca * cb) AS BIGINT) AS tie_pairs
+      FROM pr
+    ),
+    d AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             a.su * 1.0 / a.n / 100 AS m_a, b.su * 1.0 / b.n / 100 AS m_b,
+             (a.ssq - a.su * 1.0 * a.su / a.n) / (a.n - 1) / 10000 AS va,
+             (b.ssq - b.su * 1.0 * b.su / b.n) / (b.n - 1) / 10000 AS vb
+      FROM (SELECT * FROM s WHERE grp = 1) a
+      CROSS JOIN (SELECT * FROM s WHERE grp = 0) b
+    )
+    SELECT d.n_a, d.n_b,
+           FLOOR((d.m_a - d.m_b) * 100 + 0.5) / 100 AS mean_diff,
+           FLOOR((d.m_a - d.m_b)
+                 / SQRT(((d.n_a - 1) * d.va + (d.n_b - 1) * d.vb)
+                        / (d.n_a + d.n_b - 2)) * 1000000 + 0.5) / 1000000
+             AS cohens_d,
+           FLOOR((d.m_a - d.m_b)
+                 / SQRT(((d.n_a - 1) * d.va + (d.n_b - 1) * d.vb)
+                        / (d.n_a + d.n_b - 2))
+                 * (1 - 3.0 / (4 * (d.n_a + d.n_b) - 9))
+                 * 1000000 + 0.5) / 1000000 AS hedges_g,
+           FLOOR((pc.gt_pairs - pc.lt_pairs) * 1.0 / (d.n_a * 1.0 * d.n_b)
+                 * 1000000 + 0.5) / 1000000 AS cliffs_delta,
+           FLOOR((pc.gt_pairs + pc.tie_pairs / 2.0) / (d.n_a * 1.0 * d.n_b)
+                 * 1000000 + 0.5) / 1000000 AS auc
+    FROM d CROSS JOIN pc
+    """,
+    doc="Effect-size panel for the urgent-vs-low order-value contrast: "
+    "Cohen's d (pooled-SD standardized mean difference), Hedges' g "
+    "(small-sample bias correction), Cliff's delta and the "
+    "common-language AUC = P(X>Y) + P(X=Y)/2 — the PRACTICAL-"
+    "significance counterpart to q333's Welch t (which only says the "
+    "difference isn't zero, never whether it matters). The pair "
+    "probabilities come exactly from the merged value histogram via "
+    "prefix sums (sum ca x cb_below), never an n_a x n_b pair join; "
+    "moments are the q333 integer sums.",
+)
+def q361_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one filtered 2-group integer aggregate + one value
+    histogram with a prefix-sum window (bounded by value resolution,
+    q240's shape). Cliff's delta over billions of implicit pairs costs
+    one histogram pass."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.filter(F.col("o_orderpriority").isin(_Q361_A, _Q361_B)).select(
+        F.when(F.col("o_orderpriority") == _Q361_A, 1).otherwise(0).alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = v.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("su"),
+        F.sum(dec("cents") * dec("cents")).cast("double").alias("ssq"),
+    )
+    h = v.groupBy("cents").agg(
+        F.sum("grp").cast("long").alias("ca"),
+        F.sum(1 - F.col("grp")).cast("long").alias("cb"),
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    pr = h.select(
+        "cents",
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(wc), F.lit(0)).cast("long").alias("cb_below"),
+        F.coalesce(F.sum("ca").over(wc), F.lit(0)).cast("long").alias("ca_below"),
+    )
+    pc = pr.agg(
+        F.sum(F.col("ca") * F.col("cb_below")).cast("long").alias("gt_pairs"),
+        F.sum(F.col("cb") * F.col("ca_below")).cast("long").alias("lt_pairs"),
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("tie_pairs"),
+    )
+    a = s.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n_a"),
+        (F.col("su") * 1.0 / F.col("n") / 100).alias("m_a"),
+        (
+            (F.col("ssq") - F.col("su") * 1.0 * F.col("su") / F.col("n"))
+            / (F.col("n") - 1)
+            / 10000
+        ).alias("va"),
+    )
+    b = s.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n_b"),
+        (F.col("su") * 1.0 / F.col("n") / 100).alias("m_b"),
+        (
+            (F.col("ssq") - F.col("su") * 1.0 * F.col("su") / F.col("n"))
+            / (F.col("n") - 1)
+            / 10000
+        ).alias("vb"),
+    )
+    d = a.crossJoin(F.broadcast(b))
+    sp = F.sqrt(
+        ((F.col("n_a") - 1) * F.col("va") + (F.col("n_b") - 1) * F.col("vb"))
+        / (F.col("n_a") + F.col("n_b") - 2)
+    )
+    dd = (F.col("m_a") - F.col("m_b")) / sp
+    nn = F.col("n_a") * 1.0 * F.col("n_b")
+    return d.crossJoin(F.broadcast(pc)).select(
+        "n_a",
+        "n_b",
+        round_half_up(F.col("m_a") - F.col("m_b"), 2).alias("mean_diff"),
+        round_half_up(dd, 6).alias("cohens_d"),
+        round_half_up(
+            dd * (1 - 3.0 / (4 * (F.col("n_a") + F.col("n_b")) - 9)), 6
+        ).alias("hedges_g"),
+        round_half_up(
+            (F.col("gt_pairs") - F.col("lt_pairs")) * 1.0 / nn, 6
+        ).alias("cliffs_delta"),
+        round_half_up(
+            (F.col("gt_pairs") + F.col("tie_pairs") / 2.0) / nn, 6
+        ).alias("auc"),
+    )

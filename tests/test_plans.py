@@ -914,3 +914,33 @@ def test_q358_viterbi_output_is_bounded_relation(spark):
     plan = _plan(spark, "q358_burst_viterbi")
     assert "parquet" not in plan.lower()
     assert "Join" not in plan
+
+
+def test_q359_pattern_lattice_no_cartesian(spark):
+    """Sequential-pattern expansion joins events to per-user anchors on
+    user_id (greedy-earliest grouped mins) — never a cartesian, never a
+    per-user event self-join; the copresence join is broadcast."""
+    plan = _plan(spark, "q359_sequential_patterns")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q360_variance_algebra_on_strata(spark):
+    """The design-effect rollup crosses only broadcast 1-row scalars
+    onto the 10-row strata relation; no sort-merge, no cartesian."""
+    plan = _plan(spark, "q360_poststrat_design_effect")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q361_pair_counts_from_histogram(spark):
+    """Cliff's delta must come from the merged value histogram via a
+    prefix-sum window over an AGGREGATED relation (HashAggregate below
+    Window) — never an n_a x n_b pair join; scalar crosses broadcast."""
+    plan = _plan(spark, "q361_effect_sizes")
+    assert "CartesianProduct" not in plan
+    w = plan.find("Window")
+    assert w > 0 and "HashAggregate" in plan[w:]
+    assert plan.count("BroadcastNestedLoopJoin") == 2
