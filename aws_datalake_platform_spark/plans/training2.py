@@ -4974,3 +4974,310 @@ def q361_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("gt_pairs") + F.col("tie_pairs") / 2.0) / nn, 6
         ).alias("auc"),
     )
+
+
+# ── q362: Benjamini-Hochberg FDR over per-nation value tests ─────────────────
+
+_Q362_Q = 0.10  # FDR level
+
+# Abramowitz & Stegun 26.2.17 constants (|error| < 7.5e-8): the normal
+# tail via pure arithmetic + EXP — identical IEEE trees on both engines,
+# which is what makes p-values hash-checkable at all
+_AS_P = 0.2316419
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_SQRT_2PI = 2.5066282746310002
+
+
+def _q362_sql() -> str:
+    b1, b2, b3, b4, b5 = _AS_B
+    horner = (
+        f"(t * ({b1} + t * ({b2} + t * ({b3} + t * ({b4} + t * {b5})))))"
+    )
+    return f"""
+    WITH o AS (
+      SELECT c.c_nationkey AS nat,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    s AS (
+      SELECT nat, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS su,
+             SUM(cents::HUGEINT * cents::HUGEINT) AS ssq
+      FROM o GROUP BY nat
+    ),
+    g AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(su) AS BIGINT) AS su,
+             SUM(ssq) AS ssq, CAST(COUNT(*) AS BIGINT) AS m
+      FROM s
+    ),
+    z AS (
+      SELECT s.nat, s.n, g.m,
+             (s.su * 1.0 / s.n - (g.su - s.su) * 1.0 / (g.n - s.n))
+             / SQRT(((CAST(s.ssq AS DOUBLE) - s.su * 1.0 * s.su / s.n)
+                     / (s.n - 1)) / s.n
+                    + ((CAST(g.ssq - s.ssq AS DOUBLE)
+                        - (g.su - s.su) * 1.0 * (g.su - s.su) / (g.n - s.n))
+                       / (g.n - s.n - 1)) / (g.n - s.n)) AS zv
+      FROM s CROSS JOIN g
+    ),
+    p AS (
+      SELECT nat, n, m, zv,
+             2 * (EXP(-ABS(zv) * ABS(zv) / 2.0) / {_SQRT_2PI}) * {horner}
+               AS pv
+      FROM (SELECT nat, n, m, zv, 1 / (1 + {_AS_P} * ABS(zv)) AS t FROM z)
+    ),
+    r AS (
+      SELECT nat, n, zv, pv, m,
+             ROW_NUMBER() OVER (ORDER BY pv, nat) AS rn
+      FROM p
+    ),
+    k AS (
+      SELECT COALESCE(MAX(CASE WHEN pv <= rn * {_Q362_Q} / m THEN rn END), 0)
+        AS kstar
+      FROM r
+    )
+    SELECT r.nat AS nation, r.n AS n_orders,
+           FLOOR(r.zv * 1000000 + 0.5) / 1000000 AS z_stat,
+           FLOOR(r.pv * 100000000 + 0.5) / 100000000 AS p_value,
+           CAST(r.rn AS BIGINT) AS p_rank,
+           FLOOR(r.rn * {_Q362_Q} / r.m * 100000000 + 0.5) / 100000000
+             AS bh_threshold,
+           CASE WHEN r.rn <= k.kstar THEN 1 ELSE 0 END AS significant
+    FROM r CROSS JOIN k
+    ORDER BY r.rn
+    """
+
+
+@register(
+    "q362_bh_fdr",
+    _q362_sql(),
+    doc="Benjamini-Hochberg FDR control (BH 1995, q = 0.10) over 25 "
+    "simultaneous per-nation tests (Welch z of each nation's mean "
+    "order value against the complement, moments from the q333 "
+    "integer-cents idiom): p-values via the Abramowitz-Stegun "
+    "26.2.17 normal tail (pure arithmetic + EXP in Horner form — "
+    "identical IEEE trees on both engines, |approx error| < 7.5e-8, "
+    "far below the 1e-8 rounding pin), then the step-up rule: reject "
+    "the k* smallest p-values where k* = max{{k : p_(k) <= kq/m}}. "
+    "The missing piece over q245/q333/q179: any dashboard running a "
+    "test PER SEGMENT is silently multiple-testing, and BH is the "
+    "standard correction.",
+)
+def q362_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one join + per-nation integer aggregate; the z/p/BH
+    algebra runs on the |nations|-row relation with one broadcast
+    global row and a bounded rank window. The step-up scan never
+    touches order rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    o = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    # squares stay DECIMAL through BOTH aggregation levels (the global
+    # sum of per-nation double ssq would be order-dependent); doubles
+    # appear only inside the scalar tree, mirroring the oracle's CASTs
+    s = o.groupBy("nat").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("su"),
+        F.sum(dec("cents") * dec("cents")).alias("ssq"),
+    )
+    g = s.agg(
+        F.sum("n").cast("long").alias("gn"),
+        F.sum("su").cast("long").alias("gsu"),
+        F.sum("ssq").alias("gssq"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    rn_, rsu = F.col("gn") - F.col("n"), F.col("gsu") - F.col("su")
+    rssq = (F.col("gssq") - F.col("ssq")).cast("double")
+    ssq_d = F.col("ssq").cast("double")
+    zv = (
+        F.col("su") * 1.0 / F.col("n") - rsu * 1.0 / rn_
+    ) / F.sqrt(
+        ((ssq_d - F.col("su") * 1.0 * F.col("su") / F.col("n")) / (F.col("n") - 1))
+        / F.col("n")
+        + ((rssq - rsu * 1.0 * rsu / rn_) / (rn_ - 1)) / rn_
+    )
+    z = s.crossJoin(F.broadcast(g)).select("nat", "n", "m", zv.alias("zv"))
+    t = 1 / (1 + _AS_P * F.abs(F.col("zv")))
+    b1, b2, b3, b4, b5 = _AS_B
+    horner = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))))
+    pv = (
+        2
+        * (F.exp(-F.abs(F.col("zv")) * F.abs(F.col("zv")) / 2.0) / _SQRT_2PI)
+        * horner
+    )
+    p = z.select("nat", "n", "m", "zv", pv.alias("pv"))
+    r = p.select(
+        "nat",
+        "n",
+        "zv",
+        "pv",
+        "m",
+        F.row_number().over(Window.orderBy("pv", "nat")).alias("rn"),
+    )
+    k = r.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pv") <= F.col("rn") * _Q362_Q / F.col("m"), F.col("rn")
+                )
+            ),
+            F.lit(0),
+        ).alias("kstar")
+    )
+    return (
+        r.crossJoin(F.broadcast(k))
+        .select(
+            F.col("nat").alias("nation"),
+            F.col("n").alias("n_orders"),
+            round_half_up(F.col("zv"), 6).alias("z_stat"),
+            round_half_up(F.col("pv"), 8).alias("p_value"),
+            F.col("rn").cast("long").alias("p_rank"),
+            round_half_up(F.col("rn") * _Q362_Q / F.col("m"), 8).alias(
+                "bh_threshold"
+            ),
+            F.when(F.col("rn") <= F.col("kstar"), 1).otherwise(0).alias(
+                "significant"
+            ),
+        )
+        .orderBy("p_rank")
+    )
+
+
+# ── q363: permutation test via seeded hash label-flips ───────────────────────
+
+_Q363_B = 128
+
+
+@register(
+    "q363_permutation_test",
+    f"""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) * 1.0
+               / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+             - SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) * 1.0
+               / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS t_obs
+      FROM u
+    ),
+    spine AS (SELECT unnest(range({_Q363_B})) AS b),
+    perm AS (
+      SELECT s.b, u.y,
+             CAST(('0x' || substr(md5('perm|' || CAST(s.b AS VARCHAR) || '|'
+               || CAST(u.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS parm
+      FROM u CROSS JOIN spine s
+    ),
+    pt AS (
+      SELECT b,
+             SUM(CASE WHEN parm = 1 THEN y ELSE 0 END) * 1.0
+               / SUM(CASE WHEN parm = 1 THEN 1 ELSE 0 END)
+             - SUM(CASE WHEN parm = 0 THEN y ELSE 0 END) * 1.0
+               / SUM(CASE WHEN parm = 0 THEN 1 ELSE 0 END) AS t_b
+      FROM perm GROUP BY b
+      HAVING SUM(CASE WHEN parm = 1 THEN 1 ELSE 0 END) > 0
+         AND SUM(CASE WHEN parm = 0 THEN 1 ELSE 0 END) > 0
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_permutations,
+           FLOOR(o.t_obs / 100 * 10000 + 0.5) / 10000 AS observed_diff,
+           CAST(SUM(CASE WHEN ABS(t_b) >= ABS(o.t_obs) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_extreme,
+           FLOOR((1 + SUM(CASE WHEN ABS(t_b) >= ABS(o.t_obs) THEN 1 ELSE 0
+                          END)) * 1.0 / (COUNT(*) + 1) * 1000000 + 0.5)
+             / 1000000 AS p_value
+    FROM pt CROSS JOIN obs o
+    GROUP BY o.t_obs
+    """,
+    doc="Permutation test of the arm difference in per-user purchase "
+    "revenue (the q338 arms): B = 128 label permutations minted from "
+    "seeded md5 parity per (user, replicate) — no RNG state, fully "
+    "replayable, the q247 bootstrap idiom applied to the null "
+    "distribution. p = (1 + #extreme)/(B + 1), the add-one rule that "
+    "keeps the estimate valid. Unlike q333/q362's normal theory this "
+    "is assumption-free (exchangeability only) and EXACT by "
+    "construction: every permutation statistic is an integer-cents "
+    "ratio, so both engines agree bit-for-bit on the entire null "
+    "distribution, not just the summary.",
+)
+def q363_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the spine multiplies PER-USER (not per-event) map work by
+    B; the shuffle carries B groups of four integer sums. At 100 TB
+    the event scan happens once (the per-user aggregate) and the
+    permutation layer touches only the user relation."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    ).select("user_id", (F.col("user_id") % 2).alias("arm"), "y")
+    arm_diff = lambda c: (
+        F.sum(F.when(F.col(c) == 1, F.col("y")).otherwise(0)) * 1.0
+        / F.sum(F.when(F.col(c) == 1, 1).otherwise(0))
+        - F.sum(F.when(F.col(c) == 0, F.col("y")).otherwise(0)) * 1.0
+        / F.sum(F.when(F.col(c) == 0, 1).otherwise(0))
+    )
+    obs = u.agg(arm_diff("arm").alias("t_obs"))
+    spine = spark.range(_Q363_B).select(F.col("id").cast("int").alias("b"))
+    parm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("perm|"),
+                        F.col("b").cast("string"),
+                        F.lit("|"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    perm = u.crossJoin(F.broadcast(spine)).select(
+        "b", "y", parm.alias("parm")
+    )
+    pt = (
+        perm.groupBy("b")
+        .agg(
+            arm_diff("parm").alias("t_b"),
+            F.sum(F.when(F.col("parm") == 1, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("parm") == 0, 1).otherwise(0)).alias("c0"),
+        )
+        .filter((F.col("c1") > 0) & (F.col("c0") > 0))
+        .select("b", "t_b")
+    )
+    nn = u.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    extreme = F.sum(
+        F.when(F.abs(F.col("t_b")) >= F.abs(F.col("t_obs")), 1).otherwise(0)
+    ).cast("long")
+    return (
+        pt.crossJoin(F.broadcast(obs))
+        .groupBy("t_obs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_permutations"),
+            extreme.alias("n_extreme"),
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "n_users",
+            "n_permutations",
+            round_half_up(F.col("t_obs") / 100, 4).alias("observed_diff"),
+            "n_extreme",
+            round_half_up(
+                (1 + F.col("n_extreme")) * 1.0 / (F.col("n_permutations") + 1), 6
+            ).alias("p_value"),
+        )
+    )

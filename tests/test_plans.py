@@ -944,3 +944,22 @@ def test_q361_pair_counts_from_histogram(spark):
     w = plan.find("Window")
     assert w > 0 and "HashAggregate" in plan[w:]
     assert plan.count("BroadcastNestedLoopJoin") == 2
+
+
+def test_q362_bh_runs_on_nation_relation(spark):
+    """The BH step-up must run on the |nations|-row relation: global
+    moments and k* ride broadcast nested loops, the p-rank window is
+    bounded, and no corpus-sized sort-merge appears."""
+    plan = _plan(spark, "q362_bh_fdr")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # global row + kstar
+
+
+def test_q363_permutation_spine_broadcasts(spark):
+    """The permutation layer must multiply USER-relation map work by B
+    via a broadcast spine (never a shuffle of B x events), with the
+    observed stat and user count riding broadcast."""
+    plan = _plan(spark, "q363_permutation_test")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 3  # spine, obs, n
