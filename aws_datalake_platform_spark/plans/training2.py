@@ -5281,3 +5281,477 @@ def q363_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+# ── q364: Naive Bayes language classifier, trained and evaluated in-engine ───
+
+
+@register(
+    "q364_naive_bayes_langid",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                t -> t <> '')) AS w
+      FROM documents
+    ),
+    tc AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE doc_id % 5 <> 0 GROUP BY lang, w
+    ),
+    tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM tc GROUP BY lang),
+    vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tc),
+    model AS (
+      SELECT tc.lang, tc.w,
+             CAST(FLOOR(LN((tc.c + 1) * 1.0 / (tot.t + vv.v)) * 1000000 + 0.5)
+                  AS BIGINT) AS lnq
+      FROM tc JOIN tot ON tot.lang = tc.lang CROSS JOIN vv
+    ),
+    dflt AS (
+      SELECT tot.lang,
+             CAST(FLOOR(LN(1.0 / (tot.t + vv.v)) * 1000000 + 0.5) AS BIGINT)
+               AS lnq0
+      FROM tot CROSS JOIN vv
+    ),
+    pri AS (
+      SELECT lang,
+             CAST(FLOOR(LN(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents
+                                             WHERE doc_id % 5 <> 0))
+                        * 1000000 + 0.5) AS BIGINT) AS prq
+      FROM documents WHERE doc_id % 5 <> 0 GROUP BY lang
+    ),
+    test AS (
+      SELECT doc_id, lang AS actual, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok WHERE doc_id % 5 = 0 GROUP BY doc_id, lang, w
+    ),
+    scored AS (
+      SELECT te.doc_id, te.actual, d.lang AS cand,
+             MAX(p.prq) + CAST(SUM(te.cnt * COALESCE(m.lnq, d.lnq0))
+                               AS BIGINT) AS score
+      FROM test te
+      CROSS JOIN dflt d
+      LEFT JOIN model m ON m.lang = d.lang AND m.w = te.w
+      JOIN pri p ON p.lang = d.lang
+      GROUP BY te.doc_id, te.actual, d.lang, d.lnq0
+    ),
+    pred AS (
+      SELECT doc_id, actual, cand AS predicted
+      FROM (SELECT doc_id, actual, cand,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, cand) AS rn
+            FROM scored) WHERE rn = 1
+    )
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY actual)
+                 * 10000 + 0.5) / 10000 AS row_share
+    FROM pred GROUP BY actual, predicted
+    ORDER BY actual, predicted
+    """,
+    doc="Multinomial Naive Bayes language classifier trained AND "
+    "evaluated entirely in-engine: Laplace-smoothed token likelihoods "
+    "and class priors fitted on the doc_id %% 5 <> 0 split, held-out "
+    "docs scored by prior + sum cnt x ln p(w|lang) with the smoothed "
+    "unseen-token default, argmax per doc, confusion matrix out. "
+    "Every log-likelihood is quantized to an integer BEFORE the "
+    "per-doc sum, so training, scoring, and the confusion matrix are "
+    "all hash-exact — a complete supervised-learning loop under the "
+    "correctness gate, upgrading q27's character-heuristic lang-id "
+    "and giving q242's confusion audit a second, learned predictor.",
+)
+def q364_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: model relations are vocabulary-bounded (broadcast); the
+    scoring join fans test tokens out by |langs| (map-side, bounded
+    taxonomy) and re-aggregates per (doc, lang) on integers. At a
+    vocabulary too large to broadcast the token join degrades to a
+    shuffle hash join on w; nothing else changes."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+        ).alias("w"),
+    )
+    train = tok.filter(F.col("doc_id") % 5 != 0)
+    tc = train.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = tc.groupBy("lang").agg(F.sum("c").cast("long").alias("t"))
+    vv = tc.agg(F.countDistinct("w").cast("long").alias("v"))
+    model = (
+        tc.join(F.broadcast(tot), "lang")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "lang",
+            "w",
+            F.floor(
+                F.log((F.col("c") + 1) * 1.0 / (F.col("t") + F.col("v")))
+                * 1_000_000
+                + 0.5
+            )
+            .cast("long")
+            .alias("lnq"),
+        )
+    )
+    dflt = tot.crossJoin(F.broadcast(vv)).select(
+        "lang",
+        F.floor(F.log(1.0 / (F.col("t") + F.col("v"))) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("lnq0"),
+    )
+    tr_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    n_train = tr_docs.agg(F.count(F.lit(1)).alias("nt"))
+    pri = (
+        tr_docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nl"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "lang",
+            F.floor(F.log(F.col("nl") * 1.0 / F.col("nt")) * 1_000_000 + 0.5)
+            .cast("long")
+            .alias("prq"),
+        )
+    )
+    test = (
+        tok.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("doc_id", F.col("lang").alias("actual"), "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    model_r = model.select(
+        F.col("lang").alias("m_lang"), F.col("w").alias("m_w"), "lnq"
+    )
+    dflt_r = dflt.select(F.col("lang").alias("cand"), "lnq0")
+    pri_r = pri.select(F.col("lang").alias("p_lang"), "prq")
+    scored = (
+        test.crossJoin(F.broadcast(dflt_r))
+        .join(
+            F.broadcast(model_r),
+            (F.col("m_lang") == F.col("cand")) & (F.col("m_w") == F.col("w")),
+            "left",
+        )
+        .join(F.broadcast(pri_r), F.col("p_lang") == F.col("cand"))
+        .groupBy("doc_id", "actual", "cand", "lnq0")
+        .agg(
+            (
+                F.max("prq")
+                + F.sum(
+                    F.col("cnt") * F.coalesce(F.col("lnq"), F.col("lnq0"))
+                ).cast("long")
+            ).alias("score")
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cand")
+    pred = (
+        scored.select(
+            "doc_id", "actual", "cand", F.row_number().over(wd).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "actual", F.col("cand").alias("predicted"))
+    )
+    wa = Window.partitionBy("actual")
+    return (
+        pred.groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            "actual",
+            "predicted",
+            "n_docs",
+            round_half_up(
+                F.col("n_docs") * 1.0 / F.sum("n_docs").over(wa), 4
+            ).alias("row_share"),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+# ── q365: decision-stump learner (best Gini split per feature) ───────────────
+
+
+def _q365_branch_sql(feat: str, expr: str) -> str:
+    return f"""
+      SELECT '{feat}' AS feature, v AS threshold, nl, yl, nr, yr,
+             2.0 * (yl * 1.0 * (nl - yl) / nl + yr * 1.0 * (nr - yr) / nr)
+               / (nl + nr) AS gini
+      FROM (
+        SELECT v,
+               CAST(SUM(n) OVER w AS BIGINT) AS nl,
+               CAST(SUM(y) OVER w AS BIGINT) AS yl,
+               CAST(SUM(n) OVER () - SUM(n) OVER w AS BIGINT) AS nr,
+               CAST(SUM(y) OVER () - SUM(y) OVER w AS BIGINT) AS yr
+        FROM (SELECT {expr} AS v, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS y
+              FROM lineitem GROUP BY 1)
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+      ) WHERE nr > 0"""
+
+
+def _q365_sql() -> str:
+    branches = " UNION ALL ".join(
+        _q365_branch_sql(f, e)
+        for f, e in [
+            ("discount_cents", "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)"),
+            ("quantity", "CAST(FLOOR(l_quantity + 0.5) AS BIGINT)"),
+        ]
+    )
+    return f"""
+    WITH cand AS ({branches}),
+    best AS (
+      SELECT feature, threshold, nl, yl, nr, yr, gini,
+             ROW_NUMBER() OVER (PARTITION BY feature
+                                ORDER BY gini, threshold) AS rn
+      FROM cand
+    ),
+    root AS (
+      SELECT 2.0 * SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             * 1.0 * SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+             / (COUNT(*) * 1.0 * COUNT(*)) AS g0
+      FROM lineitem
+    )
+    SELECT b.feature, b.threshold AS best_threshold,
+           b.nl + b.nr AS n_rows,
+           FLOOR(r.g0 * 1000000 + 0.5) / 1000000 AS gini_root,
+           FLOOR(b.gini * 1000000 + 0.5) / 1000000 AS gini_split,
+           FLOOR((r.g0 - b.gini) * 1000000 + 0.5) / 1000000 AS gini_gain,
+           FLOOR(b.yl * 1.0 / b.nl * 1000000 + 0.5) / 1000000 AS rate_left,
+           FLOOR(b.yr * 1.0 / b.nr * 1000000 + 0.5) / 1000000 AS rate_right
+    FROM best b CROSS JOIN root r
+    WHERE b.rn = 1
+    ORDER BY b.feature
+    """
+
+
+@register(
+    "q365_decision_stump",
+    _q365_sql(),
+    doc="Decision-stump learner: for each candidate feature (discount "
+    "level, quantity) find the threshold minimizing the weighted Gini "
+    "impurity of the returnflag split — the CART split criterion, "
+    "evaluated for EVERY threshold from one value-histogram prefix "
+    "sum (never a per-threshold rescan). gini_gain against the root "
+    "impurity says whether the feature predicts returns at all — the "
+    "supervised complement of q211's WoE/IV screening, and the exact "
+    "primitive a distributed tree ensemble evaluates millions of "
+    "times. Per-threshold impurities are fixed integer-ratio trees; "
+    "the argmin is a deterministic (gini, threshold) rank.",
+)
+def q365_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one histogram aggregate per feature (map-side), prefix
+    sums over the bounded distinct-value relation, a rank over
+    candidates. The classic single-pass split finder."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    out = None
+    for feat, expr in [
+        ("discount_cents", F.floor(F.col("l_discount") * 100 + 0.5).cast("long")),
+        ("quantity", F.floor(F.col("l_quantity") + 0.5).cast("long")),
+    ]:
+        h = li.select(expr.alias("v"), y.alias("yy")).groupBy("v").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("yy").cast("long").alias("y"),
+        )
+        wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        wall = Window.partitionBy()
+        cand = h.select(
+            "v",
+            F.sum("n").over(wcum).cast("long").alias("nl"),
+            F.sum("y").over(wcum).cast("long").alias("yl"),
+            (F.sum("n").over(wall) - F.sum("n").over(wcum))
+            .cast("long")
+            .alias("nr"),
+            (F.sum("y").over(wall) - F.sum("y").over(wcum))
+            .cast("long")
+            .alias("yr"),
+        ).filter(F.col("nr") > 0)
+        gini = (
+            2.0
+            * (
+                F.col("yl") * 1.0 * (F.col("nl") - F.col("yl")) / F.col("nl")
+                + F.col("yr") * 1.0 * (F.col("nr") - F.col("yr")) / F.col("nr")
+            )
+            / (F.col("nl") + F.col("nr"))
+        )
+        branch = cand.select(
+            F.lit(feat).alias("feature"),
+            F.col("v").alias("threshold"),
+            "nl",
+            "yl",
+            "nr",
+            "yr",
+            gini.alias("gini"),
+        )
+        out = branch if out is None else out.unionByName(branch)
+    wb = Window.partitionBy("feature").orderBy("gini", "threshold")
+    best = out.select(
+        "*", F.row_number().over(wb).alias("rn")
+    ).filter(F.col("rn") == 1)
+    root = li.agg(
+        (
+            2.0
+            * F.sum(y)
+            * 1.0
+            * F.sum(1 - y)
+            / (F.count(F.lit(1)) * 1.0 * F.count(F.lit(1)))
+        ).alias("g0")
+    )
+    return (
+        best.crossJoin(F.broadcast(root))
+        .select(
+            "feature",
+            F.col("threshold").alias("best_threshold"),
+            (F.col("nl") + F.col("nr")).alias("n_rows"),
+            round_half_up(F.col("g0"), 6).alias("gini_root"),
+            round_half_up(F.col("gini"), 6).alias("gini_split"),
+            round_half_up(F.col("g0") - F.col("gini"), 6).alias("gini_gain"),
+            round_half_up(F.col("yl") * 1.0 / F.col("nl"), 6).alias("rate_left"),
+            round_half_up(F.col("yr") * 1.0 / F.col("nr"), 6).alias("rate_right"),
+        )
+        .orderBy("feature")
+    )
+
+
+# ── q366: energy distance between embedding label groups ────────────────────
+
+_Q366_DIM = 64
+_Q366_N = 64  # per-group deterministic sample (ORDER BY vec_id)
+_Q366_LA = 0
+_Q366_LB = 1
+
+
+def _q366_dist_sql(a: str, b: str) -> str:
+    # sqrt of the sequential dim-order fold — the q47 list_sum idiom
+    return (
+        f"sqrt(list_sum(list_transform(range(1,{_Q366_DIM + 1}), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) "
+        f"* ({a}[i]::DOUBLE - {b}[i]::DOUBLE))))"
+    )
+
+
+def _q366_sql() -> str:
+    d_ab = _q366_dist_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH xa AS (
+      SELECT vec_id, embedding FROM embeddings WHERE label = {_Q366_LA}
+      ORDER BY vec_id LIMIT {_Q366_N}
+    ),
+    xb AS (
+      SELECT vec_id, embedding FROM embeddings WHERE label = {_Q366_LB}
+      ORDER BY vec_id LIMIT {_Q366_N}
+    ),
+    sxy AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(CAST(FLOOR({d_ab} * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sq
+      FROM xa a CROSS JOIN xb b
+    ),
+    sxx AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(CAST(FLOOR({d_ab} * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sq
+      FROM xa a JOIN xa b ON b.vec_id > a.vec_id
+    ),
+    syy AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(CAST(FLOOR({d_ab} * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sq
+      FROM xb a JOIN xb b ON b.vec_id > a.vec_id
+    ),
+    na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM xa),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM xb)
+    SELECT na.n AS n_a, nb.n AS n_b,
+           FLOOR(sxy.sq / 1000000.0 / (na.n * nb.n) * 1000000 + 0.5)
+             / 1000000 AS mean_cross,
+           FLOOR(2.0 * sxx.sq / 1000000.0 / (na.n * 1.0 * na.n)
+                 * 1000000 + 0.5) / 1000000 AS mean_within_a,
+           FLOOR(2.0 * syy.sq / 1000000.0 / (nb.n * 1.0 * nb.n)
+                 * 1000000 + 0.5) / 1000000 AS mean_within_b,
+           FLOOR((2.0 * (sxy.sq / 1000000.0 / (na.n * nb.n))
+                  - 2.0 * sxx.sq / 1000000.0 / (na.n * 1.0 * na.n)
+                  - 2.0 * syy.sq / 1000000.0 / (nb.n * 1.0 * nb.n))
+                 * 1000000 + 0.5) / 1000000 AS energy_distance
+    FROM sxy CROSS JOIN sxx CROSS JOIN syy CROSS JOIN na CROSS JOIN nb
+    """
+
+
+@register(
+    "q366_energy_distance",
+    _q366_sql(),
+    doc="Energy distance (Szekely & Rizzo 2004) between two embedding "
+    "label groups on deterministic per-group samples: "
+    "E = 2 E|X-Y| - E|X-X'| - E|Y-Y'| from exact pair-distance sums — "
+    "each L2 distance is the sequential dim-order fold (the q47 "
+    "list_sum idiom), micro-quantized per PAIR before the integer "
+    "rollup. A strictly distribution-sensitive two-sample statistic "
+    "for vector data: q213's drift measures centroid shift, energy "
+    "distance detects ANY distributional difference (spread, shape, "
+    "multimodality) and is the standard MMD-class check before "
+    "trusting embedding-space clusters as supervision.",
+)
+def q366_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: bounded per-group samples (n=64 -> ~8k pair folds); on a
+    real corpus the samples stay driver-bounded no matter the table
+    size, so the statistic is O(n^2 d) constant work after two
+    TakeOrdered scans. The pair joins are broadcast nested loops over
+    the samples."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xa = (
+        emb.filter(F.col("label") == _Q366_LA)
+        .orderBy("vec_id")
+        .limit(_Q366_N)
+        .select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
+    )
+    xb = (
+        emb.filter(F.col("label") == _Q366_LB)
+        .orderBy("vec_id")
+        .limit(_Q366_N)
+        .select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))
+    )
+    dist = F.sqrt(
+        F.expr(
+            f"aggregate(transform(sequence(1, {_Q366_DIM}), "
+            "i -> (CAST(element_at(ea, i) AS DOUBLE) "
+            "- CAST(element_at(eb, i) AS DOUBLE)) "
+            "* (CAST(element_at(ea, i) AS DOUBLE) "
+            "- CAST(element_at(eb, i) AS DOUBLE))), "
+            "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)"
+        )
+    )
+    dq = F.floor(dist * 1_000_000 + 0.5).cast("long")
+    sxy = xa.crossJoin(F.broadcast(xb)).agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum(dq).cast("long").alias("sq"),
+    )
+    xa2 = xa.select(F.col("ida").alias("idb"), F.col("ea").alias("eb"))
+    sxx = (
+        xa.join(F.broadcast(xa2), F.col("idb") > F.col("ida"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("np"),
+            F.sum(dq).cast("long").alias("sq"),
+        )
+    )
+    xb1 = xb.select(F.col("idb").alias("ida"), F.col("eb").alias("ea"))
+    syy = (
+        xb1.join(F.broadcast(xb), F.col("idb") > F.col("ida"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("np"),
+            F.sum(dq).cast("long").alias("sq"),
+        )
+    )
+    na = xa.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = xb.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    mc = F.col("sq") / 1_000_000.0 / (F.col("n_a") * F.col("n_b"))
+    ma = 2.0 * F.col("sq_xx") / 1_000_000.0 / (F.col("n_a") * 1.0 * F.col("n_a"))
+    mb = 2.0 * F.col("sq_yy") / 1_000_000.0 / (F.col("n_b") * 1.0 * F.col("n_b"))
+    return (
+        sxy.crossJoin(F.broadcast(sxx.select(F.col("sq").alias("sq_xx"))))
+        .crossJoin(F.broadcast(syy.select(F.col("sq").alias("sq_yy"))))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_a",
+            "n_b",
+            round_half_up(mc, 6).alias("mean_cross"),
+            round_half_up(ma, 6).alias("mean_within_a"),
+            round_half_up(mb, 6).alias("mean_within_b"),
+            round_half_up(2.0 * mc - ma - mb, 6).alias("energy_distance"),
+        )
+    )

@@ -963,3 +963,36 @@ def test_q363_permutation_spine_broadcasts(spark):
     plan = _plan(spark, "q363_permutation_test")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 3  # spine, obs, n
+
+
+def test_q364_nb_model_relations_broadcast(spark):
+    """The NB scoring join must broadcast the vocabulary-bounded model
+    relations (likelihoods, defaults, priors) into the test-token scan;
+    the candidate fan-out is the broadcast lang spine — no cartesian,
+    no corpus-sized sort-merge."""
+    plan = _plan(spark, "q364_naive_bayes_langid")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # lang spine
+
+
+def test_q365_split_finder_single_histogram_pass(spark):
+    """Every candidate threshold must come from ONE value-histogram
+    prefix sum per feature — the plan has windows over aggregated
+    relations and no join at all except the broadcast root-impurity
+    scalar."""
+    plan = _plan(spark, "q365_decision_stump")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # root gini scalar
+
+
+def test_q366_pair_folds_on_bounded_samples(spark):
+    """All three pair stages must be broadcast nested loops over the
+    TakeOrdered per-group samples — constant work regardless of table
+    size; no cartesian over the base table."""
+    plan = _plan(spark, "q366_energy_distance")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 3
