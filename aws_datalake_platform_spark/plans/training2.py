@@ -5755,3 +5755,258 @@ def q366_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(2.0 * mc - ma - mb, 6).alias("energy_distance"),
         )
     )
+
+
+# ── q367: Cochran's Q across the three dedup detectors ───────────────────────
+
+
+def _q367_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    mh = _REGISTRY["q24_minhash_lsh_dedup"].sql
+    sh = _REGISTRY["q25_simhash_dedup"].sql
+    ng = _REGISTRY["q23_ngram_jaccard_dedup"].sql
+    return f"""
+    WITH mh AS ({mh}),
+    sh AS ({sh}),
+    ng AS ({ng}),
+    uni AS (
+      SELECT doc_a, doc_b FROM mh
+      UNION SELECT doc_a, doc_b FROM sh
+      UNION SELECT doc_a, doc_b FROM ng
+    ),
+    x AS (
+      SELECT u.doc_a, u.doc_b,
+             CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS x1,
+             CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS x2,
+             CASE WHEN g.doc_a IS NOT NULL THEN 1 ELSE 0 END AS x3
+      FROM uni u
+      LEFT JOIN mh m ON m.doc_a = u.doc_a AND m.doc_b = u.doc_b
+      LEFT JOIN sh s ON s.doc_a = u.doc_a AND s.doc_b = u.doc_b
+      LEFT JOIN ng g ON g.doc_a = u.doc_a AND g.doc_b = u.doc_b
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS BIGINT) AS g1,
+             CAST(SUM(x2) AS BIGINT) AS g2,
+             CAST(SUM(x3) AS BIGINT) AS g3,
+             CAST(SUM(x1 + x2 + x3) AS BIGINT) AS sl,
+             CAST(SUM((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS sl2
+      FROM x
+    )
+    SELECT n AS n_pairs_union, g1 AS minhash_hits, g2 AS simhash_hits,
+           g3 AS ngram_hits,
+           CASE WHEN 3 * sl - sl2 > 0 THEN
+             FLOOR(CAST(3 * 2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3)
+                                 - sl * sl) AS DOUBLE)
+                   / (3 * sl - sl2) * 1000000 + 0.5) / 1000000 END AS cochran_q
+    FROM s
+    """
+
+
+@register(
+    "q367_cochran_q",
+    _q367_sql(),
+    doc="Cochran's Q test (Cochran 1950) across the THREE near-dup "
+    "detectors on the union pair universe: do MinHash, SimHash and "
+    "n-gram Jaccard have the same marginal hit rate, accounting for "
+    "the pairwise matching (each pair is its own block)? "
+    "Q = k(k-1)(k sum G_j^2 - (sum G_j)^2) / (k sum L_i - sum L_i^2), "
+    "chi^2 with k-1 df under H0. The K-detector generalization of "
+    "q335's McNemar (k=2) and the significance layer over q277's "
+    "descriptive agreement: a large Q says the detectors genuinely "
+    "rank recall differently, not just disagree pair-by-pair. Pure "
+    "integer counts into one closed-form tree.",
+)
+def q367_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: inherits the detector runs (audit family — stored pair
+    relations via the audit index at scale); the statistic is one
+    union + three membership joins on pair keys and a single fold.
+    Blocks where all detectors agree (L_i = 0 or 3) cancel out of Q
+    exactly as the test intends."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    mh = _REGISTRY["q24_minhash_lsh_dedup"].fn(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    sh = _REGISTRY["q25_simhash_dedup"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    ng = _REGISTRY["q23_ngram_jaccard_dedup"].fn(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    uni = mh.unionByName(sh).unionByName(ng).distinct()
+    x = (
+        uni.join(mh.withColumn("x1", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .join(sh.withColumn("x2", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .join(ng.withColumn("x3", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .select(
+            F.coalesce("x1", F.lit(0)).alias("x1"),
+            F.coalesce("x2", F.lit(0)).alias("x2"),
+            F.coalesce("x3", F.lit(0)).alias("x3"),
+        )
+    )
+    l = F.col("x1") + F.col("x2") + F.col("x3")
+    s = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("g1"),
+        F.sum("x2").cast("long").alias("g2"),
+        F.sum("x3").cast("long").alias("g3"),
+        F.sum(l).cast("long").alias("sl"),
+        F.sum(l * l).cast("long").alias("sl2"),
+    )
+    gsq = (
+        F.col("g1") * F.col("g1")
+        + F.col("g2") * F.col("g2")
+        + F.col("g3") * F.col("g3")
+    )
+    den = 3 * F.col("sl") - F.col("sl2")
+    q = (3 * 2 * (3 * gsq - F.col("sl") * F.col("sl"))).cast("double") / den
+    return s.select(
+        F.col("n").alias("n_pairs_union"),
+        F.col("g1").alias("minhash_hits"),
+        F.col("g2").alias("simhash_hits"),
+        F.col("g3").alias("ngram_hits"),
+        F.when(den > 0, round_half_up(q, 6)).alias("cochran_q"),
+    )
+
+
+# ── q368: HITS hubs/authorities in exact fixed-point arithmetic ──────────────
+
+_Q368_ITERS = 8
+_Q368_SCALE = 1_000_000
+_Q368_TOPK = 15
+
+
+def _q368_sql() -> str:
+    head = f"""
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS hub, l.l_partkey AS auth
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS MATERIALIZED (SELECT DISTINCT hub,
+           CAST({_Q368_SCALE} AS BIGINT) AS hv FROM edges)"""
+    steps = []
+    for k in range(1, _Q368_ITERS + 1):
+        steps.append(f"""
+    ar{k} AS MATERIALIZED (
+      SELECT e.auth, CAST(SUM(h.hv) AS BIGINT) AS raw
+      FROM edges e JOIN h{k - 1} h ON h.hub = e.hub GROUP BY e.auth),
+    a{k} AS MATERIALIZED (
+      SELECT auth, CAST(raw * {_Q368_SCALE} // (SELECT MAX(raw) FROM ar{k})
+                        AS BIGINT) AS av
+      FROM ar{k}),
+    hr{k} AS MATERIALIZED (
+      SELECT e.hub, CAST(SUM(a.av) AS BIGINT) AS raw
+      FROM edges e JOIN a{k} a ON a.auth = e.auth GROUP BY e.hub),
+    h{k} AS MATERIALIZED (
+      SELECT hub, CAST(raw * {_Q368_SCALE} // (SELECT MAX(raw) FROM hr{k})
+                       AS BIGINT) AS hv
+      FROM hr{k})""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT 'authority' AS role, CAST(auth AS BIGINT) AS node,
+           FLOOR(av * 1.0 / {_Q368_SCALE} * 1000000 + 0.5) / 1000000 AS score
+    FROM (SELECT auth, av,
+                 ROW_NUMBER() OVER (ORDER BY av DESC, auth) AS rn
+          FROM a{_Q368_ITERS}) WHERE rn <= {_Q368_TOPK}
+    UNION ALL
+    SELECT 'hub' AS role, CAST(hub AS BIGINT) AS node,
+           FLOOR(hv * 1.0 / {_Q368_SCALE} * 1000000 + 0.5) / 1000000 AS score
+    FROM (SELECT hub, hv,
+                 ROW_NUMBER() OVER (ORDER BY hv DESC, hub) AS rn
+          FROM h{_Q368_ITERS}) WHERE rn <= {_Q368_TOPK}
+    ORDER BY role, score DESC, node
+    """
+    )
+
+
+@register(
+    "q368_hits_hubs_authorities",
+    _q368_sql(),
+    doc="HITS (Kleinberg 1999) over the customer->part purchase "
+    "bipartite graph: authority = parts bought by strong hubs, hub = "
+    "customers buying strong authorities, 8 mutual-reinforcement "
+    "iterations. Every iteration runs in EXACT fixed-point arithmetic "
+    "— integer scores, integer sums along edges, max-normalization by "
+    "truncating integer division (the q350/q358 discipline) — so "
+    "unlike q123's documented-flaky float PageRank, the entire "
+    "iteration is hash-exact on both engines. Top-15 per role.",
+)
+def q368_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each iteration is one equi-join + aggregate over the
+    DISTINCT edge relation (bounded by customers x parts actually
+    traded) plus a 1-row max — the connected-components loop shape.
+    The Spark loop mirrors the oracle's unrolled CTEs; a
+    localCheckpoint at the end keeps the returned plan from embedding
+    8 copies of the edge subtree (q123 discipline)."""
+    from pyspark import StorageLevel
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("hub"), F.col("l_partkey").alias("auth"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    h = edges.select("hub").distinct().select(
+        "hub", F.lit(_Q368_SCALE).cast("long").alias("hv")
+    )
+    a = None
+    for _ in range(_Q368_ITERS):
+        ar = (
+            edges.join(h, "hub")
+            .groupBy("auth")
+            .agg(F.sum("hv").cast("long").alias("raw"))
+            # node-bounded; truncate lineage each half-step or the
+            # unrolled plan grows exponentially (analysis-time OOM —
+            # the connected_components checkpoint cadence)
+            .localCheckpoint(eager=True)
+        )
+        mx_a = ar.agg(F.max("raw").alias("mx"))
+        a = ar.crossJoin(F.broadcast(mx_a)).select(
+            "auth",
+            F.expr(f"CAST(raw * {_Q368_SCALE} div mx AS BIGINT)").alias("av"),
+        )
+        hr = (
+            edges.join(a, "auth")
+            .groupBy("hub")
+            .agg(F.sum("av").cast("long").alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        mx_h = hr.agg(F.max("raw").alias("mx"))
+        h = hr.crossJoin(F.broadcast(mx_h)).select(
+            "hub",
+            F.expr(f"CAST(raw * {_Q368_SCALE} div mx AS BIGINT)").alias("hv"),
+        )
+    wa = Window.orderBy(F.desc("av"), "auth")
+    wh = Window.orderBy(F.desc("hv"), "hub")
+    out_a = (
+        a.select(
+            F.lit("authority").alias("role"),
+            F.col("auth").cast("long").alias("node"),
+            round_half_up(F.col("av") * 1.0 / _Q368_SCALE, 6).alias("score"),
+            F.row_number().over(wa).alias("rn"),
+        )
+        .filter(F.col("rn") <= _Q368_TOPK)
+        .drop("rn")
+    )
+    out_h = (
+        h.select(
+            F.lit("hub").alias("role"),
+            F.col("hub").cast("long").alias("node"),
+            round_half_up(F.col("hv") * 1.0 / _Q368_SCALE, 6).alias("score"),
+            F.row_number().over(wh).alias("rn"),
+        )
+        .filter(F.col("rn") <= _Q368_TOPK)
+        .drop("rn")
+    )
+    out = (
+        out_a.unionByName(out_h)
+        .orderBy("role", F.desc("score"), "node")
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return out

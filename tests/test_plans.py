@@ -996,3 +996,20 @@ def test_q366_pair_folds_on_bounded_samples(spark):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastNestedLoopJoin") >= 3
+
+
+def test_q367_membership_joins_on_pair_keys(spark):
+    """Cochran's Q must build the union universe and attach detector
+    membership via pair-key equi-joins — no cartesian anywhere in the
+    three-detector composite."""
+    plan = _plan(spark, "q367_cochran_q")
+    assert "CartesianProduct" not in plan
+
+
+def test_q368_hits_iterations_are_checkpointed(spark):
+    """The returned HITS plan must be the bounded checkpointed result —
+    not 8 unrolled copies of the edge-mining subtree (the q123
+    materialize-before-fanout discipline)."""
+    plan = _plan(spark, "q368_hits_hubs_authorities")
+    assert "parquet" not in plan.lower()
+    assert plan.count("Scan ExistingRDD") <= 1
