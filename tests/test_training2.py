@@ -683,3 +683,1030 @@ def test_q337_zorder_skips_more_and_zone_maps_are_true(spark):
     assert out["zorder"]["chunks_scanned"] == scanned
     # the headline claim: z-order skips strictly more than insert order
     assert out["zorder"]["skip_frac"] > out["insert"]["skip_frac"]
+
+
+# ── session-3 additions (q338+) ──────────────────────────────────────────────
+
+
+def _events(spark):
+    from aws_datalake_platform_spark.catalog import load_table
+
+    return load_table(spark, SF_SMOKE, "events").collect()
+
+
+def test_q338_cuped_recompute(spark):
+    """theta, adjusted means and variance reduction recomputed from raw
+    per-user cents; CUPED must not move the pooled mean (the adjustment
+    is mean-zero across all users)."""
+    import math
+
+    out = {r["arm"]: r for r in QUERY_REGISTRY["q338_cuped_readout"].fn(spark, SF_SMOKE).collect()}
+    ev = _events(spark)
+    cut = __import__("datetime").datetime(2024, 1, 16)
+    per: dict[int, list[int]] = {}
+    for r in ev:
+        u = r["user_id"]
+        per.setdefault(u, [0, 0])
+        if r["event_type"] == "purchase":
+            c = math.floor(r["value"] * 100 + 0.5)
+            per[u][0 if r["ts"] < cut else 1] += c
+    xs = [v[0] for v in per.values()]
+    ys = [v[1] for v in per.values()]
+    n = len(xs)
+    cov = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    varx = n * sum(x * x for x in xs) - sum(xs) ** 2
+    theta = cov / varx
+    for arm in (0, 1):
+        got = out[arm]
+        ux = [v for u, v in per.items() if u % 2 == arm]
+        assert got["n_users"] == len(ux)
+        my = sum(v[1] for v in ux) / 100.0 / len(ux)
+        mx = sum(v[0] for v in ux) / 100.0 / len(ux)
+        assert abs(got["mean_post"] - my) < 1e-3
+        adj = my - theta * (mx - sum(xs) / 100.0 / n)
+        assert abs(got["mean_post_cuped"] - adj) < 1e-3
+        assert abs(got["theta"] - theta) < 1e-5
+    # weighted CUPED means recombine to the pooled mean
+    tot = sum(out[a]["n_users"] * out[a]["mean_post_cuped"] for a in (0, 1))
+    pooled = sum(ys) / 100.0
+    assert abs(tot - pooled) < 0.05
+
+
+def test_q339_theil_sen_recompute(spark):
+    out = QUERY_REGISTRY["q339_theil_sen_trend"].fn(spark, SF_SMOKE).collect()[0]
+    from collections import Counter
+
+    daily = Counter(r["ts"].date() for r in _events(spark))
+    d0 = min(daily)
+    pts = sorted(((d - d0).days, c) for d, c in daily.items())
+    slopes = sorted(
+        (c2 - c1) / (t2 - t1)
+        for i, (t1, c1) in enumerate(pts)
+        for t2, c2 in pts[i + 1 :]
+    )
+    m = len(slopes)
+    med = (slopes[(m - 1) // 2] + slopes[m // 2]) / 2
+    assert out["n_days"] == len(pts) and out["n_pairs"] == m
+    assert abs(out["theil_sen_slope"] - med) < 1e-4
+    n = len(pts)
+    sx = sum(t for t, _ in pts); sy = sum(c for _, c in pts)
+    sxx = sum(t * t for t, _ in pts); sxy = sum(t * c for t, c in pts)
+    assert abs(out["ols_slope"] - (n * sxy - sx * sy) / (n * sxx - sx * sx)) < 1e-4
+
+
+def test_q340_sgt_recompute(spark):
+    """Z_r smoothing and the log-log fit recomputed per language; the
+    SGT adjusted count must satisfy r* = (r+1)(1+1/r)^b exactly."""
+    import math
+    import re
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q340_good_turing_smoothing"].fn(spark, SF_SMOKE).collect()
+    assert out
+    docs = load_table(spark, SF_SMOKE, "documents").select("lang", "text").collect()
+    by_lang: dict[str, list] = {}
+    for row in out:
+        by_lang.setdefault(row["lang"], []).append(row)
+    for lang, rows in by_lang.items():
+        tf = Counter(
+            t
+            for r in docs
+            if r["lang"] == lang
+            for t in re.split(r"[^a-z]+", (r["text"] or "").lower())
+            if t
+        )
+        coc = Counter(tf.values())
+        rs = sorted(coc)
+        # rank-smoothed Zr and quantized log-log fit
+        zr = {}
+        for i, r in enumerate(rs):
+            q = rs[i - 1] if i > 0 else 0
+            t = rs[i + 1] if i + 1 < len(rs) else 2 * r - q
+            zr[r] = coc[r] / (0.5 * (t - q))
+        xi = {r: math.floor(math.log(r) * 1e6 + 0.5) for r in rs}
+        yi = {r: math.floor(math.log(zr[r]) * 1e6 + 0.5) for r in rs}
+        n = len(rs)
+        sx = sum(xi.values()); sy = sum(yi.values())
+        sxx = sum(v * v for v in xi.values())
+        sxy = sum(xi[r] * yi[r] for r in rs)
+        b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        for row in rows:
+            assert row["n_r"] == coc[row["r"]]
+            assert abs(row["z_r"] - zr[row["r"]]) < 1e-3
+            assert abs(row["b_slope"] - b) < 1e-5
+            r = row["r"]
+            assert abs(row["r_star_sgt"] - (r + 1) * math.exp(b * math.log((r + 1) / r))) < 1e-3
+
+
+def test_q341_llr_recompute(spark):
+    """G² of every reported bigram recomputed from the raw contingency
+    table; ordering is by G² descending."""
+    import math
+    import re
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q341_llr_collocations"].fn(spark, SF_SMOKE).collect()
+    assert out
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    tb: Counter = Counter()
+    for r in docs:
+        toks = [t for t in re.split(r"[^a-z]+", (r["text"] or "").lower()) if t]
+        tb.update(zip(toks, toks[1:]))
+    n = sum(tb.values())
+    r1 = Counter(); c1 = Counter()
+    for (a, b), c in tb.items():
+        r1[a] += c
+        c1[b] += c
+
+    def g2(a, b):
+        k11 = tb[(a, b)]; r = r1[a]; c = c1[b]
+        cells = [(k11, r, c), (r - k11, r, n - c), (c - k11, n - r, c),
+                 (n - r - c + k11, n - r, n - c)]
+        return 2.0 * sum(k * math.log(k * n / (rr * cc)) for k, rr, cc in cells if k > 0)
+
+    assert [row["g2"] for row in out] == sorted((row["g2"] for row in out), reverse=True)
+    for row in out:
+        assert row["k11"] == tb[(row["w1"], row["w2"])] >= 5
+        assert abs(row["g2"] - g2(row["w1"], row["w2"])) < 1e-2
+
+
+def test_q342_shrinkage_invariants(spark):
+    """Raw means recomputed from customer rows; every shrunk mean lies
+    between its raw cell mean and the segment grand mean, with weight
+    in [0, 1] and fatter cells shrunk less within a segment."""
+    import math
+    from collections import defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q342_shrunk_cell_means"].fn(spark, SF_SMOKE).collect()
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_mktsegment", "c_nationkey", "c_acctbal"
+    ).collect()
+    cells = defaultdict(list)
+    for r in cust:
+        cells[(r["c_mktsegment"], r["c_nationkey"])].append(
+            math.floor(r["c_acctbal"] * 100 + 0.5)
+        )
+    seg_mean = defaultdict(lambda: [0, 0])
+    for (s, _), v in cells.items():
+        seg_mean[s][0] += sum(v)
+        seg_mean[s][1] += len(v)
+    for row in out:
+        v = cells[(row["seg"], row["nat"])]
+        assert row["n_g"] == len(v)
+        assert abs(row["raw_mean"] - sum(v) / len(v) / 100) < 1e-3
+        gm = seg_mean[row["seg"]][0] / seg_mean[row["seg"]][1] / 100
+        assert 0.0 <= row["shrink_w"] <= 1.0
+        lo, hi = min(row["raw_mean"], gm), max(row["raw_mean"], gm)
+        # 1e-4 slack: shrunk_mean is half-up rounded at 4 decimals
+        assert lo - 1e-4 <= row["shrunk_mean"] <= hi + 1e-4
+
+
+def test_q343_simpson_recompute(spark):
+    """Stratum and aggregate risk differences recomputed from raw
+    lineitem counts; sign_agrees consistent with the recomputed signs."""
+    from collections import defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q343_simpson_paradox"].fn(spark, SF_SMOKE).collect()
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_shipdate", "l_discount", "l_quantity"
+    ).collect()
+    s = defaultdict(lambda: [0, 0, 0, 0])  # n_t, o_t, n_c, o_c
+    for r in li:
+        t = r["l_discount"] >= 0.05
+        o = r["l_quantity"] >= 26
+        e = s[r["l_shipdate"].month]
+        if t:
+            e[0] += 1
+            e[1] += o
+        else:
+            e[2] += 1
+            e[3] += o
+    gt = [sum(e[i] for e in s.values()) for i in range(4)]
+    da = gt[1] / gt[0] - gt[3] / gt[2]
+    for row in out:
+        e = s[row["stratum"]]
+        ds = e[1] / e[0] - e[3] / e[2]
+        assert row["n_rows"] == e[0] + e[2]
+        assert abs(row["diff_stratum"] - ds) < 1e-4
+        assert abs(row["diff_aggregate"] - da) < 1e-4
+        assert row["sign_agrees"] == (0 if ds * da < 0 else 1)
+
+
+def test_q344_kendall_recompute(spark):
+    """tau-b recomputed by brute-force pair comparison of the per-nation
+    metrics."""
+    import math
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q344_kendall_tau"].fn(spark, SF_SMOKE).collect()[0]
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_nationkey").collect()
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_custkey", "o_totalprice").collect()
+    nat = {r["c_custkey"]: r["c_nationkey"] for r in cust}
+    m: dict[int, list[int]] = {}
+    seen: dict[int, set] = {}
+    for r in orders:
+        nk = nat[r["o_custkey"]]
+        m.setdefault(nk, [0, 0])
+        m[nk][0] += math.floor(r["o_totalprice"] * 100 + 0.5)
+        seen.setdefault(nk, set()).add(r["o_custkey"])
+    pts = sorted((k, v[0], len(seen[k])) for k, v in m.items())
+    conc = disc = tx = ty = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dx = pts[i][1] - pts[j][1]
+            dy = pts[i][2] - pts[j][2]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+    n0 = len(pts) * (len(pts) - 1) // 2
+    assert out["n_items"] == len(pts) and out["n_pairs"] == n0
+    assert out["concordant"] == conc and out["discordant"] == disc
+    assert out["tied_x"] == tx and out["tied_y"] == ty
+    assert abs(out["tau_b"] - (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))) < 1e-5
+
+
+def test_q345_fd_recompute(spark):
+    """g3 repair error recomputed for every candidate from raw rows —
+    min deletions = rows minus the per-group modal count."""
+    from collections import Counter, defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.plans.training2 import _Q345_CANDIDATES
+
+    out = {r["fd"]: r for r in QUERY_REGISTRY["q345_fd_discovery_audit"].fn(spark, SF_SMOKE).collect()}
+    assert len(out) == len(_Q345_CANDIDATES)
+    for table, lhs, rhs in _Q345_CANDIDATES:
+        rows = load_table(spark, SF_SMOKE, table).select(lhs, rhs).collect()
+        groups: dict = defaultdict(Counter)
+        for r in rows:
+            groups[r[lhs]][r[rhs]] += 1
+        got = out[f"{table}.{lhs}->{rhs}"]
+        assert got["lhs_groups"] == len(groups)
+        assert got["violating_groups"] == sum(1 for c in groups.values() if len(c) > 1)
+        repair = sum(sum(c.values()) - max(c.values()) for c in groups.values())
+        assert got["repair_rows"] == repair
+        assert got["n_rows"] == len(rows)
+        assert got["holds"] == (1 if got["violating_groups"] == 0 else 0)
+        assert abs(got["g3_error"] - repair / len(rows)) < 1e-5
+
+
+def test_q346_cochran_armitage_recompute(spark):
+    """Trend statistic and z recomputed from raw (level, outcome) rows."""
+    import math
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q346_cochran_armitage_trend"].fn(spark, SF_SMOKE).collect()[0]
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_discount", "l_returnflag").collect()
+    pts = [(math.floor(r["l_discount"] * 100 + 0.5), 1 if r["l_returnflag"] == "R" else 0) for r in li]
+    n = len(pts)
+    rr = sum(y for _, y in pts)
+    sns = sum(s for s, _ in pts)
+    srs = sum(s * y for s, y in pts)
+    snss = sum(s * s for s, _ in pts)
+    t = srs - rr * sns / n
+    p = rr / n
+    z = t / math.sqrt(p * (1 - p) * (snss - sns * sns / n))
+    assert out["n_rows"] == n and out["n_events"] == rr
+    assert out["n_levels"] == len({s for s, _ in pts})
+    assert abs(out["trend_t"] - t) < 1e-3
+    assert abs(out["z_stat"] - z) < 1e-4
+
+
+def test_q347_qte_recompute(spark):
+    """Per-arm deciles recomputed as exact order statistics
+    (percentile_disc semantics: first value with cumdist >= p)."""
+    import math
+
+    out = QUERY_REGISTRY["q347_quantile_treatment_effect"].fn(spark, SF_SMOKE).collect()
+    per: dict[int, int] = {}
+    for r in _events(spark):
+        per.setdefault(r["user_id"], 0)
+        if r["event_type"] == "purchase":
+            per[r["user_id"]] += math.floor(r["value"] * 100 + 0.5)
+    arms = {a: sorted(v for u, v in per.items() if u % 2 == a) for a in (0, 1)}
+
+    def pdisc(vals, p):
+        k = math.ceil(p * len(vals))
+        return vals[max(k, 1) - 1]
+
+    assert len(out) == 9
+    for row in out:
+        d = row["decile"] / 10
+        assert row["q_treated_cents"] == pdisc(arms[1], d)
+        assert row["q_control_cents"] == pdisc(arms[0], d)
+        assert row["qte_cents"] == row["q_treated_cents"] - row["q_control_cents"]
+
+
+def test_q348_decompose_recompute(spark):
+    """Trend/seasonal/remainder recomputed; the decomposition must add
+    back to the observed volume (trend + seasonal + remainder = v)."""
+    from collections import Counter, defaultdict
+
+    out = QUERY_REGISTRY["q348_seasonal_decompose"].fn(spark, SF_SMOKE).collect()
+    daily = Counter(r["ts"].date() for r in _events(spark))
+    d0 = min(daily)
+    pts = sorted(((d - d0).days, c) for d, c in daily.items())
+    vol = dict(pts)
+    trend = {}
+    for i in range(3, len(pts) - 3):
+        t = pts[i][0]
+        window = [pts[j][1] for j in range(i - 3, i + 4)]
+        trend[t] = sum(window) / 7.0
+    det = defaultdict(list)
+    for t, tr in trend.items():
+        det[t % 7].append(vol[t] - tr)
+    seas = {wd: sum(v) / len(v) for wd, v in det.items()}
+    for row in out:
+        t = row["day_idx"]
+        assert row["volume"] == vol[t]
+        assert abs(row["trend"] - trend[t]) < 1e-3
+        assert abs(row["seasonal"] - seas[t % 7]) < 1e-2
+        assert abs(
+            row["trend"] + row["seasonal"] + row["remainder"] - row["volume"]
+        ) < 2e-2
+
+
+def test_q349_agreement_recompute(spark):
+    """ARI and B-cubed recomputed from the two partitions built
+    independently (sklearn-free pair counting)."""
+    import hashlib
+    import re
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q349_cluster_agreement"].fn(spark, SF_SMOKE).collect()[0]
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    truth: dict[str, list[int]] = {}
+    for r in docs:
+        norm = re.sub(r" +", " ", re.sub(r"[^a-z0-9]+", " ", (r["text"] or "").lower())).strip()
+        truth.setdefault(hashlib.md5(norm.encode()).hexdigest(), []).append(r["doc_id"])
+    lt = {d: min(v) for v in truth.values() for d in v}
+    cl = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERY_REGISTRY["q68_dup_clusters"].fn(spark, SF_SMOKE).collect()
+    }
+    lp = {r["doc_id"]: cl.get(r["doc_id"], r["doc_id"]) for r in docs}
+    from collections import Counter
+
+    cont = Counter((lp[d], lt[d]) for d in lp)
+    a = Counter(); b = Counter()
+    for (x, y), n in cont.items():
+        a[x] += n
+        b[y] += n
+    n = sum(cont.values())
+    sij = sum(v * (v - 1) // 2 for v in cont.values())
+    sa = sum(v * (v - 1) // 2 for v in a.values())
+    sb = sum(v * (v - 1) // 2 for v in b.values())
+    exp = sa * sb / (n * (n - 1) / 2)
+    ari = (sij - exp) / ((sa + sb) / 2 - exp)
+    p3 = sum(v * v / a[x] for (x, _), v in cont.items()) / n
+    r3 = sum(v * v / b[y] for (_, y), v in cont.items()) / n
+    assert out["n_docs"] == n
+    assert out["k_pred"] == len(a) and out["k_true"] == len(b)
+    assert abs(out["ari"] - ari) < 1e-4
+    assert abs(out["b3_precision"] - p3) < 1e-4
+    assert abs(out["b3_recall"] - r3) < 1e-4
+    assert abs(out["b3_f1"] - 2 * p3 * r3 / (p3 + r3)) < 1e-4
+
+
+def test_q350_markov_recompute(spark):
+    """Removal effects recomputed with an independent float value
+    iteration (no fixed-point quantization) — results must agree to
+    the quantization error; attribution sums to 1."""
+    out = {r["channel"]: r for r in QUERY_REGISTRY["q350_markov_attribution"].fn(spark, SF_SMOKE).collect()}
+    ev = sorted(_events(spark), key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    from collections import Counter, defaultdict
+
+    journeys = defaultdict(list)
+    for r in ev:
+        journeys[r["user_id"]].append(r["event_type"])
+    edges: Counter = Counter()
+    for seq in journeys.values():
+        cut = seq.index("purchase") + 1 if "purchase" in seq else len(seq)
+        states = ["S"] + ["CONV" if t == "purchase" else t for t in seq[:cut]]
+        if "purchase" not in seq:
+            states.append("NULL")
+        edges.update(zip(states, states[1:]))
+    tot: Counter = Counter()
+    for (f, _), c in edges.items():
+        tot[f] += c
+
+    def absorb(removed):
+        es = {(f, "NULL" if t == removed else t): c for (f, t), c in edges.items() if f != removed}
+        states = sorted({f for f, _ in es})
+        p = {v: 0.0 for v in states}
+        for _ in range(12):
+            p = {
+                v: sum(
+                    c * (1.0 if t == "CONV" else 0.0 if t == "NULL" else p.get(t, 0.0))
+                    for (f, t), c in es.items()
+                    if f == v
+                )
+                / tot[v]
+                for v in states
+            }
+        return p.get("S", 0.0)
+
+    base = absorb(None)
+    effs = {c: (base - absorb(c)) / base for c in out}
+    tot_eff = sum(base - absorb(c) for c in out)
+    assert abs(sum(r["attribution"] for r in out.values()) - 1.0) < 1e-3
+    for c, row in out.items():
+        assert abs(row["base_conv_p"] - base) < 1e-4
+        assert abs(row["removal_effect"] - effs[c]) < 1e-3
+        assert abs(row["attribution"] - (base - absorb(c)) / (tot_eff / 1)) < 1e-3
+
+
+def test_q351_holt_recompute(spark):
+    """Level/trend recurrence replayed in floats; fitted + residual must
+    reconstruct the observed volume exactly."""
+    from collections import Counter
+
+    out = QUERY_REGISTRY["q351_holt_linear"].fn(spark, SF_SMOKE).collect()
+    daily = Counter(r["ts"].date() for r in _events(spark))
+    d0 = min(daily)
+    pts = sorted(((d - d0).days, c) for d, c in daily.items())
+    l = float(pts[0][1]); b = float(pts[1][1] - pts[0][1])
+    by_seq = {r["day_seq"]: r for r in out}
+    for rn in range(2, len(pts) + 1):
+        v = pts[rn - 1][1]
+        fit = l + b
+        lp = l
+        l = (v + l + b) / 2
+        b = ((l - lp) + b) / 2
+        row = by_seq[rn]
+        assert row["volume"] == v
+        assert abs(row["fitted"] - fit) < 1e-2
+        assert abs(row["level"] - l) < 1e-2
+        assert abs(row["trend"] - b) < 1e-2
+        assert abs(row["fitted"] + row["residual"] - row["volume"]) < 2e-4
+
+
+def test_q352_isotonic_recompute(spark):
+    """The minimax output must equal classic sequential PAVA pooling on
+    the same buckets, and be nondecreasing."""
+    out = QUERY_REGISTRY["q352_isotonic_calibration"].fn(spark, SF_SMOKE).collect()
+    rates = [r["iso_rate"] for r in out]
+    assert rates == sorted(rates)
+    # classic PAVA on (n, y) from the reported buckets
+    blocks = [[r["n_docs"], r["obs_rate"] * r["n_docs"]] for r in out]
+    i = 0
+    pooled = [list(b) for b in blocks]
+    while i < len(pooled) - 1:
+        if pooled[i][1] / pooled[i][0] > pooled[i + 1][1] / pooled[i + 1][0] + 1e-12:
+            pooled[i][0] += pooled[i + 1][0]
+            pooled[i][1] += pooled[i + 1][1]
+            del pooled[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    # expand pooled blocks back over buckets
+    expanded = []
+    for n, y in pooled:
+        m = 0
+        acc = 0
+        while acc < n:
+            acc += out[len(expanded)]["n_docs"]
+            expanded.append(y / n)
+            m += 1
+    for r, f in zip(out, expanded):
+        assert abs(r["iso_rate"] - f) < 1e-3, (r["bucket"], r["iso_rate"], f)
+
+
+def test_q353_logrank_recompute(spark):
+    """O-E, variance and z recomputed from raw order gaps."""
+    import math
+    from collections import defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q353_logrank_test"].fn(spark, SF_SMOKE).collect()[0]
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    ).collect()
+    mx = max(r["o_orderdate"] for r in orders)
+    per = defaultdict(list)
+    for r in orders:
+        per[r["o_custkey"]].append(r)
+    subj = []
+    for rows in per.values():
+        rows.sort(key=lambda r: (r["o_orderdate"], r["o_orderkey"]))
+        for i, r in enumerate(rows):
+            nxt = rows[i + 1]["o_orderdate"] if i + 1 < len(rows) else None
+            t = ((nxt or mx) - r["o_orderdate"]).days // 7
+            ev = 1 if nxt is not None else 0
+            g = 1 if r["o_orderpriority"] in ("1-URGENT", "2-HIGH") else 0
+            subj.append((t, ev, g))
+    times = sorted({t for t, _, _ in subj})
+    n1 = sum(1 for _, _, g in subj if g == 1)
+    n0 = len(subj) - n1
+    oe = var = e1s = e0s = d1s = d0s = 0.0
+    r1, r0 = n1, n0
+    for t in times:
+        d1 = sum(1 for tt, ev, g in subj if tt == t and ev and g)
+        d0 = sum(1 for tt, ev, g in subj if tt == t and ev and not g)
+        c1 = sum(1 for tt, ev, g in subj if tt == t and not ev and g)
+        c0 = sum(1 for tt, ev, g in subj if tt == t and not ev and not g)
+        d, nn = d1 + d0, r1 + r0
+        if d > 0:
+            e1 = d * r1 / nn
+            oe += d1 - e1
+            e1s += e1
+            e0s += d * r0 / nn
+            d1s += d1
+            d0s += d0
+            if nn > 1:
+                var += d * r1 / nn * r0 / nn * (nn - d) / (nn - 1)
+        r1 -= d1 + c1
+        r0 -= d0 + c0
+    assert out["n_urgent"] == n1 and out["n_other"] == n0
+    assert out["events_urgent"] == d1s and out["events_other"] == d0s
+    assert abs(out["observed_minus_expected"] - oe) < 1e-2
+    assert abs(out["variance"] - var) < 1e-2
+    assert abs(out["z_stat"] - oe / math.sqrt(var)) < 1e-4
+    assert abs(out["hazard_ratio"] - (d1s / e1s) / (d0s / e0s)) < 1e-4
+
+
+def test_q354_capture_recapture_recompute(spark):
+    """Chapman estimator recomputed from the two pair sets; the
+    estimate can never fall below the observed union."""
+    import math
+
+    out = QUERY_REGISTRY["q354_dup_capture_recapture"].fn(spark, SF_SMOKE).collect()[0]
+    a = {(r["doc_a"], r["doc_b"]) for r in QUERY_REGISTRY["q24_minhash_lsh_dedup"].fn(spark, SF_SMOKE).collect()}
+    b = {(r["doc_a"], r["doc_b"]) for r in QUERY_REGISTRY["q25_simhash_dedup"].fn(spark, SF_SMOKE).collect()}
+    n1, n2, m = len(a), len(b), len(a & b)
+    chap = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    assert out["minhash_pairs"] == n1 and out["simhash_pairs"] == n2
+    assert out["both_pairs"] == m and out["union_pairs"] == len(a | b)
+    assert abs(out["chapman_estimate"] - chap) < 1e-2
+    assert abs(out["undetected_estimate"] - (chap - len(a | b))) < 1e-2
+    se = math.sqrt((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m) / ((m + 1) ** 2 * (m + 2)))
+    assert abs(out["std_error"] - se) < 1e-2
+    assert out["chapman_estimate"] >= out["union_pairs"] - 1e-9 or m == min(n1, n2)
+
+
+def test_q355_price_index_recompute(spark):
+    """Laspeyres/Paasche recomputed from raw per-(part, month) sums;
+    Fisher is their geometric mean and lies between them."""
+    import math
+    from collections import defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q355_price_index"].fn(spark, SF_SMOKE).collect()
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"
+    ).collect()
+    pm = defaultdict(lambda: [0, 0])
+    for r in li:
+        e = pm[(r["l_partkey"], r["l_shipdate"].month)]
+        e[0] += math.floor(r["l_extendedprice"] * 100 + 0.5)
+        e[1] += math.floor(r["l_quantity"] + 0.5)
+    base = {p: v for (p, mth), v in pm.items() if mth == 1}
+    for row in out:
+        mth = row["month"]
+        ln = ld = pn = pd_ = 0.0
+        k = 0
+        for (p, m2), v in pm.items():
+            if m2 != mth or p not in base:
+                continue
+            k += 1
+            p_cur = v[0] / v[1]
+            p_0 = base[p][0] / base[p][1]
+            ln += p_cur * base[p][1]
+            ld += p_0 * base[p][1]
+            pn += p_cur * v[1]
+            pd_ += p_0 * v[1]
+        assert row["n_common_parts"] == k
+        assert abs(row["laspeyres"] - ln / ld) < 1e-4
+        assert abs(row["paasche"] - pn / pd_) < 1e-4
+        assert abs(row["fisher"] - math.sqrt(row["laspeyres"] * row["paasche"])) < 1e-4
+        lo, hi = sorted((row["laspeyres"], row["paasche"]))
+        assert lo - 1e-9 <= row["fisher"] <= hi + 1e-9
+
+
+def test_q356_kruskal_recompute(spark):
+    """H recomputed from scipy-free midranks over the raw values."""
+    import math
+    from collections import Counter, defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q356_kruskal_wallis"].fn(spark, SF_SMOKE).collect()[0]
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    vals = [(r["o_orderpriority"], math.floor(r["o_totalprice"] * 100 + 0.5)) for r in orders]
+    hist = Counter(v for _, v in vals)
+    rank = {}
+    cum = 0
+    for v in sorted(hist):
+        rank[v] = cum + (hist[v] + 1) / 2
+        cum += hist[v]
+    groups = defaultdict(list)
+    for g, v in vals:
+        groups[g].append(rank[v])
+    n = len(vals)
+    h = 12 / (n * (n + 1)) * sum(sum(rs) ** 2 / len(rs) for rs in groups.values()) - 3 * (n + 1)
+    corr = 1 - sum(c ** 3 - c for c in hist.values()) / (n ** 3 - n)
+    assert out["n_rows"] == n and out["n_groups"] == len(groups)
+    assert abs(out["h_stat"] - h) < 1e-2
+    assert abs(out["tie_correction"] - corr) < 1e-6
+    assert abs(out["h_corrected"] - h / corr) < 1e-2
+
+
+def test_q357_negbin_recompute(spark):
+    """Moments with zeros recomputed; NB r/p only when overdispersed."""
+    from collections import Counter
+
+    out = {r["event_type"]: r for r in QUERY_REGISTRY["q357_negbin_overdispersion"].fn(spark, SF_SMOKE).collect()}
+    ev = _events(spark)
+    users = {r["user_id"] for r in ev}
+    n = len(users)
+    for et, row in out.items():
+        c = Counter(r["user_id"] for r in ev if r["event_type"] == et)
+        m = sum(c.values()) / n
+        var = (sum(v * v for v in c.values()) - sum(c.values()) ** 2 / n) / n
+        assert row["n_users"] == n and row["active_users"] == len(c)
+        assert abs(row["mean_c"] - m) < 1e-4
+        assert abs(row["var_c"] - var) < 1e-4
+        assert abs(row["zero_frac"] - (n - len(c)) / n) < 1e-5
+        if var > m:
+            assert abs(row["nb_r"] - m * m / (var - m)) < 1e-3
+            assert abs(row["nb_p"] - m / var) < 1e-4
+        else:
+            assert row["nb_r"] is None and row["nb_p"] is None
+
+
+def test_q358_viterbi_recompute(spark):
+    """The reported state path must be the EXACT argmin of the integer
+    DP replayed independently, including tie conventions."""
+    from collections import Counter
+
+    out = QUERY_REGISTRY["q358_burst_viterbi"].fn(spark, SF_SMOKE).collect()
+    daily = Counter(r["ts"].date() for r in _events(spark))
+    d0 = min(daily)
+    pts = sorted(((d - d0).days, c) for d, c in daily.items())
+    import math
+
+    n = len(pts)
+    lam0 = sum(c for _, c in pts) / n
+    l0q = math.floor(lam0 * 1e6 + 0.5)
+    l1q = math.floor(lam0 * 1.15 * 1e6 + 0.5)
+    ln0 = math.floor(math.log(lam0) * 1e6 + 0.5)
+    ln1 = math.floor(math.log(lam0 * 1.15) * 1e6 + 0.5)
+    g = 1_000_000
+    fw = []
+    for i, (_, v) in enumerate(pts):
+        c0 = -(v * ln0 - l0q)
+        c1 = -(v * ln1 - l1q)
+        if i == 0:
+            fw.append((c0, c1 + g, 0, 0))
+        else:
+            s0p, s1p = fw[-1][0], fw[-1][1]
+            b0 = 0 if s0p <= s1p else 1
+            b1 = 1 if s1p <= s0p + g else 0
+            fw.append(((s0p if b0 == 0 else s1p) + c0,
+                       (s1p if b1 == 1 else s0p + g) + c1, b0, b1))
+    states = [0] * n
+    states[-1] = 0 if fw[-1][0] <= fw[-1][1] else 1
+    for i in range(n - 1, 0, -1):
+        states[i - 1] = fw[i][2] if states[i] == 0 else fw[i][3]
+    got = {r["day_seq"]: r for r in out}
+    assert len(got) == n
+    for i in range(n):
+        assert got[i + 1]["burst_state"] == states[i]
+        assert got[i + 1]["volume"] == pts[i][1]
+
+
+def test_q359_patterns_recompute(spark):
+    """Subsequence supports recomputed by literal subsequence matching
+    over raw per-user sequences."""
+    from collections import defaultdict
+
+    out = QUERY_REGISTRY["q359_sequential_patterns"].fn(spark, SF_SMOKE).collect()
+    seqs = defaultdict(list)
+    for r in sorted(_events(spark), key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        seqs[r["user_id"]].append(r["event_type"])
+
+    def supports(seq, pat):
+        i = 0
+        for t in seq:
+            if t == pat[i]:
+                i += 1
+                if i == len(pat):
+                    return True
+        return False
+
+    for row in out:
+        pat = row["pattern"].split(">")
+        assert row["length"] == len(pat)
+        sup = sum(1 for s in seqs.values() if supports(s, pat))
+        assert row["support"] == sup
+        if row["length"] == 2:
+            cop = sum(1 for s in seqs.values() if set(pat) <= set(s))
+            assert row["n_copresent"] == cop
+            assert abs(row["order_share"] - sup / cop) < 1e-5
+
+
+def test_q360_design_effect_recompute(spark):
+    """SRS vs post-stratified variance recomputed from raw strata."""
+    import math
+
+    out = QUERY_REGISTRY["q360_poststrat_design_effect"].fn(spark, SF_SMOKE).collect()[0]
+    per = {}
+    for r in _events(spark):
+        e = per.setdefault(r["user_id"], [0, 0])
+        e[0] += 1
+        if r["event_type"] == "purchase":
+            e[1] += math.floor(r["value"] * 100 + 0.5)
+    users = sorted(per.items(), key=lambda kv: (kv[1][0], kv[0]))
+    n = len(users)
+    ys = [1 if v[1] >= 60_000 else 0 for _, v in users]
+    # NTILE(10) over (n_events, user_id)
+    strata = [[] for _ in range(10)]
+    base, extra = divmod(n, 10)
+    idx = 0
+    for h in range(10):
+        size = base + (1 if h < extra else 0)
+        for _ in range(size):
+            strata[h].append(ys[idx])
+            idx += 1
+    p = sum(ys) / n
+    var_srs = p * (1 - p) / n
+    var_post = sum(
+        (len(s) / n) ** 2 * (sum(s) / len(s)) * (1 - sum(s) / len(s)) / len(s)
+        for s in strata
+    )
+    assert out["n_users"] == n
+    assert abs(out["p_hat"] - p) < 1e-5
+    assert abs(out["var_srs"] - var_srs) < 1e-8
+    assert abs(out["var_post"] - var_post) < 1e-8
+    assert abs(out["design_effect"] - var_post / var_srs) < 1e-3
+    assert abs(out["effective_n"] - n / (var_post / var_srs)) < 0.5
+
+
+def test_q361_effect_sizes_recompute(spark):
+    """d, g, Cliff's delta and AUC recomputed by brute-force pair
+    comparison over the raw two-group values."""
+    import math
+    import statistics
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q361_effect_sizes"].fn(spark, SF_SMOKE).collect()[0]
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderpriority", "o_totalprice").collect()
+    a = [math.floor(r["o_totalprice"] * 100 + 0.5) for r in orders if r["o_orderpriority"] == "1-URGENT"]
+    b = [math.floor(r["o_totalprice"] * 100 + 0.5) for r in orders if r["o_orderpriority"] == "5-LOW"]
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    eq = len(a) * len(b) - gt - lt
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    assert abs(out["cliffs_delta"] - (gt - lt) / (len(a) * len(b))) < 1e-5
+    assert abs(out["auc"] - (gt + eq / 2) / (len(a) * len(b))) < 1e-5
+    ma, mb = statistics.mean(a) / 100, statistics.mean(b) / 100
+    va, vb = statistics.variance(a) / 1e4, statistics.variance(b) / 1e4
+    sp = math.sqrt(((len(a) - 1) * va + (len(b) - 1) * vb) / (len(a) + len(b) - 2))
+    d = (ma - mb) / sp
+    assert abs(out["cohens_d"] - d) < 1e-4
+    assert abs(out["hedges_g"] - d * (1 - 3 / (4 * (len(a) + len(b)) - 9))) < 1e-4
+
+
+def test_q362_bh_recompute(spark):
+    """Welch z and A-S p-values recomputed; the BH step-up cutoff must
+    equal the textbook max{k: p_(k) <= kq/m} rule, and p-values must
+    match scipy-free A&S within its documented 7.5e-8 error."""
+    import math
+
+    out = QUERY_REGISTRY["q362_bh_fdr"].fn(spark, SF_SMOKE).collect()
+    m = len(out)
+    ps = [r["p_value"] for r in out]
+    assert ps == sorted(ps)
+    kstar = max((r["p_rank"] for r in out if r["p_value"] <= r["p_rank"] * 0.10 / m), default=0)
+    for r in out:
+        assert r["significant"] == (1 if r["p_rank"] <= kstar else 0)
+        # A-S normal tail recompute from the reported z
+        az = abs(r["z_stat"])
+        t = 1 / (1 + 0.2316419 * az)
+        phi = math.exp(-az * az / 2) / math.sqrt(2 * math.pi)
+        p = 2 * phi * t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))))
+        assert abs(r["p_value"] - p) < 1e-5
+        assert 0.0 <= r["p_value"] <= 1.0 + 1e-9
+
+
+def test_q363_permutation_recompute(spark):
+    """The observed statistic recomputed from raw arms; p confined to
+    its exact attainable grid 1/(B+1)..1."""
+    import math
+
+    out = QUERY_REGISTRY["q363_permutation_test"].fn(spark, SF_SMOKE).collect()[0]
+    per = {}
+    for r in _events(spark):
+        per.setdefault(r["user_id"], 0)
+        if r["event_type"] == "purchase":
+            per[r["user_id"]] += math.floor(r["value"] * 100 + 0.5)
+    a1 = [v for u, v in per.items() if u % 2 == 1]
+    a0 = [v for u, v in per.items() if u % 2 == 0]
+    t_obs = (sum(a1) / len(a1) - sum(a0) / len(a0)) / 100
+    assert out["n_users"] == len(per)
+    assert abs(out["observed_diff"] - t_obs) < 1e-3
+    b = out["n_permutations"]
+    assert 0 < b <= 128
+    assert abs(out["p_value"] - (1 + out["n_extreme"]) / (b + 1)) < 1e-5
+
+
+def test_q364_nb_recompute(spark):
+    """The classifier replayed in pure Python (Counter likelihoods,
+    argmax with the lang tie-break) must produce the identical
+    confusion matrix."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = {(r["actual"], r["predicted"]): r["n_docs"] for r in QUERY_REGISTRY["q364_naive_bayes_langid"].fn(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text").collect()
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z]+", (t or "").lower()) if w]
+
+    tc = defaultdict(Counter)
+    nl = Counter()
+    for r in docs:
+        if r["doc_id"] % 5 != 0:
+            tc[r["lang"]].update(toks(r["text"]))
+            nl[r["lang"]] += 1
+    vocab = {w for c in tc.values() for w in c}
+    v = len(vocab)
+    tot = {lg: sum(c.values()) for lg, c in tc.items()}
+    n_train = sum(nl.values())
+    lnq = {
+        (lg, w): math.floor(math.log((c + 1) / (tot[lg] + v)) * 1e6 + 0.5)
+        for lg, cc in tc.items()
+        for w, c in cc.items()
+    }
+    lnq0 = {lg: math.floor(math.log(1 / (tot[lg] + v)) * 1e6 + 0.5) for lg in tc}
+    prq = {lg: math.floor(math.log(nl[lg] / n_train) * 1e6 + 0.5) for lg in nl}
+    conf = Counter()
+    for r in docs:
+        if r["doc_id"] % 5 != 0:
+            continue
+        cnt = Counter(toks(r["text"]))
+        scores = {
+            lg: prq[lg] + sum(c * lnq.get((lg, w), lnq0[lg]) for w, c in cnt.items())
+            for lg in tc
+        }
+        pred = min(scores, key=lambda lg: (-scores[lg], lg))
+        conf[(r["lang"], pred)] += 1
+    assert dict(conf) == {k: v for k, v in out.items()}
+
+
+def test_q365_stump_recompute(spark):
+    """The best split recomputed by exhaustive threshold scan per
+    feature."""
+    import math
+    from collections import defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = {r["feature"]: r for r in QUERY_REGISTRY["q365_decision_stump"].fn(spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_discount", "l_quantity", "l_returnflag"
+    ).collect()
+    for feat, key in [
+        ("discount_cents", lambda r: math.floor(r["l_discount"] * 100 + 0.5)),
+        ("quantity", lambda r: math.floor(r["l_quantity"] + 0.5)),
+    ]:
+        h = defaultdict(lambda: [0, 0])
+        for r in li:
+            e = h[key(r)]
+            e[0] += 1
+            e[1] += 1 if r["l_returnflag"] == "R" else 0
+        vals = sorted(h)
+        n = sum(e[0] for e in h.values())
+        y = sum(e[1] for e in h.values())
+        best = None
+        nl = yl = 0
+        for v in vals[:-1]:
+            nl += h[v][0]
+            yl += h[v][1]
+            nr, yr = n - nl, y - yl
+            g = 2 * (yl * (nl - yl) / nl + yr * (nr - yr) / nr) / n
+            if best is None or g < best[0] - 1e-12:
+                best = (g, v)
+        got = out[feat]
+        assert got["best_threshold"] == best[1]
+        assert abs(got["gini_split"] - best[0]) < 1e-4
+        g0 = 2 * y * (n - y) / (n * n)
+        assert abs(got["gini_root"] - g0) < 1e-4
+        assert abs(got["gini_gain"] - (g0 - best[0])) < 1e-4
+
+
+def test_q366_energy_recompute(spark):
+    """Energy distance recomputed with numpy over the same deterministic
+    samples; non-negativity of the statistic."""
+    import numpy as np
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q366_energy_distance"].fn(spark, SF_SMOKE).collect()[0]
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding", "label").collect()
+
+    def grp(lbl):
+        rows = sorted((r for r in emb if r["label"] == lbl), key=lambda r: r["vec_id"])[:64]
+        return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    xa, xb = grp(0), grp(1)
+
+    def mean_cross(x, y):
+        s = 0.0
+        for i in range(len(x)):
+            for j in range(len(y)):
+                s += float(np.sqrt(((x[i] - y[j]) ** 2).sum()))
+        return s / (len(x) * len(y))
+
+    mc = mean_cross(xa, xb)
+    ma = mean_cross(xa, xa)
+    mb = mean_cross(xb, xb)
+    assert out["n_a"] == len(xa) and out["n_b"] == len(xb)
+    assert abs(out["mean_cross"] - mc) < 1e-3
+    assert abs(out["mean_within_a"] - ma) < 1e-3
+    assert abs(out["mean_within_b"] - mb) < 1e-3
+    assert abs(out["energy_distance"] - (2 * mc - ma - mb)) < 1e-3
+    assert out["energy_distance"] >= -1e-6
+
+
+def test_q367_cochran_q_recompute(spark):
+    """Q recomputed from the three pair sets; degenerate collapse
+    guarded."""
+    out = QUERY_REGISTRY["q367_cochran_q"].fn(spark, SF_SMOKE).collect()[0]
+    sets = [
+        {(r["doc_a"], r["doc_b"]) for r in QUERY_REGISTRY[q].fn(spark, SF_SMOKE).collect()}
+        for q in ("q24_minhash_lsh_dedup", "q25_simhash_dedup", "q23_ngram_jaccard_dedup")
+    ]
+    uni = set().union(*sets)
+    g = [len(s) for s in sets]
+    ls = [sum(1 for s in sets if p in s) for p in uni]
+    sl, sl2 = sum(ls), sum(l * l for l in ls)
+    assert out["n_pairs_union"] == len(uni)
+    assert [out["minhash_hits"], out["simhash_hits"], out["ngram_hits"]] == g
+    den = 3 * sl - sl2
+    if den > 0:
+        q = 3 * 2 * (3 * sum(x * x for x in g) - sl * sl) / den
+        assert abs(out["cochran_q"] - q) < 1e-3
+    else:
+        assert out["cochran_q"] is None
+
+
+def test_q368_hits_recompute(spark):
+    """The fixed-point iteration replayed in exact Python integers must
+    reproduce every reported score; scores normalized to [0, 1] with
+    at least one exact 1.0 per role."""
+    from collections import defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q368_hits_hubs_authorities"].fn(spark, SF_SMOKE).collect()
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey").collect()
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey").collect()
+    cust = {r["o_orderkey"]: r["o_custkey"] for r in orders}
+    edges = {(cust[r["l_orderkey"]], r["l_partkey"]) for r in li if r["l_orderkey"] in cust}
+    S = 1_000_000
+    h = {u: S for u, _ in edges}
+    for _ in range(8):
+        a_raw = defaultdict(int)
+        for u, p in edges:
+            a_raw[p] += h[u]
+        mx = max(a_raw.values())
+        a = {p: v * S // mx for p, v in a_raw.items()}
+        h_raw = defaultdict(int)
+        for u, p in edges:
+            h_raw[u] += a[p]
+        mx = max(h_raw.values())
+        h = {u: v * S // mx for u, v in h_raw.items()}
+    top_a = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    top_h = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got_a = [(r["node"], r["score"]) for r in out if r["role"] == "authority"]
+    got_h = [(r["node"], r["score"]) for r in out if r["role"] == "hub"]
+    assert [n for n, _ in got_a] == [n for n, _ in top_a]
+    assert [n for n, _ in got_h] == [n for n, _ in top_h]
+    for (node, score), (_, ref) in zip(got_a + got_h, top_a + top_h):
+        assert abs(score - ref / S) < 1e-5
+    assert max(s for _, s in got_a) == 1.0 and max(s for _, s in got_h) == 1.0
