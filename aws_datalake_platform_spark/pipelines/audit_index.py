@@ -178,6 +178,23 @@ def dup_capture_recapture_from_index(
     )
 
 
+def cochran_q_from_index(
+    spark: SparkSession, index_dir: str, version: int | None = None
+) -> DataFrame:
+    """q367 (Cochran's Q across detectors) over the stored pair
+    relations — none of the three detectors re-runs."""
+    from ..plans.training2 import _cochran_q
+
+    def pairs(name):
+        return read_snapshot(spark, _table_path(index_dir, name), version).select(
+            "doc_a", "doc_b"
+        )
+
+    return _cochran_q(
+        pairs("minhash_pairs"), pairs("simhash_pairs"), pairs("ngram_pairs")
+    )
+
+
 FROM_INDEX_AUDITS = {
     "q214_dup_cluster_histogram": dup_cluster_histogram_from_index,
     "q243_golden_record": golden_record_from_index,
@@ -188,5 +205,8 @@ FROM_INDEX_AUDITS = {
     "q349_cluster_agreement": cluster_agreement_from_index,
     "q354_dup_capture_recapture": lambda spark, sf_dir, index_dir, version=None: (
         dup_capture_recapture_from_index(spark, index_dir, version)
+    ),
+    "q367_cochran_q": lambda spark, sf_dir, index_dir, version=None: (
+        cochran_q_from_index(spark, index_dir, version)
     ),
 }

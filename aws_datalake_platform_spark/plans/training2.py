@@ -5833,6 +5833,11 @@ def q367_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ng = _REGISTRY["q23_ngram_jaccard_dedup"].fn(spark, sf_dir).select(
         "doc_a", "doc_b"
     )
+    return _cochran_q(mh, sh, ng)
+
+
+def _cochran_q(mh: DataFrame, sh: DataFrame, ng: DataFrame) -> DataFrame:
+    """Cochran's Q over three (doc_a, doc_b) capture relations."""
     uni = mh.unionByName(sh).unionByName(ng).distinct()
     x = (
         uni.join(mh.withColumn("x1", F.lit(1)), ["doc_a", "doc_b"], "left")

@@ -246,6 +246,40 @@ HEADLINE = [
     "q335_mcnemar_detectors",
     "q336_ipw_effect",
     "q337_zorder_skip_estimate",
+    # round-7 session-3: experimentation/causal + exact-replay classics
+    "q338_cuped_readout",
+    "q339_theil_sen_trend",
+    "q340_good_turing_smoothing",
+    "q341_llr_collocations",
+    "q342_shrunk_cell_means",
+    "q343_simpson_paradox",
+    "q344_kendall_tau",
+    "q345_fd_discovery_audit",
+    "q346_cochran_armitage_trend",
+    "q347_quantile_treatment_effect",
+    "q348_seasonal_decompose",
+    # q349 inherits q68's LSH+CC (the audit-family composite; from-index
+    # twin reads stored relations) — priced honestly in the heavy tail
+    "q349_cluster_agreement",
+    "q350_markov_attribution",
+    "q351_holt_linear",
+    "q352_isotonic_calibration",
+    "q353_logrank_test",
+    "q354_dup_capture_recapture",
+    "q355_price_index",
+    "q356_kruskal_wallis",
+    "q357_negbin_overdispersion",
+    "q358_burst_viterbi",
+    "q359_sequential_patterns",
+    "q360_poststrat_design_effect",
+    "q361_effect_sizes",
+    "q362_bh_fdr",
+    "q363_permutation_test",
+    "q364_naive_bayes_langid",
+    "q365_decision_stump",
+    "q366_energy_distance",
+    "q367_cochran_q",
+    "q368_hits_hubs_authorities",
 ]
 
 

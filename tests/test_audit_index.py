@@ -14,6 +14,7 @@ import pytest
 
 from aws_datalake_platform_spark.pipelines.audit_index import (
     cluster_agreement_from_index,
+    cochran_q_from_index,
     corpus_scorecard_from_index,
     detector_agreement_from_index,
     dup_capture_recapture_from_index,
@@ -103,6 +104,13 @@ def test_dup_capture_recapture_from_index_equals_q354(spark, index_dir):
     assert _rows(twin) == _rows(fresh)
 
 
+def test_cochran_q_from_index_equals_q367(spark, index_dir):
+    fresh = QUERY_REGISTRY["q367_cochran_q"].fn(spark, SF)
+    twin = cochran_q_from_index(spark, index_dir)
+    assert twin.columns == fresh.columns
+    assert _rows(twin) == _rows(fresh)
+
+
 def test_rematerialize_versions_and_time_travel(spark, index_dir):
     """Re-materializing commits version 2 per table; the audits accept
     an explicit version (time-travel over the index history)."""
@@ -131,5 +139,6 @@ def test_cli_materialize_and_audit(spark, tmp_path, capsys):
         "q300_corpus_scorecard",
         "q349_cluster_agreement",
         "q354_dup_capture_recapture",
+        "q367_cochran_q",
     ):
         assert f"## {name} (from index)" in out
