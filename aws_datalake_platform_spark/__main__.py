@@ -224,6 +224,16 @@ def _build_parser() -> argparse.ArgumentParser:
         help="cluster count for the day-0 coarse quantizer",
     )
 
+    er = sub.add_parser(
+        "experiment-report",
+        help="one-shot A/B experiment readout: sample-ratio mismatch "
+        "gate (q312), CUPED variance-reduced means (q338), decile "
+        "quantile treatment effects (q347), assumption-free "
+        "permutation p-value (q363), post-stratification design "
+        "effect (q360), and the Simpson's-paradox strata guard (q343)",
+    )
+    er.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+
     qr = sub.add_parser(
         "quality-report",
         help="one-shot corpus data-quality report: model calibration "
@@ -255,6 +265,96 @@ def _build_parser() -> argparse.ArgumentParser:
         help="stop at the BM25 shortlist (skip embedding re-score + MMR)",
     )
     return p
+
+
+def _experiment_report(spark, sf_dir: str) -> int:
+    """Composite experiment readout over one events snapshot: the gate,
+    the estimator, the distributional view, the robustness check, and
+    the two validity guards a growth team reads together. Each section
+    is an already-certified registry query; empty/truncated lakes
+    degrade per-section (the quality-report discipline)."""
+    from .plans.queries import QUERY_REGISTRY
+
+    def _one(name: str):
+        rows = QUERY_REGISTRY[name].fn(spark, sf_dir).collect()
+        if not rows or any(v is None for v in rows[0].asDict().values()):
+            print("  (no data — section skipped)\n")
+            return None
+        return rows
+
+    print(f"# Experiment report — {sf_dir}\n")
+
+    print("## Sample-ratio mismatch gate (q312: hash-assignment parity)")
+    srm = _one("q312_srm_check")
+    if srm is not None:
+        r = srm[0]
+        verdict = "SRM DETECTED — stop reading" if r["srm_detected"] else "ok"
+        print(
+            f"  arms {r['n_a']}/{r['n_b']} of {r['n_total']}  "
+            f"chi2 {r['chi2']:.2f}  -> {verdict}\n"
+        )
+
+    print("## CUPED variance-reduced revenue (q338: arms by user parity)")
+    cuped = _one("q338_cuped_readout")
+    if cuped is not None:
+        for r in cuped:
+            print(
+                f"  arm {r['arm']}  n {r['n_users']:>6}  "
+                f"raw {r['mean_post']:>10.2f}  "
+                f"cuped {r['mean_post_cuped']:>10.2f}"
+            )
+        r = cuped[0]
+        print(
+            f"  theta {r['theta']:.4f}  variance removed "
+            f"{100 * r['var_reduction']:.1f}%\n"
+        )
+
+    print("## Quantile treatment effects (q347: per-user revenue deciles)")
+    qte = _one("q347_quantile_treatment_effect")
+    if qte is not None:
+        for r in qte:
+            print(
+                f"  d{r['decile']}  treated {r['q_treated_cents'] / 100:>9.2f}  "
+                f"control {r['q_control_cents'] / 100:>9.2f}  "
+                f"qte {r['qte_cents'] / 100:>+8.2f}"
+            )
+        print()
+
+    print("## Permutation test (q363: 128 md5 label flips)")
+    pm = _one("q363_permutation_test")
+    if pm is not None:
+        r = pm[0]
+        print(
+            f"  observed diff {r['observed_diff']:+.2f}  "
+            f"p = {r['p_value']:.4f} "
+            f"({r['n_extreme']}/{r['n_permutations']} as extreme)\n"
+        )
+
+    print("## Post-stratification design effect (q360: activity deciles)")
+    de = _one("q360_poststrat_design_effect")
+    if de is not None:
+        r = de[0]
+        print(
+            f"  p_hat {r['p_hat']:.4f}  deff {r['design_effect']:.3f}  "
+            f"effective n {r['effective_n']:.0f} of {r['n_users']}\n"
+        )
+
+    print("## Simpson's-paradox guard (q343: discount effect by month)")
+    sp = QUERY_REGISTRY["q343_simpson_paradox"].fn(spark, sf_dir).collect()
+    if sp:
+        flips = [r for r in sp if r["sign_agrees"] == 0]
+        print(
+            f"  aggregate diff {sp[0]['diff_aggregate']:+.4f}; "
+            f"{len(flips)}/{len(sp)} strata flip sign"
+            + (
+                " — pooled numbers are confounded, stratify"
+                if flips
+                else " — pooled read is safe"
+            )
+        )
+    else:
+        print("  (no data — section skipped)")
+    return 0
 
 
 def _quality_report(spark, sf_dir: str) -> int:
@@ -574,6 +674,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("cli")
     if args.cmd == "smoke":
         return _smoke(spark, args.workdir)
+    if args.cmd == "experiment-report":
+        return _experiment_report(spark, args.sf_dir)
     if args.cmd == "quality-report":
         return _quality_report(spark, args.sf_dir)
     if args.cmd == "search":

@@ -1341,3 +1341,34 @@ def test_cli_quality_report_empty_lake(spark, capsys, tmp_path):
     out = capsys.readouterr().out
     assert "no data" in out
     assert "Corpus quality report" in out
+
+
+def test_cli_experiment_report(spark, capsys):
+    """`experiment-report` sequences the six certified experimentation
+    queries into one readout: SRM gate, CUPED arms, QTE deciles,
+    permutation p, design effect, and the Simpson strata guard."""
+    from aws_datalake_platform_spark.__main__ import main
+
+    assert main(["experiment-report", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "Sample-ratio mismatch gate" in out and "chi2" in out
+    assert "CUPED" in out and "theta" in out and "variance removed" in out
+    assert "Quantile treatment effects" in out and "qte" in out
+    assert "Permutation test" in out and "p = 0." in out
+    assert "design effect" in out and "effective n" in out
+    assert "Simpson" in out and "strata" in out
+
+
+def test_cli_experiment_report_empty_lake(spark, capsys, tmp_path):
+    """An empty lake degrades per-section instead of dying (the
+    quality-report discipline applied to the experimentation family)."""
+    from aws_datalake_platform_spark.__main__ import main
+
+    for t in ("events", "lineitem"):
+        spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(0) \
+            .write.mode("overwrite").parquet(str(tmp_path / f"{t}.parquet"))
+
+    assert main(["experiment-report", "--sf-dir", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "no data" in out
+    assert "Experiment report" in out
