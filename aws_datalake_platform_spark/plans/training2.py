@@ -6015,3 +6015,362 @@ def q368_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+# ── q369: two-level binary-segmentation changepoints ─────────────────────────
+
+
+@register(
+    "q369_binseg_changepoints",
+    """
+    WITH d0 AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT d, v, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM d0
+    ),
+    pre AS (
+      SELECT rn, d, v,
+             CAST(SUM(v) OVER (ORDER BY rn) AS BIGINT) AS s1,
+             CAST(SUM(v * v) OVER (ORDER BY rn) AS BIGINT) AS s2
+      FROM daily
+    ),
+    n AS (SELECT CAST(MAX(rn) AS BIGINT) AS n FROM pre),
+    -- segment cost C(l, r) from prefix sums; l-1 prefix via coalesce
+    root AS (
+      SELECT k.rn AS split, k.d AS split_day,
+             (hi.s2 - (hi.s1 * 1.0 * hi.s1 / nn.n))
+               AS sse_seg,
+             ((k.s2 - k.s1 * 1.0 * k.s1 / k.rn)
+              + ((hi.s2 - k.s2)
+                 - (hi.s1 - k.s1) * 1.0 * (hi.s1 - k.s1) / (nn.n - k.rn)))
+               AS sse_split,
+             ROW_NUMBER() OVER (ORDER BY
+               (k.s2 - k.s1 * 1.0 * k.s1 / k.rn)
+               + ((hi.s2 - k.s2)
+                  - (hi.s1 - k.s1) * 1.0 * (hi.s1 - k.s1) / (nn.n - k.rn)),
+               k.rn) AS rk
+      FROM pre k
+      CROSS JOIN n nn
+      JOIN pre hi ON hi.rn = nn.n
+      WHERE k.rn < nn.n
+    ),
+    child AS (
+      SELECT c.lo, c.hi, k.rn AS split, k.d AS split_day,
+             ((phi.s2 - COALESCE(plo.s2, 0))
+              - (phi.s1 - COALESCE(plo.s1, 0)) * 1.0
+                * (phi.s1 - COALESCE(plo.s1, 0))
+                / (c.hi - c.lo + 1)) AS sse_seg,
+             (((k.s2 - COALESCE(plo.s2, 0))
+               - (k.s1 - COALESCE(plo.s1, 0)) * 1.0
+                 * (k.s1 - COALESCE(plo.s1, 0))
+                 / (k.rn - c.lo + 1))
+              + ((phi.s2 - k.s2) - (phi.s1 - k.s1) * 1.0 * (phi.s1 - k.s1)
+                 / (c.hi - k.rn))) AS sse_split,
+             ROW_NUMBER() OVER (PARTITION BY c.lo ORDER BY
+               (((k.s2 - COALESCE(plo.s2, 0))
+                 - (k.s1 - COALESCE(plo.s1, 0)) * 1.0
+                   * (k.s1 - COALESCE(plo.s1, 0))
+                   / (k.rn - c.lo + 1))
+                + ((phi.s2 - k.s2) - (phi.s1 - k.s1) * 1.0 * (phi.s1 - k.s1)
+                   / (c.hi - k.rn))),
+               k.rn) AS rk
+      FROM (SELECT CAST(1 AS BIGINT) AS lo, r.split AS hi
+              FROM root r WHERE r.rk = 1
+            UNION ALL
+            SELECT r.split + 1 AS lo, nn.n AS hi
+              FROM root r CROSS JOIN n nn WHERE r.rk = 1) c
+      JOIN pre k ON k.rn >= c.lo AND k.rn < c.hi
+      JOIN pre phi ON phi.rn = c.hi
+      LEFT JOIN pre plo ON plo.rn = c.lo - 1
+      CROSS JOIN n nn
+      WHERE c.hi > c.lo
+    )
+    SELECT 1 AS depth, CAST(1 AS BIGINT) AS seg_lo, nn.n AS seg_hi,
+           r.split_day,
+           FLOOR(r.sse_seg * 10000 + 0.5) / 10000 AS sse_segment,
+           FLOOR(r.sse_split * 10000 + 0.5) / 10000 AS sse_after_split,
+           FLOOR((r.sse_seg - r.sse_split) * 10000 + 0.5) / 10000 AS gain
+    FROM root r CROSS JOIN n nn WHERE r.rk = 1
+    UNION ALL
+    SELECT 2 AS depth, c.lo AS seg_lo, c.hi AS seg_hi, c.split_day,
+           FLOOR(c.sse_seg * 10000 + 0.5) / 10000 AS sse_segment,
+           FLOOR(c.sse_split * 10000 + 0.5) / 10000 AS sse_after_split,
+           FLOOR((c.sse_seg - c.sse_split) * 10000 + 0.5) / 10000 AS gain
+    FROM child c WHERE c.rk = 1
+    ORDER BY depth, seg_lo
+    """,
+    doc="Two-level binary-segmentation changepoint detection on daily "
+    "volume (Scott & Knott 1974 lineage): the root split minimizes "
+    "total within-segment SSE, then each half splits again — every "
+    "candidate cost is a CLOSED FORM over integer prefix sums "
+    "(sum v^2 - (sum v)^2/n), so unlike iterative PELT there is "
+    "nothing to converge: argmins are deterministic (cost, index) "
+    "ranks. Reports per-segment SSE before/after and the gain — the "
+    "multi-changepoint complement of q305's single CUSUM point and "
+    "q358's HMM state path.",
+)
+def q369_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one per-day count; every candidate evaluation reads TWO
+    prefix rows, so both levels are joins over the calendar-bounded
+    relation. Deeper trees repeat the same bounded step."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    w = Window.orderBy("rn")
+    pre = (
+        daily.select(
+            "d", "v", F.row_number().over(Window.orderBy("d")).alias("rn")
+        )
+        .select(
+            "rn",
+            "d",
+            "v",
+            F.sum("v").over(w).cast("long").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).over(w).cast("long").alias("s2"),
+        )
+        # calendar-bounded; reused by root + both children
+        .localCheckpoint(eager=True)
+    )
+    n = pre.agg(F.max("rn").cast("long").alias("n"))
+    hi = pre.select(F.col("rn").alias("hrn"), F.col("s1").alias("hs1"), F.col("s2").alias("hs2"))
+
+    def seg_cost(s2hi, s1hi, s2lo, s1lo, cnt):
+        return (s2hi - s2lo) - (s1hi - s1lo) * 1.0 * (s1hi - s1lo) / cnt
+
+    root_cand = (
+        pre.crossJoin(F.broadcast(n))
+        .join(F.broadcast(hi), F.col("hrn") == F.col("n"))
+        .filter(F.col("rn") < F.col("n"))
+        .select(
+            F.col("rn").alias("split"),
+            F.col("d").alias("split_day"),
+            seg_cost(F.col("hs2"), F.col("hs1"), F.lit(0), F.lit(0), F.col("n")).alias(
+                "sse_seg"
+            ),
+            (
+                seg_cost(F.col("s2"), F.col("s1"), F.lit(0), F.lit(0), F.col("rn"))
+                + seg_cost(
+                    F.col("hs2"),
+                    F.col("hs1"),
+                    F.col("s2"),
+                    F.col("s1"),
+                    F.col("n") - F.col("rn"),
+                )
+            ).alias("sse_split"),
+        )
+    )
+    root = (
+        root_cand.select(
+            "*", F.row_number().over(Window.orderBy("sse_split", "split")).alias("rk")
+        )
+        .filter(F.col("rk") == 1)
+        .localCheckpoint(eager=True)
+    )
+    bounds = (
+        root.select(F.lit(1).cast("long").alias("lo"), F.col("split").alias("hi"))
+        .unionByName(
+            root.crossJoin(F.broadcast(n)).select(
+                (F.col("split") + 1).alias("lo"), F.col("n").alias("hi")
+            )
+        )
+        .filter(F.col("hi") > F.col("lo"))
+    )
+    plo = pre.select(
+        F.col("rn").alias("lrn"), F.col("s1").alias("ls1"), F.col("s2").alias("ls2")
+    )
+    child_cand = (
+        bounds.join(F.broadcast(pre), (F.col("rn") >= F.col("lo")) & (F.col("rn") < F.col("hi")))
+        .join(F.broadcast(hi), F.col("hrn") == F.col("hi"))
+        .join(F.broadcast(plo), F.col("lrn") == F.col("lo") - 1, "left")
+        .select(
+            "lo",
+            "hi",
+            F.col("rn").alias("split"),
+            F.col("d").alias("split_day"),
+            seg_cost(
+                F.col("hs2"),
+                F.col("hs1"),
+                F.coalesce(F.col("ls2"), F.lit(0)),
+                F.coalesce(F.col("ls1"), F.lit(0)),
+                F.col("hi") - F.col("lo") + 1,
+            ).alias("sse_seg"),
+            (
+                seg_cost(
+                    F.col("s2"),
+                    F.col("s1"),
+                    F.coalesce(F.col("ls2"), F.lit(0)),
+                    F.coalesce(F.col("ls1"), F.lit(0)),
+                    F.col("rn") - F.col("lo") + 1,
+                )
+                + seg_cost(
+                    F.col("hs2"),
+                    F.col("hs1"),
+                    F.col("s2"),
+                    F.col("s1"),
+                    F.col("hi") - F.col("rn"),
+                )
+            ).alias("sse_split"),
+        )
+    )
+    child = child_cand.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy("lo").orderBy("sse_split", "split"))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    out_root = root.crossJoin(F.broadcast(n)).select(
+        F.lit(1).alias("depth"),
+        F.lit(1).cast("long").alias("seg_lo"),
+        F.col("n").alias("seg_hi"),
+        "split_day",
+        round_half_up(F.col("sse_seg"), 4).alias("sse_segment"),
+        round_half_up(F.col("sse_split"), 4).alias("sse_after_split"),
+        round_half_up(F.col("sse_seg") - F.col("sse_split"), 4).alias("gain"),
+    )
+    out_child = child.select(
+        F.lit(2).alias("depth"),
+        F.col("lo").alias("seg_lo"),
+        F.col("hi").alias("seg_hi"),
+        "split_day",
+        round_half_up(F.col("sse_seg"), 4).alias("sse_segment"),
+        round_half_up(F.col("sse_split"), 4).alias("sse_after_split"),
+        round_half_up(F.col("sse_seg") - F.col("sse_split"), 4).alias("gain"),
+    )
+    return out_root.unionByName(out_child).orderBy("depth", "seg_lo")
+
+
+# ── q370: raking / iterative proportional fitting (survey weighting) ─────────
+
+_Q370_ROUNDS = 4  # row+column adjustment pairs
+_Q370_S = 1_000_000  # weights as integer micros
+
+
+def _q370_sql() -> str:
+    s = _Q370_S
+    parts = [f"""
+    samp AS MATERIALIZED (
+      SELECT c.c_mktsegment AS seg, c.c_nationkey AS nat,
+             CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_s
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    trow AS MATERIALIZED (
+      SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS t
+      FROM customer GROUP BY 1
+    ),
+    tcol AS MATERIALIZED (
+      SELECT c_nationkey AS nat, CAST(COUNT(*) AS BIGINT) AS t
+      FROM customer GROUP BY 1
+    ),
+    it0 AS MATERIALIZED (
+      SELECT seg, nat, n_s, CAST(n_s AS HUGEINT) * {s} AS w FROM samp
+    )"""]
+    for k in range(1, _Q370_ROUNDS + 1):
+        prev = f"it{k - 1}" if k == 1 else f"itc{k - 1}"
+        parts.append(f"""
+    rowsum{k} AS MATERIALIZED (
+      SELECT seg, SUM(w) AS rs FROM {prev} GROUP BY seg),
+    itr{k} AS MATERIALIZED (
+      SELECT p.seg, p.nat, p.n_s,
+             p.w * (CAST(t.t AS HUGEINT) * {s}) // r.rs AS w
+      FROM {prev} p JOIN rowsum{k} r ON r.seg = p.seg
+      JOIN trow t ON t.seg = p.seg),
+    colsum{k} AS MATERIALIZED (
+      SELECT nat, SUM(w) AS cs FROM itr{k} GROUP BY nat),
+    itc{k} AS MATERIALIZED (
+      SELECT p.seg, p.nat, p.n_s,
+             p.w * (CAST(t.t AS HUGEINT) * {s}) // c.cs AS w
+      FROM itr{k} p JOIN colsum{k} c ON c.nat = p.nat
+      JOIN tcol t ON t.nat = p.nat)""")
+    return (
+        "WITH" + ",".join(parts) + f"""
+    SELECT seg, nat, n_s AS n_sample,
+           FLOOR(CAST(w AS DOUBLE) / {s} * 10000 + 0.5) / 10000
+             AS raked_count,
+           FLOOR(CAST(w AS DOUBLE) / {s} / n_s * 10000 + 0.5) / 10000
+             AS weight
+    FROM itc{_Q370_ROUNDS}
+    ORDER BY seg, nat
+    """
+    )
+
+
+@register(
+    "q370_raking_ipf",
+    _q370_sql(),
+    doc="Raking / iterative proportional fitting (Deming & Stephan "
+    "1940): the ordered-customers sample's (segment, nation) cells are "
+    "alternately scaled to match the FULL customer population's "
+    "segment margins then nation margins, 4 round pairs. The survey-"
+    "weighting standard when only marginal targets are known — "
+    "completing q290 (Horvitz-Thompson, known inclusion "
+    "probabilities) and q360 (post-stratification, one margin). The "
+    "iteration runs in exact fixed-point arithmetic: micro-scaled "
+    "HUGEINT weights, integer margin sums, truncating integer "
+    "division (the q350/q368 discipline), so every round is "
+    "bit-identical on both engines; oracle CTEs are MATERIALIZED "
+    "(the q368 inlining lesson).",
+)
+def q370_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the cell/margin relations are taxonomy-bounded (segments
+    x nations), so after one join-aggregate over the corpus the IPF
+    loop runs on a driver-side copy in exact Python integers matching
+    HUGEINT semantics (the q350 bounded-collect pattern). At a
+    cell-cardinality too large to collect, each round is two
+    grouped-sum + broadcast-join steps on the cell relation — the
+    distributed loop shape is q368's."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    samp = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat"))
+        .agg(F.countDistinct("c_custkey").cast("long").alias("n_s"))
+        .collect()
+    )
+    trow = {
+        r["c_mktsegment"]: r["t"]
+        for r in cust.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .collect()
+    }
+    tcol = {
+        r["c_nationkey"]: r["t"]
+        for r in cust.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .collect()
+    }
+    s = _Q370_S
+    cells = {(r["seg"], r["nat"]): [r["n_s"], r["n_s"] * s] for r in samp}
+    for _ in range(_Q370_ROUNDS):
+        rs: dict = {}
+        for (seg, _), v in cells.items():
+            rs[seg] = rs.get(seg, 0) + v[1]
+        for (seg, _), v in cells.items():
+            v[1] = v[1] * (trow[seg] * s) // rs[seg]
+        cs: dict = {}
+        for (_, nat), v in cells.items():
+            cs[nat] = cs.get(nat, 0) + v[1]
+        for (_, nat), v in cells.items():
+            v[1] = v[1] * (tcol[nat] * s) // cs[nat]
+    rows = [
+        (seg, nat, v[0], v[1]) for (seg, nat), v in sorted(cells.items())
+    ]
+    # final weights are ~target-count x 1e6 (<= ~1e11) — they fit a
+    # long even though INTERMEDIATE products needed 128-bit arithmetic
+    df = spark.createDataFrame(
+        rows, "seg string, nat long, n_sample long, w long"
+    )
+    wd = F.col("w").cast("double")
+    return df.select(
+        "seg",
+        "nat",
+        "n_sample",
+        round_half_up(wd / s, 4).alias("raked_count"),
+        round_half_up(wd / s / F.col("n_sample"), 4).alias("weight"),
+    ).orderBy("seg", "nat")

@@ -1013,3 +1013,20 @@ def test_q368_hits_iterations_are_checkpointed(spark):
     plan = _plan(spark, "q368_hits_hubs_authorities")
     assert "parquet" not in plan.lower()
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_q369_binseg_candidates_on_prefix_relation(spark):
+    """Every candidate split must read two prefix rows — the candidate
+    joins run on the checkpointed calendar-bounded relation, never a
+    corpus re-scan, and no cartesian beyond broadcast scalars."""
+    plan = _plan(spark, "q369_binseg_changepoints")
+    assert "CartesianProduct" not in plan
+    assert "parquet" not in plan.lower()  # prefix relation checkpointed
+
+
+def test_q370_raking_output_is_bounded_relation(spark):
+    """IPF runs on the taxonomy-bounded cell copy — the returned plan
+    is a local relation projection with no join or scan."""
+    plan = _plan(spark, "q370_raking_ipf")
+    assert "parquet" not in plan.lower()
+    assert "Join" not in plan

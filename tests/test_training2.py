@@ -1710,3 +1710,94 @@ def test_q368_hits_recompute(spark):
     for (node, score), (_, ref) in zip(got_a + got_h, top_a + top_h):
         assert abs(score - ref / S) < 1e-5
     assert max(s for _, s in got_a) == 1.0 and max(s for _, s in got_h) == 1.0
+
+
+def test_q369_binseg_recompute(spark):
+    """Root and child splits recomputed by exhaustive SSE scan."""
+    from collections import Counter
+
+    out = QUERY_REGISTRY["q369_binseg_changepoints"].fn(spark, SF_SMOKE).collect()
+    daily = Counter(r["ts"].date() for r in _events(spark))
+    d0 = min(daily)
+    pts = sorted(((d - d0).days, c) for d, c in daily.items())
+    vs = [c for _, c in pts]
+
+    def sse(lo, hi):  # 1-based inclusive
+        seg = vs[lo - 1 : hi]
+        return sum(v * v for v in seg) - sum(seg) ** 2 / len(seg)
+
+    def best(lo, hi):
+        return min(
+            (sse(lo, k) + sse(k + 1, hi), k) for k in range(lo, hi)
+        )
+
+    n = len(vs)
+    cost_root, k_root = best(1, n)
+    root = [r for r in out if r["depth"] == 1][0]
+    assert root["split_day"] == pts[k_root - 1][0]
+    assert abs(root["sse_segment"] - sse(1, n)) < 1e-2
+    assert abs(root["sse_after_split"] - cost_root) < 1e-2
+    assert root["gain"] >= -1e-9
+    for r in (r for r in out if r["depth"] == 2):
+        lo, hi = r["seg_lo"], r["seg_hi"]
+        c, k = best(lo, hi)
+        assert r["split_day"] == pts[k - 1][0]
+        assert abs(r["sse_segment"] - sse(lo, hi)) < 1e-2
+        assert abs(r["sse_after_split"] - c) < 1e-2
+
+
+def test_q370_raking_recompute(spark):
+    """After raking, cell weights must reproduce BOTH margins to within
+    the fixed-point quantization; weights are nonnegative and the
+    float-IPF recompute agrees."""
+    from collections import defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q370_raking_ipf"].fn(spark, SF_SMOKE).collect()
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    ).collect()
+    trow = defaultdict(int)
+    tcol = defaultdict(int)
+    for r in cust:
+        trow[r["c_mktsegment"]] += 1
+        tcol[r["c_nationkey"]] += 1
+    # margins: raked cell counts sum to the population margins (IPF's
+    # defining property; the LAST adjustment was columns, so columns
+    # are exact and rows are within the convergence tolerance)
+    rsum = defaultdict(float)
+    csum = defaultdict(float)
+    for r in out:
+        assert r["raked_count"] >= 0 and r["weight"] >= 0
+        rsum[r["seg"]] += r["raked_count"]
+        csum[r["nat"]] += r["raked_count"]
+    for nat, t in tcol.items():
+        if nat in csum:
+            assert abs(csum[nat] - t) < 1e-2, (nat, csum[nat], t)
+    for seg, t in trow.items():
+        if seg in rsum:
+            assert abs(rsum[seg] - t) / t < 0.05  # pre-convergence margin
+    # float IPF recompute
+    cells = {}
+    for r in out:
+        cells[(r["seg"], r["nat"])] = None
+    samp = defaultdict(set)
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_custkey").collect()
+    with_orders = {r["o_custkey"] for r in orders}
+    scnt = defaultdict(int)
+    key = {r["c_custkey"]: (r["c_mktsegment"], r["c_nationkey"]) for r in cust}
+    for ck in with_orders:
+        scnt[key[ck]] += 1
+    w = {k: float(v) for k, v in scnt.items()}
+    for _ in range(4):
+        rs = defaultdict(float)
+        for (s, _), v in w.items():
+            rs[s] += v
+        w = {k: v * trow[k[0]] / rs[k[0]] for k, v in w.items()}
+        cs = defaultdict(float)
+        for (_, nt), v in w.items():
+            cs[nt] += v
+        w = {k: v * tcol[k[1]] / cs[k[1]] for k, v in w.items()}
+    for r in out:
+        assert abs(r["raked_count"] - w[(r["seg"], r["nat"])]) < 0.05
