@@ -6374,3 +6374,216 @@ def q370_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(wd / s, 4).alias("raked_count"),
         round_half_up(wd / s / F.col("n_sample"), 4).alias("weight"),
     ).orderBy("seg", "nat")
+
+
+# ── q371: mediation analysis (product of paths) ──────────────────────────────
+
+
+@register(
+    "q371_mediation_analysis",
+    """
+    WITH v AS (
+      SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS m,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(m) AS BIGINT) AS sm,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx_r,
+             CAST(SUM(m * m) AS BIGINT) AS smm_r,
+             CAST(SUM(x * m) AS BIGINT) AS sxm_r,
+             CAST(SUM(x * y) AS BIGINT) AS sxy_r,
+             CAST(SUM(m * y) AS BIGINT) AS smy_r
+      FROM v
+    ),
+    c AS (
+      SELECT n,
+             n * 1.0 * sxx_r - sx * 1.0 * sx AS cxx,
+             n * 1.0 * smm_r - sm * 1.0 * sm AS cmm,
+             n * 1.0 * sxm_r - sx * 1.0 * sm AS cxm,
+             n * 1.0 * sxy_r - sx * 1.0 * sy AS cxy,
+             n * 1.0 * smy_r - sm * 1.0 * sy AS cmy
+      FROM s
+    )
+    SELECT n AS n_rows,
+           FLOOR(cxm / cxx * 1000000 + 0.5) / 1000000 AS a_x_to_m,
+           FLOOR((cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm)
+                 * 1000000 + 0.5) / 1000000 AS b_m_to_y_given_x,
+           FLOOR((cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm)
+                 * 1000000 + 0.5) / 1000000 AS direct_effect,
+           FLOOR((cxm / cxx)
+                 * ((cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm))
+                 * 1000000 + 0.5) / 1000000 AS indirect_effect,
+           FLOOR(cxy / cxx * 1000000 + 0.5) / 1000000 AS total_effect,
+           FLOOR((cxy / cxx
+                  - (cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm)
+                  - (cxm / cxx)
+                    * ((cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm)))
+                 * 1000000 + 0.5) / 1000000 AS decomposition_residual
+    FROM c
+    """,
+    doc="Mediation analysis by product of paths (Baron & Kenny 1986): "
+    "does the discount level (X) move line revenue (Y) THROUGH the "
+    "ordered quantity (M)? a = slope of M on X; b = partial slope of "
+    "Y on M given X (closed-form 2-regressor OLS from the centered "
+    "moment matrix); indirect = a*b, direct = partial of Y on X given "
+    "M, and the exact OLS identity total = direct + indirect is "
+    "REPORTED as decomposition_residual (~0 up to rounding) — the "
+    "estimator audits itself. The mechanism-decomposition member of "
+    "the causal family (q336 IPW 'does it', this asks 'through "
+    "what'). All moments are exact integer sums; every path "
+    "coefficient is one scalar tree.",
+)
+def q371_mediation_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one map-side-combinable 9-sum aggregate over lineitem; the
+    path algebra is a 1-row expression. Nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    m = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    s = li.select(x.alias("x"), m.alias("m"), y.alias("y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("m").cast("long").alias("sm"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx_r"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("smm_r"),
+        F.sum(F.col("x") * F.col("m")).cast("long").alias("sxm_r"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy_r"),
+        F.sum(F.col("m") * F.col("y")).cast("long").alias("smy_r"),
+    )
+    nn = F.col("n")
+    cxx = nn * 1.0 * F.col("sxx_r") - F.col("sx") * 1.0 * F.col("sx")
+    cmm = nn * 1.0 * F.col("smm_r") - F.col("sm") * 1.0 * F.col("sm")
+    cxm = nn * 1.0 * F.col("sxm_r") - F.col("sx") * 1.0 * F.col("sm")
+    cxy = nn * 1.0 * F.col("sxy_r") - F.col("sx") * 1.0 * F.col("sy")
+    cmy = nn * 1.0 * F.col("smy_r") - F.col("sm") * 1.0 * F.col("sy")
+    det = cxx * cmm - cxm * cxm
+    a = cxm / cxx
+    b = (cxx * cmy - cxm * cxy) / det
+    direct = (cmm * cxy - cxm * cmy) / det
+    total = cxy / cxx
+    return s.select(
+        nn.alias("n_rows"),
+        round_half_up(a, 6).alias("a_x_to_m"),
+        round_half_up(b, 6).alias("b_m_to_y_given_x"),
+        round_half_up(direct, 6).alias("direct_effect"),
+        round_half_up(a * b, 6).alias("indirect_effect"),
+        round_half_up(total, 6).alias("total_effect"),
+        round_half_up(total - direct - a * b, 6).alias(
+            "decomposition_residual"
+        ),
+    )
+
+
+# ── q372: Cronbach's alpha over the quality-signal battery ───────────────────
+
+
+@register(
+    "q372_cronbach_alpha",
+    """
+    WITH items AS (
+      SELECT doc_id,
+             CAST(LEAST(FLOOR(length(text) / 20), 100) AS BIGINT) AS i1,
+             CAST(LEAST(length(text) - length(replace(text, ' ', '')),
+                        100) AS BIGINT) AS i2,
+             CAST(LEAST(FLOOR(length(replace(replace(replace(lower(text),
+                        'the', ''), 'and', ''), 'of', ''))
+                        * 100 / GREATEST(length(text), 1)), 100)
+               AS BIGINT) AS i3
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(i1) AS BIGINT) AS s1, CAST(SUM(i1 * i1) AS BIGINT) AS q1,
+             CAST(SUM(i2) AS BIGINT) AS s2, CAST(SUM(i2 * i2) AS BIGINT) AS q2,
+             CAST(SUM(i3) AS BIGINT) AS s3, CAST(SUM(i3 * i3) AS BIGINT) AS q3,
+             CAST(SUM((i1 + i2 + i3) * (i1 + i2 + i3)) AS BIGINT) AS qt,
+             CAST(SUM(i1 + i2 + i3) AS BIGINT) AS st
+      FROM items
+    )
+    SELECT n AS n_docs,
+           3 AS n_items,
+           FLOOR((q1 - s1 * 1.0 * s1 / n) / (n - 1) * 10000 + 0.5) / 10000
+             AS var_item1,
+           FLOOR((q2 - s2 * 1.0 * s2 / n) / (n - 1) * 10000 + 0.5) / 10000
+             AS var_item2,
+           FLOOR((q3 - s3 * 1.0 * s3 / n) / (n - 1) * 10000 + 0.5) / 10000
+             AS var_item3,
+           FLOOR((qt - st * 1.0 * st / n) / (n - 1) * 10000 + 0.5) / 10000
+             AS var_total,
+           FLOOR(3.0 / 2
+                 * (1 - ((q1 - s1 * 1.0 * s1 / n) / (n - 1)
+                         + (q2 - s2 * 1.0 * s2 / n) / (n - 1)
+                         + (q3 - s3 * 1.0 * s3 / n) / (n - 1))
+                       / ((qt - st * 1.0 * st / n) / (n - 1)))
+                 * 1000000 + 0.5) / 1000000 AS cronbach_alpha
+    FROM s
+    """,
+    doc="Cronbach's alpha (Cronbach 1951) over a 3-item document-"
+    "quality battery (capped length, whitespace-token, and stopword-"
+    "stripped-density scores): alpha = k/(k-1) (1 - sum item variances "
+    "/ variance of the item sum) — the internal-consistency question "
+    "('do these signals measure ONE construct?') a team must answer "
+    "before averaging quality subscores into a single sampling weight "
+    "(q226/q234 consume such composites). Item scores are integers by "
+    "construction, so all variances are exact integer-ratio trees.",
+)
+def q372_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one map-only scoring pass into an 8-sum aggregate. The
+    battery is deliberately cheap column algebra — alpha's cost is one
+    scan regardless of item count."""
+    docs = load_table(spark, sf_dir, "documents")
+    # explicit FLOOR before the int cast: DuckDB CAST(double AS BIGINT)
+    # ROUNDS while Spark truncates — floor pins both
+    i1 = F.least(F.floor(F.length("text") / 20), F.lit(100)).cast("long")
+    i2 = F.least(
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")),
+        F.lit(100),
+    ).cast("long")
+    stripped = F.length(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "the", ""), "and", ""
+            ),
+            "of",
+            "",
+        )
+    )
+    i3 = F.least(
+        F.floor(stripped * 100 / F.greatest(F.length("text"), F.lit(1))),
+        F.lit(100),
+    ).cast("long")
+    items = docs.select(i1.alias("i1"), i2.alias("i2"), i3.alias("i3"))
+    tot = F.col("i1") + F.col("i2") + F.col("i3")
+    s = items.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("i1").cast("long").alias("s1"),
+        F.sum(F.col("i1") * F.col("i1")).cast("long").alias("q1"),
+        F.sum("i2").cast("long").alias("s2"),
+        F.sum(F.col("i2") * F.col("i2")).cast("long").alias("q2"),
+        F.sum("i3").cast("long").alias("s3"),
+        F.sum(F.col("i3") * F.col("i3")).cast("long").alias("q3"),
+        F.sum(tot * tot).cast("long").alias("qt"),
+        F.sum(tot).cast("long").alias("st"),
+    )
+
+    def var(q, ss):
+        return (F.col(q) - F.col(ss) * 1.0 * F.col(ss) / F.col("n")) / (
+            F.col("n") - 1
+        )
+
+    vt = var("qt", "st")
+    alpha = 3.0 / 2 * (1 - (var("q1", "s1") + var("q2", "s2") + var("q3", "s3")) / vt)
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.lit(3).alias("n_items"),
+        round_half_up(var("q1", "s1"), 4).alias("var_item1"),
+        round_half_up(var("q2", "s2"), 4).alias("var_item2"),
+        round_half_up(var("q3", "s3"), 4).alias("var_item3"),
+        round_half_up(vt, 4).alias("var_total"),
+        round_half_up(alpha, 6).alias("cronbach_alpha"),
+    )

@@ -1030,3 +1030,19 @@ def test_q370_raking_output_is_bounded_relation(spark):
     plan = _plan(spark, "q370_raking_ipf")
     assert "parquet" not in plan.lower()
     assert "Join" not in plan
+
+
+def test_q371_mediation_single_aggregate(spark):
+    """Mediation is one 9-sum aggregate over lineitem — no joins, no
+    windows anywhere in the plan."""
+    plan = _plan(spark, "q371_mediation_analysis")
+    for op in ("Join", "Window"):
+        assert op not in plan
+
+
+def test_q372_alpha_single_aggregate(spark):
+    """Cronbach's alpha is one map-only scoring pass into an 8-sum
+    aggregate — no joins, no windows."""
+    plan = _plan(spark, "q372_cronbach_alpha")
+    for op in ("Join", "Window"):
+        assert op not in plan

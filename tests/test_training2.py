@@ -1801,3 +1801,73 @@ def test_q370_raking_recompute(spark):
         w = {k: v * tcol[k[1]] / cs[k[1]] for k, v in w.items()}
     for r in out:
         assert abs(r["raked_count"] - w[(r["seg"], r["nat"])]) < 0.05
+
+
+def test_q371_mediation_recompute(spark):
+    """Path coefficients recomputed from raw centered moments; the OLS
+    decomposition identity total = direct + indirect must hold to the
+    reported residual."""
+    import math
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q371_mediation_analysis"].fn(spark, SF_SMOKE).collect()[0]
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_discount", "l_quantity", "l_extendedprice"
+    ).collect()
+    pts = [
+        (
+            math.floor(r["l_discount"] * 100 + 0.5),
+            math.floor(r["l_quantity"] + 0.5),
+            math.floor(r["l_extendedprice"] * 100 + 0.5),
+        )
+        for r in li
+    ]
+    n = len(pts)
+
+    def c(i, j):
+        return n * sum(p[i] * p[j] for p in pts) - sum(p[i] for p in pts) * sum(
+            p[j] for p in pts
+        )
+
+    cxx, cmm, cxm = c(0, 0), c(1, 1), c(0, 1)
+    cxy, cmy = c(0, 2), c(1, 2)
+    det = cxx * cmm - cxm * cxm
+    a = cxm / cxx
+    b = (cxx * cmy - cxm * cxy) / det
+    direct = (cmm * cxy - cxm * cmy) / det
+    assert out["n_rows"] == n
+    assert abs(out["a_x_to_m"] - a) < 1e-4
+    assert abs(out["b_m_to_y_given_x"] - b) < 1e-4
+    assert abs(out["direct_effect"] - direct) < 1e-3
+    assert abs(out["indirect_effect"] - a * b) < 1e-3
+    assert abs(out["total_effect"] - cxy / cxx) < 1e-3
+    assert abs(out["decomposition_residual"]) < 1e-4  # exact OLS identity
+
+
+def test_q372_alpha_recompute(spark):
+    """Alpha recomputed from raw item scores; bounded above by 1."""
+    import math
+    import statistics
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q372_cronbach_alpha"].fn(spark, SF_SMOKE).collect()[0]
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    items = []
+    for r in docs:
+        t = r["text"] or ""
+        i1 = min(math.floor(len(t) / 20), 100)
+        i2 = min(len(t) - len(t.replace(" ", "")), 100)
+        low = t.lower().replace("the", "").replace("and", "").replace("of", "")
+        i3 = min(math.floor(len(low) * 100 / max(len(t), 1)), 100)
+        items.append((i1, i2, i3))
+    v = [statistics.variance([it[k] for it in items]) for k in range(3)]
+    vt = statistics.variance([sum(it) for it in items])
+    alpha = 3 / 2 * (1 - sum(v) / vt)
+    assert out["n_docs"] == len(items)
+    for k in range(3):
+        assert abs(out[f"var_item{k + 1}"] - v[k]) < 1e-2
+    assert abs(out["var_total"] - vt) < 1e-2
+    assert abs(out["cronbach_alpha"] - alpha) < 1e-4
+    assert out["cronbach_alpha"] <= 1.0
