@@ -6587,3 +6587,337 @@ def q372_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(vt, 4).alias("var_total"),
         round_half_up(alpha, 6).alias("cronbach_alpha"),
     )
+
+
+# ── q373: nested-model F-test (does the mediator add signal?) ────────────────
+
+
+@register(
+    "q373_nested_model_ftest",
+    """
+    WITH v AS (
+      SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS m,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(m) AS BIGINT) AS sm,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx_r,
+             CAST(SUM(m * m) AS BIGINT) AS smm_r,
+             CAST(SUM(x * m) AS BIGINT) AS sxm_r,
+             CAST(SUM(x * y) AS BIGINT) AS sxy_r,
+             CAST(SUM(m * y) AS BIGINT) AS smy_r,
+             SUM(y::HUGEINT * y::HUGEINT) AS syy_r
+      FROM v
+    ),
+    c AS (
+      SELECT n,
+             n * 1.0 * sxx_r - sx * 1.0 * sx AS cxx,
+             n * 1.0 * smm_r - sm * 1.0 * sm AS cmm,
+             n * 1.0 * sxm_r - sx * 1.0 * sm AS cxm,
+             n * 1.0 * sxy_r - sx * 1.0 * sy AS cxy,
+             n * 1.0 * smy_r - sm * 1.0 * sy AS cmy,
+             n * 1.0 * CAST(syy_r AS DOUBLE) - sy * 1.0 * sy AS cyy
+      FROM s
+    )
+    SELECT n AS n_rows,
+           FLOOR(cxy * cxy / (cxx * cyy) * 1000000 + 0.5) / 1000000
+             AS r2_reduced,
+           FLOOR((cxy * ((cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm))
+                  + cmy * ((cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm)))
+                 / cyy * 1000000 + 0.5) / 1000000 AS r2_full,
+           FLOOR(((cxy * ((cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm))
+                   + cmy * ((cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm)))
+                  / cyy
+                  - cxy * cxy / (cxx * cyy))
+                 / ((1 - (cxy * ((cmm * cxy - cxm * cmy)
+                                 / (cxx * cmm - cxm * cxm))
+                          + cmy * ((cxx * cmy - cxm * cxy)
+                                   / (cxx * cmm - cxm * cxm))) / cyy)
+                    / (n - 3))
+                 * 1000000 + 0.5) / 1000000 AS f_add_m,
+           FLOOR(1 / (1 - cxm * cxm / (cxx * cmm)) * 1000000 + 0.5) / 1000000
+             AS vif_x_m
+    FROM c
+    """,
+    doc="Nested-model F-test: does adding the quantity regressor to "
+    "the discount-only revenue model reduce residual variance beyond "
+    "chance? R² of both models from the centered moment matrix, "
+    "F = (R²_full - R²_reduced) / ((1 - R²_full)/(n-3)) with 1 "
+    "numerator df, plus the X-M variance-inflation factor "
+    "1/(1 - r²_xm) — the collinearity gate that says whether q371's "
+    "path coefficients are even stable. The model-comparison member "
+    "of the regression family (q110 fits, q371 decomposes, this "
+    "TESTS). Squared-revenue moments ride HUGEINT/decimal through "
+    "aggregation; every statistic is one scalar tree.",
+)
+def q373_nested_model_ftest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one 10-sum map-side aggregate; the comparison is a 1-row
+    expression."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    m = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = li.select(x.alias("x"), m.alias("m"), y.alias("y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("m").cast("long").alias("sm"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx_r"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("smm_r"),
+        F.sum(F.col("x") * F.col("m")).cast("long").alias("sxm_r"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy_r"),
+        F.sum(F.col("m") * F.col("y")).cast("long").alias("smy_r"),
+        F.sum(dec("y") * dec("y")).alias("syy_r"),
+    )
+    nn = F.col("n")
+    cxx = nn * 1.0 * F.col("sxx_r") - F.col("sx") * 1.0 * F.col("sx")
+    cmm = nn * 1.0 * F.col("smm_r") - F.col("sm") * 1.0 * F.col("sm")
+    cxm = nn * 1.0 * F.col("sxm_r") - F.col("sx") * 1.0 * F.col("sm")
+    cxy = nn * 1.0 * F.col("sxy_r") - F.col("sx") * 1.0 * F.col("sy")
+    cmy = nn * 1.0 * F.col("smy_r") - F.col("sm") * 1.0 * F.col("sy")
+    cyy = nn * 1.0 * F.col("syy_r").cast("double") - F.col("sy") * 1.0 * F.col("sy")
+    det = cxx * cmm - cxm * cxm
+    bx = (cmm * cxy - cxm * cmy) / det
+    bm = (cxx * cmy - cxm * cxy) / det
+    r2_red = cxy * cxy / (cxx * cyy)
+    r2_full = (cxy * bx + cmy * bm) / cyy
+    f_stat = (r2_full - r2_red) / ((1 - r2_full) / (nn - 3))
+    return s.select(
+        nn.alias("n_rows"),
+        round_half_up(r2_red, 6).alias("r2_reduced"),
+        round_half_up(r2_full, 6).alias("r2_full"),
+        round_half_up(f_stat, 6).alias("f_add_m"),
+        round_half_up(1 / (1 - cxm * cxm / (cxx * cmm)), 6).alias("vif_x_m"),
+    )
+
+
+# ── q374: adjusted chi-square cell residuals (which cells drive it) ──────────
+
+
+def _q374_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    gate = _REGISTRY["q192_gopher_quality_rules"].sql
+    return f"""
+    WITH g AS ({gate}),
+    j AS (
+      SELECT d.source, CASE WHEN g.passes THEN 1 ELSE 0 END AS q
+      FROM documents d JOIN g ON g.doc_id = d.doc_id
+    ),
+    cells AS (
+      SELECT source, q, CAST(COUNT(*) AS BIGINT) AS o
+      FROM j GROUP BY source, q
+    ),
+    rows_ AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY source),
+    cols_ AS (SELECT q, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY q),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+    SELECT ce.source, ce.q AS passes, ce.o AS observed,
+           FLOOR(r.r * 1.0 * c.c / n.n * 10000 + 0.5) / 10000 AS expected,
+           FLOOR((ce.o - r.r * 1.0 * c.c / n.n)
+                 / SQRT(r.r * 1.0 * c.c / n.n
+                        * (1 - r.r * 1.0 / n.n) * (1 - c.c * 1.0 / n.n))
+                 * 1000000 + 0.5) / 1000000 AS adj_residual,
+           CASE WHEN ABS((ce.o - r.r * 1.0 * c.c / n.n)
+                 / SQRT(r.r * 1.0 * c.c / n.n
+                        * (1 - r.r * 1.0 / n.n) * (1 - c.c * 1.0 / n.n))) > 2
+                THEN 1 ELSE 0 END AS flagged
+    FROM cells ce
+    JOIN rows_ r ON r.source = ce.source
+    JOIN cols_ c ON c.q = ce.q
+    CROSS JOIN n
+    ORDER BY ce.source, ce.q
+    """
+
+
+@register(
+    "q374_chi2_cell_residuals",
+    _q374_sql(),
+    doc="Adjusted (Haberman 1973) standardized residuals for the "
+    "source x quality-gate contingency table: per cell "
+    "(o - e) / sqrt(e (1 - r/n)(1 - c/n)), approximately N(0,1) under "
+    "independence, |residual| > 2 flagged. The drill-down q245's "
+    "single chi-square number can't give — WHICH source is over- or "
+    "under-producing gate-passing documents, the direct input to "
+    "q234's domain reweighting. Integer margins into fixed trees.",
+)
+def q374_chi2_cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one gate scan + one (source, flag) count; margins are
+    re-aggregations of the bounded cell relation, broadcast back."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    g = _REGISTRY["q192_gopher_quality_rules"].fn(spark, sf_dir).select(
+        "doc_id", F.when(F.col("passes"), 1).otherwise(0).alias("q")
+    )
+    cells = (
+        docs.join(g, "doc_id")
+        .groupBy("source", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rows_ = cells.groupBy("source").agg(F.sum("o").cast("long").alias("r"))
+    cols_ = cells.groupBy("q").agg(F.sum("o").cast("long").alias("c"))
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    e = F.col("r") * 1.0 * F.col("c") / F.col("n")
+    res = (F.col("o") - e) / F.sqrt(
+        F.col("r")
+        * 1.0
+        * F.col("c")
+        / F.col("n")
+        * (1 - F.col("r") * 1.0 / F.col("n"))
+        * (1 - F.col("c") * 1.0 / F.col("n"))
+    )
+    return (
+        cells.join(F.broadcast(rows_), "source")
+        .join(F.broadcast(cols_), "q")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            F.col("q").alias("passes"),
+            F.col("o").alias("observed"),
+            round_half_up(e, 4).alias("expected"),
+            round_half_up(res, 6).alias("adj_residual"),
+            F.when(F.abs(res) > 2, 1).otherwise(0).alias("flagged"),
+        )
+        .orderBy("source", "passes")
+    )
+
+
+# ── q375: Breusch-Pagan heteroscedasticity test ──────────────────────────────
+
+
+def _q375_sql() -> str:
+    b1, b2, b3, b4, b5 = _AS_B
+    horner = f"(t * ({b1} + t * ({b2} + t * ({b3} + t * ({b4} + t * {b5})))))"
+    return f"""
+    WITH v AS (
+      SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx_r,
+             CAST(SUM(x * y) AS BIGINT) AS sxy_r
+      FROM v
+    ),
+    fit AS (
+      SELECT n, sx, sxx_r,
+             (n * 1.0 * sxy_r - sx * 1.0 * sy)
+               / (n * 1.0 * sxx_r - sx * 1.0 * sx) AS b,
+             (sy - (n * 1.0 * sxy_r - sx * 1.0 * sy)
+                   / (n * 1.0 * sxx_r - sx * 1.0 * sx) * sx) / n AS a
+      FROM s
+    ),
+    r AS (
+      SELECT v.x,
+             CAST(FLOOR((v.y - (f.a + f.b * v.x)) * (v.y - (f.a + f.b * v.x))
+                        + 0.5) AS HUGEINT) AS q
+      FROM v CROSS JOIN fit f
+    ),
+    aux AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             SUM(q) AS sq, SUM(x * q) AS sxq, SUM(q * q) AS sqq
+      FROM r
+    ),
+    lm AS (
+      SELECT n,
+             n * (CAST(n AS DOUBLE) * CAST(sxq AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sq AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(sxq AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sq AS DOUBLE))
+               / ((n * 1.0 * sxx - sx * 1.0 * sx)
+                  * (CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))) AS bp
+      FROM aux
+    )
+    SELECT n AS n_rows,
+           FLOOR(bp * 1000000 + 0.5) / 1000000 AS bp_lm,
+           FLOOR(2 * (EXP(-SQRT(bp) * SQRT(bp) / 2.0) / {_SQRT_2PI})
+                 * {horner.replace('t', '(1 / (1 + ' + str(_AS_P) + ' * SQRT(bp)))')}
+                 * 100000000 + 0.5) / 100000000 AS p_value,
+           CASE WHEN 2 * (EXP(-SQRT(bp) * SQRT(bp) / 2.0) / {_SQRT_2PI})
+                 * {horner.replace('t', '(1 / (1 + ' + str(_AS_P) + ' * SQRT(bp)))')}
+                 < 0.05 THEN 1 ELSE 0 END AS heteroscedastic
+    FROM lm
+    """
+
+
+@register(
+    "q375_breusch_pagan",
+    _q375_sql(),
+    doc="Breusch-Pagan LM test (1979, Koenker studentized form): do "
+    "the revenue-on-discount residuals have discount-DEPENDENT "
+    "variance? Two passes: fit the line from integer moments, then "
+    "quantize each squared residual to an integer (cents², the "
+    "per-row fixed tree) and run the auxiliary e² ~ x regression on "
+    "HUGEINT/decimal moments; LM = n R²_aux, chi²(1) p-value via the "
+    "A-S normal tail (q362's arithmetic form, p = 2(1 - Phi(sqrt(LM)))). "
+    "Heteroscedasticity is WHY q333/q362 use Welch rather than pooled "
+    "variances — this tests the assumption instead of assuming it.",
+)
+def q375_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two map-side scans (the second needs the 1-row fit
+    broadcast); no joins beyond that scalar, no windows. The q⁴-order
+    moments ride 128-bit integers through aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    v = li.select(x.alias("x"), y.alias("y"))
+    s = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx_r"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy_r"),
+    )
+    b_expr = (F.col("n") * 1.0 * F.col("sxy_r") - F.col("sx") * 1.0 * F.col("sy")) / (
+        F.col("n") * 1.0 * F.col("sxx_r") - F.col("sx") * 1.0 * F.col("sx")
+    )
+    fit = s.select(
+        b_expr.alias("b"),
+        ((F.col("sy") - b_expr * F.col("sx")) / F.col("n")).alias("a"),
+    )
+    e = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+    r = v.crossJoin(F.broadcast(fit)).select(
+        "x", F.floor(e * e + 0.5).cast("decimal(38,0)").alias("q")
+    )
+    dq = F.col("q").cast("double")
+    aux = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("x") * F.col("q")).alias("sxq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    nn = F.col("n")
+    cxq = nn.cast("double") * F.col("sxq").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sq").cast("double")
+    cxx = nn * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx")
+    cqq = nn.cast("double") * F.col("sqq").cast("double") - F.col("sq").cast(
+        "double"
+    ) * F.col("sq").cast("double")
+    bp = nn * cxq * cxq / (cxx * cqq)
+    t = 1 / (1 + _AS_P * F.sqrt(bp))
+    b1, b2, b3, b4, b5 = _AS_B
+    horner = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))))
+    pv = (
+        2
+        * (F.exp(-F.sqrt(bp) * F.sqrt(bp) / 2.0) / _SQRT_2PI)
+        * horner
+    )
+    return aux.select(
+        nn.alias("n_rows"),
+        round_half_up(bp, 6).alias("bp_lm"),
+        round_half_up(pv, 8).alias("p_value"),
+        F.when(pv < 0.05, 1).otherwise(0).alias("heteroscedastic"),
+    )

@@ -1046,3 +1046,29 @@ def test_q372_alpha_single_aggregate(spark):
     plan = _plan(spark, "q372_cronbach_alpha")
     for op in ("Join", "Window"):
         assert op not in plan
+
+
+def test_q373_ftest_single_aggregate(spark):
+    """The nested-model comparison is one 10-sum aggregate — no joins,
+    no windows."""
+    plan = _plan(spark, "q373_nested_model_ftest")
+    for op in ("Join", "Window"):
+        assert op not in plan
+
+
+def test_q374_residuals_margins_broadcast(spark):
+    """Cell residuals attach margins as broadcast re-aggregations of
+    the bounded cell relation; no cartesian beyond the 1-row total."""
+    plan = _plan(spark, "q374_chi2_cell_residuals")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q375_bp_two_scans_one_scalar_broadcast(spark):
+    """Breusch-Pagan is two map-side scans with the 1-row fit broadcast
+    between them — one broadcast nested loop, no other join, no
+    window."""
+    plan = _plan(spark, "q375_breusch_pagan")
+    assert "Window" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

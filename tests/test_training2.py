@@ -1871,3 +1871,112 @@ def test_q372_alpha_recompute(spark):
     assert abs(out["var_total"] - vt) < 1e-2
     assert abs(out["cronbach_alpha"] - alpha) < 1e-4
     assert out["cronbach_alpha"] <= 1.0
+
+
+def test_q373_ftest_recompute(spark):
+    """R² pair and F recomputed from raw moments; R²_full >= R²_reduced
+    always (adding a regressor cannot reduce fit)."""
+    import math
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q373_nested_model_ftest"].fn(spark, SF_SMOKE).collect()[0]
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_discount", "l_quantity", "l_extendedprice"
+    ).collect()
+    pts = [
+        (
+            math.floor(r["l_discount"] * 100 + 0.5),
+            math.floor(r["l_quantity"] + 0.5),
+            math.floor(r["l_extendedprice"] * 100 + 0.5),
+        )
+        for r in li
+    ]
+    n = len(pts)
+
+    def c(i, j):
+        return n * sum(p[i] * p[j] for p in pts) - sum(p[i] for p in pts) * sum(
+            p[j] for p in pts
+        )
+
+    cxx, cmm, cxm = c(0, 0), c(1, 1), c(0, 1)
+    cxy, cmy, cyy = c(0, 2), c(1, 2), c(2, 2)
+    det = cxx * cmm - cxm * cxm
+    bx = (cmm * cxy - cxm * cmy) / det
+    bm = (cxx * cmy - cxm * cxy) / det
+    r2r = cxy * cxy / (cxx * cyy)
+    r2f = (cxy * bx + cmy * bm) / cyy
+    assert abs(out["r2_reduced"] - r2r) < 1e-4
+    assert abs(out["r2_full"] - r2f) < 1e-4
+    assert out["r2_full"] >= out["r2_reduced"] - 1e-9
+    assert abs(out["f_add_m"] - (r2f - r2r) / ((1 - r2f) / (n - 3))) < 1e-2
+    assert abs(out["vif_x_m"] - 1 / (1 - cxm * cxm / (cxx * cmm))) < 1e-4
+    assert out["vif_x_m"] >= 1.0
+
+
+def test_q374_residuals_recompute(spark):
+    """Adjusted residuals recomputed from the contingency table; the
+    squared residual sum relates to q245's chi2 family, and flags match
+    the |r| > 2 rule."""
+    import math
+    from collections import Counter
+
+    out = QUERY_REGISTRY["q374_chi2_cell_residuals"].fn(spark, SF_SMOKE).collect()
+    g = {
+        r["doc_id"]: 1 if r["passes"] else 0
+        for r in QUERY_REGISTRY["q192_gopher_quality_rules"].fn(spark, SF_SMOKE).collect()
+    }
+    from aws_datalake_platform_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source").collect()
+    cells = Counter((r["source"], g[r["doc_id"]]) for r in docs if r["doc_id"] in g)
+    rows = Counter()
+    cols = Counter()
+    for (s, q), o in cells.items():
+        rows[s] += o
+        cols[q] += o
+    n = sum(cells.values())
+    for r in out:
+        o = cells[(r["source"], r["passes"])]
+        e = rows[r["source"]] * cols[r["passes"]] / n
+        adj = (o - e) / math.sqrt(
+            e * (1 - rows[r["source"]] / n) * (1 - cols[r["passes"]] / n)
+        )
+        assert r["observed"] == o
+        assert abs(r["expected"] - e) < 1e-3
+        assert abs(r["adj_residual"] - adj) < 1e-4
+        assert r["flagged"] == (1 if abs(adj) > 2 else 0)
+
+
+def test_q375_bp_recompute(spark):
+    """LM statistic recomputed with float residuals; the quantized
+    integer path must agree to the quantization error."""
+    import math
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q375_breusch_pagan"].fn(spark, SF_SMOKE).collect()[0]
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_discount", "l_extendedprice"
+    ).collect()
+    pts = [
+        (math.floor(r["l_discount"] * 100 + 0.5),
+         math.floor(r["l_extendedprice"] * 100 + 0.5))
+        for r in li
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts); sxy = sum(x * y for x, y in pts)
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    qs = [(x, (y - (a + b * x)) ** 2) for x, y in pts]
+    sq = sum(q for _, q in qs); sxq = sum(x * q for x, q in qs)
+    sqq = sum(q * q for _, q in qs)
+    cxq = n * sxq - sx * sq
+    cxx_c = n * sxx - sx * sx
+    cqq = n * sqq - sq * sq
+    lm = n * cxq * cxq / (cxx_c * cqq)
+    assert out["n_rows"] == n
+    assert abs(out["bp_lm"] - lm) < 1e-2
+    assert 0.0 <= out["p_value"] <= 1.0
+    assert out["heteroscedastic"] == (1 if out["p_value"] < 0.05 else 0)
