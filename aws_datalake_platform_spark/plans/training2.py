@@ -6921,3 +6921,352 @@ def q375_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(pv, 8).alias("p_value"),
         F.when(pv < 0.05, 1).otherwise(0).alias("heteroscedastic"),
     )
+
+
+# ── q376: Durbin-Watson autocorrelation diagnostic ───────────────────────────
+
+
+@register(
+    "q376_durbin_watson",
+    """
+    WITH d0 AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(d * d) AS BIGINT) AS sdd,
+             CAST(SUM(d * v) AS BIGINT) AS sdv
+      FROM d0
+    ),
+    e AS (
+      SELECT d0.d,
+             CAST(FLOOR((d0.v
+               - ((s.sv - (s.n * 1.0 * s.sdv - s.sd * 1.0 * s.sv)
+                          / (s.n * 1.0 * s.sdd - s.sd * 1.0 * s.sd) * s.sd)
+                  / s.n
+                  + (s.n * 1.0 * s.sdv - s.sd * 1.0 * s.sv)
+                    / (s.n * 1.0 * s.sdd - s.sd * 1.0 * s.sd) * d0.d))
+               * 1000000 + 0.5) AS BIGINT) AS eq
+      FROM d0 CROSS JOIN s
+    ),
+    l AS (
+      SELECT eq, LAG(eq) OVER (ORDER BY d) AS ep FROM e
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           FLOOR(CAST(SUM(CASE WHEN ep IS NOT NULL
+                          THEN (eq - ep) * (eq - ep) END) AS DOUBLE)
+                 / CAST(SUM(eq * eq) AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS dw_stat,
+           CASE WHEN CAST(SUM(CASE WHEN ep IS NOT NULL
+                            THEN (eq - ep) * (eq - ep) END) AS DOUBLE)
+                     / CAST(SUM(eq * eq) AS DOUBLE) < 1.0 THEN 1
+                ELSE 0 END AS positive_autocorr_flag
+    FROM l
+    """,
+    doc="Durbin-Watson statistic on the OLS-detrended daily volume: "
+    "DW = sum (e_t - e_(t-1))^2 / sum e_t^2, ~2 under independence, "
+    "toward 0 under positive autocorrelation — the one-number "
+    "diagnostic that says whether q339/q272's trend residuals can be "
+    "treated as independent (and thus whether their naive standard "
+    "errors are trustworthy). Residuals are micro-quantized per day "
+    "(fixed OLS expression tree), so both sums are exact integers; "
+    "the DW ratio's quantization scale cancels.",
+)
+def q376_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one per-day count; the detrend + lag run on the
+    calendar-bounded relation (single-partition window over days)."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    s = d0.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+        F.sum(F.col("d") * F.col("v")).cast("long").alias("sdv"),
+    )
+    b = (F.col("n") * 1.0 * F.col("sdv") - F.col("sd") * 1.0 * F.col("sv")) / (
+        F.col("n") * 1.0 * F.col("sdd") - F.col("sd") * 1.0 * F.col("sd")
+    )
+    a = (F.col("sv") - b * F.col("sd")) / F.col("n")
+    e = d0.crossJoin(F.broadcast(s)).select(
+        "d",
+        F.floor((F.col("v") - (a + b * F.col("d"))) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("eq"),
+    )
+    l = e.select("eq", F.lag("eq").over(Window.orderBy("d")).alias("ep"))
+    num = F.sum(
+        F.when(
+            F.col("ep").isNotNull(),
+            (F.col("eq") - F.col("ep")) * (F.col("eq") - F.col("ep")),
+        )
+    ).cast("double")
+    den = F.sum(F.col("eq") * F.col("eq")).cast("double")
+    return l.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        round_half_up(num / den, 6).alias("dw_stat"),
+        F.when(num / den < 1.0, 1).otherwise(0).alias("positive_autocorr_flag"),
+    )
+
+
+# ── q377: Ljung-Box portmanteau test ─────────────────────────────────────────
+
+_Q377_K = 7
+_Q377_CHI2_95_K7 = 14.067  # chi2(7) 95th percentile
+
+
+def _q377_sql() -> str:
+    lag_cols = ",\n             ".join(
+        f"LAG(eq, {k}) OVER (ORDER BY d) AS e{k}" for k in range(1, _Q377_K + 1)
+    )
+    rk_terms = " + ".join(
+        f"""(CAST(SUM(eq * e{k}) AS DOUBLE) / CAST(SUM(eq * eq) AS DOUBLE))
+            * (CAST(SUM(eq * e{k}) AS DOUBLE) / CAST(SUM(eq * eq) AS DOUBLE))
+            / (MAX(nn) - {k})"""
+        for k in range(1, _Q377_K + 1)
+    )
+    return f"""
+    WITH d0 AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(d * d) AS BIGINT) AS sdd,
+             CAST(SUM(d * v) AS BIGINT) AS sdv
+      FROM d0
+    ),
+    e AS (
+      SELECT d0.d, s.n AS nn,
+             CAST(FLOOR((d0.v
+               - ((s.sv - (s.n * 1.0 * s.sdv - s.sd * 1.0 * s.sv)
+                          / (s.n * 1.0 * s.sdd - s.sd * 1.0 * s.sd) * s.sd)
+                  / s.n
+                  + (s.n * 1.0 * s.sdv - s.sd * 1.0 * s.sv)
+                    / (s.n * 1.0 * s.sdd - s.sd * 1.0 * s.sd) * d0.d))
+               * 1000000 + 0.5) AS BIGINT) AS eq
+      FROM d0 CROSS JOIN s
+    ),
+    l AS (
+      SELECT d, nn, eq,
+             {lag_cols}
+      FROM e
+    )
+    SELECT MAX(nn) AS n_days, {_Q377_K} AS n_lags,
+           FLOOR(MAX(nn) * (MAX(nn) + 2.0) * ({rk_terms})
+                 * 1000000 + 0.5) / 1000000 AS q_lb,
+           CASE WHEN MAX(nn) * (MAX(nn) + 2.0) * ({rk_terms})
+                     > {_Q377_CHI2_95_K7} THEN 1 ELSE 0 END AS reject_iid
+    FROM l
+    """
+
+
+@register(
+    "q377_ljung_box",
+    _q377_sql(),
+    doc="Ljung-Box portmanteau test (1978) on the OLS-detrended daily "
+    "volume: Q = n(n+2) sum_k r_k^2/(n-k) over lags 1..7, compared to "
+    "the chi2(7) 95th percentile — the JOINT version of q314's "
+    "per-lag autocorrelation and the formal companion to q376's "
+    "first-lag DW. Lagged products of the micro-quantized residuals "
+    "are exact integers (the truncated-sum r_k convention, standard "
+    "for portmanteau tests); Q is one scalar tree over them.",
+)
+def q377_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical to q376 — the lag battery is 7 windows over the
+    calendar-bounded residual relation sharing one sort."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    s = d0.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+        F.sum(F.col("d") * F.col("v")).cast("long").alias("sdv"),
+    )
+    b = (F.col("n") * 1.0 * F.col("sdv") - F.col("sd") * 1.0 * F.col("sv")) / (
+        F.col("n") * 1.0 * F.col("sdd") - F.col("sd") * 1.0 * F.col("sd")
+    )
+    a = (F.col("sv") - b * F.col("sd")) / F.col("n")
+    e = d0.crossJoin(F.broadcast(s)).select(
+        "d",
+        F.col("n").alias("nn"),
+        F.floor((F.col("v") - (a + b * F.col("d"))) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("eq"),
+    )
+    w = Window.orderBy("d")
+    l = e.select(
+        "d",
+        "nn",
+        "eq",
+        *[F.lag("eq", k).over(w).alias(f"e{k}") for k in range(1, _Q377_K + 1)],
+    )
+    rsum = None
+    for k in range(1, _Q377_K + 1):
+        rk = F.sum(F.col("eq") * F.col(f"e{k}")).cast("double") / F.sum(
+            F.col("eq") * F.col("eq")
+        ).cast("double")
+        term = rk * rk / (F.max("nn") - k)
+        rsum = term if rsum is None else rsum + term
+    q_lb = F.max("nn") * (F.max("nn") + 2.0) * rsum
+    return l.agg(
+        F.max("nn").alias("n_days"),
+        F.lit(_Q377_K).alias("n_lags"),
+        round_half_up(q_lb, 6).alias("q_lb"),
+        F.when(q_lb > _Q377_CHI2_95_K7, 1).otherwise(0).alias("reject_iid"),
+    )
+
+
+# ── q378: Anderson-Darling normality test ────────────────────────────────────
+
+_Q378_CRIT = 0.752  # A*² 5% critical value (Stephens 1974, normal case)
+
+
+def _q378_tail_sql(u: str) -> str:
+    """Upper normal tail T(u) for u >= 0 via A-S 26.2.17 (q362 form)."""
+    b1, b2, b3, b4, b5 = _AS_B
+    t = f"(1 / (1 + {_AS_P} * {u}))"
+    horner = f"({t} * ({b1} + {t} * ({b2} + {t} * ({b3} + {t} * ({b4} + {t} * {b5})))))"
+    return f"((EXP(-{u} * {u} / 2.0) / {_SQRT_2PI}) * {horner})"
+
+
+def _q378_sql() -> str:
+    ln_phi = (
+        f"CASE WHEN a.z >= 0 THEN LN(1 - {_q378_tail_sql('a.z')}) "
+        f"ELSE LN({_q378_tail_sql('(-a.z)')}) END"
+    )
+    ln_1m_phi = (
+        f"CASE WHEN b.z >= 0 THEN LN({_q378_tail_sql('b.z')}) "
+        f"ELSE LN(1 - {_q378_tail_sql('(-b.z)')}) END"
+    )
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    mo AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(y::HUGEINT * y::HUGEINT) AS DOUBLE) AS syy
+      FROM u
+    ),
+    r AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY y, user_id) AS rn,
+             (y - mo.sy * 1.0 / mo.n)
+               / SQRT((mo.syy - mo.sy * 1.0 * mo.sy / mo.n) / (mo.n - 1)) AS z,
+             mo.n AS n
+      FROM u CROSS JOIN mo
+    ),
+    terms AS (
+      SELECT a.rn, a.n,
+             CAST(FLOOR((2 * a.rn - 1) * ({ln_phi} + {ln_1m_phi})
+                        * 1000000 + 0.5) AS BIGINT) AS tq
+      FROM r a JOIN r b ON b.rn = a.n - a.rn + 1
+    )
+    SELECT MAX(n) AS n_users,
+           FLOOR((-CAST(MAX(n) AS DOUBLE)
+                  - CAST(SUM(tq) AS DOUBLE) / 1000000.0 / MAX(n))
+                 * 1000000 + 0.5) / 1000000 AS a2,
+           FLOOR((-CAST(MAX(n) AS DOUBLE)
+                  - CAST(SUM(tq) AS DOUBLE) / 1000000.0 / MAX(n))
+                 * (1 + 0.75 / MAX(n) + 2.25 / (MAX(n) * 1.0 * MAX(n)))
+                 * 1000000 + 0.5) / 1000000 AS a2_star,
+           CASE WHEN (-CAST(MAX(n) AS DOUBLE)
+                      - CAST(SUM(tq) AS DOUBLE) / 1000000.0 / MAX(n))
+                     * (1 + 0.75 / MAX(n) + 2.25 / (MAX(n) * 1.0 * MAX(n)))
+                     > {_Q378_CRIT} THEN 1 ELSE 0 END AS reject_normal
+    FROM terms
+    """
+
+
+@register(
+    "q378_anderson_darling",
+    _q378_sql(),
+    doc="Anderson-Darling normality test (1952; Stephens 1974 "
+    "small-sample form) on per-user purchase revenue: "
+    "A² = -n - (1/n) sum (2i-1)(ln Phi(z_(i)) + ln(1-Phi(z_(n+1-i)))), "
+    "with Phi via the A-S arithmetic tail (q362) so every order-"
+    "statistic term is a fixed IEEE tree, micro-quantized before the "
+    "exact integer sum. A*² > 0.752 rejects normality at 5% — the "
+    "formal check behind q333's t-test and q297's z-score fences "
+    "(revenue is right-skewed; expect rejection, which is exactly why "
+    "q306/q356's rank tests exist).",
+)
+def q378_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one per-user aggregate; ranking and the mirrored-rank
+    join run on the user-bounded relation (at true scale a
+    deterministic sample replaces it — the q366 convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .cast("long")
+        .alias("y")
+    )
+    mo = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(dec("y") * dec("y")).cast("double").alias("syy"),
+    )
+    z = (F.col("y") - F.col("sy") * 1.0 / F.col("n")) / F.sqrt(
+        (F.col("syy") - F.col("sy") * 1.0 * F.col("sy") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    r = u.crossJoin(F.broadcast(mo)).select(
+        F.row_number().over(Window.orderBy("y", "user_id")).alias("rn"),
+        z.alias("z"),
+        "n",
+    )
+
+    def tail(uc):
+        t = 1 / (1 + _AS_P * uc)
+        b1, b2, b3, b4, b5 = _AS_B
+        horner = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))))
+        return (F.exp(-uc * uc / 2.0) / _SQRT_2PI) * horner
+
+    a = r.select(F.col("rn"), F.col("z").alias("za"), F.col("n"))
+    b = r.select(F.col("rn").alias("rb"), F.col("z").alias("zb"))
+    ln_phi = F.when(
+        F.col("za") >= 0, F.log(1 - tail(F.col("za")))
+    ).otherwise(F.log(tail(-F.col("za"))))
+    ln_1m = F.when(
+        F.col("zb") >= 0, F.log(tail(F.col("zb")))
+    ).otherwise(F.log(1 - tail(-F.col("zb"))))
+    terms = a.join(
+        F.broadcast(b), F.col("rb") == F.col("n") - F.col("rn") + 1
+    ).select(
+        "n",
+        F.floor((2 * F.col("rn") - 1) * (ln_phi + ln_1m) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("tq"),
+    )
+    a2 = -F.max("n").cast("double") - F.sum("tq").cast("double") / 1_000_000.0 / F.max(
+        "n"
+    )
+    a2s = a2 * (
+        1 + 0.75 / F.max("n") + 2.25 / (F.max("n") * 1.0 * F.max("n"))
+    )
+    return terms.agg(
+        F.max("n").alias("n_users"),
+        round_half_up(a2, 6).alias("a2"),
+        round_half_up(a2s, 6).alias("a2_star"),
+        F.when(a2s > _Q378_CRIT, 1).otherwise(0).alias("reject_normal"),
+    )

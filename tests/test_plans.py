@@ -1072,3 +1072,20 @@ def test_q375_bp_two_scans_one_scalar_broadcast(spark):
     assert "Window" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q376_q377_diagnostics_on_days_relation(spark):
+    """DW and Ljung-Box run their windows on the calendar-bounded
+    residual relation; the OLS scalars ride one broadcast each."""
+    for q in ("q376_durbin_watson", "q377_ljung_box"):
+        plan = _plan(spark, q)
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1, q
+
+
+def test_q378_ad_mirror_join_on_user_relation(spark):
+    """The mirrored-rank join runs on the user-bounded ranked relation
+    (broadcast); moments ride one broadcast scalar; no cartesian."""
+    plan = _plan(spark, "q378_anderson_darling")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -1980,3 +1980,66 @@ def test_q375_bp_recompute(spark):
     assert abs(out["bp_lm"] - lm) < 1e-2
     assert 0.0 <= out["p_value"] <= 1.0
     assert out["heteroscedastic"] == (1 if out["p_value"] < 0.05 else 0)
+
+
+def test_q376_q377_recompute(spark):
+    """DW and Ljung-Box recomputed from float residuals of the same OLS
+    detrend; both must agree to quantization error, and the two
+    diagnostics must tell a consistent story."""
+    from collections import Counter
+
+    dw = QUERY_REGISTRY["q376_durbin_watson"].fn(spark, SF_SMOKE).collect()[0]
+    lb = QUERY_REGISTRY["q377_ljung_box"].fn(spark, SF_SMOKE).collect()[0]
+    daily = Counter(r["ts"].date() for r in _events(spark))
+    d0 = min(daily)
+    pts = sorted(((d - d0).days, c) for d, c in daily.items())
+    n = len(pts)
+    sx = sum(t for t, _ in pts); sy = sum(v for _, v in pts)
+    sxx = sum(t * t for t, _ in pts); sxy = sum(t * v for t, v in pts)
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    e = [v - (a + b * t) for t, v in pts]
+    dw_ref = sum((e[i] - e[i - 1]) ** 2 for i in range(1, n)) / sum(x * x for x in e)
+    assert dw["n_days"] == n
+    assert abs(dw["dw_stat"] - dw_ref) < 1e-3
+    den = sum(x * x for x in e)
+    q_ref = n * (n + 2) * sum(
+        (sum(e[i] * e[i + k] for i in range(n - k)) / den) ** 2 / (n - k)
+        for k in range(1, 8)
+    )
+    assert abs(lb["q_lb"] - q_ref) < 1e-2
+    assert lb["reject_iid"] == (1 if q_ref > 14.067 else 0)
+
+
+def test_q378_ad_recompute(spark):
+    """A² recomputed with scipy-free exact Phi via math.erf — the A-S
+    approximation must agree within its documented error envelope."""
+    import math
+
+    out = QUERY_REGISTRY["q378_anderson_darling"].fn(spark, SF_SMOKE).collect()[0]
+    per: dict[int, int] = {}
+    for r in _events(spark):
+        per.setdefault(r["user_id"], 0)
+        if r["event_type"] == "purchase":
+            per[r["user_id"]] += math.floor(r["value"] * 100 + 0.5)
+    ys = [v for _, v in sorted(per.items(), key=lambda kv: (kv[1], kv[0]))]
+    n = len(ys)
+    mean = sum(ys) / n
+    sd = math.sqrt((sum(y * y for y in ys) - sum(ys) ** 2 / n) / (n - 1))
+    z = [(y - mean) / sd for y in ys]
+
+    def phi(x):
+        return 0.5 * (1 + math.erf(x / math.sqrt(2)))
+
+    s = sum(
+        (2 * (i + 1) - 1) * (math.log(phi(z[i])) + math.log(1 - phi(z[n - 1 - i])))
+        for i in range(n)
+    )
+    a2 = -n - s / n
+    assert out["n_users"] == n
+    # A-S tail error 7.5e-8 amplified through logs of small tails —
+    # allow a loose envelope; the ORDERING claims (reject flag) must
+    # still match the exact-Phi recompute
+    assert abs(out["a2"] - a2) < 0.01
+    a2s = a2 * (1 + 0.75 / n + 2.25 / n**2)
+    assert out["reject_normal"] == (1 if a2s > 0.752 else 0)
