@@ -280,6 +280,17 @@ HEADLINE = [
     "q366_energy_distance",
     "q367_cochran_q",
     "q368_hits_hubs_authorities",
+    # round-7 session-3 wave 2: diagnostics + survey weighting + learners
+    "q369_binseg_changepoints",
+    "q370_raking_ipf",
+    "q371_mediation_analysis",
+    "q372_cronbach_alpha",
+    "q373_nested_model_ftest",
+    "q374_chi2_cell_residuals",
+    "q375_breusch_pagan",
+    "q376_durbin_watson",
+    "q377_ljung_box",
+    "q378_anderson_darling",
 ]
 
 
