@@ -1,0 +1,1346 @@
+"""Round-7 wave-3 additions: semiparametric survival regression (Cox),
+seasonal adaptive forecasting (Holt-Winters), and graph-based keyword
+extraction (TextRank) — each a classically-sequential algorithm run
+under the exact-replay discipline (q350/q351/q368): integer fixed-point
+state, truncating integer division, micro-quantized float terms, so the
+DuckDB oracle replays every iteration bit-for-bit.
+
+Reference tie-in: the reference delegates all analytics to Athena
+(README.md:128-132); these extend the engine's analytics surface the
+same way q203-q378 did (SURVEY.md north-star ops).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.core import round_half_up
+from .queries import register
+
+# ── q379: Cox proportional-hazards fit via exact-replay Newton ───────────────
+
+_Q379_ITERS = 8
+_Q379_SCALE = 1_000_000
+
+
+def _q379_sql() -> str:
+    # subjects/grid identical to q353's log-rank construction
+    head = f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+    seq AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS nxt
+      FROM orders
+    ),
+    subj AS (
+      SELECT CAST(FLOOR(date_diff('day', o_orderdate,
+               COALESCE(nxt, m.mxd)) / 7) AS BIGINT) AS t_weeks,
+             CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS grp
+      FROM seq CROSS JOIN mx m
+    ),
+    tot AS (
+      SELECT CAST(SUM(grp) AS BIGINT) AS tn1,
+             CAST(SUM(1 - grp) AS BIGINT) AS tn0
+      FROM subj
+    ),
+    grid0 AS (
+      SELECT t_weeks,
+             CAST(SUM(ev * grp) AS BIGINT) AS d1,
+             CAST(SUM(ev * (1 - grp)) AS BIGINT) AS d0,
+             CAST(SUM((1 - ev) * grp) AS BIGINT) AS c1,
+             CAST(SUM((1 - ev) * (1 - grp)) AS BIGINT) AS c0
+      FROM subj GROUP BY t_weeks
+    ),
+    grid AS MATERIALIZED (
+      SELECT t_weeks, d1, d0,
+             CAST(t.tn1 - COALESCE(SUM(d1 + c1) OVER (ORDER BY t_weeks
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n1,
+             CAST(t.tn0 - COALESCE(SUM(d0 + c0) OVER (ORDER BY t_weeks
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n0
+      FROM grid0 CROSS JOIN tot t
+    ),
+    b0 AS (SELECT CAST(0 AS BIGINT) AS bq)"""
+    steps = []
+    for k in range(1, _Q379_ITERS + 1):
+        steps.append(f"""
+    p{k} AS (
+      SELECT d1, d0,
+             (n1 * EXP(b.bq / {_Q379_SCALE}.0))
+               / (n0 + n1 * EXP(b.bq / {_Q379_SCALE}.0)) AS p
+      FROM grid CROSS JOIN b{k - 1} b WHERE d1 + d0 > 0
+    ),
+    s{k} AS (
+      SELECT CAST(SUM(CAST(FLOOR((d1 - (d1 + d0) * p) * {_Q379_SCALE} + 0.5)
+                           AS BIGINT)) AS BIGINT) AS u,
+             CAST(SUM(CAST(FLOOR((d1 + d0) * p * (1 - p) * {_Q379_SCALE} + 0.5)
+                           AS BIGINT)) AS BIGINT) AS i
+      FROM p{k}
+    ),
+    b{k} AS (
+      SELECT CAST(b.bq + CAST(FLOOR(s.u * 1.0 / s.i * {_Q379_SCALE} + 0.5)
+                              AS BIGINT) AS BIGINT) AS bq
+      FROM s{k} s CROSS JOIN b{k - 1} b
+    )""")
+    last = _Q379_ITERS
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM grid WHERE d1 + d0 > 0)
+             AS n_event_times,
+           (SELECT CAST(SUM(d1) AS BIGINT) FROM grid) AS events_urgent,
+           (SELECT CAST(SUM(d0) AS BIGINT) FROM grid) AS events_other,
+           FLOOR(b.bq / {_Q379_SCALE}.0 * 1000000 + 0.5) / 1000000 AS beta_hat,
+           FLOOR(EXP(b.bq / {_Q379_SCALE}.0) * 1000000 + 0.5) / 1000000
+             AS hazard_ratio,
+           FLOOR(1.0 / SQRT(s.i / {_Q379_SCALE}.0) * 1000000 + 0.5) / 1000000
+             AS std_err,
+           FLOOR((b.bq / {_Q379_SCALE}.0) * SQRT(s.i / {_Q379_SCALE}.0)
+                 * 1000000 + 0.5) / 1000000 AS z_stat,
+           FLOOR(s.u / {_Q379_SCALE}.0 * 1000000 + 0.5) / 1000000
+             AS score_residual
+    FROM b{last} b CROSS JOIN s{last} s
+    """
+    )
+
+
+@register(
+    "q379_cox_hazard_newton",
+    _q379_sql(),
+    doc="Cox proportional-hazards regression (Cox 1972, Breslow ties) "
+    "on the q353 repurchase cohorts: does URGENT/HIGH priority "
+    "multiply the reorder hazard? With the single binary covariate "
+    "the partial-likelihood score and Fisher information at each "
+    "distinct event time reduce to p = n1*e^b/(n0 + n1*e^b): "
+    "U = sum d1 - d*p, I = sum d*p*(1-p), Newton step b += U/I. "
+    "Eight Newton iterations run under the exact-replay discipline — "
+    "beta held as integer micros, per-time terms micro-quantized "
+    "before the sum (the q353 idiom), the step ratio floor-pinned — "
+    "so the whole OPTIMIZER is hash-exact on both engines. Reports "
+    "beta, the hazard ratio e^beta (the MLE refinement of q353's O/E "
+    "ratio), the information-based standard error, Wald z, and the "
+    "final score residual (~0: the convergence certificate).",
+)
+def q379_cox_hazard_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one LEAD window per customer builds subjects; the risk-set
+    grid is bounded by DISTINCT survival weeks, so the Newton loop runs
+    on a driver-side copy of the grid (bounded-collect pattern, q350/
+    q351) in arithmetic identical to the oracle's unrolled CTEs: libm
+    exp on integer-micro beta, floor-quantized terms, integer sums.
+    At any corpus size the per-iteration cost is the bounded grid, and
+    the corpus-width work (subjects + grid) happens exactly once."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    subj = (
+        o.withColumn("nxt", F.lead("o_orderdate").over(w))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(
+                F.datediff(F.coalesce("nxt", "mxd"), F.col("o_orderdate")) / 7
+            ).alias("t_weeks"),
+            F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("ev"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0).alias("grp"),
+        )
+    )
+    tot = subj.agg(
+        F.sum("grp").cast("long").alias("tn1"),
+        F.sum(1 - F.col("grp")).cast("long").alias("tn0"),
+    )
+    grid0 = subj.groupBy("t_weeks").agg(
+        F.sum(F.col("ev") * F.col("grp")).cast("long").alias("d1"),
+        F.sum(F.col("ev") * (1 - F.col("grp"))).cast("long").alias("d0"),
+        F.sum((1 - F.col("ev")) * F.col("grp")).cast("long").alias("c1"),
+        F.sum((1 - F.col("ev")) * (1 - F.col("grp"))).cast("long").alias("c0"),
+    )
+    wt = Window.orderBy("t_weeks").rowsBetween(Window.unboundedPreceding, -1)
+    grid = (
+        grid0.crossJoin(F.broadcast(tot))
+        .select(
+            "t_weeks",
+            "d1",
+            "d0",
+            (
+                F.col("tn1")
+                - F.coalesce(F.sum(F.col("d1") + F.col("c1")).over(wt), F.lit(0))
+            )
+            .cast("long")
+            .alias("n1"),
+            (
+                F.col("tn0")
+                - F.coalesce(F.sum(F.col("d0") + F.col("c0")).over(wt), F.lit(0))
+            )
+            .cast("long")
+            .alias("n0"),
+        )
+        .collect()  # bounded by distinct survival weeks
+    )
+    rows = [(r["d1"], r["d0"], r["n1"], r["n0"]) for r in grid]
+    n_times = sum(1 for d1, d0, _, _ in rows if d1 + d0 > 0)
+    ev1 = sum(d1 for d1, _, _, _ in rows)
+    ev0 = sum(d0 for _, d0, _, _ in rows)
+    bq = 0
+    u = i = 0
+    for _ in range(_Q379_ITERS):
+        u = i = 0
+        eb = math.exp(bq / float(_Q379_SCALE))
+        for d1, d0, n1, n0 in rows:
+            if d1 + d0 == 0:
+                continue
+            p = (n1 * eb) / (n0 + n1 * eb)
+            u += math.floor((d1 - (d1 + d0) * p) * _Q379_SCALE + 0.5)
+            i += math.floor((d1 + d0) * p * (1 - p) * _Q379_SCALE + 0.5)
+        bq = bq + math.floor(u * 1.0 / i * _Q379_SCALE + 0.5)
+    out = spark.createDataFrame(
+        [(n_times, ev1, ev0, bq, u, i)],
+        "n_times long, ev1 long, ev0 long, bq long, u long, i long",
+    )
+    sc = float(_Q379_SCALE)
+    beta = F.col("bq") / sc
+    return out.select(
+        F.col("n_times").alias("n_event_times"),
+        F.col("ev1").alias("events_urgent"),
+        F.col("ev0").alias("events_other"),
+        round_half_up(beta, 6).alias("beta_hat"),
+        round_half_up(F.exp(beta), 6).alias("hazard_ratio"),
+        round_half_up(1.0 / F.sqrt(F.col("i") / sc), 6).alias("std_err"),
+        round_half_up(beta * F.sqrt(F.col("i") / sc), 6).alias("z_stat"),
+        round_half_up(F.col("u") / sc, 6).alias("score_residual"),
+    )
+
+
+# ── q380: Holt-Winters additive seasonal smoothing (period 7) ────────────────
+
+_Q380_SCALE = 1_000_000
+_Q380_M = 7
+
+
+def _q380_sql() -> str:
+    sc = _Q380_SCALE
+    m = _Q380_M
+    sprev = (
+        "CASE ((d.rn - 1) % 7) + 1 "
+        + " ".join(f"WHEN {j} THEN h.s{j}" for j in range(1, m + 1))
+        + " END"
+    )
+    nl = f"(d.v * {sc} - ({sprev}) + h.l + h.b) // 2"
+    nb = f"(({nl}) - h.l + h.b) // 2"
+    ns = f"(d.v * {sc} - ({nl}) + ({sprev})) // 2"
+    supd = ", ".join(
+        f"CAST(CASE WHEN ((d.rn - 1) % 7) + 1 = {j} THEN {ns} "
+        f"ELSE h.s{j} END AS BIGINT) AS s{j}"
+        for j in range(1, m + 1)
+    )
+    sinit = ", ".join(
+        f"CAST((SELECT v FROM daily WHERE rn = {j}) * {sc} "
+        f"- (SELECT l0 FROM init) AS BIGINT) AS s{j}"
+        for j in range(1, m + 1)
+    )
+    scur = (
+        "CASE ((d.rn - 1) % 7) + 1 "
+        + " ".join(f"WHEN {j} THEN h.s{j}" for j in range(1, m + 1))
+        + " END"
+    )
+    return f"""
+    WITH RECURSIVE d0 AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    daily AS (SELECT d, v, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM d0),
+    init AS (
+      SELECT CAST(SUM(v) * {sc} // {m} AS BIGINT) AS l0
+      FROM daily WHERE rn <= {m}
+    ),
+    hw AS (
+      SELECT CAST({m} AS BIGINT) AS rn,
+             CAST(i.l0 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+             CAST(0 AS BIGINT) AS fq, {sinit}
+      FROM init i
+      UNION ALL
+      SELECT d.rn,
+             CAST({nl} AS BIGINT) AS l,
+             CAST({nb} AS BIGINT) AS b,
+             CAST(h.l + h.b + ({sprev}) AS BIGINT) AS fq,
+             {supd}
+      FROM hw h JOIN daily d ON d.rn = h.rn + 1
+    )
+    SELECT d.rn AS day_seq, d.d AS day_idx, d.v AS volume,
+           FLOOR(h.l / {sc}.0 * 10000 + 0.5) / 10000 AS level,
+           FLOOR((h.b / {sc}.0 + 1000000) * 10000 + 0.5) / 10000 - 1000000
+             AS trend,
+           FLOOR((({scur}) / {sc}.0 + 1000000) * 10000 + 0.5) / 10000
+             - 1000000 AS seasonal,
+           FLOOR(h.fq / {sc}.0 * 10000 + 0.5) / 10000 AS fitted,
+           FLOOR((d.v - h.fq / {sc}.0 + 1000000) * 10000 + 0.5) / 10000
+             - 1000000 AS residual
+    FROM hw h JOIN daily d ON d.rn = h.rn
+    WHERE h.rn > {m}
+    ORDER BY day_seq
+    """
+
+
+@register(
+    "q380_holt_winters",
+    _q380_sql(),
+    doc="Additive Holt-Winters (triple exponential) smoothing of daily "
+    "event volume with weekly seasonality (m=7) and alpha=beta=gamma="
+    "1/2: level/trend as in q351 plus a 7-slot seasonal state, "
+    "one-step-ahead fitted = l + b + s(weekday) and residuals. The "
+    "genuinely-sequential recurrence runs in EXACT fixed-point "
+    "arithmetic — integer micro-units, truncating integer division, "
+    "seasonal slots carried as seven recursive-CTE columns — so the "
+    "oracle replays every step bit-for-bit (the q351 discipline "
+    "extended to vector state). Seasonal init: first-week deviations "
+    "from the first-week mean. Negative states round via the "
+    "+1e6-offset floor so HALF-UP holds on negative trend/seasonal/"
+    "residual values. This is the forecaster to use when q317 finds "
+    "real weekly seasonality — q351's trend-only fit aliases it into "
+    "residuals.",
+)
+def q380_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one per-day count over the event log (map-side
+    combinable); the recurrence is calendar-bounded and runs on a
+    driver-side copy of the daily relation (bounded-collect pattern,
+    q350/q351) in exact Python integer arithmetic with truncating
+    division matching BIGINT //. Output ratios are Spark column
+    expressions mirroring the oracle's floor pins."""
+    sc = _Q380_SCALE
+    m = _Q380_M
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .orderBy("d")
+        .collect()
+    )
+    days = [(row["d"], row["v"]) for row in daily]
+    empty_schema = (
+        "day_seq long, day_idx long, volume long, level double, trend double, "
+        "seasonal double, fitted double, residual double"
+    )
+    if len(days) <= m:
+        return spark.createDataFrame([], empty_schema)
+
+    def tdiv2(a: int) -> int:  # truncate toward zero, matching BIGINT // 2
+        return -((-a) // 2) if a < 0 else a // 2
+
+    l = sum(v for _, v in days[:m]) * sc // m  # nonneg: plain // is exact
+    b = 0
+    s = [v * sc - l for _, v in days[:m]]  # s[0] = weekday of rn=1
+    rows = []
+    for rn in range(m + 1, len(days) + 1):
+        d, v = days[rn - 1]
+        idx = (rn - 1) % m  # 0-based slot, matches ((rn-1)%7)+1 in SQL
+        sprev, lp, bp = s[idx], l, b
+        fq = lp + bp + sprev
+        l = tdiv2(v * sc - sprev + lp + bp)
+        b = tdiv2(l - lp + bp)
+        s[idx] = tdiv2(v * sc - l + sprev)
+        rows.append((rn, d, v, l, b, s[idx], fq))
+    df = spark.createDataFrame(
+        rows, "rn long, d long, v long, l long, b long, s long, fq long"
+    )
+    fsc = float(sc)
+
+    def signed_round4(col):  # floor half-up on possibly-negative values
+        return (
+            F.floor((col + 1_000_000) * 10_000 + 0.5) / 10_000 - 1_000_000
+        )
+
+    return df.select(
+        F.col("rn").alias("day_seq"),
+        F.col("d").alias("day_idx"),
+        F.col("v").alias("volume"),
+        round_half_up(F.col("l") / fsc, 4).alias("level"),
+        signed_round4(F.col("b") / fsc).alias("trend"),
+        signed_round4(F.col("s") / fsc).alias("seasonal"),
+        round_half_up(F.col("fq") / fsc, 4).alias("fitted"),
+        signed_round4(F.col("v") - F.col("fq") / fsc).alias("residual"),
+    ).orderBy("day_seq")
+
+
+# ── q381: TextRank keyword extraction in exact fixed-point arithmetic ────────
+
+_Q381_ITERS = 10
+_Q381_SCALE = 1_000_000
+_Q381_TOPK = 20
+_Q381_MINLEN = 4
+
+
+def _q381_sql() -> str:
+    sc = _Q381_SCALE
+    head = f"""
+    WITH tok AS (
+      SELECT doc_id, w, ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY pos) AS rn
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  t -> len(t) >= {_Q381_MINLEN})) AS w,
+               generate_subscripts(
+                 list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             t -> len(t) >= {_Q381_MINLEN}), 1) AS pos
+        FROM documents
+      )
+    ),
+    adj AS (
+      SELECT a.w AS u, b.w AS v
+      FROM tok a JOIN tok b
+        ON b.doc_id = a.doc_id AND b.rn = a.rn + 1 AND a.w <> b.w
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS wt
+      FROM (
+        SELECT u AS src, v AS dst FROM adj
+        UNION ALL
+        SELECT v AS src, u AS dst FROM adj
+      ) GROUP BY src, dst
+    ),
+    deg AS MATERIALIZED (
+      SELECT src, CAST(SUM(wt) AS BIGINT) AS t FROM edges GROUP BY src
+    ),
+    s0 AS (SELECT src AS w, CAST({sc} AS BIGINT) AS sv FROM deg)"""
+    steps = []
+    for k in range(1, _Q381_ITERS + 1):
+        steps.append(f"""
+    s{k} AS MATERIALIZED (
+      SELECT n.src AS w,
+             CAST((15 * {sc} + 85 * COALESCE(t.tv, 0)) // 100 AS BIGINT) AS sv
+      FROM deg n LEFT JOIN (
+        SELECT e.dst, CAST(SUM((e.wt * s.sv) // g.t) AS BIGINT) AS tv
+        FROM edges e
+        JOIN s{k - 1} s ON s.w = e.src
+        JOIN deg g ON g.src = e.src
+        GROUP BY e.dst
+      ) t ON t.dst = n.src
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT rank, w AS word,
+           FLOOR(sv / {sc}.0 * 1000000 + 0.5) / 1000000 AS score
+    FROM (
+      SELECT w, sv, CAST(ROW_NUMBER() OVER (ORDER BY sv DESC, w)
+                         AS BIGINT) AS rank
+      FROM s{_Q381_ITERS}
+    ) WHERE rank <= {_Q381_TOPK}
+    ORDER BY rank
+    """
+    )
+
+
+@register(
+    "q381_textrank_keywords",
+    _q381_sql(),
+    doc="TextRank keyword extraction (Mihalcea & Tarau 2004): "
+    "undirected word co-occurrence graph over adjacent content tokens "
+    "(len >= 4), damping 0.85, 10 power-iteration rounds of "
+    "WS(v) = 0.15 + 0.85 * sum_u w_uv/W_u * WS(u), top-20 keywords. "
+    "Every iteration runs in EXACT fixed-point arithmetic — integer "
+    "scores, per-edge terms (w*s)//W as truncating integer division, "
+    "the damped update as an integer affine map — the q368 HITS "
+    "discipline, so the whole ranker is hash-exact on both engines. "
+    "The graph-centrality counterpart of q326's RAKE (degree/frequency "
+    "scoring) and q69's TF-IDF: TextRank rewards words that co-occur "
+    "with OTHER central words, not merely frequent ones.",
+)
+def q381_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: tokenization is map-only; the edge relation is bounded by
+    distinct co-occurring word PAIRS (vocabulary-squared worst case,
+    zipf-tiny in practice), and each iteration is one equi-join +
+    aggregate over it with a localCheckpoint to stop unrolled-lineage
+    blowup (q368 discipline). No corpus rescan after the first pass."""
+    from pyspark import StorageLevel
+
+    sc = _Q381_SCALE
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"),
+                lambda t: F.length(t) >= _Q381_MINLEN,
+            )
+        ).alias("pos", "w"),
+    )
+    wn = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        tok.select("doc_id", "w", F.lead("w").over(wn).alias("v"))
+        .filter(F.col("v").isNotNull() & (F.col("w") != F.col("v")))
+        .select(F.col("w").alias("u"), "v")
+    )
+    edges = (
+        adj.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(adj.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.sum("wt").cast("long").alias("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    s = deg.select(F.col("src").alias("w"), F.lit(sc).cast("long").alias("sv"))
+    for _ in range(_Q381_ITERS):
+        tv = (
+            edges.join(s, edges["src"] == s["w"])
+            .join(deg.select(F.col("src").alias("gsrc"), "t"),
+                  F.col("src") == F.col("gsrc"))
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr(f"CAST((wt * sv) div t AS BIGINT)"))
+                .cast("long")
+                .alias("tv")
+            )
+        )
+        s = (
+            deg.join(tv, deg["src"] == tv["dst"], "left")
+            .select(
+                F.col("src").alias("w"),
+                F.expr(
+                    f"CAST((15 * {sc} + 85 * COALESCE(tv, 0)) div 100 AS BIGINT)"
+                ).alias("sv"),
+            )
+            # node-bounded; truncate lineage each step (q368 discipline)
+            .localCheckpoint(eager=True)
+        )
+    wr = Window.orderBy(F.desc("sv"), "w")
+    out = (
+        s.select(
+            F.row_number().over(wr).cast("long").alias("rank"),
+            F.col("w").alias("word"),
+            round_half_up(F.col("sv") / float(sc), 6).alias("score"),
+        )
+        .filter(F.col("rank") <= _Q381_TOPK)
+        .orderBy("rank")
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    deg.unpersist()
+    return out
+
+
+# ── q382: bipartite k-core peel of the customer-part graph ───────────────────
+
+_Q382_K = 3
+_Q382_ROUNDS = 8
+
+
+def _q382_sql() -> str:
+    k = _Q382_K
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS hub, l.l_partkey AS auth
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )"""
+    steps = []
+    for r in range(1, _Q382_ROUNDS + 1):
+        steps.append(f"""
+    h{r} AS MATERIALIZED (
+      SELECT hub FROM e{r - 1} GROUP BY hub HAVING COUNT(*) >= {k}),
+    a{r} AS MATERIALIZED (
+      SELECT auth FROM e{r - 1} GROUP BY auth HAVING COUNT(*) >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT e.hub, e.auth FROM e{r - 1} e
+      JOIN h{r} h ON h.hub = e.hub
+      JOIN a{r} a ON a.auth = e.auth)""")
+    rows = ", ".join(
+        f"({r}, (SELECT COUNT(DISTINCT hub) FROM e{r}), "
+        f"(SELECT COUNT(DISTINCT auth) FROM e{r}), "
+        f"(SELECT COUNT(*) FROM e{r}))"
+        for r in range(1, _Q382_ROUNDS + 1)
+    )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT CAST(col0 AS BIGINT) AS round,
+           CAST(col1 AS BIGINT) AS n_customers,
+           CAST(col2 AS BIGINT) AS n_parts,
+           CAST(col3 AS BIGINT) AS n_edges
+    FROM (VALUES {rows}) v(col0, col1, col2, col3)
+    ORDER BY round
+    """
+    )
+
+
+@register(
+    "q382_kcore_peel",
+    _q382_sql(),
+    doc=f"Bipartite {_Q382_K}-core decomposition of the customer-part "
+    "purchase graph (Seidman 1983): iteratively peel customers with "
+    f"< {_Q382_K} distinct parts and parts with < {_Q382_K} distinct "
+    f"buyers until mutual support stabilizes; {_Q382_ROUNDS} peel "
+    "rounds with per-round survivor counts (the trajectory SHOWS "
+    "convergence — the last rounds repeat once the fixpoint is hit). "
+    "Pure integer set algebra, so hash-exact by construction. The "
+    "dense-core complement of q368's HITS scores: HITS ranks nodes, "
+    "the k-core is the maximal subgraph where EVERY survivor keeps "
+    f">= {_Q382_K} connections — the standard basis for dense-cohort "
+    "extraction and graph-noise trimming before embedding training.",
+)
+def q382_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each peel round is two degree aggregates + two semi-joins
+    over the shrinking edge relation, localCheckpoint'ed per round so
+    the unrolled plan stays linear (q368 discipline). Edges only ever
+    shrink, so round cost is monotonically decreasing."""
+    from pyspark import StorageLevel
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("hub"), F.col("l_partkey").alias("auth"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rows = []
+    cur = e
+    for r in range(1, _Q382_ROUNDS + 1):
+        h = cur.groupBy("hub").count().filter(F.col("count") >= _Q382_K).select("hub")
+        a = (
+            cur.groupBy("auth").count().filter(F.col("count") >= _Q382_K).select("auth")
+        )
+        cur = (
+            cur.join(h, "hub").join(a, "auth").select("hub", "auth")
+            .localCheckpoint(eager=True)
+        )
+        agg = cur.agg(
+            F.countDistinct("hub").cast("long").alias("nh"),
+            F.countDistinct("auth").cast("long").alias("na"),
+            F.count(F.lit(1)).cast("long").alias("ne"),
+        ).collect()[0]
+        rows.append((r, agg["nh"] or 0, agg["na"] or 0, agg["ne"]))
+    e.unpersist()
+    return spark.createDataFrame(
+        rows, "round long, n_customers long, n_parts long, n_edges long"
+    ).orderBy("round")
+
+
+# ── q383: t-closeness privacy audit (variational-distance EMD) ───────────────
+
+_Q383_T = 0.25  # closeness threshold
+
+
+@register(
+    "q383_t_closeness",
+    f"""
+    WITH base AS (
+      SELECT c_mktsegment,
+             CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+             c_nationkey
+      FROM customer
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    gdist AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS gc FROM base GROUP BY 1
+    ),
+    cls AS (
+      SELECT c_mktsegment, bal_bucket, CAST(COUNT(*) AS BIGINT) AS nc
+      FROM base GROUP BY 1, 2
+    ),
+    cdist AS (
+      SELECT c_mktsegment, bal_bucket, c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS cc
+      FROM base GROUP BY 1, 2, 3
+    ),
+    spine AS (
+      SELECT c.c_mktsegment, c.bal_bucket, c.nc, g.c_nationkey, g.gc
+      FROM cls c CROSS JOIN gdist g
+    )
+    SELECT s.c_mktsegment, s.bal_bucket, MAX(s.nc) AS class_size,
+           CAST(SUM(CASE WHEN d.cc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sensitive_distinct,
+           FLOOR(SUM(ABS(COALESCE(d.cc, 0) * t.n - s.gc * s.nc))
+                 / (2.0 * MAX(s.nc) * MAX(t.n)) * 1000000 + 0.5) / 1000000
+             AS tvd,
+           CASE WHEN SUM(ABS(COALESCE(d.cc, 0) * t.n - s.gc * s.nc))
+                     / (2.0 * MAX(s.nc) * MAX(t.n)) <= {_Q383_T}
+                THEN 1 ELSE 0 END AS t_ok
+    FROM spine s
+    LEFT JOIN cdist d
+      ON d.c_mktsegment = s.c_mktsegment AND d.bal_bucket = s.bal_bucket
+     AND d.c_nationkey = s.c_nationkey
+    CROSS JOIN tot t
+    GROUP BY s.c_mktsegment, s.bal_bucket
+    ORDER BY s.c_mktsegment, s.bal_bucket
+    """,
+    doc="t-closeness privacy audit (Li et al. 2007) — the third rung of "
+    "the privacy ladder after q194's k-anonymity and q324's entropy "
+    "l-diversity: for each quasi-identifier class (mktsegment x 2000-"
+    "unit balance bucket, q324's classes), the variational distance "
+    "0.5*sum|p_class - p_global| between the class's nationality "
+    "distribution and the corpus-wide one. l-diversity can pass while "
+    "the class distribution still leaks (skewness attack); t-closeness "
+    f"bounds the leak. Classes with tvd > {_Q383_T} fail. The distance "
+    "is an EXACT integer ratio — common denominator n_class*N makes "
+    "the numerator sum(|cc*N - gc*nc|) pure BIGINT — so the audit is "
+    "hash-exact with no float accumulation at all.",
+)
+def q383_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: three map-side-combinable aggregates over the customer
+    relation; the spine is classes x nations (taxonomy-bounded) built
+    from the AGGREGATED relations, never row-level data, and the
+    global distribution broadcasts."""
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_bucket"),
+        "c_nationkey",
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    gdist = base.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("gc")
+    )
+    cls = base.groupBy("c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("nc")
+    )
+    cdist = base.groupBy("c_mktsegment", "bal_bucket", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cc")
+    )
+    spine = cls.crossJoin(F.broadcast(gdist))
+    j = (
+        spine.join(
+            cdist,
+            ["c_mktsegment", "bal_bucket", "c_nationkey"],
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    num = F.sum(
+        F.abs(F.coalesce(F.col("cc"), F.lit(0)) * F.col("n") - F.col("gc") * F.col("nc"))
+    )
+    den = 2.0 * F.max("nc") * F.max("n")
+    return (
+        j.groupBy("c_mktsegment", "bal_bucket")
+        .agg(
+            F.max("nc").alias("class_size"),
+            F.sum(F.when(F.col("cc").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sensitive_distinct"),
+            round_half_up(num / den, 6).alias("tvd"),
+            F.when(num / den <= _Q383_T, 1).otherwise(0).alias("t_ok"),
+        )
+        .orderBy("c_mktsegment", "bal_bucket")
+    )
+
+
+# ── q384: regression discontinuity at the quantity-25 cutoff ─────────────────
+
+_Q384_CUT = 25
+_Q384_BW = 10
+
+
+def _q384_side_sql(cond: str, tag: str) -> str:
+    return f"""
+    {tag} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xc) AS BIGINT) AS sx,
+             CAST(SUM(xc * xc) AS BIGINT) AS sxx,
+             CAST(SUM(yq) AS BIGINT) AS sy,
+             CAST(SUM(xc * yq) AS BIGINT) AS sxy,
+             CAST(SUM(yq * yq) AS BIGINT) AS syy
+      FROM rd WHERE {cond}
+    )"""
+
+
+def _q384_sql() -> str:
+    c, h = _Q384_CUT, _Q384_BW
+    ols = """
+      (s.sy * s.sxx - s.sx * s.sxy) * 1.0 / (s.n * s.sxx - s.sx * s.sx)
+    """.strip()
+    slope = """
+      (s.n * s.sxy - s.sx * s.sy) * 1.0 / (s.n * s.sxx - s.sx * s.sx)
+    """.strip()
+    var_i = f"""
+      ((s.syy - ({ols}) * s.sy - ({slope}) * s.sxy) / (s.n - 2))
+      * s.sxx / (s.n * s.sxx - s.sx * s.sx)
+    """.strip()
+    return f"""
+    WITH rd AS (
+      SELECT CAST(l_quantity AS BIGINT) - {c} AS xc,
+             CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS yq
+      FROM lineitem
+      WHERE l_quantity >= {c - h} AND l_quantity < {c + h}
+    ),
+    {_q384_side_sql(f"xc < 0", "lft")},
+    {_q384_side_sql(f"xc >= 0", "rgt")},
+    fit AS (
+      SELECT (SELECT n FROM lft) AS n_left, (SELECT n FROM rgt) AS n_right,
+             (SELECT {ols} FROM lft s) AS il,
+             (SELECT {slope} FROM lft s) AS sl,
+             (SELECT {var_i} FROM lft s) AS vl,
+             (SELECT {ols} FROM rgt s) AS ir,
+             (SELECT {slope} FROM rgt s) AS sr,
+             (SELECT {var_i} FROM rgt s) AS vr
+    )
+    SELECT n_left, n_right,
+           FLOOR((il / 100 + 1000) * 1000000 + 0.5) / 1000000 - 1000
+             AS intercept_left,
+           FLOOR((ir / 100 + 1000) * 1000000 + 0.5) / 1000000 - 1000
+             AS intercept_right,
+           FLOOR((sl / 100 + 1000) * 1000000 + 0.5) / 1000000 - 1000
+             AS slope_left,
+           FLOOR((sr / 100 + 1000) * 1000000 + 0.5) / 1000000 - 1000
+             AS slope_right,
+           FLOOR(((ir - il) / 100 + 1000) * 1000000 + 0.5) / 1000000 - 1000
+             AS rd_effect,
+           FLOOR(SQRT(vl + vr) / 100 * 1000000 + 0.5) / 1000000 AS std_err,
+           FLOOR(((ir - il) / SQRT(vl + vr) + 1000) * 1000000 + 0.5)
+             / 1000000 - 1000 AS z_stat
+    FROM fit
+    """
+
+
+@register(
+    "q384_regression_discontinuity",
+    _q384_sql(),
+    doc=f"Sharp regression-discontinuity design at the quantity-"
+    f"{_Q384_CUT} cutoff (Thistlethwaite & Campbell 1960): local "
+    f"linear fits of discount on centered quantity within a +/-"
+    f"{_Q384_BW}-unit bandwidth on each side; the causal estimand is "
+    "the intercept jump at the cutoff, with the SE from both sides' "
+    "OLS intercept variances. Completes the causal family (q316 DiD, "
+    "q336 IPW, q371 mediation) with the design for THRESHOLD rules — "
+    "exactly how a 'free shipping over N units' policy would be "
+    "evaluated. Both OLS fits are closed forms over six exact integer "
+    "moments (discount held as integer percent, quantity centered "
+    "integer), so every coefficient is one fixed IEEE tree — "
+    "hash-exact. TPC-H assigns discounts independently of quantity, "
+    "so the expected readout is a NULL effect (the q362/q316 "
+    "A/A-calibration convention): |z| < 2 certifies the machinery "
+    "does not hallucinate a jump.",
+)
+def q384_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one filtered scan -> two 6-number moment aggregates
+    (map-side combinable); everything downstream is scalar algebra on
+    a broadcast 1-row relation."""
+    c, h = _Q384_CUT, _Q384_BW
+    li = load_table(spark, sf_dir, "lineitem")
+    rd = li.filter(
+        (F.col("l_quantity") >= c - h) & (F.col("l_quantity") < c + h)
+    ).select(
+        (F.col("l_quantity").cast("long") - c).alias("xc"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("yq"),
+    )
+
+    def side(cond):
+        return rd.filter(cond).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("xc").cast("long").alias("sx"),
+            F.sum(F.col("xc") * F.col("xc")).cast("long").alias("sxx"),
+            F.sum("yq").cast("long").alias("sy"),
+            F.sum(F.col("xc") * F.col("yq")).cast("long").alias("sxy"),
+            F.sum(F.col("yq") * F.col("yq")).cast("long").alias("syy"),
+        )
+
+    def fit(prefix):
+        n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+        sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
+        den = n * sxx - sx * sx
+        icpt = (sy * sxx - sx * sxy) * 1.0 / den
+        slope = (n * sxy - sx * sy) * 1.0 / den
+        var_i = ((syy - icpt * sy - slope * sxy) / (n - 2)) * sxx / den
+        return [
+            F.col("n").alias(f"n_{prefix}"),
+            icpt.alias(f"i{prefix}"),
+            slope.alias(f"s{prefix}"),
+            var_i.alias(f"v{prefix}"),
+        ]
+
+    lft = side(F.col("xc") < 0).select(*fit("l"))
+    rgt = side(F.col("xc") >= 0).select(*fit("r"))
+    j = lft.crossJoin(F.broadcast(rgt))
+
+    def signed_round6(col):
+        return F.floor((col + 1000) * 1_000_000 + 0.5) / 1_000_000 - 1000
+
+    eff = (F.col("ir") - F.col("il")) / 100
+    se = F.sqrt(F.col("vl") + F.col("vr")) / 100
+    return j.select(
+        F.col("n_l").alias("n_left"),
+        F.col("n_r").alias("n_right"),
+        signed_round6(F.col("il") / 100).alias("intercept_left"),
+        signed_round6(F.col("ir") / 100).alias("intercept_right"),
+        signed_round6(F.col("sl") / 100).alias("slope_left"),
+        signed_round6(F.col("sr") / 100).alias("slope_right"),
+        signed_round6(eff).alias("rd_effect"),
+        round_half_up(se, 6).alias("std_err"),
+        signed_round6((F.col("ir") - F.col("il")) / F.sqrt(F.col("vl") + F.col("vr"))).alias(
+            "z_stat"
+        ),
+    )
+
+
+# ── q385: periodogram scan for the dominant seasonal period ──────────────────
+
+_Q385_PERIODS = list(range(2, 15))
+
+
+def _q385_sql() -> str:
+    terms = []
+    for p in _Q385_PERIODS:
+        terms.append(f"""
+      SELECT {p} AS period,
+             CAST(SUM(CAST(FLOOR(vc * COS(2 * PI() / {p} * rn) * 1000000
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS cq,
+             CAST(SUM(CAST(FLOOR(vc * SIN(2 * PI() / {p} * rn) * 1000000
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM ctr""")
+    return f"""
+    WITH d0 AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    daily AS (SELECT v, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM d0),
+    mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sv FROM daily),
+    ctr AS MATERIALIZED (
+      SELECT rn, v - m.sv * 1.0 / m.n AS vc, m.n
+      FROM daily CROSS JOIN mom m
+    ),
+    pg AS ({" UNION ALL ".join(terms)}),
+    -- per-period power quantized to an integer BEFORE the cross-period
+    -- share sum: a float SUM over the union is accumulation-order-
+    -- dependent across engines (the q386 lesson)
+    pq AS (
+      SELECT period, n,
+             CAST(FLOOR(((cq / 1000000.0) * (cq / 1000000.0)
+                         + (sq / 1000000.0) * (sq / 1000000.0)) * 100 + 0.5)
+                  AS BIGINT) AS pw_q
+      FROM pg
+    )
+    SELECT period,
+           FLOOR(pw_q / 100.0 / n * 10000 + 0.5) / 10000 AS power,
+           FLOOR(pw_q * 1.0 / SUM(pw_q) OVER () * 1000000 + 0.5) / 1000000
+             AS power_share,
+           CASE WHEN ROW_NUMBER() OVER (ORDER BY pw_q DESC, period) = 1
+                THEN 1 ELSE 0 END AS dominant
+    FROM pq
+    ORDER BY period
+    """
+
+
+@register(
+    "q385_periodogram_scan",
+    _q385_sql(),
+    doc="Schuster periodogram scan of daily event volume over candidate "
+    "periods 2-14 days: I(p) = (C_p^2 + S_p^2)/n with C_p = sum "
+    "(v_t - mean) cos(2 pi t / p), S_p the sine sum — the spectral "
+    "detector that FINDS the period q380's Holt-Winters and q317's "
+    "eta-squared ASSUME. Per-term products are micro-quantized before "
+    "the sum (the q353 idiom; cos/sin on both engines are libm doubles "
+    "of identical integer-ratio angles), making the whole spectrum "
+    "hash-exact. Reports per-period power, share of total scanned "
+    "power, and the dominant-period flag.",
+)
+def q385_periodogram_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one per-day count (map-side combinable); the spectrum
+    itself is |periods| passes over the calendar-bounded daily
+    relation — broadcast moments, no corpus rescans."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .select("v", F.row_number().over(Window.orderBy("d")).alias("rn"))
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+    )
+    ctr = (
+        daily.crossJoin(F.broadcast(mom))
+        .select(
+            "rn",
+            (F.col("v") - F.col("sv") * 1.0 / F.col("n")).alias("vc"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    parts = []
+    for p in _Q385_PERIODS:
+        w = 2 * math.pi / p
+        parts.append(
+            ctr.agg(
+                F.lit(p).cast("long").alias("period"),
+                F.sum(
+                    F.floor(F.col("vc") * F.cos(F.lit(w) * F.col("rn")) * 1_000_000 + 0.5)
+                    .cast("long")
+                ).cast("long").alias("cq"),
+                F.sum(
+                    F.floor(F.col("vc") * F.sin(F.lit(w) * F.col("rn")) * 1_000_000 + 0.5)
+                    .cast("long")
+                ).cast("long").alias("sq"),
+                F.max("n").cast("long").alias("n"),
+            )
+        )
+    pg = parts[0]
+    for q in parts[1:]:
+        pg = pg.unionByName(q)
+    pw = (F.col("cq") / 1_000_000.0) * (F.col("cq") / 1_000_000.0) + (
+        F.col("sq") / 1_000_000.0
+    ) * (F.col("sq") / 1_000_000.0)
+    # integer-quantize per-period power BEFORE the cross-period share
+    # sum — a float SUM over the union is accumulation-order-dependent
+    pq = pg.select(
+        "period", "n", F.floor(pw * 100 + 0.5).cast("long").alias("pw_q")
+    )
+    wall = Window.partitionBy()
+    wr = Window.orderBy(F.desc("pw_q"), "period")
+    return pq.select(
+        "period",
+        round_half_up(F.col("pw_q") / 100.0 / F.col("n"), 4).alias("power"),
+        round_half_up(
+            F.col("pw_q") * 1.0 / F.sum("pw_q").over(wall), 6
+        ).alias("power_share"),
+        F.when(F.row_number().over(wr) == 1, 1).otherwise(0).alias("dominant"),
+    ).orderBy("period")
+
+
+# ── q386: Brown-Forsythe homogeneity-of-spread test ──────────────────────────
+
+
+@register(
+    "q386_brown_forsythe",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS y, o_orderkey
+      FROM orders
+    ),
+    med AS (
+      SELECT grp,
+             (MAX(CASE WHEN rn = (n + 1) // 2 THEN y END)
+              + MAX(CASE WHEN rn = n // 2 + 1 THEN y END)) / 2 AS med
+      FROM (
+        SELECT grp, y,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY y, o_orderkey)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM base
+      ) GROUP BY grp
+    ),
+    z AS (
+      SELECT b.grp,
+             CAST(FLOOR(ABS(b.y - m.med) * 100 + 0.5) AS BIGINT) AS zq
+      FROM base b JOIN med m ON m.grp = b.grp
+    ),
+    -- per-group float terms are quantized to integer 1e4-cents^2 units
+    -- BEFORE the cross-group sum (cross-group float SUM accumulation
+    -- order differs between engines); zq^2 sums go through DOUBLE via
+    -- the exact wide-integer sum (HUGEINT here, DECIMAL(38,0) in Spark)
+    -- NOTE every float factor below is forced to DOUBLE (1e4 literal /
+    -- CAST AS DOUBLE): DuckDB parses `10000.0` as DECIMAL and keeps
+    -- big products exact where Spark's doubles round past 2^53
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(zq) AS BIGINT) AS s,
+             CAST(FLOOR(CAST(SUM(zq * zq) AS DOUBLE) / 1e4) AS BIGINT)
+               AS q_t
+      FROM z GROUP BY grp
+    ),
+    g2 AS (
+      SELECT n, s, q_t,
+             CAST(FLOOR(CAST(s AS DOUBLE) * s / n / 1e4) AS BIGINT) AS term_t
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(s) AS BIGINT) AS ss,
+             CAST(SUM(term_t) AS BIGINT) * 1e4 AS sq_over_n,
+             CAST(SUM(q_t) AS BIGINT) * 1e4 AS qq
+      FROM g2
+    )
+    SELECT k AS n_groups, nn AS n_total,
+           FLOOR((sq_over_n - CAST(ss AS DOUBLE) * ss / nn) / 1e4 * 100 + 0.5)
+             / 100 AS ss_between,
+           FLOOR((qq - sq_over_n) / 1e4 * 100 + 0.5) / 100 AS ss_within,
+           FLOOR(((sq_over_n - CAST(ss AS DOUBLE) * ss / nn) / (k - 1))
+                 / ((qq - sq_over_n) / (nn - k)) * 1000000 + 0.5) / 1000000
+             AS f_stat,
+           CASE WHEN ((sq_over_n - CAST(ss AS DOUBLE) * ss / nn) / (k - 1))
+                     / ((qq - sq_over_n) / (nn - k)) > 2.372
+                THEN 1 ELSE 0 END AS reject_equal_spread
+    FROM t
+    """,
+    doc="Brown-Forsythe test (1974) for homogeneity of spread in order "
+    "totals across the five order-priority groups: one-way ANOVA F on "
+    "absolute deviations from each GROUP MEDIAN (the robust variant "
+    "of Levene's test — means would make it chase the same skewness "
+    "q378 demonstrated). Medians are deterministic mid-pair picks "
+    "(ORDER BY y, o_orderkey), deviations are quantized to cents, so "
+    "both sums of squares are exact-integer-derived and the F ratio "
+    "is one fixed IEEE tree. Critical value 2.372 = F(4, inf) at 5%. "
+    "The variance-side companion of q333 (Welch means) and q356 "
+    "(Kruskal-Wallis locations): equal-spread is the assumption "
+    "classical pooled-variance ANOVA needs, and this is the test "
+    "that checks it.",
+)
+def q386_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one grouped window for the median rank (partitioned by
+    group, never global), one join back on the 5-row median relation
+    (broadcast), then two map-side-combinable moment aggregates."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("y"),
+        "o_orderkey",
+    )
+    wg = Window.partitionBy("grp").orderBy("y", "o_orderkey")
+    wp = Window.partitionBy("grp")
+    ranked = base.select(
+        "grp",
+        "y",
+        F.row_number().over(wg).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    lo_pick = F.expr("CAST((n + 1) div 2 AS BIGINT)") == F.col("rn")
+    hi_pick = F.expr("CAST(n div 2 + 1 AS BIGINT)") == F.col("rn")
+    med = ranked.groupBy("grp").agg(
+        (
+            (
+                F.max(F.when(lo_pick, F.col("y")))
+                + F.max(F.when(hi_pick, F.col("y")))
+            )
+            / 2
+        ).alias("med")
+    )
+    z = base.join(F.broadcast(med), "grp").select(
+        "grp",
+        F.floor(F.abs(F.col("y") - F.col("med")) * 100 + 0.5)
+        .cast("long")
+        .alias("zq"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("zq").cast("long").alias("s"),
+        F.floor(F.sum(dec("zq") * dec("zq")).cast("double") / 10_000.0)
+        .cast("long")
+        .alias("q_t"),
+    )
+    g2 = g.withColumn(
+        "term_t",
+        F.floor(F.col("s") * 1.0 * F.col("s") / F.col("n") / 10_000.0).cast("long"),
+    )
+    t = g2.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+        (F.sum("term_t").cast("long") * 10_000.0).alias("sq_over_n"),
+        (F.sum("q_t").cast("long") * 10_000.0).alias("qq"),
+    )
+    ssb = F.col("sq_over_n") - F.col("ss") * 1.0 * F.col("ss") / F.col("nn")
+    ssw = F.col("qq") - F.col("sq_over_n")
+    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k")))
+    return t.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_total"),
+        round_half_up(ssb / 10_000.0, 2).alias("ss_between"),
+        round_half_up(ssw / 10_000.0, 2).alias("ss_within"),
+        round_half_up(fstat, 6).alias("f_stat"),
+        F.when(fstat > 2.372, 1).otherwise(0).alias("reject_equal_spread"),
+    )
+
+
+# ── q387: Fellegi-Sunter probabilistic linkage weights ───────────────────────
+
+_Q387_OFFSETS = (7, 13, 29)  # deterministic background-pair strides
+_Q387_LEN_TOL = 64
+_Q387_PFX = 32
+
+
+def _q387_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    dup = _REGISTRY["q24_minhash_lsh_dedup"].sql
+    bg = " UNION ALL ".join(
+        f"SELECT a.doc_id AS da, b.doc_id AS db FROM documents a "
+        f"JOIN documents b ON b.doc_id = a.doc_id + {off}"
+        for off in _Q387_OFFSETS
+    )
+    fields = f"""
+      SELECT 'lang' AS field,
+             CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS agree, kind
+        FROM pairs p JOIN documents a ON a.doc_id = p.da
+                     JOIN documents b ON b.doc_id = p.db
+      UNION ALL
+      SELECT 'source' AS field,
+             CASE WHEN a.source = b.source THEN 1 ELSE 0 END, kind
+        FROM pairs p JOIN documents a ON a.doc_id = p.da
+                     JOIN documents b ON b.doc_id = p.db
+      UNION ALL
+      SELECT 'length' AS field,
+             CASE WHEN ABS(a.n_chars - b.n_chars) <= {_Q387_LEN_TOL}
+                  THEN 1 ELSE 0 END, kind
+        FROM pairs p JOIN documents a ON a.doc_id = p.da
+                     JOIN documents b ON b.doc_id = p.db
+      UNION ALL
+      SELECT 'prefix' AS field,
+             CASE WHEN substr(a.text, 1, {_Q387_PFX})
+                       = substr(b.text, 1, {_Q387_PFX}) THEN 1 ELSE 0 END,
+             kind
+        FROM pairs p JOIN documents a ON a.doc_id = p.da
+                     JOIN documents b ON b.doc_id = p.db
+    """
+    return f"""
+    WITH dup AS ({dup}),
+    pairs AS MATERIALIZED (
+      SELECT doc_a AS da, doc_b AS db, 1 AS kind FROM dup
+      UNION ALL
+      SELECT da, db, 0 AS kind FROM ({bg}) x
+      WHERE NOT EXISTS (SELECT 1 FROM dup d
+                        WHERE d.doc_a = x.da AND d.doc_b = x.db)
+    ),
+    cmp AS ({fields}),
+    rates AS (
+      SELECT field,
+             CAST(SUM(CASE WHEN kind = 1 THEN agree ELSE 0 END) AS BIGINT)
+               AS ma,
+             CAST(SUM(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS BIGINT) AS mn,
+             CAST(SUM(CASE WHEN kind = 0 THEN agree ELSE 0 END) AS BIGINT)
+               AS ua,
+             CAST(SUM(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS BIGINT) AS un
+      FROM cmp GROUP BY field
+    )
+    SELECT field, mn AS n_match_pairs, un AS n_background_pairs,
+           FLOOR((2 * ma + 1) * 1.0 / (2 * mn + 2) * 1000000 + 0.5) / 1000000
+             AS m_prob,
+           FLOOR((2 * ua + 1) * 1.0 / (2 * un + 2) * 1000000 + 0.5) / 1000000
+             AS u_prob,
+           FLOOR((LOG2(((2 * ma + 1) * 1.0 / (2 * mn + 2))
+                       / ((2 * ua + 1) * 1.0 / (2 * un + 2))) + 1000)
+                 * 10000 + 0.5) / 10000 - 1000 AS weight_agree,
+           FLOOR((LOG2((1 - (2 * ma + 1) * 1.0 / (2 * mn + 2))
+                       / (1 - (2 * ua + 1) * 1.0 / (2 * un + 2))) + 1000)
+                 * 10000 + 0.5) / 10000 - 1000 AS weight_disagree
+    FROM rates
+    ORDER BY field
+    """
+
+
+@register(
+    "q387_fellegi_sunter_weights",
+    _q387_sql(),
+    doc="Fellegi-Sunter probabilistic record-linkage weights (1969) "
+    "learned in-engine: m-probabilities (field agreement among MATCH "
+    "pairs = q24's MinHash near-dup relation) vs u-probabilities "
+    "(agreement among deterministic stride-sampled background pairs, "
+    "doc_id+7/13/29, dup pairs anti-joined out), per comparison field "
+    "(lang, source, length-within-64, 32-char prefix). Laplace-"
+    "smoothed ((2a+1)/(2n+2)) so log-odds never hit infinity; "
+    "agreement weight log2(m/u) and disagreement weight "
+    "log2((1-m)/(1-u)) are each one fixed IEEE tree over exact "
+    "integer ratios — hash-exact. These weights turn q328's sorted-"
+    "neighborhood candidate pairs into SCORED links: sum the per-"
+    "field weights and threshold — the statistical upgrade of q83's "
+    "hand-set fuzzy rules.",
+)
+def q387_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: match pairs come from the already-bucketed q24 relation;
+    background pairs are stride equi-joins (3N rows, no cross join);
+    each comparison is a map-side expression after two broadcast-able
+    doc-attribute joins. Rates are one small rollup."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", F.col("text")
+    )
+    dup = (
+        _REGISTRY["q24_minhash_lsh_dedup"].fn(spark, sf_dir)
+        .select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
+        .localCheckpoint(eager=True)
+    )
+    bg = None
+    for off in _Q387_OFFSETS:
+        a = docs.select(F.col("doc_id").alias("da"))
+        b = docs.select((F.col("doc_id") - off).alias("da"), F.col("doc_id").alias("db"))
+        part = a.join(b, "da").select("da", "db")
+        bg = part if bg is None else bg.unionAll(part)
+    bg = bg.join(dup, ["da", "db"], "left_anti")
+    pairs = dup.withColumn("kind", F.lit(1)).unionByName(
+        bg.withColumn("kind", F.lit(0))
+    )
+    da = docs.select(
+        F.col("doc_id").alias("da"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.substring("text", 1, _Q387_PFX).alias("pfx_a"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("db"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.substring("text", 1, _Q387_PFX).alias("pfx_b"),
+    )
+    j = pairs.join(da, "da").join(db, "db")
+    cmp = None
+    specs = [
+        ("lang", F.when(F.col("lang_a") == F.col("lang_b"), 1).otherwise(0)),
+        ("source", F.when(F.col("source_a") == F.col("source_b"), 1).otherwise(0)),
+        (
+            "length",
+            F.when(
+                F.abs(F.col("nc_a") - F.col("nc_b")) <= _Q387_LEN_TOL, 1
+            ).otherwise(0),
+        ),
+        ("prefix", F.when(F.col("pfx_a") == F.col("pfx_b"), 1).otherwise(0)),
+    ]
+    for name, expr in specs:
+        part = j.select(F.lit(name).alias("field"), expr.alias("agree"), "kind")
+        cmp = part if cmp is None else cmp.unionByName(part)
+    rates = cmp.groupBy("field").agg(
+        F.sum(F.when(F.col("kind") == 1, F.col("agree")).otherwise(0))
+        .cast("long")
+        .alias("ma"),
+        F.sum(F.when(F.col("kind") == 1, 1).otherwise(0)).cast("long").alias("mn"),
+        F.sum(F.when(F.col("kind") == 0, F.col("agree")).otherwise(0))
+        .cast("long")
+        .alias("ua"),
+        F.sum(F.when(F.col("kind") == 0, 1).otherwise(0)).cast("long").alias("un"),
+    )
+    m = (2 * F.col("ma") + 1) * 1.0 / (2 * F.col("mn") + 2)
+    u = (2 * F.col("ua") + 1) * 1.0 / (2 * F.col("un") + 2)
+
+    def signed_round4(col):
+        return F.floor((col + 1000) * 10_000 + 0.5) / 10_000 - 1000
+
+    return rates.select(
+        "field",
+        F.col("mn").alias("n_match_pairs"),
+        F.col("un").alias("n_background_pairs"),
+        round_half_up(m, 6).alias("m_prob"),
+        round_half_up(u, 6).alias("u_prob"),
+        signed_round4(F.log2(m / u)).alias("weight_agree"),
+        signed_round4(F.log2((1 - m) / (1 - u))).alias("weight_disagree"),
+    ).orderBy("field")

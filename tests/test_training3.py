@@ -1,0 +1,403 @@
+"""Semantic invariant tests for the round-7 wave-3 queries (q379+).
+
+The parametrized oracle test in test_queries_oracle.py already
+hash-checks each against DuckDB; these pin the MATH — each query's
+statistic recomputed from raw rows by an independent (usually
+numpy/collections) implementation.
+"""
+
+from __future__ import annotations
+
+import math
+
+from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+
+from .conftest import SF_SMOKE
+
+
+def _survival_subjects(spark):
+    """(t_weeks, event, grp) subjects exactly as q304/q353/q379 define
+    them, rebuilt with plain Python from the raw orders rows."""
+    from aws_datalake_platform_spark.catalog import load_table
+
+    rows = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+        .collect()
+    )
+    mxd = max(r["o_orderdate"] for r in rows)
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    subj = []
+    for orders in by_cust.values():
+        orders.sort(key=lambda r: (r["o_orderdate"], r["o_orderkey"]))
+        for i, r in enumerate(orders):
+            nxt = orders[i + 1]["o_orderdate"] if i + 1 < len(orders) else None
+            end = nxt if nxt is not None else mxd
+            t = (end.date() - r["o_orderdate"].date()).days // 7
+            subj.append(
+                (
+                    t,
+                    1 if nxt is not None else 0,
+                    1 if r["o_orderpriority"] in ("1-URGENT", "2-HIGH") else 0,
+                )
+            )
+    return subj
+
+
+def test_q379_cox_against_float_newton(spark):
+    """The fixed-point Newton estimate must agree with an independent
+    FLOAT Newton solve of the Cox partial likelihood to ~1e-4, the
+    score residual must certify convergence, and the Wald z must agree
+    in sign (and roughly in size) with q353's log-rank z."""
+    out = QUERY_REGISTRY["q379_cox_hazard_newton"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    got = out[0]
+    subj = _survival_subjects(spark)
+    # risk-set grid
+    times = sorted({t for t, _, _ in subj})
+    grid = []
+    for t in times:
+        d1 = sum(1 for tt, e, g in subj if tt == t and e and g)
+        d0 = sum(1 for tt, e, g in subj if tt == t and e and not g)
+        n1 = sum(1 for tt, _, g in subj if tt >= t and g)
+        n0 = sum(1 for tt, _, g in subj if tt >= t and not g)
+        grid.append((d1, d0, n1, n0))
+    assert got["events_urgent"] == sum(g[0] for g in grid)
+    assert got["events_other"] == sum(g[1] for g in grid)
+    assert got["n_event_times"] == sum(1 for g in grid if g[0] + g[1] > 0)
+    # independent float Newton (no quantization at all)
+    beta = 0.0
+    for _ in range(30):
+        u = i = 0.0
+        eb = math.exp(beta)
+        for d1, d0, n1, n0 in grid:
+            if d1 + d0 == 0:
+                continue
+            p = n1 * eb / (n0 + n1 * eb)
+            u += d1 - (d1 + d0) * p
+            i += (d1 + d0) * p * (1 - p)
+        beta += u / i
+    assert abs(got["beta_hat"] - beta) < 1e-4
+    assert abs(got["hazard_ratio"] - math.exp(beta)) < 1e-3
+    assert abs(got["std_err"] - 1 / math.sqrt(i)) < 1e-4
+    assert abs(got["score_residual"]) < 0.01  # converged
+    # Wald z vs the log-rank z: same direction, same ballpark
+    lr = QUERY_REGISTRY["q353_logrank_test"].fn(spark, SF_SMOKE).collect()[0]
+    assert got["z_stat"] * lr["z_stat"] >= 0
+    assert abs(got["z_stat"] - lr["z_stat"]) < 1.0
+
+
+def test_q380_holt_winters_recompute(spark):
+    """The integer recurrence must track a plain float Holt-Winters with
+    alpha=beta=gamma=1/2 to within quantization error, fitted must equal
+    the pre-update l+b+s state, and residual must be volume - fitted."""
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q380_holt_winters"].fn(spark, SF_SMOKE).collect()
+    assert out, "expected >= 2 weeks of daily volume"
+    ev = load_table(spark, SF_SMOKE, "events").select("ts").collect()
+    daily = Counter(r["ts"].date() for r in ev)
+    days = sorted(daily)
+    vols = [daily[d] for d in days]
+    m = 7
+    l = sum(vols[:m]) / m
+    b = 0.0
+    s = [v - l for v in vols[:m]]
+    fitted = {}
+    for rn in range(m + 1, len(vols) + 1):
+        v = vols[rn - 1]
+        idx = (rn - 1) % m
+        sprev, lp = s[idx], l
+        fitted[rn] = l + b + sprev
+        l = (v - sprev + lp + b) / 2
+        b = (l - lp + b) / 2
+        s[idx] = (v - l + sprev) / 2
+    assert len(out) == len(vols) - m
+    for row in out:
+        rn = row["day_seq"]
+        assert row["volume"] == vols[rn - 1]
+        # integer micro-arithmetic drifts from float by < ~1e-3 here
+        assert abs(row["fitted"] - fitted[rn]) < 1e-2
+        assert abs(row["residual"] - (row["volume"] - row["fitted"])) < 2e-4
+    # one-step-ahead errors must beat a naive weekly-lag forecast
+    sse_hw = sum((r["volume"] - r["fitted"]) ** 2 for r in out)
+    sse_naive = sum(
+        (vols[rn - 1] - vols[rn - 1 - m]) ** 2
+        for rn in range(m + 1, len(vols) + 1)
+    )
+    assert sse_hw <= sse_naive * 1.5  # adaptive fit is competitive
+
+
+def test_q381_textrank_recompute(spark):
+    """Scores recomputed by an independent float PageRank on the same
+    co-occurrence graph: same top word, rank-correlated ordering, and
+    the exact integer invariants (scores in (0, ~N], top-20 sorted)."""
+    import re
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q381_textrank_keywords"].fn(spark, SF_SMOKE).collect()
+    assert out and len(out) <= 20
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    edges: Counter = Counter()
+    for r in docs:
+        toks = [t for t in re.split(r"[^a-z]+", (r["text"] or "").lower()) if len(t) >= 4]
+        for a, bb in zip(toks, toks[1:]):
+            if a != bb:
+                edges[(a, bb)] += 1
+                edges[(bb, a)] += 1
+    deg: Counter = Counter()
+    for (u, _), w in edges.items():
+        deg[u] += w
+    nodes = sorted(deg)
+    sv = {n: 1.0 for n in nodes}
+    for _ in range(50):
+        nxt = {}
+        for v in nodes:
+            t = sum(
+                w * sv[u] / deg[u] for (u, vv), w in edges.items() if vv == v
+            )
+            nxt[v] = 0.15 + 0.85 * t
+        sv = nxt
+    float_rank = sorted(nodes, key=lambda n: (-sv[n], n))
+    got_words = [r["word"] for r in out]
+    assert got_words[0] == float_rank[0]
+    # the two orderings agree on membership of the top-k (ties aside)
+    k = min(10, len(got_words))
+    assert len(set(got_words[:k]) & set(float_rank[:k])) >= k - 2
+    # engine score ~ float score (quantization + fewer iters tolerance)
+    by_word = {r["word"]: r["score"] for r in out}
+    for wrd in got_words[:k]:
+        assert abs(by_word[wrd] - sv[wrd]) / max(sv[wrd], 1e-9) < 0.05
+
+
+def test_q382_kcore_recompute(spark):
+    """Peel trajectory recomputed with a plain Python fixpoint peel;
+    the final round must BE the fixpoint (every survivor keeps >= k
+    partners), and counts are monotone non-increasing."""
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q382_kcore_peel"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 8
+    for a, b in zip(out, out[1:]):
+        assert b["n_edges"] <= a["n_edges"]
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    ed = {
+        (r["o_custkey"], r["l_partkey"])
+        for r in o.join(li, o["o_orderkey"] == li["l_orderkey"]).collect()
+    }
+    k = 3
+    for rnd in range(1, 9):
+        hd: dict = {}
+        ad: dict = {}
+        for h, a in ed:
+            hd[h] = hd.get(h, 0) + 1
+            ad[a] = ad.get(a, 0) + 1
+        keep_h = {h for h, c in hd.items() if c >= k}
+        keep_a = {a for a, c in ad.items() if c >= k}
+        ed = {(h, a) for h, a in ed if h in keep_h and a in keep_a}
+        row = out[rnd - 1]
+        assert row["n_edges"] == len(ed)
+        assert row["n_customers"] == len({h for h, _ in ed})
+        assert row["n_parts"] == len({a for _, a in ed})
+    # fixpoint reached within the unrolled budget at smoke scale
+    assert out[-1]["n_edges"] == out[-2]["n_edges"]
+    if ed:
+        hd2: dict = {}
+        ad2: dict = {}
+        for h, a in ed:
+            hd2[h] = hd2.get(h, 0) + 1
+            ad2[a] = ad2.get(a, 0) + 1
+        assert min(hd2.values()) >= k and min(ad2.values()) >= k
+
+
+def test_q383_t_closeness_recompute(spark):
+    """Variational distance recomputed with Counters; flags consistent;
+    the weighted average of class TVDs is bounded by the max."""
+    import math as _m
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q383_t_closeness"].fn(spark, SF_SMOKE).collect()
+    assert out
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_mktsegment", "c_acctbal", "c_nationkey"
+    ).collect()
+    gdist: Counter = Counter(r["c_nationkey"] for r in cust)
+    n = len(cust)
+    groups: dict = {}
+    for r in cust:
+        key = (r["c_mktsegment"], _m.floor(r["c_acctbal"] / 2000))
+        groups.setdefault(key, Counter())[r["c_nationkey"]] += 1
+    assert len(out) == len(groups)
+    for row in out:
+        cnt = groups[(row["c_mktsegment"], row["bal_bucket"])]
+        nc = sum(cnt.values())
+        assert row["class_size"] == nc
+        assert row["n_sensitive_distinct"] == len(cnt)
+        tvd = 0.5 * sum(
+            abs(cnt.get(k, 0) / nc - gc / n) for k, gc in gdist.items()
+        )
+        assert abs(row["tvd"] - tvd) < 1e-5
+        assert row["t_ok"] == (1 if tvd <= 0.25 else 0)
+        assert 0.0 <= row["tvd"] <= 1.0
+
+
+def test_q384_rd_recompute(spark):
+    """Both local OLS fits recomputed with numpy.polyfit; the effect is
+    the intercept jump; TPC-H assigns discount independently of
+    quantity so the A/A-null readout must hold (|z| < 4)."""
+    import numpy as np
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q384_regression_discontinuity"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    got = out[0]
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_quantity", "l_discount"
+    ).collect()
+    pts = [
+        (int(r["l_quantity"]) - 25, round(r["l_discount"] * 100))
+        for r in li
+        if 15 <= r["l_quantity"] < 35
+    ]
+    left = [(x, y) for x, y in pts if x < 0]
+    right = [(x, y) for x, y in pts if x >= 0]
+    assert got["n_left"] == len(left) and got["n_right"] == len(right)
+    sl, il = np.polyfit([x for x, _ in left], [y for _, y in left], 1)
+    sr, ir = np.polyfit([x for x, _ in right], [y for _, y in right], 1)
+    assert abs(got["intercept_left"] - il / 100) < 1e-4
+    assert abs(got["intercept_right"] - ir / 100) < 1e-4
+    assert abs(got["slope_left"] - sl / 100) < 1e-4
+    assert abs(got["slope_right"] - sr / 100) < 1e-4
+    assert abs(got["rd_effect"] - (ir - il) / 100) < 1e-4
+    assert got["std_err"] > 0
+    assert abs(got["z_stat"]) < 4  # A/A null: no jump hallucinated
+
+
+def test_q385_periodogram_recompute(spark):
+    """Spectrum recomputed with numpy cos/sin sums; shares sum to ~1;
+    the dominant flag marks the argmax period."""
+    import numpy as np
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q385_periodogram_scan"].fn(spark, SF_SMOKE).collect()
+    assert [r["period"] for r in out] == list(range(2, 15))
+    ev = load_table(spark, SF_SMOKE, "events").select("ts").collect()
+    daily = Counter(r["ts"].date() for r in ev)
+    vols = np.array([daily[d] for d in sorted(daily)], dtype=float)
+    vc = vols - vols.mean()
+    t = np.arange(1, len(vols) + 1)
+    ref = {}
+    for p in range(2, 15):
+        w = 2 * math.pi / p
+        ref[p] = ((vc * np.cos(w * t)).sum() ** 2 + (vc * np.sin(w * t)).sum() ** 2) / len(vols)
+    tot = sum(ref.values())
+    for row in out:
+        assert abs(row["power"] - ref[row["period"]]) < max(1e-2, 1e-4 * ref[row["period"]])
+        assert abs(row["power_share"] - ref[row["period"]] / tot) < 1e-3
+    assert abs(sum(r["power_share"] for r in out) - 1.0) < 1e-3
+    best = max(ref, key=lambda p: ref[p])
+    dom = [r["period"] for r in out if r["dominant"] == 1]
+    assert dom == [best]
+
+
+def test_q386_brown_forsythe_recompute(spark):
+    """F statistic recomputed from raw |y - group median| deviations
+    (cents-quantized, deterministic mid-pair medians)."""
+    from collections import defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q386_brown_forsythe"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    got = out[0]
+    rows = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    ).collect()
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["o_orderpriority"]].append((r["o_totalprice"], r["o_orderkey"]))
+    assert got["n_groups"] == len(groups)
+    assert got["n_total"] == len(rows)
+    zs = {}
+    for gname, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        med = (vals[(n + 1) // 2 - 1][0] + vals[n // 2][0]) / 2
+        zs[gname] = [math.floor(abs(y - med) * 100 + 0.5) for y, _ in vals]
+    allz = [z for v in zs.values() for z in v]
+    gmean = sum(allz) / len(allz)
+    ssb = sum(len(v) * (sum(v) / len(v) - gmean) ** 2 for v in zs.values())
+    ssw = sum((z - sum(v) / len(v)) ** 2 for v in zs.values() for z in v)
+    k, nn = len(zs), len(allz)
+    f = (ssb / (k - 1)) / (ssw / (nn - k))
+    assert abs(got["f_stat"] - f) / max(f, 1e-9) < 1e-3
+    assert abs(got["ss_between"] - ssb / 10_000) / max(ssb / 1e4, 1) < 1e-3
+    assert abs(got["ss_within"] - ssw / 10_000) / max(ssw / 1e4, 1) < 1e-3
+    assert got["reject_equal_spread"] == (1 if f > 2.372 else 0)
+
+
+def test_q387_fellegi_sunter_recompute(spark):
+    """m/u rates recomputed from the q24 pair relation and the stride
+    background sample; weights must separate: every field's agreement
+    weight exceeds its disagreement weight, and near-dup-pair fields
+    (prefix, length) must carry POSITIVE agreement weights."""
+    out = QUERY_REGISTRY["q387_fellegi_sunter_weights"].fn(spark, SF_SMOKE).collect()
+    assert {r["field"] for r in out} == {"lang", "source", "length", "prefix"}
+    from aws_datalake_platform_spark.catalog import load_table
+
+    docs = {
+        r["doc_id"]: r
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    dup = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERY_REGISTRY["q24_minhash_lsh_dedup"].fn(spark, SF_SMOKE).collect()
+    }
+    bg = [
+        (a, a + off)
+        for off in (7, 13, 29)
+        for a in docs
+        if a + off in docs and (a, a + off) not in dup
+    ]
+
+    def agree(field, a, b):
+        da, db = docs[a], docs[b]
+        if field == "lang":
+            return da["lang"] == db["lang"]
+        if field == "source":
+            return da["source"] == db["source"]
+        if field == "length":
+            return abs(da["n_chars"] - db["n_chars"]) <= 64
+        return (da["text"] or "")[:32] == (db["text"] or "")[:32]
+
+    for row in out:
+        f = row["field"]
+        ma = sum(1 for a, b in dup if agree(f, a, b))
+        ua = sum(1 for a, b in bg if agree(f, a, b))
+        m = (2 * ma + 1) / (2 * len(dup) + 2)
+        u = (2 * ua + 1) / (2 * len(bg) + 2)
+        assert row["n_match_pairs"] == len(dup)
+        assert row["n_background_pairs"] == len(bg)
+        assert abs(row["m_prob"] - m) < 1e-5
+        assert abs(row["u_prob"] - u) < 1e-5
+        assert abs(row["weight_agree"] - math.log2(m / u)) < 1e-3
+        assert abs(row["weight_disagree"] - math.log2((1 - m) / (1 - u))) < 1e-3
+        assert row["weight_agree"] > row["weight_disagree"]
+    byf = {r["field"]: r for r in out}
+    assert byf["prefix"]["weight_agree"] > 0
+    assert byf["length"]["weight_agree"] > 0
