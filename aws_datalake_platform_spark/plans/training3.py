@@ -1344,3 +1344,331 @@ def q387_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         signed_round4(F.log2(m / u)).alias("weight_agree"),
         signed_round4(F.log2((1 - m) / (1 - u))).alias("weight_disagree"),
     ).orderBy("field")
+
+
+# ── q388: Friedman test across event types over daily blocks ─────────────────
+
+
+@register(
+    "q388_friedman_test",
+    """
+    WITH spine AS (
+      SELECT d.day, t.event_type
+      FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    ),
+    obs AS (
+      SELECT s.day, s.event_type,
+             CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+      FROM spine s LEFT JOIN (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+      ) c ON c.day = s.day AND c.event_type = s.event_type
+    ),
+    -- doubled midranks stay integer under ties: D = 2*rank + ties - 1
+    rk AS (
+      SELECT day, event_type,
+             CAST(2 * RANK() OVER (PARTITION BY day ORDER BY v)
+                  + COUNT(*) OVER (PARTITION BY day, v) - 1 AS BIGINT) AS d2
+      FROM obs
+    ),
+    dims AS (
+      SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS b,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+      FROM rk
+    ),
+    per_t AS (
+      SELECT event_type, CAST(SUM(d2) AS BIGINT) AS s2,
+             CAST(SUM(d2 * d2) AS BIGINT) AS q2
+      FROM rk GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(s2 * s2) AS BIGINT) AS ss2,
+             CAST(SUM(q2) AS BIGINT) AS sq2
+      FROM per_t
+    )
+    SELECT p.event_type,
+           FLOOR(p.s2 / 2.0 * 100 + 0.5) / 100 AS rank_sum,
+           FLOOR(p.s2 / (2.0 * d.b) * 10000 + 0.5) / 10000 AS mean_rank,
+           FLOOR((d.k - 1) * (t.ss2 - d.b * d.b * d.k * (d.k + 1) * (d.k + 1))
+                 * 1.0
+                 / (d.b * (t.sq2 - d.b * d.k * (d.k + 1) * (d.k + 1)))
+                 * 1000000 + 0.5) / 1000000 AS friedman_chi2,
+           CASE WHEN (d.k - 1)
+                     * (t.ss2 - d.b * d.b * d.k * (d.k + 1) * (d.k + 1)) * 1.0
+                     / (d.b * (t.sq2 - d.b * d.k * (d.k + 1) * (d.k + 1)))
+                     > 9.488 THEN 1 ELSE 0 END AS reject_equal_treatments
+    FROM per_t p CROSS JOIN dims d CROSS JOIN tot t
+    ORDER BY p.event_type
+    """,
+    doc="Friedman rank test (1937, tie-corrected form) for consistent "
+    "differences between event types across daily blocks: each day "
+    "ranks its five event-type volumes (doubled midranks stay exact "
+    "integers under ties — the q299/q306 idiom), and the tie-corrected "
+    "statistic (k-1)(sum S_j^2 - b^2 k(k+1)^2) / (b(sum D^2 - "
+    "bk(k+1)^2)) is an exact integer ratio, hash-exact with no float "
+    "accumulation. Chi-square critical 9.488 = df 4 at 5%. The "
+    "repeated-measures member of the test family: q356's Kruskal-"
+    "Wallis compares independent groups, this compares treatments "
+    "WITHIN matched blocks, killing day-level volume confounding.",
+)
+def q388_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one (day, type) count (map-side combinable), a taxonomy-
+    bounded spine, per-day windows over k=|event types| rows, then
+    5-row algebra. Nothing rescans events after the first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.col("ts").cast("date").alias("day")).distinct()
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    obs = (
+        days.crossJoin(F.broadcast(types))
+        .join(counts, ["day", "event_type"], "left")
+        .select(
+            "day", "event_type", F.coalesce("v", F.lit(0)).cast("long").alias("v")
+        )
+    )
+    wd = Window.partitionBy("day").orderBy("v")
+    wv = Window.partitionBy("day", "v")
+    rk = obs.select(
+        "day",
+        "event_type",
+        (2 * F.rank().over(wd) + F.count(F.lit(1)).over(wv) - 1)
+        .cast("long")
+        .alias("d2"),
+    )
+    dims = rk.agg(
+        F.countDistinct("day").cast("long").alias("b"),
+        F.countDistinct("event_type").cast("long").alias("k"),
+    )
+    per_t = rk.groupBy("event_type").agg(
+        F.sum("d2").cast("long").alias("s2"),
+        F.sum(F.col("d2") * F.col("d2")).cast("long").alias("q2"),
+    )
+    tot = per_t.agg(
+        F.sum(F.col("s2") * F.col("s2")).cast("long").alias("ss2"),
+        F.sum("q2").cast("long").alias("sq2"),
+    )
+    j = per_t.crossJoin(F.broadcast(dims)).crossJoin(F.broadcast(tot))
+    b, k = F.col("b"), F.col("k")
+    chi2 = (
+        (k - 1)
+        * (F.col("ss2") - b * b * k * (k + 1) * (k + 1))
+        * 1.0
+        / (b * (F.col("sq2") - b * k * (k + 1) * (k + 1)))
+    )
+    return j.select(
+        "event_type",
+        round_half_up(F.col("s2") / 2.0, 2).alias("rank_sum"),
+        round_half_up(F.col("s2") / (2.0 * b), 4).alias("mean_rank"),
+        round_half_up(chi2, 6).alias("friedman_chi2"),
+        F.when(chi2 > 9.488, 1).otherwise(0).alias("reject_equal_treatments"),
+    ).orderBy("event_type")
+
+
+# ── q389: Wald-Wolfowitz runs test on daily volume ───────────────────────────
+
+
+@register(
+    "q389_runs_test",
+    """
+    WITH d0 AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT d, v, ROW_NUMBER() OVER (ORDER BY d) AS rn,
+             COUNT(*) OVER () AS n
+      FROM d0
+    ),
+    med AS (
+      SELECT (MAX(CASE WHEN rn = (n + 1) // 2 THEN v END)
+              + MAX(CASE WHEN rn = n // 2 + 1 THEN v END)) / 2.0 AS med
+      FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY v, d) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM d0)
+    ),
+    sgn AS (
+      SELECT rn, CASE WHEN v > m.med THEN 1 ELSE 0 END AS s
+      FROM daily CROSS JOIN med m
+      WHERE v <> m.med
+    ),
+    seq AS (
+      SELECT s, LAG(s) OVER (ORDER BY rn) AS prev FROM sgn
+    ),
+    agg AS (
+      SELECT CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(SUM(1 - s) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM seq
+    )
+    SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+           FLOOR((2.0 * n1 * n2 / (n1 + n2) + 1) * 10000 + 0.5) / 10000
+             AS expected_runs,
+           FLOOR(((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                  / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                         / ((n1 + n2) * 1.0 * (n1 + n2) * (n1 + n2 - 1)))
+                  + 1000) * 1000000 + 0.5) / 1000000 - 1000 AS z_stat,
+           CASE WHEN ABS((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                         / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                                / ((n1 + n2) * 1.0 * (n1 + n2)
+                                   * (n1 + n2 - 1)))) > 1.96
+                THEN 1 ELSE 0 END AS reject_random
+    FROM agg
+    """,
+    doc="Wald-Wolfowitz runs test (1940) for randomness of daily volume "
+    "around its median: days above/below the deterministic mid-pair "
+    "median form a binary sequence; too FEW runs means trending/"
+    "clustered days, too MANY means oscillation. R, n1, n2 are exact "
+    "integers from one LAG pass; the normal approximation z is one "
+    "fixed IEEE tree. Complements q314 (autocorrelation measures "
+    "LINEAR serial dependence; runs catches any sign-level "
+    "structure) and q376's Durbin-Watson on residuals.",
+)
+def q389_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one per-day count; median, signs and the run count all
+    run on the calendar-bounded daily relation."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    wv = Window.orderBy("v", "d")
+    ranked = d0.select(
+        "v",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.agg(
+        (
+            (
+                F.max(F.when(F.expr("CAST((n + 1) div 2 AS BIGINT)") == F.col("rn"), F.col("v")))
+                + F.max(F.when(F.expr("CAST(n div 2 + 1 AS BIGINT)") == F.col("rn"), F.col("v")))
+            )
+            / 2.0
+        ).alias("med")
+    )
+    wd = Window.orderBy("rn")
+    sgn = (
+        d0.select("d", "v", F.row_number().over(Window.orderBy("d")).alias("rn"))
+        .crossJoin(F.broadcast(med))
+        .filter(F.col("v") != F.col("med"))
+        .select("rn", F.when(F.col("v") > F.col("med"), 1).otherwise(0).alias("s"))
+    )
+    seq = sgn.select("s", F.lag("s").over(wd).alias("prev"))
+    agg = seq.agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+        F.sum(
+            F.when(F.col("prev").isNull() | (F.col("s") != F.col("prev")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    sig = F.sqrt(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * 1.0 * (n1 + n2) * (n1 + n2 - 1))
+    )
+    z = (r - mu) / sig
+
+    def signed_round6(col):
+        return F.floor((col + 1000) * 1_000_000 + 0.5) / 1_000_000 - 1000
+
+    return agg.select(
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        r.alias("n_runs"),
+        round_half_up(mu, 4).alias("expected_runs"),
+        signed_round6(z).alias("z_stat"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("reject_random"),
+    )
+
+
+# ── q390: lexical-diversity panel per language ───────────────────────────────
+
+
+@register(
+    "q390_lexical_diversity",
+    """
+    WITH tok AS (
+      SELECT lang,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                t -> t <> '')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY lang, w
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           FLOOR(COUNT(*) * 1.0 / SUM(c) * 1000000 + 0.5) / 1000000
+             AS type_token_ratio,
+           FLOOR(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+                 * 1000000 + 0.5) / 1000000 AS hapax_ratio,
+           FLOOR(10000.0 * (SUM(c * c) - SUM(c))
+                 / (CAST(SUM(c) AS DOUBLE) * SUM(c)) * 10000 + 0.5) / 10000
+             AS yule_k,
+           FLOOR(SUM(c * (c - 1)) * 1.0
+                 / (SUM(c) * 1.0 * (SUM(c) - 1)) * 100000000 + 0.5)
+             / 100000000 AS simpson_d,
+           FLOOR(LN(CAST(COUNT(*) AS DOUBLE)) / LN(CAST(SUM(c) AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS herdan_c
+    FROM tf GROUP BY lang ORDER BY lang
+    """,
+    doc="Lexical-diversity panel per language over the token-frequency "
+    "relation: type-token ratio, hapax ratio, Yule's K = 1e4 * "
+    "(sum c^2 - N)/N^2 (repeat-rate characteristic, length-"
+    "invariant), Simpson's D = sum c(c-1)/(N(N-1)) (probability two "
+    "random tokens are the same type), and Herdan's C = ln V / ln N "
+    "(log-log vocabulary slope). Every statistic is an exact integer "
+    "ratio (plus LN on exact integers for Herdan), hash-exact. "
+    "Completes the vocabulary family: q251 fits GROWTH, q323 bounds "
+    "the ASYMPTOTE, this measures CONCENTRATION — the repetitiveness "
+    "signal that, unlike q70's within-doc repetition ratios, is "
+    "corpus-level and sample-size-robust.",
+)
+def q390_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one token explode + one (lang, word) count (map-side
+    combinable, vocabulary-bounded), then a |langs|-row rollup over
+    the frequency spectrum. The q323 shape exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+            ).alias("w"),
+        )
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = F.sum("c").cast("long")
+    v = F.count(F.lit(1)).cast("long")
+    f1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+    s2 = F.sum(F.col("c") * F.col("c")).cast("long")
+    rep = F.sum(F.col("c") * (F.col("c") - 1)).cast("long")
+    return (
+        tf.groupBy("lang")
+        .agg(
+            n.alias("n_tokens"),
+            v.alias("n_types"),
+            round_half_up(v * 1.0 / n, 6).alias("type_token_ratio"),
+            round_half_up(f1 * 1.0 / v, 6).alias("hapax_ratio"),
+            round_half_up(
+                10_000.0 * (s2 - n) / (n.cast("double") * n), 4
+            ).alias("yule_k"),
+            round_half_up(rep * 1.0 / (n * 1.0 * (n - 1)), 8).alias("simpson_d"),
+            round_half_up(
+                F.log(v.cast("double")) / F.log(n.cast("double")), 6
+            ).alias("herdan_c"),
+        )
+        .orderBy("lang")
+    )

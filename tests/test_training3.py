@@ -401,3 +401,104 @@ def test_q387_fellegi_sunter_recompute(spark):
     byf = {r["field"]: r for r in out}
     assert byf["prefix"]["weight_agree"] > 0
     assert byf["length"]["weight_agree"] > 0
+
+
+def test_q388_friedman_recompute(spark):
+    """Tie-corrected Friedman chi2 recomputed from scipy-style midranks
+    in plain Python over the (day, event_type) count matrix."""
+    from collections import Counter, defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q388_friedman_test"].fn(spark, SF_SMOKE).collect()
+    assert out
+    ev = load_table(spark, SF_SMOKE, "events").select("ts", "event_type").collect()
+    cnt = Counter((r["ts"].date(), r["event_type"]) for r in ev)
+    days = sorted({d for d, _ in cnt})
+    types = sorted({t for _, t in cnt})
+    ranks = defaultdict(list)  # type -> midranks
+    a2 = 0.0
+    for d in days:
+        vals = [(cnt.get((d, t), 0), t) for t in types]
+        svals = sorted(v for v, _ in vals)
+        for v, t in vals:
+            lo = sum(1 for x in svals if x < v)
+            eq = sum(1 for x in svals if x == v)
+            mr = lo + (eq + 1) / 2
+            ranks[t].append(mr)
+            a2 += mr * mr
+    b, k = len(days), len(types)
+    c = b * k * (k + 1) ** 2 / 4
+    b2 = sum(sum(v) ** 2 for v in ranks.values()) / b
+    chi2 = (k - 1) * (b2 - c) / (a2 - c)
+    by_t = {r["event_type"]: r for r in out}
+    assert set(by_t) == set(types)
+    for t in types:
+        assert abs(by_t[t]["rank_sum"] - sum(ranks[t])) < 0.02
+        assert abs(by_t[t]["mean_rank"] - sum(ranks[t]) / b) < 1e-3
+        assert abs(by_t[t]["friedman_chi2"] - chi2) < 1e-3
+        assert by_t[t]["reject_equal_treatments"] == (1 if chi2 > 9.488 else 0)
+
+
+def test_q389_runs_recompute(spark):
+    """Runs count and z recomputed from the daily sign sequence."""
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q389_runs_test"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    got = out[0]
+    ev = load_table(spark, SF_SMOKE, "events").select("ts").collect()
+    daily = Counter(r["ts"].date() for r in ev)
+    days = sorted(daily)
+    vols = [daily[d] for d in days]
+    sv = sorted(vols)
+    n = len(sv)
+    med = (sv[(n + 1) // 2 - 1] + sv[n // 2]) / 2
+    signs = [1 if v > med else 0 for v in vols if v != med]
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    assert got["n_above"] == n1 and got["n_below"] == n2
+    assert got["n_runs"] == runs
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    assert abs(got["expected_runs"] - mu) < 1e-3
+    assert abs(got["z_stat"] - (runs - mu) / math.sqrt(var)) < 1e-4
+    assert got["reject_random"] == (1 if abs((runs - mu) / math.sqrt(var)) > 1.96 else 0)
+
+
+def test_q390_lexical_diversity_recompute(spark):
+    """Panel recomputed from a raw token Counter per language."""
+    import re
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q390_lexical_diversity"].fn(spark, SF_SMOKE).collect()
+    assert out
+    docs = load_table(spark, SF_SMOKE, "documents").select("lang", "text").collect()
+    for row in out:
+        tf = Counter(
+            t
+            for r in docs
+            if r["lang"] == row["lang"]
+            for t in re.split(r"[^a-z]+", (r["text"] or "").lower())
+            if t
+        )
+        n = sum(tf.values())
+        v = len(tf)
+        assert row["n_tokens"] == n and row["n_types"] == v
+        assert abs(row["type_token_ratio"] - v / n) < 1e-5
+        f1 = sum(1 for c in tf.values() if c == 1)
+        assert abs(row["hapax_ratio"] - f1 / v) < 1e-5
+        yk = 1e4 * (sum(c * c for c in tf.values()) - n) / (n * n)
+        assert abs(row["yule_k"] - yk) < 1e-3
+        sd = sum(c * (c - 1) for c in tf.values()) / (n * (n - 1))
+        assert abs(row["simpson_d"] - sd) < 1e-7
+        assert abs(row["herdan_c"] - math.log(v) / math.log(n)) < 1e-5
+        # Simpson's D is the repeat probability Yule's K scales: K ~ 1e4*D
+        assert abs(row["yule_k"] / 1e4 - sd) < 1e-3
