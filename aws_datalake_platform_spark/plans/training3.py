@@ -1672,3 +1672,334 @@ def q390_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ── q391: cross-document boilerplate (template sentence) detection ───────────
+
+_Q391_MIN_SENT = 20  # chars; shorter fragments are too generic to count
+_Q391_DF = 3  # sentence appears in >= DF distinct docs => boilerplate
+
+
+@register(
+    "q391_boilerplate_detection",
+    f"""
+    WITH sent AS (
+      SELECT doc_id, source, trim(s) AS s
+      FROM (
+        SELECT doc_id, source,
+               unnest(string_split_regex(text, '[.!?]')) AS s
+        FROM documents
+      ) WHERE len(trim(s)) >= {_Q391_MIN_SENT}
+    ),
+    sdf AS (
+      SELECT s, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM sent
+      GROUP BY s
+    ),
+    per_doc AS (
+      SELECT t.doc_id, t.source,
+             CAST(SUM(len(t.s)) AS BIGINT) AS total_chars,
+             CAST(SUM(CASE WHEN d.df >= {_Q391_DF} THEN len(t.s) ELSE 0 END)
+                  AS BIGINT) AS boiler_chars
+      FROM sent t JOIN sdf d ON d.s = t.s
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN boiler_chars > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_boiler,
+           CAST(SUM(CASE WHEN 2 * boiler_chars >= total_chars
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_half_boiler,
+           FLOOR(SUM(boiler_chars) * 1.0 / SUM(total_chars) * 1000000 + 0.5)
+             / 1000000 AS boiler_char_share
+    FROM per_doc
+    GROUP BY source ORDER BY source
+    """,
+    doc="Cross-document boilerplate detection (the C4/RefinedWeb "
+    "template-sentence filter): sentences (>= 20 chars, [.!?] split) "
+    f"appearing in >= {_Q391_DF} DISTINCT documents are boilerplate; "
+    "per source, the share of characters that are boilerplate and the "
+    "count of docs that are >= half boilerplate (2*b >= t keeps the "
+    "comparison integer). Complements q70 (WITHIN-doc repetition), "
+    "q113 (exact duplicate lines) and q220 (duplicated n-grams): "
+    "this catches header/footer/disclaimer templates that near-dup "
+    "detectors miss because the surrounding text differs. All counts "
+    "and shares are exact integer ratios — hash-exact.",
+)
+def q391_boilerplate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one sentence explode (map-only), a (sentence -> doc
+    frequency) aggregate bounded by DISTINCT sentences (the inverted-
+    index shape, q196), one join back on the sentence key, and a
+    per-source rollup. No pairwise comparisons anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    sent = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.col("text"), "[.!?]")).alias("s0"),
+        )
+        .select("doc_id", "source", F.trim("s0").alias("s"))
+        .filter(F.length("s") >= _Q391_MIN_SENT)
+    )
+    sdf = sent.groupBy("s").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    per_doc = (
+        sent.join(sdf, "s")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.length("s")).cast("long").alias("total_chars"),
+            F.sum(
+                F.when(F.col("df") >= _Q391_DF, F.length("s")).otherwise(0)
+            )
+            .cast("long")
+            .alias("boiler_chars"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("boiler_chars") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_with_boiler"),
+            F.sum(
+                F.when(2 * F.col("boiler_chars") >= F.col("total_chars"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("docs_half_boiler"),
+            round_half_up(
+                F.sum("boiler_chars") * 1.0 / F.sum("total_chars"), 6
+            ).alias("boiler_char_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# ── q392: Weibull fit of repurchase gaps via median-rank regression ──────────
+
+_Q392_SCALE = 10_000  # ln-term quantization (1e-4): products stay < 2^63
+
+
+def _q392_sql() -> str:
+    sc = _Q392_SCALE
+    return f"""
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS nxt
+      FROM orders
+    ),
+    gaps AS (
+      SELECT CAST(date_diff('day', o_orderdate, nxt) AS BIGINT) AS t
+      FROM seq WHERE nxt IS NOT NULL
+        AND date_diff('day', o_orderdate, nxt) >= 1
+    ),
+    ranked AS (
+      SELECT t, ROW_NUMBER() OVER (ORDER BY t) AS i, COUNT(*) OVER () AS n
+      FROM gaps
+    ),
+    terms AS (
+      SELECT CAST(FLOOR(LN(CAST(t AS DOUBLE)) * {sc} + 0.5) AS BIGINT) AS xq,
+             CAST(FLOOR((LN(-LN((n - i + 0.7e0) / (n + 0.4e0))) + 100)
+                        * {sc} + 0.5) AS BIGINT) - 100 * {sc} AS yq
+      FROM ranked
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS sx,
+             CAST(SUM(yq) AS BIGINT) AS sy,
+             CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+             CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+             CAST(SUM(yq * yq) AS BIGINT) AS syy
+      FROM terms
+    ),
+    fit AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS k,
+             (CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               / {sc} AS icpt,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+               AS r2
+      FROM mom
+    )
+    SELECT n AS n_gaps,
+           FLOOR(k * 1000000 + 0.5) / 1000000 AS shape_k,
+           FLOOR(EXP(-icpt / k) * 10000 + 0.5) / 10000 AS scale_days,
+           FLOOR(r2 * 1000000 + 0.5) / 1000000 AS fit_r2,
+           CASE WHEN k < 1 THEN 1 ELSE 0 END AS decreasing_hazard
+    FROM fit
+    """
+
+
+@register(
+    "q392_weibull_gap_fit",
+    _q392_sql(),
+    doc="Weibull fit of repurchase gaps by median-rank regression "
+    "(Bernard's approximation F_i = (i-0.3)/(n+0.4); the standard "
+    "reliability-engineering estimator): regress ln(-ln(1-F_i)) on "
+    "ln(t_i); the slope IS the shape k, exp(-intercept/k) the scale. "
+    "Each log term is 1e-4-quantized BEFORE the moment sums (the "
+    "q353/q386 idiom — float literals forced to DOUBLE with e0 "
+    "notation), so the whole fit is hash-exact. shape < 1 means "
+    "decreasing hazard (long-idle customers keep idling); the "
+    "PARAMETRIC summary of the q304 Kaplan-Meier curve, giving the "
+    "two-number generative model a synthetic-data pipeline would "
+    "sample gaps from.",
+)
+def q392_weibull_gap_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one LEAD window per customer; the global rank window is
+    the q366/q378 documented bounded shape (at true scale a
+    deterministic sample of gaps replaces it); moments are map-side
+    combinable integer sums."""
+    sc = _Q392_SCALE
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.withColumn("nxt", F.lead("o_orderdate").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.datediff("nxt", "o_orderdate").cast("long").alias("t"))
+        .filter(F.col("t") >= 1)
+    )
+    ranked = gaps.select(
+        "t",
+        F.row_number().over(Window.orderBy("t")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    terms = ranked.select(
+        F.floor(F.log(F.col("t").cast("double")) * sc + 0.5)
+        .cast("long")
+        .alias("xq"),
+        (
+            F.floor(
+                (
+                    F.log(-F.log((F.col("n") - F.col("i") + 0.7) / (F.col("n") + 0.4)))
+                    + 100
+                )
+                * sc
+                + 0.5
+            ).cast("long")
+            - 100 * sc
+        ).alias("yq"),
+    )
+    mom = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).cast("long").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n * F.col("sxy") - sx * F.col("sy")
+    den = n * F.col("sxx") - sx * F.col("sx")
+    k = num / den
+    icpt = (sy * F.col("sxx") - sx * F.col("sxy")) / den / sc
+    r2 = num * num / (den * (n * F.col("syy") - sy * F.col("sy")))
+    return mom.select(
+        F.col("n").alias("n_gaps"),
+        round_half_up(k, 6).alias("shape_k"),
+        round_half_up(F.exp(-icpt / k), 4).alias("scale_days"),
+        round_half_up(r2, 6).alias("fit_r2"),
+        F.when(k < 1, 1).otherwise(0).alias("decreasing_hazard"),
+    )
+
+
+# ── q393: degree assortativity of the customer-part graph ────────────────────
+
+
+@register(
+    "q393_degree_assortativity",
+    """
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS hub, l.l_partkey AS auth
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    hd AS (SELECT hub, CAST(COUNT(*) AS BIGINT) AS dh FROM e GROUP BY hub),
+    ad AS (SELECT auth, CAST(COUNT(*) AS BIGINT) AS da FROM e GROUP BY auth),
+    ed AS (
+      SELECT h.dh AS x, a.da AS y
+      FROM e JOIN hd h ON h.hub = e.hub JOIN ad a ON a.auth = e.auth
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM ed
+    )
+    SELECT n AS n_edges,
+           FLOOR(sx * 1.0 / n * 10000 + 0.5) / 10000 AS avg_customer_degree,
+           FLOOR(sy * 1.0 / n * 10000 + 0.5) / 10000 AS avg_part_degree,
+           FLOOR(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                         * (CAST(n AS DOUBLE) * syy
+                            - CAST(sy AS DOUBLE) * sy)) + 1000)
+                 * 1000000 + 0.5) / 1000000 - 1000 AS assortativity_r,
+           CASE WHEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) < 0
+                THEN 1 ELSE 0 END AS disassortative
+    FROM mom
+    """,
+    doc="Degree assortativity (Newman 2002) of the customer-part "
+    "purchase graph: the Pearson correlation, over EDGES, between the "
+    "customer endpoint's degree and the part endpoint's degree — "
+    "positive means heavy buyers concentrate on popular parts, "
+    "negative (disassortative, the typical retail shape) means heavy "
+    "buyers reach into the long tail. All five moments are exact "
+    "integer sums over the distinct-edge relation (degrees are "
+    "BIGINTs), the correlation one fixed IEEE tree — hash-exact. "
+    "Structural context for q368's HITS and q382's k-core: "
+    "assortativity says whether the dense core those find is "
+    "hub-hub-connected or hub-periphery.",
+)
+def q393_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: distinct-edge relation, two degree aggregates, two
+    equi-joins back, one 6-number moment rollup (map-side
+    combinable). Degree relations broadcast when small."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("hub"), F.col("l_partkey").alias("auth"))
+        .distinct()
+    )
+    hd = e.groupBy("hub").agg(F.count(F.lit(1)).cast("long").alias("dh"))
+    ad = e.groupBy("auth").agg(F.count(F.lit(1)).cast("long").alias("da"))
+    ed = e.join(hd, "hub").join(ad, "auth").select(
+        F.col("dh").alias("x"), F.col("da").alias("y")
+    )
+    mom = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n * F.col("sxy") - sx * F.col("sy")
+    r = num / F.sqrt(
+        (n * F.col("sxx") - sx * F.col("sx")) * (n * F.col("syy") - sy * F.col("sy"))
+    )
+
+    def signed_round6(col):
+        return F.floor((col + 1000) * 1_000_000 + 0.5) / 1_000_000 - 1000
+
+    return mom.select(
+        F.col("n").alias("n_edges"),
+        round_half_up(F.col("sx") * 1.0 / F.col("n"), 4).alias(
+            "avg_customer_degree"
+        ),
+        round_half_up(F.col("sy") * 1.0 / F.col("n"), 4).alias("avg_part_degree"),
+        signed_round6(r).alias("assortativity_r"),
+        F.when(num < 0, 1).otherwise(0).alias("disassortative"),
+    )

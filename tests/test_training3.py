@@ -502,3 +502,121 @@ def test_q390_lexical_diversity_recompute(spark):
         assert abs(row["herdan_c"] - math.log(v) / math.log(n)) < 1e-5
         # Simpson's D is the repeat probability Yule's K scales: K ~ 1e4*D
         assert abs(row["yule_k"] / 1e4 - sd) < 1e-3
+
+
+def test_q391_boilerplate_recompute(spark):
+    """Shares recomputed from raw sentence splits with a Counter."""
+    import re
+    from collections import Counter, defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q391_boilerplate_detection"].fn(spark, SF_SMOKE).collect()
+    assert out
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    sent_docs = defaultdict(set)
+    per_doc = {}
+    for r in docs:
+        ss = [
+            s.strip()
+            for s in re.split(r"[.!?]", r["text"] or "")
+            if len(s.strip()) >= 20
+        ]
+        per_doc[r["doc_id"]] = (r["source"], ss)
+        for s in ss:
+            sent_docs[s].add(r["doc_id"])
+    stats = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, with, half, bchars, tchars
+    for did, (src, ss) in per_doc.items():
+        if not ss:
+            continue
+        tc = sum(len(s) for s in ss)
+        bc = sum(len(s) for s in ss if len(sent_docs[s]) >= 3)
+        st = stats[src]
+        st[0] += 1
+        st[1] += 1 if bc > 0 else 0
+        st[2] += 1 if 2 * bc >= tc else 0
+        st[3] += bc
+        st[4] += tc
+    for row in out:
+        st = stats[row["source"]]
+        assert row["n_docs"] == st[0]
+        assert row["docs_with_boiler"] == st[1]
+        assert row["docs_half_boiler"] == st[2]
+        assert abs(row["boiler_char_share"] - st[3] / st[4]) < 1e-5
+        assert 0.0 <= row["boiler_char_share"] <= 1.0
+
+
+def test_q392_weibull_recompute(spark):
+    """Shape/scale recomputed with numpy median-rank regression on the
+    raw gaps; R^2 in [0,1]; the fitted Weibull median is within a
+    factor of ~2 of the empirical median gap (sanity of scale)."""
+    import numpy as np
+
+    out = QUERY_REGISTRY["q392_weibull_gap_fit"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    got = out[0]
+    subj = _survival_subjects(spark)
+    # rebuild day-level gaps (subjects are week-floored; recompute raw)
+    from aws_datalake_platform_spark.catalog import load_table
+
+    rows = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .collect()
+    )
+    by_cust: dict = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    gaps = []
+    for orders in by_cust.values():
+        orders.sort(key=lambda r: (r["o_orderdate"], r["o_orderkey"]))
+        for a, b in zip(orders, orders[1:]):
+            t = (b["o_orderdate"].date() - a["o_orderdate"].date()).days
+            if t >= 1:
+                gaps.append(t)
+    gaps.sort()
+    n = len(gaps)
+    assert got["n_gaps"] == n
+    x = np.log(np.array(gaps, dtype=float))
+    i = np.arange(1, n + 1)
+    y = np.log(-np.log((n - i + 0.7) / (n + 0.4)))
+    k, icpt = np.polyfit(x, y, 1)
+    assert abs(got["shape_k"] - k) < 5e-3
+    assert abs(got["scale_days"] - math.exp(-icpt / k)) / math.exp(-icpt / k) < 5e-3
+    assert 0.0 <= got["fit_r2"] <= 1.0
+    assert got["fit_r2"] > 0.8  # gaps are genuinely Weibull-ish
+    assert got["decreasing_hazard"] == (1 if got["shape_k"] < 1 else 0)
+    med_fit = got["scale_days"] * math.log(2) ** (1 / got["shape_k"])
+    med_emp = gaps[n // 2]
+    assert 0.5 < med_fit / med_emp < 2.0
+
+
+def test_q393_assortativity_recompute(spark):
+    """Edge-degree correlation recomputed with numpy.corrcoef."""
+    import numpy as np
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q393_degree_assortativity"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    got = out[0]
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    ed = {
+        (r["o_custkey"], r["l_partkey"])
+        for r in o.join(li, o["o_orderkey"] == li["l_orderkey"]).collect()
+    }
+    hd = Counter(h for h, _ in ed)
+    ad = Counter(a for _, a in ed)
+    xs = np.array([hd[h] for h, a in ed], dtype=float)
+    ys = np.array([ad[a] for h, a in ed], dtype=float)
+    assert got["n_edges"] == len(ed)
+    assert abs(got["avg_customer_degree"] - xs.mean()) < 1e-3
+    assert abs(got["avg_part_degree"] - ys.mean()) < 1e-3
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert abs(got["assortativity_r"] - r) < 1e-4
+    assert got["disassortative"] == (1 if r < 0 else 0)
+    assert -1.0 <= got["assortativity_r"] <= 1.0
