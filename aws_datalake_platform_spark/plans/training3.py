@@ -2003,3 +2003,382 @@ def q393_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         signed_round6(r).alias("assortativity_r"),
         F.when(num < 0, 1).otherwise(0).alias("disassortative"),
     )
+
+
+# ── q394: label-propagation communities on the purchase graph ────────────────
+
+_Q394_ROUNDS = 5
+_Q394_TOPK = 15
+
+
+def _q394_sql() -> str:
+    head = """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS hub, l.l_partkey AS auth
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS MATERIALIZED (
+      SELECT DISTINCT hub, CAST(hub AS BIGINT) AS lbl FROM e
+    )"""
+    steps = []
+    for k in range(1, _Q394_ROUNDS + 1):
+        steps.append(f"""
+    a{k} AS MATERIALIZED (
+      SELECT auth, lbl FROM (
+        SELECT e.auth, h.lbl,
+               ROW_NUMBER() OVER (PARTITION BY e.auth
+                 ORDER BY COUNT(*) DESC, h.lbl) AS rk
+        FROM e JOIN h{k - 1} h ON h.hub = e.hub
+        GROUP BY e.auth, h.lbl
+      ) WHERE rk = 1
+    ),
+    h{k} AS MATERIALIZED (
+      SELECT hub, lbl FROM (
+        SELECT e.hub, a.lbl,
+               ROW_NUMBER() OVER (PARTITION BY e.hub
+                 ORDER BY COUNT(*) DESC, a.lbl) AS rk
+        FROM e JOIN a{k} a ON a.auth = e.auth
+        GROUP BY e.hub, a.lbl
+      ) WHERE rk = 1
+    )""")
+    last = _Q394_ROUNDS
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT rank, community, n_customers, n_parts FROM (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY nc + np DESC, lbl) AS BIGINT)
+               AS rank,
+             CAST(lbl AS BIGINT) AS community,
+             CAST(nc AS BIGINT) AS n_customers,
+             CAST(np AS BIGINT) AS n_parts
+      FROM (
+        SELECT lbl, CAST(SUM(is_c) AS BIGINT) AS nc,
+               CAST(SUM(is_p) AS BIGINT) AS np
+        FROM (
+          SELECT lbl, 1 AS is_c, 0 AS is_p FROM h{last}
+          UNION ALL
+          SELECT lbl, 0 AS is_c, 1 AS is_p FROM a{last}
+        ) GROUP BY lbl
+      )
+    ) WHERE rank <= {_Q394_TOPK}
+    ORDER BY rank
+    """
+    )
+
+
+@register(
+    "q394_label_propagation",
+    _q394_sql(),
+    doc="Label-propagation community detection (Raghavan et al. 2007) "
+    "on the customer-part purchase graph, in the SEMI-SYNCHRONOUS "
+    "bipartite schedule: parts adopt the modal label of their buyers, "
+    "then customers adopt the modal label of their parts — the "
+    "alternating half-steps that kill the 2-cycle oscillation "
+    "synchronous LPA exhibits on bipartite graphs. Ties break to the "
+    "smallest label, so every round is a deterministic integer "
+    "argmax (count desc, label asc) and the whole clustering is "
+    "hash-exact with no randomness. Top-15 communities by size. The "
+    "communities complement q203's k-means (feature-space) and q68's "
+    "connected components (near-dup pairs): LPA finds BEHAVIORAL "
+    "market segments from co-purchase structure alone.",
+)
+def q394_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each half-step is one equi-join + count + per-node argmax
+    over the distinct-edge relation, localCheckpoint'ed so the
+    unrolled plan stays linear (q368 discipline)."""
+    from pyspark import StorageLevel
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("hub"), F.col("l_partkey").alias("auth"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    h = e.select("hub").distinct().select("hub", F.col("hub").cast("long").alias("lbl"))
+    a = None
+    for _ in range(_Q394_ROUNDS):
+        wa = Window.partitionBy("auth").orderBy(F.desc("cnt"), "lbl")
+        a = (
+            e.join(h, "hub")
+            .groupBy("auth", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select("auth", "lbl", F.row_number().over(wa).alias("rk"))
+            .filter(F.col("rk") == 1)
+            .select("auth", "lbl")
+            .localCheckpoint(eager=True)
+        )
+        wh = Window.partitionBy("hub").orderBy(F.desc("cnt"), "lbl")
+        h = (
+            e.join(a, "auth")
+            .groupBy("hub", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select("hub", "lbl", F.row_number().over(wh).alias("rk"))
+            .filter(F.col("rk") == 1)
+            .select("hub", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    sizes = (
+        h.select("lbl", F.lit(1).alias("is_c"), F.lit(0).alias("is_p"))
+        .unionByName(a.select("lbl", F.lit(0).alias("is_c"), F.lit(1).alias("is_p")))
+        .groupBy("lbl")
+        .agg(
+            F.sum("is_c").cast("long").alias("nc"),
+            F.sum("is_p").cast("long").alias("np"),
+        )
+    )
+    wr = Window.orderBy(F.desc(F.col("nc") + F.col("np")), "lbl")
+    out = (
+        sizes.select(
+            F.row_number().over(wr).cast("long").alias("rank"),
+            F.col("lbl").cast("long").alias("community"),
+            F.col("nc").alias("n_customers"),
+            F.col("np").alias("n_parts"),
+        )
+        .filter(F.col("rank") <= _Q394_TOPK)
+        .orderBy("rank")
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
+    return out
+
+
+# ── q395: Croston intermittent-demand forecast for the hottest part ──────────
+
+_Q395_SCALE = 1_000_000
+
+
+def _q395_sql() -> str:
+    sc = _Q395_SCALE
+    return f"""
+    WITH RECURSIVE pick AS (
+      SELECT l_partkey FROM lineitem GROUP BY l_partkey
+      ORDER BY COUNT(*) DESC, l_partkey LIMIT 1
+    ),
+    d0 AS (
+      SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+               AS d,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem JOIN pick USING (l_partkey)
+      GROUP BY 1
+    ),
+    occ AS (
+      SELECT d, q, ROW_NUMBER() OVER (ORDER BY d) AS rn,
+             d - COALESCE(LAG(d) OVER (ORDER BY d), d) AS gap
+      FROM d0
+    ),
+    span AS (SELECT MAX(d) - MIN(d) + 1 AS n_days,
+                    CAST(COUNT(*) AS BIGINT) AS n_occ FROM occ),
+    cro AS (
+      SELECT CAST(1 AS BIGINT) AS rn,
+             q * {sc} AS z, CAST({sc} AS BIGINT) AS p
+      FROM occ WHERE rn = 1
+      UNION ALL
+      SELECT o.rn,
+             (o.q * {sc} + c.z) // 2 AS z,
+             (o.gap * {sc} + c.p) // 2 AS p
+      FROM cro c JOIN occ o ON o.rn = c.rn + 1
+    ),
+    last AS (
+      SELECT z, p FROM cro ORDER BY rn DESC LIMIT 1
+    )
+    SELECT s.n_days, s.n_occ,
+           FLOOR(s.n_occ * 1.0 / s.n_days * 1000000 + 0.5) / 1000000
+             AS demand_rate,
+           FLOOR(l.z / {sc}.0 * 10000 + 0.5) / 10000 AS smoothed_size,
+           FLOOR(l.p / {sc}.0 * 10000 + 0.5) / 10000 AS smoothed_interval,
+           FLOOR(CAST(l.z AS DOUBLE) / l.p * 10000 + 0.5) / 10000
+             AS croston_forecast,
+           FLOOR(CAST(l.z AS DOUBLE) / l.p * 0.75e0 * 10000 + 0.5) / 10000
+             AS sba_forecast
+    FROM last l CROSS JOIN span s
+    """
+
+
+@register(
+    "q395_croston_intermittent",
+    _q395_sql(),
+    doc="Croston's method (1972) with the Syntetos-Boylan approximation "
+    "for intermittent demand, on the busiest part's daily ship "
+    "quantities (deterministic pick: max lineitem count, ties to the "
+    "smallest partkey): separate exponential smoothing (alpha = 1/2) "
+    "of nonzero demand SIZES and of inter-demand INTERVALS, forecast "
+    "= z/p and the bias-corrected SBA (1 - alpha/2) * z/p. The "
+    "recurrence runs in exact fixed-point integer arithmetic "
+    "(truncating // — the q351 discipline), replayed by a recursive "
+    "CTE. Croston is THE standard for sparse series where q351/q380's "
+    "level smoothing decays toward zero between demands and "
+    "overforecasts right after one.",
+)
+def q395_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one per-part count picks the series (map-side
+    combinable), one filtered per-day aggregate; the recurrence is
+    occurrence-bounded and runs driver-side (bounded-collect pattern,
+    q350/q351) in integer arithmetic matching BIGINT //."""
+    sc = _Q395_SCALE
+    li = load_table(spark, sf_dir, "lineitem")
+    pick = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "l_partkey")
+        .limit(1)
+        .select("l_partkey")
+    )
+    d0 = (
+        li.join(F.broadcast(pick), "l_partkey")
+        .groupBy(
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+        .orderBy("d")
+        .collect()
+    )
+    days = [(r["d"], r["q"]) for r in d0]
+    if not days:
+        return spark.createDataFrame(
+            [],
+            "n_days long, n_occ long, demand_rate double, smoothed_size double, "
+            "smoothed_interval double, croston_forecast double, sba_forecast double",
+        )
+    n_days = days[-1][0] - days[0][0] + 1
+    n_occ = len(days)
+    z = days[0][1] * sc
+    p = sc
+    prev_d = days[0][0]
+    for d, q in days[1:]:
+        gap = d - prev_d
+        prev_d = d
+        z = (q * sc + z) // 2  # nonneg: plain // matches BIGINT //
+        p = (gap * sc + p) // 2
+    out = spark.createDataFrame(
+        [(n_days, n_occ, z, p)], "n_days long, n_occ long, z long, p long"
+    )
+    fsc = float(sc)
+    fc = F.col("z").cast("double") / F.col("p")
+    return out.select(
+        "n_days",
+        "n_occ",
+        round_half_up(F.col("n_occ") * 1.0 / F.col("n_days"), 6).alias(
+            "demand_rate"
+        ),
+        round_half_up(F.col("z") / fsc, 4).alias("smoothed_size"),
+        round_half_up(F.col("p") / fsc, 4).alias("smoothed_interval"),
+        round_half_up(fc, 4).alias("croston_forecast"),
+        round_half_up(fc * 0.75, 4).alias("sba_forecast"),
+    )
+
+
+# ── q396: sort-key data-skipping planner over zone maps ──────────────────────
+
+_Q396_CHUNKS = 256
+_Q396_CANDIDATES = ("l_partkey", "l_suppkey", "l_shipdate", "l_quantity")
+
+
+def _q396_sql() -> str:
+    legs = []
+    for c in _Q396_CANDIDATES:
+        legs.append(f"""
+      SELECT '{c}' AS sort_key, chunk,
+             CAST(MIN(l_partkey) AS BIGINT) AS lo,
+             CAST(MAX(l_partkey) AS BIGINT) AS hi
+      FROM (
+        SELECT l_partkey,
+               NTILE({_Q396_CHUNKS}) OVER (ORDER BY {c}, l_orderkey,
+                                           l_linenumber) AS chunk
+        FROM lineitem
+      ) GROUP BY chunk""")
+    return f"""
+    WITH keys AS MATERIALIZED (
+      SELECT DISTINCT l_partkey AS k FROM lineitem
+    ),
+    nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keys),
+    zones AS MATERIALIZED ({" UNION ALL ".join(legs)}),
+    hits AS (
+      SELECT z.sort_key,
+             CAST(COUNT(*) AS BIGINT) AS chunk_key_pairs
+      FROM zones z JOIN keys ON keys.k BETWEEN z.lo AND z.hi
+      GROUP BY z.sort_key
+    )
+    SELECT h.sort_key,
+           FLOOR(h.chunk_key_pairs * 1.0 / nk.n * 10000 + 0.5) / 10000
+             AS avg_chunks_scanned,
+           FLOOR((1 - h.chunk_key_pairs * 1.0 / nk.n / {_Q396_CHUNKS})
+                 * 1000000 + 0.5) / 1000000 AS skip_ratio,
+           CAST(ROW_NUMBER() OVER (ORDER BY h.chunk_key_pairs, h.sort_key)
+                AS BIGINT) AS rank
+    FROM hits h CROSS JOIN nk
+    ORDER BY rank, sort_key
+    """
+
+
+@register(
+    "q396_sort_key_plan",
+    _q396_sql(),
+    doc=f"Sort-key data-skipping planner: for each candidate layout "
+    f"(lineitem sorted by one of {', '.join(_Q396_CANDIDATES)}, "
+    f"deterministic tie-break), split into {_Q396_CHUNKS} equal chunks, "
+    "take min/max zone maps on l_partkey, and price a point-lookup "
+    "workload EXACTLY: avg chunks a random existing partkey cannot "
+    "skip = (zone-range/key containment pairs) / |distinct keys|. "
+    "Sorting BY l_partkey gives ~1 chunk per lookup; unrelated keys "
+    "leave every chunk's range covering everything. Extends the "
+    "planner family (q321 partitions, q322 filter order, q337 "
+    "z-order vs insert order) with the which-column-to-ORDER-BY "
+    "decision, priced from the same zone-map statistics a lakehouse "
+    "OPTIMIZE would produce. Exact integer containment counts — "
+    "hash-exact.",
+)
+def q396_sort_key_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: in production the zone maps come free from parquet
+    footers; here each candidate costs one sort (the very operation
+    being priced — unavoidable for an exact what-if) and the
+    containment count is a broadcast range join of O(chunks) ranges
+    against the distinct-key relation, never row-level data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select(F.col("l_partkey").alias("k")).distinct().localCheckpoint(
+        eager=True
+    )
+    nk = keys.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    zones = None
+    for c in _Q396_CANDIDATES:
+        wo = Window.orderBy(c, "l_orderkey", "l_linenumber")
+        z = (
+            li.select("l_partkey", F.ntile(_Q396_CHUNKS).over(wo).alias("chunk"))
+            .groupBy("chunk")
+            .agg(
+                F.min("l_partkey").cast("long").alias("lo"),
+                F.max("l_partkey").cast("long").alias("hi"),
+            )
+            .select(F.lit(c).alias("sort_key"), "chunk", "lo", "hi")
+        )
+        zones = z if zones is None else zones.unionByName(z)
+    hits = (
+        keys.join(
+            F.broadcast(zones),
+            (F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi")),
+        )
+        .groupBy("sort_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("chunk_key_pairs"))
+    )
+    wr = Window.orderBy("chunk_key_pairs", "sort_key")
+    return (
+        hits.crossJoin(F.broadcast(nk))
+        .select(
+            "sort_key",
+            round_half_up(
+                F.col("chunk_key_pairs") * 1.0 / F.col("n"), 4
+            ).alias("avg_chunks_scanned"),
+            round_half_up(
+                1 - F.col("chunk_key_pairs") * 1.0 / F.col("n") / _Q396_CHUNKS, 6
+            ).alias("skip_ratio"),
+            F.row_number().over(wr).cast("long").alias("rank"),
+        )
+        .orderBy("rank", "sort_key")
+    )

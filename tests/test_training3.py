@@ -620,3 +620,127 @@ def test_q393_assortativity_recompute(spark):
     assert abs(got["assortativity_r"] - r) < 1e-4
     assert got["disassortative"] == (1 if r < 0 else 0)
     assert -1.0 <= got["assortativity_r"] <= 1.0
+
+
+def test_q394_label_propagation_recompute(spark):
+    """Communities recomputed with a plain Python alternating-half-step
+    LPA with (count desc, label asc) argmax."""
+    from collections import Counter, defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q394_label_propagation"].fn(spark, SF_SMOKE).collect()
+    assert out and len(out) <= 15
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    ed = {
+        (r["o_custkey"], r["l_partkey"])
+        for r in o.join(li, o["o_orderkey"] == li["l_orderkey"]).collect()
+    }
+    by_auth = defaultdict(list)
+    by_hub = defaultdict(list)
+    for h, a in ed:
+        by_auth[a].append(h)
+        by_hub[h].append(a)
+    hlbl = {h: h for h, _ in ed}
+    albl = {}
+    for _ in range(5):
+        for a, hubs in by_auth.items():
+            cnt = Counter(hlbl[h] for h in hubs)
+            top = max(cnt.values())
+            albl[a] = min(l for l, c in cnt.items() if c == top)
+        for h, auths in by_hub.items():
+            cnt = Counter(albl[a] for a in auths)
+            top = max(cnt.values())
+            hlbl[h] = min(l for l, c in cnt.items() if c == top)
+    sizes = defaultdict(lambda: [0, 0])
+    for h, l in hlbl.items():
+        sizes[l][0] += 1
+    for a, l in albl.items():
+        sizes[l][1] += 1
+    ranked = sorted(sizes.items(), key=lambda kv: (-(kv[1][0] + kv[1][1]), kv[0]))
+    for i, row in enumerate(out):
+        lbl, (nc, np_) = ranked[i]
+        assert row["rank"] == i + 1
+        assert row["community"] == lbl
+        assert row["n_customers"] == nc
+        assert row["n_parts"] == np_
+
+
+def test_q395_croston_recompute(spark):
+    """Croston states recomputed with plain float SES; the integer
+    fixed-point tracks it to quantization error; SBA = 0.75 * Croston."""
+    from collections import defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q395_croston_intermittent"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    got = out[0]
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    ).collect()
+    from collections import Counter
+
+    freq = Counter(r["l_partkey"] for r in li)
+    top = max(freq.values())
+    part = min(k for k, c in freq.items() if c == top)
+    daily = defaultdict(int)
+    for r in li:
+        if r["l_partkey"] == part:
+            daily[r["l_shipdate"].date()] += int(r["l_quantity"])
+    days = sorted(daily)
+    assert got["n_occ"] == len(days)
+    assert got["n_days"] == (days[-1] - days[0]).days + 1
+    z = float(daily[days[0]])
+    p = 1.0
+    for a, b in zip(days, days[1:]):
+        z = (daily[b] + z) / 2
+        p = ((b - a).days + p) / 2
+    assert abs(got["smoothed_size"] - z) < 0.01
+    assert abs(got["smoothed_interval"] - p) < 0.01
+    assert abs(got["croston_forecast"] - z / p) / (z / p) < 0.01
+    assert abs(got["sba_forecast"] - 0.75 * got["croston_forecast"]) < 1e-3
+    assert abs(got["demand_rate"] - len(days) / got["n_days"]) < 1e-5
+
+
+def test_q396_sort_key_plan_recompute(spark):
+    """Containment counts recomputed with numpy zone maps; sorting by
+    the looked-up key must win (rank 1 = l_partkey, ~1 chunk/lookup)."""
+    import numpy as np
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q396_sort_key_plan"].fn(spark, SF_SMOKE).collect()
+    assert {r["sort_key"] for r in out} == {
+        "l_partkey", "l_suppkey", "l_shipdate", "l_quantity"
+    }
+    rows = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_quantity",
+        "l_orderkey", "l_linenumber",
+    ).collect()
+    keys = sorted({r["l_partkey"] for r in rows})
+    ka = np.array(keys)
+    by = {r["sort_key"]: r for r in out}
+    for c in ("l_partkey", "l_suppkey"):
+        srt = sorted(rows, key=lambda r: (r[c], r["l_orderkey"], r["l_linenumber"]))
+        pk = [r["l_partkey"] for r in srt]
+        n = len(pk)
+        total = 0
+        # NTILE semantics: first (n % 256) chunks get ceil(n/256)
+        base, extra = divmod(n, 256)
+        pos = 0
+        for ci in range(256):
+            size = base + (1 if ci < extra else 0)
+            if size == 0:
+                continue
+            chunk = pk[pos:pos + size]
+            pos += size
+            lo, hi = min(chunk), max(chunk)
+            total += int(((ka >= lo) & (ka <= hi)).sum())
+        assert abs(by[c]["avg_chunks_scanned"] - total / len(keys)) < 1e-3
+    assert by["l_partkey"]["rank"] == 1
+    assert by["l_partkey"]["avg_chunks_scanned"] < 2.5
+    assert by["l_partkey"]["skip_ratio"] > 0.99
+    # unrelated sort keys skip almost nothing
+    assert by["l_suppkey"]["avg_chunks_scanned"] > 50
