@@ -2382,3 +2382,459 @@ def q396_sort_key_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank", "sort_key")
     )
+
+
+# ── q397: rolling one-step forecast backtest (naive/seasonal/Holt/HW) ────────
+
+_Q397_SC = 1_000_000
+
+
+def _q397_sql() -> str:
+    sc = _Q397_SC
+    m = _Q380_M
+    sprev = (
+        "CASE ((d.rn - 1) % 7) + 1 "
+        + " ".join(f"WHEN {j} THEN h.s{j}" for j in range(1, m + 1))
+        + " END"
+    )
+    nl = f"(d.v * {sc} - ({sprev}) + h.l + h.b) // 2"
+    nb = f"(({nl}) - h.l + h.b) // 2"
+    ns = f"(d.v * {sc} - ({nl}) + ({sprev})) // 2"
+    supd = ", ".join(
+        f"CAST(CASE WHEN ((d.rn - 1) % 7) + 1 = {j} THEN {ns} "
+        f"ELSE h.s{j} END AS BIGINT) AS s{j}"
+        for j in range(1, m + 1)
+    )
+    sinit = ", ".join(
+        f"CAST((SELECT v FROM daily WHERE rn = {j}) * {sc} "
+        f"- (SELECT l0 FROM init) AS BIGINT) AS s{j}"
+        for j in range(1, m + 1)
+    )
+    ec = "FLOOR(({expr} + 1000000) * 100 + 0.5) - 100000000"
+    return f"""
+    WITH RECURSIVE d0 AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    daily AS (SELECT d, v, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM d0),
+    init AS (
+      SELECT CAST(SUM(v) * {sc} // {m} AS BIGINT) AS l0
+      FROM daily WHERE rn <= {m}
+    ),
+    ho AS (
+      SELECT CAST(2 AS BIGINT) AS rn,
+             CAST((SELECT v FROM daily WHERE rn = 2) * {sc} AS BIGINT) AS l,
+             CAST(((SELECT v FROM daily WHERE rn = 2)
+                   - (SELECT v FROM daily WHERE rn = 1)) * {sc} AS BIGINT)
+               AS b
+      UNION ALL
+      SELECT d.rn,
+             CAST((d.v * {sc} + h.l + h.b) // 2 AS BIGINT) AS l,
+             CAST((((d.v * {sc} + h.l + h.b) // 2) - h.l + h.b) // 2
+                  AS BIGINT) AS b
+      FROM ho h JOIN daily d ON d.rn = h.rn + 1
+    ),
+    hw AS (
+      SELECT CAST({m} AS BIGINT) AS rn,
+             CAST(i.l0 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+             CAST(0 AS BIGINT) AS fq, {sinit}
+      FROM init i
+      UNION ALL
+      SELECT d.rn,
+             CAST({nl} AS BIGINT) AS l,
+             CAST({nb} AS BIGINT) AS b,
+             CAST(h.l + h.b + ({sprev}) AS BIGINT) AS fq,
+             {supd}
+      FROM hw h JOIN daily d ON d.rn = h.rn + 1
+    ),
+    errs AS (
+      SELECT 'naive1' AS model,
+             CAST({ec.format(expr="d.v - p.v")} AS BIGINT) AS ec
+      FROM daily d JOIN daily p ON p.rn = d.rn - 1 WHERE d.rn > {m}
+      UNION ALL
+      SELECT 'snaive7' AS model,
+             CAST({ec.format(expr="d.v - p.v")} AS BIGINT) AS ec
+      FROM daily d JOIN daily p ON p.rn = d.rn - 7 WHERE d.rn > {m}
+      UNION ALL
+      SELECT 'holt' AS model,
+             CAST({ec.format(expr=f"d.v - (h.l + h.b) / {sc}.0")} AS BIGINT)
+               AS ec
+      FROM daily d JOIN ho h ON h.rn = d.rn - 1 WHERE d.rn > {m}
+      UNION ALL
+      SELECT 'holt_winters' AS model,
+             CAST({ec.format(expr=f"d.v - h.fq / {sc}.0")} AS BIGINT) AS ec
+      FROM daily d JOIN hw h ON h.rn = d.rn WHERE d.rn > {m}
+    ),
+    agg AS (
+      SELECT model, CAST(COUNT(*) AS BIGINT) AS n_eval,
+             CAST(SUM(ABS(ec)) AS BIGINT) AS sae,
+             CAST(SUM(ec * ec) AS BIGINT) AS sse
+      FROM errs GROUP BY model
+    )
+    SELECT model, n_eval,
+           FLOOR(sae / 100.0 / n_eval * 10000 + 0.5) / 10000 AS mae,
+           FLOOR(SQRT(sse / 10000.0 / n_eval) * 10000 + 0.5) / 10000 AS rmse,
+           CAST(ROW_NUMBER() OVER (ORDER BY sse * 1.0 / n_eval, model)
+                AS BIGINT) AS rank
+    FROM agg ORDER BY rank
+    """
+
+
+@register(
+    "q397_forecast_backtest",
+    _q397_sql(),
+    doc="Rolling-origin one-step backtest of four volume forecasters on "
+    "the SAME evaluation days (every day after the first week): "
+    "naive-1 (yesterday), seasonal-naive-7 (same weekday last week), "
+    "Holt linear (q351's recurrence) and Holt-Winters (q380's). The "
+    "one-step-ahead errors ARE each recurrence's fitted residuals, so "
+    "the whole model-selection readout inherits their exact "
+    "fixed-point replay; per-day errors are centi-quantized integers, "
+    "MAE/RMSE exact ratios, ranking by integer SSE. This is the "
+    "empirical answer to 'which forecaster do we ship' that q272/"
+    "q351/q380 individually cannot give — and the honest guard "
+    "against Holt-Winters overfitting a weak seasonality (q317).",
+)
+def q397_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one per-day count; recurrences and the error table are
+    calendar-bounded and run driver-side (bounded-collect, q350/q351);
+    output algebra mirrors the oracle's pins."""
+    sc = _Q397_SC
+    m = _Q380_M
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .orderBy("d")
+        .collect()
+    )
+    vols = [r["v"] for r in daily]
+    if len(vols) <= m:
+        return spark.createDataFrame(
+            [], "model string, n_eval long, mae double, rmse double, rank long"
+        )
+
+    def tdiv2(a: int) -> int:
+        return -((-a) // 2) if a < 0 else a // 2
+
+    # Holt states indexed by rn (state AFTER seeing day rn)
+    ho = {2: (vols[1] * sc, (vols[1] - vols[0]) * sc)}
+    for rn in range(3, len(vols) + 1):
+        lp, bp = ho[rn - 1]
+        l = tdiv2(vols[rn - 1] * sc + lp + bp)
+        ho[rn] = (l, tdiv2(l - lp + bp))
+    # Holt-Winters fitted values (q380 recurrence)
+    l = sum(vols[:m]) * sc // m
+    b = 0
+    s = [v * sc - l for v in vols[:m]]
+    hw_f = {}
+    for rn in range(m + 1, len(vols) + 1):
+        v = vols[rn - 1]
+        idx = (rn - 1) % m
+        sprev, lp, bp = s[idx], l, b
+        hw_f[rn] = lp + bp + sprev
+        l = tdiv2(v * sc - sprev + lp + bp)
+        b = tdiv2(l - lp + bp)
+        s[idx] = tdiv2(v * sc - l + sprev)
+
+    def ecq(expr: float) -> int:
+        return math.floor((expr + 1_000_000) * 100 + 0.5) - 100_000_000
+
+    rows = []
+    for rn in range(m + 1, len(vols) + 1):
+        v = vols[rn - 1]
+        rows.append(("naive1", ecq(v - vols[rn - 2])))
+        rows.append(("snaive7", ecq(v - vols[rn - 8])))
+        hl, hb = ho[rn - 1]
+        rows.append(("holt", ecq(v - (hl + hb) / float(sc))))
+        rows.append(("holt_winters", ecq(v - hw_f[rn] / float(sc))))
+    errs = spark.createDataFrame(rows, "model string, ec long")
+    agg = errs.groupBy("model").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.abs("ec")).cast("long").alias("sae"),
+        F.sum(F.col("ec") * F.col("ec")).cast("long").alias("sse"),
+    )
+    wr = Window.orderBy(F.col("sse") * 1.0 / F.col("n_eval"), "model")
+    return agg.select(
+        "model",
+        "n_eval",
+        round_half_up(F.col("sae") / 100.0 / F.col("n_eval"), 4).alias("mae"),
+        round_half_up(F.sqrt(F.col("sse") / 10_000.0 / F.col("n_eval")), 4).alias(
+            "rmse"
+        ),
+        F.row_number().over(wr).cast("long").alias("rank"),
+    ).orderBy("rank")
+
+
+# ── q398: exact fixed-point PageRank (graduates q123's flaky float) ──────────
+
+_Q398_ITERS = 10
+_Q398_SCALE = 1_000_000_000  # nano-units: 5-node taxonomy needs headroom
+
+
+def _q398_sql() -> str:
+    sc = _Q398_SCALE
+    head = f"""
+    WITH ord AS (
+      SELECT user_id, event_type AS cur,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    edges AS MATERIALIZED (
+      SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS w FROM ord
+      WHERE prev IS NOT NULL GROUP BY prev, cur
+    ),
+    outd AS MATERIALIZED (
+      SELECT prev, CAST(SUM(w) AS BIGINT) AS od FROM edges GROUP BY prev
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT event_type AS v FROM events),
+    r0 AS (SELECT v, CAST({sc} AS BIGINT) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, _Q398_ITERS + 1):
+        steps.append(f"""
+    r{i} AS MATERIALIZED (
+      SELECT n.v,
+             CAST((15 * CAST({sc} AS BIGINT) + 85 * COALESCE(t.tv, 0)) // 100
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.cur, CAST(SUM((e.w * p.r) // o.od) AS BIGINT) AS tv
+        FROM edges e
+        JOIN r{i - 1} p ON p.v = e.prev
+        JOIN outd o ON o.prev = e.prev
+        GROUP BY e.cur
+      ) t ON t.cur = n.v
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT v,
+           FLOOR(r * 1.0 / ((SELECT COUNT(*) FROM nodes) * {sc})
+                 * 1000000 + 0.5) / 1000000 AS pagerank,
+           CAST(ROW_NUMBER() OVER (ORDER BY r DESC, v) AS BIGINT) AS rank
+    FROM r{_Q398_ITERS}
+    ORDER BY rank
+    """
+    )
+
+
+@register(
+    "q398_pagerank_exact",
+    _q398_sql(),
+    doc="PageRank over the q123 event-type transition graph, GRADUATED "
+    "to exact fixed-point arithmetic: scores held as integer nanos of "
+    "N*PageRank, per-edge flow (w*r)//W as truncating integer "
+    "division, damped update (15*SC + 85*T)//100 — the q381/q368 "
+    "idiom. q123's float power iteration is the engine's one "
+    "documented accepted-flakiness class ('integer arithmetic cannot "
+    "express the damped fixpoint' — it can, to 1e-9, and this query "
+    "does); the readout is bit-identical on both engines by "
+    "construction. Sink mass is absorbed (no dangling redistribution; "
+    "scores are reported normalized by N*SC, so the ranking and "
+    "relative magnitudes match q123's to ~1e-6).",
+)
+def q398_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: edge mining is the only corpus-width work (one lag window
+    + aggregate, exactly q123's); the iteration runs on the taxonomy-
+    bounded node set with localCheckpoint per step (q368 cadence)."""
+    from pyspark import StorageLevel
+
+    sc = _Q398_SCALE
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("cur"), F.lag("event_type").over(w).alias("prev")
+    )
+    edges = (
+        ordered.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    outd = edges.groupBy("prev").agg(F.sum("w").cast("long").alias("od"))
+    nodes = ev.select(F.col("event_type").alias("v")).distinct().localCheckpoint(
+        eager=True
+    )
+    r = nodes.select("v", F.lit(sc).cast("long").alias("r"))
+    for _ in range(_Q398_ITERS):
+        tv = (
+            edges.join(r, edges["prev"] == r["v"])
+            .join(outd, "prev")
+            .groupBy("cur")
+            .agg(F.sum(F.expr("CAST((w * r) div od AS BIGINT)")).cast("long").alias("tv"))
+        )
+        r = (
+            nodes.join(tv, nodes["v"] == tv["cur"], "left")
+            .select(
+                "v",
+                F.expr(
+                    f"CAST((15 * CAST({sc} AS BIGINT) + 85 * COALESCE(tv, 0))"
+                    " div 100 AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    n_nodes = nodes.count()
+    wr = Window.orderBy(F.desc("r"), "v")
+    out = (
+        r.select(
+            "v",
+            round_half_up(F.col("r") * 1.0 / (n_nodes * sc), 6).alias("pagerank"),
+            F.row_number().over(wr).cast("long").alias("rank"),
+        )
+        .orderBy("rank")
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return out
+
+
+# ── q399: Cochran-Mantel-Haenszel stratified association test ────────────────
+
+
+@register(
+    "q399_cmh_test",
+    """
+    WITH strat AS (
+      SELECT o.o_orderkey,
+             r.r_name AS stratum,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS exposed,
+             CASE WHEN EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_orderkey = o.o_orderkey
+                                 AND l.l_returnflag = 'R')
+                  THEN 1 ELSE 0 END AS returned
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    tab AS (
+      SELECT stratum,
+             CAST(SUM(exposed * returned) AS BIGINT) AS a,
+             CAST(SUM(exposed * (1 - returned)) AS BIGINT) AS b,
+             CAST(SUM((1 - exposed) * returned) AS BIGINT) AS c,
+             CAST(SUM((1 - exposed) * (1 - returned)) AS BIGINT) AS d
+      FROM strat GROUP BY stratum
+    ),
+    terms AS (
+      SELECT stratum, a, b, c, d, a + b + c + d AS n,
+             CAST(FLOOR((a - CAST(a + b AS DOUBLE) * (a + c) / (a + b + c + d)
+                        + 1000000) * 1000000 + 0.5) AS BIGINT)
+               - 1000000000000 AS oe_q,
+             CAST(FLOOR(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+                        / ((a + b + c + d) * 1.0 * (a + b + c + d)
+                           * (a + b + c + d - 1)) * 1000000 + 0.5)
+                  AS BIGINT) AS v_q,
+             CAST(FLOOR(CAST(a AS DOUBLE) * d / (a + b + c + d) * 1000000
+                        + 0.5) AS BIGINT) AS orn_q,
+             CAST(FLOOR(CAST(b AS DOUBLE) * c / (a + b + c + d) * 1000000
+                        + 0.5) AS BIGINT) AS ord_q
+      FROM tab
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(SUM(a + b) AS BIGINT) AS n_exposed,
+           CAST(SUM(a) AS BIGINT) AS n_returned_exposed,
+           FLOOR((SUM(oe_q) / 1000000.0) * (SUM(oe_q) / 1000000.0)
+                 / (SUM(v_q) / 1000000.0) * 1000000 + 0.5) / 1000000
+             AS cmh_chi2,
+           FLOOR((SUM(orn_q) * 1.0 / SUM(ord_q)) * 1000000 + 0.5) / 1000000
+             AS common_or_mh,
+           CASE WHEN (SUM(oe_q) / 1000000.0) * (SUM(oe_q) / 1000000.0)
+                     / (SUM(v_q) / 1000000.0) > 3.841
+                THEN 1 ELSE 0 END AS reject_independence
+    FROM terms
+    """,
+    doc="Cochran-Mantel-Haenszel test (1959) of urgent-priority vs "
+    "any-returned-lineitem association, STRATIFIED by customer region: "
+    "per-region 2x2 tables, chi2 = (sum a - E[a])^2 / sum V with the "
+    "hypergeometric variance, plus the Mantel-Haenszel common odds "
+    "ratio sum(ad/n)/sum(bc/n). Per-stratum terms are micro-quantized "
+    "before the cross-strata sums (the q353 idiom; products forced "
+    "through DOUBLE — the q386 lesson), so the whole stratified test "
+    "is hash-exact. The inferential counterpart of q343's Simpson-"
+    "paradox detector: q343 finds strata that FLIP an association, "
+    "CMH tests whether a common association EXISTS after controlling "
+    "for them. Expected A/A-null on TPC-H (priorities independent of "
+    "returns): chi2 < 3.841, OR ~ 1.",
+)
+def q399_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: three dimension joins (all broadcast-able), one
+    exists-semi-join against lineitem on the order key, one grouped
+    2x2 rollup per region, 5-row algebra after that."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    li = load_table(spark, sf_dir, "lineitem")
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+        .withColumn("returned", F.lit(1))
+    )
+    strat = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(ret, "o_orderkey", "left")
+        .select(
+            F.col("r_name").alias("stratum"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0).alias("exposed"),
+            F.coalesce("returned", F.lit(0)).alias("returned"),
+        )
+    )
+    tab = strat.groupBy("stratum").agg(
+        F.sum(F.col("exposed") * F.col("returned")).cast("long").alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("returned"))).cast("long").alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("returned")).cast("long").alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("returned")))
+        .cast("long")
+        .alias("d"),
+    )
+    a, b, c_, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    nn = a + b + c_ + d
+    e_a = (a + b).cast("double") * (a + c_) / nn
+    v = (
+        (a + b).cast("double")
+        * (c_ + d)
+        * (a + c_)
+        * (b + d)
+        / (nn * 1.0 * nn * (nn - 1))
+    )
+    terms = tab.select(
+        "a",
+        "b",
+        (
+            F.floor((a - e_a + 1_000_000) * 1_000_000 + 0.5).cast("long")
+            - 1_000_000_000_000
+        ).alias("oe_q"),
+        F.floor(v * 1_000_000 + 0.5).cast("long").alias("v_q"),
+        F.floor(a.cast("double") * d / nn * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("orn_q"),
+        F.floor(b.cast("double") * c_ / nn * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("ord_q"),
+    )
+    soe = F.sum("oe_q") / 1_000_000.0
+    chi2 = soe * soe / (F.sum("v_q") / 1_000_000.0)
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(a + b).cast("long").alias("n_exposed"),
+        F.sum("a").cast("long").alias("n_returned_exposed"),
+        round_half_up(chi2, 6).alias("cmh_chi2"),
+        round_half_up(F.sum("orn_q") * 1.0 / F.sum("ord_q"), 6).alias(
+            "common_or_mh"
+        ),
+        F.when(chi2 > 3.841, 1).otherwise(0).alias("reject_independence"),
+    )

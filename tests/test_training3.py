@@ -744,3 +744,98 @@ def test_q396_sort_key_plan_recompute(spark):
     assert by["l_partkey"]["skip_ratio"] > 0.99
     # unrelated sort keys skip almost nothing
     assert by["l_suppkey"]["avg_chunks_scanned"] > 50
+
+
+def test_q397_backtest_recompute(spark):
+    """MAE/RMSE recomputed from plain float recurrences; all four
+    models evaluated on the same days; rank consistent with rmse."""
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q397_forecast_backtest"].fn(spark, SF_SMOKE).collect()
+    assert {r["model"] for r in out} == {"naive1", "snaive7", "holt", "holt_winters"}
+    assert len({r["n_eval"] for r in out}) == 1  # same eval window
+    ranks = sorted(out, key=lambda r: r["rank"])
+    rmses = [r["rmse"] for r in ranks]
+    assert rmses == sorted(rmses)
+    ev = load_table(spark, SF_SMOKE, "events").select("ts").collect()
+    daily = Counter(r["ts"].date() for r in ev)
+    vols = [daily[d] for d in sorted(daily)]
+    m = 7
+    # float naive errors as the independent check
+    errs = {
+        "naive1": [vols[i] - vols[i - 1] for i in range(m, len(vols))],
+        "snaive7": [vols[i] - vols[i - 7] for i in range(m, len(vols))],
+    }
+    by = {r["model"]: r for r in out}
+    for mod, es in errs.items():
+        mae = sum(abs(e) for e in es) / len(es)
+        rmse = math.sqrt(sum(e * e for e in es) / len(es))
+        assert abs(by[mod]["mae"] - mae) < 0.02
+        assert abs(by[mod]["rmse"] - rmse) < 0.02
+        assert by[mod]["n_eval"] == len(es)
+    # fitted models must beat or match naive-1 at smoke scale
+    assert by["holt_winters"]["rmse"] <= by["naive1"]["rmse"] * 1.5
+
+
+def test_q398_pagerank_exact_vs_q123(spark):
+    """The exact fixed-point PageRank must reproduce q123's float
+    readout to ~1e-5 and the same ranking; scores sum to <= 1 (sink
+    absorption) and > 0.5 (mass mostly retained)."""
+    out = QUERY_REGISTRY["q398_pagerank_exact"].fn(spark, SF_SMOKE).collect()
+    assert out
+    flo = {r["v"]: r["pagerank"] for r in
+           QUERY_REGISTRY["q123_pagerank_transitions"].fn(spark, SF_SMOKE).collect()}
+    assert {r["v"] for r in out} == set(flo)
+    for r in out:
+        assert abs(r["pagerank"] - flo[r["v"]]) < 1e-4
+    ordered = sorted(out, key=lambda r: r["rank"])
+    float_order = sorted(flo, key=lambda v: (-flo[v], v))
+    assert [r["v"] for r in ordered] == float_order
+    tot = sum(r["pagerank"] for r in out)
+    assert 0.5 < tot <= 1.0 + 1e-6
+
+
+def test_q399_cmh_recompute(spark):
+    """CMH chi2 and MH odds ratio recomputed from raw 2x2 strata; the
+    A/A-null holds on TPC-H (priority independent of returns)."""
+    from collections import defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q399_cmh_test"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    got = out[0]
+    o = load_table(spark, SF_SMOKE, "orders").collect()
+    cust = {r["c_custkey"]: r["c_nationkey"]
+            for r in load_table(spark, SF_SMOKE, "customer").collect()}
+    nat = {r["n_nationkey"]: r["n_regionkey"]
+           for r in load_table(spark, SF_SMOKE, "nation").collect()}
+    reg = {r["r_regionkey"]: r["r_name"]
+           for r in load_table(spark, SF_SMOKE, "region").collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    ).collect()
+    returned = {r["l_orderkey"] for r in li if r["l_returnflag"] == "R"}
+    tabs = defaultdict(lambda: [0, 0, 0, 0])
+    for r in o:
+        s = reg[nat[cust[r["o_custkey"]]]]
+        ex = r["o_orderpriority"] in ("1-URGENT", "2-HIGH")
+        rt = r["o_orderkey"] in returned
+        tabs[s][(0 if ex else 2) + (0 if rt else 1)] += 1
+    soe = sv = sorn = sord = 0.0
+    for a, b, c, d in tabs.values():
+        n = a + b + c + d
+        soe += a - (a + b) * (a + c) / n
+        sv += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        sorn += a * d / n
+        sord += b * c / n
+    chi2 = soe * soe / sv
+    assert got["n_strata"] == len(tabs)
+    assert abs(got["cmh_chi2"] - chi2) < 1e-3
+    assert abs(got["common_or_mh"] - sorn / sord) < 1e-3
+    assert got["reject_independence"] == (1 if chi2 > 3.841 else 0)
+    # A/A null: TPC-H assigns priorities independently of returns
+    assert got["cmh_chi2"] < 8
+    assert 0.7 < got["common_or_mh"] < 1.4
