@@ -2838,3 +2838,300 @@ def q399_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(chi2 > 3.841, 1).otherwise(0).alias("reject_independence"),
     )
+
+
+# ── q400: Mann-Kendall trend test on daily volume ────────────────────────────
+
+
+@register(
+    "q400_mann_kendall",
+    """
+    WITH d0 AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END
+               AS sgn
+      FROM d0 a JOIN d0 b ON b.d > a.d
+    ),
+    s AS (SELECT CAST(SUM(sgn) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs),
+    ties AS (
+      SELECT CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_adj,
+             CAST(SUM(c) AS BIGINT) AS n
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM d0 GROUP BY v)
+    )
+    SELECT t.n AS n_days, s.s AS kendall_s,
+           FLOOR(s.s * 1.0 / s.n_pairs * 1000000 + 0.5) / 1000000 AS tau,
+           FLOOR((t.n * 1.0 * (t.n - 1) * (2 * t.n + 5) - t.tie_adj) / 18
+                 * 10000 + 0.5) / 10000 AS var_s,
+           FLOOR(((CASE WHEN s.s > 0 THEN s.s - 1
+                        WHEN s.s < 0 THEN s.s + 1 ELSE 0 END)
+                  / SQRT((t.n * 1.0 * (t.n - 1) * (2 * t.n + 5) - t.tie_adj)
+                         / 18) + 1000) * 1000000 + 0.5) / 1000000 - 1000
+             AS z_stat,
+           CASE WHEN ABS((CASE WHEN s.s > 0 THEN s.s - 1
+                               WHEN s.s < 0 THEN s.s + 1 ELSE 0 END)
+                         / SQRT((t.n * 1.0 * (t.n - 1) * (2 * t.n + 5)
+                                 - t.tie_adj) / 18)) > 1.96
+                THEN 1 ELSE 0 END AS reject_no_trend
+    FROM s CROSS JOIN ties t
+    """,
+    doc="Mann-Kendall trend test (1945/1975, tie-corrected, continuity-"
+    "corrected z) on daily event volume: S = sum of pair signs over "
+    "all day pairs, Var(S) = (n(n-1)(2n+5) - sum t(t-1)(2t+5))/18. "
+    "Everything is exact integer arithmetic until the final z — "
+    "hash-exact. The SIGNIFICANCE companion of q339's Theil-Sen "
+    "estimator (which gives the robust slope but no test) and the "
+    "monotone-trend complement of q389's runs test: MK detects "
+    "monotone drift specifically, runs detects any non-randomness.",
+)
+def q400_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one per-day count; the pair join is calendar-bounded
+    (days^2, ~66k pairs/year) — never row-level data."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("v")).localCheckpoint(eager=True)
+    a = d0.select(F.col("d").alias("da"), F.col("v").alias("va"))
+    b = d0.select(F.col("d").alias("db"), F.col("v").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
+        F.when(F.col("vb") > F.col("va"), 1)
+        .when(F.col("vb") < F.col("va"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    s = pairs.agg(
+        F.sum("sgn").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    ties = (
+        d0.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5))
+            .cast("long")
+            .alias("tie_adj"),
+            F.sum("c").cast("long").alias("n"),
+        )
+    )
+    j = s.crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    var_s = (n * 1.0 * (n - 1) * (2 * n + 5) - F.col("tie_adj")) / 18
+    s_cc = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(0)
+    )
+    z = s_cc / F.sqrt(var_s)
+
+    def signed_round6(col):
+        return F.floor((col + 1000) * 1_000_000 + 0.5) / 1_000_000 - 1000
+
+    return j.select(
+        n.alias("n_days"),
+        F.col("s").alias("kendall_s"),
+        round_half_up(F.col("s") * 1.0 / F.col("n_pairs"), 6).alias("tau"),
+        round_half_up(var_s, 4).alias("var_s"),
+        signed_round6(z).alias("z_stat"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("reject_no_trend"),
+    )
+
+
+# ── q401: 1-D Gaussian-mixture EM in exact replay ────────────────────────────
+
+_Q401_ITERS = 8
+_Q401_SC = 1_000_000  # parameter micro-units
+
+
+def _q401_phi(mu: str, sg: str) -> str:
+    """Normal pdf with micro-quantized params, identical tree both engines."""
+    return (
+        f"EXP(-(x - {mu} / 1000000.0) * (x - {mu} / 1000000.0)"
+        f" / (2 * ({sg} / 1000000.0) * ({sg} / 1000000.0)))"
+        f" / (({sg} / 1000000.0) * 2.5066282746310002)"
+    )
+
+
+def _q401_sql() -> str:
+    it = _Q401_ITERS
+    head = """
+    WITH hist AS MATERIALIZED (
+      SELECT CAST(n_chars AS DOUBLE) AS x, CAST(n_chars AS BIGINT) AS xi,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY n_chars
+    ),
+    rng AS (
+      SELECT CAST(MIN(xi) AS BIGINT) AS lo, CAST(MAX(xi) AS BIGINT) AS hi
+      FROM hist
+    ),
+    p0 AS (
+      SELECT CAST(500000 AS BIGINT) AS pi1,
+             CAST((lo * 3 + hi) * 1000000 // 4 AS BIGINT) AS mu1,
+             CAST((lo + hi * 3) * 1000000 // 4 AS BIGINT) AS mu2,
+             CAST(GREATEST((hi - lo) * 1000000 // 4, 1000000) AS BIGINT)
+               AS sg1,
+             CAST(GREATEST((hi - lo) * 1000000 // 4, 1000000) AS BIGINT)
+               AS sg2
+      FROM rng
+    )"""
+    steps = []
+    for k in range(1, it + 1):
+        phi1 = _q401_phi("p.mu1", "p.sg1")
+        phi2 = _q401_phi("p.mu2", "p.sg2")
+        steps.append(f"""
+    r{k} AS (
+      SELECT x, cnt,
+             (p.pi1 / 1000000.0) * {phi1}
+               / ((p.pi1 / 1000000.0) * {phi1}
+                  + (1 - p.pi1 / 1000000.0) * {phi2}) AS r
+      FROM hist CROSS JOIN p{k - 1} p
+    ),
+    m{k} AS (
+      SELECT CAST(SUM(CAST(FLOOR(r * cnt * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s1,
+             CAST(SUM(CAST(FLOOR(r * cnt * x * 10000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sx1,
+             CAST(SUM(CAST(FLOOR(r * cnt * x * x * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sxx1,
+             CAST(SUM(CAST(FLOOR((1 - r) * cnt * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s2,
+             CAST(SUM(CAST(FLOOR((1 - r) * cnt * x * 10000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sx2,
+             CAST(SUM(CAST(FLOOR((1 - r) * cnt * x * x * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS sxx2,
+             CAST(SUM(cnt) AS BIGINT) AS n
+      FROM r{k}
+    ),
+    p{k} AS (
+      SELECT CAST(FLOOR(s1 * 1.0 / (s1 + s2) * 1000000 + 0.5) AS BIGINT)
+               AS pi1,
+             CAST(FLOOR(sx1 * 100.0 / s1 * 1000000 + 0.5) AS BIGINT) AS mu1,
+             CAST(FLOOR(sx2 * 100.0 / s2 * 1000000 + 0.5) AS BIGINT) AS mu2,
+             CAST(GREATEST(CAST(FLOOR(SQRT(sxx1 * 10000.0 / s1
+                             - (sx1 * 100.0 / s1) * (sx1 * 100.0 / s1))
+                             * 1000000 + 0.5) AS BIGINT), 1000000)
+                  AS BIGINT) AS sg1,
+             CAST(GREATEST(CAST(FLOOR(SQRT(sxx2 * 10000.0 / s2
+                             - (sx2 * 100.0 / s2) * (sx2 * 100.0 / s2))
+                             * 1000000 + 0.5) AS BIGINT), 1000000)
+                  AS BIGINT) AS sg2
+      FROM m{k}
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT component,
+           FLOOR(wq / 1000000.0 * 1000000 + 0.5) / 1000000 AS weight,
+           FLOOR(muq / 1000000.0 * 10000 + 0.5) / 10000 AS mu,
+           FLOOR(sgq / 1000000.0 * 10000 + 0.5) / 10000 AS sigma,
+           FLOOR(nq / 1000000.0 * 100 + 0.5) / 100 AS n_eff
+    FROM (
+      SELECT 1 AS component, p.pi1 AS wq, p.mu1 AS muq, p.sg1 AS sgq,
+             m.s1 AS nq
+      FROM p{it} p CROSS JOIN m{it} m
+      UNION ALL
+      SELECT 2 AS component, 1000000 - p.pi1 AS wq, p.mu2 AS muq,
+             p.sg2 AS sgq, m.s2 AS nq
+      FROM p{it} p CROSS JOIN m{it} m
+    )
+    ORDER BY component
+    """
+    )
+
+
+@register(
+    "q401_gmm_em",
+    _q401_sql(),
+    doc="Two-component 1-D Gaussian-mixture fit of document lengths by "
+    "EM, run ENTIRELY under the exact-replay discipline — the EM "
+    "algorithm joins Newton (q379), value iteration (q350), Viterbi "
+    "(q358), PAVA (q352) and power iteration (q368/q398) in the "
+    "graduated class: parameters live as integer micros, "
+    "responsibilities are one fixed IEEE tree per distinct value, "
+    "per-value moment terms are quantized before the sums (1e6/1e4/"
+    "1e2 scales keep every sum in BIGINT), and the M-step ratios are "
+    "floor-pinned — so all 8 iterations are hash-exact on both "
+    "engines. E-step cost is the LENGTH HISTOGRAM (distinct n_chars "
+    "values), never corpus rows — the q240 shape. Deterministic "
+    "quartile-of-range init; sigmas floored at 1.0 to keep the "
+    "iteration from collapsing on a spike. The soft upgrade of "
+    "q203's hard k-means: overlapping short/long-doc populations "
+    "get WEIGHTS, the basis for length-stratified sampling (q88).",
+)
+def q401_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one n_chars histogram aggregate (map-side combinable,
+    value-bounded); the EM loop runs driver-side on the bounded
+    histogram (bounded-collect pattern, q350/q351) in arithmetic
+    identical to the oracle's unrolled CTEs."""
+    sc = _Q401_SC
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.groupBy(F.col("n_chars").cast("long").alias("xi"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    )
+    hs = [(float(r["xi"]), r["xi"], r["cnt"]) for r in hist]
+    if not hs:
+        return spark.createDataFrame(
+            [], "component int, weight double, mu double, sigma double, n_eff double"
+        )
+    lo = min(xi for _, xi, _ in hs)
+    hi = max(xi for _, xi, _ in hs)
+    pi1 = 500_000
+    mu1 = (lo * 3 + hi) * sc // 4
+    mu2 = (lo + hi * 3) * sc // 4
+    sg1 = sg2 = max((hi - lo) * sc // 4, sc)
+    s1 = sx1 = sxx1 = s2 = sx2 = sxx2 = 0
+    for _ in range(_Q401_ITERS):
+        s1 = sx1 = sxx1 = s2 = sx2 = sxx2 = 0
+        for x, _, cnt in hs:
+            f1 = math.exp(
+                -(x - mu1 / 1e6) * (x - mu1 / 1e6) / (2 * (sg1 / 1e6) * (sg1 / 1e6))
+            ) / ((sg1 / 1e6) * 2.5066282746310002)
+            f2 = math.exp(
+                -(x - mu2 / 1e6) * (x - mu2 / 1e6) / (2 * (sg2 / 1e6) * (sg2 / 1e6))
+            ) / ((sg2 / 1e6) * 2.5066282746310002)
+            r = (pi1 / 1e6) * f1 / ((pi1 / 1e6) * f1 + (1 - pi1 / 1e6) * f2)
+            s1 += math.floor(r * cnt * 1_000_000 + 0.5)
+            sx1 += math.floor(r * cnt * x * 10_000 + 0.5)
+            sxx1 += math.floor(r * cnt * x * x * 100 + 0.5)
+            s2 += math.floor((1 - r) * cnt * 1_000_000 + 0.5)
+            sx2 += math.floor((1 - r) * cnt * x * 10_000 + 0.5)
+            sxx2 += math.floor((1 - r) * cnt * x * x * 100 + 0.5)
+        pi1 = math.floor(s1 * 1.0 / (s1 + s2) * 1_000_000 + 0.5)
+        mu1 = math.floor(sx1 * 100.0 / s1 * 1_000_000 + 0.5)
+        mu2 = math.floor(sx2 * 100.0 / s2 * 1_000_000 + 0.5)
+        sg1 = max(
+            math.floor(
+                math.sqrt(sxx1 * 10_000.0 / s1 - (sx1 * 100.0 / s1) * (sx1 * 100.0 / s1))
+                * 1_000_000
+                + 0.5
+            ),
+            sc,
+        )
+        sg2 = max(
+            math.floor(
+                math.sqrt(sxx2 * 10_000.0 / s2 - (sx2 * 100.0 / s2) * (sx2 * 100.0 / s2))
+                * 1_000_000
+                + 0.5
+            ),
+            sc,
+        )
+    out = spark.createDataFrame(
+        [(1, pi1, mu1, sg1, s1), (2, 1_000_000 - pi1, mu2, sg2, s2)],
+        "component int, wq long, muq long, sgq long, nq long",
+    )
+    return out.select(
+        "component",
+        round_half_up(F.col("wq") / 1e6, 6).alias("weight"),
+        round_half_up(F.col("muq") / 1e6, 4).alias("mu"),
+        round_half_up(F.col("sgq") / 1e6, 4).alias("sigma"),
+        round_half_up(F.col("nq") / 1e6, 2).alias("n_eff"),
+    ).orderBy("component")

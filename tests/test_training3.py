@@ -839,3 +839,83 @@ def test_q399_cmh_recompute(spark):
     # A/A null: TPC-H assigns priorities independently of returns
     assert got["cmh_chi2"] < 8
     assert 0.7 < got["common_or_mh"] < 1.4
+
+
+def test_q400_mann_kendall_recompute(spark):
+    """S, tau, var and z recomputed from raw day pairs."""
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q400_mann_kendall"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    got = out[0]
+    ev = load_table(spark, SF_SMOKE, "events").select("ts").collect()
+    daily = Counter(r["ts"].date() for r in ev)
+    vols = [daily[d] for d in sorted(daily)]
+    n = len(vols)
+    s = sum(
+        (1 if vols[j] > vols[i] else -1 if vols[j] < vols[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(vols)
+    tadj = sum(c * (c - 1) * (2 * c + 5) for c in ties.values())
+    var = (n * (n - 1) * (2 * n + 5) - tadj) / 18
+    scc = s - 1 if s > 0 else s + 1 if s < 0 else 0
+    z = scc / math.sqrt(var)
+    assert got["n_days"] == n
+    assert got["kendall_s"] == s
+    assert abs(got["tau"] - s / (n * (n - 1) / 2)) < 1e-5
+    assert abs(got["var_s"] - var) < 1e-3
+    assert abs(got["z_stat"] - z) < 1e-4
+    assert got["reject_no_trend"] == (1 if abs(z) > 1.96 else 0)
+
+
+def test_q401_gmm_recompute(spark):
+    """The fixed-point EM must track an unquantized float EM run from
+    the same init to ~1e-2 on every parameter, and basic mixture
+    invariants must hold (weights sum to 1, mus ordered by init,
+    responsibility-weighted counts sum to N)."""
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q401_gmm_em"].fn(spark, SF_SMOKE).collect()
+    assert [r["component"] for r in out] == [1, 2]
+    w1, w2 = out[0]["weight"], out[1]["weight"]
+    assert abs(w1 + w2 - 1.0) < 1e-5
+    docs = load_table(spark, SF_SMOKE, "documents").select("n_chars").collect()
+    hist = Counter(r["n_chars"] for r in docs)
+    n = sum(hist.values())
+    assert abs(out[0]["n_eff"] + out[1]["n_eff"] - n) < 0.1
+    lo, hi = min(hist), max(hist)
+    pi1 = 0.5
+    mu1, mu2 = (3 * lo + hi) / 4, (lo + 3 * hi) / 4
+    sg1 = sg2 = max((hi - lo) / 4, 1.0)
+    for _ in range(8):
+        s1 = sx1 = sxx1 = s2 = sx2 = sxx2 = 0.0
+        for x, cnt in hist.items():
+            f1 = math.exp(-((x - mu1) ** 2) / (2 * sg1 * sg1)) / (
+                sg1 * math.sqrt(2 * math.pi)
+            )
+            f2 = math.exp(-((x - mu2) ** 2) / (2 * sg2 * sg2)) / (
+                sg2 * math.sqrt(2 * math.pi)
+            )
+            r = pi1 * f1 / (pi1 * f1 + (1 - pi1) * f2)
+            s1 += r * cnt
+            sx1 += r * cnt * x
+            sxx1 += r * cnt * x * x
+            s2 += (1 - r) * cnt
+            sx2 += (1 - r) * cnt * x
+            sxx2 += (1 - r) * cnt * x * x
+        pi1 = s1 / (s1 + s2)
+        mu1, mu2 = sx1 / s1, sx2 / s2
+        sg1 = max(math.sqrt(sxx1 / s1 - mu1 * mu1), 1.0)
+        sg2 = max(math.sqrt(sxx2 / s2 - mu2 * mu2), 1.0)
+    assert abs(out[0]["weight"] - pi1) < 1e-2
+    assert abs(out[0]["mu"] - mu1) / max(abs(mu1), 1) < 1e-2
+    assert abs(out[1]["mu"] - mu2) / max(abs(mu2), 1) < 1e-2
+    assert abs(out[0]["sigma"] - sg1) / max(sg1, 1) < 2e-2
+    assert abs(out[1]["sigma"] - sg2) / max(sg2, 1) < 2e-2
+    assert out[0]["mu"] < out[1]["mu"]  # init ordering preserved
