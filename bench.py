@@ -291,6 +291,29 @@ HEADLINE = [
     "q376_durbin_watson",
     "q377_ljung_box",
     "q378_anderson_darling",
+    "q379_cox_hazard_newton",
+    "q380_holt_winters",
+    "q381_textrank_keywords",
+    "q382_kcore_peel",
+    "q383_t_closeness",
+    "q384_regression_discontinuity",
+    "q385_periodogram_scan",
+    "q386_brown_forsythe",
+    "q387_fellegi_sunter_weights",
+    "q388_friedman_test",
+    "q389_runs_test",
+    "q390_lexical_diversity",
+    "q391_boilerplate_detection",
+    "q392_weibull_gap_fit",
+    "q393_degree_assortativity",
+    "q394_label_propagation",
+    "q395_croston_intermittent",
+    "q396_sort_key_plan",
+    "q397_forecast_backtest",
+    "q398_pagerank_exact",
+    "q399_cmh_test",
+    "q400_mann_kendall",
+    "q401_gmm_em",
 ]
 
 

@@ -1089,3 +1089,140 @@ def test_q378_ad_mirror_join_on_user_relation(spark):
     plan = _plan(spark, "q378_anderson_darling")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q379_cox_outputs_bounded_relation(spark):
+    """The Newton loop runs driver-side on the bounded grid; the
+    returned plan is a local-relation projection — no scan, no join."""
+    plan = _plan(spark, "q379_cox_hazard_newton")
+    assert "parquet" not in plan.lower()
+    assert "Join" not in plan
+
+
+def test_q380_q395_recurrences_output_bounded(spark):
+    """Holt-Winters and Croston return projections of the bounded
+    driver-side recurrence — no corpus scan in the returned plan."""
+    for q in ("q380_holt_winters", "q395_croston_intermittent"):
+        plan = _plan(spark, q)
+        assert "parquet" not in plan.lower(), q
+        assert "Join" not in plan, q
+
+
+def test_q381_textrank_iterations_are_checkpointed(spark):
+    """TextRank's returned plan must be the bounded checkpointed top-k —
+    not 10 unrolled copies of the tokenize/edge subtree (q368
+    discipline)."""
+    plan = _plan(spark, "q381_textrank_keywords")
+    assert "parquet" not in plan.lower()
+    assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_q383_t_closeness_spine_broadcasts(spark):
+    """The classes x nations spine joins the aggregated relations with
+    broadcasts; nothing goes cartesian beyond the 1-row total."""
+    plan = _plan(spark, "q383_t_closeness")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q384_rd_two_moment_scans(spark):
+    """Each side of the cutoff is one 6-number moment aggregate; the two
+    1-row fits meet in a single broadcast nested loop; no window."""
+    plan = _plan(spark, "q384_regression_discontinuity")
+    assert "Window" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q386_bf_median_join_broadcasts(spark):
+    """The 5-row group-median relation must ride back onto orders as a
+    broadcast hash join; windows partition by group (never global)."""
+    plan = _plan(spark, "q386_brown_forsythe")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q387_fs_background_pairs_equijoin(spark):
+    """Background pairs are stride EQUI-joins and attribute attachment
+    is hash joins — the m/u learner must never go cartesian."""
+    plan = _plan(spark, "q387_fellegi_sunter_weights")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q388_friedman_windows_partition_by_day(spark):
+    """Midranks come from day-partitioned windows (never a global
+    single-partition sort of the obs relation); the spine join
+    broadcasts the 5-row type relation."""
+    plan = _plan(spark, "q388_friedman_test")
+    assert "CartesianProduct" not in plan
+    # the midrank windows partition by day / (day, v) — a global
+    # single-partition window over obs would show an empty spec
+    assert "windowspecdefinition(day" in plan.lower()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q391_boilerplate_no_cartesian(spark):
+    """Boilerplate detection is explode -> df-aggregate -> equi-join
+    back on the sentence key — hash joins only."""
+    plan = _plan(spark, "q391_boilerplate_detection")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q393_assortativity_degree_joins(spark):
+    """Edge-degree attachment is two equi-joins over the distinct-edge
+    relation; one 6-number moment aggregate; no cartesian, no window."""
+    plan = _plan(spark, "q393_degree_assortativity")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_q394_lpa_iterations_are_checkpointed(spark):
+    """LPA's returned plan is the bounded checkpointed community table —
+    not 10 unrolled copies of the edge subtree."""
+    plan = _plan(spark, "q394_label_propagation")
+    assert "parquet" not in plan.lower()
+    assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_q396_sort_key_zone_join_broadcasts(spark):
+    """The containment count joins O(chunks) zone ranges against the
+    distinct-key relation as a BROADCAST range join — the range
+    predicate must ride a BroadcastNestedLoopJoin, never a cartesian
+    product or a key-side shuffle."""
+    plan = _plan(spark, "q396_sort_key_plan")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q398_pagerank_exact_checkpointed(spark):
+    """Exact PageRank returns the bounded checkpointed score table (the
+    q123 materialize-before-fanout discipline)."""
+    plan = _plan(spark, "q398_pagerank_exact")
+    assert "parquet" not in plan.lower()
+    assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_q399_cmh_dimension_joins_broadcast(spark):
+    """Nation/region ride broadcast; the returned-order relation joins
+    on the order key; the 5-row strata algebra never goes cartesian."""
+    plan = _plan(spark, "q399_cmh_test")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q400_mk_pairs_on_bounded_days(spark):
+    """The sign-pair join runs on the checkpointed calendar-bounded
+    daily relation (broadcast), never corpus rows."""
+    plan = _plan(spark, "q400_mann_kendall")
+    assert "parquet" not in plan.lower()  # daily relation checkpointed
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q401_gmm_outputs_bounded_relation(spark):
+    """EM runs driver-side on the bounded histogram; the returned plan
+    is a 2-row local projection — no scan, no join."""
+    plan = _plan(spark, "q401_gmm_em")
+    assert "parquet" not in plan.lower()
+    assert "Join" not in plan
