@@ -3135,3 +3135,274 @@ def q401_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.col("sgq") / 1e6, 4).alias("sigma"),
         round_half_up(F.col("nq") / 1e6, 2).alias("n_eff"),
     ).orderBy("component")
+
+
+# ── q402: Poisson trend GLM via exact-replay IRLS ────────────────────────────
+
+_Q402_ITERS = 8
+_Q402_SC = 1_000_000
+
+
+def _q402_sql() -> str:
+    sc = _Q402_SC
+    head = """
+    WITH d0 AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    daily AS MATERIALIZED (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY d) - 1 AS t FROM d0
+    ),
+    b0 AS (
+      SELECT CAST(FLOOR(LN((SELECT AVG(CAST(y AS DOUBLE)) FROM daily))
+                        * 1000000 + 0.5) AS BIGINT) AS a,
+             CAST(0 AS BIGINT) AS b
+    )"""
+    steps = []
+    for k in range(1, _Q402_ITERS + 1):
+        mu = f"EXP(p.a / {sc}.0 + p.b / {sc}.0 * t)"
+        steps.append(f"""
+    m{k} AS (
+      SELECT CAST(SUM(CAST(FLOOR(({mu}) * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s0,
+             CAST(SUM(CAST(FLOOR(({mu}) * t * 10000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s1,
+             CAST(SUM(CAST(FLOOR(({mu}) * t * t * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s2,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(y * t) AS BIGINT) AS syt
+      FROM daily CROSS JOIN b{k - 1} p
+    ),
+    b{k} AS (
+      SELECT CAST(p.a + CAST(FLOOR(
+               ((sy - s0 / 1000000.0) * (s2 / 100.0)
+                - (syt - s1 / 10000.0) * (s1 / 10000.0))
+               / ((s0 / 1000000.0) * (s2 / 100.0)
+                  - (s1 / 10000.0) * (s1 / 10000.0)) * {sc} + 0.5)
+               AS BIGINT) AS BIGINT) AS a,
+             CAST(p.b + CAST(FLOOR(
+               ((syt - s1 / 10000.0) * (s0 / 1000000.0)
+                - (sy - s0 / 1000000.0) * (s1 / 10000.0))
+               / ((s0 / 1000000.0) * (s2 / 100.0)
+                  - (s1 / 10000.0) * (s1 / 10000.0)) * {sc} + 0.5)
+               AS BIGINT) AS BIGINT) AS b
+      FROM m{k} CROSS JOIN b{k - 1} p
+    )""")
+    it = _Q402_ITERS
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           FLOOR(b.a / {sc}.0 * 1000000 + 0.5) / 1000000 AS intercept,
+           FLOOR((b.b / {sc}.0 + 1000) * 1000000 + 0.5) / 1000000 - 1000
+             AS trend_coef,
+           FLOOR((EXP(b.b / {sc}.0) - 1 + 1000) * 1000000 + 0.5) / 1000000
+             - 1000 AS daily_growth_rate,
+           FLOOR(((b.b / {sc}.0)
+                  / SQRT((m.s0 / 1000000.0)
+                         / ((m.s0 / 1000000.0) * (m.s2 / 100.0)
+                            - (m.s1 / 10000.0) * (m.s1 / 10000.0)))
+                  + 1000) * 1000000 + 0.5) / 1000000 - 1000 AS z_stat
+    FROM b{it} b CROSS JOIN m{it} m
+    """
+    )
+
+
+@register(
+    "q402_poisson_trend_glm",
+    _q402_sql(),
+    doc="Poisson regression of daily event counts on a linear time "
+    "trend, fit by IRLS/Newton on the log link: score equations "
+    "sum(y - mu) = 0, sum(t(y - mu)) = 0 with mu = exp(a + b t); each "
+    "iteration inverts the 2x2 Fisher information (sums of mu, mu*t, "
+    "mu*t^2) in closed form. The IRLS loop joins Newton (q379) and EM "
+    "(q401) in the exact-replay class: coefficients as integer "
+    "micros, per-day mu terms quantized at three scales before the "
+    "sums, the solve one fixed IEEE tree — all 8 iterations "
+    "hash-exact. Reports exp(b)-1 as the daily growth rate and the "
+    "Wald z from the information matrix. The COUNT-data answer to "
+    "q272's Gaussian volume forecast: Poisson variance scales with "
+    "the mean, so quiet days stop dominating the fit.",
+)
+def q402_poisson_trend_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one per-day count; all IRLS iterations run driver-side on
+    the calendar-bounded daily relation (bounded-collect, q350/q351)
+    in arithmetic identical to the oracle's unrolled CTEs."""
+    sc = _Q402_SC
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .orderBy("d")
+        .collect()
+    )
+    ys = [r["y"] for r in daily]
+    if not ys:
+        return spark.createDataFrame(
+            [],
+            "n_days long, intercept double, trend_coef double, "
+            "daily_growth_rate double, z_stat double",
+        )
+    n = len(ys)
+    a = math.floor(math.log(sum(ys) / n) * sc + 0.5)
+    b = 0
+    s0 = s1 = s2 = 0
+    sy = sum(ys)
+    syt = sum(y * t for t, y in enumerate(ys))
+    for _ in range(_Q402_ITERS):
+        s0 = s1 = s2 = 0
+        for t, y in enumerate(ys):
+            mu = math.exp(a / 1e6 + b / 1e6 * t)
+            s0 += math.floor(mu * 1_000_000 + 0.5)
+            s1 += math.floor(mu * t * 10_000 + 0.5)
+            s2 += math.floor(mu * t * t * 100 + 0.5)
+        f0, f1, f2 = s0 / 1e6, s1 / 1e4, s2 / 1e2
+        det = f0 * f2 - f1 * f1
+        da = ((sy - f0) * f2 - (syt - f1) * f1) / det
+        db = ((syt - f1) * f0 - (sy - f0) * f1) / det
+        a = a + math.floor(da * sc + 0.5)
+        b = b + math.floor(db * sc + 0.5)
+    out = spark.createDataFrame(
+        [(n, a, b, s0, s1, s2)],
+        "n long, a long, b long, s0 long, s1 long, s2 long",
+    )
+    f0 = F.col("s0") / 1e6
+    f1 = F.col("s1") / 1e4
+    f2 = F.col("s2") / 1e2
+    bb = F.col("b") / float(sc)
+    se_b = F.sqrt(f0 / (f0 * f2 - f1 * f1))
+
+    def signed_round6(col):
+        return F.floor((col + 1000) * 1_000_000 + 0.5) / 1_000_000 - 1000
+
+    return out.select(
+        F.col("n").alias("n_days"),
+        round_half_up(F.col("a") / float(sc), 6).alias("intercept"),
+        signed_round6(bb).alias("trend_coef"),
+        signed_round6(F.exp(bb) - 1).alias("daily_growth_rate"),
+        signed_round6(bb / se_b).alias("z_stat"),
+    )
+
+
+# ── q403: small-file compaction planner over ingest-hour files ───────────────
+
+_Q403_TARGET = 262_144  # 256 KiB target object size (testdata scale)
+_Q403_ROW_OVERHEAD = 64  # per-row storage overhead proxy
+
+
+@register(
+    "q403_compaction_plan",
+    f"""
+    WITH files AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             date_part('hour', ts) AS hr,
+             CAST(SUM(strlen(COALESCE(props, ''))
+                      + {_Q403_ROW_OVERHEAD}) AS BIGINT) AS bytes
+      FROM events GROUP BY 1, 2, 3
+    ),
+    parts AS (
+      SELECT event_type, day,
+             CAST(COUNT(*) AS BIGINT) AS files_before,
+             CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+             CAST(CEIL(SUM(bytes) * 1.0 / {_Q403_TARGET}) AS BIGINT)
+               AS files_after
+      FROM files GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(files_before) AS BIGINT) AS files_before,
+           CAST(SUM(CASE WHEN files_before > files_after
+                         THEN files_after ELSE files_before END)
+                AS BIGINT) AS files_after,
+           CAST(SUM(CASE WHEN files_before > files_after
+                         THEN bytes_total ELSE 0 END) AS BIGINT)
+             AS bytes_rewritten,
+           FLOOR(SUM(files_before - CASE WHEN files_before > files_after
+                                         THEN files_after
+                                         ELSE files_before END) * 1.0
+                 / SUM(files_before) * 1000000 + 0.5) / 1000000
+             AS file_reduction,
+           FLOOR(AVG(bytes_total * 1.0 / files_before) / 1024 * 100 + 0.5)
+             / 100 AS avg_file_kb_before,
+           FLOOR(AVG(bytes_total * 1.0
+                     / (CASE WHEN files_before > files_after
+                             THEN files_after ELSE files_before END))
+                 / 1024 * 100 + 0.5) / 100 AS avg_file_kb_after
+    FROM parts
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Small-file compaction planner: ingest-hour objects (one file "
+    "per event_type x day x hour, sizes from exact per-row byte "
+    "sums) rolled up per daily partition, then the rewrite priced "
+    f"against a {_Q403_TARGET // 1024} KiB target — files_after = "
+    "ceil(bytes/target), only partitions that actually shrink are "
+    "rewritten, and the report gives per-type file reduction, bytes "
+    "rewritten and average object size before/after. The lakehouse "
+    "housekeeping knob the planner family lacked: q321 prices SHUFFLE "
+    "partitions, q396 the sort ORDER, q337 the clustering KEY — this "
+    "prices the OPTIMIZE/compact rewrite itself, the fix for the "
+    "K3-landing layout's 60-second micro-batch files "
+    "(streaming/ingest.py). Exact integer bytes and counts — "
+    "hash-exact.",
+)
+def q403_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two map-side-combinable aggregates (hour files, then
+    daily partitions) and a per-type rollup; in production the file
+    relation comes free from the table manifest/listing."""
+    ev = load_table(spark, sf_dir, "events")
+    files = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").alias("hr"),
+    ).agg(
+        F.sum(
+            F.octet_length(F.coalesce("props", F.lit(""))) + _Q403_ROW_OVERHEAD
+        )
+        .cast("long")
+        .alias("bytes")
+    )
+    parts = files.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("files_before"),
+        F.sum("bytes").cast("long").alias("bytes_total"),
+        F.ceil(F.sum("bytes") * 1.0 / _Q403_TARGET).cast("long").alias(
+            "files_after"
+        ),
+    )
+    eff_after = F.when(
+        F.col("files_before") > F.col("files_after"), F.col("files_after")
+    ).otherwise(F.col("files_before"))
+    return (
+        parts.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.sum("files_before").cast("long").alias("files_before"),
+            F.sum(eff_after).cast("long").alias("files_after"),
+            F.sum(
+                F.when(
+                    F.col("files_before") > F.col("files_after"),
+                    F.col("bytes_total"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("bytes_rewritten"),
+            round_half_up(
+                F.sum(F.col("files_before") - eff_after) * 1.0
+                / F.sum("files_before"),
+                6,
+            ).alias("file_reduction"),
+            round_half_up(
+                F.avg(F.col("bytes_total") * 1.0 / F.col("files_before")) / 1024, 2
+            ).alias("avg_file_kb_before"),
+            round_half_up(
+                F.avg(F.col("bytes_total") * 1.0 / eff_after) / 1024, 2
+            ).alias("avg_file_kb_after"),
+        )
+        .orderBy("event_type")
+    )

@@ -1226,3 +1226,19 @@ def test_q401_gmm_outputs_bounded_relation(spark):
     plan = _plan(spark, "q401_gmm_em")
     assert "parquet" not in plan.lower()
     assert "Join" not in plan
+
+
+def test_q402_glm_outputs_bounded_relation(spark):
+    """IRLS runs driver-side on the daily relation; the returned plan is
+    a 1-row local projection — no scan, no join."""
+    plan = _plan(spark, "q402_poisson_trend_glm")
+    assert "parquet" not in plan.lower()
+    assert "Join" not in plan
+
+
+def test_q403_compaction_two_aggregates(spark):
+    """The compaction plan is two chained aggregates plus a rollup —
+    no joins, no windows, one events scan."""
+    plan = _plan(spark, "q403_compaction_plan")
+    for op in ("Join", "Window"):
+        assert op not in plan

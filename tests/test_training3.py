@@ -919,3 +919,84 @@ def test_q401_gmm_recompute(spark):
     assert abs(out[0]["sigma"] - sg1) / max(sg1, 1) < 2e-2
     assert abs(out[1]["sigma"] - sg2) / max(sg2, 1) < 2e-2
     assert out[0]["mu"] < out[1]["mu"]  # init ordering preserved
+
+
+def test_q402_poisson_glm_recompute(spark):
+    """The fixed-point IRLS must agree with an unquantized float Newton
+    solve of the Poisson likelihood; growth rate = exp(b) - 1; the fit
+    must satisfy the score equations (sum y = sum mu at optimum)."""
+    from collections import Counter
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q402_poisson_trend_glm"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    got = out[0]
+    ev = load_table(spark, SF_SMOKE, "events").select("ts").collect()
+    daily = Counter(r["ts"].date() for r in ev)
+    ys = [daily[d] for d in sorted(daily)]
+    n = len(ys)
+    assert got["n_days"] == n
+    a, b = math.log(sum(ys) / n), 0.0
+    for _ in range(30):
+        s0 = s1 = s2 = 0.0
+        for t, y in enumerate(ys):
+            mu = math.exp(a + b * t)
+            s0 += mu
+            s1 += mu * t
+            s2 += mu * t * t
+        sy = sum(ys)
+        syt = sum(y * t for t, y in enumerate(ys))
+        det = s0 * s2 - s1 * s1
+        a += ((sy - s0) * s2 - (syt - s1) * s1) / det
+        b += ((syt - s1) * s0 - (sy - s0) * s1) / det
+    assert abs(got["intercept"] - a) < 1e-4
+    assert abs(got["trend_coef"] - b) < 1e-4
+    assert abs(got["daily_growth_rate"] - (math.exp(b) - 1)) < 1e-4
+    # score equation: fitted total equals observed total at the optimum
+    fitted = sum(math.exp(a + b * t) for t in range(n))
+    assert abs(fitted - sum(ys)) / sum(ys) < 1e-6
+    se = math.sqrt(s0 / det)
+    assert abs(got["z_stat"] - b / se) < 1e-3
+
+
+def test_q403_compaction_recompute(spark):
+    """File ledger recomputed from raw rows; invariants: files_after <=
+    files_before, reduction in [0,1], avg size grows, and a partition
+    never rewrites unless it shrinks."""
+    from collections import defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q403_compaction_plan"].fn(spark, SF_SMOKE).collect()
+    assert out
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "ts", "props"
+    ).collect()
+    files = defaultdict(int)
+    for r in ev:
+        files[(r["event_type"], r["ts"].date(), r["ts"].hour)] += (
+            len((r["props"] or "").encode()) + 64
+        )
+    parts = defaultdict(lambda: [0, 0])
+    for (et, day, _), b in files.items():
+        parts[(et, day)][0] += 1
+        parts[(et, day)][1] += b
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for (et, _), (fb, bt) in parts.items():
+        fa = math.ceil(bt / 262_144)
+        eff = fa if fb > fa else fb
+        a = agg[et]
+        a[0] += 1
+        a[1] += fb
+        a[2] += eff
+        a[3] += bt if fb > fa else 0
+    for row in out:
+        a = agg[row["event_type"]]
+        assert row["n_partitions"] == a[0]
+        assert row["files_before"] == a[1]
+        assert row["files_after"] == a[2]
+        assert row["bytes_rewritten"] == a[3]
+        assert row["files_after"] <= row["files_before"]
+        assert 0.0 <= row["file_reduction"] <= 1.0
+        assert row["avg_file_kb_after"] >= row["avg_file_kb_before"] - 1e-9
