@@ -3406,3 +3406,304 @@ def q403_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ── q404: Fellegi-Sunter-scored linkage of blocked document pairs ────────────
+
+_Q404_WINDOW = 4
+
+
+def _q404_sql() -> str:
+    fs = _q387_sql()
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    dup = _REGISTRY["q24_minhash_lsh_dedup"].sql
+    leads = "\n".join(
+        f"             LEAD(doc_id, {i}) OVER o AS d{i},"
+        for i in range(1, _Q404_WINDOW + 1)
+    ).rstrip(",")
+    pair_legs = "\n      UNION ALL\n".join(
+        f"      SELECT LEAST(doc_id, d{i}) AS da, GREATEST(doc_id, d{i}) AS db"
+        f" FROM ws WHERE d{i} IS NOT NULL"
+        for i in range(1, _Q404_WINDOW + 1)
+    )
+    return f"""
+    WITH w AS ({fs}),
+    wp AS (
+      SELECT MAX(CASE WHEN field = 'lang' THEN weight_agree END) AS la,
+             MAX(CASE WHEN field = 'lang' THEN weight_disagree END) AS ld,
+             MAX(CASE WHEN field = 'source' THEN weight_agree END) AS sa,
+             MAX(CASE WHEN field = 'source' THEN weight_disagree END) AS sd,
+             MAX(CASE WHEN field = 'length' THEN weight_agree END) AS na,
+             MAX(CASE WHEN field = 'length' THEN weight_disagree END) AS nd,
+             MAX(CASE WHEN field = 'prefix' THEN weight_agree END) AS pa,
+             MAX(CASE WHEN field = 'prefix' THEN weight_disagree END) AS pd
+      FROM w
+    ),
+    ws AS (
+      SELECT doc_id,
+{leads}
+      FROM documents WINDOW o AS (ORDER BY lang, n_chars, doc_id)
+    ),
+    cand AS (
+{pair_legs}
+    ),
+    scored AS (
+      SELECT c.da, c.db,
+             (CASE WHEN a.lang = b.lang THEN wp.la ELSE wp.ld END)
+             + (CASE WHEN a.source = b.source THEN wp.sa ELSE wp.sd END)
+             + (CASE WHEN ABS(a.n_chars - b.n_chars) <= {_Q387_LEN_TOL}
+                     THEN wp.na ELSE wp.nd END)
+             + (CASE WHEN substr(a.text, 1, {_Q387_PFX})
+                          = substr(b.text, 1, {_Q387_PFX})
+                     THEN wp.pa ELSE wp.pd END) AS score
+      FROM cand c
+      JOIN documents a ON a.doc_id = c.da
+      JOIN documents b ON b.doc_id = c.db
+      CROSS JOIN wp
+    ),
+    dup AS ({dup}),
+    ev AS (
+      SELECT s.da, s.db, s.score,
+             CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+      FROM scored s LEFT JOIN dup d
+        ON d.doc_a = s.da AND d.doc_b = s.db
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_predicted,
+           CAST(SUM(CASE WHEN score > 0 THEN is_dup ELSE 0 END) AS BIGINT)
+             AS true_positives,
+           CAST(SUM(is_dup) AS BIGINT) AS dups_in_block,
+           FLOOR(SUM(CASE WHEN score > 0 THEN is_dup ELSE 0 END) * 1.0
+                 / SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) * 1000000
+                 + 0.5) / 1000000 AS precision_,
+           FLOOR(SUM(CASE WHEN score > 0 THEN is_dup ELSE 0 END) * 1.0
+                 / SUM(is_dup) * 1000000 + 0.5) / 1000000 AS recall_in_block,
+           FLOOR(2.0 * SUM(CASE WHEN score > 0 THEN is_dup ELSE 0 END)
+                 / (SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) + SUM(is_dup))
+                 * 1000000 + 0.5) / 1000000 AS f1_in_block
+    FROM ev
+    """
+
+
+@register(
+    "q404_fs_linkage_scoring",
+    _q404_sql(),
+    doc="End-to-end probabilistic record linkage: sorted-neighborhood "
+    "BLOCKS over documents (one global sort on (lang, n_chars), LEAD "
+    "window 4 — the q328 strategy applied to the corpus), each "
+    "candidate pair SCORED with q387's learned Fellegi-Sunter field "
+    "weights (sum of agreement/disagreement log-odds; link iff total "
+    "> 0, the classic zero-threshold decision), and EVALUATED against "
+    "q24's MinHash near-dup relation: precision, recall-in-block, F1. "
+    "Composes the linkage story the registry told in pieces — blocks "
+    "(q328) -> learned weights (q387) -> scored decisions -> measured "
+    "quality (the q209/q296 audit convention). Weights are the 1e-4-"
+    "pinned values, so the scores and the whole readout stay "
+    "hash-exact.",
+)
+def q404_fs_linkage_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one entity-catalog sort + LEAD window (q328's shape, w x N
+    fan-out), attribute attachment via two doc-key equi-joins, the
+    8-number weight row broadcast, and the q24 relation (already
+    bucketed) left-joined on the pair key."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = _REGISTRY["q387_fellegi_sunter_weights"].fn(spark, sf_dir)
+    wp = w.agg(
+        *[
+            F.max(
+                F.when(F.col("field") == f, F.col(c))
+            ).alias(a)
+            for f, c, a in [
+                ("lang", "weight_agree", "la"),
+                ("lang", "weight_disagree", "ld"),
+                ("source", "weight_agree", "sa"),
+                ("source", "weight_disagree", "sd"),
+                ("length", "weight_agree", "na"),
+                ("length", "weight_disagree", "nd"),
+                ("prefix", "weight_agree", "pa"),
+                ("prefix", "weight_disagree", "pd"),
+            ]
+        ]
+    )
+    o = Window.orderBy("lang", "n_chars", "doc_id")
+    ws = docs.select("doc_id")
+    base = docs.select("doc_id", "lang", "n_chars")
+    u = base
+    for i in range(1, _Q404_WINDOW + 1):
+        u = u.withColumn(f"d{i}", F.lead("doc_id", i).over(o))
+    cand = None
+    for i in range(1, _Q404_WINDOW + 1):
+        p = u.filter(F.col(f"d{i}").isNotNull()).select(
+            F.least("doc_id", F.col(f"d{i}")).alias("da"),
+            F.greatest("doc_id", F.col(f"d{i}")).alias("db"),
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    da = docs.select(
+        F.col("doc_id").alias("da"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.substring("text", 1, _Q387_PFX).alias("pfx_a"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("db"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.substring("text", 1, _Q387_PFX).alias("pfx_b"),
+    )
+    score = (
+        F.when(F.col("lang_a") == F.col("lang_b"), F.col("la")).otherwise(F.col("ld"))
+        + F.when(F.col("source_a") == F.col("source_b"), F.col("sa")).otherwise(
+            F.col("sd")
+        )
+        + F.when(
+            F.abs(F.col("nc_a") - F.col("nc_b")) <= _Q387_LEN_TOL, F.col("na")
+        ).otherwise(F.col("nd"))
+        + F.when(F.col("pfx_a") == F.col("pfx_b"), F.col("pa")).otherwise(F.col("pd"))
+    )
+    dup = (
+        _REGISTRY["q24_minhash_lsh_dedup"].fn(spark, sf_dir)
+        .select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
+        .withColumn("is_dup", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    ev = (
+        cand.join(da, "da")
+        .join(db, "db")
+        .crossJoin(F.broadcast(wp))
+        .select("da", "db", score.alias("score"))
+        .join(dup, ["da", "db"], "left")
+        .select("score", F.coalesce("is_dup", F.lit(0)).alias("is_dup"))
+    )
+    pred = F.sum(F.when(F.col("score") > 0, 1).otherwise(0)).cast("long")
+    tp = F.sum(F.when(F.col("score") > 0, F.col("is_dup")).otherwise(0)).cast("long")
+    dups = F.sum("is_dup").cast("long")
+    return ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        pred.alias("n_predicted"),
+        tp.alias("true_positives"),
+        dups.alias("dups_in_block"),
+        round_half_up(tp * 1.0 / pred, 6).alias("precision_"),
+        round_half_up(tp * 1.0 / dups, 6).alias("recall_in_block"),
+        round_half_up(2.0 * tp / (pred + dups), 6).alias("f1_in_block"),
+    )
+
+
+# ── q405: cross-source language-model cross-entropy matrix ───────────────────
+
+
+@register(
+    "q405_source_crossentropy",
+    """
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                t -> t <> '')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+      GROUP BY source, w
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY source
+    ),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tf),
+    terms AS (
+      SELECT a.source AS source_a, tb.source AS source_b,
+             CAST(SUM(CAST(FLOOR(a.c * LN((COALESCE(b.c, 0) + 1) * 1.0
+                                          / (tb.n + vv.v)) * 1000000 - 0.5)
+                           AS BIGINT)) AS BIGINT) AS tq,
+             CAST(MAX(ta.n) AS BIGINT) AS na
+      FROM tf a
+      JOIN tot ta ON ta.source = a.source
+      CROSS JOIN tot tb
+      CROSS JOIN vocab vv
+      LEFT JOIN tf b ON b.source = tb.source AND b.w = a.w
+      GROUP BY a.source, tb.source
+    )
+    SELECT source_a, source_b,
+           FLOOR(-tq / 1000000.0 / na * 1000000 + 0.5) / 1000000
+             AS cross_entropy,
+           FLOOR(EXP(-tq / 1000000.0 / na) * 100 + 0.5) / 100 AS perplexity,
+           CASE WHEN source_a = source_b THEN 1 ELSE 0 END AS is_self
+    FROM terms
+    ORDER BY source_a, source_b
+    """,
+    doc="Cross-source unigram cross-entropy matrix: H(A, B) = "
+    "-sum_w p_A(w) ln q_B(w) with add-one-smoothed q_B over the union "
+    "vocabulary — how well source B's language model predicts source "
+    "A's text, reported with perplexity. The diagonal is each "
+    "source's self-entropy (lowest by Gibbs' inequality — pinned in "
+    "pytest); off-diagonal asymmetry says which source GENERALIZES "
+    "(web text usually predicts wiki better than the reverse). The "
+    "model-based upgrade of q198's vocabulary JS drift and the "
+    "cross-source member of the LM family (q92 per-doc logprob, q208/"
+    "q327 bigram): this is the number behind 'train on A, deploy on "
+    "B' mixture decisions (q193/q234). Per-word terms are micro-"
+    "quantized (floored toward -inf on the negative logs) before the "
+    "sums — hash-exact.",
+)
+def q405_source_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one token explode + (source, word) count (vocabulary-
+    bounded, map-side combinable); the matrix join is vocab x "
+    "|sources| with the totals broadcast — never corpus rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = tf.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    vocab = tf.agg(F.countDistinct("w").cast("long").alias("v"))
+    a = tf.select(
+        F.col("source").alias("source_a"), F.col("w").alias("wa"), F.col("c").alias("ca")
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    b = tf.select(
+        F.col("source").alias("source_b"), F.col("w").alias("wb"), F.col("c").alias("cb")
+    )
+    terms = (
+        a.join(F.broadcast(ta), "source_a")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            b.withColumnRenamed("source_b", "sb2"),
+            (F.col("sb2") == F.col("source_b")) & (F.col("wb") == F.col("wa")),
+            "left",
+        )
+    )
+    tq_term = F.floor(
+        F.col("ca")
+        * F.log(
+            (F.coalesce("cb", F.lit(0)) + 1) * 1.0 / (F.col("nb") + F.col("v"))
+        )
+        * 1_000_000
+        - 0.5
+    ).cast("long")
+    g = terms.groupBy("source_a", "source_b").agg(
+        F.sum(tq_term).cast("long").alias("tq"),
+        F.max("na").cast("long").alias("na"),
+    )
+    xent = -F.col("tq") / 1_000_000.0 / F.col("na")
+    return g.select(
+        "source_a",
+        "source_b",
+        round_half_up(xent, 6).alias("cross_entropy"),
+        round_half_up(F.exp(xent), 2).alias("perplexity"),
+        F.when(F.col("source_a") == F.col("source_b"), 1).otherwise(0).alias(
+            "is_self"
+        ),
+    ).orderBy("source_a", "source_b")

@@ -1242,3 +1242,21 @@ def test_q403_compaction_two_aggregates(spark):
     plan = _plan(spark, "q403_compaction_plan")
     for op in ("Join", "Window"):
         assert op not in plan
+
+
+def test_q404_linkage_no_cartesian(spark):
+    """FS scoring: blocked candidates via one sort + LEAD, attribute
+    attachment by doc-key equi-joins, the 8-weight row broadcast —
+    never a cartesian over candidates."""
+    plan = _plan(spark, "q404_fs_linkage_scoring")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row weight relation
+
+
+def test_q405_xent_matrix_joins_bounded(spark):
+    """The cross-entropy matrix joins the vocabulary-bounded tf
+    relation against itself on (source, word); totals and vocab ride
+    broadcast; no cartesian beyond the bounded source spine."""
+    plan = _plan(spark, "q405_source_crossentropy")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

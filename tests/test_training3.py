@@ -1000,3 +1000,93 @@ def test_q403_compaction_recompute(spark):
         assert row["files_after"] <= row["files_before"]
         assert 0.0 <= row["file_reduction"] <= 1.0
         assert row["avg_file_kb_after"] >= row["avg_file_kb_before"] - 1e-9
+
+
+def test_q404_fs_scoring_recompute(spark):
+    """Candidate blocking, scores and the precision/recall readout
+    recomputed in plain Python from q387's reported weights."""
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q404_fs_linkage_scoring"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    got = out[0]
+    docs = sorted(
+        load_table(spark, SF_SMOKE, "documents").collect(),
+        key=lambda r: (r["lang"], r["n_chars"], r["doc_id"]),
+    )
+    cand = set()
+    for i, a in enumerate(docs):
+        for j in range(i + 1, min(i + 5, len(docs))):
+            b = docs[j]
+            cand.add((min(a["doc_id"], b["doc_id"]), max(a["doc_id"], b["doc_id"])))
+    assert got["n_candidates"] == len(cand)
+    w = {
+        r["field"]: r
+        for r in QUERY_REGISTRY["q387_fellegi_sunter_weights"].fn(spark, SF_SMOKE).collect()
+    }
+    byid = {r["doc_id"]: r for r in docs}
+    dup = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERY_REGISTRY["q24_minhash_lsh_dedup"].fn(spark, SF_SMOKE).collect()
+    }
+    pred = tp = dups = 0
+    for da_, db_ in cand:
+        a, b = byid[da_], byid[db_]
+        s = (
+            (w["lang"]["weight_agree"] if a["lang"] == b["lang"] else w["lang"]["weight_disagree"])
+            + (w["source"]["weight_agree"] if a["source"] == b["source"] else w["source"]["weight_disagree"])
+            + (w["length"]["weight_agree"] if abs(a["n_chars"] - b["n_chars"]) <= 64 else w["length"]["weight_disagree"])
+            + (w["prefix"]["weight_agree"] if (a["text"] or "")[:32] == (b["text"] or "")[:32] else w["prefix"]["weight_disagree"])
+        )
+        isd = (da_, db_) in dup
+        dups += isd
+        if s > 0:
+            pred += 1
+            tp += isd
+    assert got["n_predicted"] == pred
+    assert got["true_positives"] == tp
+    assert got["dups_in_block"] == dups
+    assert abs(got["precision_"] - tp / pred) < 1e-5
+    assert abs(got["recall_in_block"] - tp / dups) < 1e-5
+    assert abs(got["f1_in_block"] - 2 * tp / (pred + dups)) < 1e-5
+    # the learned weights must beat chance within the block
+    assert got["precision_"] > dups / len(cand)
+
+
+def test_q405_crossentropy_recompute(spark):
+    """Matrix recomputed from raw token Counters; Gibbs' inequality:
+    every row's diagonal (self) entropy is the row minimum."""
+    import re
+    from collections import Counter, defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q405_source_crossentropy"].fn(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    tf = defaultdict(Counter)
+    for r in docs:
+        tf[r["source"]].update(
+            t for t in re.split(r"[^a-z]+", (r["text"] or "").lower()) if t
+        )
+    vocab = len({w for c in tf.values() for w in c})
+    srcs = sorted(tf)
+    assert len(out) == len(srcs) ** 2
+    ref = {}
+    for sa in srcs:
+        na = sum(tf[sa].values())
+        for sb in srcs:
+            nb = sum(tf[sb].values())
+            h = -sum(
+                ca / na * math.log((tf[sb].get(wrd, 0) + 1) / (nb + vocab))
+                for wrd, ca in tf[sa].items()
+            )
+            ref[(sa, sb)] = h
+    for row in out:
+        h = ref[(row["source_a"], row["source_b"])]
+        assert abs(row["cross_entropy"] - h) < 1e-3
+        assert abs(row["perplexity"] - math.exp(h)) / math.exp(h) < 1e-3
+        assert row["is_self"] == (1 if row["source_a"] == row["source_b"] else 0)
+    for sa in srcs:
+        rows = [r for r in out if r["source_a"] == sa]
+        self_h = next(r["cross_entropy"] for r in rows if r["is_self"] == 1)
+        assert self_h <= min(r["cross_entropy"] for r in rows) + 1e-9
