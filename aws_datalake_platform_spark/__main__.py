@@ -234,6 +234,16 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     er.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
 
+    fr = sub.add_parser(
+        "forecast-report",
+        help="one-shot volume-forecasting readout: randomness gate "
+        "(q389 runs test), trend diagnosis (q400 Mann-Kendall + q402 "
+        "Poisson growth), seasonality scan (q385 periodogram), and "
+        "the rolling backtest that picks the production forecaster "
+        "(q397: naive / seasonal-naive / Holt / Holt-Winters)",
+    )
+    fr.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+
     qr = sub.add_parser(
         "quality-report",
         help="one-shot corpus data-quality report: model calibration "
@@ -354,6 +364,83 @@ def _experiment_report(spark, sf_dir: str) -> int:
         )
     else:
         print("  (no data — section skipped)")
+    return 0
+
+
+def _forecast_report(spark, sf_dir: str) -> int:
+    """Composite volume-forecasting readout: the randomness gate, the
+    trend and seasonality diagnoses, and the rolling backtest that
+    picks the production forecaster. Each section is an already-
+    certified registry query; empty/truncated lakes degrade
+    per-section (the quality-report discipline)."""
+    from .plans.queries import QUERY_REGISTRY
+
+    def _one(name: str):
+        rows = QUERY_REGISTRY[name].fn(spark, sf_dir).collect()
+        if not rows or any(v is None for v in rows[0].asDict().values()):
+            print("  (no data — section skipped)\n")
+            return None
+        return rows
+
+    print(f"# Volume forecast report — {sf_dir}\n")
+
+    print("## Randomness gate (q389: runs test around the median)")
+    rt = _one("q389_runs_test")
+    if rt is not None:
+        r = rt[0]
+        verdict = (
+            "structured — forecasting is worth it"
+            if r["reject_random"]
+            else "indistinguishable from noise — ship the mean"
+        )
+        print(
+            f"  runs {r['n_runs']} (expected {r['expected_runs']:.1f})  "
+            f"z {r['z_stat']:+.2f}  -> {verdict}\n"
+        )
+
+    print("## Trend (q400 Mann-Kendall + q402 Poisson growth)")
+    mk = _one("q400_mann_kendall")
+    if mk is not None:
+        r = mk[0]
+        print(
+            f"  tau {r['tau']:+.4f}  z {r['z_stat']:+.2f}  "
+            + ("monotone trend confirmed" if r["reject_no_trend"] else "no trend")
+        )
+    glm = _one("q402_poisson_trend_glm")
+    if glm is not None:
+        r = glm[0]
+        print(
+            f"  Poisson growth {100 * r['daily_growth_rate']:+.3f}%/day  "
+            f"(z {r['z_stat']:+.2f})\n"
+        )
+
+    print("## Seasonality (q385: periodogram scan, periods 2-14d)")
+    pg = _one("q385_periodogram_scan")
+    if pg is not None:
+        dom = next(r for r in pg if r["dominant"] == 1)
+        print(
+            f"  dominant period {dom['period']}d carries "
+            f"{100 * dom['power_share']:.1f}% of scanned power\n"
+        )
+
+    print("## Backtest (q397: rolling one-step, shared eval days)")
+    bt = _one("q397_forecast_backtest")
+    champion = None
+    if bt is not None:
+        for r in sorted(bt, key=lambda r: r["rank"]):
+            print(
+                f"  #{r['rank']} {r['model']:<13} mae {r['mae']:>8.2f}  "
+                f"rmse {r['rmse']:>8.2f}"
+            )
+        ranked = sorted(bt, key=lambda r: r["rank"])
+        champion = ranked[0]
+        naive = next((r for r in bt if r["model"] == "naive1"), None)
+        if naive is not None and naive["rmse"] > 0:
+            gain = 100 * (1 - champion["rmse"] / naive["rmse"])
+            print(
+                f"  -> ship {champion['model']} "
+                f"({gain:+.1f}% rmse vs naive-1)\n"
+            )
     return 0
 
 
@@ -676,6 +763,8 @@ def main(argv: list[str] | None = None) -> int:
         return _smoke(spark, args.workdir)
     if args.cmd == "experiment-report":
         return _experiment_report(spark, args.sf_dir)
+    if args.cmd == "forecast-report":
+        return _forecast_report(spark, args.sf_dir)
     if args.cmd == "quality-report":
         return _quality_report(spark, args.sf_dir)
     if args.cmd == "search":

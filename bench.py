@@ -314,6 +314,10 @@ HEADLINE = [
     "q399_cmh_test",
     "q400_mann_kendall",
     "q401_gmm_em",
+    "q402_poisson_trend_glm",
+    "q403_compaction_plan",
+    "q404_fs_linkage_scoring",
+    "q405_source_crossentropy",
 ]
 
 

@@ -1372,3 +1372,32 @@ def test_cli_experiment_report_empty_lake(spark, capsys, tmp_path):
     out = capsys.readouterr().out
     assert "no data" in out
     assert "Experiment report" in out
+
+
+def test_cli_forecast_report(spark, capsys):
+    """`forecast-report` sequences the certified time-series queries
+    into one readout: randomness gate, trend, seasonality scan, and
+    the backtest champion with its gain vs naive-1."""
+    from aws_datalake_platform_spark.__main__ import main
+
+    assert main(["forecast-report", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "Randomness gate" in out and "runs" in out
+    assert "Mann-Kendall" in out and "tau" in out
+    assert "Poisson growth" in out
+    assert "dominant period" in out
+    assert "Backtest" in out and "rmse" in out
+    assert "-> ship " in out
+
+
+def test_cli_forecast_report_empty_lake(spark, capsys, tmp_path):
+    """An empty events lake degrades per-section instead of dying."""
+    from aws_datalake_platform_spark.__main__ import main
+
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(0) \
+        .write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    assert main(["forecast-report", "--sf-dir", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "no data" in out
+    assert "Volume forecast report" in out
