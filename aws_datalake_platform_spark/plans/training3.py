@@ -3707,3 +3707,425 @@ def q405_source_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_self"
         ),
     ).orderBy("source_a", "source_b")
+
+
+# ── q406: intra-document discourse cohesion (TextTiling-lite) ────────────────
+
+_Q406_WIN = 10  # tokens per pseudo-sentence block (Hearst's w)
+
+
+@register(
+    "q406_text_cohesion",
+    f"""
+    WITH tok0 AS (
+      SELECT doc_id, source, w,
+             (ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1)
+               // {_Q406_WIN} AS win
+      FROM (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  t -> len(t) >= 3)) AS w,
+               generate_subscripts(
+                 list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             t -> len(t) >= 3), 1) AS pos
+        FROM documents
+      )
+    ),
+    tok AS (SELECT DISTINCT doc_id, source, win, w FROM tok0),
+    sizes AS (
+      SELECT doc_id, source, win, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM tok GROUP BY doc_id, source, win
+    ),
+    inter AS (
+      SELECT a.doc_id, a.win, CAST(COUNT(*) AS BIGINT) AS ov
+      FROM tok a JOIN tok b
+        ON b.doc_id = a.doc_id AND b.win = a.win + 1 AND b.w = a.w
+      GROUP BY a.doc_id, a.win
+    ),
+    pairs AS (
+      SELECT s1.doc_id, s1.source,
+             COALESCE(i.ov, 0) AS ov,
+             s1.sz + s2.sz - COALESCE(i.ov, 0) AS un
+      FROM sizes s1
+      JOIN sizes s2 ON s2.doc_id = s1.doc_id AND s2.win = s1.win + 1
+      LEFT JOIN inter i ON i.doc_id = s1.doc_id AND i.win = s1.win
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(FLOOR(ov * 1.0 / un * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS coh_q,
+             CAST(MIN(CAST(FLOOR(ov * 1.0 / un * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS min_q
+      FROM pairs WHERE un > 0
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR(SUM(coh_q) * 1.0 / SUM(n_pairs) / 1000000 * 1000000 + 0.5)
+             / 1000000 AS avg_cohesion,
+           FLOOR(SUM(CASE WHEN min_q = 0 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*) * 1000000 + 0.5) / 1000000
+             AS pct_with_hard_break,
+           FLOOR(AVG(n_pairs * 1.0) * 100 + 0.5) / 100 AS avg_pairs_per_doc
+    FROM per_doc
+    GROUP BY source ORDER BY source
+    """,
+    doc=f"Intra-document discourse cohesion (TextTiling, Hearst 1997): "
+    f"documents split into {_Q406_WIN}-token pseudo-sentence blocks "
+    "(Hearst's w — robust to punctuation-free text), adjacent-block "
+    "lexical Jaccard over distinct content tokens (len >= 3), per-doc "
+    "average cohesion and hard-break share (a zero-overlap adjacent "
+    "pair = a topic discontinuity or a template seam), rolled up per "
+    "source. The quality dimension the registry's doc filters lack: "
+    "q70 measures repetition, q192 surface rules, q92 token fluency — "
+    "cohesion catches DISJOINTED docs (scraped fragments, "
+    "concatenated snippets) that pass all three. Per-pair Jaccard is "
+    "an exact integer ratio quantized before the per-doc sum — "
+    "hash-exact.",
+)
+def q406_text_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the token explode is map-only; the adjacent-block join is
+    keyed on (doc_id, win) — fan-out exactly one pair per block, never
+    cross-doc; rollups map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok0 = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: F.length(t) >= 3)
+        ).alias("pos", "w"),
+    ).select(
+        "doc_id",
+        "source",
+        "w",
+        F.expr(
+            f"CAST((ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1)"
+            f" div {_Q406_WIN} AS BIGINT)"
+        ).alias("win"),
+    )
+    tok = tok0.select("doc_id", "source", "win", "w").distinct()
+    sizes = tok.groupBy("doc_id", "source", "win").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    b = tok.select(
+        F.col("doc_id").alias("bdoc"), (F.col("win") - 1).alias("bwin"),
+        F.col("w").alias("bw"),
+    )
+    inter = (
+        tok.join(
+            b,
+            (F.col("bdoc") == F.col("doc_id"))
+            & (F.col("bwin") == F.col("win"))
+            & (F.col("bw") == F.col("w")),
+        )
+        .groupBy("doc_id", "win")
+        .agg(F.count(F.lit(1)).cast("long").alias("ov"))
+    )
+    s2 = sizes.select(
+        F.col("doc_id").alias("d2"), (F.col("win") - 1).alias("i2"),
+        F.col("sz").alias("sz2"),
+    )
+    pairs = (
+        sizes.join(
+            s2, (F.col("d2") == F.col("doc_id")) & (F.col("i2") == F.col("win"))
+        )
+        .join(inter, ["doc_id", "win"], "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("ov", F.lit(0)).alias("ov"),
+            (F.col("sz") + F.col("sz2") - F.coalesce("ov", F.lit(0))).alias("un"),
+        )
+        .filter(F.col("un") > 0)
+    )
+    jq = F.floor(F.col("ov") * 1.0 / F.col("un") * 1_000_000 + 0.5).cast("long")
+    per_doc = pairs.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(jq).cast("long").alias("coh_q"),
+        F.min(jq).cast("long").alias("min_q"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            round_half_up(
+                F.sum("coh_q") * 1.0 / F.sum("n_pairs") / 1_000_000, 6
+            ).alias("avg_cohesion"),
+            round_half_up(
+                F.sum(F.when(F.col("min_q") == 0, 1).otherwise(0)) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pct_with_hard_break"),
+            round_half_up(F.avg(F.col("n_pairs") * 1.0), 2).alias(
+                "avg_pairs_per_doc"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ── q407: Flesch-Kincaid readability per source ──────────────────────────────
+
+
+@register(
+    "q407_readability",
+    """
+    WITH words AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                w -> w <> '')) AS w
+      FROM documents
+    ),
+    syl AS (
+      SELECT doc_id, source,
+             CAST(GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1)
+                  AS BIGINT) AS sy
+      FROM words
+    ),
+    sents AS (
+      SELECT doc_id,
+             CAST(GREATEST(SUM(CASE WHEN len(trim(s)) >= 2
+                                    THEN 1 ELSE 0 END), 1) AS BIGINT)
+               AS n_sent
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '[.!?]')) AS s
+            FROM documents)
+      GROUP BY doc_id
+    ),
+    per_doc AS (
+      SELECT y.doc_id, y.source,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(y.sy) AS BIGINT) AS n_syll,
+             CAST(MAX(s.n_sent) AS BIGINT) AS n_sent,
+             CAST(FLOOR((0.39e0 * COUNT(*) / MAX(s.n_sent)
+                         + 11.8e0 * SUM(y.sy) / COUNT(*) - 15.59e0 + 100)
+                        * 100 + 0.5) AS BIGINT) - 10000 AS fk_q
+      FROM syl y JOIN sents s ON s.doc_id = y.doc_id
+      GROUP BY y.doc_id, y.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR(SUM(n_words) * 1.0 / SUM(n_sent) * 10000 + 0.5) / 10000
+             AS words_per_sentence,
+           FLOOR(SUM(n_syll) * 1.0 / SUM(n_words) * 10000 + 0.5) / 10000
+             AS syllables_per_word,
+           FLOOR((SUM(fk_q) / 100.0 / COUNT(*) + 1000) * 10000 + 0.5)
+             / 10000 - 1000 AS avg_fk_grade,
+           FLOOR(SUM(CASE WHEN fk_q > 1200 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*) * 1000000 + 0.5) / 1000000 AS pct_above_grade12
+    FROM per_doc
+    GROUP BY source ORDER BY source
+    """,
+    doc="Flesch-Kincaid grade level per source: FK = 0.39 w/s + 11.8 "
+    "sy/w - 15.59, with syllables approximated by vowel-group count "
+    "(min 1) — the standard heuristic. Per-doc grades are "
+    "centi-quantized before the per-source average (exact ratio), so "
+    "the report is hash-exact; float coefficient literals use "
+    "e-notation to force DOUBLE on both engines (q386 lesson). The "
+    "audience-complexity dimension of the quality family: q192's "
+    "Gopher rules gate garbage, q92 fluency, q406 cohesion — FK "
+    "answers 'WHO can read this', the knob for grade-targeted "
+    "mixture weighting (q234).",
+)
+def q407_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two map-only explodes (words, sentences) + per-doc and
+    per-source map-side-combinable rollups. No joins beyond the
+    doc-keyed sentence-count attach."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda w: w != "")
+        ).alias("w"),
+    )
+    syl = words.select(
+        "doc_id",
+        "source",
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(w, '[aeiouy]+', 0)")), F.lit(1)
+        )
+        .cast("long")
+        .alias("sy"),
+    )
+    sents = (
+        docs.select("doc_id", F.explode(F.split("text", "[.!?]")).alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.greatest(
+                F.sum(F.when(F.length(F.trim("s")) >= 2, 1).otherwise(0)),
+                F.lit(1),
+            )
+            .cast("long")
+            .alias("n_sent")
+        )
+    )
+    fk = (
+        0.39 * F.count(F.lit(1)) / F.max("n_sent")
+        + 11.8 * F.sum("sy") / F.count(F.lit(1))
+        - 15.59
+    )
+    per_doc = (
+        syl.join(sents, "doc_id")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("sy").cast("long").alias("n_syll"),
+            F.max("n_sent").cast("long").alias("n_sent"),
+            (F.floor((fk + 100) * 100 + 0.5).cast("long") - 10_000).alias("fk_q"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            round_half_up(F.sum("n_words") * 1.0 / F.sum("n_sent"), 4).alias(
+                "words_per_sentence"
+            ),
+            round_half_up(F.sum("n_syll") * 1.0 / F.sum("n_words"), 4).alias(
+                "syllables_per_word"
+            ),
+            (
+                F.floor(
+                    (F.sum("fk_q") / 100.0 / F.count(F.lit(1)) + 1000) * 10_000
+                    + 0.5
+                )
+                / 10_000
+                - 1000
+            ).alias("avg_fk_grade"),
+            round_half_up(
+                F.sum(F.when(F.col("fk_q") > 1200, 1).otherwise(0)) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pct_above_grade12"),
+        )
+        .orderBy("source")
+    )
+
+
+# ── q408: next-event prediction accuracy (bigram MLE, held-out users) ────────
+
+_Q408_HASH = (
+    "CAST(('0x' || substr(md5('next42|' || CAST(user_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+_Q408_TRAIN = int(0.8 * (1 << 60))
+
+
+def _q408_sql() -> str:
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev,
+             CASE WHEN {_Q408_HASH} < {_Q408_TRAIN} THEN 1 ELSE 0 END
+               AS is_train
+      FROM events
+    ),
+    tr AS (SELECT prev, cur FROM seq WHERE prev IS NOT NULL AND is_train = 1),
+    te AS (SELECT prev, cur FROM seq WHERE prev IS NOT NULL AND is_train = 0),
+    model AS (
+      SELECT prev, cur AS pred FROM (
+        SELECT prev, cur,
+               ROW_NUMBER() OVER (PARTITION BY prev
+                 ORDER BY COUNT(*) DESC, cur) AS rk
+        FROM tr GROUP BY prev, cur
+      ) WHERE rk = 1
+    ),
+    base AS (
+      SELECT cur AS pred FROM (
+        SELECT cur, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, cur) AS rk
+        FROM tr GROUP BY cur
+      ) WHERE rk = 1
+    ),
+    ev AS (
+      SELECT CASE WHEN m.pred = te.cur THEN 1 ELSE 0 END AS hit,
+             CASE WHEN b.pred = te.cur THEN 1 ELSE 0 END AS base_hit
+      FROM te JOIN model m ON m.prev = te.prev CROSS JOIN base b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS n_train_transitions,
+           CAST(COUNT(*) AS BIGINT) AS n_test_transitions,
+           FLOOR(SUM(hit) * 1.0 / COUNT(*) * 1000000 + 0.5) / 1000000
+             AS top1_accuracy,
+           FLOOR(SUM(base_hit) * 1.0 / COUNT(*) * 1000000 + 0.5) / 1000000
+             AS baseline_accuracy,
+           FLOOR((SUM(hit) * 1.0 / COUNT(*))
+                 / (SUM(base_hit) * 1.0 / COUNT(*)) * 10000 + 0.5) / 10000
+             AS lift
+    FROM ev
+    """
+
+
+@register(
+    "q408_next_event_accuracy",
+    _q408_sql(),
+    doc="Next-event prediction accuracy of the maximum-likelihood "
+    "bigram model on HELD-OUT users: 80/20 user split by the stable "
+    "md5 hash range (the q124 idiom, so membership never migrates), "
+    "argmax transition per source state with deterministic ties, "
+    "top-1 accuracy vs the predict-the-mode baseline and the lift. "
+    "The proper out-of-sample EVALUATION the sequence family lacked: "
+    "q241 measures transition entropy (how predictable in principle), "
+    "q350/q398 rank states — this measures how well the fitted chain "
+    "actually predicts unseen users, the go/no-go for shipping "
+    "next-action recommendations. Exact integer counts and ratios — "
+    "hash-exact.",
+)
+def q408_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one lag window over events, two taxonomy-bounded model
+    aggregates (broadcast), one hash-join of test transitions against
+    the <=|types| model relation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("next42|"), F.col("user_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+        (h < _Q408_TRAIN).cast("int").alias("is_train"),
+    ).filter(F.col("prev").isNotNull())
+    tr = seq.filter(F.col("is_train") == 1).select("prev", "cur")
+    te = seq.filter(F.col("is_train") == 0).select("prev", "cur")
+    wm = Window.partitionBy("prev").orderBy(F.desc("cnt"), "cur")
+    model = (
+        tr.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("prev", F.col("cur").alias("pred"), F.row_number().over(wm).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("prev", "pred")
+    )
+    wb = Window.orderBy(F.desc("cnt"), "cur")
+    base = (
+        tr.groupBy("cur")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("cur").alias("bpred"), F.row_number().over(wb).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("bpred")
+    )
+    n_train = tr.count()
+    evl = (
+        te.join(F.broadcast(model), "prev")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.when(F.col("pred") == F.col("cur"), 1).otherwise(0).alias("hit"),
+            F.when(F.col("bpred") == F.col("cur"), 1).otherwise(0).alias(
+                "base_hit"
+            ),
+        )
+    )
+    acc = F.sum("hit") * 1.0 / F.count(F.lit(1))
+    bacc = F.sum("base_hit") * 1.0 / F.count(F.lit(1))
+    return evl.agg(
+        F.lit(n_train).cast("long").alias("n_train_transitions"),
+        F.count(F.lit(1)).cast("long").alias("n_test_transitions"),
+        round_half_up(acc, 6).alias("top1_accuracy"),
+        round_half_up(bacc, 6).alias("baseline_accuracy"),
+        round_half_up(acc / bacc, 4).alias("lift"),
+    )

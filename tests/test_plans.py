@@ -1260,3 +1260,28 @@ def test_q405_xent_matrix_joins_bounded(spark):
     plan = _plan(spark, "q405_source_crossentropy")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q406_cohesion_pair_join_keyed(spark):
+    """Adjacent-sentence joins key on (doc_id, sidx) — hash joins only,
+    never a cross-doc or cross-sentence product."""
+    plan = _plan(spark, "q406_text_cohesion")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q407_readability_no_joins_beyond_doc_key(spark):
+    """Readability is two explodes + rollups with one doc-keyed join —
+    no cartesian, no window."""
+    plan = _plan(spark, "q407_readability")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_q408_model_relations_broadcast(spark):
+    """The bigram model and mode baseline are taxonomy-bounded and must
+    broadcast onto the test transitions."""
+    plan = _plan(spark, "q408_next_event_accuracy")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row baseline

@@ -1090,3 +1090,129 @@ def test_q405_crossentropy_recompute(spark):
         rows = [r for r in out if r["source_a"] == sa]
         self_h = next(r["cross_entropy"] for r in rows if r["is_self"] == 1)
         assert self_h <= min(r["cross_entropy"] for r in rows) + 1e-9
+
+
+def test_q406_cohesion_recompute(spark):
+    """Per-source cohesion recomputed from raw adjacent 10-token-window
+    Jaccard in plain Python."""
+    import re
+    from collections import defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q406_text_cohesion"].fn(spark, SF_SMOKE).collect()
+    assert out
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    agg = defaultdict(lambda: [0, 0, 0.0, 0])  # docs, pairs, coh_sum, hard
+    for r in docs:
+        toks = [w for w in re.split(r"[^a-z]+", (r["text"] or "").lower()) if len(w) >= 3]
+        wins = [set(toks[i:i + 10]) for i in range(0, len(toks), 10)]
+        js = []
+        for a, b in zip(wins, wins[1:]):
+            un = len(a | b)
+            if un > 0:
+                js.append(len(a & b) / un)
+        if not js:
+            continue
+        st = agg[r["source"]]
+        st[0] += 1
+        st[1] += len(js)
+        st[2] += sum(js)
+        st[3] += 1 if min(js) == 0 else 0
+    for row in out:
+        st = agg[row["source"]]
+        assert row["n_docs"] == st[0]
+        assert abs(row["avg_cohesion"] - st[2] / st[1]) < 1e-4
+        assert abs(row["pct_with_hard_break"] - st[3] / st[0]) < 1e-5
+        assert abs(row["avg_pairs_per_doc"] - st[1] / st[0]) < 0.01
+        assert 0.0 <= row["avg_cohesion"] <= 1.0
+
+
+def test_q407_readability_recompute(spark):
+    """FK grades recomputed with a plain Python vowel-group counter."""
+    import re
+    from collections import defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q407_readability"].fn(spark, SF_SMOKE).collect()
+    assert out
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0.0, 0])  # docs, words, syll+sent? -> custom
+    stats = defaultdict(lambda: [0, 0, 0, 0, 0])  # docs, words, syll, sents, gt12
+    grades = defaultdict(float)
+    for r in docs:
+        ws = [w for w in re.split(r"[^a-z]+", (r["text"] or "").lower()) if w]
+        sy = sum(max(len(re.findall(r"[aeiouy]+", w)), 1) for w in ws)
+        ns = max(
+            sum(1 for s in re.split(r"[.!?]", r["text"] or "") if len(s.strip()) >= 2),
+            1,
+        )
+        if not ws:
+            continue
+        fk = 0.39 * len(ws) / ns + 11.8 * sy / len(ws) - 15.59
+        fkq = math.floor((fk + 100) * 100 + 0.5) - 10_000
+        st = stats[r["source"]]
+        st[0] += 1
+        st[1] += len(ws)
+        st[2] += sy
+        st[3] += ns
+        st[4] += 1 if fkq > 1200 else 0
+        grades[r["source"]] += fkq
+    for row in out:
+        st = stats[row["source"]]
+        assert row["n_docs"] == st[0]
+        assert abs(row["words_per_sentence"] - st[1] / st[3]) < 1e-3
+        assert abs(row["syllables_per_word"] - st[2] / st[1]) < 1e-3
+        assert abs(row["avg_fk_grade"] - grades[row["source"]] / 100 / st[0]) < 1e-3
+        assert abs(row["pct_above_grade12"] - st[4] / st[0]) < 1e-5
+
+
+def test_q408_next_event_recompute(spark):
+    """Split, model, and accuracies recomputed in plain Python with the
+    same md5 hash; the bigram model must beat or match the mode
+    baseline (it can only add information)."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q408_next_event_accuracy"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    got = out[0]
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    thr = int(0.8 * (1 << 60))
+    tr, te = [], []
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        h = int(hashlib.md5(f"next42|{uid}".encode()).hexdigest()[:15], 16)
+        dest = tr if h < thr else te
+        for a, b in zip(rows, rows[1:]):
+            dest.append((a["event_type"], b["event_type"]))
+    cnt = Counter(tr)
+    model = {}
+    for (p, c), n in cnt.items():
+        cur = model.get(p)
+        if cur is None or (n, ) > (cur[1],) or (n == cur[1] and c < cur[0]):
+            if cur is None or n > cur[1] or (n == cur[1] and c < cur[0]):
+                model[p] = (c, n)
+    base = Counter(c for _, c in tr)
+    top = max(base.values())
+    bpred = min(c for c, n in base.items() if n == top)
+    hits = sum(1 for p, c in te if model[p][0] == c)
+    bhits = sum(1 for _, c in te if c == bpred)
+    assert got["n_train_transitions"] == len(tr)
+    assert got["n_test_transitions"] == len(te)
+    assert abs(got["top1_accuracy"] - hits / len(te)) < 1e-5
+    assert abs(got["baseline_accuracy"] - bhits / len(te)) < 1e-5
+    assert abs(got["lift"] - (hits / len(te)) / (bhits / len(te))) < 1e-3
+    assert got["top1_accuracy"] >= got["baseline_accuracy"] - 0.02
