@@ -4129,3 +4129,465 @@ def q408_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(bacc, 6).alias("baseline_accuracy"),
         round_half_up(acc / bacc, 4).alias("lift"),
     )
+
+
+# ── q409: newsvendor service-level stocking plan per brand ───────────────────
+
+_Q409_LEVELS = (80, 95, 99)
+
+
+def _q409_pick(lvl: int) -> str:
+    # order-statistic index at ceil(n * lvl / 100), clamped to [1, n]
+    return (
+        f"MAX(CASE WHEN rn = LEAST(GREATEST((n * {lvl} + 99) // 100, 1), n)"
+        " THEN v END)"
+    )
+
+
+@register(
+    "q409_newsvendor_plan",
+    f"""
+    WITH daily AS (
+      SELECT p.p_brand, CAST(l.l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS v
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT p_brand, v,
+             ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY v, day) AS rn,
+             COUNT(*) OVER (PARTITION BY p_brand) AS n
+      FROM daily
+    )
+    SELECT p_brand,
+           CAST(MAX(n) AS BIGINT) AS n_days,
+           FLOOR(SUM(v) * 1.0 / MAX(n) * 100 + 0.5) / 100 AS mean_daily,
+           CAST({_q409_pick(80)} AS BIGINT) AS stock_p80,
+           CAST({_q409_pick(95)} AS BIGINT) AS stock_p95,
+           CAST({_q409_pick(99)} AS BIGINT) AS stock_p99,
+           CAST({_q409_pick(95)} AS BIGINT)
+             - CAST(FLOOR(SUM(v) * 1.0 / MAX(n)) AS BIGINT) AS safety_p95
+    FROM ranked
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    doc="Newsvendor service-level stocking plan per brand: the "
+    "critical-fractile solution stocks the demand QUANTILE at the "
+    "target service level (order-up-to = F^-1(cu/(cu+co))), so the "
+    "plan reports exact order-statistic demand quantiles at 80/95/99% "
+    "service plus the p95 safety stock over the mean. Quantiles are "
+    "deterministic rank picks (ceil(n*p), ties by day) — no "
+    "interpolation, hash-exact. The inventory-economics completion "
+    "of the demand family: q272 forecasts the MEAN, q395 handles "
+    "intermittence, q357 measures overdispersion — the newsvendor "
+    "quantile is what a replenishment system actually orders "
+    "against, and overdispersion is exactly why p95 >> mean here.",
+)
+def q409_newsvendor_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one (brand, day) aggregate (map-side combinable), one
+    brand-partitioned rank window over the calendar-bounded daily
+    relation, one rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    daily = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", F.col("l_shipdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("v"))
+    )
+    wb = Window.partitionBy("p_brand").orderBy("v", "day")
+    wp = Window.partitionBy("p_brand")
+    ranked = daily.select(
+        "p_brand",
+        "v",
+        F.row_number().over(wb).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+
+    def pick(lvl):
+        idx = F.least(
+            F.greatest(
+                F.expr(f"CAST((n * {lvl} + 99) div 100 AS BIGINT)"), F.lit(1)
+            ),
+            F.col("n"),
+        )
+        return F.max(F.when(F.col("rn") == idx, F.col("v"))).cast("long")
+
+    return (
+        ranked.groupBy("p_brand")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            round_half_up(F.sum("v") * 1.0 / F.max("n"), 2).alias("mean_daily"),
+            pick(80).alias("stock_p80"),
+            pick(95).alias("stock_p95"),
+            pick(99).alias("stock_p99"),
+            (
+                pick(95) - F.floor(F.sum("v") * 1.0 / F.max("n")).cast("long")
+            ).alias("safety_p95"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ── q410: partition-granularity planner (day / week / month) ─────────────────
+
+_Q410_RANGE_DAYS = 7  # the workload: rolling 7-day range scans
+
+
+@register(
+    "q410_partition_granularity_plan",
+    f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS rows_
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+    grains AS (
+      SELECT 'day' AS grain, 1 AS w
+      UNION ALL SELECT 'week', 7
+      UNION ALL SELECT 'month', 30
+    ),
+    parts AS (
+      SELECT g.grain, g.w, daily.d // g.w AS pid,
+             CAST(SUM(rows_) AS BIGINT) AS prows
+      FROM daily CROSS JOIN grains g
+      GROUP BY g.grain, g.w, daily.d // g.w
+    ),
+    stats AS (
+      SELECT grain, w, CAST(COUNT(*) AS BIGINT) AS n_partitions,
+             CAST(SUM(prows) AS BIGINT) AS total_rows,
+             CAST(MAX(prows) AS BIGINT) AS max_partition_rows
+      FROM parts GROUP BY grain, w
+    ),
+    -- every 7-day range start inside the span; partitions touched =
+    -- floor((start + 6) / w) - floor(start / w) + 1, rows scanned =
+    -- all rows of touched partitions (exact join on pid range)
+    starts AS (
+      SELECT s.lo + x.r AS start
+      FROM span s
+      CROSS JOIN (SELECT UNNEST(range(0, 10000)) AS r) x
+      WHERE s.lo + x.r + {_Q410_RANGE_DAYS} - 1 <= s.hi
+    ),
+    touched AS (
+      SELECT g.grain, st.start,
+             CAST(SUM(p.prows) AS BIGINT) AS scan_rows,
+             CAST(COUNT(*) AS BIGINT) AS scan_parts
+      FROM starts st
+      CROSS JOIN grains g
+      JOIN parts p ON p.grain = g.grain
+        AND p.pid BETWEEN st.start // g.w
+                      AND (st.start + {_Q410_RANGE_DAYS} - 1) // g.w
+      GROUP BY g.grain, st.start
+    ),
+    need AS (
+      SELECT st.start, CAST(SUM(d.rows_) AS BIGINT) AS true_rows
+      FROM starts st JOIN daily d
+        ON d.d BETWEEN st.start AND st.start + {_Q410_RANGE_DAYS} - 1
+      GROUP BY st.start
+    )
+    SELECT s.grain,
+           s.n_partitions,
+           s.max_partition_rows,
+           FLOOR(AVG(t.scan_parts * 1.0) * 100 + 0.5) / 100
+             AS avg_partitions_scanned,
+           FLOOR(SUM(t.scan_rows) * 1.0 / SUM(n.true_rows) * 10000 + 0.5)
+             / 10000 AS read_amplification,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY SUM(t.scan_rows) * 1.0 / SUM(n.true_rows)
+                      + s.n_partitions * 0.0001, s.grain) AS BIGINT) AS rank
+    FROM touched t
+    JOIN stats s ON s.grain = t.grain
+    JOIN need n ON n.start = t.start
+    GROUP BY s.grain, s.n_partitions, s.max_partition_rows
+    ORDER BY rank
+    """,
+    doc=f"Partition-granularity planner: price daily vs weekly vs "
+    f"monthly PARTITION BY for a rolling {_Q410_RANGE_DAYS}-day "
+    "range-scan workload, EXACTLY — for every feasible range start, "
+    "rows scanned = full contents of every partition the range "
+    "touches, so read_amplification = scanned/needed, traded against "
+    "partition count (the small-files pressure q403 prices). Daily "
+    "partitions scan ~1.0x but make 30x the objects; monthly scans up "
+    "to ~5x. The ranking penalizes amplification first, object count "
+    "as the tie-breaker. Completes the physical-layout planner "
+    "family (q321 shuffle width, q396 sort key, q403 compaction): "
+    "this is the PARTITION BY decision, priced from the same daily "
+    "volume relation. Exact integer row counts — hash-exact.",
+)
+def q410_partition_granularity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one per-day count; everything else (grains x starts x
+    partitions) is calendar-bounded algebra on broadcast relations."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_"))
+        .localCheckpoint(eager=True)
+    )
+    span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grains = [("day", 1), ("week", 7), ("month", 30)]
+    gdf = None
+    for gname, w in grains:
+        g = daily.select(
+            F.lit(gname).alias("grain"),
+            F.lit(w).alias("w"),
+            F.expr(f"CAST(d div {w} AS BIGINT)").alias("pid"),
+            "rows_",
+        )
+        gdf = g if gdf is None else gdf.unionByName(g)
+    parts = gdf.groupBy("grain", "w", "pid").agg(
+        F.sum("rows_").cast("long").alias("prows")
+    ).localCheckpoint(eager=True)
+    stats = parts.groupBy("grain", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_partitions"),
+        F.max("prows").cast("long").alias("max_partition_rows"),
+    )
+    r = _Q410_RANGE_DAYS
+    starts = (
+        span.crossJoin(
+            spark.range(0, 10_000).select(F.col("id").alias("rr"))
+        )
+        .filter(F.col("lo") + F.col("rr") + r - 1 <= F.col("hi"))
+        .select((F.col("lo") + F.col("rr")).alias("start"))
+        .localCheckpoint(eager=True)
+    )
+    gr = None
+    for gname, w in grains:
+        gg = starts.select(
+            F.lit(gname).alias("grain"),
+            "start",
+            F.expr(f"CAST(start div {w} AS BIGINT)").alias("p_lo"),
+            F.expr(f"CAST((start + {r} - 1) div {w} AS BIGINT)").alias("p_hi"),
+        )
+        gr = gg if gr is None else gr.unionByName(gg)
+    touched = (
+        gr.join(
+            parts,
+            (parts["grain"] == gr["grain"])
+            & (parts["pid"] >= F.col("p_lo"))
+            & (parts["pid"] <= F.col("p_hi")),
+        )
+        .drop(parts["grain"])
+        .groupBy("grain", "start")
+        .agg(
+            F.sum("prows").cast("long").alias("scan_rows"),
+            F.count(F.lit(1)).cast("long").alias("scan_parts"),
+        )
+    )
+    d2 = daily.select(F.col("d").alias("dd"), F.col("rows_").alias("nr"))
+    need = (
+        starts.join(
+            F.broadcast(d2),
+            (F.col("dd") >= F.col("start")) & (F.col("dd") <= F.col("start") + r - 1),
+        )
+        .groupBy("start")
+        .agg(F.sum("nr").cast("long").alias("true_rows"))
+    )
+    j = touched.join(stats, "grain").join(need, "start")
+    amp = F.sum("scan_rows") * 1.0 / F.sum("true_rows")
+    g = j.groupBy("grain", "n_partitions", "max_partition_rows").agg(
+        round_half_up(F.avg(F.col("scan_parts") * 1.0), 2).alias(
+            "avg_partitions_scanned"
+        ),
+        round_half_up(amp, 4).alias("read_amplification"),
+        (amp + F.col("n_partitions") * 0.0001).alias("_cost"),
+    )
+    wr = Window.orderBy("_cost", "grain")
+    return (
+        g.select(
+            "grain",
+            "n_partitions",
+            "max_partition_rows",
+            "avg_partitions_scanned",
+            "read_amplification",
+            F.row_number().over(wr).cast("long").alias("rank"),
+        )
+        .orderBy("rank")
+    )
+
+
+# ── q411: dup-vs-background cosine-similarity margin audit ───────────────────
+
+_Q411_STRIDES = (7, 13, 29)
+
+
+def _q411_sql() -> str:
+    from .llm_ops import _COS
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    dup = _REGISTRY["q59_embedding_near_dup_lsh"].sql
+    cos = _COS.format(a="a.embedding", b="b.embedding")
+    bg = " UNION ALL ".join(
+        f"SELECT a.vec_id AS va, b.vec_id AS vb FROM embeddings a "
+        f"JOIN embeddings b ON b.vec_id = a.vec_id + {s}"
+        for s in _Q411_STRIDES
+    )
+    return f"""
+    WITH dup AS ({dup}),
+    dp AS (
+      SELECT vec_a AS va, vec_b AS vb, 1 AS kind FROM dup
+    ),
+    bgp AS (
+      SELECT va, vb, 0 AS kind FROM ({bg}) x
+      WHERE NOT EXISTS (SELECT 1 FROM dp d WHERE d.va = x.va AND d.vb = x.vb)
+    ),
+    sims AS (
+      SELECT p.kind,
+             CAST(FLOOR(({cos} + 1) * 10 ) AS BIGINT) AS bin
+      FROM (SELECT * FROM dp UNION ALL SELECT * FROM bgp) p
+      JOIN embeddings a ON a.vec_id = p.va
+      JOIN embeddings b ON b.vec_id = p.vb
+    ),
+    hist AS (
+      SELECT bin,
+             CAST(SUM(kind) AS BIGINT) AS cd,
+             CAST(SUM(1 - kind) AS BIGINT) AS cb
+      FROM sims GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(cd) AS BIGINT) AS nd, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM hist
+    ),
+    cum AS (
+      SELECT bin, cd, cb,
+             CAST(SUM(cd) OVER (ORDER BY bin DESC) AS BIGINT) AS tp,
+             CAST(SUM(cb) OVER (ORDER BY bin DESC) AS BIGINT) AS fp
+      FROM hist
+    ),
+    best AS (
+      SELECT bin, tp, fp FROM (
+        SELECT bin, tp, fp, t.nd, t.nb,
+               ROW_NUMBER() OVER (
+                 ORDER BY tp * 1.0 / t.nd - fp * 1.0 / t.nb DESC, bin) AS rk
+        FROM cum CROSS JOIN tot t
+      ) WHERE rk = 1
+    )
+    SELECT t.nd AS n_dup_pairs, t.nb AS n_background_pairs,
+           FLOOR((SELECT SUM(LEAST(h.cd * t.nb, h.cb * t.nd)) FROM hist h)
+                 * 1.0 / (t.nd * t.nb) * 1000000 + 0.5) / 1000000
+             AS overlap_coef,
+           FLOOR((b.bin / 10.0 - 1) * 100 + 0.5) / 100 AS best_threshold,
+           FLOOR(b.tp * 1.0 / t.nd * 1000000 + 0.5) / 1000000 AS tpr_at_best,
+           FLOOR(b.fp * 1.0 / t.nb * 1000000 + 0.5) / 1000000 AS fpr_at_best,
+           FLOOR((b.tp * 1.0 / t.nd - b.fp * 1.0 / t.nb) * 1000000 + 0.5)
+             / 1000000 AS youden_j
+    FROM tot t CROSS JOIN best b
+    """
+
+
+@register(
+    "q411_similarity_margin",
+    _q411_sql(),
+    doc="Cosine-similarity margin audit for the embedding near-dup "
+    "detector: exact sequential-fold cosines for q59's LSH pair "
+    "relation (the positives) vs deterministic stride background "
+    "pairs (vec_id+7/13/29, positives anti-joined out), binned at 0.1 "
+    "into histograms; reports the distribution overlap coefficient "
+    "(sum of bin-wise minima — an exact integer ratio via the "
+    "common-denominator trick, q383) and the Youden-optimal "
+    "threshold with its TPR/FPR. A small overlap certifies the "
+    "embedding space SEPARATES duplicates from background — the "
+    "distributional evidence behind q59's fixed threshold, q221's "
+    "dedup threshold curve, and q209's recall audit. Hash-exact "
+    "throughout.",
+)
+def q411_similarity_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: positives come from the already-bucketed q59 relation;
+    background pairs are stride equi-joins (3N); cosines are JVM-side
+    aggregate folds; everything after is 21-bin histogram algebra."""
+    from ..operators.similarity import cosine
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dup = (
+        _REGISTRY["q59_embedding_near_dup_lsh"].fn(spark, sf_dir)
+        .select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
+        .localCheckpoint(eager=True)
+    )
+    bg = None
+    for s in _Q411_STRIDES:
+        a = emb.select(F.col("vec_id").alias("va"))
+        b = emb.select(
+            (F.col("vec_id") - s).alias("va"), F.col("vec_id").alias("vb")
+        )
+        part = a.join(b, "va").select("va", "vb")
+        bg = part if bg is None else bg.unionAll(part)
+    bg = bg.join(dup, ["va", "vb"], "left_anti")
+    pairs = dup.withColumn("kind", F.lit(1)).unionByName(
+        bg.withColumn("kind", F.lit(0))
+    )
+    ea = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("emb_b"))
+    sims = (
+        pairs.join(ea, "va")
+        .join(eb, "vb")
+        .select(
+            "kind",
+            F.floor((cosine(F.col("emb_a"), F.col("emb_b")) + 1) * 10)
+            .cast("long")
+            .alias("bin"),
+        )
+    )
+    hist = sims.groupBy("bin").agg(
+        F.sum("kind").cast("long").alias("cd"),
+        F.sum(1 - F.col("kind")).cast("long").alias("cb"),
+    ).localCheckpoint(eager=True)
+    tot = hist.agg(
+        F.sum("cd").cast("long").alias("nd"), F.sum("cb").cast("long").alias("nb")
+    )
+    wc = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bin",
+        F.sum("cd").over(wc).cast("long").alias("tp"),
+        F.sum("cb").over(wc).cast("long").alias("fp"),
+    )
+    best = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "tp",
+            "fp",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.desc(F.col("tp") * 1.0 / F.col("nd") - F.col("fp") * 1.0 / F.col("nb")),
+                    "bin",
+                )
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    ov = (
+        hist.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.least(F.col("cd") * F.col("nb"), F.col("cb") * F.col("nd"))
+            )
+            .cast("long")
+            .alias("ov_num")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(best))
+        .crossJoin(F.broadcast(ov))
+        .select(
+            F.col("nd").alias("n_dup_pairs"),
+            F.col("nb").alias("n_background_pairs"),
+            round_half_up(
+                F.col("ov_num") * 1.0 / (F.col("nd") * F.col("nb")), 6
+            ).alias("overlap_coef"),
+            (
+                F.floor((F.col("bin") / 10.0 - 1) * 100 + 0.5) / 100
+            ).alias("best_threshold"),
+            round_half_up(F.col("tp") * 1.0 / F.col("nd"), 6).alias("tpr_at_best"),
+            round_half_up(F.col("fp") * 1.0 / F.col("nb"), 6).alias("fpr_at_best"),
+            round_half_up(
+                F.col("tp") * 1.0 / F.col("nd") - F.col("fp") * 1.0 / F.col("nb"), 6
+            ).alias("youden_j"),
+        )
+    )

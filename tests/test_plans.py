@@ -1285,3 +1285,28 @@ def test_q408_model_relations_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row baseline
+
+
+def test_q409_newsvendor_windows_partition_by_brand(spark):
+    """Demand quantile windows partition by brand (never global); the
+    part dimension broadcasts."""
+    plan = _plan(spark, "q409_newsvendor_plan")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition(p_brand" in plan.lower()
+
+
+def test_q410_granularity_on_bounded_relations(spark):
+    """The planner's joins run on checkpointed calendar-bounded
+    relations — no corpus re-scan in the returned plan."""
+    plan = _plan(spark, "q410_partition_granularity_plan")
+    assert "parquet" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_q411_margin_background_equijoin(spark):
+    """Background pairs are stride equi-joins; embedding attachment is
+    keyed; histogram algebra rides broadcasts — no cartesian over
+    pair relations."""
+    plan = _plan(spark, "q411_similarity_margin")
+    assert "CartesianProduct" not in plan

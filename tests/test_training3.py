@@ -1216,3 +1216,136 @@ def test_q408_next_event_recompute(spark):
     assert abs(got["baseline_accuracy"] - bhits / len(te)) < 1e-5
     assert abs(got["lift"] - (hits / len(te)) / (bhits / len(te))) < 1e-3
     assert got["top1_accuracy"] >= got["baseline_accuracy"] - 0.02
+
+
+def test_q409_newsvendor_recompute(spark):
+    """Quantiles recomputed as exact order statistics per brand; the
+    service ladder must be monotone."""
+    from collections import defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q409_newsvendor_plan"].fn(spark, SF_SMOKE).collect()
+    assert out
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    ).collect()
+    brand = {
+        r["p_partkey"]: r["p_brand"]
+        for r in load_table(spark, SF_SMOKE, "part").collect()
+    }
+    daily = defaultdict(int)
+    for r in li:
+        daily[(brand[r["l_partkey"]], r["l_shipdate"].date())] += int(r["l_quantity"])
+    per_brand = defaultdict(list)
+    for (b, _), v in daily.items():
+        per_brand[b].append(v)
+    for row in out:
+        vs = sorted(per_brand[row["p_brand"]])
+        n = len(vs)
+        assert row["n_days"] == n
+        assert abs(row["mean_daily"] - sum(vs) / n) < 0.01
+
+        def pick(lvl):
+            return vs[min(max((n * lvl + 99) // 100, 1), n) - 1]
+
+        assert row["stock_p80"] == pick(80)
+        assert row["stock_p95"] == pick(95)
+        assert row["stock_p99"] == pick(99)
+        assert row["stock_p80"] <= row["stock_p95"] <= row["stock_p99"]
+        assert row["safety_p95"] == pick(95) - math.floor(sum(vs) / n)
+
+
+def test_q410_granularity_recompute(spark):
+    """Read amplification recomputed from raw daily counts for every
+    7-day range; daily partitioning must be rank 1 (amp ~ 1.0) and
+    amplification must increase with grain width."""
+    from collections import Counter, defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q410_partition_granularity_plan"].fn(spark, SF_SMOKE).collect()
+    by = {r["grain"]: r for r in out}
+    assert set(by) == {"day", "week", "month"}
+    ev = load_table(spark, SF_SMOKE, "events").select("ts").collect()
+    base = __import__("datetime").date(2024, 1, 1)
+    daily = Counter((r["ts"].date() - base).days for r in ev)
+    lo, hi = min(daily), max(daily)
+    for gname, w in (("day", 1), ("week", 7), ("month", 30)):
+        parts = defaultdict(int)
+        for d, c in daily.items():
+            parts[d // w] += c
+        scans = needs = 0
+        nparts = 0
+        for start in range(lo, hi - 5):
+            if start + 6 > hi:
+                break
+            touched = range(start // w, (start + 6) // w + 1)
+            scans += sum(parts[p] for p in touched if p in parts)
+            needs += sum(daily.get(d, 0) for d in range(start, start + 7))
+            nparts += sum(1 for p in touched if p in parts)
+        row = by[gname]
+        assert row["n_partitions"] == len(parts)
+        assert abs(row["read_amplification"] - scans / needs) < 1e-3
+    assert by["day"]["rank"] == 1
+    assert by["day"]["read_amplification"] <= by["week"]["read_amplification"]
+    assert by["week"]["read_amplification"] <= by["month"]["read_amplification"] + 1e-9
+
+
+def test_q411_margin_recompute(spark):
+    """Overlap and Youden threshold recomputed from numpy cosines; the
+    embedding space must genuinely separate q59 pairs from background
+    (youden high, overlap low)."""
+    import numpy as np
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q411_similarity_margin"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    got = out[0]
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    dup = {
+        (r["vec_a"], r["vec_b"])
+        for r in QUERY_REGISTRY["q59_embedding_near_dup_lsh"].fn(spark, SF_SMOKE).collect()
+    }
+    bg = [
+        (a, a + s)
+        for s in (7, 13, 29)
+        for a in emb
+        if a + s in emb and (a, a + s) not in dup
+    ]
+    assert got["n_dup_pairs"] == len(dup)
+    assert got["n_background_pairs"] == len(bg)
+
+    def cos(a, b):
+        va, vb = emb[a], emb[b]
+        return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+
+    hd = [math.floor((cos(a, b) + 1) * 10) for a, b in dup]
+    hb = [math.floor((cos(a, b) + 1) * 10) for a, b in bg]
+    from collections import Counter
+
+    cd, cb = Counter(hd), Counter(hb)
+    ov = sum(
+        min(cd.get(k, 0) / len(hd), cb.get(k, 0) / len(hb))
+        for k in set(cd) | set(cb)
+    )
+    assert abs(got["overlap_coef"] - ov) < 1e-4
+    best = max(
+        (
+            (
+                sum(1 for x in hd if x >= t) / len(hd)
+                - sum(1 for x in hb if x >= t) / len(hb),
+                -t,
+            )
+            for t in set(cd) | set(cb)
+        ),
+    )
+    assert abs(got["youden_j"] - best[0]) < 1e-4
+    assert abs(got["best_threshold"] - (-best[1] / 10 - 1)) < 1e-6
+    # the detector's pairs must be separable from background
+    assert got["youden_j"] > 0.5
+    assert got["overlap_coef"] < 0.5
