@@ -318,6 +318,12 @@ HEADLINE = [
     "q403_compaction_plan",
     "q404_fs_linkage_scoring",
     "q405_source_crossentropy",
+    "q406_text_cohesion",
+    "q407_readability",
+    "q408_next_event_accuracy",
+    "q409_newsvendor_plan",
+    "q410_partition_granularity_plan",
+    "q411_similarity_margin",
 ]
 
 
