@@ -4591,3 +4591,281 @@ def q411_similarity_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("youden_j"),
         )
     )
+
+
+# ── q412: dedup-graph transitivity audit ─────────────────────────────────────
+
+
+def _q412_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    dup = _REGISTRY["q24_minhash_lsh_dedup"].sql
+    return f"""
+    WITH dup AS ({dup}),
+    e AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM dup
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM dup
+    ),
+    wedges AS (
+      SELECT a.v AS mid, a.u AS x, b.v AS y
+      FROM e a JOIN e b ON b.u = a.v AND b.v > a.u
+      WHERE a.u <> b.v
+    ),
+    closed AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_closed
+      FROM wedges w JOIN dup d ON d.doc_a = w.x AND d.doc_b = w.y
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges FROM wedges),
+    deg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COUNT(DISTINCT u) AS BIGINT) AS n_docs
+      FROM e
+    )
+    SELECT d.n_pairs // 2 AS n_pairs, d.n_docs,
+           t.n_wedges, c.n_closed,
+           FLOOR(c.n_closed * 1.0 / t.n_wedges * 1000000 + 0.5) / 1000000
+             AS transitivity,
+           t.n_wedges - c.n_closed AS open_wedges
+    FROM tot t CROSS JOIN closed c CROSS JOIN deg d
+    """
+
+
+@register(
+    "q412_dedup_transitivity",
+    _q412_sql(),
+    doc="Transitivity audit of the near-dup pair graph: the global "
+    "clustering coefficient of q24's MinHash relation — of all wedges "
+    "(a~m~b through a shared middle), how many are closed (a~b also "
+    "detected)? True duplication is an equivalence relation, so LOW "
+    "transitivity means threshold noise: q68's connected components "
+    "are chaining through weak links and over-merging (the q172 "
+    "span-merge failure mode), and the open-wedge count is exactly "
+    "how many pairs a verification pass should re-check. Complements "
+    "q349 (agreement with the EXACT partition) and q225 (precision/"
+    "recall vs planted truth) with a label-free structural check "
+    "that runs on any corpus. Pure integer counting on the "
+    "pair-bounded relation — hash-exact.",
+)
+def q412_dedup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both joins are keyed on the pair relation (wedges fan out
+    by dup-degree, bounded by the hot-bucket caps upstream in q24),
+    never corpus rows."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    dup = (
+        _REGISTRY["q24_minhash_lsh_dedup"].fn(spark, sf_dir)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    e = dup.unionAll(dup.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    b = e.select(F.col("u").alias("bu"), F.col("v").alias("bv"))
+    wedges = (
+        e.join(b, (F.col("bu") == F.col("v")) & (F.col("bv") > F.col("u")))
+        .filter(F.col("u") != F.col("bv"))
+        .select(F.col("u").alias("x"), F.col("bv").alias("y"))
+    )
+    d2 = dup.select(F.col("u").alias("x"), F.col("v").alias("y")).withColumn(
+        "hit", F.lit(1)
+    )
+    j = wedges.join(d2, ["x", "y"], "left")
+    deg = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs2"),
+        F.countDistinct("u").cast("long").alias("n_docs"),
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_wedges"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_closed"),
+    )
+    return agg.crossJoin(F.broadcast(deg)).select(
+        F.expr("CAST(n_pairs2 div 2 AS BIGINT)").alias("n_pairs"),
+        "n_docs",
+        "n_wedges",
+        "n_closed",
+        round_half_up(F.col("n_closed") * 1.0 / F.col("n_wedges"), 6).alias(
+            "transitivity"
+        ),
+        (F.col("n_wedges") - F.col("n_closed")).alias("open_wedges"),
+    )
+
+
+# ── q413: deseasonalization-quality audit of the q348 decomposition ──────────
+
+
+@register(
+    "q413_deseasonalization_audit",
+    """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT d, v,
+             CAST(SUM(v) OVER w AS BIGINT) AS s7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS c7
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT d, v, d % 7 AS wd,
+             CAST(FLOOR((v - s7 / 7.0) * 1000000 + 0.5) AS BIGINT) AS detq
+      FROM tr WHERE c7 = 7
+    ),
+    seas AS (
+      SELECT wd, CAST(SUM(detq) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM det GROUP BY wd
+    ),
+    rem AS (
+      SELECT det.wd,
+             det.detq AS rawq,
+             CAST(FLOOR((det.detq / 1000000.0
+                         - seas.sq * 1.0 / seas.cnt / 1000000) * 1000000
+                        + 0.5) AS BIGINT) AS remq
+      FROM det JOIN seas ON seas.wd = det.wd
+    ),
+    -- weekday eta^2 on the detrended series and on the remainder:
+    -- ssb/sst from 1e-2-quantized per-group terms (q386 discipline)
+    g AS (
+      SELECT wd, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rawq) AS BIGINT) AS s_raw,
+             CAST(SUM(remq) AS BIGINT) AS s_rem,
+             CAST(FLOOR(CAST(SUM(rawq * rawq) AS DOUBLE) / 1e4) AS BIGINT)
+               AS q_raw,
+             CAST(FLOOR(CAST(SUM(remq * remq) AS DOUBLE) / 1e4) AS BIGINT)
+               AS q_rem
+      FROM rem GROUP BY wd
+    ),
+    g2 AS (
+      SELECT n, s_raw, s_rem, q_raw, q_rem,
+             CAST(FLOOR(CAST(s_raw AS DOUBLE) * s_raw / n / 1e4) AS BIGINT)
+               AS t_raw,
+             CAST(FLOOR(CAST(s_rem AS DOUBLE) * s_rem / n / 1e4) AS BIGINT)
+               AS t_rem
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(s_raw) AS BIGINT) AS sr,
+             CAST(SUM(s_rem) AS BIGINT) AS sm,
+             CAST(SUM(t_raw) AS BIGINT) * 1e4 AS braw,
+             CAST(SUM(t_rem) AS BIGINT) * 1e4 AS brem,
+             CAST(SUM(q_raw) AS BIGINT) * 1e4 AS qraw,
+             CAST(SUM(q_rem) AS BIGINT) * 1e4 AS qrem
+      FROM g2
+    )
+    SELECT nn AS n_days,
+           FLOOR((braw - CAST(sr AS DOUBLE) * sr / nn)
+                 / (qraw - CAST(sr AS DOUBLE) * sr / nn) * 1000000 + 0.5)
+             / 1000000 AS eta2_detrended,
+           FLOOR((brem - CAST(sm AS DOUBLE) * sm / nn)
+                 / (qrem - CAST(sm AS DOUBLE) * sm / nn) * 1000000 + 0.5)
+             / 1000000 AS eta2_remainder,
+           FLOOR((1 - ((brem - CAST(sm AS DOUBLE) * sm / nn)
+                       / (qrem - CAST(sm AS DOUBLE) * sm / nn))
+                      / ((braw - CAST(sr AS DOUBLE) * sr / nn)
+                         / (qraw - CAST(sr AS DOUBLE) * sr / nn)))
+                 * 1000000 + 0.5) / 1000000 AS seasonality_removed,
+           CASE WHEN (brem - CAST(sm AS DOUBLE) * sm / nn)
+                     / (qrem - CAST(sm AS DOUBLE) * sm / nn) < 0.1
+                THEN 1 ELSE 0 END AS residual_clean
+    FROM t
+    """,
+    doc="Deseasonalization-quality audit of q348's additive "
+    "decomposition: weekday eta-squared on the DETRENDED series vs on "
+    "the REMAINDER after subtracting the weekday means. A good "
+    "decomposition moves eta2 from large to ~0; seasonality_removed "
+    "= 1 - eta2_rem/eta2_det is the share of weekday variance the "
+    "seasonal component captured, and residual_clean certifies the "
+    "remainder is safe input for q283's anomaly fences and q305's "
+    "changepoint scan (both assume deseasonalized input). Per-group "
+    "sums are integer-quantized before cross-group totals and float "
+    "factors forced to DOUBLE (the q385/q386 lessons) — hash-exact.",
+)
+def q413_deseasonalization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one per-day count; every window/join/rollup after runs on
+    the calendar-bounded days relation (q348's shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "v",
+        F.sum("v").over(w7).cast("long").alias("s7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("c7"),
+    )
+    det = tr.filter(F.col("c7") == 7).select(
+        "d",
+        (F.col("d") % 7).alias("wd"),
+        F.floor((F.col("v") - F.col("s7") / 7.0) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("detq"),
+    )
+    seas = det.groupBy("wd").agg(
+        F.sum("detq").cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    rem = det.join(F.broadcast(seas), "wd").select(
+        "wd",
+        F.col("detq").alias("rawq"),
+        F.floor(
+            (F.col("detq") / 1_000_000.0 - F.col("sq") * 1.0 / F.col("cnt") / 1_000_000)
+            * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("remq"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    g = rem.groupBy("wd").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rawq").cast("long").alias("s_raw"),
+        F.sum("remq").cast("long").alias("s_rem"),
+        F.floor(F.sum(dec("rawq") * dec("rawq")).cast("double") / 10_000.0)
+        .cast("long")
+        .alias("q_raw"),
+        F.floor(F.sum(dec("remq") * dec("remq")).cast("double") / 10_000.0)
+        .cast("long")
+        .alias("q_rem"),
+    )
+    g2 = g.select(
+        "n",
+        "s_raw",
+        "s_rem",
+        "q_raw",
+        "q_rem",
+        F.floor(F.col("s_raw") * 1.0 * F.col("s_raw") / F.col("n") / 10_000.0)
+        .cast("long")
+        .alias("t_raw"),
+        F.floor(F.col("s_rem") * 1.0 * F.col("s_rem") / F.col("n") / 10_000.0)
+        .cast("long")
+        .alias("t_rem"),
+    )
+    t = g2.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s_raw").cast("long").alias("sr"),
+        F.sum("s_rem").cast("long").alias("sm"),
+        (F.sum("t_raw").cast("long") * 10_000.0).alias("braw"),
+        (F.sum("t_rem").cast("long") * 10_000.0).alias("brem"),
+        (F.sum("q_raw").cast("long") * 10_000.0).alias("qraw"),
+        (F.sum("q_rem").cast("long") * 10_000.0).alias("qrem"),
+    )
+    sr, sm, nn = F.col("sr"), F.col("sm"), F.col("nn")
+    e_raw = (F.col("braw") - sr.cast("double") * sr / nn) / (
+        F.col("qraw") - sr.cast("double") * sr / nn
+    )
+    e_rem = (F.col("brem") - sm.cast("double") * sm / nn) / (
+        F.col("qrem") - sm.cast("double") * sm / nn
+    )
+    return t.select(
+        nn.alias("n_days"),
+        round_half_up(e_raw, 6).alias("eta2_detrended"),
+        round_half_up(e_rem, 6).alias("eta2_remainder"),
+        round_half_up(1 - e_rem / e_raw, 6).alias("seasonality_removed"),
+        F.when(e_rem < 0.1, 1).otherwise(0).alias("residual_clean"),
+    )

@@ -324,6 +324,8 @@ HEADLINE = [
     "q409_newsvendor_plan",
     "q410_partition_granularity_plan",
     "q411_similarity_margin",
+    "q412_dedup_transitivity",
+    "q413_deseasonalization_audit",
 ]
 
 

@@ -1310,3 +1310,19 @@ def test_q411_margin_background_equijoin(spark):
     pair relations."""
     plan = _plan(spark, "q411_similarity_margin")
     assert "CartesianProduct" not in plan
+
+
+def test_q412_wedges_on_pair_relation(spark):
+    """Transitivity joins run on the checkpointed pair relation — no
+    corpus scan in the returned plan, no cartesian."""
+    plan = _plan(spark, "q412_dedup_transitivity")
+    assert "parquet" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_q413_audit_on_days_relation(spark):
+    """The eta-squared algebra runs on the calendar-bounded days
+    relation; the weekday-means relation broadcasts; no cartesian."""
+    plan = _plan(spark, "q413_deseasonalization_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

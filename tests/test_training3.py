@@ -1349,3 +1349,83 @@ def test_q411_margin_recompute(spark):
     # the detector's pairs must be separable from background
     assert got["youden_j"] > 0.5
     assert got["overlap_coef"] < 0.5
+
+
+def test_q412_transitivity_recompute(spark):
+    """Wedge and closure counts recomputed with plain Python sets over
+    the q24 pair graph."""
+    from collections import defaultdict
+
+    out = QUERY_REGISTRY["q412_dedup_transitivity"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    got = out[0]
+    dup = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERY_REGISTRY["q24_minhash_lsh_dedup"].fn(spark, SF_SMOKE).collect()
+    }
+    adj = defaultdict(set)
+    for a, b in dup:
+        adj[a].add(b)
+        adj[b].add(a)
+    wedges = closed = 0
+    for mid, nbrs in adj.items():
+        for x in nbrs:
+            for y in nbrs:
+                if y > x and x != mid and y != mid:
+                    wedges += 1
+                    if (x, y) in dup:
+                        closed += 1
+    assert got["n_pairs"] == len(dup)
+    assert got["n_docs"] == len(adj)
+    assert got["n_wedges"] == wedges
+    assert got["n_closed"] == closed
+    assert got["open_wedges"] == wedges - closed
+    assert abs(got["transitivity"] - closed / wedges) < 1e-5
+    assert 0.0 <= got["transitivity"] <= 1.0
+
+
+def test_q413_deseasonalization_recompute(spark):
+    """Both eta-squares recomputed from a plain float decomposition;
+    subtracting per-weekday means must remove (nearly) all weekday
+    variance from the remainder."""
+    from collections import Counter, defaultdict
+
+    from aws_datalake_platform_spark.catalog import load_table
+
+    out = QUERY_REGISTRY["q413_deseasonalization_audit"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    got = out[0]
+    ev = load_table(spark, SF_SMOKE, "events").select("ts").collect()
+    base = __import__("datetime").date(2024, 1, 1)
+    daily = Counter((r["ts"].date() - base).days for r in ev)
+    days = sorted(daily)
+    det = []
+    for d in days:
+        win = [daily.get(d + k, None) for k in range(-3, 4)]
+        if any(d + k not in daily for k in range(-3, 4)):
+            continue
+        det.append((d % 7, daily[d] - sum(win) / 7))
+    assert got["n_days"] == len(det)
+
+    def eta2(vals):
+        groups = defaultdict(list)
+        for wd, v in vals:
+            groups[wd].append(v)
+        allv = [v for _, v in vals]
+        gm = sum(allv) / len(allv)
+        ssb = sum(len(g) * (sum(g) / len(g) - gm) ** 2 for g in groups.values())
+        sst = sum((v - gm) ** 2 for v in allv)
+        return ssb / sst
+
+    e_raw = eta2(det)
+    means = defaultdict(list)
+    for wd, v in det:
+        means[wd].append(v)
+    mu = {wd: sum(v) / len(v) for wd, v in means.items()}
+    rem = [(wd, v - mu[wd]) for wd, v in det]
+    e_rem = eta2(rem)
+    assert abs(got["eta2_detrended"] - e_raw) < 1e-3
+    assert abs(got["eta2_remainder"] - e_rem) < 1e-3
+    assert got["eta2_remainder"] < 1e-6  # exact weekday means -> zero left
+    assert got["seasonality_removed"] > 0.999
+    assert got["residual_clean"] == 1
