@@ -192,6 +192,13 @@ def q379_cox_hazard_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = [(r["d1"], r["d0"], r["n1"], r["n0"]) for r in grid]
     n_times = sum(1 for d1, d0, _, _ in rows if d1 + d0 > 0)
+    if n_times == 0:  # empty/censored-only lake: schema-stable empty result
+        return spark.createDataFrame(
+            [],
+            "n_event_times long, events_urgent long, events_other long, "
+            "beta_hat double, hazard_ratio double, std_err double, "
+            "z_stat double, score_residual double",
+        )
     ev1 = sum(d1 for d1, _, _, _ in rows)
     ev0 = sum(d0 for _, d0, _, _ in rows)
     bq = 0
