@@ -195,7 +195,26 @@ def cochran_q_from_index(
     )
 
 
+def split_leakage_from_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, version: int | None = None
+) -> DataFrame:
+    """q417 (doc-split vs cluster-split leakage audit) over the stored
+    MinHash pair + cluster relations — the LSH+CC pass never re-runs;
+    only the map-side hash split over doc ids computes fresh."""
+    from ..catalog import load_table
+    from ..plans.training4 import _split_leakage
+
+    return _split_leakage(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        read_snapshot(spark, _table_path(index_dir, "minhash_pairs"), version)
+        .select("doc_a", "doc_b"),
+        read_snapshot(spark, _table_path(index_dir, "dup_clusters"), version)
+        .select("doc_id", "cluster_id"),
+    )
+
+
 FROM_INDEX_AUDITS = {
+    "q417_split_leakage_audit": split_leakage_from_index,
     "q214_dup_cluster_histogram": dup_cluster_histogram_from_index,
     "q243_golden_record": golden_record_from_index,
     "q277_detector_agreement": lambda spark, sf_dir, index_dir, version=None: (

@@ -1,0 +1,722 @@
+"""Round-7 session-5 additions: the remaining training-data-pipeline
+capability classes — data selection (DSIR hashed importance
+resampling), in-engine supervised model TRAINING (logistic regression
+via exact-replay IRLS, completing the GLM family q402 opened), and
+density-based outlier scoring (HBOS) — plus the graph/eval queries
+registered after them.
+
+Reference tie-in: the reference delegates all analytics to Athena
+(README.md:128-132); these extend the engine's analytics surface the
+same way q203-q413 did (SURVEY.md north-star ops).
+
+Every query keeps the exact-replay discipline: float terms are
+micro-quantized inside bounded relations, corpus-wide sums run over
+integers, so the DuckDB oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.core import round_half_up
+from .queries import register
+
+# ── q414: DSIR hashed-unigram importance weights (data selection) ───────────
+
+_Q414_B = 256  # hashed feature buckets
+_Q414_TOP = 25
+_Q414_SCALE = 1_000_000
+
+# portable seeded hash (q363 idiom): md5 hex -> 60-bit int -> % B
+_Q414_H = (
+    "CAST(('0x' || substr(md5('dsir|' || w), 1, 15)) AS BIGINT) % " + str(_Q414_B)
+)
+
+
+def _q414_sql() -> str:
+    b = _Q414_B
+    sc = _Q414_SCALE
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, lang, w FROM (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents
+      ) WHERE length(w) > 0
+    ),
+    feat AS (
+      SELECT doc_id, lang, {_Q414_H} AS bucket FROM toks
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS c_raw,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_tgt
+      FROM feat GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+             CAST(SUM(c_tgt) AS BIGINT) AS n_tgt
+      FROM counts
+    ),
+    llr AS (
+      SELECT bucket,
+             CAST(FLOOR((LN((c_tgt + 1.0) / (t.n_tgt + {b}))
+                         - LN((c_raw + 1.0) / (t.n_raw + {b}))) * {sc} + 0.5)
+                  AS BIGINT) AS llr_q
+      FROM counts CROSS JOIN tot t
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(l.llr_q) AS BIGINT) AS lw_q
+      FROM feat f JOIN llr l USING (bucket)
+      GROUP BY f.doc_id
+    ),
+    top AS (
+      SELECT doc_id, n_tokens, lw_q
+      FROM scored
+      ORDER BY lw_q DESC, doc_id
+      LIMIT {_Q414_TOP}
+    )
+    SELECT doc_id, n_tokens,
+           FLOOR(lw_q * 1.0 / n_tokens + 0.5) / {sc}.0 AS avg_token_llr,
+           FLOOR(lw_q / 1000.0 + 0.5) / 1000.0 AS log_weight_milli,
+           CAST(ROW_NUMBER() OVER (ORDER BY lw_q DESC, doc_id) AS INTEGER)
+             AS rank
+    FROM top
+    """
+
+
+@register(
+    "q414_dsir_importance_weights",
+    _q414_sql(),
+    doc="DSIR data selection (Xie et al., NeurIPS'23): importance "
+    "weights from hashed-unigram bag-of-words distributions. Target "
+    "distribution = English documents, raw distribution = whole "
+    "corpus; each token hashes (seeded md5, the q363 portable idiom) "
+    "into one of 256 buckets; per-bucket log-likelihood ratio "
+    "ln p_tgt(b) - ln p_raw(b) with add-one smoothing is "
+    "micro-quantized in the BOUNDED bucket relation, and a document's "
+    "log importance weight is the integer sum of its tokens' "
+    "quantized LLRs — so corpus-wide accumulation is exact on both "
+    "engines. Returns the top-25 resampling candidates: the documents "
+    "whose hashed n-gram profile looks most like the target domain.",
+)
+def q414_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the token explode is map-side; the bucket histogram is a
+    256-row relation (broadcast back); the per-doc score is one
+    map-side-combinable integer sum keyed by doc_id; top-k is a
+    TakeOrdered (sort+limit), never a global row_number. Nothing in
+    the plan grows faster than the token count, and the only
+    float->int quantization happens on 256 rows."""
+    b = _Q414_B
+    sc = _Q414_SCALE
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+    )
+    feat = toks.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("dsir|"), F.col("w"))), 1, 15), 16, 10)
+            .cast("long")
+            % b
+        ).alias("bucket"),
+    )
+    counts = feat.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("c_tgt"),
+    )
+    tot = counts.agg(
+        F.sum("c_raw").cast("long").alias("n_raw"),
+        F.sum("c_tgt").cast("long").alias("n_tgt"),
+    )
+    llr = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            (
+                F.log((F.col("c_tgt") + 1.0) / (F.col("n_tgt") + b))
+                - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + b))
+            )
+            * sc
+            + 0.5
+        )
+        .cast("long")
+        .alias("llr_q"),
+    )
+    scored = (
+        feat.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("llr_q").cast("long").alias("lw_q"),
+        )
+    )
+    top = scored.orderBy(F.desc("lw_q"), F.asc("doc_id")).limit(_Q414_TOP)
+    w = Window.orderBy(F.desc("lw_q"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(F.col("lw_q") * 1.0 / F.col("n_tokens") + 0.5) / float(sc)).alias(
+            "avg_token_llr"
+        ),
+        (F.floor(F.col("lw_q") / 1000.0 + 0.5) / 1000.0).alias("log_weight_milli"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+# ── q415: logistic-regression training via exact-replay IRLS ────────────────
+
+_Q415_ITERS = 8
+_Q415_SCALE = 1_000_000
+_Q415_MIN_WORDS = 50  # the Gopher word-count gate (operators/quality.py)
+_Q415_XW = 32  # n_chars bucket width
+_Q415_XMAX = 19
+# L2 (ridge) strength: the gate verdict is a near-deterministic function
+# of length, so the unpenalized MLE sits at infinity whenever only one
+# bucket is mixed (quasi-separation); the lambda=1 MAP estimate always
+# exists and keeps the Newton iterates bounded at every SF.
+_Q415_LAMBDA = 1
+
+
+def _q415_subjects_sql() -> str:
+    return rf"""
+    subj AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split_regex(trim(lower(text)), '\s+'))
+                       >= {_Q415_MIN_WORDS} THEN 1 ELSE 0 END AS y,
+             LEAST(n_chars // {_Q415_XW}, {_Q415_XMAX}) AS x
+      FROM documents
+    ),
+    grid AS MATERIALIZED (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS k
+      FROM subj GROUP BY x
+    )"""
+
+
+def _q415_sql() -> str:
+    sc = _Q415_SCALE
+    lam = _Q415_LAMBDA
+    head = "WITH " + _q415_subjects_sql() + f""",
+    b0 AS (SELECT CAST(0 AS BIGINT) AS b0q, CAST(0 AS BIGINT) AS b1q)"""
+    steps = []
+    for i in range(1, _Q415_ITERS + 1):
+        steps.append(f"""
+    p{i} AS (
+      SELECT g.x, g.n, g.k,
+             1.0 / (1.0 + EXP(-(b.b0q / {sc}.0 + b.b1q / {sc}.0 * g.x))) AS p
+      FROM grid g CROSS JOIN b{i - 1} b
+    ),
+    s{i} AS (
+      SELECT CAST(SUM(CAST(FLOOR((k - n * p) * {sc} + 0.5) AS BIGINT))
+                  AS BIGINT) AS g0,
+             CAST(SUM(CAST(FLOOR(x * (k - n * p) * {sc} + 0.5) AS BIGINT))
+                  AS BIGINT) AS g1,
+             CAST(SUM(CAST(FLOOR(n * p * (1 - p) * {sc} + 0.5) AS BIGINT))
+                  AS BIGINT) AS h00,
+             CAST(SUM(CAST(FLOOR(x * n * p * (1 - p) * {sc} + 0.5) AS BIGINT))
+                  AS BIGINT) AS h01,
+             CAST(SUM(CAST(FLOOR(x * x * n * p * (1 - p) * {sc} + 0.5)
+                           AS BIGINT)) AS BIGINT) AS h11
+      FROM p{i}
+    ),
+    b{i} AS (
+      SELECT CAST(b.b0q + CAST(FLOOR(((s.h11 + {lam} * {sc}) * 1.0
+                         * (s.g0 - {lam} * b.b0q)
+                       - s.h01 * 1.0 * (s.g1 - {lam} * b.b1q))
+                     / ((s.h00 + {lam} * {sc}) * 1.0 * (s.h11 + {lam} * {sc})
+                        - s.h01 * 1.0 * s.h01) * {sc} + 0.5)
+                     AS BIGINT) AS BIGINT) AS b0q,
+             CAST(b.b1q + CAST(FLOOR(((s.h00 + {lam} * {sc}) * 1.0
+                         * (s.g1 - {lam} * b.b1q)
+                       - s.h01 * 1.0 * (s.g0 - {lam} * b.b0q))
+                     / ((s.h00 + {lam} * {sc}) * 1.0 * (s.h11 + {lam} * {sc})
+                        - s.h01 * 1.0 * s.h01) * {sc} + 0.5)
+                     AS BIGINT) AS BIGINT) AS b1q
+      FROM s{i} s CROSS JOIN b{i - 1} b
+    )""")
+    last = _Q415_ITERS
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM grid) AS n_docs,
+           (SELECT CAST(SUM(k) AS BIGINT) FROM grid) AS n_positive,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM grid) AS n_buckets,
+           FLOOR(b.b0q / {sc}.0 * 1000000 + 0.5) / 1000000 AS beta0,
+           FLOOR(b.b1q / {sc}.0 * 1000000 + 0.5) / 1000000 AS beta1,
+           FLOOR(EXP(b.b1q / {sc}.0) * 1000000 + 0.5) / 1000000
+             AS odds_ratio_per_bucket,
+           FLOOR(SQRT((s.h00 + {lam} * {sc}) * 1.0
+                      / ((s.h00 + {lam} * {sc}) * 1.0 * (s.h11 + {lam} * {sc})
+                         - s.h01 * 1.0 * s.h01)
+                      * {sc}.0) * 1000000 + 0.5) / 1000000 AS se_beta1,
+           FLOOR((b.b1q / {sc}.0)
+                 / SQRT((s.h00 + {lam} * {sc}) * 1.0
+                        / ((s.h00 + {lam} * {sc}) * 1.0
+                           * (s.h11 + {lam} * {sc})
+                           - s.h01 * 1.0 * s.h01) * {sc}.0)
+                 * 1000000 + 0.5) / 1000000 AS z_beta1,
+           FLOOR(ABS((s.g0 - {lam} * bp.b0q) / {sc}.0) * 1000000 + 0.5)
+             / 1000000 AS score_residual0,
+           FLOOR(ABS((s.g1 - {lam} * bp.b1q) / {sc}.0) * 1000000 + 0.5)
+             / 1000000 AS score_residual1
+    FROM b{last} b CROSS JOIN s{last} s CROSS JOIN b{last - 1} bp
+    """
+    )
+
+
+@register(
+    "q415_logistic_quality_irls",
+    _q415_sql(),
+    doc="In-engine logistic-regression TRAINING via IRLS/Newton — the "
+    "binomial GLM completing the family q402's Poisson GLM opened. "
+    "The classic filter-distillation setup: the EXPENSIVE label "
+    "(y = the Gopher word-count gate, which needs tokenization) is "
+    "distilled into a model over the CHEAP stored-metadata feature "
+    "(x = n_chars/32 bucket, capped at 19) so new documents can be "
+    "pre-screened without re-tokenizing. Ridge (lambda=1) MAP fit: "
+    "the gate is near-deterministic in length, so the unpenalized "
+    "MLE diverges under quasi-separation; the L2 prior pins a finite "
+    "optimum at every corpus size. The sufficient statistic is the "
+    "20-bucket (n, k) histogram, so the optimizer runs over a "
+    "BOUNDED grid: 8 Newton steps with the closed-form 2x2 Hessian "
+    "solve, beta held as integer micros, per-bucket gradient/Hessian "
+    "terms micro-quantized before the sum (the q379 idiom), the "
+    "ridge terms exact integers — the whole fit is hash-exact on "
+    "both engines. Reports coefficients, the per-bucket odds ratio, "
+    "the posterior-curvature SE/z for the slope, and the final "
+    "score residuals (~0: the convergence certificate).",
+)
+def q415_logistic_quality_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: labeling is a map-only stage (one split+size per doc, no
+    shuffle), the histogram is a 20-row aggregate, and the Newton loop
+    runs on a driver-side copy of that bounded grid (q379/q402
+    bounded-collect pattern) in arithmetic identical to the oracle's
+    unrolled CTEs. Corpus-width work happens exactly once — and the
+    FITTED model then screens future documents for free (a metadata
+    filter, no tokenization), which is the point of distillation."""
+    sc = _Q415_SCALE
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    subj = docs.select(
+        "doc_id",
+        F.when(
+            F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= _Q415_MIN_WORDS, 1
+        )
+        .otherwise(0)
+        .alias("y"),
+        F.least(
+            F.floor(F.col("n_chars") / _Q415_XW).cast("long"),
+            F.lit(_Q415_XMAX).cast("long"),
+        ).alias("x"),
+    )
+    grid = (
+        subj.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("k"))
+        .collect()  # bounded: <= 20 n_chars buckets
+    )
+    rows = [(r["x"], r["n"], r["k"]) for r in grid]
+    if not rows:  # empty lake: schema-stable empty result
+        return spark.createDataFrame(
+            [],
+            "n_docs long, n_positive long, n_buckets long, beta0 double, "
+            "beta1 double, odds_ratio_per_bucket double, se_beta1 double, "
+            "z_beta1 double, score_residual0 double, score_residual1 double",
+        )
+    n_docs = sum(n for _, n, _ in rows)
+    n_pos = sum(k for _, _, k in rows)
+    lam = _Q415_LAMBDA
+    b0q = b1q = 0
+    g0 = g1 = h00 = h01 = h11 = 0
+    for _ in range(_Q415_ITERS):
+        g0 = g1 = h00 = h01 = h11 = 0
+        for x, n, k in rows:
+            p = 1.0 / (1.0 + math.exp(-(b0q / float(sc) + b1q / float(sc) * x)))
+            g0 += math.floor((k - n * p) * sc + 0.5)
+            g1 += math.floor(x * (k - n * p) * sc + 0.5)
+            h00 += math.floor(n * p * (1 - p) * sc + 0.5)
+            h01 += math.floor(x * n * p * (1 - p) * sc + 0.5)
+            h11 += math.floor(x * x * n * p * (1 - p) * sc + 0.5)
+        g0 -= lam * b0q
+        g1 -= lam * b1q
+        h00 += lam * sc
+        h11 += lam * sc
+        det = h00 * 1.0 * h11 - h01 * 1.0 * h01
+        b0q += math.floor((h11 * 1.0 * g0 - h01 * 1.0 * g1) / det * sc + 0.5)
+        b1q += math.floor((h00 * 1.0 * g1 - h01 * 1.0 * g0) / det * sc + 0.5)
+    out = spark.createDataFrame(
+        [(n_docs, n_pos, len(rows), b0q, b1q, g0, g1, h00, h01, h11)],
+        "n_docs long, n_pos long, n_buckets long, b0q long, b1q long, "
+        "g0 long, g1 long, h00 long, h01 long, h11 long",
+    )
+    scf = float(sc)
+    det = F.col("h00") * 1.0 * F.col("h11") - F.col("h01") * 1.0 * F.col("h01")
+    se1 = F.sqrt(F.col("h00") * 1.0 / det * scf)
+    return out.select(
+        F.col("n_docs"),
+        F.col("n_pos").alias("n_positive"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        round_half_up(F.col("b0q") / scf, 6).alias("beta0"),
+        round_half_up(F.col("b1q") / scf, 6).alias("beta1"),
+        round_half_up(F.exp(F.col("b1q") / scf), 6).alias("odds_ratio_per_bucket"),
+        round_half_up(se1, 6).alias("se_beta1"),
+        round_half_up((F.col("b1q") / scf) / se1, 6).alias("z_beta1"),
+        round_half_up(F.abs(F.col("g0") / scf), 6).alias("score_residual0"),
+        round_half_up(F.abs(F.col("g1") / scf), 6).alias("score_residual1"),
+    )
+
+
+# ── q416: HBOS histogram-based outlier scores ────────────────────────────────
+
+_Q416_BINS = 16
+_Q416_TOP = 20
+_Q416_SCALE = 1_000_000
+
+
+def _q416_sql() -> str:
+    b = _Q416_BINS
+    sc = _Q416_SCALE
+    return f"""
+    WITH feat AS (
+      SELECT o.o_orderkey,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_items
+      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_totalprice
+    ),
+    rng AS (
+      SELECT MIN(cents) AS c_lo, MAX(cents) AS c_hi,
+             MIN(n_items) AS i_lo, MAX(n_items) AS i_hi,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM feat
+    ),
+    binned AS (
+      SELECT f.o_orderkey, f.cents, f.n_items,
+             LEAST(CAST(FLOOR((f.cents - r.c_lo) * {b} * 1.0
+                        / GREATEST(r.c_hi - r.c_lo + 1, 1)) AS BIGINT),
+                   {b - 1}) AS cb,
+             LEAST(CAST(FLOOR((f.n_items - r.i_lo) * {b} * 1.0
+                        / GREATEST(r.i_hi - r.i_lo + 1, 1)) AS BIGINT),
+                   {b - 1}) AS ib
+      FROM feat f CROSS JOIN rng r
+    ),
+    chist AS (
+      SELECT cb, CAST(FLOOR(-LN(COUNT(*) * 1.0 / r.n) * {sc} + 0.5) AS BIGINT)
+               AS sc_q
+      FROM binned CROSS JOIN rng r GROUP BY cb, r.n
+    ),
+    ihist AS (
+      SELECT ib, CAST(FLOOR(-LN(COUNT(*) * 1.0 / r.n) * {sc} + 0.5) AS BIGINT)
+               AS si_q
+      FROM binned CROSS JOIN rng r GROUP BY ib, r.n
+    ),
+    scored AS (
+      SELECT b.o_orderkey, b.cents, b.n_items,
+             c.sc_q + i.si_q AS hbos_q
+      FROM binned b JOIN chist c USING (cb) JOIN ihist i USING (ib)
+    ),
+    top AS (
+      SELECT * FROM scored ORDER BY hbos_q DESC, o_orderkey LIMIT {_Q416_TOP}
+    )
+    SELECT o_orderkey,
+           FLOOR(cents) / 100.0 AS total_price,
+           n_items,
+           FLOOR(hbos_q / 1000.0 + 0.5) / 1000.0 AS hbos_score_milli,
+           CAST(ROW_NUMBER() OVER (ORDER BY hbos_q DESC, o_orderkey)
+                AS INTEGER) AS rank
+    FROM top
+    """
+
+
+@register(
+    "q416_hbos_outliers",
+    _q416_sql(),
+    doc="HBOS histogram-based outlier scoring (Goldstein & Dengel, "
+    "KI'12): per-order features (total price in integer cents, "
+    "lineitem count) bin into 16 equal-width bins with PURE INTEGER "
+    "bin assignment ((x-lo)*B / (hi-lo+1) — no float boundary risk); "
+    "each bin's negative log density is micro-quantized in the "
+    "bounded 16-row histogram, and an order's HBOS score is the "
+    "integer sum of its bins' scores. Top-20 outliers: the orders in "
+    "the rarest (price x size) density cells.",
+)
+def q416_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one join+agg builds the feature relation (shuffle keyed
+    by orderkey); min/max is a scalar agg broadcast back; both
+    histograms are 16-row relations broadcast into a map-side score
+    join; top-k is a TakeOrdered. The density model is two O(B)
+    relations regardless of corpus size — HBOS is exactly the outlier
+    detector that survives 100 TB, which is why it beats kNN-based
+    scoring (q273) as the default screen."""
+    b = _Q416_BINS
+    sc = _Q416_SCALE
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    feat = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count("l_orderkey").alias("n_items"))
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+            F.col("n_items").cast("long"),
+        )
+    )
+    rng = feat.agg(
+        F.min("cents").alias("c_lo"),
+        F.max("cents").alias("c_hi"),
+        F.min("n_items").alias("i_lo"),
+        F.max("n_items").alias("i_hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = feat.crossJoin(F.broadcast(rng)).select(
+        "o_orderkey",
+        "cents",
+        "n_items",
+        F.least(
+            F.floor(
+                (F.col("cents") - F.col("c_lo"))
+                * b
+                * 1.0
+                / F.greatest(F.col("c_hi") - F.col("c_lo") + 1, F.lit(1))
+            ).cast("long"),
+            F.lit(b - 1).cast("long"),
+        ).alias("cb"),
+        F.least(
+            F.floor(
+                (F.col("n_items") - F.col("i_lo"))
+                * b
+                * 1.0
+                / F.greatest(F.col("i_hi") - F.col("i_lo") + 1, F.lit(1))
+            ).cast("long"),
+            F.lit(b - 1).cast("long"),
+        ).alias("ib"),
+        F.col("n"),
+    )
+    chist = binned.groupBy("cb", "n").agg(
+        F.floor(-F.log(F.count(F.lit(1)) * 1.0 / F.col("n")) * sc + 0.5)
+        .cast("long")
+        .alias("sc_q")
+    ).select("cb", "sc_q")
+    ihist = binned.groupBy("ib", "n").agg(
+        F.floor(-F.log(F.count(F.lit(1)) * 1.0 / F.col("n")) * sc + 0.5)
+        .cast("long")
+        .alias("si_q")
+    ).select("ib", "si_q")
+    scored = (
+        binned.join(F.broadcast(chist), "cb")
+        .join(F.broadcast(ihist), "ib")
+        .select(
+            "o_orderkey",
+            "cents",
+            "n_items",
+            (F.col("sc_q") + F.col("si_q")).alias("hbos_q"),
+        )
+    )
+    top = scored.orderBy(F.desc("hbos_q"), F.asc("o_orderkey")).limit(_Q416_TOP)
+    w = Window.orderBy(F.desc("hbos_q"), F.asc("o_orderkey"))
+    return top.select(
+        "o_orderkey",
+        (F.floor(F.col("cents")) / 100.0).alias("total_price"),
+        "n_items",
+        (F.floor(F.col("hbos_q") / 1000.0 + 0.5) / 1000.0).alias("hbos_score_milli"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+# ── q417: leakage-safe split audit (group split vs doc split) ────────────────
+
+_Q417_EVAL_T = int(0.1 * (1 << 60))  # deterministic 10% eval (q66 idiom)
+
+
+def _q417_split_case(key_expr: str) -> str:
+    return (
+        f"CASE WHEN CAST(('0x' || substr(md5('split|' || "
+        f"CAST({key_expr} AS VARCHAR)), 1, 15)) AS BIGINT) "
+        f"< {_Q417_EVAL_T} THEN 1 ELSE 0 END"
+    )
+
+
+def _q417_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    clusters = _REGISTRY["q68_dup_clusters"].sql
+    pairs = _REGISTRY["q24_minhash_lsh_dedup"].sql
+    return f"""
+    WITH cl AS ({clusters}),
+    pairs AS ({pairs}),
+    splits AS MATERIALIZED (
+      SELECT d.doc_id,
+             {_q417_split_case("d.doc_id")} AS ev_doc,
+             {_q417_split_case("COALESCE(c.cluster_id, d.doc_id)")} AS ev_grp
+      FROM documents d LEFT JOIN cl c ON c.doc_id = d.doc_id
+    ),
+    flags AS (
+      SELECT a.ev_doc AS ea_d, b.ev_doc AS eb_d,
+             a.ev_grp AS ea_g, b.ev_grp AS eb_g
+      FROM pairs p
+      JOIN splits a ON a.doc_id = p.doc_a
+      JOIN splits b ON b.doc_id = p.doc_b
+    ),
+    pair_stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN ea_d <> eb_d THEN 1 ELSE 0 END) AS BIGINT)
+               AS cross_doc,
+             CAST(SUM(CASE WHEN ea_g <> eb_g THEN 1 ELSE 0 END) AS BIGINT)
+               AS cross_grp
+      FROM flags
+    ),
+    doc_stats AS (
+      SELECT CAST(SUM(ev_doc) AS BIGINT) AS eval_doc,
+             CAST(SUM(ev_grp) AS BIGINT) AS eval_grp,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM splits
+    )
+    SELECT s.scheme, d.n_docs,
+           CASE s.scheme WHEN 'by_doc' THEN d.eval_doc ELSE d.eval_grp END
+             AS n_eval_docs,
+           p.n_pairs AS n_dup_pairs,
+           CASE s.scheme WHEN 'by_doc' THEN p.cross_doc ELSE p.cross_grp END
+             AS n_cross_pairs,
+           FLOOR(CASE s.scheme WHEN 'by_doc' THEN p.cross_doc
+                               ELSE p.cross_grp END
+                 * 100.0 / GREATEST(p.n_pairs, 1) * 10000 + 0.5) / 10000
+             AS leak_rate_pct
+    FROM (SELECT 'by_doc' AS scheme UNION ALL SELECT 'by_cluster') s
+    CROSS JOIN pair_stats p CROSS JOIN doc_stats d
+    ORDER BY scheme
+    """
+
+
+@register(
+    "q417_split_leakage_audit",
+    _q417_sql(),
+    doc="Leakage-safe train/eval splitting, the audit: a deterministic "
+    "10% eval split keyed by doc_id leaks near-duplicate pairs across "
+    "the boundary (a trained model is then evaluated on near-copies "
+    "of its training documents — the classic inflated-eval bug), "
+    "while the SAME hash split keyed by the q68 dedup CLUSTER id "
+    "keeps every near-dup clique on one side by construction. "
+    "Reports, per scheme: eval-doc count, the MinHash-verified dup "
+    "pair count, pairs crossing the boundary, and the leak rate — "
+    "by_cluster is structurally 0.",
+)
+def q417_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the pair relation and cluster labels are the q24/q68
+    bucketed shapes (never all-pairs); splits are a map-side hash per
+    doc; the audit joins pairs to the two split flags and folds to one
+    row per scheme. In a deployment the cluster relation comes from
+    the materialized audit index (split_leakage_from_index in
+    pipelines/audit_index.py) and this query drops to a sub-second
+    re-aggregation; the fresh-compute registry entry IS the
+    full-recompute twin (q214/q277 precedent)."""
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the pair relation ONCE: it feeds both the CC loop and
+    # the flags join, and persist() is not honored under the
+    # nondeterministic Arrow-UDF lineage (the q191 localCheckpoint
+    # lesson, SURVEY round-7 #4)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5
+    ).localCheckpoint(eager=True)
+    comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    return _split_leakage(docs, pairs, comp)
+
+
+def _split_leakage(
+    docs: DataFrame, pairs: DataFrame, clusters: DataFrame
+) -> DataFrame:
+    """Shared core for q417 and its from-index twin."""
+
+    def split_flag(key) -> F.Column:
+        return F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("split|"), key.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            < _Q417_EVAL_T,
+            1,
+        ).otherwise(0)
+
+    splits = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            split_flag(F.col("doc_id")).alias("ev_doc"),
+            split_flag(F.coalesce("cluster_id", "doc_id")).alias("ev_grp"),
+        )
+    )
+    a = splits.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ev_doc").alias("ea_d"),
+        F.col("ev_grp").alias("ea_g"),
+    )
+    b = splits.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ev_doc").alias("eb_d"),
+        F.col("ev_grp").alias("eb_g"),
+    )
+    pair_stats = (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("ea_d") != F.col("eb_d"), 1).otherwise(0))
+            .cast("long")
+            .alias("cross_doc"),
+            F.sum(F.when(F.col("ea_g") != F.col("eb_g"), 1).otherwise(0))
+            .cast("long")
+            .alias("cross_grp"),
+        )
+    )
+    doc_stats = splits.agg(
+        F.sum("ev_doc").cast("long").alias("eval_doc"),
+        F.sum("ev_grp").cast("long").alias("eval_grp"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    spark = docs.sparkSession
+    schemes = spark.createDataFrame(
+        [("by_cluster",), ("by_doc",)], "scheme string"
+    )
+    joined = schemes.crossJoin(F.broadcast(pair_stats)).crossJoin(
+        F.broadcast(doc_stats)
+    )
+    is_doc = F.col("scheme") == "by_doc"
+    n_cross = F.when(is_doc, F.col("cross_doc")).otherwise(F.col("cross_grp"))
+    return joined.select(
+        "scheme",
+        "n_docs",
+        F.when(is_doc, F.col("eval_doc"))
+        .otherwise(F.col("eval_grp"))
+        .alias("n_eval_docs"),
+        F.col("n_pairs").alias("n_dup_pairs"),
+        n_cross.alias("n_cross_pairs"),
+        (
+            F.floor(
+                n_cross * 100.0 / F.greatest(F.col("n_pairs"), F.lit(1)) * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("leak_rate_pct"),
+    ).orderBy("scheme")

@@ -111,6 +111,22 @@ def test_cochran_q_from_index_equals_q367(spark, index_dir):
     assert _rows(twin) == _rows(fresh)
 
 
+def test_split_leakage_from_index_equals_q417(spark, index_dir):
+    from aws_datalake_platform_spark.pipelines.audit_index import (
+        split_leakage_from_index,
+    )
+
+    fresh = QUERY_REGISTRY["q417_split_leakage_audit"].fn(spark, SF)
+    twin = split_leakage_from_index(spark, SF, index_dir)
+    assert twin.columns == fresh.columns
+    assert _rows(twin) == _rows(fresh)
+    # the structural claim: cluster-keyed splitting cannot leak
+    rows = {r["scheme"]: r for r in fresh.collect()}
+    assert rows["by_cluster"]["n_cross_pairs"] == 0
+    assert rows["by_cluster"]["leak_rate_pct"] == 0.0
+    assert rows["by_doc"]["n_dup_pairs"] == rows["by_cluster"]["n_dup_pairs"]
+
+
 def test_rematerialize_versions_and_time_travel(spark, index_dir):
     """Re-materializing commits version 2 per table; the audits accept
     an explicit version (time-travel over the index history)."""
