@@ -720,3 +720,590 @@ def _split_leakage(
             / 10000
         ).alias("leak_rate_pct"),
     ).orderBy("scheme")
+
+
+# ── q418: ChiMerge supervised binning plan ───────────────────────────────────
+
+_Q418_BASE = 16  # initial equal-width bins
+_Q418_MERGES = 8  # bottom-up merge rounds -> 8 final bins
+_Q418_SCALE = 1_000_000
+
+
+def _q418_sql() -> str:
+    nb = _Q418_BASE
+    sc = _Q418_SCALE
+    head = f"""
+    WITH feat AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    rng AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM feat),
+    hist0 AS MATERIALIZED (
+      SELECT LEAST(CAST(FLOOR((f.cents - r.lo) * {nb} * 1.0
+                   / GREATEST(r.hi - r.lo + 1, 1)) AS BIGINT), {nb - 1})
+               AS base_bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(f.y) AS BIGINT) AS k
+      FROM feat f CROSS JOIN rng r
+      GROUP BY 1
+    ),
+    m0 AS (SELECT base_bin, base_bin AS mb FROM hist0)"""
+    steps = []
+    for i in range(1, _Q418_MERGES + 1):
+        steps.append(f"""
+    h{i} AS (
+      SELECT m.mb, CAST(SUM(h.n) AS BIGINT) AS n, CAST(SUM(h.k) AS BIGINT) AS k
+      FROM hist0 h JOIN m{i - 1} m USING (base_bin) GROUP BY m.mb
+    ),
+    adj{i} AS (
+      SELECT mb AS b1, LEAD(mb) OVER (ORDER BY mb) AS b2,
+             k AS a, n - k AS b,
+             LEAD(k) OVER (ORDER BY mb) AS c,
+             LEAD(n - k) OVER (ORDER BY mb) AS d
+      FROM h{i}
+    ),
+    best{i} AS (
+      SELECT b1, b2,
+             CASE WHEN a + c = 0 OR b + d = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(FLOOR((a + b + c + d) * 1.0
+                         * (a * d - b * c) * (a * d - b * c)
+                         / ((a + c) * 1.0 * (b + d) * (a + b) * (c + d))
+                         * {sc} + 0.5) AS BIGINT) END AS chi2_q
+      FROM adj{i} WHERE b2 IS NOT NULL
+      ORDER BY chi2_q, b1 LIMIT 1
+    ),
+    m{i} AS (
+      SELECT m.base_bin,
+             CASE WHEN m.mb = b.b2 THEN b.b1 ELSE m.mb END AS mb
+      FROM m{i - 1} m CROSS JOIN best{i} b
+    )""")
+    last = _Q418_MERGES
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY t.mb) AS INTEGER) AS bin_rank,
+           CAST(COUNT(*) OVER () AS INTEGER) AS n_final_bins,
+           t.n_base_bins, t.first_base_bin, t.last_base_bin,
+           t.n_orders, t.n_high_priority,
+           FLOOR(t.n_high_priority * 100.0 / t.n_orders * 10000 + 0.5) / 10000
+             AS high_rate_pct
+    FROM (
+      SELECT m.mb,
+             CAST(COUNT(*) AS BIGINT) AS n_base_bins,
+             CAST(MIN(m.base_bin) AS BIGINT) AS first_base_bin,
+             CAST(MAX(m.base_bin) AS BIGINT) AS last_base_bin,
+             CAST(SUM(h.n) AS BIGINT) AS n_orders,
+             CAST(SUM(h.k) AS BIGINT) AS n_high_priority
+      FROM hist0 h JOIN m{last} m USING (base_bin)
+      GROUP BY m.mb
+    ) t
+    ORDER BY bin_rank
+    """
+    )
+
+
+@register(
+    "q418_chimerge_binning_plan",
+    _q418_sql(),
+    doc="ChiMerge supervised discretization (Kerber, AAAI'92): start "
+    "from 16 equal-width order-value bins and bottom-up merge the "
+    "adjacent pair with the LOWEST chi-squared against the label "
+    "(order priority URGENT/HIGH) for 8 rounds — the pairs the label "
+    "cannot distinguish collapse first, leaving bin edges that track "
+    "real signal. The 2x2 chi-squared per adjacent pair is computed "
+    "on the bounded histogram with the integer cross-product exact "
+    "and one micro-quantized double division; degenerate pairs "
+    "(either class absent in both bins) merge first, the standard "
+    "zero-expected rule. Returns the 8 surviving bins with base-bin "
+    "ranges and positive rates — the binning plan a WOE/IV encoder "
+    "(q211) or a scorecard model consumes.",
+)
+def q418_chimerge_binning_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: ONE scan builds the 16-bin (n, k) histogram (map-side
+    combinable agg on integer bin ids); the merge loop runs on the
+    driver-side copy of that bounded histogram (q379/q415 bounded-
+    collect pattern) in arithmetic identical to the oracle's unrolled
+    CTE rounds. Corpus-width work is one pass regardless of rounds."""
+    nb = _Q418_BASE
+    sc = _Q418_SCALE
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderpriority"
+    )
+    feat = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+    )
+    rng = feat.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    hist = (
+        feat.crossJoin(F.broadcast(rng))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("cents") - F.col("lo"))
+                    * nb
+                    * 1.0
+                    / F.greatest(F.col("hi") - F.col("lo") + 1, F.lit(1))
+                ).cast("long"),
+                F.lit(nb - 1).cast("long"),
+            ).alias("base_bin"),
+            "y",
+        )
+        .groupBy("base_bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("k"))
+        .collect()  # bounded: <= 16 base bins
+    )
+    if not hist:
+        return spark.createDataFrame(
+            [],
+            "bin_rank int, n_final_bins int, n_base_bins long, "
+            "first_base_bin long, last_base_bin long, n_orders long, "
+            "n_high_priority long, high_rate_pct double",
+        )
+    base = {r["base_bin"]: (r["n"], r["k"]) for r in hist}
+    mb = {bb: bb for bb in base}  # base_bin -> merged bin label
+    for _ in range(_Q418_MERGES):
+        merged: dict[int, list[int]] = {}
+        for bb, lab in mb.items():
+            merged.setdefault(lab, []).append(bb)
+        labs = sorted(merged)
+        if len(labs) < 2:
+            break
+        cand = []
+        for j in range(len(labs) - 1):
+            n1 = sum(base[bb][0] for bb in merged[labs[j]])
+            k1 = sum(base[bb][1] for bb in merged[labs[j]])
+            n2 = sum(base[bb][0] for bb in merged[labs[j + 1]])
+            k2 = sum(base[bb][1] for bb in merged[labs[j + 1]])
+            a, b, c, d = k1, n1 - k1, k2, n2 - k2
+            if a + c == 0 or b + d == 0:
+                q = 0
+            else:
+                adbc = a * d - b * c
+                q = math.floor(
+                    (a + b + c + d) * 1.0 * adbc * adbc
+                    / ((a + c) * 1.0 * (b + d) * (a + b) * (c + d))
+                    * sc
+                    + 0.5
+                )
+            cand.append((q, labs[j], labs[j + 1]))
+        _, b1, b2 = min(cand)
+        for bb, lab in mb.items():
+            if lab == b2:
+                mb[bb] = b1
+    final: dict[int, list[int]] = {}
+    for bb, lab in mb.items():
+        final.setdefault(lab, []).append(bb)
+    rows = []
+    for lab in sorted(final):
+        bins = final[lab]
+        rows.append(
+            (
+                len(bins),
+                min(bins),
+                max(bins),
+                sum(base[bb][0] for bb in bins),
+                sum(base[bb][1] for bb in bins),
+            )
+        )
+    out = spark.createDataFrame(
+        [
+            (i + 1, len(rows), nbb, fb, lb, n, k)
+            for i, (nbb, fb, lb, n, k) in enumerate(rows)
+        ],
+        "bin_rank int, n_final_bins int, n_base_bins long, first_base_bin "
+        "long, last_base_bin long, n_orders long, n_high_priority long",
+    )
+    return out.select(
+        "bin_rank",
+        "n_final_bins",
+        "n_base_bins",
+        "first_base_bin",
+        "last_base_bin",
+        "n_orders",
+        "n_high_priority",
+        (
+            F.floor(
+                F.col("n_high_priority") * 100.0 / F.col("n_orders") * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("high_rate_pct"),
+    ).orderBy("bin_rank")
+
+
+# ── q419: DoReMi-style domain mixture plan ───────────────────────────────────
+
+_Q419_TAU = 0.01  # reweighting temperature over per-token excess nats
+_Q419_ALPHA = 0.5  # smoothing toward the natural token distribution
+_Q419_SCALE = 1_000_000
+
+
+def _q419_sql() -> str:
+    sc = _Q419_SCALE
+    return rf"""
+    WITH toks AS (
+      SELECT source, w FROM (
+        SELECT source,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents
+      ) WHERE length(w) > 0
+    ),
+    vocab AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab),
+    nll AS MATERIALIZED (
+      SELECT w, c,
+             CAST(FLOOR(-LN(c * 1.0 / t.t) * {sc} + 0.5) AS BIGINT) AS nll_q
+      FROM vocab CROSS JOIN tot t
+    ),
+    src AS (
+      SELECT s.source,
+             CAST(COUNT(*) AS BIGINT) AS t_s,
+             CAST(SUM(n.nll_q) AS BIGINT) AS nll_sum
+      FROM toks s JOIN nll n USING (w)
+      GROUP BY s.source
+    ),
+    base AS (
+      SELECT CAST(FLOOR(SUM(c * 1.0 * nll_q) / SUM(c) + 0.5) AS BIGINT)
+               AS ce_all_q
+      FROM nll
+    ),
+    ce AS MATERIALIZED (
+      SELECT source, t_s,
+             CAST(FLOOR(nll_sum * 1.0 / t_s + 0.5) AS BIGINT) AS ce_q,
+             CAST(FLOOR(nll_sum * 1.0 / t_s + 0.5) AS BIGINT) - b.ce_all_q
+               AS excess_q
+      FROM src CROSS JOIN base b
+    ),
+    soft AS MATERIALIZED (
+      SELECT source, t_s, ce_q, excess_q,
+             CAST(FLOOR(EXP(excess_q / {sc}.0 / {_Q419_TAU}) * {sc} + 0.5)
+                  AS BIGINT) AS e_q
+      FROM ce
+    ),
+    z AS (
+      SELECT CAST(SUM(e_q) AS BIGINT) AS z_e, CAST(SUM(t_s) AS BIGINT) AS z_t
+      FROM soft
+    )
+    SELECT s.source,
+           s.t_s AS n_tokens,
+           FLOOR(s.t_s * 100.0 / z.z_t * 10000 + 0.5) / 10000
+             AS natural_share_pct,
+           FLOOR(s.ce_q / 1000.0 + 0.5) / 1000.0 AS ce_milli_nats,
+           FLOOR(s.excess_q / 1000.0 + 0.5) / 1000.0 AS excess_milli_nats,
+           FLOOR(s.e_q * 100.0 / z.z_e * 10000 + 0.5) / 10000
+             AS doremi_share_pct,
+           FLOOR(({_Q419_ALPHA} * s.e_q * 1.0 / z.z_e
+                  + (1 - {_Q419_ALPHA}) * s.t_s * 1.0 / z.z_t)
+                 * 100 * 10000 + 0.5) / 10000 AS mixture_share_pct
+    FROM soft s CROSS JOIN z
+    ORDER BY mixture_share_pct DESC, source
+    """
+
+
+@register(
+    "q419_domain_mixture_plan",
+    _q419_sql(),
+    doc="Training-mixture reweighting in the DoReMi spirit (Xie et "
+    "al., NeurIPS'23): per-source unigram cross-entropy against the "
+    "corpus-wide LM is the excess-loss signal; sources whose text the "
+    "reference model fits WORST get upweighted via an exponential "
+    "tilt exp(excess/tau), then smoothed halfway back toward the "
+    "natural token distribution (the standard guard against starving "
+    "any domain). Per-token NLL terms are micro-quantized on the "
+    "UNIQUE-vocabulary relation, per-source sums are exact integers, "
+    "and the 20-row softmax is micro-quantized — hash-exact end to "
+    "end. Output: one row per source with natural share, "
+    "cross-entropy, excess, the DoReMi tilt, and the final mixture "
+    "share a training-data sampler consumes.",
+)
+def q419_domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the vocab aggregate shuffles UNIQUE words (zipf-bounded);
+    the NLL table broadcasts back onto the token stream for one
+    map-side-combinable per-source integer sum; everything after is a
+    20-row relation. One corpus pass, one vocab pass — the same
+    two-shuffle shape as q405, but emitting an actionable sampling
+    plan instead of a diagnostic matrix."""
+    sc = _Q419_SCALE
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = vocab.agg(F.sum("c").cast("long").alias("t"))
+    nll = vocab.crossJoin(F.broadcast(tot)).select(
+        "w",
+        "c",
+        F.floor(-F.log(F.col("c") * 1.0 / F.col("t")) * sc + 0.5)
+        .cast("long")
+        .alias("nll_q"),
+    )
+    src = (
+        toks.join(F.broadcast(nll.select("w", "nll_q")), "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("t_s"),
+            F.sum("nll_q").cast("long").alias("nll_sum"),
+        )
+    )
+    base = nll.agg(
+        F.floor(
+            F.sum(F.col("c") * 1.0 * F.col("nll_q")) / F.sum("c") + 0.5
+        )
+        .cast("long")
+        .alias("ce_all_q")
+    )
+    ce_q = F.floor(F.col("nll_sum") * 1.0 / F.col("t_s") + 0.5).cast("long")
+    ce = src.crossJoin(F.broadcast(base)).select(
+        "source",
+        "t_s",
+        ce_q.alias("ce_q"),
+        (ce_q - F.col("ce_all_q")).alias("excess_q"),
+    )
+    soft = ce.select(
+        "source",
+        "t_s",
+        "ce_q",
+        "excess_q",
+        F.floor(F.exp(F.col("excess_q") / float(sc) / _Q419_TAU) * sc + 0.5)
+        .cast("long")
+        .alias("e_q"),
+    )
+    z = soft.agg(
+        F.sum("e_q").cast("long").alias("z_e"),
+        F.sum("t_s").cast("long").alias("z_t"),
+    )
+    joined = soft.crossJoin(F.broadcast(z))
+    return joined.select(
+        "source",
+        F.col("t_s").alias("n_tokens"),
+        (
+            F.floor(F.col("t_s") * 100.0 / F.col("z_t") * 10000 + 0.5) / 10000
+        ).alias("natural_share_pct"),
+        (F.floor(F.col("ce_q") / 1000.0 + 0.5) / 1000.0).alias("ce_milli_nats"),
+        (F.floor(F.col("excess_q") / 1000.0 + 0.5) / 1000.0).alias(
+            "excess_milli_nats"
+        ),
+        (
+            F.floor(F.col("e_q") * 100.0 / F.col("z_e") * 10000 + 0.5) / 10000
+        ).alias("doremi_share_pct"),
+        (
+            F.floor(
+                (
+                    _Q419_ALPHA * F.col("e_q") * 1.0 / F.col("z_e")
+                    + (1 - _Q419_ALPHA) * F.col("t_s") * 1.0 / F.col("z_t")
+                )
+                * 100
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("mixture_share_pct"),
+    ).orderBy(F.desc("mixture_share_pct"), F.asc("source"))
+
+
+# ── q420: BPE tokenizer merge training (exact-replay, pure integers) ─────────
+
+_Q420_MERGES = 6
+
+
+def _q420_sql() -> str:
+    head = r"""
+    WITH words AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents
+      ) WHERE length(w) >= 2 GROUP BY w
+    ),
+    w0 AS MATERIALIZED (
+      SELECT w AS word, cnt,
+             CAST(unnest(range(1, length(w) + 1)) AS BIGINT) AS pos,
+             unnest(list_transform(range(1, length(w) + 1),
+                                   i -> substr(w, i, 1))) AS sym
+      FROM words
+    )"""
+    steps = []
+    for k in range(1, _Q420_MERGES + 1):
+        steps.append(f"""
+    pr{k} AS MATERIALIZED (
+      SELECT word, cnt, pos, sym,
+             LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM w{k - 1}
+    ),
+    best{k} AS MATERIALIZED (
+      SELECT sym AS s1, nxt AS s2, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM pr{k} WHERE nxt IS NOT NULL
+      GROUP BY sym, nxt
+      ORDER BY c DESC, s1, s2 LIMIT 1
+    ),
+    mt{k} AS (
+      SELECT p.word, p.cnt, p.pos, p.sym, b.s2,
+             (p.sym = b.s1 AND p.nxt IS NOT NULL AND p.nxt = b.s2) AS m
+      FROM pr{k} p CROSS JOIN best{k} b
+    ),
+    km{k} AS (
+      SELECT *, CASE WHEN m THEN pos - ROW_NUMBER() OVER
+               (PARTITION BY word, m ORDER BY pos) END AS isl
+      FROM mt{k}
+    ),
+    kp{k} AS (
+      SELECT *, m AND (ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY pos)
+                       % 2 = 1) AS keep
+      FROM km{k}
+    ),
+    dp{k} AS (
+      SELECT *, COALESCE(LAG(keep) OVER (PARTITION BY word ORDER BY pos),
+                         FALSE) AS prev_keep
+      FROM kp{k}
+    ),
+    w{k} AS MATERIALIZED (
+      SELECT word, cnt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
+                  AS BIGINT) AS pos,
+             CASE WHEN keep THEN sym || s2 ELSE sym END AS sym
+      FROM dp{k} WHERE keep OR NOT prev_keep
+    )""")
+    union = "\n    UNION ALL\n".join(
+        f"    SELECT {k} AS merge_round, s1 AS left_sym, s2 AS right_sym, "
+        f"s1 || s2 AS merged_sym, c AS pair_occurrences FROM best{k}"
+        for k in range(1, _Q420_MERGES + 1)
+    )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT CAST(merge_round AS INTEGER) AS merge_round, left_sym, right_sym,
+           merged_sym, pair_occurrences
+    FROM (
+{union}
+    ) ORDER BY merge_round
+    """
+    )
+
+
+@register(
+    "q420_bpe_merge_train",
+    _q420_sql(),
+    doc="BPE tokenizer TRAINING in-engine (Sennrich et al., ACL'16) — "
+    "the full merge loop, not just q205's first-step statistics: six "
+    "greedy merge rounds over the corpus-frequency-weighted word "
+    "table, each round counting adjacent symbol pairs (overlaps "
+    "counted naively, the reference implementation's statistic), "
+    "picking the most frequent pair (count desc, then lexicographic "
+    "tie-break), and applying the merge LEFT-TO-RIGHT non-overlapping "
+    "— runs of a self-pair (aaa -> aa+a) resolve by keeping odd "
+    "positions within each consecutive-match island, exactly the "
+    "greedy scan semantics. Pure integer counts: hash-exact with no "
+    "quantization at all. Returns the learned merge table — the "
+    "artifact a tokenizer ships.",
+)
+def q420_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: every relation is VOCABULARY-bounded (unique words x mean
+    word length), never corpus-bounded — the corpus-width work is the
+    one word-count aggregate, exactly q205's shape. Each round is two
+    word-partitioned window passes plus one map-side-combinable pair
+    aggregate; the argmax is a 1-row bounded collect broadcast into
+    the merge application; localCheckpoint between rounds keeps the
+    iterated-window lineage flat (the q191 idiom). Rounds extend to a
+    production vocab (30k merges) without changing any per-round
+    shape."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_cur = words.select(
+        F.col("w").alias("word"),
+        "cnt",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).alias("pos0", "sym"),
+    ).select(
+        "word", "cnt", (F.col("pos0") + 1).cast("long").alias("pos"), "sym"
+    ).localCheckpoint(eager=True)
+    ww = Window.partitionBy("word").orderBy("pos")
+    merges: list[tuple] = []
+    for k in range(1, _Q420_MERGES + 1):
+        pr = w_cur.withColumn("nxt", F.lead("sym").over(ww))
+        top = (
+            pr.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("cnt").cast("long").alias("c"))
+            .orderBy(F.desc("c"), F.asc("sym"), F.asc("nxt"))
+            .first()  # bounded: ONE row (the argmax pair) per round
+        )
+        if top is None:
+            break
+        s1, s2, c = top["sym"], top["nxt"], top["c"]
+        merges.append((k, s1, s2, s1 + s2, c))
+        mt = pr.select(
+            "word",
+            "cnt",
+            "pos",
+            "sym",
+            (
+                (F.col("sym") == s1)
+                & F.col("nxt").isNotNull()
+                & (F.col("nxt") == s2)
+            ).alias("m"),
+        )
+        km = mt.withColumn(
+            "isl",
+            F.when(
+                F.col("m"),
+                F.col("pos")
+                - F.row_number().over(
+                    Window.partitionBy("word", "m").orderBy("pos")
+                ),
+            ),
+        )
+        kp = km.withColumn(
+            "keep",
+            F.col("m")
+            & (
+                F.row_number().over(
+                    Window.partitionBy("word", "isl").orderBy("pos")
+                )
+                % 2
+                == 1
+            ),
+        )
+        dp = kp.withColumn(
+            "prev_keep", F.coalesce(F.lag("keep").over(ww), F.lit(False))
+        )
+        w_cur = (
+            dp.filter(F.col("keep") | ~F.col("prev_keep"))
+            .select(
+                "word",
+                "cnt",
+                F.row_number().over(ww).cast("long").alias("pos"),
+                F.when(F.col("keep"), F.concat("sym", F.lit(s2)))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    if not merges:
+        return spark.createDataFrame(
+            [],
+            "merge_round int, left_sym string, right_sym string, "
+            "merged_sym string, pair_occurrences long",
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string, "
+        "merged_sym string, pair_occurrences long",
+    ).orderBy("merge_round")
