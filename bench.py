@@ -326,6 +326,13 @@ HEADLINE = [
     "q411_similarity_margin",
     "q412_dedup_transitivity",
     "q413_deseasonalization_audit",
+    "q414_dsir_importance_weights",
+    "q415_logistic_quality_irls",
+    "q416_hbos_outliers",
+    "q417_split_leakage_audit",
+    "q418_chimerge_binning_plan",
+    "q419_domain_mixture_plan",
+    "q420_bpe_merge_train",
 ]
 
 

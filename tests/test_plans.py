@@ -1326,3 +1326,40 @@ def test_q413_audit_on_days_relation(spark):
     plan = _plan(spark, "q413_deseasonalization_audit")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q414_dsir_broadcasts_bucket_relation(spark):
+    """The DSIR LLR table (256 rows) must ride a broadcast hash join
+    into the token stream, and the top-k must be a TakeOrdered — never
+    a corpus-side sort-merge or a global-sort row_number."""
+    plan = _plan(spark, "q414_dsir_importance_weights")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q416_hbos_histograms_broadcast(spark):
+    """Both HBOS density histograms (16 rows each) must broadcast into
+    the scoring join, and the top-20 must be a TakeOrdered."""
+    plan = _plan(spark, "q416_hbos_outliers")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q417_split_flags_join_no_cartesian(spark):
+    """The leakage audit joins the pair relation to per-doc split flags
+    as equi-joins; the only nested-loop joins are the broadcast scalar
+    stats onto the 2-row scheme spine."""
+    plan = _plan(spark, "q417_split_leakage_audit")
+    assert "CartesianProduct" not in plan
+
+
+def test_q419_mixture_vocab_broadcast(spark):
+    """The per-word NLL relation (unique vocabulary) must broadcast
+    into the token stream; no corpus-side sort-merge joins."""
+    plan = _plan(spark, "q419_domain_mixture_plan")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
