@@ -70,6 +70,9 @@ def _driver_checked() -> set[str]:
 # Changed after r5: q201's oracle centroid pick mirrored to
 # ORDER BY vec_id LIMIT K (ADVICE r5 — was WHERE vec_id < K).
 _CHANGED_AFTER_ROUND = {
+    # r7: tiny-graph single-partition collapse added to the HITS loop
+    # (execution-strategy only — identical results; re-verify anyway)
+    "q368_hits_hubs_authorities": 7,
     # r7: feature relations localCheckpoint'ed instead of persist+count
     # (execution-strategy only — identical results; re-verify anyway)
     "q191_incremental_dedup": 7,

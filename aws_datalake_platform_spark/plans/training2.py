@@ -5956,6 +5956,19 @@ def q368_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Iteration-tail collapse (the connected_components idiom and its
+    # 200k threshold): 16 half-steps of 32-partition joins over a tiny
+    # edge relation cost pure task-scheduling overhead, so run the loop
+    # single-partition when the materialized edges fit one partition by
+    # a huge margin (integer sums and maxes are partitioning-invariant).
+    # The sf0.1 graph (~590k distinct customer-part edges) stays on the
+    # partitioned path — measured: forcing it single-partition is ~1.5x
+    # SLOWER (9.4M single-threaded row-joins), the threshold is real.
+    if edges.count() <= 200_000:
+        small = edges.coalesce(1).persist(StorageLevel.MEMORY_AND_DISK)
+        small.count()
+        edges.unpersist()
+        edges = small
     h = edges.select("hub").distinct().select(
         "hub", F.lit(_Q368_SCALE).cast("long").alias("hv")
     )
