@@ -244,6 +244,16 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     fr.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
 
+    dp = sub.add_parser(
+        "data-plan",
+        help="one-shot training-data plan: domain mixture weights "
+        "(q419 DoReMi tilt), DSIR data-selection candidates (q414), "
+        "tokenizer merge budget (q421 BPE compression curve), and "
+        "the split-leakage audit that decides the eval split key "
+        "(q417)",
+    )
+    dp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+
     qr = sub.add_parser(
         "quality-report",
         help="one-shot corpus data-quality report: model calibration "
@@ -441,6 +451,82 @@ def _forecast_report(spark, sf_dir: str) -> int:
                 f"  -> ship {champion['model']} "
                 f"({gain:+.1f}% rmse vs naive-1)\n"
             )
+    return 0
+
+
+def _data_plan(spark, sf_dir: str) -> int:
+    """Composite training-data plan: the mixture a sampler should draw,
+    the documents a target-domain selection keeps, the tokenizer merge
+    budget, and the split key that avoids dup leakage. Each section is
+    an already-certified registry query; empty/truncated lakes degrade
+    per-section (the quality-report discipline)."""
+    from .plans.queries import QUERY_REGISTRY
+
+    def _one(name: str):
+        rows = QUERY_REGISTRY[name].fn(spark, sf_dir).collect()
+        if not rows or any(v is None for v in rows[0].asDict().values()):
+            print("  (no data — section skipped)\n")
+            return None
+        return rows
+
+    print(f"# Training-data plan — {sf_dir}\n")
+
+    print("## Domain mixture (q419: DoReMi tilt over cross-entropy excess)")
+    mx = _one("q419_domain_mixture_plan")
+    if mx is not None:
+        up = [r for r in mx if r["mixture_share_pct"] > r["natural_share_pct"]]
+        print(f"  {len(mx)} sources; {len(up)} upweighted")
+        for r in mx[:5]:
+            print(
+                f"  {r['source']:<8} natural {r['natural_share_pct']:6.2f}%  "
+                f"-> mixture {r['mixture_share_pct']:6.2f}%  "
+                f"(excess {r['excess_milli_nats']:+.3f} milli-nats)"
+            )
+        print()
+
+    print("## Target-domain selection (q414: DSIR importance weights)")
+    ds = _one("q414_dsir_importance_weights")
+    if ds is not None:
+        print(
+            f"  top-{len(ds)} resampling candidates; best doc "
+            f"{ds[0]['doc_id']} (avg token LLR "
+            f"{ds[0]['avg_token_llr']:+.4f}); selection cut at rank "
+            f"{len(ds)} LLR {ds[-1]['avg_token_llr']:+.4f}\n"
+        )
+
+    print("## Tokenizer merge budget (q421: BPE compression curve)")
+    bp = _one("q421_bpe_compression_curve")
+    if bp is not None:
+        for r in bp:
+            bar = "#" * int(r["compression_pct"])
+            print(
+                f"  round {r['merge_round']}: {r['total_symbol_instances']:>10} "
+                f"symbols  {r['compression_pct']:5.2f}% {bar}"
+            )
+        gains = [
+            b["compression_pct"] - a["compression_pct"]
+            for a, b in zip(bp, bp[1:])
+        ]
+        if gains and gains[-1] < 0.5 * gains[0]:
+            print("  -> marginal gain halved: merge budget near saturation\n")
+        else:
+            print("  -> curve still steep: raise the merge budget\n")
+
+    print("## Eval split key (q417: near-dup leakage by split scheme)")
+    lk = _one("q417_split_leakage_audit")
+    if lk is not None:
+        by = {r["scheme"]: r for r in lk}
+        d, c = by.get("by_doc"), by.get("by_cluster")
+        if d is not None and c is not None:
+            print(
+                f"  by_doc     leak {d['leak_rate_pct']:6.2f}%  "
+                f"({d['n_cross_pairs']}/{d['n_dup_pairs']} dup pairs cross)"
+            )
+            print(
+                f"  by_cluster leak {c['leak_rate_pct']:6.2f}%  "
+                f"({c['n_eval_docs']}/{c['n_docs']} docs in eval)"
+            )
+            print("  -> split by dedup cluster id (leakage structurally 0)\n")
     return 0
 
 
@@ -767,6 +853,8 @@ def main(argv: list[str] | None = None) -> int:
         return _forecast_report(spark, args.sf_dir)
     if args.cmd == "quality-report":
         return _quality_report(spark, args.sf_dir)
+    if args.cmd == "data-plan":
+        return _data_plan(spark, args.sf_dir)
     if args.cmd == "search":
         return _search(
             spark, args.sf_dir, args.query, args.k, args.shortlist,

@@ -1216,6 +1216,27 @@ def q420_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterated-window lineage flat (the q191 idiom). Rounds extend to a
     production vocab (30k merges) without changing any per-round
     shape."""
+    merges, _ = _bpe_train(spark, sf_dir, collect_totals=False)
+    if not merges:
+        return spark.createDataFrame(
+            [],
+            "merge_round int, left_sym string, right_sym string, "
+            "merged_sym string, pair_occurrences long",
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string, "
+        "merged_sym string, pair_occurrences long",
+    ).orderBy("merge_round")
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, collect_totals: bool
+) -> tuple[list[tuple], list[tuple[int, int]]]:
+    """Shared BPE merge loop for q420 (merge table) and q421
+    (per-round compression curve). Returns (merges, totals) where
+    totals is [(round, total_symbol_instances)] including round 0 —
+    populated only when ``collect_totals``."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     words = (
         docs.select(
@@ -1236,6 +1257,14 @@ def q420_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     ww = Window.partitionBy("word").orderBy("pos")
     merges: list[tuple] = []
+    totals: list[tuple[int, int]] = []
+
+    def _total(df: DataFrame) -> int:
+        row = df.agg(F.sum("cnt").cast("long").alias("t")).first()
+        return int(row["t"]) if row and row["t"] is not None else 0
+
+    if collect_totals:
+        totals.append((0, _total(w_cur)))
     for k in range(1, _Q420_MERGES + 1):
         pr = w_cur.withColumn("nxt", F.lead("sym").over(ww))
         top = (
@@ -1296,14 +1325,74 @@ def q420_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    if not merges:
+        if collect_totals:
+            totals.append((k, _total(w_cur)))
+    return merges, totals
+
+
+# ── q421: BPE compression curve (the trained merges, evaluated) ──────────────
+
+
+def _q421_sql() -> str:
+    # reuse q420's round chain, then aggregate each w{k}
+    chain = _q420_sql().rsplit("SELECT CAST(merge_round AS INTEGER)", 1)[0]
+    # chain ends with the last w{K} CTE followed by the final select we
+    # stripped; rebuild the tail as per-round totals
+    totals = "\n    UNION ALL\n".join(
+        f"    SELECT {k} AS merge_round, CAST(SUM(cnt) AS BIGINT) AS t FROM w{k}"
+        for k in range(0, _Q420_MERGES + 1)
+    )
+    return (
+        chain
+        + f""", t AS (
+{totals}
+    ),
+    base AS (SELECT t AS t0 FROM t WHERE merge_round = 0)
+    SELECT CAST(t.merge_round AS INTEGER) AS merge_round,
+           t.t AS total_symbol_instances,
+           FLOOR((1 - t.t * 1.0 / b.t0) * 100 * 10000 + 0.5) / 10000
+             AS compression_pct
+    FROM t CROSS JOIN base b
+    ORDER BY merge_round
+    """
+    )
+
+
+@register(
+    "q421_bpe_compression_curve",
+    _q421_sql(),
+    doc="The q420 merge table, EVALUATED: total corpus symbol "
+    "instances after each of the six merge rounds (round 0 = raw "
+    "characters), with the cumulative compression percentage — the "
+    "curve a tokenizer team reads to pick the merge budget (the knob-"
+    "pricing discipline of q236/q238/q315 applied to q420's "
+    "vocabulary size). Pure integer counts; one pinned division per "
+    "round.",
+)
+def q421_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical per-round shape to q420 (vocabulary-bounded
+    relations), plus one map-side-combinable SUM per round over the
+    checkpointed symbol relation. The curve costs one small aggregate
+    job per round on top of the training it evaluates."""
+    _, totals = _bpe_train(spark, sf_dir, collect_totals=True)
+    if not totals or totals[0][1] == 0:  # empty lake: schema-stable empty
         return spark.createDataFrame(
             [],
-            "merge_round int, left_sym string, right_sym string, "
-            "merged_sym string, pair_occurrences long",
+            "merge_round int, total_symbol_instances long, "
+            "compression_pct double",
         )
-    return spark.createDataFrame(
-        merges,
-        "merge_round int, left_sym string, right_sym string, "
-        "merged_sym string, pair_occurrences long",
+    t0 = totals[0][1]
+    out = spark.createDataFrame(
+        totals, "merge_round int, total_symbol_instances long"
+    )
+    return out.select(
+        "merge_round",
+        "total_symbol_instances",
+        (
+            F.floor(
+                (1 - F.col("total_symbol_instances") * 1.0 / t0) * 100 * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("compression_pct"),
     ).orderBy("merge_round")

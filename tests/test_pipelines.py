@@ -1401,3 +1401,33 @@ def test_cli_forecast_report_empty_lake(spark, capsys, tmp_path):
     out = capsys.readouterr().out
     assert "no data" in out
     assert "Volume forecast report" in out
+
+
+def test_cli_data_plan(spark, capsys):
+    """`data-plan` sequences the certified training-data planners into
+    one readout: mixture table, DSIR selection, BPE merge budget, and
+    the split-key recommendation."""
+    from aws_datalake_platform_spark.__main__ import main
+
+    assert main(["data-plan", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "Domain mixture" in out and "upweighted" in out
+    assert "Target-domain selection" in out and "resampling candidates" in out
+    assert "Tokenizer merge budget" in out and "round 6" in out
+    assert "merge budget" in out
+    assert "Eval split key" in out and "by_cluster leak" in out
+    assert "split by dedup cluster id" in out
+
+
+def test_cli_data_plan_empty_lake(spark, capsys, tmp_path):
+    """An empty documents lake degrades per-section instead of dying."""
+    from aws_datalake_platform_spark.__main__ import main
+
+    for t in ("documents",):
+        spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(0) \
+            .write.mode("overwrite").parquet(str(tmp_path / f"{t}.parquet"))
+
+    assert main(["data-plan", "--sf-dir", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "no data" in out
+    assert "Training-data plan" in out

@@ -347,3 +347,44 @@ def test_q420_bpe_against_reference_trainer(spark):
     # legal; pin only that counts are non-increasing is NOT guaranteed
     # (merges change pair landscapes), so pin positivity instead
     assert all(c > 0 for *_, c in got)
+
+
+def test_q421_compression_curve_recompute(spark):
+    """Per-round symbol totals recomputed with the independent Python
+    trainer: identical totals, strictly decreasing, round-0 total =
+    corpus-weighted character count."""
+    out = QUERY_REGISTRY["q421_bpe_compression_curve"].fn(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    words: Counter = Counter()
+    for r in docs:
+        for w in re.split(r"\s+", r["text"].strip().lower()):
+            if len(w) >= 2:
+                words[w] += 1
+    seqs = {w: list(w) for w in words}
+    want = [sum(len(s) * words[w] for w, s in seqs.items())]
+    for _ in range(6):
+        stats: Counter = Counter()
+        for w, seq in seqs.items():
+            for a, b in zip(seq, seq[1:]):
+                stats[(a, b)] += words[w]
+        if not stats:
+            break
+        (s1, s2), _c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, seq in seqs.items():
+            merged, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == s1 and seq[i + 1] == s2:
+                    merged.append(s1 + s2)
+                    i += 2
+                else:
+                    merged.append(seq[i])
+                    i += 1
+            seqs[w] = merged
+        want.append(sum(len(s) * words[w] for w, s in seqs.items()))
+    got = [r["total_symbol_instances"] for r in out]
+    assert got == want
+    assert all(a > b for a, b in zip(got, got[1:]))  # every merge compresses
+    assert out[0]["compression_pct"] == 0.0
+    assert all(
+        b["compression_pct"] > a["compression_pct"] for a, b in zip(out, out[1:])
+    )
