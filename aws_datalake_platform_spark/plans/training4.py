@@ -1396,3 +1396,224 @@ def q421_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("compression_pct"),
     ).orderBy("merge_round")
+
+
+# ── q422: embedding effective rank (Gram participation ratio) ────────────────
+
+_Q422_DIM = 64
+_Q422_SCALE = 1_000_000
+
+
+def _q422_sql() -> str:
+    d = _Q422_DIM
+    sc = _Q422_SCALE
+    return f"""
+    WITH cells AS MATERIALIZED (
+      SELECT t1.i, t2.j,
+             CAST(SUM(CAST(FLOOR(CAST(embedding[t1.i] AS DOUBLE)
+                                 * CAST(embedding[t2.j] AS DOUBLE)
+                                 * {sc} + 0.5) AS BIGINT)) AS BIGINT) AS s
+      FROM embeddings,
+           unnest(range(1, {d + 1})) t1(i),
+           unnest(range(1, {d + 1})) t2(j)
+      GROUP BY t1.i, t2.j
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM embeddings),
+    tr AS (SELECT CAST(SUM(s) AS BIGINT) AS tr_q FROM cells WHERE i = j),
+    fr AS (
+      SELECT CAST(SUM(CAST(FLOOR((s / {sc}.0) * (s / {sc}.0) * {sc} + 0.5)
+                           AS BIGINT)) AS BIGINT) AS f_q
+      FROM cells
+    )
+    SELECT n.nv AS n_vectors,
+           {d} AS dim,
+           FLOOR(tr.tr_q * 1.0 / n.nv / {sc}.0 * 10000 + 0.5) / 10000
+             AS mean_sq_norm,
+           FLOOR((tr.tr_q / {sc}.0) * (tr.tr_q / {sc}.0)
+                 / (fr.f_q / {sc}.0) * 10000 + 0.5) / 10000
+             AS participation_ratio,
+           FLOOR((tr.tr_q / {sc}.0) * (tr.tr_q / {sc}.0)
+                 / (fr.f_q / {sc}.0) / {d} * 100 * 10000 + 0.5) / 10000
+             AS effective_dim_pct
+    FROM n CROSS JOIN tr CROSS JOIN fr
+    """
+
+
+@register(
+    "q422_embedding_effective_rank",
+    _q422_sql(),
+    doc="Embedding-space effective dimensionality WITHOUT an "
+    "eigendecomposition: the participation ratio tr(S)^2 / tr(S^2) of "
+    "the uncentered Gram/second-moment matrix (Gao et al.'s isotropy "
+    "diagnostic applied to the retrieval-relevant RAW cosine "
+    "geometry). tr(S^2) = ||S||_F^2 needs only the 64x64 moment "
+    "matrix — per-vector dim-pair products are micro-quantized and "
+    "integer-summed, the squares fold over the BOUNDED 4096-cell "
+    "relation. Near-isotropic spaces score close to the full 64 "
+    "(healthy for ANN); a collapsed space scores near 1 and tells "
+    "you to whiten before indexing — the measured basis for q329's "
+    "JL truncation and q308's matryoshka prefix choices.",
+)
+def q422_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one pass over embeddings exploding 64x64 dim pairs into a
+    map-side-combinable integer sum keyed by (i, j) — the shuffle
+    carries exactly 4096 cells no matter the corpus; everything after
+    is bounded algebra. The flatten/transform pair expansion stays in
+    whole-stage codegen (no Python)."""
+    d = _Q422_DIM
+    sc = _Q422_SCALE
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    cells = (
+        emb.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, {d}), i -> "
+                    f"transform(sequence(1, {d}), j -> struct(i AS i, j AS j, "
+                    f"CAST(FLOOR(CAST(embedding[i - 1] AS DOUBLE) "
+                    f"* CAST(embedding[j - 1] AS DOUBLE) * {sc} + 0.5) "
+                    f"AS BIGINT) AS p))))"
+                )
+            ).alias("c")
+        )
+        .select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("long").alias("s"))
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    tr = cells.filter(F.col("i") == F.col("j")).agg(
+        F.sum("s").cast("long").alias("tr_q")
+    )
+    fr = cells.agg(
+        F.sum(
+            F.floor((F.col("s") / sc) * (F.col("s") / sc) * sc + 0.5).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("f_q")
+    )
+    j = n.crossJoin(F.broadcast(tr)).crossJoin(F.broadcast(fr))
+    trd = F.col("tr_q") / float(sc)
+    pr = trd * trd / (F.col("f_q") / float(sc))
+    return j.select(
+        F.col("nv").alias("n_vectors"),
+        F.lit(d).cast("int").alias("dim"),
+        (F.floor(F.col("tr_q") * 1.0 / F.col("nv") / float(sc) * 10000 + 0.5) / 10000).alias(
+            "mean_sq_norm"
+        ),
+        (F.floor(pr * 10000 + 0.5) / 10000).alias("participation_ratio"),
+        (F.floor(pr / d * 100 * 10000 + 0.5) / 10000).alias("effective_dim_pct"),
+    )
+
+
+# ── q423: edit-distance verification of the MinHash pair detector ────────────
+
+_Q423_BUCKETS = 10
+
+
+def _q423_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    pairs = _REGISTRY["q24_minhash_lsh_dedup"].sql
+    nb = _Q423_BUCKETS
+    return f"""
+    WITH pairs AS ({pairs}),
+    ed AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+             CAST(GREATEST(length(da.text), length(db.text), 1) AS BIGINT)
+               AS mx
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    ),
+    bucketed AS (
+      SELECT LEAST(CAST(FLOOR(lev * {nb}.0 / mx) AS BIGINT), {nb - 1}) AS bucket
+      FROM ed
+    ),
+    hist AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM bucketed GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t FROM hist)
+    SELECT h.bucket,
+           FLOOR(h.bucket * 100.0 / {nb} * 100 + 0.5) / 100 AS edit_pct_lo,
+           h.n_pairs,
+           FLOOR(h.n_pairs * 100.0 / t.t * 10000 + 0.5) / 10000 AS share_pct,
+           FLOOR(SUM(h.n_pairs) OVER (ORDER BY h.bucket) * 100.0 / t.t
+                 * 10000 + 0.5) / 10000 AS cum_share_pct
+    FROM hist h CROSS JOIN tot t
+    ORDER BY h.bucket
+    """
+
+
+@register(
+    "q423_pair_edit_distance_audit",
+    _q423_sql(),
+    doc="Character-level verification of the MinHash near-dup detector: "
+    "normalized Levenshtein distance (exact integer DP, available "
+    "native on both engines) for every q24-verified pair, bucketed "
+    "into 10% bands with cumulative shares. Token-shingle Jaccard "
+    "(what q24 verifies) and character edit distance disagree exactly "
+    "on reordered/boilerplate text, so the mass sitting in low-edit "
+    "bands is the detector's character-level precision — the third "
+    "independent lens on the pair relation after q277 (SimHash "
+    "agreement) and q412 (graph transitivity).",
+)
+def q423_pair_edit_distance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the pair relation is q24's bucketed output (never "
+    "all-pairs); texts attach via two doc_id equi-joins (AQE broadcasts
+    the small pair side); levenshtein is per-pair JVM work bounded by
+    detector recall, and the histogram is 10 rows. The O(len^2) DP per
+    pair is the audit's price — run it on the PAIRS, never the corpus."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5
+    ).select("doc_a", "doc_b")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    nb = _Q423_BUCKETS
+    ed = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.levenshtein("ta", "tb").cast("long").alias("lev"),
+            F.greatest(F.length("ta"), F.length("tb"), F.lit(1))
+            .cast("long")
+            .alias("mx"),
+        )
+    )
+    hist = (
+        ed.select(
+            F.least(
+                F.floor(F.col("lev") * float(nb) / F.col("mx")).cast("long"),
+                F.lit(nb - 1).cast("long"),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    tot = hist.agg(F.sum("n_pairs").cast("long").alias("t"))
+    w = Window.orderBy("bucket")
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (F.floor(F.col("bucket") * 100.0 / nb * 100 + 0.5) / 100).alias(
+                "edit_pct_lo"
+            ),
+            "n_pairs",
+            (F.floor(F.col("n_pairs") * 100.0 / F.col("t") * 10000 + 0.5) / 10000).alias(
+                "share_pct"
+            ),
+            (
+                F.floor(
+                    F.sum("n_pairs").over(w) * 100.0 / F.col("t") * 10000 + 0.5
+                )
+                / 10000
+            ).alias("cum_share_pct"),
+        )
+        .orderBy("bucket")
+    )

@@ -388,3 +388,70 @@ def test_q421_compression_curve_recompute(spark):
     assert all(
         b["compression_pct"] > a["compression_pct"] for a, b in zip(out, out[1:])
     )
+
+
+def test_q422_effective_rank_against_numpy(spark):
+    """The quantized participation ratio must agree with a straight
+    numpy eigendecomposition of the Gram matrix to ~1e-2, and sit in
+    (1, dim]."""
+    import numpy as np
+
+    out = QUERY_REGISTRY["q422_embedding_effective_rank"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    got = out[0]
+    rows = load_table(spark, SF_SMOKE, "embeddings").select("embedding").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    S = X.T @ X  # uncentered second-moment (Gram in dim space)
+    lam = np.linalg.eigvalsh(S)
+    pr = lam.sum() ** 2 / (lam**2).sum()
+    assert got["n_vectors"] == len(rows)
+    assert got["dim"] == 64
+    assert abs(got["participation_ratio"] - pr) < 1e-2 * max(pr, 1)
+    assert 1.0 < got["participation_ratio"] <= 64.0
+    assert abs(got["effective_dim_pct"] - 100 * pr / 64) < 0.1
+    assert abs(got["mean_sq_norm"] - (X**2).sum() / len(rows)) < 1e-2
+
+
+def test_q423_edit_audit_recompute(spark):
+    """Bucket histogram recomputed with Python's difflib-free DP on the
+    engine's own pair relation semantics: shares sum to 100, cum is
+    monotone, and near-dup pairs must concentrate in the low-edit
+    bands (cum share at <30% edit distance over half the mass)."""
+    out = QUERY_REGISTRY["q423_pair_edit_distance_audit"].fn(spark, SF_SMOKE).collect()
+    assert out, "q24 finds pairs at sf0.001, the audit cannot be empty"
+    assert abs(sum(r["share_pct"] for r in out) - 100.0) < 0.01
+    cums = [r["cum_share_pct"] for r in out]
+    assert all(b >= a for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - 100.0) < 0.01
+    low = [r for r in out if r["bucket"] <= 2]
+    assert low and sum(r["share_pct"] for r in low) > 50.0, (
+        "MinHash-verified pairs should be character-level close"
+    )
+    # full independent recompute of the histogram via Python DP
+    from aws_datalake_platform_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5
+    ).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    hist: Counter = Counter()
+    for p in pairs:
+        ta, tb = texts[p["doc_a"]], texts[p["doc_b"]]
+        d = lev(ta, tb)
+        mx = max(len(ta), len(tb), 1)
+        hist[min(math.floor(d * 10.0 / mx), 9)] += 1
+    got = {r["bucket"]: r["n_pairs"] for r in out}
+    assert got == dict(hist)
