@@ -1617,3 +1617,256 @@ def q423_pair_edit_distance_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("bucket")
     )
+
+
+# ── q424: mixture-plan realization (deterministic sampler + audit) ───────────
+
+_Q424_HASH_SPACE = 1 << 60
+
+
+def _q424_sql() -> str:
+    mix = _q419_sql()
+    return f"""
+    WITH plan AS MATERIALIZED (
+      SELECT source, n_tokens, mixture_share_pct FROM ({mix})
+    ),
+    rate0 AS (
+      SELECT source, n_tokens,
+             mixture_share_pct / 100.0
+               / (n_tokens * 1.0 / (SELECT SUM(n_tokens) FROM plan)) AS tilt
+      FROM plan
+    ),
+    rate AS MATERIALIZED (
+      SELECT source, n_tokens,
+             CAST(FLOOR(tilt / (SELECT MAX(tilt) FROM rate0)
+                        * {_Q424_HASH_SPACE}) AS BIGINT) AS thr
+      FROM rate0
+    ),
+    doc_tok AS (
+      SELECT d.doc_id, d.source,
+             CAST(len(string_split_regex(trim(lower(d.text)), '\\s+'))
+                  AS BIGINT) AS toks,
+             CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS h
+      FROM documents d WHERE length(trim(d.text)) > 0
+    ),
+    kept AS (
+      SELECT t.source,
+             CAST(COUNT(*) AS BIGINT) AS docs_total,
+             CAST(SUM(CASE WHEN t.h < r.thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_kept,
+             CAST(SUM(t.toks) AS BIGINT) AS tokens_total,
+             CAST(SUM(CASE WHEN t.h < r.thr THEN t.toks ELSE 0 END)
+                  AS BIGINT) AS tokens_kept
+      FROM doc_tok t JOIN rate r USING (source)
+      GROUP BY t.source
+    ),
+    z AS (SELECT CAST(SUM(tokens_kept) AS BIGINT) AS zk FROM kept)
+    SELECT k.source,
+           p.mixture_share_pct AS planned_share_pct,
+           FLOOR(r.thr * 100.0 / {_Q424_HASH_SPACE} * 10000 + 0.5) / 10000
+             AS keep_rate_pct,
+           k.docs_kept, k.docs_total, k.tokens_kept,
+           FLOOR(k.tokens_kept * 100.0 / GREATEST(z.zk, 1) * 10000 + 0.5)
+             / 10000 AS realized_share_pct,
+           FLOOR(ABS(k.tokens_kept * 100.0 / GREATEST(z.zk, 1)
+                     - p.mixture_share_pct) * 10000 + 0.5) / 10000
+             AS abs_err_pct
+    FROM kept k
+    JOIN plan p ON p.source = k.source
+    JOIN rate r ON r.source = k.source
+    CROSS JOIN z
+    ORDER BY k.source
+    """
+
+
+@register(
+    "q424_mixture_realization_audit",
+    _q424_sql(),
+    doc="The q419 mixture plan, REALIZED: per-source keep rates are the "
+    "planned-over-natural tilt normalized so the most upweighted "
+    "source keeps everything (downsample-only — no document is "
+    "duplicated), membership is the deterministic md5 threshold (the "
+    "q66 sampler), and the audit compares the realized token share of "
+    "the kept corpus against the plan. abs_err is sampling noise — "
+    "it shrinks as 1/sqrt(docs) and the audit is the evidence the "
+    "sampler ships with.",
+)
+def q424_mixture_realization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the plan is q419's 20-row relation; keep thresholds
+    broadcast into one corpus pass (hash + token count per doc, map-
+    side); the audit is a per-source aggregate. Downsample-only
+    realization means the sampler never inflates the corpus."""
+    plan = q419_domain_mixture_plan(spark, sf_dir).select(
+        "source", "n_tokens", "mixture_share_pct"
+    )
+    ztok = plan.agg(F.sum("n_tokens").alias("zt"))
+    rate0 = plan.crossJoin(F.broadcast(ztok)).select(
+        "source",
+        "n_tokens",
+        "mixture_share_pct",
+        (
+            F.col("mixture_share_pct")
+            / 100.0
+            / (F.col("n_tokens") * 1.0 / F.col("zt"))
+        ).alias("tilt"),
+    )
+    mx = rate0.agg(F.max("tilt").alias("mt"))
+    rate = rate0.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "mixture_share_pct",
+        F.floor(F.col("tilt") / F.col("mt") * _Q424_HASH_SPACE)
+        .cast("long")
+        .alias("thr"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    doc_tok = docs.filter(F.length(F.trim("text")) > 0).select(
+        "source",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).cast("long").alias("toks"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    kept = (
+        doc_tok.join(F.broadcast(rate), "source")
+        .groupBy("source", "mixture_share_pct", "thr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_total"),
+            F.sum(F.when(F.col("h") < F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("docs_kept"),
+            F.sum("toks").cast("long").alias("tokens_total"),
+            F.sum(F.when(F.col("h") < F.col("thr"), F.col("toks")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )
+    z = kept.agg(F.sum("tokens_kept").cast("long").alias("zk"))
+    j = kept.crossJoin(F.broadcast(z))
+    realized = F.col("tokens_kept") * 100.0 / F.greatest(F.col("zk"), F.lit(1))
+    return j.select(
+        "source",
+        F.col("mixture_share_pct").alias("planned_share_pct"),
+        (
+            F.floor(F.col("thr") * 100.0 / _Q424_HASH_SPACE * 10000 + 0.5)
+            / 10000
+        ).alias("keep_rate_pct"),
+        "docs_kept",
+        "docs_total",
+        "tokens_kept",
+        (F.floor(realized * 10000 + 0.5) / 10000).alias("realized_share_pct"),
+        (
+            F.floor(
+                F.abs(realized - F.col("mixture_share_pct")) * 10000 + 0.5
+            )
+            / 10000
+        ).alias("abs_err_pct"),
+    ).orderBy("source")
+
+
+# ── q425: dedup-adjusted token budget per source ─────────────────────────────
+
+
+def _q425_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    clusters = _REGISTRY["q68_dup_clusters"].sql
+    return f"""
+    WITH cl AS ({clusters}),
+    keepers AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS keep
+      FROM cl
+    ),
+    doc_tok AS (
+      SELECT d.doc_id, d.source,
+             CAST(len(string_split_regex(trim(lower(d.text)), '\\s+'))
+                  AS BIGINT) AS toks,
+             COALESCE(k.keep, 1) AS keep
+      FROM documents d LEFT JOIN keepers k ON k.doc_id = d.doc_id
+      WHERE length(trim(d.text)) > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs_total,
+           CAST(SUM(1 - keep) AS BIGINT) AS docs_dropped,
+           CAST(SUM(toks) AS BIGINT) AS tokens_total,
+           CAST(SUM(keep * toks) AS BIGINT) AS tokens_after_dedup,
+           FLOOR(SUM((1 - keep) * toks) * 100.0 / GREATEST(SUM(toks), 1)
+                 * 10000 + 0.5) / 10000 AS savings_pct
+    FROM doc_tok
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register(
+    "q425_dedup_token_budget",
+    _q425_sql(),
+    doc="Token budgeting NET OF DEDUPLICATION: the q68 cluster relation "
+    "keeps the min-id representative per near-dup clique, and this "
+    "rollup reports, per source, the raw token count, the post-dedup "
+    "count, and the savings share — the number a 100 TB budget "
+    "actually trains on (raw token counts, q260's input, overstate "
+    "sources whose content is internally duplicated). Pure integer "
+    "token sums over the pair-bounded cluster relation.",
+)
+def q425_dedup_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: clusters come from q68's bucketed LSH + CC (never
+    all-pairs, relation bounded by actual dup pairs); token counting
+    is one map-side pass; the rollup is a per-source aggregate. In a
+    deployment the cluster relation reads from the materialized audit
+    index and this drops to a re-aggregation (the q214 pattern)."""
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"),
+        F.when(F.col("node") == F.col("comp"), 1).otherwise(0).alias("keep"),
+    )
+    doc_tok = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+            .cast("long")
+            .alias("toks"),
+        )
+        .join(comp, "doc_id", "left")
+        .select(
+            "source", "toks", F.coalesce("keep", F.lit(1)).alias("keep")
+        )
+    )
+    return (
+        doc_tok.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_total"),
+            F.sum(1 - F.col("keep")).cast("long").alias("docs_dropped"),
+            F.sum("toks").cast("long").alias("tokens_total"),
+            F.sum(F.col("keep") * F.col("toks"))
+            .cast("long")
+            .alias("tokens_after_dedup"),
+            (
+                F.floor(
+                    F.sum((1 - F.col("keep")) * F.col("toks"))
+                    * 100.0
+                    / F.greatest(F.sum("toks"), F.lit(1))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("savings_pct"),
+        )
+        .orderBy("source")
+    )

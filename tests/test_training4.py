@@ -455,3 +455,71 @@ def test_q423_edit_audit_recompute(spark):
         hist[min(math.floor(d * 10.0 / mx), 9)] += 1
     got = {r["bucket"]: r["n_pairs"] for r in out}
     assert got == dict(hist)
+
+
+def test_q424_realization_recompute(spark):
+    """The realized shares must be exactly consistent with the reported
+    keep rates and token counts: downsample-only (keep rate <= 100, at
+    least one source at 100), realized shares sum to ~100, and abs_err
+    equals |realized - planned|."""
+    out = QUERY_REGISTRY["q424_mixture_realization_audit"].fn(spark, SF_SMOKE).collect()
+    assert out
+    assert all(r["keep_rate_pct"] <= 100.0001 for r in out)
+    assert any(r["keep_rate_pct"] > 99.99 for r in out), (
+        "max-tilt source must keep everything (downsample-only)"
+    )
+    assert abs(sum(r["realized_share_pct"] for r in out) - 100.0) < 0.05
+    zk = sum(r["tokens_kept"] for r in out)
+    for r in out:
+        realized = r["tokens_kept"] * 100.0 / max(zk, 1)
+        assert abs(r["realized_share_pct"] - realized) < 5e-4
+        assert (
+            abs(
+                r["abs_err_pct"]
+                - abs(realized - r["planned_share_pct"])
+            )
+            < 1e-3
+        )
+        assert r["docs_kept"] <= r["docs_total"]
+
+
+def test_q425_dedup_budget_recompute(spark):
+    """Per-source savings recomputed from the engine's own cluster
+    relation: exactly one keeper per cluster (the min id), totals
+    reconcile, and sources with planted dups show positive savings."""
+    from aws_datalake_platform_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    out = QUERY_REGISTRY["q425_dedup_token_budget"].fn(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b").collect()
+    clusters: dict[int, list[int]] = {}
+    for r in comp:
+        clusters.setdefault(r["comp"], []).append(r["node"])
+    dropped = {n for c, ms in clusters.items() for n in ms if n != min(ms)}
+    rows = docs.select("doc_id", "source", "text").collect()
+    import re as _re
+
+    per_src: dict[str, list[int]] = {}
+    for r in rows:
+        t = r["text"].strip()
+        if not t:
+            continue
+        toks = len(_re.split(r"\s+", t.lower()))
+        per_src.setdefault(r["source"], []).append(
+            toks if r["doc_id"] not in dropped else -toks
+        )
+    for r in out:
+        vals = per_src[r["source"]]
+        total = sum(abs(v) for v in vals)
+        kept = sum(v for v in vals if v > 0)
+        assert r["tokens_total"] == total
+        assert r["tokens_after_dedup"] == kept
+        assert r["docs_dropped"] == sum(1 for v in vals if v < 0)
+    assert sum(r["docs_dropped"] for r in out) == len(dropped)
+    assert any(r["savings_pct"] > 0 for r in out), "corpus has planted dups"
