@@ -333,6 +333,11 @@ HEADLINE = [
     "q418_chimerge_binning_plan",
     "q419_domain_mixture_plan",
     "q420_bpe_merge_train",
+    "q421_bpe_compression_curve",
+    "q422_embedding_effective_rank",
+    "q423_pair_edit_distance_audit",
+    "q424_mixture_realization_audit",
+    "q425_dedup_token_budget",
 ]
 
 
