@@ -1870,3 +1870,197 @@ def q425_dedup_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ── q426: facility-location greedy coreset (coverage-based selection) ────────
+
+_Q426_K = 8
+_Q426_CAND_MOD = 10  # candidate shortlist: vec_id % 10 == 0
+_Q426_DIM = 64
+_Q426_SCALE = 1_000_000
+
+
+def _q426_sql() -> str:
+    d = _Q426_DIM
+    sc = _Q426_SCALE
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1,{d + 1}), "
+            f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+        )
+
+    def nrm(v: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform(range(1,{d + 1}), "
+            f"i -> {v}[i]::DOUBLE * {v}[i]::DOUBLE)))"
+        )
+
+    head = f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id AS v, embedding, {nrm("embedding")} AS nm FROM embeddings
+    ),
+    cand AS MATERIALIZED (
+      SELECT v AS c, embedding, nm FROM pts WHERE v % {_Q426_CAND_MOD} = 0
+    ),
+    sim AS MATERIALIZED (
+      SELECT p.v, c.c,
+             CAST(FLOOR({dot("p.embedding", "c.embedding")}
+                        / (p.nm * c.nm) * {sc} + 0.5) AS BIGINT) AS sq
+      FROM pts p CROSS JOIN cand c
+    ),
+    cover0 AS (SELECT v, CAST(0 AS BIGINT) AS cq FROM pts)"""
+    steps = []
+    for t in range(1, _Q426_K + 1):
+        excl = (
+            "AND s.c NOT IN ("
+            + " UNION ALL ".join(f"SELECT c FROM best{j}" for j in range(1, t))
+            + ")"
+            if t > 1
+            else ""
+        )
+        steps.append(f"""
+    gain{t} AS (
+      SELECT s.c, CAST(SUM(GREATEST(s.sq - cv.cq, 0)) AS BIGINT) AS g
+      FROM sim s JOIN cover{t - 1} cv USING (v)
+      WHERE TRUE {excl}
+      GROUP BY s.c
+    ),
+    best{t} AS MATERIALIZED (
+      SELECT c, g FROM gain{t} ORDER BY g DESC, c LIMIT 1
+    ),
+    cover{t} AS MATERIALIZED (
+      SELECT cv.v, GREATEST(cv.cq, COALESCE(bs.sq, 0)) AS cq
+      FROM cover{t - 1} cv
+      LEFT JOIN (SELECT s.v, s.sq FROM sim s JOIN best{t} b ON s.c = b.c) bs
+        ON bs.v = cv.v
+    )""")
+    union = "\n    UNION ALL\n".join(
+        f"    SELECT {t} AS step, b.c AS vec_id, b.g AS gain_q,"
+        f" (SELECT CAST(SUM(cq) AS BIGINT) FROM cover{t}) AS cov_q"
+        f" FROM best{t} b"
+        for t in range(1, _Q426_K + 1)
+    )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT CAST(step AS INTEGER) AS step, vec_id,
+           FLOOR(gain_q / 1000.0 + 0.5) / 1000.0 AS marginal_gain_milli,
+           FLOOR(cov_q * 1.0 / (SELECT COUNT(*) FROM pts) / {sc}.0
+                 * 10000 + 0.5) / 10000 AS avg_coverage
+    FROM (
+{union}
+    ) ORDER BY step
+    """
+    )
+
+
+@register(
+    "q426_facility_location_coreset",
+    _q426_sql(),
+    doc="Facility-location greedy coreset selection (the lazy-greedy "
+    "coverage objective of Wei et al., ICML'15 coreset literature): "
+    "pick 8 representatives from a 10% candidate shortlist, each step "
+    "maximizing the marginal coverage gain sum_v max(0, cos(v,c) - "
+    "cover(v)). The third member of the data-selection family — DSIR "
+    "(q414) matches a target distribution, SemDeDup (q201) removes "
+    "redundancy, facility location maximizes COVERAGE of the "
+    "embedding space. Per-pair cosines are sequential-fold doubles "
+    "micro-quantized ONCE in the materialized candidate-sim matrix; "
+    "all greedy state (cover vector, gains) is exact integer algebra, "
+    "so the whole 8-step optimizer is hash-exact. Returns the "
+    "selection order with marginal gains and the coverage curve — "
+    "diminishing gains certify submodularity.",
+)
+def q426_facility_location_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the sim matrix is points x SHORTLIST (10% of points),
+    computed map-side with broadcast candidates and materialized once
+    (localCheckpoint) — each greedy step is then one integer
+    join+aggregate over it plus a 1-row argmax collect; the cover
+    vector updates via equi-join. At larger corpora the shortlist is
+    the knob (or swap in the q47 IVF buckets); the greedy loop shape
+    is unchanged."""
+    from ..operators.similarity import dot, norm
+
+    sc = _Q426_SCALE
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("v"), "embedding", norm(F.col("embedding")).alias("nm")
+    )
+    cand = emb.filter(F.col("v") % _Q426_CAND_MOD == 0).select(
+        F.col("v").alias("c"),
+        F.col("embedding").alias("cemb"),
+        F.col("nm").alias("cnm"),
+    )
+    sim = (
+        emb.crossJoin(F.broadcast(cand))
+        .select(
+            "v",
+            "c",
+            F.floor(
+                dot(F.col("embedding"), F.col("cemb"))
+                / (F.col("nm") * F.col("cnm"))
+                * sc
+                + 0.5
+            )
+            .cast("long")
+            .alias("sq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    if not sim.take(1):  # empty lake: schema-stable empty
+        return spark.createDataFrame(
+            [],
+            "step int, vec_id long, marginal_gain_milli double, "
+            "avg_coverage double",
+        )
+    n_pts = emb.count()
+    cover = emb.select("v", F.lit(0).cast("long").alias("cq")).localCheckpoint(
+        eager=True
+    )
+    selected: list[int] = []
+    out_rows: list[tuple] = []
+    for t in range(1, _Q426_K + 1):
+        gain = (
+            sim.filter(~F.col("c").isin(selected) if selected else F.lit(True))
+            .join(cover, "v")
+            .groupBy("c")
+            .agg(
+                F.sum(F.greatest(F.col("sq") - F.col("cq"), F.lit(0)))
+                .cast("long")
+                .alias("g")
+            )
+        )
+        best = gain.orderBy(F.desc("g"), F.asc("c")).first()
+        if best is None:
+            break
+        c_star, g = int(best["c"]), int(best["g"])
+        selected.append(c_star)
+        bs = sim.filter(F.col("c") == c_star).select("v", "sq")
+        cover = (
+            cover.join(bs, "v", "left")
+            .select(
+                "v",
+                F.greatest(F.col("cq"), F.coalesce(F.col("sq"), F.lit(0))).alias(
+                    "cq"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cov_q = cover.agg(F.sum("cq").cast("long").alias("s")).first()["s"]
+        out_rows.append((t, c_star, g, int(cov_q)))
+    out = spark.createDataFrame(
+        out_rows, "step int, vec_id long, gain_q long, cov_q long"
+    )
+    return out.select(
+        "step",
+        "vec_id",
+        (F.floor(F.col("gain_q") / 1000.0 + 0.5) / 1000.0).alias(
+            "marginal_gain_milli"
+        ),
+        (
+            F.floor(F.col("cov_q") * 1.0 / n_pts / float(sc) * 10000 + 0.5)
+            / 10000
+        ).alias("avg_coverage"),
+    ).orderBy("step")

@@ -523,3 +523,37 @@ def test_q425_dedup_budget_recompute(spark):
         assert r["docs_dropped"] == sum(1 for v in vals if v < 0)
     assert sum(r["docs_dropped"] for r in out) == len(dropped)
     assert any(r["savings_pct"] > 0 for r in out), "corpus has planted dups"
+
+
+def test_q426_facility_location_against_numpy(spark):
+    """The greedy selection recomputed independently with numpy floats:
+    same selection order, diminishing marginal gains (submodularity),
+    and monotonically increasing coverage."""
+    import numpy as np
+
+    out = QUERY_REGISTRY["q426_facility_location_coreset"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 8
+    rows = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cand_mask = ids % 10 == 0
+    cand_ids = ids[cand_mask]
+    S = Xn @ Xn[cand_mask].T  # points x candidates cosine
+    Sq = np.floor(S * 1_000_000 + 0.5).astype(np.int64)
+    cover = np.zeros(len(ids), dtype=np.int64)
+    picked = []
+    for _ in range(8):
+        avail = [j for j in range(len(cand_ids)) if cand_ids[j] not in picked]
+        gains = [(int(np.maximum(Sq[:, j] - cover, 0).sum()), int(cand_ids[j]), j) for j in avail]
+        g, cid, j = max(gains, key=lambda t: (t[0], -t[1]))
+        picked.append(cid)
+        cover = np.maximum(cover, Sq[:, j])
+    assert [r["vec_id"] for r in out] == picked
+    gains_out = [r["marginal_gain_milli"] for r in out]
+    assert all(a >= b for a, b in zip(gains_out, gains_out[1:])), (
+        "facility location is submodular: marginal gains must not increase"
+    )
+    covs = [r["avg_coverage"] for r in out]
+    assert all(b >= a for a, b in zip(covs, covs[1:]))
+    assert 0 < covs[-1] <= 1.0001
