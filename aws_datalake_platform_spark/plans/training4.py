@@ -1936,11 +1936,11 @@ def _q426_sql() -> str:
         ON bs.v = cv.v
     )""")
     union = "\n    UNION ALL\n".join(
-        f"    SELECT {t} AS step, b.c AS vec_id, b.g AS gain_q,"
-        f" (SELECT CAST(SUM(cq) AS BIGINT) FROM cover{t}) AS cov_q"
-        f" FROM best{t} b"
+        f"    SELECT {t} AS step, b.c AS vec_id, b.g AS gain_q FROM best{t} b"
         for t in range(1, _Q426_K + 1)
     )
+    # coverage IS the running sum of marginal gains (each gain is
+    # exactly sum_v (new_cover - old_cover)) — no per-step cover scan
     return (
         head
         + ","
@@ -1948,7 +1948,8 @@ def _q426_sql() -> str:
         + f"""
     SELECT CAST(step AS INTEGER) AS step, vec_id,
            FLOOR(gain_q / 1000.0 + 0.5) / 1000.0 AS marginal_gain_milli,
-           FLOOR(cov_q * 1.0 / (SELECT COUNT(*) FROM pts) / {sc}.0
+           FLOOR(SUM(gain_q) OVER (ORDER BY step) * 1.0
+                 / (SELECT COUNT(*) FROM pts) / {sc}.0
                  * 10000 + 0.5) / 10000 AS avg_coverage
     FROM (
 {union}
@@ -2037,6 +2038,11 @@ def q426_facility_location_coreset(spark: SparkSession, sf_dir: str) -> DataFram
             break
         c_star, g = int(best["c"]), int(best["g"])
         selected.append(c_star)
+        # coverage = running sum of gains (each gain is exactly the
+        # total cover increase), so no per-step cover scan is needed
+        out_rows.append((t, c_star, g, (out_rows[-1][3] if out_rows else 0) + g))
+        if t == _Q426_K:
+            break  # the last cover update would be dead work
         bs = sim.filter(F.col("c") == c_star).select("v", "sq")
         cover = (
             cover.join(bs, "v", "left")
@@ -2048,8 +2054,6 @@ def q426_facility_location_coreset(spark: SparkSession, sf_dir: str) -> DataFram
             )
             .localCheckpoint(eager=True)
         )
-        cov_q = cover.agg(F.sum("cq").cast("long").alias("s")).first()["s"]
-        out_rows.append((t, c_star, g, int(cov_q)))
     out = spark.createDataFrame(
         out_rows, "step int, vec_id long, gain_q long, cov_q long"
     )
