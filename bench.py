@@ -338,6 +338,7 @@ HEADLINE = [
     "q423_pair_edit_distance_audit",
     "q424_mixture_realization_audit",
     "q425_dedup_token_budget",
+    "q426_facility_location_coreset",
 ]
 
 
