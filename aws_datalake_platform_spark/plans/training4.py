@@ -2068,3 +2068,222 @@ def q426_facility_location_coreset(spark: SparkSession, sf_dir: str) -> DataFram
             / 10000
         ).alias("avg_coverage"),
     ).orderBy("step")
+
+
+# ── q427: earth-mover (1-D Wasserstein) source drift ─────────────────────────
+
+_Q427_BW = 8  # token-count bucket width
+
+
+def _q427_sql() -> str:
+    bw = _Q427_BW
+    return rf"""
+    WITH doc_tok AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) // {bw}
+                  AS BIGINT) AS bucket
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    n_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM doc_tok),
+    spine AS (SELECT DISTINCT bucket FROM doc_tok),
+    src_tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM doc_tok GROUP BY source
+    ),
+    all_hist AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS na FROM doc_tok GROUP BY bucket
+    ),
+    src_hist AS (
+      SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS nsb
+      FROM doc_tok GROUP BY source, bucket
+    ),
+    cums AS (
+      SELECT t.source, s.bucket, t.ns,
+             CAST(SUM(COALESCE(h.nsb, 0)) OVER (PARTITION BY t.source
+                  ORDER BY s.bucket) AS BIGINT) AS cs,
+             CAST(SUM(a.na) OVER (PARTITION BY t.source ORDER BY s.bucket)
+                  AS BIGINT) AS ca
+      FROM src_tot t
+      CROSS JOIN spine s
+      JOIN all_hist a ON a.bucket = s.bucket
+      LEFT JOIN src_hist h ON h.source = t.source AND h.bucket = s.bucket
+    )
+    SELECT c.source,
+           MAX(c.ns) AS n_docs,
+           FLOOR(SUM(ABS(c.cs * x.n - c.ca * c.ns)) * {bw} * 1.0
+                 / (MAX(c.ns) * 1.0 * x.n) * 10000 + 0.5) / 10000
+             AS w1_tokens,
+           CAST(RANK() OVER (ORDER BY FLOOR(SUM(ABS(c.cs * x.n - c.ca * c.ns))
+                  * {bw} * 1.0 / (MAX(c.ns) * 1.0 * x.n) * 10000 + 0.5) DESC,
+                  c.source) AS INTEGER) AS drift_rank
+    FROM cums c CROSS JOIN n_all x
+    GROUP BY c.source, x.n
+    ORDER BY drift_rank
+    """
+
+
+@register(
+    "q427_wasserstein_source_drift",
+    _q427_sql(),
+    doc="Earth-mover drift per source: the exact 1-D Wasserstein-1 "
+    "distance between each source's document-length distribution "
+    "(8-token buckets) and the corpus-wide one — W1 = bucket_width x "
+    "sum_k |F_s(k) - F_all(k)|, reported in TOKEN units (how many "
+    "tokens of probability mass must move), the interpretable "
+    "complement of the PSI (q265) / energy-distance (q366) / "
+    "Anderson-Darling (q378) drift family. Cross-multiplied integer "
+    "cumulative counts make every |.| term exact — the ONLY division "
+    "is the final pinned normalization.",
+)
+def q427_wasserstein_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one map-side bucket per doc, three bounded aggregates
+    (per-source totals, global histogram, per-source histogram), a
+    source x bucket grid bounded by |sources| x |length buckets|, and
+    windows partitioned by source over that grid. Nothing corpus-sized
+    survives the first aggregate."""
+    bw = _Q427_BW
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    doc_tok = docs.filter(F.length(F.trim("text")) > 0).select(
+        "source",
+        F.floor(
+            F.size(F.split(F.trim(F.lower("text")), r"\s+")) / bw
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    n_all = doc_tok.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    spine = doc_tok.select("bucket").distinct()
+    src_tot = doc_tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("ns")
+    )
+    all_hist = doc_tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("na")
+    )
+    src_hist = doc_tok.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("nsb")
+    )
+    grid = (
+        src_tot.crossJoin(F.broadcast(spine))
+        .join(F.broadcast(all_hist), "bucket")
+        .join(F.broadcast(src_hist), ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            "ns",
+            F.coalesce("nsb", F.lit(0)).alias("nsb"),
+            "na",
+        )
+    )
+    ws = Window.partitionBy("source").orderBy("bucket")
+    cums = grid.select(
+        "source",
+        "bucket",
+        "ns",
+        F.sum("nsb").over(ws).cast("long").alias("cs"),
+        F.sum("na").over(ws).cast("long").alias("ca"),
+    )
+    w1q = F.floor(
+        F.sum(F.abs(F.col("cs") * F.col("n") - F.col("ca") * F.col("ns")))
+        * bw
+        * 1.0
+        / (F.max("ns") * 1.0 * F.col("n"))
+        * 10000
+        + 0.5
+    )
+    agg = (
+        cums.crossJoin(F.broadcast(n_all))
+        .groupBy("source", "n")
+        .agg(F.max("ns").alias("n_docs"), w1q.alias("w1q"))
+    )
+    wr = Window.orderBy(F.desc("w1q"), F.asc("source"))
+    return agg.select(
+        "source",
+        "n_docs",
+        (F.col("w1q") / 10000).alias("w1_tokens"),
+        F.rank().over(wr).cast("int").alias("drift_rank"),
+    ).orderBy("drift_rank")
+
+
+# ── q428: weighted sampling without replacement (Efraimidis-Spirakis) ────────
+
+_Q428_K = 50
+_Q428_SCALE = 1_000_000
+
+
+def _q428_sql() -> str:
+    sc = _Q428_SCALE
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             CAST(FLOOR(-LN((CAST(('0x' || substr(md5('esws|'
+                      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
+                      / {(1 << 60)}.0)
+                    / n_chars * {sc} * 1000 + 0.5) AS BIGINT) AS ekey_q
+      FROM documents WHERE n_chars > 0
+    ),
+    top AS (
+      SELECT doc_id, source, n_chars, ekey_q
+      FROM keyed ORDER BY ekey_q, doc_id LIMIT {_Q428_K}
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY ekey_q, doc_id) AS INTEGER)
+             AS draw_order,
+           doc_id, source, n_chars,
+           FLOOR(ekey_q / 1000.0 + 0.5) / {sc}.0 AS exp_key_milli
+    FROM top
+    """
+
+
+@register(
+    "q428_weighted_sample_without_replacement",
+    _q428_sql(),
+    doc="Weighted sampling WITHOUT replacement via exponential races "
+    "(Efraimidis & Spirakis 2006): each document draws a deterministic "
+    "uniform from the seeded md5 hash, its race key is -ln(u)/weight "
+    "(weight = n_chars, size-proportional), and the k smallest keys "
+    "ARE a weighted sample without replacement — the distributed "
+    "one-pass answer to 'sample 50 documents proportional to length' "
+    "that a sequential reservoir cannot give. Keys are nano-quantized "
+    "before ranking (ulp-tie discipline, q95); membership is a pure "
+    "row hash, stable across runs, engines and partitionings.",
+)
+def q428_weighted_sample_without_replacement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale: the race key is map-side column math; the k-smallest is a
+    TakeOrdered (per-partition top-k then a k-row merge — no global
+    sort, no shuffle of the corpus). This is THE shape for weighted
+    subsampling at 100 TB: one pass, k rows out."""
+    sc = _Q428_SCALE
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("esws|"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1.0
+    ) / float(1 << 60)
+    keyed = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.floor(-F.log(u) / F.col("n_chars") * sc * 1000 + 0.5)
+        .cast("long")
+        .alias("ekey_q"),
+    )
+    top = keyed.orderBy(F.asc("ekey_q"), F.asc("doc_id")).limit(_Q428_K)
+    w = Window.orderBy(F.asc("ekey_q"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("draw_order"),
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.floor(F.col("ekey_q") / 1000.0 + 0.5) / float(sc)).alias(
+            "exp_key_milli"
+        ),
+    )

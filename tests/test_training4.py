@@ -557,3 +557,72 @@ def test_q426_facility_location_against_numpy(spark):
     covs = [r["avg_coverage"] for r in out]
     assert all(b >= a for a, b in zip(covs, covs[1:]))
     assert 0 < covs[-1] <= 1.0001
+
+
+def test_q427_wasserstein_recompute(spark):
+    """W1 per source recomputed exactly (Fractions, no quantization at
+    all): matches the pinned 4-digit values; W1 of the whole corpus vs
+    itself would be 0 and every source's drift is >= 0."""
+    from fractions import Fraction
+
+    out = QUERY_REGISTRY["q427_wasserstein_source_drift"].fn(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    BW = 8
+    per_src: dict[str, Counter] = {}
+    allh: Counter = Counter()
+    for r in docs:
+        t = r["text"].strip()
+        if not t:
+            continue
+        b = len(re.split(r"\s+", t.lower())) // BW
+        per_src.setdefault(r["source"], Counter())[b] += 1
+        allh[b] += 1
+    n = sum(allh.values())
+    spine = sorted(allh)
+    want = {}
+    for s, h in per_src.items():
+        ns = sum(h.values())
+        cs = ca = 0
+        w1 = Fraction(0)
+        for b in spine:
+            cs += h.get(b, 0)
+            ca += allh[b]
+            w1 += Fraction(abs(cs * n - ca * ns) * BW, ns * n)
+        want[s] = math.floor(w1 * 10000 + Fraction(1, 2)) / 10000
+    assert len(out) == len(want)
+    for r in out:
+        assert abs(r["w1_tokens"] - want[r["source"]]) < 1e-9, r["source"]
+        assert r["w1_tokens"] >= 0
+    ranks = [r["drift_rank"] for r in out]
+    assert ranks == sorted(ranks)
+
+
+def test_q428_weighted_sample_recompute(spark):
+    """The selected set recomputed independently (hashlib + math.log):
+    identical draws in identical order, and the sample must skew long
+    (size-proportional weights -> mean sampled length above corpus
+    mean)."""
+    out = QUERY_REGISTRY[
+        "q428_weighted_sample_without_replacement"
+    ].fn(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    keyed = []
+    for r in docs:
+        if r["n_chars"] <= 0:
+            continue
+        h = int(
+            hashlib.md5(f"esws|{r['doc_id']}".encode()).hexdigest()[:15], 16
+        )
+        u = (h + 1.0) / float(1 << 60)
+        kq = math.floor(-math.log(u) / r["n_chars"] * 1_000_000 * 1000 + 0.5)
+        keyed.append((kq, r["doc_id"], r["n_chars"]))
+    keyed.sort()
+    want = keyed[:50]
+    got = [(r["doc_id"], r["n_chars"]) for r in out]
+    assert got == [(d, c) for _, d, c in want]
+    assert [r["draw_order"] for r in out] == list(range(1, 51))
+    mean_all = sum(r["n_chars"] for r in docs) / len(docs)
+    mean_sampled = sum(c for _, c in got) / len(got)
+    assert mean_sampled > mean_all, "size-weighted sample must skew long"
