@@ -2287,3 +2287,251 @@ def q428_weighted_sample_without_replacement(
             "exp_key_milli"
         ),
     )
+
+
+# ── q429: data scaling-law fit (held-out CE vs nested corpus fractions) ──────
+
+_Q429_DENS = (16, 8, 4, 2, 1)  # nested train fractions 1/16 .. 1/1
+_Q429_SCALE = 1_000_000
+_Q429_SPACE = 1 << 60
+
+
+def _q429_sql() -> str:
+    sc = _Q429_SCALE
+    sp = _Q429_SPACE
+    fr_rows = ", ".join(
+        f"({i + 1}, {d})" for i, d in enumerate(_Q429_DENS)
+    )
+    # tier t = index of the SMALLEST fraction containing the doc
+    tier = " ".join(
+        f"WHEN h < {sp // d} THEN {i + 1}"
+        for i, d in enumerate(_Q429_DENS)
+    )
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('slf|' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS h,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                t -> t <> '')) AS w
+      FROM documents
+    ),
+    train AS (
+      SELECT CASE {tier} END AS tier, w
+      FROM tok WHERE doc_id % 5 <> 0
+    ),
+    held AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS hw FROM tok
+      WHERE doc_id % 5 = 0 GROUP BY w
+    ),
+    wt AS (
+      SELECT tier, w, CAST(COUNT(*) AS BIGINT) AS c FROM train
+      WHERE tier IS NOT NULL GROUP BY tier, w
+    ),
+    fr(fid, den) AS (VALUES {fr_rows}),
+    cf AS MATERIALIZED (
+      SELECT f.fid, t.w, CAST(SUM(t.c) AS BIGINT) AS c
+      FROM wt t JOIN fr f ON t.tier <= f.fid
+      GROUP BY f.fid, t.w
+    ),
+    nf AS MATERIALIZED (
+      SELECT fid, CAST(SUM(c) AS BIGINT) AS n_tok,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM cf GROUP BY fid
+    ),
+    th AS (SELECT CAST(SUM(hw) AS BIGINT) AS t_h FROM held),
+    scored AS (
+      SELECT n.fid,
+             CAST(SUM(h.hw * CAST(FLOOR(-LN((COALESCE(c.c, 0) + 1.0)
+                          / (n.n_tok + n.v)) * {sc} + 0.5) AS BIGINT))
+                  AS BIGINT) AS nll_sum
+      FROM held h
+      CROSS JOIN nf n
+      LEFT JOIN cf c ON c.fid = n.fid AND c.w = h.w
+      GROUP BY n.fid
+    ),
+    ce AS MATERIALIZED (
+      SELECT s.fid, f.den, n.n_tok,
+             CAST(FLOOR(s.nll_sum * 1.0 / t.t_h + 0.5) AS BIGINT) AS ce_q
+      FROM scored s
+      JOIN nf n ON n.fid = s.fid
+      JOIN fr f ON f.fid = s.fid
+      CROSS JOIN th t
+    ),
+    pts AS MATERIALIZED (
+      SELECT fid, den, n_tok, ce_q,
+             CAST(FLOOR(LN(n_tok * 1.0) * {sc} + 0.5) AS BIGINT) AS xq,
+             CAST(FLOOR(LN(ce_q / {sc}.0) * {sc} + 0.5) AS BIGINT) AS yq
+      FROM ce
+    ),
+    ols AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+             CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+             CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+             CAST(MAX(n_tok) AS BIGINT) AS nmax
+      FROM pts
+    )
+    SELECT p.fid AS point, p.den AS fraction_denom, p.n_tok AS train_tokens,
+           FLOOR(p.ce_q / 1000.0 + 0.5) / 1000.0 AS heldout_ce_milli,
+           FLOOR((o.np * 1.0 * o.sxy - o.sx * 1.0 * o.sy)
+                 / (o.np * 1.0 * o.sxx - o.sx * 1.0 * o.sx)
+                 * {sc} + 0.5) / {sc}.0 AS scaling_exponent,
+           FLOOR(EXP((o.sy * 1.0 / o.np
+                      - (o.np * 1.0 * o.sxy - o.sx * 1.0 * o.sy)
+                        / (o.np * 1.0 * o.sxx - o.sx * 1.0 * o.sx)
+                        * o.sx / o.np) / {sc}.0
+                     + (o.np * 1.0 * o.sxy - o.sx * 1.0 * o.sy)
+                       / (o.np * 1.0 * o.sxx - o.sx * 1.0 * o.sx)
+                       / {sc}.0 * LN(10.0 * o.nmax))
+                 * 1000 * 1000 + 0.5) / 1000.0 AS pred_ce_milli_at_10x
+    FROM pts p CROSS JOIN ols o
+    ORDER BY point
+    """
+
+
+@register(
+    "q429_scaling_law_fit",
+    _q429_sql(),
+    doc="Data scaling law measured IN-ENGINE: held-out unigram "
+    "cross-entropy of the CCNet-style add-one LM (q208's tokenizer "
+    "and held-out split) trained on NESTED corpus fractions "
+    "1/16..1/1 (seeded md5 thresholds — each fraction contains the "
+    "smaller ones, the Chinchilla-style design), then an exact OLS of "
+    "ln(CE) on ln(train tokens) over the 5 points. The cumulative-"
+    "tier trick computes all five models from ONE vocab aggregate: "
+    "a word's count at fraction f is the window-sum of its per-tier "
+    "counts. Reports per-point CE, the fitted scaling exponent "
+    "(negative = more data still helps), and the extrapolated CE at "
+    "10x the current corpus — the number that decides whether to go "
+    "collect more data. Integer NLL sums; the OLS runs on integer "
+    "micro-quantized log coordinates with one pinned division.",
+)
+def q429_scaling_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one token pass splits train/held; per-(tier, word) counts
+    shuffle the UNIQUE vocabulary x 5 tiers; fraction counts are a
+    5-way spine join over that bounded relation; the held-out scoring
+    joins held VOCABULARY (not tokens) to the fraction counts. The
+    5-point OLS is bounded algebra. Adding fractions or swapping in
+    the bigram LM changes only the spine."""
+    sc = _Q429_SCALE
+    sp = _Q429_SPACE
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("slf|"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda t: t != F.lit("")
+            )
+        ).alias("w"),
+    )
+    tier_col = F.lit(None).cast("int")
+    for i, d in reversed(list(enumerate(_Q429_DENS))):
+        tier_col = F.when(F.col("h") < sp // d, F.lit(i + 1)).otherwise(tier_col)
+    train = tok.filter(F.col("doc_id") % 5 != 0).select(
+        tier_col.alias("tier"), "w"
+    )
+    held = (
+        tok.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("hw"))
+    )
+    wt = (
+        train.filter(F.col("tier").isNotNull())
+        .groupBy("tier", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    fr = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(_Q429_DENS)], "fid int, den int"
+    )
+    cf = (
+        wt.join(F.broadcast(fr), wt.tier <= fr.fid)
+        .groupBy("fid", "w")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    nf = cf.groupBy("fid").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    th = held.agg(F.sum("hw").cast("long").alias("t_h"))
+    scored = (
+        held.crossJoin(F.broadcast(nf))
+        .join(cf, ["fid", "w"], "left")
+        .groupBy("fid")
+        .agg(
+            F.sum(
+                F.col("hw")
+                * F.floor(
+                    -F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                        / (F.col("n_tok") + F.col("v"))
+                    )
+                    * sc
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("nll_sum")
+        )
+    )
+    ce = (
+        scored.join(nf, "fid")
+        .join(F.broadcast(fr), "fid")
+        .crossJoin(F.broadcast(th))
+        .select(
+            "fid",
+            "den",
+            "n_tok",
+            F.floor(F.col("nll_sum") * 1.0 / F.col("t_h") + 0.5)
+            .cast("long")
+            .alias("ce_q"),
+        )
+    )
+    pts = ce.select(
+        "fid",
+        "den",
+        "n_tok",
+        "ce_q",
+        F.floor(F.log(F.col("n_tok") * 1.0) * sc + 0.5).cast("long").alias("xq"),
+        F.floor(F.log(F.col("ce_q") / float(sc)) * sc + 0.5)
+        .cast("long")
+        .alias("yq"),
+    )
+    ols = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+        F.max("n_tok").cast("long").alias("nmax"),
+    )
+    j = pts.crossJoin(F.broadcast(ols))
+    num = F.col("np") * 1.0 * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy")
+    den = F.col("np") * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx")
+    slope = num / den
+    ln_pred = (
+        F.col("sy") * 1.0 / F.col("np") - slope * F.col("sx") / F.col("np")
+    ) / float(sc) + slope / float(sc) * F.log(10.0 * F.col("nmax"))
+    return j.select(
+        F.col("fid").alias("point"),
+        F.col("den").alias("fraction_denom"),
+        F.col("n_tok").alias("train_tokens"),
+        (F.floor(F.col("ce_q") / 1000.0 + 0.5) / 1000.0).alias(
+            "heldout_ce_milli"
+        ),
+        (F.floor(slope * sc + 0.5) / float(sc)).alias("scaling_exponent"),
+        (F.floor(F.exp(ln_pred) * 1000 * 1000 + 0.5) / 1000.0).alias(
+            "pred_ce_milli_at_10x"
+        ),
+    ).orderBy("point")

@@ -626,3 +626,52 @@ def test_q428_weighted_sample_recompute(spark):
     mean_all = sum(r["n_chars"] for r in docs) / len(docs)
     mean_sampled = sum(c for _, c in got) / len(got)
     assert mean_sampled > mean_all, "size-weighted sample must skew long"
+
+
+def test_q429_scaling_law_recompute(spark):
+    """Per-fraction held-out CE and the OLS fit recomputed from raw
+    rows: CE values match to milli precision, fractions are nested
+    (train tokens strictly increase), CE is non-increasing in data
+    (more data never hurts add-one unigram CE on this corpus), and
+    the exponent is <= 0."""
+    out = QUERY_REGISTRY["q429_scaling_law_fit"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 5
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    SC, SP = 1_000_000, 1 << 60
+    dens = (16, 8, 4, 2, 1)
+    held: Counter = Counter()
+    tiers: dict[int, Counter] = {i + 1: Counter() for i in range(5)}
+    for r in docs:
+        toks = [t for t in re.split(r"[^a-z]+", r["text"].lower()) if t]
+        if r["doc_id"] % 5 == 0:
+            held.update(toks)
+            continue
+        h = int(hashlib.md5(f"slf|{r['doc_id']}".encode()).hexdigest()[:15], 16)
+        tier = next(
+            (i + 1 for i, d in enumerate(dens) if h < SP // d), None
+        )
+        if tier is not None:
+            tiers[tier].update(toks)
+    t_h = sum(held.values())
+    want_ce = []
+    cum: Counter = Counter()
+    for fid in range(1, 6):
+        cum.update(tiers[fid])
+        n_tok = sum(cum.values())
+        v = len(cum)
+        nll = sum(
+            hw
+            * math.floor(-math.log((cum.get(w, 0) + 1.0) / (n_tok + v)) * SC + 0.5)
+            for w, hw in held.items()
+        )
+        ce_q = math.floor(nll * 1.0 / t_h + 0.5)
+        want_ce.append((n_tok, math.floor(ce_q / 1000.0 + 0.5) / 1000.0))
+    got = [(r["train_tokens"], r["heldout_ce_milli"]) for r in out]
+    assert got == want_ce
+    ntoks = [r["train_tokens"] for r in out]
+    assert all(b > a for a, b in zip(ntoks, ntoks[1:])), "fractions nest"
+    ces = [r["heldout_ce_milli"] for r in out]
+    assert all(b <= a + 1e-9 for a, b in zip(ces, ces[1:])), "more data helps"
+    assert out[0]["scaling_exponent"] <= 0
+    assert out[0]["pred_ce_milli_at_10x"] > 0
+    assert len({r["scaling_exponent"] for r in out}) == 1
