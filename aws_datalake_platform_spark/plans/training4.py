@@ -2535,3 +2535,192 @@ def q429_scaling_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pred_ce_milli_at_10x"
         ),
     ).orderBy("point")
+
+
+# ── q430: Murphy decomposition of the Brier score ────────────────────────────
+
+_Q430_SCALE = 1_000_000
+
+
+def _q430_sql() -> str:
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    model = _REGISTRY["q173_quality_logreg"].sql
+    gate = _REGISTRY["q192_gopher_quality_rules"].sql
+    sc = _Q430_SCALE
+    return f"""
+    WITH m AS ({model}),
+    g AS ({gate}),
+    j AS (
+      SELECT CAST(FLOOR(m.quality_score * 10000 + 0.5) AS BIGINT) AS score_u,
+             CASE WHEN g.passes THEN 1 ELSE 0 END AS label
+      FROM m JOIN g ON m.doc_id = g.doc_id
+    ),
+    b AS MATERIALIZED (
+      SELECT LEAST(CAST(FLOOR(score_u / 1000.0) AS INT), 9) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(score_u) AS BIGINT) AS su,
+             CAST(SUM(label) AS BIGINT) AS k_b,
+             CAST(SUM((score_u - label * 10000) * (score_u - label * 10000))
+                  AS BIGINT) AS sq
+      FROM j GROUP BY 1
+    ),
+    tot AS MATERIALIZED (
+      SELECT CAST(SUM(n_b) AS BIGINT) AS n, CAST(SUM(k_b) AS BIGINT) AS k,
+             CAST(SUM(sq) AS BIGINT) AS sq_all
+      FROM b
+    ),
+    terms AS (
+      SELECT CAST(SUM(CAST(FLOOR((su / 10000.0 - k_b) * (su / 10000.0 - k_b)
+                                 / n_b * {sc} + 0.5) AS BIGINT)) AS BIGINT)
+               AS rel_q,
+             CAST(SUM(CAST(FLOOR((k_b * 1.0 * t.n - t.k * 1.0 * n_b)
+                                 * (k_b * 1.0 * t.n - t.k * 1.0 * n_b)
+                                 / (n_b * 1.0 * t.n * t.n) * {sc} + 0.5)
+                           AS BIGINT)) AS BIGINT) AS res_q
+      FROM b CROSS JOIN tot t
+      GROUP BY t.n, t.k
+    )
+    SELECT t.n AS n_docs,
+           FLOOR(t.sq_all / (100000000.0 * t.n) * {sc} + 0.5) / {sc}.0
+             AS brier,
+           FLOOR(x.rel_q * 1.0 / t.n + 0.5) / {sc}.0 AS reliability,
+           FLOOR(x.res_q * 1.0 / t.n + 0.5) / {sc}.0 AS resolution,
+           FLOOR(t.k * 1.0 * (t.n - t.k) / (t.n * 1.0 * t.n) * {sc} + 0.5)
+             / {sc}.0 AS uncertainty,
+           FLOOR((t.sq_all / (100000000.0 * t.n)
+                  - (FLOOR(x.rel_q * 1.0 / t.n + 0.5) / {sc}.0
+                     - FLOOR(x.res_q * 1.0 / t.n + 0.5) / {sc}.0
+                     + FLOOR(t.k * 1.0 * (t.n - t.k) / (t.n * 1.0 * t.n)
+                             * {sc} + 0.5) / {sc}.0))
+                 * {sc} + 0.5) / {sc}.0 AS within_bin_residual,
+           FLOOR((1 - (t.sq_all / (100000000.0 * t.n))
+                      / (t.k * 1.0 * (t.n - t.k) / (t.n * 1.0 * t.n)))
+                 * {sc} + 0.5) / {sc}.0 AS brier_skill_score
+    FROM tot t CROSS JOIN terms x
+    """
+
+
+@register(
+    "q430_brier_decomposition",
+    _q430_sql(),
+    doc="Murphy decomposition (1973) of the q173 quality model's Brier "
+    "score against the q192 Gopher gate: BS = reliability - "
+    "resolution + uncertainty over score deciles, plus the "
+    "within-bin residual (the part binning hides — near zero when "
+    "decile binning is faithful) and the Brier SKILL score vs the "
+    "base-rate forecast (positive = the model beats climatology). "
+    "q239 shows the calibration CURVE and q285 the ECE; this is the "
+    "single-row decomposition that says WHY the Brier is what it is "
+    "— miscalibration you can recalibrate away (reliability) vs "
+    "discrimination you cannot add post hoc (resolution). Per-bucket "
+    "terms micro-quantized from exact integer sums; one pinned "
+    "division per output.",
+)
+def q430_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: inherits q239's shape — two map-side score relations, one
+    doc_id equi-join, a 10-bucket integer aggregate, then bounded
+    algebra. The decile histogram is the sufficient statistic for the
+    whole decomposition."""
+    from .queries import QUERY_REGISTRY as _REGISTRY
+
+    sc = _Q430_SCALE
+    m = _REGISTRY["q173_quality_logreg"].fn(spark, sf_dir).select(
+        "doc_id", F.floor(F.col("quality_score") * 10000 + 0.5).cast("long").alias("score_u")
+    )
+    g = _REGISTRY["q192_gopher_quality_rules"].fn(spark, sf_dir).select(
+        "doc_id", F.when(F.col("passes"), 1).otherwise(0).alias("label")
+    )
+    j = m.join(g, "doc_id").select("score_u", "label")
+    b = (
+        j.select(
+            F.least(
+                F.floor(F.col("score_u") / 1000.0).cast("int"), F.lit(9)
+            ).alias("bucket"),
+            "score_u",
+            "label",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.sum("score_u").cast("long").alias("su"),
+            F.sum("label").cast("long").alias("k_b"),
+            F.sum(
+                (F.col("score_u") - F.col("label") * 10000)
+                * (F.col("score_u") - F.col("label") * 10000)
+            )
+            .cast("long")
+            .alias("sq"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum("k_b").cast("long").alias("k"),
+        F.sum("sq").cast("long").alias("sq_all"),
+    )
+    terms = (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("n", "k")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("su") / 10000.0 - F.col("k_b"))
+                    * (F.col("su") / 10000.0 - F.col("k_b"))
+                    / F.col("n_b")
+                    * sc
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("rel_q"),
+            F.sum(
+                F.floor(
+                    (F.col("k_b") * 1.0 * F.col("n") - F.col("k") * 1.0 * F.col("n_b"))
+                    * (F.col("k_b") * 1.0 * F.col("n") - F.col("k") * 1.0 * F.col("n_b"))
+                    / (F.col("n_b") * 1.0 * F.col("n") * F.col("n"))
+                    * sc
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("res_q"),
+        )
+    )
+    out = tot.crossJoin(F.broadcast(terms.select("rel_q", "res_q")))
+    brier = F.col("sq_all") / (100000000.0 * F.col("n"))
+    rel = F.floor(F.col("rel_q") * 1.0 / F.col("n") + 0.5) / float(sc)
+    res = F.floor(F.col("res_q") * 1.0 / F.col("n") + 0.5) / float(sc)
+    unc_q = F.floor(
+        F.col("k") * 1.0 * (F.col("n") - F.col("k"))
+        / (F.col("n") * 1.0 * F.col("n"))
+        * sc
+        + 0.5
+    )
+    unc = unc_q / float(sc)
+    return out.select(
+        F.col("n").alias("n_docs"),
+        (F.floor(brier * sc + 0.5) / float(sc)).alias("brier"),
+        rel.alias("reliability"),
+        res.alias("resolution"),
+        unc.alias("uncertainty"),
+        (F.floor((brier - (rel - res + unc)) * sc + 0.5) / float(sc)).alias(
+            "within_bin_residual"
+        ),
+        (
+            F.floor(
+                (
+                    1
+                    - brier
+                    / (
+                        F.col("k")
+                        * 1.0
+                        * (F.col("n") - F.col("k"))
+                        / (F.col("n") * 1.0 * F.col("n"))
+                    )
+                )
+                * sc
+                + 0.5
+            )
+            / float(sc)
+        ).alias("brier_skill_score"),
+    )

@@ -675,3 +675,53 @@ def test_q429_scaling_law_recompute(spark):
     assert out[0]["scaling_exponent"] <= 0
     assert out[0]["pred_ce_milli_at_10x"] > 0
     assert len({r["scaling_exponent"] for r in out}) == 1
+
+
+def test_q430_brier_decomposition_recompute(spark):
+    """The Murphy identity pinned with an independent float recompute
+    on the engine's own (score, label) pairs: BS ~= REL - RES + UNC +
+    within_bin_residual, every component in range, and the skill score
+    consistent with BS/UNC."""
+    out = QUERY_REGISTRY["q430_brier_decomposition"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    got = out[0]
+    m = QUERY_REGISTRY["q173_quality_logreg"].fn(spark, SF_SMOKE).select(
+        "doc_id", "quality_score"
+    ).collect()
+    g = QUERY_REGISTRY["q192_gopher_quality_rules"].fn(spark, SF_SMOKE).select(
+        "doc_id", "passes"
+    ).collect()
+    lab = {r["doc_id"]: 1 if r["passes"] else 0 for r in g}
+    pairs = [
+        (math.floor(r["quality_score"] * 10000 + 0.5) / 10000.0, lab[r["doc_id"]])
+        for r in m
+        if r["doc_id"] in lab
+    ]
+    n = len(pairs)
+    assert got["n_docs"] == n
+    bs = sum((p - y) ** 2 for p, y in pairs) / n
+    obar = sum(y for _, y in pairs) / n
+    unc = obar * (1 - obar)
+    buckets: dict[int, list] = {}
+    for p, y in pairs:
+        buckets.setdefault(min(int(p * 10), 9), []).append((p, y))
+    rel = sum(
+        len(v) * (sum(p for p, _ in v) / len(v) - sum(y for _, y in v) / len(v)) ** 2
+        for v in buckets.values()
+    ) / n
+    res = sum(
+        len(v) * (sum(y for _, y in v) / len(v) - obar) ** 2
+        for v in buckets.values()
+    ) / n
+    assert abs(got["brier"] - bs) < 1e-4
+    assert abs(got["reliability"] - rel) < 1e-4
+    assert abs(got["resolution"] - res) < 1e-4
+    assert abs(got["uncertainty"] - unc) < 1e-4
+    # Murphy identity with the binning residual
+    assert abs(
+        got["brier"]
+        - (got["reliability"] - got["resolution"] + got["uncertainty"]
+           + got["within_bin_residual"])
+    ) < 5e-6
+    assert abs(got["brier_skill_score"] - (1 - bs / unc)) < 1e-3
+    assert 0 <= got["reliability"] and 0 <= got["resolution"] <= unc + 1e-9
