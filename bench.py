@@ -339,6 +339,10 @@ HEADLINE = [
     "q424_mixture_realization_audit",
     "q425_dedup_token_budget",
     "q426_facility_location_coreset",
+    "q427_wasserstein_source_drift",
+    "q428_weighted_sample_without_replacement",
+    "q429_scaling_law_fit",
+    "q430_brier_decomposition",
 ]
 
 

@@ -1363,3 +1363,31 @@ def test_q419_mixture_vocab_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q427_grid_broadcasts_no_cartesian_products(spark):
+    """The Wasserstein grid joins the bounded spine/histograms via
+    broadcast; the only nested-loop join is the tiny spine expansion —
+    nothing corpus-sized crosses."""
+    plan = _plan(spark, "q427_wasserstein_source_drift")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q428_weighted_sample_is_takeordered(spark):
+    """The k-smallest race keys must be a TakeOrdered (per-partition
+    top-k, k-row merge) — never a global sort of the corpus."""
+    plan = _plan(spark, "q428_weighted_sample_without_replacement")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q429_scaling_vocab_stays_bounded(spark):
+    """The scaling-law fit must keep every join on vocabulary-bounded
+    relations: the fraction spine and OLS stats ride broadcasts and
+    there is no cartesian product. (A sort-merge join between the two
+    VOCABULARY relations — held vocab x fraction counts — is fine:
+    both sides are zipf-bounded, never corpus-sized.)"""
+    plan = _plan(spark, "q429_scaling_law_fit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
