@@ -248,9 +248,9 @@ def _build_parser() -> argparse.ArgumentParser:
         "data-plan",
         help="one-shot training-data plan: domain mixture weights "
         "(q419 DoReMi tilt), DSIR data-selection candidates (q414), "
-        "tokenizer merge budget (q421 BPE compression curve), and "
-        "the split-leakage audit that decides the eval split key "
-        "(q417)",
+        "tokenizer merge budget (q421 BPE compression curve), the "
+        "scaling-law collect-more-data readout (q429), and the "
+        "split-leakage audit that decides the eval split key (q417)",
     )
     dp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
 
@@ -511,6 +511,24 @@ def _data_plan(spark, sf_dir: str) -> int:
             print("  -> marginal gain halved: merge budget near saturation\n")
         else:
             print("  -> curve still steep: raise the merge budget\n")
+
+    print("## Collect more data? (q429: scaling-law fit + 10x extrapolation)")
+    sl = _one("q429_scaling_law_fit")
+    if sl is not None:
+        last = max(sl, key=lambda r: r["point"])
+        print(
+            f"  CE {sl[0]['heldout_ce_milli']:.1f} -> "
+            f"{last['heldout_ce_milli']:.1f} milli-nats over "
+            f"{sl[0]['train_tokens']} -> {last['train_tokens']} tokens;  "
+            f"exponent {last['scaling_exponent']:+.4f}"
+        )
+        gain = last["heldout_ce_milli"] - last["pred_ce_milli_at_10x"]
+        verdict = (
+            f"10x data buys {gain:.1f} milli-nats — collect more"
+            if gain > 1.0
+            else "curve is flat — more data barely helps; improve quality instead"
+        )
+        print(f"  predicted CE at 10x: {last['pred_ce_milli_at_10x']:.1f}  -> {verdict}\n")
 
     print("## Eval split key (q417: near-dup leakage by split scheme)")
     lk = _one("q417_split_leakage_audit")

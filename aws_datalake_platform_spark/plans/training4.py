@@ -2373,7 +2373,7 @@ def _q429_sql() -> str:
       FROM pts
     )
     SELECT p.fid AS point, p.den AS fraction_denom, p.n_tok AS train_tokens,
-           FLOOR(p.ce_q / 1000.0 + 0.5) / 1000.0 AS heldout_ce_milli,
+           FLOOR(p.ce_q / 1000.0 + 0.5) AS heldout_ce_milli,
            FLOOR((o.np * 1.0 * o.sxy - o.sx * 1.0 * o.sy)
                  / (o.np * 1.0 * o.sxx - o.sx * 1.0 * o.sx)
                  * {sc} + 0.5) / {sc}.0 AS scaling_exponent,
@@ -2383,7 +2383,7 @@ def _q429_sql() -> str:
                         * o.sx / o.np) / {sc}.0
                      + (o.np * 1.0 * o.sxy - o.sx * 1.0 * o.sy)
                        / (o.np * 1.0 * o.sxx - o.sx * 1.0 * o.sx)
-                       / {sc}.0 * LN(10.0 * o.nmax))
+                       * LN(10.0 * o.nmax))
                  * 1000 * 1000 + 0.5) / 1000.0 AS pred_ce_milli_at_10x
     FROM pts p CROSS JOIN ols o
     ORDER BY point
@@ -2522,12 +2522,12 @@ def q429_scaling_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = num / den
     ln_pred = (
         F.col("sy") * 1.0 / F.col("np") - slope * F.col("sx") / F.col("np")
-    ) / float(sc) + slope / float(sc) * F.log(10.0 * F.col("nmax"))
+    ) / float(sc) + slope * F.log(10.0 * F.col("nmax"))
     return j.select(
         F.col("fid").alias("point"),
         F.col("den").alias("fraction_denom"),
         F.col("n_tok").alias("train_tokens"),
-        (F.floor(F.col("ce_q") / 1000.0 + 0.5) / 1000.0).alias(
+        F.floor(F.col("ce_q") / 1000.0 + 0.5).cast("double").alias(
             "heldout_ce_milli"
         ),
         (F.floor(slope * sc + 0.5) / float(sc)).alias("scaling_exponent"),

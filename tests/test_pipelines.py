@@ -1415,6 +1415,8 @@ def test_cli_data_plan(spark, capsys):
     assert "Target-domain selection" in out and "resampling candidates" in out
     assert "Tokenizer merge budget" in out and "round 6" in out
     assert "merge budget" in out
+    assert "Collect more data?" in out and "exponent" in out
+    assert "predicted CE at 10x" in out
     assert "Eval split key" in out and "by_cluster leak" in out
     assert "split by dedup cluster id" in out
 

@@ -665,7 +665,7 @@ def test_q429_scaling_law_recompute(spark):
             for w, hw in held.items()
         )
         ce_q = math.floor(nll * 1.0 / t_h + 0.5)
-        want_ce.append((n_tok, math.floor(ce_q / 1000.0 + 0.5) / 1000.0))
+        want_ce.append((n_tok, float(math.floor(ce_q / 1000.0 + 0.5))))
     got = [(r["train_tokens"], r["heldout_ce_milli"]) for r in out]
     assert got == want_ce
     ntoks = [r["train_tokens"] for r in out]
