@@ -480,7 +480,7 @@ def _data_plan(spark, sf_dir: str) -> int:
             print(
                 f"  {r['source']:<8} natural {r['natural_share_pct']:6.2f}%  "
                 f"-> mixture {r['mixture_share_pct']:6.2f}%  "
-                f"(excess {r['excess_milli_nats']:+.3f} milli-nats)"
+                f"(excess {r['excess_milli_nats']:+.1f} milli-nats)"
             )
         print()
 

@@ -1241,6 +1241,7 @@ def q128_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(l_quantity), 2) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
     doc="grouping_id over ROLLUP: the bitmask that tells subtotal rows "
     "apart from genuinely-NULL group keys — without it a rollup over "
@@ -1938,10 +1939,17 @@ def q160_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = joined.agg(
             F.count(F.lit(1)).cast("long").alias("__total"),
             *[
-                F.sum(
-                    F.when(
-                        F.col(rels[i][2]).isNotNull() & F.col(f"__pk{i}").isNull(), 1
-                    ).otherwise(0)
+                # coalesce: 0 orphans (not NULL) on an empty child table,
+                # matching the oracle's COUNT(*) subquery
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col(rels[i][2]).isNotNull()
+                            & F.col(f"__pk{i}").isNull(),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 )
                 .cast("long")
                 .alias(f"__orph{i}")

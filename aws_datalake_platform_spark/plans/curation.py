@@ -1012,6 +1012,7 @@ def q199_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(n_chars) AS BIGINT) AS max_chars
     FROM documents
     GROUP BY CUBE (lang, source)
+    HAVING COUNT(*) > 0
     """,
     doc="Dataset card / datasheet rollup: doc and token counts, token "
     "means, and char ranges at every granularity of (lang x source) via "

@@ -36,6 +36,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
            CAST(GROUPING(l_linestatus) AS INT) AS g_status
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    HAVING COUNT(*) > 0
     """,
     doc="Explicit GROUPING SETS (beyond rollup/cube) with GROUPING() ids "
     "to disambiguate real NULL keys from subtotal rows.",

@@ -410,8 +410,11 @@ def q14_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
-    doc="ROLLUP grouping sets with subtotal + grand-total rows.",
+    doc="ROLLUP grouping sets with subtotal + grand-total rows. The "
+    "HAVING guard only bites on an EMPTY table, where ANSI emits a "
+    "0-count grand-total row but Spark's rollup returns no rows.",
 )
 def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -426,8 +429,10 @@ def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
-    doc="CUBE over order status x priority.",
+    doc="CUBE over order status x priority. HAVING guard: empty-table "
+    "grand-total row parity with Spark (see q15).",
 )
 def q16_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")

@@ -2907,11 +2907,13 @@ def q236_lsh_parameter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.col("det_u") / 1_000_000.0, 2).alias(
             "exp_detected_pairs"
         ),
+        # try_divide: NULL (not ANSI error) when a band has zero pairs —
+        # empty-lake recall is undefined; matches DuckDB's x/0 -> NULL
         round_half_up(
-            F.col("det_hi_u") * 1.0 / (F.col("n_hi") * 1_000_000), 6
+            F.try_divide(F.col("det_hi_u") * 1.0, F.col("n_hi") * 1_000_000), 6
         ).alias("recall_ge05"),
         round_half_up(
-            F.col("det_lo_u") * 1.0 / (F.col("n_lo") * 1_000_000), 6
+            F.try_divide(F.col("det_lo_u") * 1.0, F.col("n_lo") * 1_000_000), 6
         ).alias("fp_rate_lt03"),
     )
 
@@ -4678,6 +4680,7 @@ def q250_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
            FLOOR(f.beta * 1000000 + 0.5) / 1000000 AS heaps_beta,
            FLOOR(EXP(f.lnk) * 1000000 + 0.5) / 1000000 AS heaps_k
     FROM pts p CROSS JOIN fit f
+    WHERE p.cutoff IS NOT NULL
     ORDER BY p.i
     """,
     doc="Heaps'-law fit: cumulative word-TRIGRAM vocabulary at ten corpus-prefix "
@@ -9751,15 +9754,17 @@ def _corpus_scorecard(
         .select(
             "n_docs",
             "total_chars",
-            round_half_up(F.col("n_dup") * 1.0 / F.col("n_docs"), 6).alias(
-                "near_dup_rate"
-            ),
-            round_half_up(F.col("n_pass") * 1.0 / F.col("n_scored"), 6).alias(
-                "quality_pass_rate"
-            ),
+            # try_divide: NULL rates on an empty lake (matches DuckDB
+            # x/0 -> NULL) instead of an ANSI divide-by-zero error
+            round_half_up(
+                F.try_divide(F.col("n_dup") * 1.0, F.col("n_docs")), 6
+            ).alias("near_dup_rate"),
+            round_half_up(
+                F.try_divide(F.col("n_pass") * 1.0, F.col("n_scored")), 6
+            ).alias("quality_pass_rate"),
             "effective_sources",
             round_half_up(
-                F.col("total_chars") * 1.0 / F.col("n_docs"), 2
+                F.try_divide(F.col("total_chars") * 1.0, F.col("n_docs")), 2
             ).alias("mean_chars"),
         )
     )
@@ -11045,7 +11050,11 @@ def q312_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         (F.col("n_a") + F.col("n_b")).cast("long").alias("n_total"),
         round_half_up(chi2, 4).alias("chi2"),
-        (chi2 > float(_Q312_CRIT)).alias("srm_detected"),
+        # coalesce: empty lake -> chi2 NULL -> "no SRM detected" (FALSE),
+        # matching the oracle's CASE ... ELSE FALSE
+        F.coalesce(chi2 > float(_Q312_CRIT), F.lit(False)).alias(
+            "srm_detected"
+        ),
     )
 
 
@@ -11142,12 +11151,16 @@ def q313_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digit",
         "n_obs",
         round_half_up(F.col("p"), 6).alias("expected_frac"),
-        round_half_up(F.col("n_obs") * 1.0 / F.col("n"), 6).alias(
-            "observed_frac"
-        ),
+        # try_divide: NULL fractions on an empty orders table (matches
+        # DuckDB x/0 -> NULL) instead of an ANSI divide-by-zero error
         round_half_up(
-            F.pow(F.col("n_obs") - F.col("n") * F.col("p"), 2)
-            / (F.col("n") * F.col("p")),
+            F.try_divide(F.col("n_obs") * 1.0, F.col("n")), 6
+        ).alias("observed_frac"),
+        round_half_up(
+            F.try_divide(
+                F.pow(F.col("n_obs") - F.col("n") * F.col("p"), 2),
+                F.col("n") * F.col("p"),
+            ),
             4,
         ).alias("chi2_component"),
     ).orderBy("digit")
@@ -11466,7 +11479,11 @@ def q316_aa_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(mc / 10_000, 4).alias("mean_shift_control"),
         round_half_up((mt - mc) / 10_000, 4).alias("did"),
         round_half_up((mt - mc) / se, 4).alias("did_z"),
-        (F.abs((mt - mc) / se) > 1.959964).alias("false_positive"),
+        # coalesce: empty lake -> z NULL -> "no false positive" (FALSE),
+        # matching the oracle's CASE ... ELSE FALSE
+        F.coalesce(F.abs((mt - mc) / se) > 1.959964, F.lit(False)).alias(
+            "false_positive"
+        ),
     )
 
 
@@ -11609,7 +11626,13 @@ def q318_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_parts")
     )
     ks = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
-    j = F.broadcast(ks).crossJoin(F.broadcast(n_parts)).crossJoin(per_part)
+    # LEFT join (not crossJoin) mirrors the oracle: the k-spine survives
+    # an empty recs relation, so an empty lake still yields 3 rows
+    j = (
+        F.broadcast(ks)
+        .crossJoin(F.broadcast(n_parts))
+        .join(per_part, F.lit(True), "left")
+    )
     return (
         j.groupBy("k", "n_parts")
         .agg(
@@ -11622,8 +11645,12 @@ def q318_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("k").cast("int").alias("k"),
             "n_parts_covered",
+            # try_divide: NULL coverage over an empty part catalog
             round_half_up(
-                F.col("n_parts_covered") * 1.0 / F.col("n_parts"), 6
+                F.try_divide(
+                    F.col("n_parts_covered") * 1.0, F.col("n_parts")
+                ),
+                6,
             ).alias("coverage_frac"),
         )
         .orderBy("k")

@@ -924,9 +924,13 @@ def q330_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_right",
                 "ndv_left",
                 "ndv_right",
+                # try_divide: NULL estimate on empty tables (ndv 0)
+                # instead of an ANSI divide-by-zero error
                 F.floor(
-                    F.col("n_left") * 1.0 * F.col("n_right")
-                    / F.greatest("ndv_left", "ndv_right")
+                    F.try_divide(
+                        F.col("n_left") * 1.0 * F.col("n_right"),
+                        F.greatest("ndv_left", "ndv_right"),
+                    )
                 )
                 .cast("long")
                 .alias("est_rows"),
@@ -936,9 +940,9 @@ def q330_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = e if edges is None else edges.unionByName(e)
     return edges.select(
         "*",
-        round_half_up(F.col("est_rows") * 1.0 / F.col("exact_rows"), 4).alias(
-            "err_ratio"
-        ),
+        round_half_up(
+            F.try_divide(F.col("est_rows") * 1.0, F.col("exact_rows")), 4
+        ).alias("err_ratio"),
         F.row_number()
         .over(Window.orderBy("est_rows", "join_edge"))
         .cast("int")
@@ -3477,7 +3481,10 @@ def q350_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 nxt[v] = num // tot[v]
             pq = nxt
-        return pq.get("S", 0)
+        # None (not 0) when 'S' is not a state — i.e. an empty events
+        # table — matching the oracle's NULL scalar subquery; any
+        # non-empty lake has an 'S' start edge per user journey
+        return pq.get("S")
 
     basep = absorb(None)
     rows = [(c, basep, absorb(c)) for c in _Q350_CHANNELS]
@@ -3493,8 +3500,14 @@ def q350_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.col("remp") * 1.0 / _Q350_SCALE, 6).alias(
                 "removed_conv_p"
             ),
-            round_half_up(d * 1.0 / F.col("basep"), 6).alias("removal_effect"),
-            round_half_up(d * 1.0 / F.sum(d).over(wall), 6).alias("attribution"),
+            # try_divide: NULL effects on an empty events table (base
+            # conversion 0 — matches DuckDB x/0 -> NULL), no ANSI error
+            round_half_up(F.try_divide(d * 1.0, F.col("basep")), 6).alias(
+                "removal_effect"
+            ),
+            round_half_up(F.try_divide(d * 1.0, F.sum(d).over(wall)), 6).alias(
+                "attribution"
+            ),
         )
         .orderBy("channel")
     )
@@ -3937,7 +3950,10 @@ def q353_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("e0_q").cast("long").alias("se0"),
         F.sum("v_q").cast("long").alias("sv"),
     )
-    return s.crossJoin(F.broadcast(tot)).select(
+    # the where-guard mirrors the oracle's GROUP BY over an empty terms
+    # relation: zero event-times (empty lake, or no repurchases at all)
+    # yields ZERO rows, not one NULL row — sd1 is NULL exactly then
+    return s.crossJoin(F.broadcast(tot)).where(F.col("sd1").isNotNull()).select(
         F.col("tn1").alias("n_urgent"),
         F.col("tn0").alias("n_other"),
         F.col("sd1").alias("events_urgent"),

@@ -111,8 +111,10 @@ def _q379_sql() -> str:
            FLOOR(s.u / {_Q379_SCALE}.0 * 1000000 + 0.5) / 1000000
              AS score_residual
     FROM b{last} b CROSS JOIN s{last} s
+    WHERE (SELECT COUNT(*) FROM grid WHERE d1 + d0 > 0) > 0
     """
-    )
+    )  # WHERE guard mirrors the fn's n_times == 0 early return: zero
+    # event times (empty/censored-only lake) -> zero rows on both sides
 
 
 @register(
@@ -2325,6 +2327,94 @@ def _q396_sql() -> str:
     """
 
 
+_Q396_RANGE_PARTS = 32  # distributed-sort width; raise with cluster size
+
+
+def _q396_zone_maps(li: DataFrame) -> DataFrame:
+    """Exact zone maps for lineitem under ALL candidate sort layouts
+    WITHOUT a single-partition total sort (VERDICT r7 item 2), in ONE
+    shuffle: explode each row into (candidate, sort-value) legs — the
+    sort value cast to double is order-preserving for every candidate
+    (ints < 2^53, dates as epoch days, quantity already double) — then
+    repartitionByRange on (cand, val, l_orderkey, l_linenumber). The
+    tuple is unique per candidate ((l_orderkey, l_linenumber) is the
+    PK), so range partitions are contiguous with no boundary ties;
+    spark_partition_id() frozen by localCheckpoint identifies each
+    range, per-(cand, pid) counts (a bounded <=4*RANGE_PARTS collect)
+    give exact global-rank offsets, and a (cand, pid)-PARTITIONED
+    row_number plus the offset reproduces each candidate's global
+    rank — the NTILE chunk id is computed exactly while every
+    sort/window task holds only ~4N/RANGE_PARTS rows, never the whole
+    table."""
+    spark = li.sparkSession
+    legs = []
+    for c in _Q396_CANDIDATES:
+        val = F.col(c)
+        if c == "l_shipdate":
+            val = F.datediff(F.col(c), F.lit("1970-01-01"))
+        legs.append(
+            F.struct(
+                F.lit(c).alias("cand"), val.cast("double").alias("val")
+            )
+        )
+    part = (
+        li.select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.explode(F.array(*legs)).alias("cv"),
+        )
+        .select("l_partkey", "l_orderkey", "l_linenumber", "cv.cand", "cv.val")
+        .repartitionByRange(
+            _Q396_RANGE_PARTS,
+            F.col("cand"),
+            F.col("val"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        (r["cand"], r["pid"]): r["cnt"]
+        for r in part.groupBy("cand", "pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }  # bounded: <= candidates * RANGE_PARTS rows
+    n = sum(v for (c, _), v in counts.items() if c == _Q396_CANDIDATES[0])
+    off_rows, run = [], {c: 0 for c in _Q396_CANDIDATES}
+    for cand, pid in sorted(counts):
+        off_rows.append((cand, pid, run[cand]))
+        run[cand] += counts[(cand, pid)]
+    off_df = spark.createDataFrame(off_rows, "cand string, pid int, off long")
+    w = Window.partitionBy("cand", "pid").orderBy(
+        "val", "l_orderkey", "l_linenumber"
+    )
+    rank = (F.row_number().over(w) + F.col("off")).alias("rank")
+    # exact NTILE(b) of the global rank: first (n % b) chunks hold
+    # ceil(n/b) rows, the rest floor(n/b) (matches DuckDB/ANSI NTILE);
+    # n is identical across candidates (each is a full copy of lineitem)
+    q, r = divmod(n, _Q396_CHUNKS) if n else (0, 0)
+    if q == 0:  # fewer rows than chunks: one row per chunk
+        chunk = F.col("rank")
+    else:
+        cut = r * (q + 1)
+        chunk = F.when(
+            F.col("rank") <= cut, F.floor((F.col("rank") - 1) / (q + 1)) + 1
+        ).otherwise(r + F.floor((F.col("rank") - cut - 1) / q) + 1)
+    return (
+        part.join(F.broadcast(off_df), ["cand", "pid"])
+        .select("cand", "l_partkey", rank)
+        .select("cand", "l_partkey", chunk.cast("long").alias("chunk"))
+        .groupBy("cand", "chunk")
+        .agg(
+            F.min("l_partkey").cast("long").alias("lo"),
+            F.max("l_partkey").cast("long").alias("hi"),
+        )
+        .select(F.col("cand").alias("sort_key"), "chunk", "lo", "hi")
+    )
+
+
 @register(
     "q396_sort_key_plan",
     _q396_sql(),
@@ -2344,28 +2434,18 @@ def _q396_sql() -> str:
 )
 def q396_sort_key_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: in production the zone maps come free from parquet
-    footers; here each candidate costs one sort (the very operation
-    being priced — unavoidable for an exact what-if) and the
-    containment count is a broadcast range join of O(chunks) ranges
-    against the distinct-key relation, never row-level data."""
+    footers; here ALL candidate sorts run DISTRIBUTED in one shuffle
+    (exploded legs + repartitionByRange + per-range row_number — see
+    _q396_zone_maps; no task ever holds more than ~4N/RANGE_PARTS
+    rows) and the containment count is a broadcast range join of
+    O(chunks) ranges against the distinct-key relation, never
+    row-level data."""
     li = load_table(spark, sf_dir, "lineitem")
     keys = li.select(F.col("l_partkey").alias("k")).distinct().localCheckpoint(
         eager=True
     )
     nk = keys.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    zones = None
-    for c in _Q396_CANDIDATES:
-        wo = Window.orderBy(c, "l_orderkey", "l_linenumber")
-        z = (
-            li.select("l_partkey", F.ntile(_Q396_CHUNKS).over(wo).alias("chunk"))
-            .groupBy("chunk")
-            .agg(
-                F.min("l_partkey").cast("long").alias("lo"),
-                F.max("l_partkey").cast("long").alias("hi"),
-            )
-            .select(F.lit(c).alias("sort_key"), "chunk", "lo", "hi")
-        )
-        zones = z if zones is None else zones.unionByName(z)
+    zones = _q396_zone_maps(li)
     hits = (
         keys.join(
             F.broadcast(zones),
@@ -3048,9 +3128,11 @@ def _q401_sql() -> str:
              p.sg2 AS sgq, m.s2 AS nq
       FROM p{it} p CROSS JOIN m{it} m
     )
+    WHERE (SELECT COUNT(*) FROM hist) > 0
     ORDER BY component
     """
-    )
+    )  # WHERE guard: empty documents table -> zero rows on both sides
+    # (the fn's bounded-collect early return), not two NULL components
 
 
 @register(
@@ -3214,8 +3296,10 @@ def _q402_sql() -> str:
                             - (m.s1 / 10000.0) * (m.s1 / 10000.0)))
                   + 1000) * 1000000 + 0.5) / 1000000 - 1000 AS z_stat
     FROM b{it} b CROSS JOIN m{it} m
+    WHERE (SELECT COUNT(*) FROM daily) > 0
     """
-    )
+    )  # WHERE guard: empty events table -> zero rows on both sides
+    # (the fn's bounded-collect early return), not one NULL row
 
 
 @register(
@@ -4682,16 +4766,21 @@ def q412_dedup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = j.agg(
         F.count(F.lit(1)).cast("long").alias("n_wedges"),
-        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_closed"),
+        # outer coalesce: 0 closed wedges (not NULL) when there are no
+        # wedges at all, matching the oracle's SUM-over-empty handling
+        F.coalesce(F.sum(F.coalesce("hit", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_closed"),
     )
     return agg.crossJoin(F.broadcast(deg)).select(
         F.expr("CAST(n_pairs2 div 2 AS BIGINT)").alias("n_pairs"),
         "n_docs",
         "n_wedges",
         "n_closed",
-        round_half_up(F.col("n_closed") * 1.0 / F.col("n_wedges"), 6).alias(
-            "transitivity"
-        ),
+        # try_divide: transitivity undefined (NULL) with zero wedges
+        round_half_up(
+            F.try_divide(F.col("n_closed") * 1.0, F.col("n_wedges")), 6
+        ).alias("transitivity"),
         (F.col("n_wedges") - F.col("n_closed")).alias("open_wedges"),
     )
 

@@ -275,8 +275,10 @@ def _q415_sql() -> str:
            FLOOR(ABS((s.g1 - {lam} * bp.b1q) / {sc}.0) * 1000000 + 0.5)
              / 1000000 AS score_residual1
     FROM b{last} b CROSS JOIN s{last} s CROSS JOIN b{last - 1} bp
+    WHERE (SELECT COUNT(*) FROM grid) > 0
     """
-    )
+    )  # WHERE guard: on an empty lake the Spark fn returns 0 rows; without
+    # it the SUMs over the empty grid would emit one all-NULL row (ADVICE r7)
 
 
 @register(
@@ -751,6 +753,12 @@ def _q418_sql() -> str:
     ),
     m0 AS (SELECT base_bin, base_bin AS mb FROM hist0)"""
     steps = []
+    # m{i} uses LEFT JOIN ON TRUE (not CROSS JOIN): when a round finds
+    # no adjacent pair (one bin left, e.g. near-constant o_totalprice),
+    # best{i} is empty and a CROSS JOIN would collapse the whole chain
+    # to zero rows, while the Spark loop break-s and keeps the
+    # survivors — the LEFT JOIN makes the exhausted round a no-op on
+    # both sides (ADVICE r7).
     for i in range(1, _Q418_MERGES + 1):
         steps.append(f"""
     h{i} AS (
@@ -777,7 +785,7 @@ def _q418_sql() -> str:
     m{i} AS (
       SELECT m.base_bin,
              CASE WHEN m.mb = b.b2 THEN b.b1 ELSE m.mb END AS mb
-      FROM m{i - 1} m CROSS JOIN best{i} b
+      FROM m{i - 1} m LEFT JOIN best{i} b ON TRUE
     )""")
     last = _Q418_MERGES
     return (
@@ -996,8 +1004,8 @@ def _q419_sql() -> str:
            s.t_s AS n_tokens,
            FLOOR(s.t_s * 100.0 / z.z_t * 10000 + 0.5) / 10000
              AS natural_share_pct,
-           FLOOR(s.ce_q / 1000.0 + 0.5) / 1000.0 AS ce_milli_nats,
-           FLOOR(s.excess_q / 1000.0 + 0.5) / 1000.0 AS excess_milli_nats,
+           FLOOR(s.ce_q / 1000.0 + 0.5) AS ce_milli_nats,
+           FLOOR(s.excess_q / 1000.0 + 0.5) AS excess_milli_nats,
            FLOOR(s.e_q * 100.0 / z.z_e * 10000 + 0.5) / 10000
              AS doremi_share_pct,
            FLOOR(({_Q419_ALPHA} * s.e_q * 1.0 / z.z_e
@@ -1088,8 +1096,10 @@ def q419_domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.floor(F.col("t_s") * 100.0 / F.col("z_t") * 10000 + 0.5) / 10000
         ).alias("natural_share_pct"),
-        (F.floor(F.col("ce_q") / 1000.0 + 0.5) / 1000.0).alias("ce_milli_nats"),
-        (F.floor(F.col("excess_q") / 1000.0 + 0.5) / 1000.0).alias(
+        F.floor(F.col("ce_q") / 1000.0 + 0.5).cast("double").alias(
+            "ce_milli_nats"
+        ),  # true milli-nats — one /1000 from micro-nats (q429 convention)
+        F.floor(F.col("excess_q") / 1000.0 + 0.5).cast("double").alias(
             "excess_milli_nats"
         ),
         (
@@ -1353,8 +1363,12 @@ def _q421_sql() -> str:
            FLOOR((1 - t.t * 1.0 / b.t0) * 100 * 10000 + 0.5) / 10000
              AS compression_pct
     FROM t CROSS JOIN base b
+    WHERE b.t0 IS NOT NULL
     ORDER BY merge_round
     """
+    # WHERE guard: on an empty/degenerate lake (no words >= 2 chars) the
+    # Spark fn returns 0 rows; without it SUM over the empty w{{k}} CTEs
+    # would emit 7 rows of NULL totals (ADVICE r7)
     )
 
 
@@ -1875,7 +1889,14 @@ def q425_dedup_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ── q426: facility-location greedy coreset (coverage-based selection) ────────
 
 _Q426_K = 8
-_Q426_CAND_MOD = 10  # candidate shortlist: vec_id % 10 == 0
+# Candidate shortlist is SIZE-bounded, not fraction-bounded (VERDICT r7
+# item 3): the K lowest vec_ids under a deterministic multiplicative
+# hash — so the sim matrix is O(N*K) and the broadcast side is a
+# constant K rows at any corpus size (a 10% fraction made both grow
+# linearly with N). Same integer arithmetic in Spark and DuckDB.
+_Q426_CAND_K = 50
+_Q426_HASH_MULT = 2654435761  # Knuth multiplicative hash
+_Q426_HASH_MOD = 1000000007
 _Q426_DIM = 64
 _Q426_SCALE = 1_000_000
 
@@ -1901,7 +1922,9 @@ def _q426_sql() -> str:
       SELECT vec_id AS v, embedding, {nrm("embedding")} AS nm FROM embeddings
     ),
     cand AS MATERIALIZED (
-      SELECT v AS c, embedding, nm FROM pts WHERE v % {_Q426_CAND_MOD} = 0
+      SELECT v AS c, embedding, nm FROM pts
+      ORDER BY (v * {_Q426_HASH_MULT}) % {_Q426_HASH_MOD}, v
+      LIMIT {_Q426_CAND_K}
     ),
     sim AS MATERIALIZED (
       SELECT p.v, c.c,
@@ -1963,7 +1986,9 @@ def _q426_sql() -> str:
     _q426_sql(),
     doc="Facility-location greedy coreset selection (the lazy-greedy "
     "coverage objective of Wei et al., ICML'15 coreset literature): "
-    "pick 8 representatives from a 10% candidate shortlist, each step "
+    f"pick 8 representatives from a fixed-size {_Q426_CAND_K}-candidate "
+    "shortlist (hash-top-K under a Knuth multiplicative hash — "
+    "size-bounded, so the sim matrix is O(N*K)), each step "
     "maximizing the marginal coverage gain sum_v max(0, cos(v,c) - "
     "cover(v)). The third member of the data-selection family — DSIR "
     "(q414) matches a target distribution, SemDeDup (q201) removes "
@@ -1976,23 +2001,31 @@ def _q426_sql() -> str:
     "diminishing gains certify submodularity.",
 )
 def q426_facility_location_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: the sim matrix is points x SHORTLIST (10% of points),
-    computed map-side with broadcast candidates and materialized once
+    """Scale: the sim matrix is points x K with K FIXED (hash-top-K
+    shortlist, a one-pass TakeOrderedAndProject), computed map-side
+    with the K-row broadcast candidates and materialized once
     (localCheckpoint) — each greedy step is then one integer
-    join+aggregate over it plus a 1-row argmax collect; the cover
-    vector updates via equi-join. At larger corpora the shortlist is
-    the knob (or swap in the q47 IVF buckets); the greedy loop shape
-    is unchanged."""
+    join+aggregate over O(N*K) cells plus a 1-row argmax collect; the
+    cover vector updates via equi-join. Per-candidate cost is flat in
+    N; to spend the budget better at larger corpora, swap the hash
+    shortlist for the q47 IVF centroids — the greedy loop shape is
+    unchanged."""
     from ..operators.similarity import dot, norm
 
     sc = _Q426_SCALE
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("v"), "embedding", norm(F.col("embedding")).alias("nm")
     )
-    cand = emb.filter(F.col("v") % _Q426_CAND_MOD == 0).select(
-        F.col("v").alias("c"),
-        F.col("embedding").alias("cemb"),
-        F.col("nm").alias("cnm"),
+    cand = (
+        emb.orderBy(
+            (F.col("v") * _Q426_HASH_MULT) % _Q426_HASH_MOD, F.col("v")
+        )  # TakeOrderedAndProject: one pass, K rows survive
+        .limit(_Q426_CAND_K)
+        .select(
+            F.col("v").alias("c"),
+            F.col("embedding").alias("cemb"),
+            F.col("nm").alias("cnm"),
+        )
     )
     sim = (
         emb.crossJoin(F.broadcast(cand))

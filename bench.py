@@ -417,6 +417,42 @@ def main() -> None:
             passes.setdefault(name, []).append(round(elapsed, 3))
             timings[name] = round(min(elapsed, timings.get(name, elapsed)), 3)
 
+    # Materialized-index mode (VERDICT r7 item 6): the audit family's
+    # production shape — detectors run ONCE into the versioned snapshot
+    # store, then each audit re-aggregates the stored relations. Timed
+    # SEPARATELY from the headline total (the fresh audits above stay in
+    # it) so round-over-round headline totals remain comparable, while
+    # the artifact carries the *_from_index rows next to the fresh ones.
+    from_index: dict[str, float] = {}
+    index_materialize_sec = None
+    if os.environ.get("SPARK_GRAFT_BENCH_FROM_INDEX", "1") != "0":
+        import shutil
+        import tempfile
+
+        from aws_datalake_platform_spark.pipelines.audit_index import (
+            FROM_INDEX_AUDITS,
+            materialize_dedup_index,
+        )
+
+        index_dir = tempfile.mkdtemp(prefix="bench_dedup_index_")
+        try:
+            spark.catalog.clearCache()
+            drain()
+            t0 = time.perf_counter()
+            materialize_dedup_index(spark, SF_DIR, index_dir)
+            index_materialize_sec = round(time.perf_counter() - t0, 3)
+            for name, fn in FROM_INDEX_AUDITS.items():
+                materialize(fn(spark, SF_DIR, index_dir))  # codegen warmup
+                spark.catalog.clearCache()
+                drain()
+                t0 = time.perf_counter()
+                materialize(fn(spark, SF_DIR, index_dir))
+                from_index[f"{name}_from_index"] = round(
+                    time.perf_counter() - t0, 3
+                )
+        finally:
+            shutil.rmtree(index_dir, ignore_errors=True)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
@@ -457,6 +493,14 @@ def main() -> None:
         "before each timed query; warmup pass excluded)",
         "sf": sf_val,
         "geomean_vs_prev": geomean_vs_prev,
+        "from_index": {
+            "materialize_sec": index_materialize_sec,
+            "audits": from_index,
+            "note": "detectors computed ONCE into the snapshot store; "
+            "each audit re-aggregates stored relations (compare with "
+            "the same-named fresh rows in 'queries'). Excluded from "
+            "'value' so headline totals stay comparable across rounds.",
+        },
     }
     out_path = (
         canonical_path
@@ -481,6 +525,13 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "geomean_vs_prev": geomean_vs_prev,
+                "from_index_total": (
+                    None
+                    if index_materialize_sec is None
+                    else round(
+                        index_materialize_sec + sum(from_index.values()), 3
+                    )
+                ),
                 "queries": slowest,
                 "queries_truncated": True,
                 "full": os.path.basename(out_path),

@@ -1196,6 +1196,23 @@ def test_q396_sort_key_zone_join_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_q396_zone_maps_sort_is_distributed(spark):
+    """The per-candidate chunk ranking must never be a single-partition
+    total sort (VERDICT r7 item 2): the window is PARTITIONED by the
+    frozen range-partition id, so no WindowExec sees the whole table."""
+    from aws_datalake_platform_spark.catalog import load_table
+    from aws_datalake_platform_spark.plans.training3 import _q396_zone_maps
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    plan = _q396_zone_maps(li)._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(cand#" in plan, plan
+    # every window in the zone-map subtree is (cand, pid)-partitioned
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert m.group(1).startswith("cand#"), m.group(0)
+
+
 def test_q398_pagerank_exact_checkpointed(spark):
     """Exact PageRank returns the bounded checkpointed score table (the
     q123 materialize-before-fanout discipline)."""

@@ -13,7 +13,7 @@ import math
 import re
 from collections import Counter
 
-from aws_datalake_platform_spark.catalog import load_table
+from aws_datalake_platform_spark.catalog import TESTDATA_TABLES, load_table
 from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
 
 from .conftest import SF_SMOKE
@@ -263,6 +263,38 @@ def test_q418_chimerge_recompute(spark):
     assert all(r["n_final_bins"] == len(out) for r in out)
 
 
+def test_q418_degenerate_constant_price_matches_oracle(spark, tmp_path):
+    """ADVICE r7: with a near-constant o_totalprice only ONE base bin
+    populates, every merge round finds no adjacent pair, and the
+    oracle's per-round best{i} CTE is empty — the LEFT JOIN ON TRUE
+    guard must make those rounds no-ops (matching the Spark loop's
+    break) instead of collapsing the chain to zero rows."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    from .oracle import compare, duckdb_conn
+
+    dst = tmp_path / "degenerate"
+    dst.mkdir()
+    for t in TESTDATA_TABLES:
+        src = pq.read_table(f"{SF_SMOKE}/{t}.parquet")
+        if t == "orders":
+            const = pc.multiply(
+                pc.divide(src.column("o_totalprice"), src.column("o_totalprice")),
+                42.5,
+            )
+            src = src.set_column(
+                src.schema.get_field_index("o_totalprice"), "o_totalprice", const
+            )
+        pq.write_table(src, str(dst / f"{t}.parquet"))
+    spec = QUERY_REGISTRY["q418_chimerge_binning_plan"]
+    out = spec.fn(spark, str(dst)).collect()
+    assert len(out) == 1  # one populated bin survives untouched
+    assert out[0]["n_final_bins"] == 1
+    ok, msg = compare(spec.fn(spark, str(dst)), duckdb_conn(str(dst)), spec.sql)
+    assert ok, msg
+
+
 def test_q419_mixture_recompute(spark):
     """Mixture shares recomputed independently from raw tokens: shares
     sum to ~100, every source keeps at least half its natural share
@@ -288,7 +320,8 @@ def test_q419_mixture_recompute(spark):
     assert len(out) == len(per_src)
     by_src = {r["source"]: r for r in out}
     for s, cq in ce.items():
-        assert abs(by_src[s]["ce_milli_nats"] - math.floor(cq / 1000.0 + 0.5) / 1000.0) < 1e-9
+        # true milli-nats (one /1000 from micro-nats — q429 convention)
+        assert abs(by_src[s]["ce_milli_nats"] - math.floor(cq / 1000.0 + 0.5)) < 1e-9
     assert abs(sum(r["mixture_share_pct"] for r in out) - 100.0) < 0.05
     assert abs(sum(r["doremi_share_pct"] for r in out) - 100.0) < 0.05
     for r in out:
@@ -537,8 +570,10 @@ def test_q426_facility_location_against_numpy(spark):
     ids = np.array([r["vec_id"] for r in rows])
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    cand_mask = ids % 10 == 0
+    shortlist = sorted(ids.tolist(), key=lambda v: ((v * 2654435761) % 1000000007, v))[:50]
+    cand_mask = np.isin(ids, shortlist)
     cand_ids = ids[cand_mask]
+    assert len(cand_ids) == min(50, len(ids))  # size-bounded, not a fraction
     S = Xn @ Xn[cand_mask].T  # points x candidates cosine
     Sq = np.floor(S * 1_000_000 + 0.5).astype(np.int64)
     cover = np.zeros(len(ids), dtype=np.int64)
@@ -675,6 +710,26 @@ def test_q429_scaling_law_recompute(spark):
     assert out[0]["scaling_exponent"] <= 0
     assert out[0]["pred_ce_milli_at_10x"] > 0
     assert len({r["scaling_exponent"] for r in out}) == 1
+    # semantic invariant (the r7 q429-bug class: plan AND oracle shared
+    # a unit error the exact-replay recompute above could not catch):
+    # refit the power law with PLAIN-FLOAT OLS on (ln tokens, ln CE)
+    # and require the engine's slope AND its 10x extrapolation to match
+    # this independent algebra within a loose band — a slope mishandled
+    # by any constant factor moves the prediction far outside it.
+    xs = [math.log(t) for t, _ in want_ce]
+    ys = [math.log(c / 1000.0) for _, c in want_ce]  # CE back to nats
+    np_, sx, sy = len(xs), sum(xs), sum(ys)
+    slope = (np_ * sum(x * y for x, y in zip(xs, ys)) - sx * sy) / (
+        np_ * sum(x * x for x in xs) - sx * sx
+    )
+    intercept = sy / np_ - slope * sx / np_
+    pred_milli = math.exp(intercept + slope * math.log(10 * want_ce[-1][0])) * 1000
+    assert abs(out[0]["scaling_exponent"] - slope) < 5e-3
+    assert abs(out[0]["pred_ce_milli_at_10x"] - pred_milli) / pred_milli < 0.02
+    # the prediction must RESPOND to the slope: with a negative slope,
+    # 10x data strictly improves on the last observed CE
+    if slope < -1e-4:
+        assert out[0]["pred_ce_milli_at_10x"] < ces[-1]
 
 
 def test_q430_brier_decomposition_recompute(spark):
