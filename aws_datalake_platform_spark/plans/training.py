@@ -11625,22 +11625,25 @@ def q318_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts = load_table(spark, sf_dir, "part").agg(
         F.count(F.lit(1)).cast("long").alias("n_parts")
     )
-    ks = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
-    # LEFT join (not crossJoin) mirrors the oracle: the k-spine survives
-    # an empty recs relation, so an empty lake still yields 3 rows
-    j = (
-        F.broadcast(ks)
-        .crossJoin(F.broadcast(n_parts))
-        .join(per_part, F.lit(True), "left")
+    # ONE conditional aggregate over per_part (no k-spine join at all:
+    # a spine LEFT JOIN ON TRUE would fan every per-part row out 3x and
+    # need a catalog-sized broadcast at scale), then a 3-row unpivot.
+    # coalesce keeps the 3-row spine alive on an empty lake.
+    counts = per_part.agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("n_recs") >= k, 1)), F.lit(0))
+            .cast("long")
+            .alias(f"c{k}")
+            for k in (1, 2, 3)
+        ]
     )
     return (
-        j.groupBy("k", "n_parts")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("n_recs") >= F.col("k"), 1)), F.lit(0)
-            )
-            .cast("long")
-            .alias("n_parts_covered"),
+        counts.crossJoin(F.broadcast(n_parts))
+        .select(
+            F.expr(
+                "stack(3, 1, c1, 2, c2, 3, c3) AS (k, n_parts_covered)"
+            ),
+            "n_parts",
         )
         .select(
             F.col("k").cast("int").alias("k"),
