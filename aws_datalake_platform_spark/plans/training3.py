@@ -3296,10 +3296,11 @@ def _q402_sql() -> str:
                             - (m.s1 / 10000.0) * (m.s1 / 10000.0)))
                   + 1000) * 1000000 + 0.5) / 1000000 - 1000 AS z_stat
     FROM b{it} b CROSS JOIN m{it} m
-    WHERE (SELECT COUNT(*) FROM daily) > 0
+    WHERE (SELECT COUNT(*) FROM daily) > 1
     """
-    )  # WHERE guard: empty events table -> zero rows on both sides
-    # (the fn's bounded-collect early return), not one NULL row
+    )  # WHERE guard: an empty OR single-day events table -> zero rows on
+    # both sides (the fn's bounded-collect early return); with one day
+    # the Fisher information is singular, so no trend is defined
 
 
 @register(
@@ -3335,7 +3336,10 @@ def q402_poisson_trend_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     ys = [r["y"] for r in daily]
-    if not ys:
+    # a trend needs >= 2 days: with one day the 2x2 Fisher information
+    # is singular (det 0) on both engines; return schema-stable empty
+    # (the oracle's COUNT(daily) > 1 guard is the same condition)
+    if len(ys) < 2:
         return spark.createDataFrame(
             [],
             "n_days long, intercept double, trend_coef double, "

@@ -1,0 +1,70 @@
+"""Degenerate-lake plan/oracle parity probe.
+
+Builds a lake where every table holds the first N rows of the sf0.001
+fixtures (N=0: the empty lake the permanent pytest sweep in
+tests/test_empty_inputs.py covers; N=1: single-row tables that stress
+n-1 variance denominators, singular Fisher matrices, and integer
+division), then runs the driver-style DuckDB compare for every
+oracle-backed query and prints each divergence.
+
+Round-8 findings at N=1: 41 queries raise Spark ANSI DIVIDE_BY_ZERO
+(undefined n=1 statistics — variance, rank correlations, chi-square
+denominators) and q402 raised a Python ZeroDivisionError (fixed in r8:
+single-day guard on both sides). Fixing the remaining 41 means touching
+41 registered queries and re-fronting the driver-green ones, which
+would push the never-sampled certification debt past its r10
+convergence — DEFERRED until the debt clears (SURVEY §7 r8 block).
+
+    python scripts/degenerate_probe.py [--rows 1] [--sf /root/testdata/sf0.001]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1, help="rows kept per table")
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    args = ap.parse_args()
+
+    import pyarrow.parquet as pq
+
+    from aws_datalake_platform_spark.catalog import TESTDATA_TABLES
+    from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
+    from aws_datalake_platform_spark.session import get_spark
+    from tests.oracle import compare, duckdb_conn
+
+    spark = get_spark()
+    dst = tempfile.mkdtemp(prefix=f"degenerate_lake_{args.rows}_")
+    for t in TESTDATA_TABLES:
+        src = pq.read_table(f"{args.sf}/{t}.parquet")
+        pq.write_table(src.slice(0, args.rows), f"{dst}/{t}.parquet")
+    con = duckdb_conn(dst)
+    print(f"lake: {dst} ({args.rows} rows/table)", flush=True)
+
+    bad = 0
+    for name in sorted(QUERY_REGISTRY):
+        spec = QUERY_REGISTRY[name]
+        if spec.sql is None:
+            continue
+        try:
+            ok, msg = compare(spec.fn(spark, dst), con, spec.sql)
+        except Exception as ex:  # either engine may raise on degenerate input
+            ok = False
+            msg = f"EXC {type(ex).__name__}: {str(ex).splitlines()[0][:120]}"
+        if not ok:
+            bad += 1
+            print(f"MISMATCH {name}: {msg[:170]}", flush=True)
+    print(f"done: {bad} divergences", flush=True)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
