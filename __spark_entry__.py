@@ -70,14 +70,19 @@ def _driver_checked() -> set[str]:
 # Changed after r5: q201's oracle centroid pick mirrored to
 # ORDER BY vec_id LIMIT K (ADVICE r5 — was WHERE vec_id < K).
 _CHANGED_AFTER_ROUND = {
-    # r8: q396 zone-map sorts rewritten distributed (exploded
+    # r8 changes land BEFORE the round-8 driver gate runs, so a round-8
+    # green DOES certify the new code: the value is 7 ("greens from
+    # rounds <= 7 don't certify"), which fronts everything below for
+    # the r8 gate exactly once and self-clears the moment
+    # CORRECTNESS_r08 records them green — no wasted r9 slots.
+    # q396: zone-map sorts rewritten distributed (exploded
     # repartitionByRange + per-range row_number; results identical —
-    # recompute pytest pins exact-NTILE parity); q426 candidate
+    # recompute pytest pins exact-NTILE parity). q426: candidate
     # shortlist now fixed-size hash-top-K (results CHANGE: different
-    # candidates). Both were never driver-sampled; front them so their
+    # candidates). Both were never driver-sampled; fronted so their
     # first certification is of the new code.
-    "q396_sort_key_plan": 8,
-    "q426_facility_location_coreset": 8,
+    "q396_sort_key_plan": 7,
+    "q426_facility_location_coreset": 7,
     # r8: q419 output UNITS changed (ce/excess now true milli-nats, the
     # q429 convention — ADVICE r7); all others below are empty-lake /
     # degenerate-lake parity guards (ADVICE r7 q415/q421 generalized to
@@ -85,30 +90,30 @@ _CHANGED_AFTER_ROUND = {
     # guards on oracle tails, try_divide / coalesce on Spark tails.
     # Non-empty results are IDENTICAL (mirror-verified 24/24 at two
     # SFs); fronted anyway per the conservative rotation discipline.
-    "q419_domain_mixture_plan": 8,
-    "q15_rollup": 8,
-    "q16_cube": 8,
-    "q38_grouping_sets": 8,
-    "q129_grouping_id": 8,
-    "q160_fk_integrity_audit": 8,
-    "q200_dataset_card": 8,
-    "q236_lsh_parameter_plan": 8,
-    "q251_heaps_law_fit": 8,
-    "q300_corpus_scorecard": 8,
-    "q312_srm_check": 8,
-    "q313_benford_audit": 8,
-    "q316_aa_test_readout": 8,
-    "q318_rec_coverage": 8,
-    "q330_join_size_estimate": 8,
-    "q350_markov_attribution": 8,
-    "q353_logrank_test": 8,
-    "q379_cox_hazard_newton": 8,
-    "q401_gmm_em": 8,
-    "q402_poisson_trend_glm": 8,
-    "q412_dedup_transitivity": 8,
-    "q415_logistic_quality_irls": 8,
-    "q418_chimerge_binning_plan": 8,
-    "q421_bpe_compression_curve": 8,
+    "q419_domain_mixture_plan": 7,
+    "q15_rollup": 7,
+    "q16_cube": 7,
+    "q38_grouping_sets": 7,
+    "q129_grouping_id": 7,
+    "q160_fk_integrity_audit": 7,
+    "q200_dataset_card": 7,
+    "q236_lsh_parameter_plan": 7,
+    "q251_heaps_law_fit": 7,
+    "q300_corpus_scorecard": 7,
+    "q312_srm_check": 7,
+    "q313_benford_audit": 7,
+    "q316_aa_test_readout": 7,
+    "q318_rec_coverage": 7,
+    "q330_join_size_estimate": 7,
+    "q350_markov_attribution": 7,
+    "q353_logrank_test": 7,
+    "q379_cox_hazard_newton": 7,
+    "q401_gmm_em": 7,
+    "q402_poisson_trend_glm": 7,
+    "q412_dedup_transitivity": 7,
+    "q415_logistic_quality_irls": 7,
+    "q418_chimerge_binning_plan": 7,
+    "q421_bpe_compression_curve": 7,
     # r7: tiny-graph single-partition collapse added to the HITS loop
     # (execution-strategy only — identical results; re-verify anyway)
     "q368_hits_hubs_authorities": 7,
