@@ -11569,9 +11569,14 @@ def q317_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.select(
         F.col("k").alias("n_days"),
         F.col("n_groups").cast("int").alias("n_dow_groups"),
-        round_half_up(ssb / sst, 6).alias("eta2_dow"),
+        # try_divide: a 1-day lake has zero total/within variance and
+        # zero dof — eta2/F undefined (NULL, matching DuckDB x/0)
+        round_half_up(F.try_divide(ssb, sst), 6).alias("eta2_dow"),
         round_half_up(
-            (ssb / (F.col("n_groups") - 1)) / (ssw / (F.col("k") - F.col("n_groups"))),
+            F.try_divide(
+                F.try_divide(ssb, F.col("n_groups") - 1),
+                F.try_divide(ssw, F.col("k") - F.col("n_groups")),
+            ),
             4,
         ).alias("f_stat"),
     )
@@ -11755,8 +11760,13 @@ def q319_stop_shingle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("kept_pair_work"),
             F.sum(work).cast("long").alias("total_pair_work"),
+            # try_divide: a single-doc lake has df=1 everywhere, so
+            # total pair work is 0 — pruned fraction undefined (NULL)
             round_half_up(
-                F.coalesce(F.sum(hot), F.lit(0)) * 1.0 / F.sum(work), 6
+                F.try_divide(
+                    F.coalesce(F.sum(hot), F.lit(0)) * 1.0, F.sum(work)
+                ),
+                6,
             ).alias("work_pruned_frac"),
         )
         .select(

@@ -290,8 +290,10 @@ def q325_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = h.agg(
         F.sum("pos").cast("long").alias("np"), F.sum("cnt").cast("long").alias("n")
     )
+    # try_divide: with zero positives (np=0, e.g. a 1-doc lake that
+    # fails the gopher gate) AP is undefined -> NULL, matching DuckDB
     term_q9 = F.floor(
-        F.col("pos") * 1.0 / F.col("np")
+        F.try_divide(F.col("pos") * 1.0, F.col("np"))
         * (F.col("cum_pos") * 1.0 / F.col("cum_cnt"))
         * 1_000_000_000
         + 0.5
@@ -569,8 +571,11 @@ def q327_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("tk").cast("long").alias("v"))
     )
     held = big.filter(F.col("doc_id") % 5 == 0)
-    pcont = (F.coalesce(F.col("nb"), F.lit(0)) + 1) * 1.0 / (
-        F.col("n_types") + F.col("v")
+    # try_divide: a lake whose only docs land in the held-out split has
+    # an EMPTY train model (n_types = v = 0) -> NULL logprob, not ANSI
+    pcont = F.try_divide(
+        (F.coalesce(F.col("nb"), F.lit(0)) + 1) * 1.0,
+        F.col("n_types") + F.col("v"),
     )
     p_seen = (
         F.greatest(F.coalesce(F.col("cb"), F.lit(0)) - F.lit(_Q327_D), F.lit(0.0))
@@ -1999,7 +2004,9 @@ def q338_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = F.col("n") * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy")
     varx = F.col("n") * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx")
     vary = F.col("n") * F.col("syy") - F.col("sy") * 1.0 * F.col("sy")
-    theta = cov / varx
+    # try_divide: a single-user lake has zero pre-period variance —
+    # theta/var_reduction undefined (NULL, matching DuckDB x/0)
+    theta = F.try_divide(cov, varx)
     mean_post = F.col("sya") / 100.0 / F.col("n_users")
     mean_x_arm = F.col("sxa") / 100.0 / F.col("n_users")
     mean_x_all = F.col("sx") / 100.0 / F.col("n")
@@ -2013,7 +2020,9 @@ def q338_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mean_post - theta * (mean_x_arm - mean_x_all), 4
             ).alias("mean_post_cuped"),
             round_half_up(theta, 6).alias("theta"),
-            round_half_up(cov * cov / (varx * vary), 6).alias("var_reduction"),
+            round_half_up(
+                F.try_divide(cov * cov, varx * vary), 6
+            ).alias("var_reduction"),
         )
         .orderBy("arm")
     )
@@ -2556,14 +2565,14 @@ def q342_shrunk_cell_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_g") * F.col("n_g")).cast("long").alias("sum_n2"),
         )
     )
-    s2w = F.col("wq") / float(_Q342_Q) / (F.col("n_tot") - F.col("k"))
+    # try_divide: a one-customer segment has zero within dof
+    # (n_tot == k) and a zero tau2 denominator — shrinkage undefined
+    s2w = F.try_divide(F.col("wq") / float(_Q342_Q), F.col("n_tot") - F.col("k"))
     tau2 = F.greatest(
-        (
-            F.col("bq") / float(_Q342_Q)
-            - (F.col("k") - 1)
-            * (F.col("wq") / float(_Q342_Q) / (F.col("n_tot") - F.col("k")))
-        )
-        / (F.col("n_tot") - F.col("sum_n2") * 1.0 / F.col("n_tot")),
+        F.try_divide(
+            F.col("bq") / float(_Q342_Q) - (F.col("k") - 1) * s2w,
+            F.col("n_tot") - F.col("sum_n2") * 1.0 / F.col("n_tot"),
+        ),
         F.lit(0.0),
     )
     w_g = F.when(tau2 == 0.0, 0.0).otherwise(tau2 / (tau2 + s2w / F.col("n_g")))
@@ -2663,8 +2672,13 @@ def q343_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_c").cast("long").alias("gn_c"),
         F.sum("o_c").cast("long").alias("go_c"),
     )
-    ds = F.col("o_t") * 1.0 / F.col("n_t") - F.col("o_c") * 1.0 / F.col("n_c")
-    da = F.col("go_t") * 1.0 / F.col("gn_t") - F.col("go_c") * 1.0 / F.col("gn_c")
+    # try_divide: a stratum (or lake) with an empty arm has no rate
+    ds = F.try_divide(F.col("o_t") * 1.0, F.col("n_t")) - F.try_divide(
+        F.col("o_c") * 1.0, F.col("n_c")
+    )
+    da = F.try_divide(F.col("go_t") * 1.0, F.col("gn_t")) - F.try_divide(
+        F.col("go_c") * 1.0, F.col("gn_c")
+    )
     return (
         s.crossJoin(F.broadcast(g))
         .select(
@@ -2918,8 +2932,14 @@ def q346_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = F.col("srs") - F.col("r") * 1.0 * F.col("sns") / F.col("n")
     p = F.col("r") * 1.0 / F.col("n")
-    z = t / F.sqrt(
-        p * (1 - p) * (F.col("snss") - F.col("sns") * 1.0 * F.col("sns") / F.col("n"))
+    # try_divide: one row (or all-tied scores) has zero variance -> z NULL
+    z = F.try_divide(
+        t,
+        F.sqrt(
+            p
+            * (1 - p)
+            * (F.col("snss") - F.col("sns") * 1.0 * F.col("sns") / F.col("n"))
+        ),
     )
     return agg.select(
         F.col("n").alias("n_rows"),
@@ -3283,8 +3303,13 @@ def _cluster_agreement(docs: DataFrame, cl: DataFrame) -> DataFrame:
         F.sum(F.col("b") * (F.col("b") - 1) / 2).cast("long").alias("s_b"),
         F.count(F.lit(1)).cast("long").alias("k_true"),
     )
-    exp = F.col("s_a") * 1.0 * F.col("s_b") / (F.col("n") * (F.col("n") - 1) / 2)
-    ari = (F.col("sij") - exp) / ((F.col("s_a") + F.col("s_b")) / 2.0 - exp)
+    # try_divide: a one-doc lake has an empty pair universe (n(n-1)/2=0)
+    exp = F.try_divide(
+        F.col("s_a") * 1.0 * F.col("s_b"), F.col("n") * (F.col("n") - 1) / 2
+    )
+    ari = F.try_divide(
+        F.col("sij") - exp, (F.col("s_a") + F.col("s_b")) / 2.0 - exp
+    )
     p3 = F.col("spq") * 1.0 / 1_000_000 / F.col("n")
     r3 = F.col("srq") * 1.0 / 1_000_000 / F.col("n")
     return (
@@ -3297,7 +3322,9 @@ def _cluster_agreement(docs: DataFrame, cl: DataFrame) -> DataFrame:
             round_half_up(ari, 6).alias("ari"),
             round_half_up(p3, 6).alias("b3_precision"),
             round_half_up(r3, 6).alias("b3_recall"),
-            round_half_up(2.0 * p3 * r3 / (p3 + r3), 6).alias("b3_f1"),
+            round_half_up(F.try_divide(2.0 * p3 * r3, p3 + r3), 6).alias(
+                "b3_f1"
+            ),
         )
     )
 
@@ -4290,15 +4317,16 @@ def q356_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     hstat = 12.0 / (F.col("n") * 1.0 * (F.col("n") + 1)) * (
         F.col("stq") / 100.0
     ) - 3.0 * (F.col("n") + 1)
-    corr = 1 - F.col("t3") / (
-        F.col("n") * 1.0 * F.col("n") * F.col("n") - F.col("n")
+    # try_divide: n=1 makes n^3-n zero; fully-tied data makes corr zero
+    corr = 1 - F.try_divide(
+        F.col("t3"), F.col("n") * 1.0 * F.col("n") * F.col("n") - F.col("n")
     )
     return s.crossJoin(F.broadcast(tie)).select(
         F.col("n").alias("n_rows"),
         F.col("k").alias("n_groups"),
         round_half_up(hstat, 6).alias("h_stat"),
         round_half_up(corr, 6).alias("tie_correction"),
-        round_half_up(hstat / corr, 6).alias("h_corrected"),
+        round_half_up(F.try_divide(hstat, corr), 6).alias("h_corrected"),
     )
 
 
