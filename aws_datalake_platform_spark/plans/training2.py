@@ -5263,11 +5263,16 @@ def q363_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     ).select("user_id", (F.col("user_id") % 2).alias("arm"), "y")
+    # try_divide: a one-user lake has an empty arm -> diff undefined
     arm_diff = lambda c: (
-        F.sum(F.when(F.col(c) == 1, F.col("y")).otherwise(0)) * 1.0
-        / F.sum(F.when(F.col(c) == 1, 1).otherwise(0))
-        - F.sum(F.when(F.col(c) == 0, F.col("y")).otherwise(0)) * 1.0
-        / F.sum(F.when(F.col(c) == 0, 1).otherwise(0))
+        F.try_divide(
+            F.sum(F.when(F.col(c) == 1, F.col("y")).otherwise(0)) * 1.0,
+            F.sum(F.when(F.col(c) == 1, 1).otherwise(0)),
+        )
+        - F.try_divide(
+            F.sum(F.when(F.col(c) == 0, F.col("y")).otherwise(0)) * 1.0,
+            F.sum(F.when(F.col(c) == 0, 1).otherwise(0)),
+        )
     )
     obs = u.agg(arm_diff("arm").alias("t_obs"))
     spine = spark.range(_Q363_B).select(F.col("id").cast("int").alias("b"))
@@ -6518,11 +6523,12 @@ def q371_mediation_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     cxm = nn * 1.0 * F.col("sxm_r") - F.col("sx") * 1.0 * F.col("sm")
     cxy = nn * 1.0 * F.col("sxy_r") - F.col("sx") * 1.0 * F.col("sy")
     cmy = nn * 1.0 * F.col("smy_r") - F.col("sm") * 1.0 * F.col("sy")
+    # try_divide: a single-row lake has zero covariances (cxx = det = 0)
     det = cxx * cmm - cxm * cxm
-    a = cxm / cxx
-    b = (cxx * cmy - cxm * cxy) / det
-    direct = (cmm * cxy - cxm * cmy) / det
-    total = cxy / cxx
+    a = F.try_divide(cxm, cxx)
+    b = F.try_divide(cxx * cmy - cxm * cxy, det)
+    direct = F.try_divide(cmm * cxy - cxm * cmy, det)
+    total = F.try_divide(cxy, cxx)
     return s.select(
         nn.alias("n_rows"),
         round_half_up(a, 6).alias("a_x_to_m"),
@@ -6629,12 +6635,19 @@ def q372_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def var(q, ss):
-        return (F.col(q) - F.col(ss) * 1.0 * F.col(ss) / F.col("n")) / (
-            F.col("n") - 1
+        # try_divide: a one-doc lake has zero dof (n-1 = 0)
+        return F.try_divide(
+            F.col(q) - F.col(ss) * 1.0 * F.col(ss) / F.col("n"),
+            F.col("n") - 1,
         )
 
     vt = var("qt", "st")
-    alpha = 3.0 / 2 * (1 - (var("q1", "s1") + var("q2", "s2") + var("q3", "s3")) / vt)
+    alpha = 3.0 / 2 * (
+        1
+        - F.try_divide(
+            var("q1", "s1") + var("q2", "s2") + var("q3", "s3"), vt
+        )
+    )
     return s.select(
         F.col("n").alias("n_docs"),
         F.lit(3).alias("n_items"),
@@ -6738,18 +6751,24 @@ def q373_nested_model_ftest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cxy = nn * 1.0 * F.col("sxy_r") - F.col("sx") * 1.0 * F.col("sy")
     cmy = nn * 1.0 * F.col("smy_r") - F.col("sm") * 1.0 * F.col("sy")
     cyy = nn * 1.0 * F.col("syy_r").cast("double") - F.col("sy") * 1.0 * F.col("sy")
+    # try_divide: a single-row lake has det = cxx = cyy = 0
     det = cxx * cmm - cxm * cxm
-    bx = (cmm * cxy - cxm * cmy) / det
-    bm = (cxx * cmy - cxm * cxy) / det
-    r2_red = cxy * cxy / (cxx * cyy)
-    r2_full = (cxy * bx + cmy * bm) / cyy
-    f_stat = (r2_full - r2_red) / ((1 - r2_full) / (nn - 3))
+    bx = F.try_divide(cmm * cxy - cxm * cmy, det)
+    bm = F.try_divide(cxx * cmy - cxm * cxy, det)
+    r2_red = F.try_divide(cxy * cxy, cxx * cyy)
+    r2_full = F.try_divide(cxy * bx + cmy * bm, cyy)
+    f_stat = F.try_divide(r2_full - r2_red, (1 - r2_full) / (nn - 3))
     return s.select(
         nn.alias("n_rows"),
         round_half_up(r2_red, 6).alias("r2_reduced"),
         round_half_up(r2_full, 6).alias("r2_full"),
         round_half_up(f_stat, 6).alias("f_add_m"),
-        round_half_up(1 / (1 - cxm * cxm / (cxx * cmm)), 6).alias("vif_x_m"),
+        round_half_up(
+            F.try_divide(
+                F.lit(1.0), 1 - F.try_divide(cxm * cxm, cxx * cmm)
+            ),
+            6,
+        ).alias("vif_x_m"),
     )
 
 
@@ -6820,13 +6839,17 @@ def q374_chi2_cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols_ = cells.groupBy("q").agg(F.sum("o").cast("long").alias("c"))
     n = cells.agg(F.sum("o").cast("long").alias("n"))
     e = F.col("r") * 1.0 * F.col("c") / F.col("n")
-    res = (F.col("o") - e) / F.sqrt(
+    # try_divide: one cell means r = c = n -> zero variance factors
+    res = F.try_divide(
+        F.col("o") - e,
+        F.sqrt(
         F.col("r")
         * 1.0
         * F.col("c")
         / F.col("n")
         * (1 - F.col("r") * 1.0 / F.col("n"))
         * (1 - F.col("c") * 1.0 / F.col("n"))
+        ),
     )
     return (
         cells.join(F.broadcast(rows_), "source")
@@ -6935,8 +6958,10 @@ def q375_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx_r"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy_r"),
     )
-    b_expr = (F.col("n") * 1.0 * F.col("sxy_r") - F.col("sx") * 1.0 * F.col("sy")) / (
-        F.col("n") * 1.0 * F.col("sxx_r") - F.col("sx") * 1.0 * F.col("sx")
+    # try_divide: a single-row lake has zero x-variance
+    b_expr = F.try_divide(
+        F.col("n") * 1.0 * F.col("sxy_r") - F.col("sx") * 1.0 * F.col("sy"),
+        F.col("n") * 1.0 * F.col("sxx_r") - F.col("sx") * 1.0 * F.col("sx"),
     )
     fit = s.select(
         b_expr.alias("b"),
@@ -6963,7 +6988,7 @@ def q375_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cqq = nn.cast("double") * F.col("sqq").cast("double") - F.col("sq").cast(
         "double"
     ) * F.col("sq").cast("double")
-    bp = nn * cxq * cxq / (cxx * cqq)
+    bp = F.try_divide(nn * cxq * cxq, cxx * cqq)
     t = 1 / (1 + _AS_P * F.sqrt(bp))
     b1, b2, b3, b4, b5 = _AS_B
     horner = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))))
@@ -7048,8 +7073,10 @@ def q376_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
         F.sum(F.col("d") * F.col("v")).cast("long").alias("sdv"),
     )
-    b = (F.col("n") * 1.0 * F.col("sdv") - F.col("sd") * 1.0 * F.col("sv")) / (
-        F.col("n") * 1.0 * F.col("sdd") - F.col("sd") * 1.0 * F.col("sd")
+    # try_divide: a single-day lake has zero time variance
+    b = F.try_divide(
+        F.col("n") * 1.0 * F.col("sdv") - F.col("sd") * 1.0 * F.col("sv"),
+        F.col("n") * 1.0 * F.col("sdd") - F.col("sd") * 1.0 * F.col("sd"),
     )
     a = (F.col("sv") - b * F.col("sd")) / F.col("n")
     e = d0.crossJoin(F.broadcast(s)).select(
@@ -7068,8 +7095,11 @@ def q376_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sum(F.col("eq") * F.col("eq")).cast("double")
     return l.agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
-        round_half_up(num / den, 6).alias("dw_stat"),
-        F.when(num / den < 1.0, 1).otherwise(0).alias("positive_autocorr_flag"),
+        # try_divide: a perfect fit (or single day) has zero residual SS
+        round_half_up(F.try_divide(num, den), 6).alias("dw_stat"),
+        F.when(F.try_divide(num, den) < 1.0, 1)
+        .otherwise(0)
+        .alias("positive_autocorr_flag"),
     )
 
 
@@ -7154,8 +7184,10 @@ def q377_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
         F.sum(F.col("d") * F.col("v")).cast("long").alias("sdv"),
     )
-    b = (F.col("n") * 1.0 * F.col("sdv") - F.col("sd") * 1.0 * F.col("sv")) / (
-        F.col("n") * 1.0 * F.col("sdd") - F.col("sd") * 1.0 * F.col("sd")
+    # try_divide: a single-day lake has zero time variance
+    b = F.try_divide(
+        F.col("n") * 1.0 * F.col("sdv") - F.col("sd") * 1.0 * F.col("sv"),
+        F.col("n") * 1.0 * F.col("sdd") - F.col("sd") * 1.0 * F.col("sd"),
     )
     a = (F.col("sv") - b * F.col("sd")) / F.col("n")
     e = d0.crossJoin(F.broadcast(s)).select(
@@ -7174,10 +7206,13 @@ def q377_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rsum = None
     for k in range(1, _Q377_K + 1):
-        rk = F.sum(F.col("eq") * F.col(f"e{k}")).cast("double") / F.sum(
-            F.col("eq") * F.col("eq")
-        ).cast("double")
-        term = rk * rk / (F.max("nn") - k)
+        # try_divide: zero residual SS (single day / perfect fit) and
+        # n <= k lags both make the term undefined -> NULL
+        rk = F.try_divide(
+            F.sum(F.col("eq") * F.col(f"e{k}")).cast("double"),
+            F.sum(F.col("eq") * F.col("eq")).cast("double"),
+        )
+        term = F.try_divide(rk * rk, F.max("nn") - k)
         rsum = term if rsum is None else rsum + term
     q_lb = F.max("nn") * (F.max("nn") + 2.0) * rsum
     return l.agg(
@@ -7283,9 +7318,15 @@ def q378_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("sy"),
         F.sum(dec("y") * dec("y")).cast("double").alias("syy"),
     )
-    z = (F.col("y") - F.col("sy") * 1.0 / F.col("n")) / F.sqrt(
-        (F.col("syy") - F.col("sy") * 1.0 * F.col("sy") / F.col("n"))
-        / (F.col("n") - 1)
+    # try_divide: a single-user lake has zero dof/variance -> z NULL
+    z = F.try_divide(
+        F.col("y") - F.col("sy") * 1.0 / F.col("n"),
+        F.sqrt(
+            F.try_divide(
+                F.col("syy") - F.col("sy") * 1.0 * F.col("sy") / F.col("n"),
+                F.col("n") - 1,
+            )
+        ),
     )
     r = u.crossJoin(F.broadcast(mo)).select(
         F.row_number().over(Window.orderBy("y", "user_id")).alias("rn"),

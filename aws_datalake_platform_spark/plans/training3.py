@@ -869,10 +869,13 @@ def q384_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame
     def fit(prefix):
         n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
         sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
+        # try_divide: a side with < 3 points has den = 0 / zero dof
         den = n * sxx - sx * sx
-        icpt = (sy * sxx - sx * sxy) * 1.0 / den
-        slope = (n * sxy - sx * sy) * 1.0 / den
-        var_i = ((syy - icpt * sy - slope * sxy) / (n - 2)) * sxx / den
+        icpt = F.try_divide((sy * sxx - sx * sxy) * 1.0, den)
+        slope = F.try_divide((n * sxy - sx * sy) * 1.0, den)
+        var_i = F.try_divide(
+            F.try_divide(syy - icpt * sy - slope * sxy, n - 2) * sxx, den
+        )
         return [
             F.col("n").alias(f"n_{prefix}"),
             icpt.alias(f"i{prefix}"),
@@ -898,9 +901,12 @@ def q384_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame
         signed_round6(F.col("sr") / 100).alias("slope_right"),
         signed_round6(eff).alias("rd_effect"),
         round_half_up(se, 6).alias("std_err"),
-        signed_round6((F.col("ir") - F.col("il")) / F.sqrt(F.col("vl") + F.col("vr"))).alias(
-            "z_stat"
-        ),
+        signed_round6(
+            F.try_divide(
+                F.col("ir") - F.col("il"),
+                F.sqrt(F.col("vl") + F.col("vr")),
+            )
+        ).alias("z_stat"),
     )
 
 
@@ -1028,8 +1034,9 @@ def q385_periodogram_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.select(
         "period",
         round_half_up(F.col("pw_q") / 100.0 / F.col("n"), 4).alias("power"),
+        # try_divide: a 1-day lake has zero detrended power everywhere
         round_half_up(
-            F.col("pw_q") * 1.0 / F.sum("pw_q").over(wall), 6
+            F.try_divide(F.col("pw_q") * 1.0, F.sum("pw_q").over(wall)), 6
         ).alias("power_share"),
         F.when(F.row_number().over(wr) == 1, 1).otherwise(0).alias("dominant"),
     ).orderBy("period")
@@ -1169,7 +1176,11 @@ def q386_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ssb = F.col("sq_over_n") - F.col("ss") * 1.0 * F.col("ss") / F.col("nn")
     ssw = F.col("qq") - F.col("sq_over_n")
-    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k")))
+    # try_divide: one group or one row leaves zero dof on either side
+    fstat = F.try_divide(
+        F.try_divide(ssb, F.col("k") - 1),
+        F.try_divide(ssw, F.col("nn") - F.col("k")),
+    )
     return t.select(
         F.col("k").alias("n_groups"),
         F.col("nn").alias("n_total"),
@@ -1462,11 +1473,11 @@ def q388_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = per_t.crossJoin(F.broadcast(dims)).crossJoin(F.broadcast(tot))
     b, k = F.col("b"), F.col("k")
-    chi2 = (
-        (k - 1)
-        * (F.col("ss2") - b * b * k * (k + 1) * (k + 1))
-        * 1.0
-        / (b * (F.col("sq2") - b * k * (k + 1) * (k + 1)))
+    # try_divide: fully-tied ranks (e.g. a single day per block) give a
+    # zero dispersion denominator -> chi2 undefined
+    chi2 = F.try_divide(
+        (k - 1) * (F.col("ss2") - b * b * k * (k + 1) * (k + 1)) * 1.0,
+        b * (F.col("sq2") - b * k * (k + 1) * (k + 1)),
     )
     return j.select(
         "event_type",
@@ -3014,7 +3025,8 @@ def q400_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("s") < 0, F.col("s") + 1)
         .otherwise(0)
     )
-    z = s_cc / F.sqrt(var_s)
+    # try_divide: a single-day lake has var_s = 0 -> z undefined
+    z = F.try_divide(s_cc, F.sqrt(var_s))
 
     def signed_round6(col):
         return F.floor((col + 1000) * 1_000_000 + 0.5) / 1_000_000 - 1000
@@ -3022,7 +3034,9 @@ def q400_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         n.alias("n_days"),
         F.col("s").alias("kendall_s"),
-        round_half_up(F.col("s") * 1.0 / F.col("n_pairs"), 6).alias("tau"),
+        round_half_up(
+            F.try_divide(F.col("s") * 1.0, F.col("n_pairs")), 6
+        ).alias("tau"),
         round_half_up(var_s, 4).alias("var_s"),
         signed_round6(z).alias("z_stat"),
         F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("reject_no_trend"),

@@ -2739,16 +2739,18 @@ def q430_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor((brier - (rel - res + unc)) * sc + 0.5) / float(sc)).alias(
             "within_bin_residual"
         ),
+        # try_divide: a single-label lake (k = 0 or k = n) has zero
+        # climatology uncertainty -> skill score undefined
         (
             F.floor(
                 (
                     1
-                    - brier
-                    / (
+                    - F.try_divide(
+                        brier,
                         F.col("k")
                         * 1.0
                         * (F.col("n") - F.col("k"))
-                        / (F.col("n") * 1.0 * F.col("n"))
+                        / (F.col("n") * 1.0 * F.col("n")),
                     )
                 )
                 * sc
