@@ -8970,11 +8970,12 @@ def q291_gain_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tile").cast("int").alias("score_decile"),
             "n_docs",
             "n_pos",
-            round_half_up(F.col("cum_pos") * 1.0 / F.col("np"), 6).alias(
-                "cum_capture"
-            ),
+            # try_divide: a lake with zero positives has no capture/lift
             round_half_up(
-                (F.col("cum_pos") * 1.0 / F.col("np"))
+                F.try_divide(F.col("cum_pos") * 1.0, F.col("np")), 6
+            ).alias("cum_capture"),
+            round_half_up(
+                F.try_divide(F.col("cum_pos") * 1.0, F.col("np"))
                 / (F.col("cum_docs") * 1.0 / F.col("n")),
                 4,
             ).alias("lift"),
@@ -9390,10 +9391,15 @@ def q296_dup_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("su") * F.col("su")).cast("long").alias("sxx"),
         F.sum(F.col("is_dup") * F.col("su")).cast("long").alias("sx1"),
     )
-    r = (F.col("n") * F.col("sx1") - F.col("n1") * F.col("sx")) * 1.0 / F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * 1.0
-        * (F.col("n") * F.col("n1") - F.col("n1") * F.col("n1"))
+    # try_divide: an all-dup or all-unique (e.g. 1-doc) corpus has zero
+    # variance in one factor -> correlation undefined
+    r = F.try_divide(
+        (F.col("n") * F.col("sx1") - F.col("n1") * F.col("sx")) * 1.0,
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * 1.0
+            * (F.col("n") * F.col("n1") - F.col("n1") * F.col("n1"))
+        ),
     )
     return s.select(
         F.col("n").alias("n_docs"),
@@ -9402,7 +9408,10 @@ def q296_dup_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sx1") * 1.0 / F.nullif(F.col("n1"), F.lit(0)) / 10000.0, 6
         ).alias("mean_quality_dups"),
         round_half_up(
-            (F.col("sx") - F.col("sx1")) * 1.0 / (F.col("n") - F.col("n1"))
+            F.try_divide(
+                (F.col("sx") - F.col("sx1")) * 1.0,
+                F.col("n") - F.col("n1"),
+            )
             / 10000.0,
             6,
         ).alias("mean_quality_uniques"),
@@ -9678,10 +9687,14 @@ def q299_scorer_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
     )
-    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * 1.0
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    # try_divide: a 1-doc lake has zero rank variance on both scorers
+    rho = F.try_divide(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0,
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * 1.0
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
     )
     return s.select(
         F.col("n").alias("n_docs"), round_half_up(rho, 6).alias("spearman_rho")
@@ -10068,8 +10081,9 @@ def q303_basket_cap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_baskets_dropped"),
             F.sum(dropped).cast("long").alias("n_pairs_dropped"),
             F.sum(all_pairs).cast("long").alias("pairs_total"),
+            # try_divide: all-singleton baskets have zero pair work
             round_half_up(
-                F.sum(dropped) * 1.0 / F.sum(all_pairs), 6
+                F.try_divide(F.sum(dropped) * 1.0, F.sum(all_pairs)), 6
             ).alias("pair_drop_frac"),
         )
         .select(
@@ -10414,9 +10428,11 @@ def q306_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)) / 2.0
     nn = F.col("n1") + F.col("n2")
+    # try_divide: a single-row (or single-source) lake degenerates the
+    # tie correction (nn <= 1) and sigma -> 0; U moments undefined
     sigma = F.sqrt(
         F.col("n1") * 1.0 * F.col("n2") / 12.0
-        * ((nn + 1) - F.col("tie3") * 1.0 / (nn * (nn - 1)))
+        * ((nn + 1) - F.try_divide(F.col("tie3") * 1.0, nn * (nn - 1)))
     )
     return agg.crossJoin(F.broadcast(names)).select(
         "source_a",
@@ -10426,10 +10442,10 @@ def q306_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.cast("long").alias("u_stat"),
         round_half_up(F.col("n1") * F.col("n2") / 2.0, 2).alias("u_mean"),
         round_half_up(
-            (u - F.col("n1") * F.col("n2") / 2.0) / sigma, 4
+            F.try_divide(u - F.col("n1") * F.col("n2") / 2.0, sigma), 4
         ).alias("z"),
         round_half_up(
-            1 - 2.0 * u / (F.col("n1") * F.col("n2")), 6
+            1 - F.try_divide(2.0 * u, F.col("n1") * F.col("n2")), 6
         ).alias("rank_biserial"),
     )
 
