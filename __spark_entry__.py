@@ -70,6 +70,23 @@ def _driver_checked() -> set[str]:
 # Changed after r5: q201's oracle centroid pick mirrored to
 # ORDER BY vec_id LIMIT K (ADVICE r5 — was WHERE vec_id < K).
 _CHANGED_AFTER_ROUND = {
+    # r9: the last eleven 1-row-lake divide-by-zero fixes (try_divide ->
+    # NULL for n=1-undefined statistics, the same pattern as the 31 done
+    # in r8; non-degenerate results mirror-verified bit-identical at
+    # sf0.001 AND sf0.01). Value 9 + the latest-recorded-round guard in
+    # _reverify keeps them OUT of the r9 gate (budgeted for 50
+    # never-sampled queries) and fronts them in the r10 gate.
+    "q169_ks_drift": 9,
+    "q208_bigram_perplexity": 9,
+    "q211_woe_iv": 9,
+    "q212_target_encoding": 9,
+    "q228_class_balanced_sample": 9,
+    "q240_roc_auc": 9,
+    "q247_bootstrap_ci": 9,
+    "q248_jackknife_influence": 9,
+    "q250_power_mde": 9,
+    "q268_sequential_ab_looks": 9,
+    "q282_auc_bootstrap_ci": 9,
     # r8 changes land BEFORE the round-8 driver gate runs, so a round-8
     # green DOES certify the new code: the value is 7 ("greens from
     # rounds <= 7 don't certify"), which fronts everything below for
@@ -83,6 +100,15 @@ _CHANGED_AFTER_ROUND = {
     # first certification is of the new code.
     "q396_sort_key_plan": 7,
     "q426_facility_location_coreset": 7,
+    # r8 batch-3 1-row-lake guards (commit e647904) — landed before the
+    # r8 gate ran, so their r08 greens certify the new code; recorded
+    # here anyway (ADVICE r8) so certification does not rest on gate
+    # timing: the entries self-clear against the existing r08 greens.
+    "q291_gain_chart": 7,
+    "q296_dup_quality_correlation": 7,
+    "q299_scorer_rank_agreement": 7,
+    "q303_basket_cap_plan": 7,
+    "q306_mann_whitney": 7,
     # r8: q419 output UNITS changed (ce/excess now true milli-nats, the
     # q429 convention — ADVICE r7); all others below are empty-lake /
     # degenerate-lake parity guards (ADVICE r7 q415/q421 generalized to
@@ -138,7 +164,14 @@ _CHANGED_AFTER_ROUND = {
 
 
 def _reverify() -> list[str]:
-    """Changed queries not yet re-greened by a round AFTER the change."""
+    """Changed queries not yet re-greened by a round AFTER the change.
+
+    An entry with value V fronts only once the round-V gate has been
+    RECORDED (latest CORRECTNESS round >= V): a change committed at the
+    end of round V — after that round's gate slice was budgeted for
+    never-sampled queries — waits exactly one round and fronts in the
+    V+1 gate, instead of silently displacing V's planned slice.
+    """
     import glob
     import json
     import os
@@ -146,6 +179,7 @@ def _reverify() -> list[str]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     green_rounds: dict[str, int] = {}
+    latest_recorded = 0
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -158,13 +192,14 @@ def _reverify() -> list[str]:
             continue
         if not isinstance(rows, dict):
             continue  # e.g. a JSON array: items() would AttributeError
+        latest_recorded = max(latest_recorded, rnd)
         for name, row in rows.items():
             if isinstance(row, dict) and row.get("hash_match") is True:
                 green_rounds[name] = max(green_rounds.get(name, 0), rnd)
     return [
         n
         for n, changed_rnd in _CHANGED_AFTER_ROUND.items()
-        if green_rounds.get(n, 0) <= changed_rnd
+        if green_rounds.get(n, 0) <= changed_rnd and latest_recorded >= changed_rnd
     ]
 
 

@@ -241,7 +241,11 @@ def q169_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.groupBy("na", "nb")
         .agg(
             F.max(num).alias("d_num"),
-            F.round(F.max(num) / (F.col("na") * F.col("nb")), 6).alias("d_stat"),
+            # try_divide: a 1-row (or single-epoch) lake has an empty
+            # side -> na*nb = 0 -> D undefined (NULL, matching DuckDB)
+            F.round(
+                F.try_divide(F.max(num), F.col("na") * F.col("nb")), 6
+            ).alias("d_stat"),
         )
         .select("na", "nb", "d_num", "d_stat")
     )

@@ -426,10 +426,14 @@ def q208_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("tk").alias("v"))
     )
     held = big.filter(F.col("doc_id") % 5 == 0)
+    # try_divide: a lake whose only docs are held out has an EMPTY train
+    # split -> c1 and V both zero -> log-prob undefined (NULL, like DuckDB)
     q6 = F.floor(
         F.log(
-            (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("double")
-            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            F.try_divide(
+                (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("double"),
+                F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"),
+            )
         )
         * 1_000_000
         + 0.5
@@ -757,11 +761,15 @@ def q211_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_orderstatus") == "F", 0).otherwise(1)).alias("n_good"),
     )
     tot = agg.agg(F.sum("n_bad").alias("tb"), F.sum("n_good").alias("tg"))
+    # try_divide: a single-class lake (e.g. 1 order) has tb or tg zero
+    # -> WOE/IV undefined (NULL, matching DuckDB's x/0 -> NULL)
     woe = (
         F.floor(
             F.log(
-                (F.col("n_bad").cast("double") * F.col("tg"))
-                / (F.col("tb").cast("double") * F.col("n_good"))
+                F.try_divide(
+                    F.col("n_bad").cast("double") * F.col("tg"),
+                    F.col("tb").cast("double") * F.col("n_good"),
+                )
             )
             * 1_000_000
             + 0.5
@@ -771,8 +779,8 @@ def q211_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv_term = (
         F.floor(
             (
-                F.col("n_bad").cast("double") / F.col("tb")
-                - F.col("n_good").cast("double") / F.col("tg")
+                F.try_divide(F.col("n_bad").cast("double"), F.col("tb"))
+                - F.try_divide(F.col("n_good").cast("double"), F.col("tg"))
             )
             * woe
             * 1_000_000
@@ -839,10 +847,14 @@ def q212_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cat = per_fold.groupBy("o_orderpriority").agg(
         F.sum("s").alias("st"), F.sum("c").alias("ct")
     )
+    # try_divide: a (category, fold) that holds ALL of its category's
+    # rows (e.g. a 1-row lake) has no other-fold rows -> encoding NULL
     enc = (
         F.floor(
-            (F.col("st") - F.col("s")).cast("double")
-            / (F.col("ct") - F.col("c"))
+            F.try_divide(
+                (F.col("st") - F.col("s")).cast("double"),
+                F.col("ct") - F.col("c"),
+            )
             * 1_000_000
             + 0.5
         )
@@ -2071,7 +2083,12 @@ def q228_class_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("n_pos"),
         F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("long").alias("n_neg"),
     )
-    rate = F.least(F.lit(1.0), F.col("n_pos").cast("double") / F.col("n_neg"))
+    # try_divide: an all-positive lake has n_neg = 0 (both engines'
+    # LEAST skips the NULL -> rate 1.0); an all-negative one has
+    # n_pos = 0 -> balance undefined (NULL, matching DuckDB)
+    rate = F.least(
+        F.lit(1.0), F.try_divide(F.col("n_pos").cast("double"), F.col("n_neg"))
+    )
     kept = F.sum(
         F.when((~F.col("pos")) & (F.col("u") < rate), 1).otherwise(0)
     )
@@ -2082,7 +2099,9 @@ def q228_class_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             kept.cast("long").alias("n_neg_kept"),
             q6(rate).alias("neg_rate"),
-            q6(kept.cast("double") / F.col("n_pos")).alias("balance_achieved"),
+            q6(F.try_divide(kept.cast("double"), F.col("n_pos"))).alias(
+                "balance_achieved"
+            ),
         )
     )
 
@@ -3535,8 +3554,11 @@ def q240_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("long").alias("np"),
         F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("nn"),
     )
-    auc_raw = (F.col("s2") / 2.0 - F.col("np") * (F.col("np") + 1) / 2.0) / (
-        F.col("np") * F.col("nn")
+    # try_divide: a single-class corpus (e.g. a 1-doc lake) has np or
+    # nn zero -> AUC undefined (NULL, matching DuckDB)
+    auc_raw = F.try_divide(
+        F.col("s2") / 2.0 - F.col("np") * (F.col("np") + 1) / 2.0,
+        F.col("np") * F.col("nn"),
     )
     return s.select(
         F.col("np").alias("n_pos"),
@@ -4296,10 +4318,15 @@ def q247_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").cast("long").alias("wn"),
         )
     )
+    # try_divide: on a tiny lake a replicate can draw ALL-zero Poisson
+    # weights (wn = 0) -> that resample mean is undefined (NULL, like
+    # DuckDB); asc_nulls_last mirrors DuckDB's default NULLS LAST so
+    # both engines rank the defined means identically
+    m = F.try_divide(F.col("wx") * 1.0, F.col("wn"))
     ranked = means.select(
-        (F.col("wx") * 1.0 / F.col("wn")).alias("m"),
+        m.alias("m"),
         F.row_number()
-        .over(Window.orderBy(F.col("wx") * 1.0 / F.col("wn"), F.col("b")))
+        .over(Window.orderBy(m.asc_nulls_last(), F.col("b")))
         .alias("rn"),
     )
     full = docs.agg(
@@ -4383,12 +4410,19 @@ def q248_jackknife_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.col("ss") * 1.0 / F.col("ns"), 6).alias(
                 "source_mean"
             ),
+            # try_divide: a source holding the WHOLE corpus (e.g. a
+            # 1-doc lake) leaves nothing to delete -> LOO undefined
             round_half_up(
-                (F.col("s") - F.col("ss")) * 1.0 / (F.col("n") - F.col("ns")), 6
+                F.try_divide(
+                    (F.col("s") - F.col("ss")) * 1.0, F.col("n") - F.col("ns")
+                ),
+                6,
             ).alias("loo_mean"),
             round_half_up(
                 F.col("s") * 1.0 / F.col("n")
-                - (F.col("s") - F.col("ss")) * 1.0 / (F.col("n") - F.col("ns")),
+                - F.try_divide(
+                    (F.col("s") - F.col("ss")) * 1.0, F.col("n") - F.col("ns")
+                ),
                 6,
             ).alias("influence"),
         )
@@ -4609,22 +4643,24 @@ def q250_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     p = F.col("c") * 1.0 / F.col("n")
+    # try_divide: a 1-user lake leaves one arm empty (least = 0) and a
+    # zero-conversion lake makes p = 0 -> MDE / sizing undefined (NULL,
+    # matching DuckDB's x/0 -> NULL through SQRT/CEIL)
     mde = F.lit(za_zb) * F.sqrt(
-        2 * p * (1 - p) / F.least(F.col("n0"), F.col("n1"))
+        F.try_divide(2 * p * (1 - p), F.least(F.col("n0"), F.col("n1")))
     )
     return agg.select(
         F.col("n0").alias("n_arm_a"),
         F.col("n1").alias("n_arm_b"),
         round_half_up(p, 6).alias("base_rate"),
         round_half_up(mde, 6).alias("mde_abs"),
-        round_half_up(mde / p, 6).alias("mde_rel"),
+        round_half_up(F.try_divide(mde, p), 6).alias("mde_rel"),
         F.ceil(
-            2
-            * p
-            * (1 - p)
-            * F.lit(za_zb)
-            * F.lit(za_zb)
-            / ((F.col("c") * 0.05 / F.col("n")) * (F.col("c") * 0.05 / F.col("n")))
+            F.try_divide(
+                2 * p * (1 - p) * F.lit(za_zb) * F.lit(za_zb),
+                (F.col("c") * 0.05 / F.col("n"))
+                * (F.col("c") * 0.05 / F.col("n")),
+            )
         )
         .cast("long")
         .alias("n_per_arm_5pct_lift"),
@@ -6687,16 +6723,33 @@ def q268_sequential_ab_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c1"),
     )
+    # try_divide: a 1-user lake leaves one arm empty at every look and a
+    # degenerate pooled rate (p in {0,1}) zeroes the variance -> rates /
+    # z undefined (NULL, matching DuckDB x/0 -> NULL; NULL > boundary
+    # is NULL on both engines)
     p = (F.col("c0") + F.col("c1")) * 1.0 / (F.col("n0") + F.col("n1"))
-    z = (F.col("c1") * 1.0 / F.col("n1") - F.col("c0") * 1.0 / F.col("n0")) / F.sqrt(
-        p * (1 - p) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    z = F.try_divide(
+        F.try_divide(F.col("c1") * 1.0, F.col("n1"))
+        - F.try_divide(F.col("c0") * 1.0, F.col("n0")),
+        F.sqrt(
+            p
+            * (1 - p)
+            * (
+                F.try_divide(F.lit(1.0), F.col("n0"))
+                + F.try_divide(F.lit(1.0), F.col("n1"))
+            )
+        ),
     )
     return agg.select(
         F.col("i").cast("int").alias("look"),
         F.col("n0").alias("n_a"),
         F.col("n1").alias("n_b"),
-        round_half_up(F.col("c0") * 1.0 / F.col("n0"), 6).alias("rate_a"),
-        round_half_up(F.col("c1") * 1.0 / F.col("n1"), 6).alias("rate_b"),
+        round_half_up(
+            F.try_divide(F.col("c0") * 1.0, F.col("n0")), 6
+        ).alias("rate_a"),
+        round_half_up(
+            F.try_divide(F.col("c1") * 1.0, F.col("n1")), 6
+        ).alias("rate_b"),
         round_half_up(z, 4).alias("z"),
         (F.abs(z) > F.lit(float(_Q268_POCOCK))).alias("crossed_boundary"),
     ).orderBy("look")
@@ -8034,22 +8087,27 @@ def q282_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("cum_before"),
     )
+    # try_divide: a single-class corpus (or a replicate whose Poisson
+    # weights zero out one class) has np*nn = 0 -> that AUC is
+    # undefined (NULL, matching DuckDB); asc_nulls_last mirrors
+    # DuckDB's default NULLS LAST rank order over the defined AUCs
     reps = r.groupBy("b").agg(
-        (
-            (
-                F.sum(F.col("pos") * (2 * F.col("cum_before") + F.col("cnt") + 1))
-                / 2.0
-                - F.sum("pos") * (F.sum("pos") + 1) / 2.0
-            )
-            / (F.sum("pos") * F.sum(F.col("cnt") - F.col("pos")))
+        F.try_divide(
+            F.sum(F.col("pos") * (2 * F.col("cum_before") + F.col("cnt") + 1))
+            / 2.0
+            - F.sum("pos") * (F.sum("pos") + 1) / 2.0,
+            F.sum("pos") * F.sum(F.col("cnt") - F.col("pos")),
         ).alias("auc_b")
     )
     ranked = reps.select(
         "auc_b",
-        F.row_number().over(Window.orderBy("auc_b", "b")).alias("rn"),
+        F.row_number()
+        .over(Window.orderBy(F.col("auc_b").asc_nulls_last(), F.col("b")))
+        .alias("rn"),
     )
-    auc_point = (F.col("s2") / 2.0 - F.col("np") * (F.col("np") + 1) / 2.0) / (
-        F.col("np") * F.col("nn")
+    auc_point = F.try_divide(
+        F.col("s2") / 2.0 - F.col("np") * (F.col("np") + 1) / 2.0,
+        F.col("np") * F.col("nn"),
     )
     return (
         ranked.crossJoin(F.broadcast(point))

@@ -7,13 +7,15 @@ n-1 variance denominators, singular Fisher matrices, and integer
 division), then runs the driver-style DuckDB compare for every
 oracle-backed query and prints each divergence.
 
-Round-8 findings at N=1: 41 queries raise Spark ANSI DIVIDE_BY_ZERO
-(undefined n=1 statistics — variance, rank correlations, chi-square
-denominators) and q402 raised a Python ZeroDivisionError (fixed in r8:
-single-day guard on both sides). Fixing the remaining 41 means touching
-41 registered queries and re-fronting the driver-green ones, which
-would push the never-sampled certification debt past its r10
-convergence — DEFERRED until the debt clears (SURVEY §7 r8 block).
+History at N=1: round 8 found 42 crashes (41 Spark ANSI DIVIDE_BY_ZERO
+on undefined n=1 statistics — variance, rank correlations, chi-square
+denominators — plus q402's Python ZeroDivisionError) and fixed 31 of
+them plus q402 (commits d013d41/ab72321/e647904); the last 11
+already-driver-green queries (q169 q208 q211 q212 q228 q240 q247 q248
+q250 q268 q282) were deferred to protect the never-sampled gate budget
+and fixed at the END of round 9 (fronted into the r10 gate via
+_CHANGED_AFTER_ROUND=9). Expected output today: 0 divergences at
+--rows 0 and --rows 1.
 
     python scripts/degenerate_probe.py [--rows 1] [--sf /root/testdata/sf0.001]
 """
@@ -32,6 +34,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1, help="rows kept per table")
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--only", nargs="*", default=None, help="restrict to these query names"
+    )
     args = ap.parse_args()
 
     import pyarrow.parquet as pq
@@ -53,6 +58,8 @@ def main() -> int:
     for name in sorted(QUERY_REGISTRY):
         spec = QUERY_REGISTRY[name]
         if spec.sql is None:
+            continue
+        if args.only and name not in args.only:
             continue
         try:
             ok, msg = compare(spec.fn(spark, dst), con, spec.sql)
