@@ -76,6 +76,13 @@ _CHANGED_AFTER_ROUND = {
     # sf0.001 AND sf0.01). Value 9 + the latest-recorded-round guard in
     # _reverify keeps them OUT of the r9 gate (budgeted for 50
     # never-sampled queries) and fronts them in the r10 gate.
+    # r9: q426's shortlist is now LEARNED cluster representatives (q47
+    # quantizer, 50 centroids) — results CHANGE (different candidates);
+    # q396's composite (vlong, vdbl) sort value replaces the lone double
+    # cast (identical results on 2^53-safe keys; re-verify anyway). Both
+    # mirror-certified at sf0.001 + sf0.01 and probed at rows 0/1.
+    "q426_facility_location_coreset": 9,
+    "q396_sort_key_plan": 9,
     "q169_ks_drift": 9,
     "q208_bigram_perplexity": 9,
     "q211_woe_iv": 9,
@@ -92,14 +99,9 @@ _CHANGED_AFTER_ROUND = {
     # rounds <= 7 don't certify"), which fronts everything below for
     # the r8 gate exactly once and self-clears the moment
     # CORRECTNESS_r08 records them green — no wasted r9 slots.
-    # q396: zone-map sorts rewritten distributed (exploded
-    # repartitionByRange + per-range row_number; results identical —
-    # recompute pytest pins exact-NTILE parity). q426: candidate
-    # shortlist now fixed-size hash-top-K (results CHANGE: different
-    # candidates). Both were never driver-sampled; fronted so their
-    # first certification is of the new code.
-    "q396_sort_key_plan": 7,
-    "q426_facility_location_coreset": 7,
+    # (q396/q426 carried value-7 entries for their r8 rewrites; both
+    # re-greened in r08 and changed AGAIN in r9 — superseded by the
+    # value-9 entries below.)
     # r8 batch-3 1-row-lake guards (commit e647904) — landed before the
     # r8 gate ran, so their r08 greens certify the new code; recorded
     # here anyway (ADVICE r8) so certification does not rest on gate

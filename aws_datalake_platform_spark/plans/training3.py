@@ -2344,12 +2344,15 @@ _Q396_RANGE_PARTS = 32  # distributed-sort width; raise with cluster size
 def _q396_zone_maps(li: DataFrame) -> DataFrame:
     """Exact zone maps for lineitem under ALL candidate sort layouts
     WITHOUT a single-partition total sort (VERDICT r7 item 2), in ONE
-    shuffle: explode each row into (candidate, sort-value) legs — the
-    sort value cast to double is order-preserving for every candidate
-    (ints < 2^53, dates as epoch days, quantity already double) — then
-    repartitionByRange on (cand, val, l_orderkey, l_linenumber). The
-    tuple is unique per candidate ((l_orderkey, l_linenumber) is the
-    PK), so range partitions are contiguous with no boundary ties;
+    shuffle: explode each row into (candidate, sort-value) legs — a
+    COMPOSITE (vlong, vdbl) sort value: integral candidates (keys,
+    epoch days) ride the long leg at full 64-bit precision (ADVICE r8:
+    a lone double cast silently reorders integers >= 2^53) with the
+    double leg pinned to 0.0, and double candidates (quantity) ride the
+    double leg with the long leg pinned to 0 — then repartitionByRange
+    on (cand, vlong, vdbl, l_orderkey, l_linenumber). The tuple is
+    unique per candidate ((l_orderkey, l_linenumber) is the PK), so
+    range partitions are contiguous with no boundary ties;
     spark_partition_id() frozen by localCheckpoint identifies each
     range, per-(cand, pid) counts (a bounded <=4*RANGE_PARTS collect)
     give exact global-rank offsets, and a (cand, pid)-PARTITIONED
@@ -2360,12 +2363,20 @@ def _q396_zone_maps(li: DataFrame) -> DataFrame:
     spark = li.sparkSession
     legs = []
     for c in _Q396_CANDIDATES:
-        val = F.col(c)
         if c == "l_shipdate":
-            val = F.datediff(F.col(c), F.lit("1970-01-01"))
+            vlong = F.datediff(F.col(c), F.lit("1970-01-01")).cast("long")
+            vdbl = F.lit(0.0)
+        elif dict(li.dtypes)[c] in ("double", "float"):
+            vlong = F.lit(0).cast("long")
+            vdbl = F.col(c).cast("double")
+        else:
+            vlong = F.col(c).cast("long")
+            vdbl = F.lit(0.0)
         legs.append(
             F.struct(
-                F.lit(c).alias("cand"), val.cast("double").alias("val")
+                F.lit(c).alias("cand"),
+                vlong.alias("vlong"),
+                vdbl.alias("vdbl"),
             )
         )
     part = (
@@ -2375,11 +2386,19 @@ def _q396_zone_maps(li: DataFrame) -> DataFrame:
             "l_linenumber",
             F.explode(F.array(*legs)).alias("cv"),
         )
-        .select("l_partkey", "l_orderkey", "l_linenumber", "cv.cand", "cv.val")
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            "cv.cand",
+            "cv.vlong",
+            "cv.vdbl",
+        )
         .repartitionByRange(
             _Q396_RANGE_PARTS,
             F.col("cand"),
-            F.col("val"),
+            F.col("vlong"),
+            F.col("vdbl"),
             F.col("l_orderkey"),
             F.col("l_linenumber"),
         )
@@ -2399,7 +2418,7 @@ def _q396_zone_maps(li: DataFrame) -> DataFrame:
         run[cand] += counts[(cand, pid)]
     off_df = spark.createDataFrame(off_rows, "cand string, pid int, off long")
     w = Window.partitionBy("cand", "pid").orderBy(
-        "val", "l_orderkey", "l_linenumber"
+        "vlong", "vdbl", "l_orderkey", "l_linenumber"
     )
     rank = (F.row_number().over(w) + F.col("off")).alias("rank")
     # exact NTILE(b) of the global rank: first (n % b) chunks hold

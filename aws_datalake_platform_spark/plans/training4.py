@@ -1890,13 +1890,18 @@ def q425_dedup_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q426_K = 8
 # Candidate shortlist is SIZE-bounded, not fraction-bounded (VERDICT r7
-# item 3): the K lowest vec_ids under a deterministic multiplicative
-# hash — so the sim matrix is O(N*K) and the broadcast side is a
-# constant K rows at any corpus size (a 10% fraction made both grow
-# linearly with N). Same integer arithmetic in Spark and DuckDB.
+# item 3), and since r9 it is LEARNED, not hash-arbitrary (VERDICT r8
+# item 5): train the q47 coarse quantizer with CAND_K centroids and
+# take each non-empty cluster's representative (the member closest to
+# its centroid) — so the sim matrix stays O(N*K) with K fixed, and the
+# candidates actually SPAN the embedding space the greedy step then
+# covers. The whole pipeline (md5 sample, farthest-point init, Lloyd,
+# assignment, per-cluster argmax) replays bit-for-bit in the oracle —
+# the q47 sequential-fold contract.
 _Q426_CAND_K = 50
-_Q426_HASH_MULT = 2654435761  # Knuth multiplicative hash
-_Q426_HASH_MOD = 1000000007
+_Q426_KM_SAMPLE = 1024
+_Q426_KM_ITER = 10
+_Q426_KM_SEED = 42
 _Q426_DIM = 64
 _Q426_SCALE = 1_000_000
 
@@ -1904,6 +1909,15 @@ _Q426_SCALE = 1_000_000
 def _q426_sql() -> str:
     d = _Q426_DIM
     sc = _Q426_SCALE
+    from .extras import _kmeans_prefix_sql
+
+    prefix = _kmeans_prefix_sql(
+        n_centroids=_Q426_CAND_K,
+        sample_size=_Q426_KM_SAMPLE,
+        n_iter=_Q426_KM_ITER,
+        seed=_Q426_KM_SEED,
+        dim=d,
+    )
 
     def dot(a: str, b: str) -> str:
         return (
@@ -1918,13 +1932,23 @@ def _q426_sql() -> str:
         )
 
     head = f"""
-    WITH pts AS MATERIALIZED (
+    WITH {prefix},
+    pts AS MATERIALIZED (
       SELECT vec_id AS v, embedding, {nrm("embedding")} AS nm FROM embeddings
     ),
+    rep AS MATERIALIZED (
+      SELECT v AS c FROM (
+        SELECT p.v, b.cluster,
+               ROW_NUMBER() OVER (PARTITION BY b.cluster
+                 ORDER BY {dot("p.embedding", "ct.cv")} / p.nm DESC, p.v)
+                 AS rn
+        FROM pts p
+        JOIN cb b ON b.neighbor_id = p.v
+        JOIN cents{_Q426_KM_ITER} ct ON ct.cid = b.cluster) z
+      WHERE rn = 1
+    ),
     cand AS MATERIALIZED (
-      SELECT v AS c, embedding, nm FROM pts
-      ORDER BY (v * {_Q426_HASH_MULT}) % {_Q426_HASH_MOD}, v
-      LIMIT {_Q426_CAND_K}
+      SELECT p.v AS c, p.embedding, p.nm FROM pts p JOIN rep r ON r.c = p.v
     ),
     sim AS MATERIALIZED (
       SELECT p.v, c.c,
@@ -1986,46 +2010,90 @@ def _q426_sql() -> str:
     _q426_sql(),
     doc="Facility-location greedy coreset selection (the lazy-greedy "
     "coverage objective of Wei et al., ICML'15 coreset literature): "
-    f"pick 8 representatives from a fixed-size {_Q426_CAND_K}-candidate "
-    "shortlist (hash-top-K under a Knuth multiplicative hash — "
-    "size-bounded, so the sim matrix is O(N*K)), each step "
-    "maximizing the marginal coverage gain sum_v max(0, cos(v,c) - "
-    "cover(v)). The third member of the data-selection family — DSIR "
-    "(q414) matches a target distribution, SemDeDup (q201) removes "
-    "redundancy, facility location maximizes COVERAGE of the "
-    "embedding space. Per-pair cosines are sequential-fold doubles "
-    "micro-quantized ONCE in the materialized candidate-sim matrix; "
-    "all greedy state (cover vector, gains) is exact integer algebra, "
-    "so the whole 8-step optimizer is hash-exact. Returns the "
-    "selection order with marginal gains and the coverage curve — "
-    "diminishing gains certify submodularity.",
+    f"pick 8 representatives from a fixed-size <= {_Q426_CAND_K}-"
+    "candidate shortlist of LEARNED cluster representatives — the q47 "
+    f"coarse quantizer trained with {_Q426_CAND_K} centroids, each "
+    "non-empty cluster contributing its member closest to the "
+    "centroid (VERDICT r8 item 5: actual space-spanning "
+    "representatives instead of hash-arbitrary points; sim matrix "
+    "stays O(N*K)) — each step maximizing the marginal coverage gain "
+    "sum_v max(0, cos(v,c) - cover(v)). The third member of the "
+    "data-selection family — DSIR (q414) matches a target "
+    "distribution, SemDeDup (q201) removes redundancy, facility "
+    "location maximizes COVERAGE of the embedding space. The oracle "
+    "replays the ENTIRE quantizer (md5 sample, farthest-point init, "
+    "Lloyd, assignment — the q47 sequential-fold contract) plus the "
+    "per-cluster representative argmax; per-pair cosines are "
+    "sequential-fold doubles micro-quantized ONCE in the materialized "
+    "candidate-sim matrix; all greedy state (cover vector, gains) is "
+    "exact integer algebra, so the whole 8-step optimizer is "
+    "hash-exact. Returns the selection order with marginal gains and "
+    "the coverage curve — diminishing gains certify submodularity.",
 )
 def q426_facility_location_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: the sim matrix is points x K with K FIXED (hash-top-K
-    shortlist, a one-pass TakeOrderedAndProject), computed map-side
-    with the K-row broadcast candidates and materialized once
-    (localCheckpoint) — each greedy step is then one integer
-    join+aggregate over O(N*K) cells plus a 1-row argmax collect; the
-    cover vector updates via equi-join. Per-candidate cost is flat in
-    N; to spend the budget better at larger corpora, swap the hash
-    shortlist for the q47 IVF centroids — the greedy loop shape is
-    unchanged."""
-    from ..operators.similarity import dot, norm
+    """Scale: the quantizer trains on a bounded driver sample (one
+    TakeOrdered scan — q47's cost profile) and assignment is one
+    vectorized Arrow pass; the representative pick is a 50-group
+    map-side-combinable struct-max aggregate. The sim matrix is then
+    points x K with K FIXED, computed map-side against the <= K-row
+    broadcast candidates and materialized once (localCheckpoint) —
+    each greedy step is one integer join+aggregate over O(N*K) cells
+    plus a 1-row argmax collect; the cover vector updates via
+    equi-join. Per-candidate cost is flat in N."""
+    from ..operators.similarity import _centroid_matrix, dot, ivf_assign, norm
 
     sc = _Q426_SCALE
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = raw.select(
         F.col("vec_id").alias("v"), "embedding", norm(F.col("embedding")).alias("nm")
     )
-    cand = (
-        emb.orderBy(
-            (F.col("v") * _Q426_HASH_MULT) % _Q426_HASH_MOD, F.col("v")
-        )  # TakeOrderedAndProject: one pass, K rows survive
-        .limit(_Q426_CAND_K)
-        .select(
-            F.col("v").alias("c"),
-            F.col("embedding").alias("cemb"),
-            F.col("nm").alias("cnm"),
+    cents = _centroid_matrix(
+        raw,
+        "vec_id",
+        "embedding",
+        n_centroids=_Q426_CAND_K,
+        sample_size=_Q426_KM_SAMPLE,
+        n_iter=_Q426_KM_ITER,
+        seed=_Q426_KM_SEED,
+    )
+    if cents.size == 0:  # empty lake: schema-stable empty
+        return spark.createDataFrame(
+            [],
+            "step int, vec_id long, marginal_gain_milli double, "
+            "avg_coverage double",
         )
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(cents.shape[0])],
+        "cluster int, cv array<double>",
+    )
+    # representative per non-empty cluster: member with max cosine to
+    # its centroid (dot/|emb|; cv is unit), ties -> lowest vec_id. The
+    # struct-max (score, -vec_id) is a map-side-combinable aggregate —
+    # no corpus-wide window. Same rounding path as the oracle's
+    # ROW_NUMBER ... ORDER BY dot/nm DESC, v.
+    rep = (
+        ivf_assign(raw, cents)
+        .join(F.broadcast(cdf), "cluster")
+        .select(
+            "cluster",
+            "vec_id",
+            (
+                dot(F.col("embedding"), F.col("cv"))
+                / norm(F.col("embedding"))
+            ).alias("score"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.max(
+                F.struct(F.col("score"), (-F.col("vec_id")).alias("nv"))
+            ).alias("m")
+        )
+        .select((-F.col("m.nv")).cast("long").alias("c"))
+    )
+    cand = emb.join(F.broadcast(rep), emb["v"] == F.col("c")).select(
+        "c",
+        F.col("embedding").alias("cemb"),
+        F.col("nm").alias("cnm"),
     )
     sim = (
         emb.crossJoin(F.broadcast(cand))
