@@ -2338,7 +2338,11 @@ def _q396_sql() -> str:
     """
 
 
-_Q396_RANGE_PARTS = 32  # distributed-sort width; raise with cluster size
+# distributed-sort width FLOOR: the effective width follows the
+# session's parallelism (a 1000-executor cluster gets its core count,
+# not a laptop constant), and the rank-offset arithmetic is exact at
+# any width. The collect stays bounded: <= 4 * width count rows.
+_Q396_RANGE_PARTS = 32
 
 
 def _q396_zone_maps(li: DataFrame) -> DataFrame:
@@ -2395,7 +2399,7 @@ def _q396_zone_maps(li: DataFrame) -> DataFrame:
             "cv.vdbl",
         )
         .repartitionByRange(
-            _Q396_RANGE_PARTS,
+            max(_Q396_RANGE_PARTS, spark.sparkContext.defaultParallelism),
             F.col("cand"),
             F.col("vlong"),
             F.col("vdbl"),
