@@ -105,6 +105,46 @@ def test_reverify_self_clears_after_regreen(tmp_path, monkeypatch):
     assert os.path.dirname(os.path.abspath(entry.__file__)) == real_dir
 
 
+def test_reverify_waits_for_its_gate_round(tmp_path, monkeypatch):
+    """A query changed at the END of round V (value V) must NOT front
+    while the latest recorded gate is < V — round V's slice was
+    budgeted for never-sampled queries — and must front once the
+    round-V gate is recorded (then clear on a round > V green)."""
+    import json
+
+    candidates = [n for n, v in entry._CHANGED_AFTER_ROUND.items() if v >= 9]
+    if not candidates:
+        return  # no end-of-round-changed entries at this point in history
+    name = candidates[0]
+    v = entry._CHANGED_AFTER_ROUND[name]
+
+    def fake_dirname(_):
+        return str(tmp_path)
+
+    monkeypatch.setattr(
+        entry.os.path if hasattr(entry, "os") else __import__("os").path,
+        "dirname",
+        fake_dirname,
+        raising=False,
+    )
+    # green BEFORE the change, gate for round v not yet recorded -> wait
+    (tmp_path / f"CORRECTNESS_r{v - 1:02d}.json").write_text(
+        json.dumps({name: {"hash_match": True}})
+    )
+    assert name not in entry._reverify()
+    # the round-v gate has been recorded (sampling other queries) -> front
+    (tmp_path / f"CORRECTNESS_r{v:02d}.json").write_text(
+        json.dumps({"q01_pricing_summary": {"hash_match": True}})
+    )
+    assert name in entry._reverify()
+    # a green in a round AFTER the change -> cleared
+    (tmp_path / f"CORRECTNESS_r{v + 1:02d}.json").write_text(
+        json.dumps({name: {"hash_match": True}})
+    )
+    assert name not in entry._reverify()
+    monkeypatch.undo()
+
+
 def test_rotation_survives_non_dict_correctness_json(tmp_path, monkeypatch):
     """A CORRECTNESS file holding a JSON ARRAY (valid JSON, wrong shape)
     must be skipped by both rotation helpers, not crash queries()."""
