@@ -360,10 +360,13 @@ WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", SF_DIR)
 
 
 def main() -> None:
-    spark = get_spark(app_name="bench")
-    # Timing-only session: silence WARN chatter (maxPlanStringLength
-    # truncation notices etc.) so the driver's 2000-char stdout/stderr
-    # tail stays dominated by the one JSON result line.
+    # Timing-only session: no console progress bars and no WARN chatter
+    # (maxPlanStringLength truncation notices etc.) so the driver's
+    # 2000-char output tail stays dominated by the one JSON result line.
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # prime the Python UDF worker fleet (spawn + pandas/pyarrow import is
     # ~5-10 s across 32 workers and would otherwise bill to the first
