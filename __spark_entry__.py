@@ -83,6 +83,11 @@ _CHANGED_AFTER_ROUND = {
     # mirror-certified at sf0.001 + sf0.01 and probed at rows 0/1.
     "q426_facility_location_coreset": 9,
     "q396_sort_key_plan": 9,
+    # r9: 2-row-lake probe sweep — q316's paired-difference se has an
+    # n-1 dof that a 1-cell arm zeroes (try_divide fix; q404/q429 fixed
+    # the same way are never-sampled, so their first gate sampling
+    # certifies the new code at zero slot cost).
+    "q316_aa_test_readout": 9,
     "q169_ks_drift": 9,
     "q208_bigram_perplexity": 9,
     "q211_woe_iv": 9,

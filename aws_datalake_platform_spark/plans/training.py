@@ -11538,13 +11538,20 @@ def q316_aa_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mt = F.col("sd_t") * 1.0 / F.col("n_t")
     mc = F.col("sd_c") * 1.0 / F.col("n_c")
+    # try_divide: a 1-cell arm (n=1) has no within-arm variance (the
+    # n-1 dof is zero) and an all-tied arm gives se = 0 -> z undefined
+    # (NULL, matching DuckDB; the coalesce keeps false_positive FALSE)
     se = F.sqrt(
-        (F.col("n_t") * F.col("sdd_t") - F.col("sd_t") * F.col("sd_t"))
-        * 1.0
-        / (F.col("n_t") * F.col("n_t") * (F.col("n_t") - 1))
-        + (F.col("n_c") * F.col("sdd_c") - F.col("sd_c") * F.col("sd_c"))
-        * 1.0
-        / (F.col("n_c") * F.col("n_c") * (F.col("n_c") - 1))
+        F.try_divide(
+            (F.col("n_t") * F.col("sdd_t") - F.col("sd_t") * F.col("sd_t"))
+            * 1.0,
+            F.col("n_t") * F.col("n_t") * (F.col("n_t") - 1),
+        )
+        + F.try_divide(
+            (F.col("n_c") * F.col("sdd_c") - F.col("sd_c") * F.col("sd_c"))
+            * 1.0,
+            F.col("n_c") * F.col("n_c") * (F.col("n_c") - 1),
+        )
     )
     return w.select(
         F.col("n_t").alias("n_treat"),
@@ -11552,12 +11559,12 @@ def q316_aa_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(mt / 10_000, 4).alias("mean_shift_treat"),
         round_half_up(mc / 10_000, 4).alias("mean_shift_control"),
         round_half_up((mt - mc) / 10_000, 4).alias("did"),
-        round_half_up((mt - mc) / se, 4).alias("did_z"),
+        round_half_up(F.try_divide(mt - mc, se), 4).alias("did_z"),
         # coalesce: empty lake -> z NULL -> "no false positive" (FALSE),
         # matching the oracle's CASE ... ELSE FALSE
-        F.coalesce(F.abs((mt - mc) / se) > 1.959964, F.lit(False)).alias(
-            "false_positive"
-        ),
+        F.coalesce(
+            F.abs(F.try_divide(mt - mc, se)) > 1.959964, F.lit(False)
+        ).alias("false_positive"),
     )
 
 

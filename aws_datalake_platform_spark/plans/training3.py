@@ -3720,9 +3720,14 @@ def q404_fs_linkage_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("n_predicted"),
         tp.alias("true_positives"),
         dups.alias("dups_in_block"),
-        round_half_up(tp * 1.0 / pred, 6).alias("precision_"),
-        round_half_up(tp * 1.0 / dups, 6).alias("recall_in_block"),
-        round_half_up(2.0 * tp / (pred + dups), 6).alias("f1_in_block"),
+        # try_divide: a tiny lake can have zero predicted links and/or
+        # zero true dups in the block -> P/R/F1 undefined (NULL, like
+        # DuckDB's x/0 -> NULL)
+        round_half_up(F.try_divide(tp * 1.0, pred), 6).alias("precision_"),
+        round_half_up(F.try_divide(tp * 1.0, dups), 6).alias("recall_in_block"),
+        round_half_up(F.try_divide(2.0 * tp, pred + dups), 6).alias(
+            "f1_in_block"
+        ),
     )
 
 

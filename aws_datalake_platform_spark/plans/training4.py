@@ -2620,7 +2620,10 @@ def q429_scaling_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = pts.crossJoin(F.broadcast(ols))
     num = F.col("np") * 1.0 * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy")
     den = F.col("np") * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx")
-    slope = num / den
+    # try_divide: a tiny corpus can give every fraction point the same
+    # token count -> zero x-variance -> the power-law slope (and its
+    # 10x extrapolation) is undefined (NULL, matching DuckDB)
+    slope = F.try_divide(num, den)
     ln_pred = (
         F.col("sy") * 1.0 / F.col("np") - slope * F.col("sx") / F.col("np")
     ) / float(sc) + slope * F.log(10.0 * F.col("nmax"))
