@@ -14,8 +14,11 @@ them plus q402 (commits d013d41/ab72321/e647904); the last 11
 already-driver-green queries (q169 q208 q211 q212 q228 q240 q247 q248
 q250 q268 q282) were deferred to protect the never-sampled gate budget
 and fixed at the END of round 9 (fronted into the r10 gate via
-_CHANGED_AFTER_ROUND=9). Expected output today: 0 divergences at
---rows 0 and --rows 1.
+_CHANGED_AFTER_ROUND=9). A round-9 sweep at --rows 2 then surfaced
+the n-2 statistic class the 0/1-row lakes cannot reach (q316 paired
+se dof, q404 zero-link P/R/F1, q429 zero-x-variance slope) — fixed
+the same way. Expected output today: 0 divergences at --rows 0, 1,
+and 2.
 
     python scripts/degenerate_probe.py [--rows 1] [--sf /root/testdata/sf0.001]
 """
