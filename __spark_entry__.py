@@ -88,6 +88,16 @@ _CHANGED_AFTER_ROUND = {
     # the same way are never-sampled, so their first gate sampling
     # certifies the new code at zero slot cost).
     "q316_aa_test_readout": 9,
+    # r9: constant-lake (1 row x32) probe sweep — zero-variance/all-tied
+    # statistics that pass the n-1/n-2 dof guards: q95's F.corr RAISES
+    # ANSI DIVIDE_BY_ZERO on a constant group (rewritten covar/sd·sd
+    # under try_divide), q241's log2(1)=0 entropy normalizer, q353's
+    # zero hypergeometric variance, q379's zero Fisher information
+    # (Python loop now mirrors the oracle's NULL propagation).
+    "q95_stats_moments": 9,
+    "q241_transition_entropy": 9,
+    "q353_logrank_test": 9,
+    "q379_cox_hazard_newton": 9,
     "q169_ks_drift": 9,
     "q208_bigram_perplexity": 9,
     "q211_woe_iv": 9,

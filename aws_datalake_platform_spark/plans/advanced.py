@@ -378,7 +378,17 @@ def q95_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        # Pearson r as covar_samp/(sd*sd) under try_divide: F.corr itself
+        # RAISES ANSI DIVIDE_BY_ZERO on a zero-variance group (constant
+        # column), where this form yields NULL like DuckDB's corr; the
+        # two agree to ~1e-12 before the 4-digit rounding
+        F.round(
+            F.try_divide(
+                F.covar_samp("l_quantity", "l_extendedprice"),
+                F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+            ),
+            4,
+        ).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         # + 0.0 collapses IEEE negative zero (round can yield -0.0 on one

@@ -3666,10 +3666,14 @@ def q241_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("top_next_p"),
             round_half_up(F.sum("h_u") / 1000000.0, 6).alias("entropy_bits"),
+            # try_divide: a state with ONE observed successor (e.g. a
+            # constant event log) has log2(1) = 0 -> normalized entropy
+            # undefined (NULL, matching DuckDB)
             round_half_up(
-                F.sum("h_u")
-                / 1000000.0
-                / (F.log(F.max("n_next").cast("double")) / F.log(F.lit(2.0))),
+                F.try_divide(
+                    F.sum("h_u") / 1000000.0,
+                    F.log(F.max("n_next").cast("double")) / F.log(F.lit(2.0)),
+                ),
                 6,
             ).alias("norm_entropy"),
         )

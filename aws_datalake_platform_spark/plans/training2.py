@@ -3989,12 +3989,21 @@ def q353_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "observed_minus_expected"
         ),
         round_half_up(F.col("sv") / 1_000_000.0, 4).alias("variance"),
+        # try_divide: a single-arm (or all-tied, e.g. constant-lake)
+        # risk table has zero hypergeometric variance and a zero
+        # expected-event leg -> z / hazard ratio undefined (NULL,
+        # matching DuckDB)
         round_half_up(
-            (F.col("soe") / 1_000_000.0) / F.sqrt(F.col("sv") / 1_000_000.0), 6
+            F.try_divide(
+                F.col("soe") / 1_000_000.0, F.sqrt(F.col("sv") / 1_000_000.0)
+            ),
+            6,
         ).alias("z_stat"),
         round_half_up(
-            (F.col("sd1") * 1.0 / (F.col("se1") / 1_000_000.0))
-            / (F.col("sd0") * 1.0 / (F.col("se0") / 1_000_000.0)),
+            F.try_divide(
+                F.try_divide(F.col("sd1") * 1.0, F.col("se1") / 1_000_000.0),
+                F.try_divide(F.col("sd0") * 1.0, F.col("se0") / 1_000_000.0),
+            ),
             6,
         ).alias("hazard_ratio"),
     )

@@ -205,7 +205,15 @@ def q379_cox_hazard_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev0 = sum(d0 for _, d0, _, _ in rows)
     bq = 0
     u = i = 0
+    # Mirrors the oracle's NULL propagation exactly: a single-arm risk
+    # table (e.g. a constant lake) has p in {0,1} at every event time,
+    # so the Fisher information is 0 and DuckDB's u/0 -> NULL turns bq
+    # (and every later iteration's u/i) NULL; beta/hazard/z become NULL
+    # while the last real u stays in score_residual.
     for _ in range(_Q379_ITERS):
+        if bq is None:
+            u = i = None
+            break
         u = i = 0
         eb = math.exp(bq / float(_Q379_SCALE))
         for d1, d0, n1, n0 in rows:
@@ -214,7 +222,7 @@ def q379_cox_hazard_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
             p = (n1 * eb) / (n0 + n1 * eb)
             u += math.floor((d1 - (d1 + d0) * p) * _Q379_SCALE + 0.5)
             i += math.floor((d1 + d0) * p * (1 - p) * _Q379_SCALE + 0.5)
-        bq = bq + math.floor(u * 1.0 / i * _Q379_SCALE + 0.5)
+        bq = bq + math.floor(u * 1.0 / i * _Q379_SCALE + 0.5) if i else None
     out = spark.createDataFrame(
         [(n_times, ev1, ev0, bq, u, i)],
         "n_times long, ev1 long, ev0 long, bq long, u long, i long",
@@ -227,7 +235,10 @@ def q379_cox_hazard_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ev0").alias("events_other"),
         round_half_up(beta, 6).alias("beta_hat"),
         round_half_up(F.exp(beta), 6).alias("hazard_ratio"),
-        round_half_up(1.0 / F.sqrt(F.col("i") / sc), 6).alias("std_err"),
+        # try_divide: zero information -> se undefined (NULL, like DuckDB)
+        round_half_up(
+            F.try_divide(F.lit(1.0), F.sqrt(F.col("i") / sc)), 6
+        ).alias("std_err"),
         round_half_up(beta * F.sqrt(F.col("i") / sc), 6).alias("z_stat"),
         round_half_up(F.col("u") / sc, 6).alias("score_residual"),
     )

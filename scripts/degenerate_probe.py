@@ -16,9 +16,17 @@ q250 q268 q282) were deferred to protect the never-sampled gate budget
 and fixed at the END of round 9 (fronted into the r10 gate via
 _CHANGED_AFTER_ROUND=9). A round-9 sweep at --rows 2 then surfaced
 the n-2 statistic class the 0/1-row lakes cannot reach (q316 paired
-se dof, q404 zero-link P/R/F1, q429 zero-x-variance slope) — fixed
-the same way. Expected output today: 0 divergences at --rows 0, 1,
-and 2.
+se dof, q404 zero-link P/R/F1, q429 zero-x-variance slope), and a
+CONSTANT-lake sweep (--rows 1 --repeat 32: one row duplicated 32x)
+surfaced the zero-variance-at-large-n class (q95 F.corr ANSI crash,
+q241 log2(1) normalizer, q353 zero variance, q379 zero Fisher
+information) — all fixed the same way. Expected output today:
+0 divergences at --rows 0, 1, and 2; at --rows 1 --repeat 32,
+exactly 6 documented duplicate-PK artifacts remain (q64 q107 q118
+q203 q238 q332 — oracle-side per-id dedup vs physical-row engine
+semantics on PK-violating input, plus q107's self-loop making the
+recursive walk undefined; PK uniqueness is part of the lake
+contract, SURVEY §7 r9).
 
     python scripts/degenerate_probe.py [--rows 1] [--sf /root/testdata/sf0.001]
 """
@@ -40,6 +48,14 @@ def main() -> int:
     ap.add_argument(
         "--only", nargs="*", default=None, help="restrict to these query names"
     )
+    ap.add_argument(
+        "--repeat",
+        type=int,
+        default=1,
+        help="duplicate the kept slice this many times (a CONSTANT lake: "
+        "--rows 1 --repeat 32 stresses zero-variance/all-tied statistics "
+        "at n large enough to pass the n-1/n-2 dof guards)",
+    )
     args = ap.parse_args()
 
     import pyarrow.parquet as pq
@@ -53,9 +69,19 @@ def main() -> int:
     dst = tempfile.mkdtemp(prefix=f"degenerate_lake_{args.rows}_")
     for t in TESTDATA_TABLES:
         src = pq.read_table(f"{args.sf}/{t}.parquet")
-        pq.write_table(src.slice(0, args.rows), f"{dst}/{t}.parquet")
+        import pyarrow as pa
+
+        kept = src.slice(0, args.rows)
+        if args.repeat > 1 and kept.num_rows:
+            kept = pa.concat_tables([kept] * args.repeat)
+        pq.write_table(kept, f"{dst}/{t}.parquet")
     con = duckdb_conn(dst)
-    print(f"lake: {dst} ({args.rows} rows/table)", flush=True)
+    print(
+        f"lake: {dst} ({args.rows} rows/table"
+        + (f" x{args.repeat} repeats" if args.repeat > 1 else "")
+        + ")",
+        flush=True,
+    )
 
     bad = 0
     for name in sorted(QUERY_REGISTRY):
