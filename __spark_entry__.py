@@ -145,12 +145,13 @@ _CHANGED_AFTER_ROUND = {
     "q300_corpus_scorecard": 7,
     "q312_srm_check": 7,
     "q313_benford_audit": 7,
-    "q316_aa_test_readout": 7,
+    # (q316/q353/q379 carried value-7 entries here for their r8
+    # empty-lake guards; re-greened in r08 and changed AGAIN in r9 —
+    # superseded by the value-9 entries above, removed so the dict
+    # literal's last-key-wins rule cannot silently downgrade them.)
     "q318_rec_coverage": 7,
     "q330_join_size_estimate": 7,
     "q350_markov_attribution": 7,
-    "q353_logrank_test": 7,
-    "q379_cox_hazard_newton": 7,
     "q401_gmm_em": 7,
     "q402_poisson_trend_glm": 7,
     "q412_dedup_transitivity": 7,

@@ -105,6 +105,27 @@ def test_reverify_self_clears_after_regreen(tmp_path, monkeypatch):
     assert os.path.dirname(os.path.abspath(entry.__file__)) == real_dir
 
 
+def test_changed_after_round_has_no_duplicate_keys():
+    """A query changed in two different rounds must keep only the newest
+    entry: a duplicate key in the dict LITERAL silently resolves to
+    whichever line comes last (this bit r9 — three value-9 entries were
+    downgraded by stale value-7 lines further down)."""
+    import ast
+
+    src = open(entry.__file__).read()
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            getattr(t, "id", None) == "_CHANGED_AFTER_ROUND" for t in node.targets
+        ):
+            keys = [k.value for k in node.value.keys if isinstance(k, ast.Constant)]
+            dupes = {k for k in keys if keys.count(k) > 1}
+            assert not dupes, f"duplicate _CHANGED_AFTER_ROUND keys: {dupes}"
+            break
+    else:
+        raise AssertionError("_CHANGED_AFTER_ROUND literal not found")
+
+
 def test_reverify_waits_for_its_gate_round(tmp_path, monkeypatch):
     """A query changed at the END of round V (value V) must NOT front
     while the latest recorded gate is < V — round V's slice was
