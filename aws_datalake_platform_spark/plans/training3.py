@@ -208,8 +208,11 @@ def q379_cox_hazard_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mirrors the oracle's NULL propagation exactly: a single-arm risk
     # table (e.g. a constant lake) has p in {0,1} at every event time,
     # so the Fisher information is 0 and DuckDB's u/0 -> NULL turns bq
-    # (and every later iteration's u/i) NULL; beta/hazard/z become NULL
-    # while the last real u stays in score_residual.
+    # NULL; the NEXT pass then sets u = i = None (the oracle's NULL-beta
+    # propagation), so score_residual is NULL whenever information zeroes
+    # before the last iteration — the last real u survives only when the
+    # failure lands exactly on the final iteration (where the oracle's
+    # s8.u is likewise real). beta/hazard/z become NULL either way.
     for _ in range(_Q379_ITERS):
         if bq is None:
             u = i = None

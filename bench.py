@@ -493,20 +493,24 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     canonical_path = os.path.join(here, "bench_full.json")
     geomean_vs_prev = None
+    geomean_vs_first_run = None
     merged_note = None
+    prev_canonical_queries = None
     try:
         with open(canonical_path) as fh:
             prev_full = json.load(fh)
         # only compare same-scale runs — a dev run at sf0.001 must not
         # pollute the round-over-round ratio
         prev = prev_full.get("queries", {}) if prev_full.get("sf") == sf_val else {}
-        logs = [
-            math.log(timings[q] / prev[q])
-            for q in timings
-            if q in prev and prev[q] > 0 and timings[q] > 0
-        ]
-        if logs:
-            geomean_vs_prev = round(math.exp(sum(logs) / len(logs)), 4)
+
+        def _geomean(cur: dict, base: dict):
+            logs = [
+                math.log(cur[q] / base[q])
+                for q in cur
+                if q in base and base[q] > 0 and cur[q] > 0
+            ]
+            return round(math.exp(sum(logs) / len(logs)), 4) if logs else None
+
         # Min-of-2 canonical protocol (VERDICT r8 item 4): same-code
         # back-to-back invocations on this host span a ±5% ambient
         # band that per-run pass-minima cannot cancel (four r9 runs:
@@ -521,6 +525,10 @@ def main() -> None:
             and prev
             and set(prev) == set(timings)
         ):
+            # run2-vs-run1 measures ambient noise between the two
+            # back-to-back invocations, NOT round-over-round change —
+            # label it as such (ADVICE r9: the two were conflated)
+            geomean_vs_first_run = _geomean(timings, prev)
             fresh_total = round(sum(timings.values()), 3)
             prev_passes = prev_full.get("passes", {})
             for q in timings:
@@ -537,13 +545,28 @@ def main() -> None:
                     prev_full.get("from_index", {}).get("materialize_sec")
                     or index_materialize_sec,
                 )
+            # round-over-round: merged canonical vs the PRIOR ROUND's
+            # committed canonical, snapshotted by the first invocation
+            # below (ADVICE r9 — previously computed run2-vs-run1)
+            base = prev_full.get("prev_canonical_queries") or {}
+            geomean_vs_prev = _geomean(timings, base)
             merged_note = (
                 "per-query min over 2 back-to-back invocations "
                 "(passes concatenated; single-run totals "
                 f"{prev_full.get('value')} and {fresh_total}; a single "
                 "fresh run reads a few percent above this lower "
-                "envelope by construction)"
+                "envelope by construction). geomean_vs_prev compares "
+                "this merged canonical against the prior ROUND's "
+                "committed canonical; geomean_vs_first_run is run2 vs "
+                "run1 of THIS round (ambient noise, not change)."
             )
+        else:
+            # single/first invocation: compare fresh timings against the
+            # previously committed canonical (= the prior round's), and
+            # snapshot that canonical so a MERGE_PREV second invocation
+            # can compute a true round-over-round ratio after merging
+            geomean_vs_prev = _geomean(timings, prev)
+            prev_canonical_queries = prev or None
     except (OSError, ValueError, KeyError):
         pass
 
@@ -558,6 +581,8 @@ def main() -> None:
         "rows get extra interleaved passes — see 'passes')",
         "sf": sf_val,
         "geomean_vs_prev": geomean_vs_prev,
+        "geomean_vs_first_run": geomean_vs_first_run,
+        "prev_canonical_queries": prev_canonical_queries,
         "protocol": merged_note,
         "from_index": {
             "materialize_sec": index_materialize_sec,

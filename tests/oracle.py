@@ -30,6 +30,15 @@ TABLES = (
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Pin x/0 -> NULL semantics: every try_divide-based degenerate-lake
+    # mirror depends on DuckDB returning NULL for division by zero, which
+    # newer DuckDB versions flip to IEEE inf/nan when
+    # ieee_floating_point_ops defaults to true (ADVICE r9). Guarded for
+    # versions that predate the setting.
+    try:
+        con.execute("SET ieee_floating_point_ops = false")
+    except duckdb.Error:
+        pass
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
