@@ -70,6 +70,21 @@ def _driver_checked() -> set[str]:
 # Changed after r5: q201's oracle centroid pick mirrored to
 # ORDER BY vec_id LIMIT K (ADVICE r5 — was WHERE vec_id < K).
 _CHANGED_AFTER_ROUND = {
+    # r10: the six constant-lake duplicate-PK artifact queries now load
+    # their keyed table through catalog.load_table_pk (a loud
+    # DuplicateKeyError guard on PK-violating input — VERDICT r9 item 2).
+    # On valid lakes results are bit-identical (the guard is one cached
+    # count/count-distinct aggregate that passes silently); fronted
+    # anyway per the conservative rotation discipline. Value 10 + the
+    # latest-recorded-round guard keeps them OUT of the r10 gate
+    # (budgeted 18 re-verify + 32 never-sampled) and fronts them in r11
+    # (17 never-sampled remain + these 6 = 23 of 50 slots).
+    "q64_winnow_fingerprints": 10,
+    "q107_recursive_cte": 10,
+    "q118_audio_window_energy": 10,
+    "q203_kmeans_clusters": 10,
+    "q238_ivf_nprobe_plan": 10,
+    "q332_bm25_tuning_plan": 10,
     # r9: the last eleven 1-row-lake divide-by-zero fixes (try_divide ->
     # NULL for n=1-undefined statistics, the same pattern as the 31 done
     # in r8; non-degenerate results mirror-verified bit-identical at

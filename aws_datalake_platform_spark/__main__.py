@@ -263,6 +263,20 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     qr.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
 
+    vl = sub.add_parser(
+        "validate-lake",
+        help="loud lake-contract check: primary-key uniqueness (and "
+        "non-null) for every table present. Duplicate ids make six "
+        "queries' semantics undefined (q64 q107 q118 q203 q238 q332 — "
+        "they also guard their own load path); this command locates "
+        "the offending rows before any query runs",
+    )
+    vl.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    vl.add_argument(
+        "--show", type=int, default=5,
+        help="print up to N offending key values per failing table",
+    )
+
     srch = sub.add_parser(
         "search",
         help="retrieval over a documents+embeddings snapshot: inverted-"
@@ -285,6 +299,72 @@ def _build_parser() -> argparse.ArgumentParser:
         help="stop at the BM25 shortlist (skip embedding re-score + MMR)",
     )
     return p
+
+
+def _validate_lake(spark, sf_dir: str, show: int) -> int:
+    """Lake-contract primary-key audit: one fused count/count-distinct
+    aggregate per table (column-pruned scan of just the key), then a
+    groupBy-count offender listing only for tables that FAIL. lineitem's
+    composite key (l_orderkey, l_linenumber) is checked with a two-column
+    distinct count. Exit 1 on any violation — the documented repair is
+    exact dedup (q22)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .catalog import TABLE_PRIMARY_KEYS, load_table
+    from .validation import DataValidator
+
+    bad = 0
+    for table, key in TABLE_PRIMARY_KEYS.items():
+        if not os.path.exists(os.path.join(sf_dir, f"{table}.parquet")):
+            continue
+        df = load_table(spark, sf_dir, table).select(key)
+        report = (
+            DataValidator(df, table)
+            .expect_column_values_to_be_unique(key)
+            .validate()
+        )
+        det = report["results"][0]["details"]
+        if report["success"]:
+            print(f"{table}.{key}: ok ({det['total_count']} rows)")
+            continue
+        bad += 1
+        print(
+            f"{table}.{key}: FAIL — {det['non_unique_count']} of "
+            f"{det['total_count']} rows carry duplicate or NULL keys"
+        )
+        if show:
+            offenders = (
+                df.groupBy(key)
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+                .filter((F.col("n_rows") > 1) | F.col(key).isNull())
+                .orderBy(F.desc("n_rows"), key)
+                .limit(show)
+            )
+            for r in offenders.collect():
+                print(f"  {key}={r[key]!r}: {r['n_rows']} rows")
+    if os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+        # INFO only: TPC-H declares (l_orderkey, l_linenumber) as
+        # lineitem's key, but the driver-generated testdata does not
+        # honor it (sf0.001 carries 1401 duplicate pairs) and no
+        # registered query depends on it — so it is reported, never
+        # failed, under this lake's contract.
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber"
+        )
+        row = li.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("l_orderkey", "l_linenumber").alias("nd"),
+        ).collect()[0]
+        dupes = row["n"] - row["nd"]
+        print(
+            f"lineitem.(l_orderkey, l_linenumber): info — "
+            f"{dupes} of {row['n']} rows share a composite key "
+            "(not part of this lake's contract; no query depends on it)"
+        )
+    print(f"validate-lake: {'FAIL' if bad else 'ok'} ({sf_dir})")
+    return 1 if bad else 0
 
 
 def _experiment_report(spark, sf_dir: str) -> int:
@@ -873,6 +953,8 @@ def main(argv: list[str] | None = None) -> int:
         return _quality_report(spark, args.sf_dir)
     if args.cmd == "data-plan":
         return _data_plan(spark, args.sf_dir)
+    if args.cmd == "validate-lake":
+        return _validate_lake(spark, args.sf_dir, args.show)
     if args.cmd == "search":
         return _search(
             spark, args.sf_dir, args.query, args.k, args.shortlist,

@@ -129,6 +129,56 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Lake-contract primary keys (the reference's Glue DDL treats these id
+# columns as keys). Queries whose semantics are undefined on duplicate
+# ids load through load_table_pk; validate-lake checks the whole map.
+TABLE_PRIMARY_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    # lineitem has no entry: TPC-H declares (l_orderkey, l_linenumber)
+    # composite, but the driver-generated testdata does not honor it
+    # (sf0.001: 1401 duplicate pairs) and no registered query depends on
+    # it — validate-lake reports it as info only.
+}
+
+# (abspath(sf_dir), table, key) triples already verified this process.
+# Lake paths are immutable within a run (batch contract), so one loud
+# one-aggregate check per lake+table amortizes to zero across the
+# bench's warm passes and repeated query invocations.
+_PK_VERIFIED: set[tuple[str, str, str]] = set()
+
+
+def load_table_pk(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table`` plus a LOUD primary-key uniqueness guard.
+
+    The constant-lake probe (scripts/degenerate_probe.py) documented six
+    queries (q64 q107 q118 q203 q238 q332) whose oracles carry per-id
+    ROW_NUMBER/GROUP BY steps that silently dedup duplicate ids while
+    the engine processes every physical row — undefined semantics on
+    PK-violating input. Those queries load their keyed table through
+    this wrapper so such input raises ``DuplicateKeyError`` instead of
+    silently returning different numbers. One extra count/count-distinct
+    aggregate per (lake, table) per process (cached; column-pruned scan
+    of just the key column).
+    """
+    from .validation import require_unique_key
+
+    df = load_table(spark, sf_dir, name)
+    key = TABLE_PRIMARY_KEYS[name]
+    token = (os.path.abspath(sf_dir), name, key)
+    if token not in _PK_VERIFIED:
+        require_unique_key(df.select(key), key, name)
+        _PK_VERIFIED.add(token)
+    return df
+
+
 def register_testdata(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every testdata table as a temp view for spark.sql().
 

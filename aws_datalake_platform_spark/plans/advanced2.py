@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_pk
 from .queries import register
 
 # ── q103: running distinct count over a window ──────────────────────────────
@@ -189,7 +189,7 @@ def q107_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; depth is bounded by the hierarchy height, not row count. For
     massive graphs the iterative min-label operator
     (operators/dedup.py:connected_components) is the batch-tuned path."""
-    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table_pk(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return spark.sql(_Q107_SQL)
 
 
@@ -786,7 +786,7 @@ def q118_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollups stay exact on any engine."""
     from ..operators.multimodal import audio_window_energy, synth_pcm_payload
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = load_table_pk(spark, sf_dir, "documents").select("doc_id")
     return audio_window_energy(synth_pcm_payload(docs))
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_pk
 from ..operators.dedup import (
     exact_dedup_groups,
     minhash_coeffs,
@@ -635,7 +635,7 @@ def q64_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import winnow_fingerprints
 
     return winnow_fingerprints(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3, window=4
+        load_table_pk(spark, sf_dir, "documents"), "doc_id", "text", k=3, window=4
     )
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_pk
 from ..functions.core import round_half_up
 from .queries import register
 
@@ -84,7 +84,7 @@ def q203_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import _centroid_matrix, cosine, ivf_assign
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_table_pk(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = _centroid_matrix(emb, "vec_id", "embedding", _Q203_K, n_iter=_Q203_ITER)
     asg = ivf_assign(emb, cents, n_probe=1)
     cdf = F.broadcast(
@@ -3273,7 +3273,7 @@ def q238_ivf_nprobe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_table_pk(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     probes = emb.filter(F.col("vec_id") < _Q238_NQ)
     cents = _centroid_matrix(emb, "vec_id", "embedding", _Q238_NC)
 

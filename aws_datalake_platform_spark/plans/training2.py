@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_pk
 from ..functions.core import round_half_up
 from .queries import register
 
@@ -1236,7 +1236,7 @@ def q332_bm25_tuning_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     number of times (the default-cell branch) — independent of grid
     size; at 100 TB you'd localCheckpoint the 90-row topk relation
     and even that constant goes away."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_pk(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks")
     )

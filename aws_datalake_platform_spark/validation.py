@@ -112,6 +112,32 @@ class DataValidator:
         self._pending.append(("expect_table_row_count_to_be_greater_than", None, finish))
         return self
 
+    def expect_column_values_to_be_unique(self, column: str) -> "DataValidator":
+        """Primary-key uniqueness: non_unique = count(*) - count(DISTINCT col).
+
+        NULL keys count as violations too (count(*) includes them, the
+        distinct count ignores them — and a primary key is non-null by
+        definition). Fuses into the same single aggregate pass as every
+        other expectation; Catalyst plans the distinct leg with Expand,
+        still one scan.
+        """
+
+        def finish(total: int, non_unique: int) -> ExpectationResult:
+            return ExpectationResult(
+                "expect_column_values_to_be_unique",
+                non_unique == 0,
+                {"column": column, "non_unique_count": non_unique, "total_count": total},
+            )
+
+        self._pending.append(
+            (
+                "expect_column_values_to_be_unique",
+                F.count(F.lit(1)) - F.count_distinct(F.col(column)),
+                finish,
+            )
+        )
+        return self
+
     def expect_column_values_to_be_of_type(self, column: str, type_name: str) -> "DataValidator":
         # Schema-level check — no scan needed (declared but unimplemented in
         # the reference, transform.py:57).
@@ -154,6 +180,41 @@ class DataValidator:
             "success": failed == 0,
             "results": [r.to_dict() for r in results],
         }
+
+
+class DuplicateKeyError(ValueError):
+    """A declared primary-key column carries duplicate (or NULL) values.
+
+    Raised by ``require_unique_key`` so that queries whose semantics are
+    undefined on PK-violating input fail LOUDLY instead of silently
+    returning engine-dependent numbers (the constant-lake probe's six
+    documented artifact queries — see scripts/degenerate_probe.py).
+    """
+
+
+def require_unique_key(df: DataFrame, column: str, dataset: str) -> None:
+    """One-aggregate loud guard: raise ``DuplicateKeyError`` unless
+    ``column`` is a valid primary key of ``df`` (unique and non-null).
+
+    The lake contract treats id columns as primary keys (the reference's
+    Glue DDL declares them as such); exact dedup (q22) is the prescribed
+    upstream repair when this guard fires.
+    """
+    report = (
+        DataValidator(df, dataset)
+        .expect_column_values_to_be_unique(column)
+        .validate()
+    )
+    if not report["success"]:
+        det = report["results"][0]["details"]
+        raise DuplicateKeyError(
+            f"{dataset}.{column}: {det['non_unique_count']} of "
+            f"{det['total_count']} rows violate primary-key uniqueness "
+            "(duplicate or NULL ids). Query semantics are undefined on "
+            "PK-violating input — run exact dedup (q22) or "
+            "`python -m aws_datalake_platform_spark validate-lake` "
+            "to locate the offending rows."
+        )
 
 
 def observed_metrics(df: DataFrame, name: str = "dq") -> tuple[DataFrame, "Observation"]:

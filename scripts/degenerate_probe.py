@@ -20,13 +20,17 @@ se dof, q404 zero-link P/R/F1, q429 zero-x-variance slope), and a
 CONSTANT-lake sweep (--rows 1 --repeat 32: one row duplicated 32x)
 surfaced the zero-variance-at-large-n class (q95 F.corr ANSI crash,
 q241 log2(1) normalizer, q353 zero variance, q379 zero Fisher
-information) — all fixed the same way. Expected output today:
-0 divergences at --rows 0, 1, and 2; at --rows 1 --repeat 32,
-exactly 6 documented duplicate-PK artifacts remain (q64 q107 q118
+information) — all fixed the same way. Round 10 closed the silent
+end of the duplicate-PK class: the 6 artifact queries (q64 q107 q118
 q203 q238 q332 — oracle-side per-id dedup vs physical-row engine
 semantics on PK-violating input, plus q107's self-loop making the
-recursive walk undefined; PK uniqueness is part of the lake
-contract, SURVEY §7 r9).
+recursive walk undefined) now load their keyed table through
+catalog.load_table_pk, which raises DuplicateKeyError on duplicate or
+NULL ids (PK uniqueness is part of the lake contract, SURVEY §7 r9;
+`validate-lake` locates offenders, exact dedup q22 repairs them).
+Expected output today: 0 divergences at --rows 0, 1, and 2; at
+--rows 1 --repeat 32, 0 divergences with exactly those 6 queries
+reported as GUARD (the loud contract check firing as designed).
 
     python scripts/degenerate_probe.py [--rows 1] [--sf /root/testdata/sf0.001]
 """
@@ -83,7 +87,9 @@ def main() -> int:
         flush=True,
     )
 
-    bad = 0
+    from aws_datalake_platform_spark.validation import DuplicateKeyError
+
+    bad = guarded = 0
     for name in sorted(QUERY_REGISTRY):
         spec = QUERY_REGISTRY[name]
         if spec.sql is None:
@@ -92,13 +98,20 @@ def main() -> int:
             continue
         try:
             ok, msg = compare(spec.fn(spark, dst), con, spec.sql)
+        except DuplicateKeyError as ex:
+            # the loud lake-contract check firing on PK-violating input —
+            # the designed outcome for the 6 undefined-semantics queries,
+            # not a divergence
+            guarded += 1
+            print(f"GUARD {name}: {str(ex).splitlines()[0][:150]}", flush=True)
+            continue
         except Exception as ex:  # either engine may raise on degenerate input
             ok = False
             msg = f"EXC {type(ex).__name__}: {str(ex).splitlines()[0][:120]}"
         if not ok:
             bad += 1
             print(f"MISMATCH {name}: {msg[:170]}", flush=True)
-    print(f"done: {bad} divergences", flush=True)
+    print(f"done: {bad} divergences, {guarded} pk-guard rejections", flush=True)
     return 1 if bad else 0
 
 
