@@ -558,6 +558,67 @@ def test_q425_dedup_budget_recompute(spark):
     assert any(r["savings_pct"] > 0 for r in out), "corpus has planted dups"
 
 
+def _fl_greedy(ids, Xn, cand_ids, k=8):
+    """Independent numpy replay of q426's greedy facility-location step:
+    micro-quantized cosine sims, exact integer cover/gain algebra,
+    ties -> lowest vec_id."""
+    import numpy as np
+
+    mask = np.isin(ids, cand_ids)
+    cids = ids[mask]
+    Sq = np.floor(Xn @ Xn[mask].T * 1_000_000 + 0.5).astype(np.int64)
+    cover = np.zeros(len(ids), dtype=np.int64)
+    picked, gains = [], []
+    for _ in range(k):
+        avail = [j for j in range(len(cids)) if cids[j] not in picked]
+        if not avail:
+            break
+        g, cid, j = max(
+            (
+                (int(np.maximum(Sq[:, j] - cover, 0).sum()), int(cids[j]), j)
+                for j in avail
+            ),
+            key=lambda t: (t[0], -t[1]),
+        )
+        picked.append(cid)
+        gains.append(g)
+        cover = np.maximum(cover, Sq[:, j])
+    return picked, gains
+
+
+def _fl_learned_reps(df, ids, X, nrm, n_centroids=50):
+    """q426's candidate shortlist recomputed independently: package
+    quantizer (its own pytest covers the k-means), then plain-numpy
+    assignment + per-cluster closest-to-centroid representative."""
+    import numpy as np
+
+    from aws_datalake_platform_spark.operators.similarity import (
+        _centroid_matrix,
+        _seq_dots,
+    )
+
+    cents = _centroid_matrix(
+        df, "vec_id", "embedding",
+        n_centroids=n_centroids, sample_size=1024, n_iter=10, seed=42,
+    )
+    Xn = X / np.maximum(nrm[:, None], 1e-12)
+    assign = np.argsort(-_seq_dots(Xn, cents), axis=1, kind="stable")[:, 0]
+    reps = []
+    for c in range(cents.shape[0]):
+        m = assign == c
+        if not m.any():
+            continue
+        score = _seq_dots(X, cents[c : c + 1])[:, 0] / nrm
+        best = np.lexsort((ids, np.where(m, -score, np.inf)))[0]
+        reps.append(int(ids[best]))
+    return reps
+
+
+def _fl_hash_shortlist(ids, n=50):
+    """The r8 hash-arbitrary shortlist q426 used before the learned swap."""
+    return sorted(ids.tolist(), key=lambda v: ((v * 2654435761) % 1000000007, v))[:n]
+
+
 def test_q426_facility_location_against_numpy(spark):
     """The candidate shortlist (per-cluster representatives of the
     50-centroid quantizer) and the greedy selection recomputed
@@ -569,66 +630,23 @@ def test_q426_facility_location_against_numpy(spark):
     clustered data the learned set wins — the reason for the swap)."""
     import numpy as np
 
-    from aws_datalake_platform_spark.operators.similarity import (
-        _centroid_matrix,
-        _seq_dots,
-        _seq_norms,
-    )
+    from aws_datalake_platform_spark.operators.similarity import _seq_norms
 
     out = QUERY_REGISTRY["q426_facility_location_coreset"].fn(spark, SF_SMOKE).collect()
     assert len(out) == 8
     rows = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows])
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
-
-    # candidate recompute: package quantizer (its own pytest covers the
-    # k-means), then plain-numpy assignment + per-cluster argmax rep
-    cents = _centroid_matrix(
-        load_table(spark, SF_SMOKE, "embeddings"),
-        "vec_id",
-        "embedding",
-        n_centroids=50,
-        sample_size=1024,
-        n_iter=10,
-        seed=42,
-    )
     nrm = _seq_norms(X)
     Xn = X / np.maximum(nrm[:, None], 1e-12)
-    assign = np.argsort(-_seq_dots(Xn, cents), axis=1, kind="stable")[:, 0]
-    reps = []
-    for c in range(50):
-        m = assign == c
-        if not m.any():
-            continue
-        score = _seq_dots(X, cents[c : c + 1])[:, 0] / nrm
-        best = np.lexsort((ids, np.where(m, -score, np.inf)))[0]
-        reps.append(int(ids[best]))
+
+    reps = _fl_learned_reps(
+        load_table(spark, SF_SMOKE, "embeddings"), ids, X, nrm
+    )
     assert 0 < len(reps) <= 50  # size-bounded: one rep per non-empty cluster
     assert len(set(reps)) == len(reps)
 
-    def greedy(cand_ids: list[int]) -> tuple[list[int], list[int]]:
-        mask = np.isin(ids, cand_ids)
-        cids = ids[mask]
-        Sq = np.floor(Xn @ Xn[mask].T * 1_000_000 + 0.5).astype(np.int64)
-        cover = np.zeros(len(ids), dtype=np.int64)
-        picked, gains = [], []
-        for _ in range(8):
-            avail = [j for j in range(len(cids)) if cids[j] not in picked]
-            if not avail:
-                break
-            g, cid, j = max(
-                (
-                    (int(np.maximum(Sq[:, j] - cover, 0).sum()), int(cids[j]), j)
-                    for j in avail
-                ),
-                key=lambda t: (t[0], -t[1]),
-            )
-            picked.append(cid)
-            gains.append(g)
-            cover = np.maximum(cover, Sq[:, j])
-        return picked, gains
-
-    picked, _ = greedy(reps)
+    picked, _ = _fl_greedy(ids, Xn, reps)
     assert [r["vec_id"] for r in out] == picked
     gains_out = [r["marginal_gain_milli"] for r in out]
     assert all(a >= b for a, b in zip(gains_out, gains_out[1:])), (
@@ -640,14 +658,66 @@ def test_q426_facility_location_against_numpy(spark):
 
     # coverage-gain audit vs the r8 hash shortlist (uniform fixtures:
     # ~equal; a >5% regression would mean the reps are broken)
-    hash_cand = sorted(
-        ids.tolist(), key=lambda v: ((v * 2654435761) % 1000000007, v)
-    )[:50]
-    _, hash_gains = greedy(hash_cand)
+    _, hash_gains = _fl_greedy(ids, Xn, _fl_hash_shortlist(ids))
     # marginal_gain_milli ~= gain_q / 1e6 -> rescale before comparing
     assert sum(gains_out) * 1_000_000 >= 0.95 * sum(hash_gains), (
         "learned candidates cover materially worse than the hash shortlist"
     )
+
+
+def test_q426_learned_candidates_win_on_clustered_data(spark, tmp_path):
+    """VERDICT r9 item 4: the uniform fixtures cannot show the learned
+    shortlist's structural win (random embeddings have no cluster
+    structure to exploit), so plant a mixture-of-Gaussians lake at sf0.1
+    scale — 2000 x 64, 30 components, Zipf-1.5 sizes, within-cluster
+    sigma 0.8 — and (a) drive the REAL q426 Spark pipeline on it against
+    the numpy replay, (b) measure greedy coverage learned-vs-hash.
+    Measured on this fixture: learned 0.8278 vs hash 0.8158 avg-coverage
+    (+1.46% relative); every clustered configuration probed in r10 was
+    positive (+0.15%..+1.46%), vs ~0 on uniform fixtures."""
+    import numpy as np
+
+    from aws_datalake_platform_spark.operators.similarity import _seq_norms
+
+    rng = np.random.default_rng(7)
+    n, d, k_true = 2000, 64, 30
+    centers = rng.normal(size=(k_true, d)) * 3.0
+    w = np.arange(1, k_true + 1, dtype=np.float64) ** -1.5
+    w /= w.sum()
+    comp = rng.choice(k_true, size=n, p=w)
+    X = centers[comp] + rng.normal(size=(n, d)) * 0.8
+    ids = np.arange(n)
+
+    lake = tmp_path / "clustered"
+    lake.mkdir()
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    df.write.parquet(str(lake / "embeddings.parquet"))
+
+    nrm = _seq_norms(X)
+    Xn = X / np.maximum(nrm[:, None], 1e-12)
+    reps = _fl_learned_reps(df, ids, X, nrm)
+    picked, gains = _fl_greedy(ids, Xn, reps)
+
+    # (a) the real Spark pipeline on the clustered lake matches the replay
+    out = QUERY_REGISTRY["q426_facility_location_coreset"].fn(spark, str(lake)).collect()
+    assert [r["vec_id"] for r in out] == picked
+    assert [r["marginal_gain_milli"] for r in out] == [
+        math.floor(g / 1000.0 + 0.5) / 1000.0 for g in gains
+    ]
+
+    # (b) the structural win: learned reps must cover strictly better
+    # than the hash-arbitrary shortlist on clustered data
+    _, hash_gains = _fl_greedy(ids, Xn, _fl_hash_shortlist(ids))
+    learned_cov, hash_cov = sum(gains), sum(hash_gains)
+    assert learned_cov > hash_cov, (
+        f"learned {learned_cov} <= hash {hash_cov} on the clustered fixture"
+    )
+    # pin the measured margin loosely (exact ints are deterministic here,
+    # but leave headroom for BLAS-order variation across platforms)
+    assert (learned_cov - hash_cov) / hash_cov > 0.005
 
 
 def test_q427_wasserstein_recompute(spark):
