@@ -14,6 +14,8 @@ The serving-surface ergonomics of the reference's Athena console
     python -m aws_datalake_platform_spark compact /lake/events \
         --partition-cols date --target-bytes 134217728
 
+    python -m aws_datalake_platform_spark validate-lake \
+        --sf-dir /root/testdata/sf0.01          # loud primary-key audit
     python -m aws_datalake_platform_spark materialize --index /lake/dedup_idx
     python -m aws_datalake_platform_spark audit --index /lake/dedup_idx
     python -m aws_datalake_platform_spark curate-incremental \
