@@ -85,6 +85,30 @@ _CHANGED_AFTER_ROUND = {
     "q203_kmeans_clusters": 10,
     "q238_ivf_nprobe_plan": 10,
     "q332_bm25_tuning_plan": 10,
+    # r10 OPTIMIZATION round, wave 1+2 — execution-strategy-only changes
+    # (results bit-identical; the full 432-test oracle suite was re-run
+    # green on the optimized code, see OPTIMIZATION_r10.md): broadcast
+    # node-value joins in the HITS/LPA loops, driver-side bounded
+    # recurrence for the taxonomy-sized PageRank (q350 pattern),
+    # union-find small-graph path in connected_components (q68 and its
+    # q214/q243/q349/q417/q425 inheritors), per-step lineage truncation
+    # in the MMR greedy loop, Arrow-batched sequential-fold cosine in
+    # the q59/q411/q426 verify paths, and a partial-Gram mapInArrow
+    # pass for q422. Fronted per the conservative rotation discipline.
+    "q123_pagerank_transitions": 10,
+    "q368_hits_hubs_authorities": 10,
+    "q394_label_propagation": 10,
+    "q398_pagerank_exact": 10,
+    "q422_embedding_effective_rank": 10,
+    "q411_similarity_margin": 10,
+    "q202_mmr_rerank": 10,
+    "q59_embedding_near_dup_lsh": 10,
+    "q68_dup_clusters": 10,
+    "q214_dup_cluster_histogram": 10,
+    "q417_split_leakage_audit": 10,
+    "q425_dedup_token_budget": 10,
+    "q243_golden_record": 10,
+    "q349_cluster_agreement": 10,
     # r9: the last eleven 1-row-lake divide-by-zero fixes (try_divide ->
     # NULL for n=1-undefined statistics, the same pattern as the 31 done
     # in r8; non-degenerate results mirror-verified bit-identical at
@@ -96,7 +120,9 @@ _CHANGED_AFTER_ROUND = {
     # q396's composite (vlong, vdbl) sort value replaces the lone double
     # cast (identical results on 2^53-safe keys; re-verify anyway). Both
     # mirror-certified at sf0.001 + sf0.01 and probed at rows 0/1.
-    "q426_facility_location_coreset": 9,
+    # (value was 9 for the r9 learned-candidate change; bumped to 10 for
+    # the r10 pair_cosine_arrow sim-matrix swap — results identical)
+    "q426_facility_location_coreset": 10,
     "q396_sort_key_plan": 9,
     # r9: 2-row-lake probe sweep — q316's paired-difference se has an
     # n-1 dof that a 1-cell arm zeroes (try_divide fix; q404/q429 fixed
@@ -173,9 +199,9 @@ _CHANGED_AFTER_ROUND = {
     "q415_logistic_quality_irls": 7,
     "q418_chimerge_binning_plan": 7,
     "q421_bpe_compression_curve": 7,
-    # r7: tiny-graph single-partition collapse added to the HITS loop
-    # (execution-strategy only — identical results; re-verify anyway)
-    "q368_hits_hubs_authorities": 7,
+    # (q368 carried a value-7 entry for its r7 single-partition collapse;
+    # re-greened in r08 and changed AGAIN in r10 — superseded by the
+    # value-10 entry above, removed so last-key-wins cannot downgrade it.)
     # r7: feature relations localCheckpoint'ed instead of persist+count
     # (execution-strategy only — identical results; re-verify anyway)
     "q191_incremental_dedup": 7,

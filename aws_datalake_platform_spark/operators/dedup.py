@@ -687,20 +687,55 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
-    # Iteration-tail collapse: dedup edge lists are usually TINY relative
+    # Small-graph collapse: dedup edge lists are usually TINY relative
     # to the corpus (sf0.1 profile: 256 edges from 5,000 docs, yet the
     # 32-partition propagation rounds cost 4.6 s of pure task-scheduling
-    # overhead). When the materialized edge list fits one partition by a
-    # huge margin, run the rounds single-partition: every join/aggregate
-    # becomes one task and the loop costs what the DATA costs. The count
-    # is on the already-persisted relation (no extra pass over the
-    # corpus), and the threshold (~MBs of long pairs) keeps the regime
-    # far from memory pressure; big graphs keep the partitioned path.
+    # overhead). Below the threshold (~MBs of long pairs — the same
+    # bound that used to gate the single-partition loop) the component
+    # labels are computed on a DRIVER-SIDE copy with union-find: the
+    # result — min node id per component — is exactly the converged
+    # min-label fixpoint the loop reaches AND exactly the oracle's
+    # recursive-CTE transitive-closure semantics (least(a, min
+    # reachable)), with none of the per-round join/aggregate/count jobs
+    # (guide §8: decide with small rows; the per-round loop was 8-12
+    # Spark jobs over kilobytes). The count is on the already-persisted
+    # relation (no extra pass over the corpus); big graphs keep the
+    # partitioned propagation loop below, whose per-round cost is what
+    # actually scales to 100 TB.
     if sym.count() <= 200_000:
-        small = sym.coalesce(1).persist(StorageLevel.MEMORY_AND_DISK)
-        small.count()
+        # read from the persisted relation (never the upstream lineage)
+        pair_rows = sym.collect()  # bounded by the guard above
         sym.unpersist()
-        sym = small
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in pair_rows:
+            a, b = row["a"], row["b"]
+            for n in (a, b):
+                if n not in parent:
+                    parent[n] = n
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so every root is its component's min —
+                # the min-label fixpoint without a second pass
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out_rows = [(n, find(n)) for n in parent]
+        node_type = edges.schema[src].dataType
+        schema = T.StructType(
+            [
+                T.StructField("node", node_type),
+                T.StructField("comp", node_type),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(out_rows, schema)
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     ).persist(StorageLevel.MEMORY_AND_DISK)

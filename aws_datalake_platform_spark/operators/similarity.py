@@ -290,17 +290,20 @@ def embedding_near_dup_pairs_lsh(
     )
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     base = df.repartition(n_parts).select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), norm(F.col(vec_col)).alias("__n")
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     )
-    a = base.select(F.col("__id").alias("vec_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
-    b = base.select(F.col("__id").alias("vec_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    a = base.select(F.col("__id").alias("vec_a"), F.col("__v").alias("__va"))
+    b = base.select(F.col("__id").alias("vec_b"), F.col("__v").alias("__vb"))
+    # verify with the Arrow-batched sequential-fold cosine (bit-identical
+    # to the interpreted HOF form — see pair_cosine_arrow; on candidate-
+    # dense corpora like the q59 fixture this was the whole query's cost)
     return (
         candidates.join(a, "vec_a")
         .join(b, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6).alias("sim"),
+            F.round(pair_cosine_arrow(F.col("__va"), F.col("__vb")), 6).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -327,6 +330,42 @@ def _seq_norms(x: np.ndarray) -> np.ndarray:
     for d in range(x.shape[1]):
         acc += x[:, d] * x[:, d]
     return np.sqrt(acc)
+
+
+def pair_cosine_arrow(a_col: Column, b_col: Column) -> Column:
+    """Unrounded cosine ``dot(a,b) / (norm(a)*norm(b))`` for PAIR
+    verification, computed Arrow-batched with the strict dim-order left
+    fold (_seq_dots/_seq_norms discipline): one IEEE multiply+add per
+    dimension in dimension order, hardware (correctly-rounded) sqrt,
+    norms multiplied before the divide — the exact rounding sequence of
+    the interpreted ``cosine()`` zip_with+aggregate expression, so the
+    value is BIT-IDENTICAL while the per-pair cost drops from an
+    interpreted HOF fold (never enters whole-stage codegen; measured
+    ~4.5 s for q59's 1.27M verifies at sf0.1) to a handful of
+    vectorized numpy passes per batch (guide §4.2: hand whole batches
+    to vectorized native code).
+
+    Marked nondeterministic so the optimizer cannot duplicate the
+    evaluation below a filter on the result (guide §4.4 — the
+    threshold filter right above every verify would otherwise pay the
+    UDF twice per surviving row)."""
+
+    @pandas_udf("double")
+    def pc(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        x = np.stack(a.to_numpy()).astype(np.float64)
+        y = np.stack(b.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(x))
+        nx = np.zeros(len(x))
+        ny = np.zeros(len(x))
+        for d in range(x.shape[1]):
+            acc += x[:, d] * y[:, d]
+            nx += x[:, d] * x[:, d]
+            ny += y[:, d] * y[:, d]
+        return pd.Series(acc / (np.sqrt(nx) * np.sqrt(ny)))
+
+    return pc.asNondeterministic()(a_col, b_col)
 
 
 def _seq_sqdist(x: np.ndarray, c: np.ndarray) -> np.ndarray:
@@ -1112,6 +1151,13 @@ def mmr_over_candidates(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
             .withColumn("pick_rank", F.lit(step).cast("long"))
+            # checkpoint each pick (one row per query): step s references
+            # picked_{s-1} TWICE (anti-join + penalty join), so without
+            # lineage truncation the final action re-evaluates ~2^k step
+            # subtrees — measured 3.9 s at sf0.1 vs ~1 s linearized
+            # (guide §5: localCheckpoint to cut lineage of a reused
+            # intermediate).
+            .localCheckpoint(eager=True)
         )
         picked = top if picked is None else picked.unionByName(top)
     assert picked is not None

@@ -1012,7 +1012,14 @@ def q123_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("prev", "cur", (F.col("w") * 1.0 / F.col("od")).alias("p"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nodes = ev.select(F.col("event_type").alias("v")).distinct()
+    # localCheckpoint the node set (q398 cadence): every one of the 10
+    # iteration steps left-joins nodes, so without materialization the
+    # final plan embeds ELEVEN copies of the events-scan + distinct
+    # subtree — ten full rescans of the event log for a taxonomy-sized
+    # relation (guide §7.2: duplicated subtrees).
+    nodes = ev.select(F.col("event_type").alias("v")).distinct().localCheckpoint(
+        eager=True
+    )
     n = nodes.count()
     if n == 0:  # empty lake: schema-stable empty result
         e.unpersist()

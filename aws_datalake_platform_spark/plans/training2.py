@@ -6022,18 +6022,33 @@ def q368_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The sf0.1 graph (~590k distinct customer-part edges) stays on the
     # partitioned path — measured: forcing it single-partition is ~1.5x
     # SLOWER (9.4M single-threaded row-joins), the threshold is real.
-    if edges.count() <= 200_000:
+    n_edges = edges.count()
+    if n_edges <= 200_000:
         small = edges.coalesce(1).persist(StorageLevel.MEMORY_AND_DISK)
         small.count()
         edges.unpersist()
         edges = small
+    # Broadcast the node-VALUE side of each half-step join while it
+    # provably fits: the h/a relations are <= distinct hubs/auths <=
+    # n_edges rows of two longs (~16 B each, <= ~64 MB at the 4M-edge
+    # guard), while the edge relation is the big side — broadcasting the
+    # values means the 16 half-step joins never shuffle the edges and
+    # the groupBy aggregates partially map-side (guide §2.4/§3.1: a
+    # broadcast join replaces the shuffle of the large side). The
+    # checkpointed half-step outputs have no stats, so AQE alone keeps
+    # planning sort-merge joins here. Bigger graphs (the 100 TB path)
+    # keep the partitioned joins. Same-session interleaved A/B at sf0.1
+    # (3 rounds each): broadcast 5.9-6.9 s vs sort-merge 8.3-10.2 s;
+    # an additional repartition-respread of the cached edges was
+    # measured SLOWER (7.5-10.5 s) and rejected.
+    bcast = F.broadcast if n_edges <= 4_000_000 else (lambda df: df)
     h = edges.select("hub").distinct().select(
         "hub", F.lit(_Q368_SCALE).cast("long").alias("hv")
     )
     a = None
     for _ in range(_Q368_ITERS):
         ar = (
-            edges.join(h, "hub")
+            edges.join(bcast(h), "hub")
             .groupBy("auth")
             .agg(F.sum("hv").cast("long").alias("raw"))
             # node-bounded; truncate lineage each half-step or the
@@ -6047,7 +6062,7 @@ def q368_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(raw * {_Q368_SCALE} div mx AS BIGINT)").alias("av"),
         )
         hr = (
-            edges.join(a, "auth")
+            edges.join(bcast(a), "auth")
             .groupBy("hub")
             .agg(F.sum("av").cast("long").alias("raw"))
             .localCheckpoint(eager=True)

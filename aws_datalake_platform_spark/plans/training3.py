@@ -641,6 +641,11 @@ def q382_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Measured and rejected (this round): broadcasting the degree-filter
+    # relations into the two joins. The checkpointed cur relation is
+    # AQE-coalesced to ~1 cached partition at sf0.1, so broadcast joins
+    # ran the whole peel round in ONE task — 6.0 s -> 10.6 s. The
+    # sort-merge exchanges ARE this loop's parallelism; they stay.
     rows = []
     cur = e
     for r in range(1, _Q382_ROUNDS + 1):
@@ -2132,29 +2137,45 @@ def q394_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Broadcast the node-label side of each half-step join while it
+    # provably fits (<= distinct hubs/auths <= n_edges rows of two longs;
+    # the q368 guard and rationale): the 20 half-step joins then never
+    # shuffle the edge relation. Bigger graphs keep the partitioned path.
+    n_edges = e.count()
+    bcast = F.broadcast if n_edges <= 4_000_000 else (lambda df: df)
     h = e.select("hub").distinct().select("hub", F.col("hub").cast("long").alias("lbl"))
     a = None
+    # Per-node argmax (max count, ties to the smallest label) as a
+    # struct-max AGGREGATE instead of row_number over a window: labels
+    # are nonnegative longs, so max(struct(cnt, -lbl)) picks exactly the
+    # (desc cnt, asc lbl) head — one partially-aggregatable pass, no
+    # per-partition sort, and the second exchange carries one row per
+    # (node, label) survivor instead of the whole counted relation
+    # (guide §2.3: aggregate before you shuffle).
+    def _argmax(counted: DataFrame, node: str) -> DataFrame:
+        return (
+            counted.groupBy(node)
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl"))
+                ).alias("m")
+            )
+            .select(node, (-F.col("m.nl")).alias("lbl"))
+        )
+
     for _ in range(_Q394_ROUNDS):
-        wa = Window.partitionBy("auth").orderBy(F.desc("cnt"), "lbl")
-        a = (
-            e.join(h, "hub")
+        a = _argmax(
+            e.join(bcast(h), "hub")
             .groupBy("auth", "lbl")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .select("auth", "lbl", F.row_number().over(wa).alias("rk"))
-            .filter(F.col("rk") == 1)
-            .select("auth", "lbl")
-            .localCheckpoint(eager=True)
-        )
-        wh = Window.partitionBy("hub").orderBy(F.desc("cnt"), "lbl")
-        h = (
-            e.join(a, "auth")
+            .agg(F.count(F.lit(1)).alias("cnt")),
+            "auth",
+        ).localCheckpoint(eager=True)
+        h = _argmax(
+            e.join(bcast(a), "auth")
             .groupBy("hub", "lbl")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .select("hub", "lbl", F.row_number().over(wh).alias("rk"))
-            .filter(F.col("rk") == 1)
-            .select("hub", "lbl")
-            .localCheckpoint(eager=True)
-        )
+            .agg(F.count(F.lit(1)).alias("cnt")),
+            "hub",
+        ).localCheckpoint(eager=True)
     sizes = (
         h.select("lbl", F.lit(1).alias("is_c"), F.lit(0).alias("is_p"))
         .unionByName(a.select("lbl", F.lit(0).alias("is_c"), F.lit(1).alias("is_p")))
@@ -2777,58 +2798,55 @@ def _q398_sql() -> str:
 )
 def q398_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: edge mining is the only corpus-width work (one lag window
-    + aggregate, exactly q123's); the iteration runs on the taxonomy-
-    bounded node set with localCheckpoint per step (q368 cadence)."""
-    from pyspark import StorageLevel
-
+    + aggregate, exactly q123's). The node set is taxonomy-bounded
+    (distinct event types) and the edge relation is <= |types|^2 rows,
+    so the fixed-point iteration runs on a driver-side copy — the
+    documented bounded-collect pattern (q350/q331) — in exact Python
+    integer arithmetic identical to the oracle's BIGINT div recurrence
+    (all terms nonnegative, so `div` == Python `//`). This replaced
+    ten per-iteration join+localCheckpoint Spark jobs over a
+    handful-of-rows relation, which were pure job-scheduling overhead
+    (guide §1.2: fix the distributed algorithm first — here the right
+    'distribution' for taxonomy-sized state is none at all)."""
     sc = _Q398_SCALE
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = ev.select(
         F.col("event_type").alias("cur"), F.lag("event_type").over(w).alias("prev")
     )
-    edges = (
+    edge_rows = (
         ordered.filter(F.col("prev").isNotNull())
         .groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .collect()  # taxonomy-bounded: <= |event types|^2 rows
     )
-    outd = edges.groupBy("prev").agg(F.sum("w").cast("long").alias("od"))
-    nodes = ev.select(F.col("event_type").alias("v")).distinct().localCheckpoint(
-        eager=True
+    node_vals = sorted(
+        row["v"]
+        for row in ev.select(F.col("event_type").alias("v")).distinct().collect()
     )
-    r = nodes.select("v", F.lit(sc).cast("long").alias("r"))
+    e = [(row["prev"], row["cur"], row["w"]) for row in edge_rows]
+    od: dict[str, int] = {}
+    for prev, _, wt in e:
+        od[prev] = od.get(prev, 0) + wt
+    r = {v: sc for v in node_vals}
     for _ in range(_Q398_ITERS):
-        tv = (
-            edges.join(r, edges["prev"] == r["v"])
-            .join(outd, "prev")
-            .groupBy("cur")
-            .agg(F.sum(F.expr("CAST((w * r) div od AS BIGINT)")).cast("long").alias("tv"))
-        )
-        r = (
-            nodes.join(tv, nodes["v"] == tv["cur"], "left")
-            .select(
-                "v",
-                F.expr(
-                    f"CAST((15 * CAST({sc} AS BIGINT) + 85 * COALESCE(tv, 0))"
-                    " div 100 AS BIGINT)"
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    n_nodes = nodes.count()
+        tv: dict[str, int] = {}
+        for prev, cur, wt in e:
+            tv[cur] = tv.get(cur, 0) + (wt * r[prev]) // od[prev]
+        r = {v: (15 * sc + 85 * tv.get(v, 0)) // 100 for v in node_vals}
+    n_nodes = len(node_vals)
+    rdf = spark.createDataFrame(
+        [(v, r[v]) for v in node_vals], "v string, r long"
+    )
     wr = Window.orderBy(F.desc("r"), "v")
-    out = (
-        r.select(
+    return (
+        rdf.select(
             "v",
             round_half_up(F.col("r") * 1.0 / (n_nodes * sc), 6).alias("pagerank"),
             F.row_number().over(wr).cast("long").alias("rank"),
         )
         .orderBy("rank")
-        .localCheckpoint(eager=True)
     )
-    edges.unpersist()
-    return out
 
 
 # ── q399: Cochran-Mantel-Haenszel stratified association test ────────────────
@@ -4646,9 +4664,11 @@ def _q411_sql() -> str:
 )
 def q411_similarity_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: positives come from the already-bucketed q59 relation;
-    background pairs are stride equi-joins (3N); cosines are JVM-side
-    aggregate folds; everything after is 21-bin histogram algebra."""
-    from ..operators.similarity import cosine
+    background pairs are stride equi-joins (3N); cosines are the
+    Arrow-batched sequential fold (pair_cosine_arrow — bit-identical to
+    the interpreted HOF it replaced); everything after is 21-bin
+    histogram algebra."""
+    from ..operators.similarity import pair_cosine_arrow
     from .queries import QUERY_REGISTRY as _REGISTRY
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4676,7 +4696,10 @@ def q411_similarity_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eb, "vb")
         .select(
             "kind",
-            F.floor((cosine(F.col("emb_a"), F.col("emb_b")) + 1) * 10)
+            # Arrow-batched sequential-fold cosine — bit-identical to the
+            # interpreted cosine() HOF (pair_cosine_arrow), ~10x less
+            # per-pair overhead on the 3N+dup pair relation
+            F.floor((pair_cosine_arrow(F.col("emb_a"), F.col("emb_b")) + 1) * 10)
             .cast("long")
             .alias("bin"),
         )

@@ -1469,27 +1469,50 @@ def _q422_sql() -> str:
     "JL truncation and q308's matryoshka prefix choices.",
 )
 def q422_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: one pass over embeddings exploding 64x64 dim pairs into a
-    map-side-combinable integer sum keyed by (i, j) — the shuffle
-    carries exactly 4096 cells no matter the corpus; everything after
-    is bounded algebra. The flatten/transform pair expansion stays in
-    whole-stage codegen (no Python)."""
+    """Scale: one Arrow pass over embeddings folds each batch's 64x64
+    micro-quantized outer products into ONE partial Gram matrix per
+    batch (numpy outer product + int64 sum — guide §4.2), so the
+    shuffle carries <= partitions x 4096 integer cells no matter the
+    corpus; everything after is bounded algebra. Replaced (this round)
+    a flatten/transform/explode expansion that pushed corpus x 4096
+    struct rows through the partial aggregate — per-cell integer sums
+    are order-independent, so the partial-Gram regrouping is
+    bit-identical (same per-element FLOOR((ei*ej)*sc + 0.5) doubles)."""
+    import numpy as np
+    import pyarrow as pa
+
     d = _Q422_DIM
     sc = _Q422_SCALE
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram(batches):
+        acc = np.zeros((d, d), dtype=np.int64)
+        seen = False
+        for b in batches:
+            col = b.column(0)
+            n_rows = len(col)
+            if n_rows == 0:
+                continue
+            flat = pa.compute.list_flatten(col).to_numpy(zero_copy_only=False)
+            x = flat.astype(np.float64).reshape(n_rows, d)
+            # same IEEE sequence as the SQL cell: (ei*ej) * sc + 0.5,
+            # floored, cast BIGINT — then order-independent int sums
+            prod = x[:, :, None] * x[:, None, :]
+            acc += np.floor(prod * sc + 0.5).astype(np.int64).sum(axis=0)
+            seen = True
+        if seen:
+            ii, jj = np.indices((d, d))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array((ii + 1).ravel(), pa.int32()),
+                    pa.array((jj + 1).ravel(), pa.int32()),
+                    pa.array(acc.ravel(), pa.int64()),
+                ],
+                names=["i", "j", "p"],
+            )
+
     cells = (
-        emb.select(
-            F.explode(
-                F.expr(
-                    f"flatten(transform(sequence(1, {d}), i -> "
-                    f"transform(sequence(1, {d}), j -> struct(i AS i, j AS j, "
-                    f"CAST(FLOOR(CAST(embedding[i - 1] AS DOUBLE) "
-                    f"* CAST(embedding[j - 1] AS DOUBLE) * {sc} + 0.5) "
-                    f"AS BIGINT) AS p))))"
-                )
-            ).alias("c")
-        )
-        .select("c.i", "c.j", "c.p")
+        emb.mapInArrow(gram, "i int, j int, p long")
         .groupBy("i", "j")
         .agg(F.sum("p").cast("long").alias("s"))
     )
@@ -2095,16 +2118,19 @@ def q426_facility_location_coreset(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("embedding").alias("cemb"),
         F.col("nm").alias("cnm"),
     )
+    # Arrow-batched sequential-fold cosine for the N x K sim matrix —
+    # bit-identical to the interpreted dot/(nm*cnm) HOF it replaced
+    # (pair_cosine_arrow recomputes both norms with the same fold), at
+    # a fraction of the per-pair overhead (guide §4.2).
+    from ..operators.similarity import pair_cosine_arrow
+
     sim = (
         emb.crossJoin(F.broadcast(cand))
         .select(
             "v",
             "c",
             F.floor(
-                dot(F.col("embedding"), F.col("cemb"))
-                / (F.col("nm") * F.col("cnm"))
-                * sc
-                + 0.5
+                pair_cosine_arrow(F.col("embedding"), F.col("cemb")) * sc + 0.5
             )
             .cast("long")
             .alias("sq"),

@@ -360,6 +360,17 @@ WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", SF_DIR)
 
 
 def main() -> None:
+    # Dev-only iteration knob (guide §1: measure with the bench's own
+    # discipline — warmup everything, interleaved passes, per-query min —
+    # instead of ad-hoc harnesses): SPARK_GRAFT_BENCH_ONLY="q1,q2" trims
+    # the headline set for a quick subset run. NEVER set by the driver;
+    # default behavior is byte-identical. Subset runs also never touch
+    # bench_full.json (redirected to bench_full_dev.json below).
+    global HEADLINE
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        HEADLINE = [n for n in HEADLINE if n in keep]
     # Timing-only session: no console progress bars and no WARN chatter
     # (maxPlanStringLength truncation notices etc.) so the driver's
     # 2000-char output tail stays dominated by the one JSON result line.
@@ -597,7 +608,7 @@ def main() -> None:
     }
     out_path = (
         canonical_path
-        if sf_val == 0.1
+        if sf_val == 0.1 and not only
         else os.path.join(here, "bench_full_dev.json")
     )
     with open(out_path, "w") as fh:
