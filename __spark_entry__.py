@@ -85,9 +85,32 @@ _CHANGED_AFTER_ROUND = {
     "q203_kmeans_clusters": 10,
     "q238_ivf_nprobe_plan": 10,
     "q332_bm25_tuning_plan": 10,
+    # r11 OPTIMIZATION round — execution-strategy-only changes (results
+    # bit-identical; every one mirror-verified against the DuckDB oracle
+    # on the optimized tree, and the new tests/test_driver_paths.py pins
+    # driver-vs-distributed path equality): guarded driver-side fixed
+    # points for the bounded graph loops (q368/q394/q382 — q398
+    # precedent), thread-pool detector builds in the audit composites
+    # (q367/q225/q277/q354), ONE shared q24 relation inside q404 (and
+    # the q387 body refactored into a shared helper, plan unchanged),
+    # distributed exact-NTILE for q337 (q396 machinery), a single-pass
+    # mapInArrow sim matrix + guarded driver greedy for q426, and a
+    # guarded driver greedy for q202's MMR loop. Value 10: these land
+    # BEFORE the r11 gate runs, so r11 greens certify the new code
+    # (the r8 batch precedent below).
+    "q367_cochran_q": 10,
+    "q225_lsh_dedup_audit": 10,
+    "q277_detector_agreement": 10,
+    "q354_dup_capture_recapture": 10,
+    "q404_fs_linkage_scoring": 10,
+    "q387_fellegi_sunter_weights": 10,
+    "q337_zorder_skip_estimate": 10,
+    "q382_kcore_peel": 10,
     # r10 OPTIMIZATION round, wave 1+2 — execution-strategy-only changes
-    # (results bit-identical; the full 432-test oracle suite was re-run
-    # green on the optimized code, see OPTIMIZATION_r10.md): broadcast
+    # (builder-run 432-test oracle suite green on the optimized code, see
+    # OPTIMIZATION_r10.md; the r10 driver pytest gate itself timed out, so
+    # the claim is pending the r11 gate re-greening every value-10 entry):
+    # broadcast
     # node-value joins in the HITS/LPA loops, driver-side bounded
     # recurrence for the taxonomy-sized PageRank (q350 pattern),
     # union-find small-graph path in connected_components (q68 and its

@@ -728,7 +728,17 @@ def connected_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         out_rows = [(n, find(n)) for n in parent]
+        # node/comp share one type: a comp label is always some node's id
+        # (ADVICE r10 — an int-vs-long src/dst mix would otherwise build a
+        # schema that truncates or rejects dst-only node ids)
         node_type = edges.schema[src].dataType
+        dst_type = edges.schema[dst].dataType
+        if node_type != dst_type:
+            raise TypeError(
+                f"connected_components: {src} is {node_type.simpleString()} "
+                f"but {dst} is {dst_type.simpleString()}; edge endpoints "
+                "must share one node type"
+            )
         schema = T.StructType(
             [
                 T.StructField("node", node_type),

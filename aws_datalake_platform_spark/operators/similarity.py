@@ -350,12 +350,7 @@ def pair_cosine_arrow(a_col: Column, b_col: Column) -> Column:
     threshold filter right above every verify would otherwise pay the
     UDF twice per surviving row)."""
 
-    @pandas_udf("double")
-    def pc(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series([], dtype="float64")
-        x = np.stack(a.to_numpy()).astype(np.float64)
-        y = np.stack(b.to_numpy()).astype(np.float64)
+    def _fold(x: np.ndarray, y: np.ndarray) -> np.ndarray:
         acc = np.zeros(len(x))
         nx = np.zeros(len(x))
         ny = np.zeros(len(x))
@@ -363,7 +358,41 @@ def pair_cosine_arrow(a_col: Column, b_col: Column) -> Column:
             acc += x[:, d] * y[:, d]
             nx += x[:, d] * x[:, d]
             ny += y[:, d] * y[:, d]
-        return pd.Series(acc / (np.sqrt(nx) * np.sqrt(ny)))
+        return acc / (np.sqrt(nx) * np.sqrt(ny))
+
+    @pandas_udf("double")
+    def pc(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        # Dirty-data fallback (ADVICE r10): the interpreted zip_with+
+        # aggregate HOF this replaces returns NULL for a NULL vector, a
+        # length-mismatched pair (zip_with pads with NULLs) or a NULL
+        # element — np.stack would instead crash the query. The masked
+        # path only engages when such rows exist; clean batches (every
+        # production lake) take the vectorized stack unchanged.
+        try:
+            bad = a.isna().to_numpy() | b.isna().to_numpy()
+            if bad.any():
+                raise ValueError("null vectors in batch")
+            x = np.stack(a.to_numpy()).astype(np.float64)
+            y = np.stack(b.to_numpy()).astype(np.float64)
+        except (ValueError, TypeError):
+            out: list[float | None] = []
+            for va, vb in zip(a, b):
+                if (
+                    va is None
+                    or vb is None
+                    or len(va) != len(vb)
+                    or any(e is None for e in va)
+                    or any(e is None for e in vb)
+                ):
+                    out.append(None)
+                    continue
+                xa = np.asarray(va, dtype=np.float64)[None, :]
+                xb = np.asarray(vb, dtype=np.float64)[None, :]
+                out.append(float(_fold(xa, xb)[0]))
+            return pd.Series(out, dtype="Float64")
+        return pd.Series(_fold(x, y))
 
     return pc.asNondeterministic()(a_col, b_col)
 
@@ -1058,6 +1087,13 @@ def mmr_rerank(
     return mmr_over_candidates(cand, corpus, id_col, vec_col, k=k, lam=lam)
 
 
+# Driver-side MMR greedy while the checkpointed candidate/pair relations
+# fit a bounded collect (guide §8); module-level so tests can force the
+# distributed unrolled loop and pin both paths equal.
+_MMR_DRIVER_CAND_BOUND = 500_000
+_MMR_DRIVER_PAIR_BOUND = 2_000_000
+
+
 def mmr_over_candidates(
     cand: DataFrame,
     corpus: DataFrame,
@@ -1113,6 +1149,77 @@ def mmr_over_candidates(
         .localCheckpoint(eager=True)
     )
     slim = cand.select("query_id", "neighbor_id", "rel")
+    # Driver-side greedy below a bounded-collect guard (r11; guide §8 —
+    # the q398/union-find precedent): the k greedy steps read nothing but
+    # the ANN-bounded (query, cand, rel) and (query, a, b, sim) relations
+    # (k*n and k*n^2 rows per query — both already checkpointed above),
+    # yet each step previously ran its own join+window+checkpoint Spark
+    # job. Score arithmetic is the identical double sequence (lam*rel -
+    # (1-lam)*pen, floor-half-up at 1e6), pen is a max over the SAME
+    # rounded sims, and tie-breaks compare the same values — so picks and
+    # scores are bit-identical. Many-query workloads past the guard keep
+    # the distributed unrolled loop — the scale path.
+    n_pairs = pairs.count()
+    n_cand = cand.count()
+    if 0 < n_cand <= _MMR_DRIVER_CAND_BOUND and n_pairs <= _MMR_DRIVER_PAIR_BOUND:
+        import math
+
+        one_minus = 1.0 - lam
+        by_q: dict = {}
+        for r in slim.collect():
+            by_q.setdefault(r["query_id"], []).append(
+                (r["neighbor_id"], r["rel"])
+            )
+        sim_lut: dict = {}
+        for r in pairs.select("query_id", "a_id", "b_id", "sim").collect():
+            sim_lut[(r["query_id"], r["a_id"], r["b_id"])] = r["sim"]
+        out_rows = []
+        for qid, cands in by_q.items():
+            remaining = dict(cands)
+            picked_ids: list = []
+            for step in range(1, k + 1):
+                if not remaining:
+                    break
+                best_key = None
+                best = None
+                for nid, rel in remaining.items():
+                    if picked_ids:
+                        pens = [
+                            sim_lut[(qid, nid, b)]
+                            for b in picked_ids
+                            if (qid, nid, b) in sim_lut
+                        ]
+                        pen = max(pens) if pens else 0.0
+                        score = (
+                            math.floor(
+                                (lam * rel - one_minus * pen) * 1_000_000 + 0.5
+                            )
+                            / 1_000_000
+                        )
+                    else:
+                        score = math.floor(lam * rel * 1_000_000 + 0.5) / 1_000_000
+                    key = (-score, nid)
+                    if best_key is None or key < best_key:
+                        best_key, best = key, (nid, rel, score)
+                nid, rel, score = best
+                del remaining[nid]
+                picked_ids.append(nid)
+                out_rows.append((qid, step, nid, rel, score))
+        spark = cand.sparkSession
+        q_t = slim.schema["query_id"].dataType
+        n_t = slim.schema["neighbor_id"].dataType
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("query_id", q_t),
+                T.StructField("pick_rank", T.LongType()),
+                T.StructField("neighbor_id", n_t),
+                T.StructField("rel", T.DoubleType()),
+                T.StructField("mmr_score", T.DoubleType()),
+            ]
+        )
+        return spark.createDataFrame(out_rows, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("mmr_score"), F.asc("neighbor_id"))
     picked: DataFrame | None = None
     for step in range(1, k + 1):

@@ -51,6 +51,30 @@ def register(name: str, sql: Optional[str], doc: str = ""):
     return deco
 
 
+def build_concurrently(*thunks: Callable[[], DataFrame]) -> list[DataFrame]:
+    """Build INDEPENDENT eager DataFrames from a small driver thread pool
+    (guide §2.6: actions are only sequential because driver code calls
+    them sequentially). The multi-detector audit composites each chain
+    2-3 detector builds whose internal persist+count / localCheckpoint
+    barriers serialized them end-to-end; submitting the builds from
+    threads lets each build's job tail back-fill cores the others leave
+    idle. Results come back in thunk order, so combination logic — and
+    therefore query RESULTS — are unchanged; only job scheduling is.
+
+    ``inheritable_thread_target`` propagates the session's thread-local
+    JVM properties (job descriptions/groups) into pool threads, per the
+    PySpark docs for driver-side concurrency."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(inheritable_thread_target(t)) for t in thunks]
+        return [f.result() for f in futures]
+
+
 # ─────────────────────────────────────────────────────────────────────────────
 # Core aggregation surface (reference A1-A5, Athena-implied §2.7)
 # ─────────────────────────────────────────────────────────────────────────────

@@ -1844,17 +1844,20 @@ def q225_lsh_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-shingle join — cap with max_df at real scale); the audit
     adds one pair-keyed join and three single-row aggregates that
     broadcast into a 1-row result."""
-    from .queries import QUERY_REGISTRY as _REGISTRY
+    from .queries import QUERY_REGISTRY as _REGISTRY, build_concurrently
 
-    cand = (
-        _REGISTRY["q24_minhash_lsh_dedup"]
+    # Independent detector builds from a driver thread pool (guide §2.6;
+    # r11): q24's eager signature-base barrier and q23's shingle join
+    # previously ran back-to-back. Pair relations unchanged.
+    cand, truth = build_concurrently(
+        lambda: _REGISTRY["q24_minhash_lsh_dedup"]
         .fn(spark, sf_dir)
         .select("doc_a", "doc_b")
-    )
-    truth = (
-        _REGISTRY["q23_ngram_jaccard_dedup"]
+        .localCheckpoint(eager=True),
+        lambda: _REGISTRY["q23_ngram_jaccard_dedup"]
         .fn(spark, sf_dir)
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True),
     )
     hit = cand.join(truth, ["doc_a", "doc_b"])
     m = (
@@ -7530,12 +7533,20 @@ def q277_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus) and one scalar rollup. The from-index twin
     (pipelines/audit_index.py) reads MATERIALIZED pair relations
     instead of re-running both detectors."""
-    from .queries import QUERY_REGISTRY as _REGISTRY
+    from .queries import QUERY_REGISTRY as _REGISTRY, build_concurrently
 
-    return _detector_agreement(
-        _REGISTRY["q24_minhash_lsh_dedup"].fn(spark, sf_dir),
-        _REGISTRY["q25_simhash_dedup"].fn(spark, sf_dir),
+    # Independent detector builds from a driver thread pool (guide §2.6;
+    # r11): the two eager signature-base barriers previously ran
+    # back-to-back. Pair relations unchanged.
+    mh, sh = build_concurrently(
+        lambda: _REGISTRY["q24_minhash_lsh_dedup"]
+        .fn(spark, sf_dir)
+        .localCheckpoint(eager=True),
+        lambda: _REGISTRY["q25_simhash_dedup"]
+        .fn(spark, sf_dir)
+        .localCheckpoint(eager=True),
     )
+    return _detector_agreement(mh, sh)
 
 
 # ── q278: embedding drift in cluster units (share shift + JS divergence) ─────

@@ -1756,6 +1756,10 @@ def q336_ipw_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ── q337: z-order vs insert-order file-skipping estimate ────────────────────
 
 _Q337_CHUNKS = 256
+# Driver-side zone maps while the five decision columns fit a bounded
+# collect (~32 MB at the bound); module-level so tests can force the
+# distributed exact-NTILE machinery and pin both paths equal.
+_Q337_DRIVER_ROW_BOUND = 4_000_000
 # predicate box, valid (non-empty) at every SF: partkey and suppkey both
 # start at 1 in TPC-H-shaped data
 _Q337_PK = (20, 60)
@@ -1850,27 +1854,154 @@ def q337_zorder_skip_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     plo, phi = _Q337_PK
     slo, shi = _Q337_SK
-    zones = None
-    for name, order in (
-        ("insert", [F.col("l_orderkey"), F.col("l_linenumber")]),
-        ("zorder", [F.col("z"), F.col("l_orderkey"), F.col("l_linenumber")]),
-    ):
-        zb = (
-            src.select(
-                "l_partkey",
-                "l_suppkey",
-                F.ntile(_Q337_CHUNKS).over(Window.orderBy(*order)).alias("bkt"),
-            )
-            .groupBy("bkt")
-            .agg(
-                F.min("l_partkey").alias("min_pk"),
-                F.max("l_partkey").alias("max_pk"),
-                F.min("l_suppkey").alias("min_sk"),
-                F.max("l_suppkey").alias("max_sk"),
-            )
-            .select(F.lit(name).alias("ordering"), "min_pk", "max_pk", "min_sk", "max_sk")
+    # r11 (VERDICT r10 item 5 — the last single-partition global sort):
+    # both chunk layouts previously ran NTILE over a GLOBAL
+    # Window.orderBy, i.e. two full-table one-task sorts. Two
+    # scale-correct paths replace them:
+    #  - below the bounded-collect guard, the zone maps are computed
+    #    DRIVER-SIDE: the decision inputs are five integer columns
+    #    (sort keys + the two zone-mapped keys), the output is 2x256
+    #    min/max rows, and exact NTILE over numpy lexsort is the
+    #    identical integer algebra (guide §8 — the q398/union-find
+    #    precedent; measured: the q396-style machinery alone costs more
+    #    than the whole query at sf0.1, the driver pass ~0.1 s);
+    #  - above it, q396's range-partitioned exact-NTILE machinery
+    #    (explode per-ordering legs, repartitionByRange on the unique
+    #    tuple, ranges frozen by localCheckpoint, global ranks from
+    #    per-(cand, pid) count offsets + per-range row_number). No task
+    #    ever holds more than ~2N/parts rows; chunk assignment is
+    #    bit-identical on both paths (the sort tuple is unique, so
+    #    ranks have no ties).
+    n_rows = src.count()
+    if 0 < n_rows <= _Q337_DRIVER_ROW_BOUND:
+        import numpy as np
+
+        # collect only the four key columns; the Morton key is the same
+        # bit interleave computed vectorized in numpy (the 64-term
+        # bitwise expression tree measured ~2 s through the Arrow
+        # collect path vs ~50 ms here — identical integer ops)
+        pdf = src.select(
+            "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
+        ).toPandas()
+        okey = pdf["l_orderkey"].to_numpy(np.int64)
+        lineno = pdf["l_linenumber"].to_numpy(np.int64)
+        pk = pdf["l_partkey"].to_numpy(np.int64)
+        sk = pdf["l_suppkey"].to_numpy(np.int64)
+        pk16 = pk & 0xFFFF
+        sk16 = sk & 0xFFFF
+        zv = np.zeros(len(pk), dtype=np.int64)
+        for i in range(16):
+            zv |= ((pk16 >> i) & 1) << (2 * i + 1)
+            zv |= ((sk16 >> i) & 1) << (2 * i)
+        qn, rn = divmod(n_rows, _Q337_CHUNKS)
+        if qn == 0:  # fewer rows than chunks: one row per chunk
+            sizes = np.ones(n_rows, dtype=np.int64)
+        else:
+            sizes = np.full(_Q337_CHUNKS, qn, dtype=np.int64)
+            sizes[:rn] += 1
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        zrows = []
+        for name, order in (
+            ("insert", np.lexsort((lineno, okey))),
+            ("zorder", np.lexsort((lineno, okey, zv))),
+        ):
+            pks, sks = pk[order], sk[order]
+            for mn_p, mx_p, mn_s, mx_s in zip(
+                np.minimum.reduceat(pks, starts).tolist(),
+                np.maximum.reduceat(pks, starts).tolist(),
+                np.minimum.reduceat(sks, starts).tolist(),
+                np.maximum.reduceat(sks, starts).tolist(),
+            ):
+                zrows.append((name, mn_p, mx_p, mn_s, mx_s))
+        zones = spark.createDataFrame(
+            zrows,
+            "ordering string, min_pk long, max_pk long, "
+            "min_sk long, max_sk long",
         )
-        zones = zb if zones is None else zones.unionByName(zb)
+        return _q337_estimate(src, zones, plo, phi, slo, shi)
+    n_parts = max(32, spark.sparkContext.defaultParallelism)
+    legs = F.array(
+        F.struct(F.lit("insert").alias("cand"), F.lit(0).cast("long").alias("vlong")),
+        F.struct(F.lit("zorder").alias("cand"), F.col("z").cast("long").alias("vlong")),
+    )
+    part = (
+        src.select(
+            "l_partkey",
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.explode(legs).alias("cv"),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "cv.cand",
+            "cv.vlong",
+        )
+        .repartitionByRange(
+            n_parts,
+            F.col("cand"),
+            F.col("vlong"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        (r["cand"], r["pid"]): r["cnt"]
+        for r in part.groupBy("cand", "pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }  # bounded: <= 2 * n_parts rows
+    n = sum(v for (c, _), v in counts.items() if c == "insert")
+    off_rows, run = [], {"insert": 0, "zorder": 0}
+    for cand, pid in sorted(counts):
+        off_rows.append((cand, pid, run[cand]))
+        run[cand] += counts[(cand, pid)]
+    if off_rows:
+        off_df = spark.createDataFrame(off_rows, "cand string, pid int, off long")
+    else:  # empty lake: no partitions to offset
+        off_df = spark.createDataFrame([], "cand string, pid int, off long")
+    wrk = Window.partitionBy("cand", "pid").orderBy(
+        "vlong", "l_orderkey", "l_linenumber"
+    )
+    rank = (F.row_number().over(wrk) + F.col("off")).alias("rank")
+    # exact NTILE(b): first (n % b) chunks hold ceil(n/b) rows, the rest
+    # floor(n/b) (ANSI/DuckDB semantics; same formula as q396)
+    q, r = divmod(n, _Q337_CHUNKS) if n else (0, 0)
+    if q == 0:  # fewer rows than chunks: one row per chunk
+        chunk = F.col("rank")
+    else:
+        cut = r * (q + 1)
+        chunk = F.when(
+            F.col("rank") <= cut, F.floor((F.col("rank") - 1) / (q + 1)) + 1
+        ).otherwise(r + F.floor((F.col("rank") - cut - 1) / q) + 1)
+    zones = (
+        part.join(F.broadcast(off_df), ["cand", "pid"])
+        .select("cand", "l_partkey", "l_suppkey", rank)
+        .select("cand", "l_partkey", "l_suppkey", chunk.cast("long").alias("bkt"))
+        .groupBy("cand", "bkt")
+        .agg(
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+            F.min("l_suppkey").alias("min_sk"),
+            F.max("l_suppkey").alias("max_sk"),
+        )
+        .select(
+            F.col("cand").alias("ordering"), "min_pk", "max_pk", "min_sk", "max_sk"
+        )
+    )
+    return _q337_estimate(src, zones, plo, phi, slo, shi)
+
+
+def _q337_estimate(
+    src: DataFrame, zones: DataFrame, plo: int, phi: int, slo: int, shi: int
+) -> DataFrame:
+    """Skip-fraction estimate shared by the driver-side and distributed
+    zone-map paths — identical Spark expressions either way."""
     hits = src.filter(
         F.col("l_partkey").between(plo, phi) & F.col("l_suppkey").between(slo, shi)
     ).agg(F.count(F.lit(1)).cast("long").alias("rows_matched"))
@@ -4060,12 +4191,21 @@ def q354_dup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar expression. Independence caveat documented: both detectors
     key on lexical overlap, so the estimate is a LOWER bound on missed
     pairs (positively correlated captures inflate m)."""
-    from .queries import QUERY_REGISTRY as _REGISTRY
+    from .queries import QUERY_REGISTRY as _REGISTRY, build_concurrently
 
-    a = _REGISTRY["q24_minhash_lsh_dedup"].fn(spark, sf_dir).select(
-        "doc_a", "doc_b"
+    # Independent detector builds from a driver thread pool (guide §2.6;
+    # r11): the two eager signature-base barriers previously ran
+    # back-to-back. Pair relations unchanged.
+    a, b = build_concurrently(
+        lambda: _REGISTRY["q24_minhash_lsh_dedup"]
+        .fn(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True),
+        lambda: _REGISTRY["q25_simhash_dedup"]
+        .fn(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True),
     )
-    b = _REGISTRY["q25_simhash_dedup"].fn(spark, sf_dir).select("doc_a", "doc_b")
     return _capture_recapture(a, b)
 
 
@@ -5882,14 +6022,26 @@ def q367_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     union + three membership joins on pair keys and a single fold.
     Blocks where all detectors agree (L_i = 0 or 3) cancel out of Q
     exactly as the test intends."""
-    from .queries import QUERY_REGISTRY as _REGISTRY
+    from .queries import QUERY_REGISTRY as _REGISTRY, build_concurrently
 
-    mh = _REGISTRY["q24_minhash_lsh_dedup"].fn(spark, sf_dir).select(
-        "doc_a", "doc_b"
-    )
-    sh = _REGISTRY["q25_simhash_dedup"].fn(spark, sf_dir).select("doc_a", "doc_b")
-    ng = _REGISTRY["q23_ngram_jaccard_dedup"].fn(spark, sf_dir).select(
-        "doc_a", "doc_b"
+    # The three detectors are independent; their internal eager barriers
+    # (q24/q25 persist+count signature bases, q23's shingle join forced
+    # eager here) previously ran back-to-back. Build them from a driver
+    # thread pool (guide §2.6) so each build back-fills the others' job
+    # tails; the pair relations and the Q statistic are unchanged.
+    mh, sh, ng = build_concurrently(
+        lambda: _REGISTRY["q24_minhash_lsh_dedup"]
+        .fn(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True),
+        lambda: _REGISTRY["q25_simhash_dedup"]
+        .fn(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True),
+        lambda: _REGISTRY["q23_ngram_jaccard_dedup"]
+        .fn(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True),
     )
     return _cochran_q(mh, sh, ng)
 
@@ -5937,6 +6089,11 @@ def _cochran_q(mh: DataFrame, sh: DataFrame, ng: DataFrame) -> DataFrame:
 _Q368_ITERS = 8
 _Q368_SCALE = 1_000_000
 _Q368_TOPK = 15
+# Driver-side fixed point while the DISTINCT edge relation fits one
+# broadcast-sized buffer (~64 MB of long pairs — the same bound that
+# gates the r10 broadcast variant); module-level so tests can force the
+# distributed path and pin both paths equal.
+_Q368_DRIVER_EDGE_BOUND = 4_000_000
 
 
 def _q368_sql() -> str:
@@ -6023,6 +6180,47 @@ def q368_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioned path — measured: forcing it single-partition is ~1.5x
     # SLOWER (9.4M single-threaded row-joins), the threshold is real.
     n_edges = edges.count()
+    # Driver-side fixed point below the SAME 4M-edge bound that gates the
+    # broadcast variant (r11; guide §8 / §1.2 — the q398/union-find
+    # precedent): when the whole DISTINCT edge relation fits one
+    # broadcast-sized buffer (<= ~64 MB of long pairs), 16 half-step
+    # join+agg+checkpoint Spark jobs are pure job-scheduling overhead —
+    # the r10 scaling block measured 8 cores FASTER than 32 on this very
+    # query (ratio 0.87). Integer scatter-adds and truncating integer
+    # division in numpy/Python are exactly the oracle's BIGINT recurrence
+    # (all terms nonnegative, sums <= edges * SCALE < 2^63), so scores
+    # are bit-identical; the SAME Spark tail expressions below compute
+    # the rounded float score either way. Bigger graphs keep the
+    # distributed loop — that is the 100 TB path.
+    if 0 < n_edges <= _Q368_DRIVER_EDGE_BOUND:
+        import numpy as np
+
+        pdf = edges.toPandas()
+        hub_ids, hub_idx = np.unique(
+            pdf["hub"].to_numpy(np.int64), return_inverse=True
+        )
+        auth_ids, auth_idx = np.unique(
+            pdf["auth"].to_numpy(np.int64), return_inverse=True
+        )
+        hv = np.full(len(hub_ids), _Q368_SCALE, dtype=np.int64)
+        av = np.zeros(len(auth_ids), dtype=np.int64)
+        for _ in range(_Q368_ITERS):
+            ar = np.zeros(len(auth_ids), dtype=np.int64)
+            np.add.at(ar, auth_idx, hv[hub_idx])
+            av = ar * _Q368_SCALE // ar.max()
+            hr = np.zeros(len(hub_ids), dtype=np.int64)
+            np.add.at(hr, hub_idx, av[auth_idx])
+            hv = hr * _Q368_SCALE // hr.max()
+        top_a = sorted(
+            zip(auth_ids.tolist(), av.tolist()), key=lambda kv: (-kv[1], kv[0])
+        )[:_Q368_TOPK]
+        top_h = sorted(
+            zip(hub_ids.tolist(), hv.tolist()), key=lambda kv: (-kv[1], kv[0])
+        )[:_Q368_TOPK]
+        a = spark.createDataFrame(top_a, "auth long, av long")
+        h = spark.createDataFrame(top_h, "hub long, hv long")
+        edges.unpersist()
+        return _q368_rank_tail(a, h)
     if n_edges <= 200_000:
         small = edges.coalesce(1).persist(StorageLevel.MEMORY_AND_DISK)
         small.count()
@@ -6072,6 +6270,15 @@ def q368_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hub",
             F.expr(f"CAST(raw * {_Q368_SCALE} div mx AS BIGINT)").alias("hv"),
         )
+    out = _q368_rank_tail(a, h)
+    edges.unpersist()
+    return out
+
+
+def _q368_rank_tail(a: DataFrame, h: DataFrame) -> DataFrame:
+    """Top-K ranking + rounded-score projection shared by the driver-side
+    and distributed HITS paths (identical Spark expressions either way,
+    so the float score math cannot diverge between paths)."""
     wa = Window.orderBy(F.desc("av"), "auth")
     wh = Window.orderBy(F.desc("hv"), "hub")
     out_a = (
@@ -6094,13 +6301,11 @@ def q368_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _Q368_TOPK)
         .drop("rn")
     )
-    out = (
+    return (
         out_a.unionByName(out_h)
         .orderBy("role", F.desc("score"), "node")
         .localCheckpoint(eager=True)
     )
-    edges.unpersist()
-    return out
 
 
 # ── q369: two-level binary-segmentation changepoints ─────────────────────────

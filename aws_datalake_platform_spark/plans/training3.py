@@ -16,6 +16,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
@@ -570,6 +571,9 @@ def q381_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q382_K = 3
 _Q382_ROUNDS = 8
+# q368's driver-side bound (see training2._Q368_DRIVER_EDGE_BOUND);
+# module-level so tests can force the distributed path.
+_Q382_DRIVER_EDGE_BOUND = 4_000_000
 
 
 def _q382_sql() -> str:
@@ -641,11 +645,44 @@ def q382_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Measured and rejected (this round): broadcasting the degree-filter
+    # Measured and rejected (r10): broadcasting the degree-filter
     # relations into the two joins. The checkpointed cur relation is
     # AQE-coalesced to ~1 cached partition at sf0.1, so broadcast joins
     # ran the whole peel round in ONE task — 6.0 s -> 10.6 s. The
-    # sort-merge exchanges ARE this loop's parallelism; they stay.
+    # sort-merge exchanges ARE this loop's parallelism; they stay on the
+    # distributed (100 TB) path.
+    # Driver-side peel below the 4M-edge broadcast bound (r11; guide §8 —
+    # q398/union-find precedent): 8 rounds x (checkpoint + collect) =
+    # 16 Spark jobs of pure scheduling overhead once the DISTINCT edge
+    # relation fits one broadcast-sized buffer (r10 scaling block: 8
+    # cores beat 32 at ratio 0.80). The peel is integer set algebra —
+    # every output column is an exact count — so the replay is
+    # bit-identical by construction.
+    n_edges_total = e.count()
+    if 0 < n_edges_total <= _Q382_DRIVER_EDGE_BOUND:
+        import numpy as np
+
+        pdf = e.toPandas()
+        hub_ids, hub_idx = np.unique(
+            pdf["hub"].to_numpy(np.int64), return_inverse=True
+        )
+        auth_ids, auth_idx = np.unique(
+            pdf["auth"].to_numpy(np.int64), return_inverse=True
+        )
+        alive = np.ones(len(hub_idx), dtype=bool)
+        out_rows = []
+        for r in range(1, _Q382_ROUNDS + 1):
+            hd = np.bincount(hub_idx[alive], minlength=len(hub_ids))
+            ad = np.bincount(auth_idx[alive], minlength=len(auth_ids))
+            alive &= (hd[hub_idx] >= _Q382_K) & (ad[auth_idx] >= _Q382_K)
+            ne = int(alive.sum())
+            nh = int(np.unique(hub_idx[alive]).size)
+            na = int(np.unique(auth_idx[alive]).size)
+            out_rows.append((r, nh, na, ne))
+        e.unpersist()
+        return spark.createDataFrame(
+            out_rows, "round long, n_customers long, n_parts long, n_edges long"
+        ).orderBy("round")
     rows = []
     cur = e
     for r in range(1, _Q382_ROUNDS + 1):
@@ -1318,6 +1355,13 @@ def q387_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
         .localCheckpoint(eager=True)
     )
+    return _q387_weights_from(docs, dup)
+
+
+def _q387_weights_from(docs: DataFrame, dup: DataFrame) -> DataFrame:
+    """Fellegi-Sunter m/u weight estimation given the (da, db) match-pair
+    relation — shared by q387 and q404 (r11: q404 previously rebuilt the
+    whole q24 detector a second time just to hand it to q387)."""
     bg = None
     for off in _Q387_OFFSETS:
         a = docs.select(F.col("doc_id").alias("da"))
@@ -2048,6 +2092,9 @@ def q393_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q394_ROUNDS = 5
 _Q394_TOPK = 15
+# q368's driver-side bound (see training2._Q368_DRIVER_EDGE_BOUND);
+# module-level so tests can force the distributed path.
+_Q394_DRIVER_EDGE_BOUND = 4_000_000
 
 
 def _q394_sql() -> str:
@@ -2142,6 +2189,68 @@ def q394_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the q368 guard and rationale): the 20 half-step joins then never
     # shuffle the edge relation. Bigger graphs keep the partitioned path.
     n_edges = e.count()
+    # Driver-side fixed point below the SAME 4M-edge bound that gates the
+    # broadcast variant (r11; guide §8 — q398/union-find precedent): the
+    # r10 scaling block measured 8 cores FASTER than 32 here (ratio
+    # 0.84), i.e. the 20 half-step join+argmax+checkpoint jobs are
+    # job-scheduling overhead, not data work, once the DISTINCT edge
+    # relation fits one broadcast-sized buffer. Modal-label argmax
+    # (count desc, label asc) is pure integer algebra, so the driver
+    # replay is bit-identical; every output column is an exact integer.
+    # Bigger graphs keep the distributed loop — the 100 TB path.
+    if 0 < n_edges <= _Q394_DRIVER_EDGE_BOUND:
+        import numpy as np
+
+        pdf = e.toPandas()
+        hub_ids, hub_idx = np.unique(
+            pdf["hub"].to_numpy(np.int64), return_inverse=True
+        )
+        auth_ids, auth_idx = np.unique(
+            pdf["auth"].to_numpy(np.int64), return_inverse=True
+        )
+        # label universe = initial hub labels (labels only ever copy);
+        # lbl_pos is ascending in label VALUE, so index order == the
+        # (count desc, label asc) tie-break order on values
+        lbls = hub_ids  # sorted ascending
+        nl = len(lbls)
+        h_lbl = np.arange(len(hub_ids), dtype=np.int64)  # position in lbls
+        a_lbl = np.zeros(len(auth_ids), dtype=np.int64)
+
+        def _modal(node_idx: np.ndarray, lbl_pos: np.ndarray, n_nodes: int) -> np.ndarray:
+            # counts of (node, label) pairs, then per-node argmax with
+            # (count desc, label-position asc) — label positions sort
+            # identically to label values
+            keys, cnts = np.unique(node_idx * nl + lbl_pos, return_counts=True)
+            nodes = keys // nl
+            labs = keys % nl
+            # lexsort: last key is primary — sort by (node asc, cnt desc,
+            # lab asc); first row per node is the modal label
+            order = np.lexsort((labs, -cnts, nodes))
+            nodes_s = nodes[order]
+            first = np.ones(len(nodes_s), dtype=bool)
+            first[1:] = nodes_s[1:] != nodes_s[:-1]
+            out = np.zeros(n_nodes, dtype=np.int64)
+            out[nodes_s[first]] = labs[order][first]
+            return out
+
+        for _ in range(_Q394_ROUNDS):
+            a_lbl = _modal(auth_idx, h_lbl[hub_idx], len(auth_ids))
+            h_lbl = _modal(hub_idx, a_lbl[auth_idx], len(hub_ids))
+        nc = np.bincount(h_lbl, minlength=nl)
+        np_ = np.bincount(a_lbl, minlength=nl)
+        tot = nc + np_
+        live = np.nonzero(tot)[0]
+        ranked = sorted(
+            ((int(lbls[i]), int(nc[i]), int(np_[i])) for i in live),
+            key=lambda t: (-(t[1] + t[2]), t[0]),
+        )[:_Q394_TOPK]
+        rows = [
+            (rk + 1, lbl, c, p) for rk, (lbl, c, p) in enumerate(ranked)
+        ]
+        e.unpersist()
+        return spark.createDataFrame(
+            rows, "rank long, community long, n_customers long, n_parts long"
+        ).orderBy("rank")
     bcast = F.broadcast if n_edges <= 4_000_000 else (lambda df: df)
     h = e.select("hub").distinct().select("hub", F.col("hub").cast("long").alias("lbl"))
     a = None
@@ -2835,8 +2944,17 @@ def q398_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             tv[cur] = tv.get(cur, 0) + (wt * r[prev]) // od[prev]
         r = {v: (15 * sc + 85 * tv.get(v, 0)) // 100 for v in node_vals}
     n_nodes = len(node_vals)
+    # node type from the lake schema, not a literal (ADVICE r10): the
+    # replaced DataFrame pipeline inherited event_type's type, and this
+    # keeps the output stable if the lake schema ever evolves
     rdf = spark.createDataFrame(
-        [(v, r[v]) for v in node_vals], "v string, r long"
+        [(v, r[v]) for v in node_vals],
+        T.StructType(
+            [
+                T.StructField("v", ev.schema["event_type"].dataType),
+                T.StructField("r", T.LongType()),
+            ]
+        ),
     )
     wr = Window.orderBy(F.desc("r"), "v")
     return (
@@ -3675,7 +3793,21 @@ def q404_fs_linkage_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries import QUERY_REGISTRY as _REGISTRY
 
     docs = load_table(spark, sf_dir, "documents")
-    w = _REGISTRY["q387_fellegi_sunter_weights"].fn(spark, sf_dir)
+    # ONE q24 detector build serves both consumers (r11): the weights
+    # estimation (q387's relation, identical by construction — see
+    # _q387_weights_from) and the is_dup label join below. Previously
+    # q404 ran the full q24 build twice back-to-back (once inside
+    # q387.fn, once for dup) — two eager signature-base barriers plus
+    # two verify joins for one identical pair relation.
+    dup_pairs = (
+        _REGISTRY["q24_minhash_lsh_dedup"].fn(spark, sf_dir)
+        .select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
+        .localCheckpoint(eager=True)
+    )
+    w = _q387_weights_from(
+        docs.select("doc_id", "lang", "source", "n_chars", F.col("text")),
+        dup_pairs,
+    )
     wp = w.agg(
         *[
             F.max(
@@ -3730,12 +3862,7 @@ def q404_fs_linkage_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("nd"))
         + F.when(F.col("pfx_a") == F.col("pfx_b"), F.col("pa")).otherwise(F.col("pd"))
     )
-    dup = (
-        _REGISTRY["q24_minhash_lsh_dedup"].fn(spark, sf_dir)
-        .select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
-        .withColumn("is_dup", F.lit(1))
-        .localCheckpoint(eager=True)
-    )
+    dup = dup_pairs.withColumn("is_dup", F.lit(1))
     ev = (
         cand.join(da, "da")
         .join(db, "db")

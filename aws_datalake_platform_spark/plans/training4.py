@@ -1493,12 +1493,54 @@ def q422_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame
             n_rows = len(col)
             if n_rows == 0:
                 continue
+            # Dirty-data guard (ADVICE r10): list_flatten silently drops
+            # NULL lists, so a blind reshape(n_rows, d) would raise (or
+            # silently misalign rows). Rows that are NULL or not exactly
+            # d elements take the cell-wise fallback below, which
+            # reproduces the replaced explode form's semantics exactly
+            # (absent cells contribute nothing to the integer sums).
+            lens = pa.compute.list_value_length(col).to_numpy(zero_copy_only=False)
+            clean = (
+                col.null_count == 0
+                and not pa.compute.any(
+                    pa.compute.not_equal(
+                        pa.compute.list_value_length(col), d
+                    )
+                ).as_py()
+            )
+            if not clean:
+                for row in col:
+                    vals = row.as_py() if row.is_valid else None
+                    if not vals:
+                        continue
+                    # position-preserving: cell (i, j) contributes only
+                    # when BOTH dims are present, exactly like the
+                    # oracle's embedding[i] * embedding[j] NULL algebra
+                    xr = np.full(d, np.nan)
+                    for idx in range(min(len(vals), d)):
+                        if vals[idx] is not None:
+                            xr[idx] = vals[idx]
+                    mask = ~np.isnan(xr)
+                    if not mask.any():
+                        continue
+                    prod = xr[:, None] * xr[None, :]
+                    cell = np.floor(prod * sc + 0.5)
+                    ok = mask[:, None] & mask[None, :]
+                    acc[ok] += cell[ok].astype(np.int64)
+                    seen = True
+                continue
             flat = pa.compute.list_flatten(col).to_numpy(zero_copy_only=False)
             x = flat.astype(np.float64).reshape(n_rows, d)
             # same IEEE sequence as the SQL cell: (ei*ej) * sc + 0.5,
-            # floored, cast BIGINT — then order-independent int sums
-            prod = x[:, :, None] * x[:, None, :]
-            acc += np.floor(prod * sc + 0.5).astype(np.int64).sum(axis=0)
+            # floored, cast BIGINT — then order-independent int sums.
+            # Chunked accumulation (ADVICE r10): the (rows, d, d) outer-
+            # product temporary is rows x 4096 float64 (~335 MB x3 at the
+            # default 10k-row Arrow batch); 1k-row slices bound executor
+            # memory with identical per-element arithmetic.
+            for s in range(0, n_rows, 1024):
+                xs = x[s : s + 1024]
+                prod = xs[:, :, None] * xs[:, None, :]
+                acc += np.floor(prod * sc + 0.5).astype(np.int64).sum(axis=0)
             seen = True
         if seen:
             ii, jj = np.indices((d, d))
@@ -1927,6 +1969,10 @@ _Q426_KM_ITER = 10
 _Q426_KM_SEED = 42
 _Q426_DIM = 64
 _Q426_SCALE = 1_000_000
+# Driver-side greedy while the N x K integer sim matrix fits one
+# broadcast-sized buffer (~64 MB of int64 cells); module-level so tests
+# can force the distributed loop and pin both paths equal.
+_Q426_DRIVER_CELL_BOUND = 8_000_000
 
 
 def _q426_sql() -> str:
@@ -2063,6 +2109,9 @@ def q426_facility_location_coreset(spark: SparkSession, sf_dir: str) -> DataFram
     each greedy step is one integer join+aggregate over O(N*K) cells
     plus a 1-row argmax collect; the cover vector updates via
     equi-join. Per-candidate cost is flat in N."""
+    import numpy as np
+    import pyarrow as pa
+
     from ..operators.similarity import _centroid_matrix, dot, ivf_assign, norm
 
     sc = _Q426_SCALE
@@ -2113,42 +2162,143 @@ def q426_facility_location_coreset(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .select((-F.col("m.nv")).cast("long").alias("c"))
     )
-    cand = emb.join(F.broadcast(rep), emb["v"] == F.col("c")).select(
-        "c",
-        F.col("embedding").alias("cemb"),
-        F.col("nm").alias("cnm"),
+    cand_rows = (
+        emb.join(F.broadcast(rep), emb["v"] == F.col("c"))
+        .select("c", F.col("embedding").alias("cemb"))
+        .collect()
+    )  # <= _Q426_CAND_K rows: the candidate matrix rides the UDF closure
+    c_ids = np.array([int(r["c"]) for r in cand_rows], dtype=np.int64)
+    cmat = (
+        np.stack([np.asarray(r["cemb"], dtype=np.float64) for r in cand_rows])
+        if cand_rows
+        else np.zeros((0, 0))
     )
-    # Arrow-batched sequential-fold cosine for the N x K sim matrix —
-    # bit-identical to the interpreted dot/(nm*cnm) HOF it replaced
-    # (pair_cosine_arrow recomputes both norms with the same fold), at
-    # a fraction of the per-pair overhead (guide §4.2).
-    from ..operators.similarity import pair_cosine_arrow
+    # N x K sim matrix in ONE Arrow pass (r11; guide §4.2): the previous
+    # crossJoin(broadcast(cand)) + per-pair pandas UDF shipped every
+    # vector to Python K times (VERDICT r10: serialization amplification
+    # with no measured win). One mapInArrow over emb computes all K
+    # cosines per vector against the closure-resident candidate matrix —
+    # each vector crosses the boundary once. Per-element arithmetic is
+    # the same strict dim-order fold (_seq_dots/_seq_norms), hardware
+    # sqrt, norms multiplied before the divide, then the identical
+    # FLOOR(cos * sc + 0.5) — bit-identical sq cells by construction.
+    from ..operators.similarity import _seq_dots, _seq_norms
 
-    sim = (
-        emb.crossJoin(F.broadcast(cand))
-        .select(
-            "v",
-            "c",
-            F.floor(
-                pair_cosine_arrow(F.col("embedding"), F.col("cemb")) * sc + 0.5
+    d = cmat.shape[1] if cmat.size else 0
+    k_cand = len(c_ids)
+
+    def simk(batches):
+        cn = _seq_norms(cmat) if k_cand else np.zeros(0)
+
+        def emit(ids_arr, x):
+            dots = _seq_dots(x, cmat)
+            cos = dots / (_seq_norms(x)[:, None] * cn[None, :])
+            sq = np.floor(cos * sc + 0.5).astype(np.int64)
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids_arr, k_cand), pa.int64()),
+                    pa.array(np.tile(c_ids, len(ids_arr)), pa.int64()),
+                    pa.array(sq.ravel(), pa.int64()),
+                ],
+                names=["v", "c", "sq"],
             )
-            .cast("long")
-            .alias("sq"),
+
+        for b in batches:
+            col = b.column(1)
+            n_rows = len(col)
+            if n_rows == 0 or k_cand == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            clean = col.null_count == 0 and not pa.compute.any(
+                pa.compute.not_equal(pa.compute.list_value_length(col), d)
+            ).as_py()
+            if not clean:
+                # dirty-data fallback: the pair UDF this replaces yields
+                # NULL sim for a null/ragged/None-element vector, which
+                # the greedy algebra treats exactly like an absent row —
+                # so malformed rows are simply not emitted
+                keep, rows = [], []
+                for i, cell in enumerate(col):
+                    vals = cell.as_py() if cell.is_valid else None
+                    if vals is None or len(vals) != d or any(
+                        e is None for e in vals
+                    ):
+                        continue
+                    keep.append(ids[i])
+                    rows.append(np.asarray(vals, dtype=np.float64))
+                if rows:
+                    yield emit(np.asarray(keep, dtype=np.int64), np.stack(rows))
+                continue
+            flat = pa.compute.list_flatten(col).to_numpy(zero_copy_only=False)
+            yield emit(ids, flat.astype(np.float64).reshape(n_rows, d))
+
+    sim_plan = emb.select("v", "embedding").mapInArrow(simk, "v long, c long, sq long")
+    n_pts = emb.count()
+    selected: list[int] = []
+    out_rows: list[tuple] = []
+    # Greedy facility-location selection on the DRIVER below the bounded-
+    # collect guard (r11; guide §8 — the q398/union-find precedent): the
+    # whole 8-step optimizer reads nothing but the N x K INTEGER sim
+    # matrix and the N-long cover vector, so once N*K cells fit a
+    # broadcast-sized buffer (<= 8M cells ~ 64 MB) the per-step
+    # join+aggregate+argmax+checkpoint jobs (2 per pick) are pure
+    # scheduling overhead (r10 scaling block: 8 cores beat 32 at 0.76).
+    # Integer max/sum algebra is order-free, so gains and picks are
+    # bit-identical; the output projection below is shared. Bigger
+    # corpora keep the distributed loop — the 100 TB path.
+    if k_cand and 0 < n_pts * k_cand <= _Q426_DRIVER_CELL_BOUND:
+        pdf = sim_plan.toPandas()
+        if not len(pdf):  # no valid vectors at all: schema-stable empty
+            return spark.createDataFrame(
+                [],
+                "step int, vec_id long, marginal_gain_milli double, "
+                "avg_coverage double",
+            )
+        v_ids, v_idx = np.unique(pdf["v"].to_numpy(np.int64), return_inverse=True)
+        # dense columns in ascending-candidate-id order, so argmax's
+        # first-max rule reproduces the (g desc, c asc) tie-break
+        cand_ids_sorted = np.sort(c_ids)
+        col_idx = np.searchsorted(cand_ids_sorted, pdf["c"].to_numpy(np.int64))
+        dense = np.zeros((len(v_ids), k_cand), dtype=np.int64)
+        dense[v_idx, col_idx] = pdf["sq"].to_numpy(np.int64)
+        cov = np.zeros(len(v_ids), dtype=np.int64)
+        picked = np.zeros(k_cand, dtype=bool)
+        for t in range(1, _Q426_K + 1):
+            if picked.all():
+                break
+            gains = np.maximum(dense - cov[:, None], 0).sum(axis=0)
+            gains[picked] = -1
+            j = int(np.argmax(gains))  # first max = lowest c id on ties
+            g = int(gains[j])
+            picked[j] = True
+            c_star = int(cand_ids_sorted[j])
+            selected.append(c_star)
+            out_rows.append(
+                (t, c_star, g, (out_rows[-1][3] if out_rows else 0) + g)
+            )
+            if t == _Q426_K:
+                break
+            cov = np.maximum(cov, dense[:, j])
+        if not out_rows:  # no sim rows at all (defensive)
+            return spark.createDataFrame(
+                [],
+                "step int, vec_id long, marginal_gain_milli double, "
+                "avg_coverage double",
+            )
+        out = spark.createDataFrame(
+            out_rows, "step int, vec_id long, gain_q long, cov_q long"
         )
-        .localCheckpoint(eager=True)
-    )
+        return _q426_project(out, n_pts, sc)
+    sim = sim_plan.localCheckpoint(eager=True)
     if not sim.take(1):  # empty lake: schema-stable empty
         return spark.createDataFrame(
             [],
             "step int, vec_id long, marginal_gain_milli double, "
             "avg_coverage double",
         )
-    n_pts = emb.count()
     cover = emb.select("v", F.lit(0).cast("long").alias("cq")).localCheckpoint(
         eager=True
     )
-    selected: list[int] = []
-    out_rows: list[tuple] = []
     for t in range(1, _Q426_K + 1):
         gain = (
             sim.filter(~F.col("c").isin(selected) if selected else F.lit(True))
@@ -2184,6 +2334,13 @@ def q426_facility_location_coreset(spark: SparkSession, sf_dir: str) -> DataFram
     out = spark.createDataFrame(
         out_rows, "step int, vec_id long, gain_q long, cov_q long"
     )
+    return _q426_project(out, n_pts, sc)
+
+
+def _q426_project(out: DataFrame, n_pts: int, sc: int) -> DataFrame:
+    """Final projection shared by the driver-side and distributed greedy
+    paths — identical Spark float expressions over the exact integer
+    (gain_q, cov_q) columns, so the two paths cannot diverge."""
     return out.select(
         "step",
         "vec_id",

@@ -1,10 +1,20 @@
 """Every registered query with an oracle must hash-match DuckDB at sf0.001
-(fast) — the local mirror of the driver's correctness gate."""
+(fast) — the local mirror of the driver's correctness gate.
+
+Tiering (VERDICT r10 item 2): queries whose execution strategy changed
+since their last driver-green round (the ``_reverify`` front in
+``__spark_entry__``) always run in the default fast tier; rows already
+hash-certified by a past driver gate carry ``-m full`` and run behind
+``pytest -m full`` so the default gate completes inside the driver's
+window. The front is read from the same function the driver-facing
+ordering uses, so the fast tier tracks the changed-query set with no
+manual list."""
 
 from __future__ import annotations
 
 import pytest
 
+from __spark_entry__ import _reverify
 from aws_datalake_platform_spark.plans.queries import QUERY_REGISTRY
 
 from .conftest import SF_SMOKE
@@ -23,8 +33,17 @@ def con():
 # q182 was vacuously green), so every other query must be non-empty.
 EMPTY_OK: dict[str, str] = {}
 
+# Changed-but-not-yet-driver-certified queries: always in the fast tier.
+_FRONT = set(_reverify())
 
-@pytest.mark.parametrize("name", sorted(QUERY_REGISTRY))
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n if n in _FRONT else pytest.param(n, marks=pytest.mark.full)
+        for n in sorted(QUERY_REGISTRY)
+    ],
+)
 def test_query_matches_oracle(spark, con, name):
     spec = QUERY_REGISTRY[name]
     df = spec.fn(spark, SF_SMOKE)
@@ -60,6 +79,7 @@ def test_compare_repr_catches_both_r4_driver_failure_classes(spark, con):
     assert ok3, msg3
 
 
+@pytest.mark.full
 def test_no_decimal_or_nested_output_columns(spark):
     """The driver hashes PANDAS-TYPED frames: Spark toPandas() renders
     DECIMAL as object/Decimal while DuckDB fetchdf() renders float64, a
